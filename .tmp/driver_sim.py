@@ -1,0 +1,41 @@
+"""Simulate the driver harness: vanilla SparkSession (no engine configs),
+import __spark_entry__, smoke entry(), then differential-check a sample."""
+import sys, importlib.util, math
+import duckdb, pandas as pd
+from pyspark.sql import SparkSession
+
+spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+
+# 1. smoke: entry()
+df = mod.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
+assert len(rows) > 0
+
+# 2. correctness sample at sf0.01 (same protocol as driver)
+qs, os_ = mod.queries(), mod.oracle_sql()
+print(f"queries={len(qs)} oracles={len(os_)}")
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+sample = ["q_agg_group", "q_join_asof", "q_win_range_frame", "q_project", "q_agg_rollup"]
+for k in sample:
+    sdf = qs[k](spark, "/root/testdata/sf0.01").toPandas()
+    odf = con.execute(os_[k]).fetchdf()
+    assert len(sdf) == len(odf), (k, len(sdf), len(odf))
+    assert sorted(sdf.columns) == sorted(odf.columns), k
+    a = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(by=sorted(sdf.columns), ignore_index=True)
+    b = odf.reindex(sorted(odf.columns), axis=1).sort_values(by=sorted(odf.columns), ignore_index=True)
+    for c in a.columns:
+        for x, y in zip(a[c], b[c]):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y): continue
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (k, c, x, y)
+            else:
+                assert str(x) == str(y), (k, c, x, y)
+    print(f"{k}: OK ({len(sdf)} rows)")
+print("DRIVER-SIM PASS")

@@ -1,0 +1,58 @@
+"""SparkSession builder tuned for this engine (SURVEY.md §7 step 0).
+
+One SparkSession per process. The driver harness constructs its own
+session for ``queries()``; :func:`tune` applies the runtime-settable
+confs we rely on to any session we are handed, while :func:`get_spark`
+builds a fully configured local session for tests/bench.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-join demotion/promotion are all decided from runtime stats,
+  so the same logical plans survive a 1000-executor deployment.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; AQE
+  coalesces down. On a real cluster this would be set ~2-3x total cores.
+- Arrow transfer on: every pandas-UDF boundary is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs (safe to apply to an externally built session).
+RUNTIME_CONF = {
+    # Deterministic timestamp semantics vs the DuckDB oracle: fixture
+    # parquet timestamps are tz-naive; interpret them as UTC everywhere.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local[32] box: 32 is 1x cores; AQE coalesces small stages further.
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build — keep going
+    return spark
+
+
+def get_spark(app_name: str = "engine") -> SparkSession:
+    """Build (or fetch) the shared local SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("ENGINE_DRIVER_MEM", "24g"))
+        .config("spark.sql.warehouse.dir", "/root/repo/.tmp/spark-warehouse")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

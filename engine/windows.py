@@ -1,0 +1,205 @@
+"""Window functions (SURVEY.md §2.5): ranking, analytic, frames.
+
+All windows are partitioned (by nation / user) so at 100 TB every window
+sorts only within its hash partition — no global sort, no single-task
+bottleneck. Every ORDER BY carries a unique tie-break key so results are
+deterministic (SURVEY §7 risk register).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per nation by balance."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+    FROM customer
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of account balance (global window: only sane on dims)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           value - lag(value, 1) OVER w AS delta_prev,
+           lead(value, 1) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user tick-to-tick deltas (lag/lead) — crypto returns pattern."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta_prev"),
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+
+
+@register(
+    "q_win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+    FROM events
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative volume per user (running sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS sma7
+    FROM events
+    """,
+)
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row simple moving average per user (SMA pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("sma7"),
+    )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+               AS vol_1h
+    FROM (SELECT event_id, user_id, value,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+          FROM events)
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: trailing 1-hour volume per user over epoch seconds.
+    (RANGE frames include ALL peers at equal epoch_s, so the result is
+    deterministic without a unique tie-break.)"""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "epoch_s", F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-3600, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("vol_1h"),
+    )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS open_value,
+           last_value(value) OVER w AS close_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/close per user: first_value/last_value over the full frame
+    (the OHLCV bar open/close pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("open_value"),
+        F.last("value").over(w).alias("close_value"),
+    )
+
+
+@register(
+    "q_win_pct",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def q_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist of balances within nation."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -1,0 +1,151 @@
+"""Local differential checker mimicking the driver's correctness gate.
+
+For each registered query: run the Spark DataFrame and the DuckDB oracle
+at the given sf_dir, then compare row count, sorted column names, and
+order-insensitive values (columns sorted by name, rows sorted by all
+columns). Exact comparison for non-floats; floats must match to 1e-9
+after both engines' own rounding — queries are expected to round.
+
+Usage: python tools/check.py [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from engine.io import TABLES  # noqa: E402
+from engine.registry import all_oracles, all_queries  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm_cell(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        if isinstance(v, (list, tuple)):
+            return tuple(norm_cell(x) for x in v)
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return tuple(norm_cell(x) for x in v.tolist())
+        if isinstance(v, np.generic):
+            return norm_cell(v.item())
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime()
+        return v
+
+    # object dtype so None stays None (float64 columns coerce None->NaN)
+    out = pd.DataFrame(
+        {c: pd.Series([norm_cell(v) for v in df[c]], dtype=object) for c in df.columns}
+    )
+    rows = sorted(
+        out.itertuples(index=False, name=None),
+        key=lambda r: tuple((x is None, str(x)) for x in r),
+    )
+    return pd.DataFrame(rows, columns=out.columns)
+
+
+def rows_equal(a: tuple, b: tuple) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x is None and y is None:
+            continue
+        if x is None or y is None:
+            return False
+        if isinstance(x, float) or isinstance(y, float):
+            try:
+                fx, fy = float(x), float(y)
+                if math.isnan(fx) and math.isnan(fy):
+                    continue
+                if not math.isclose(fx, fy, rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            except (TypeError, ValueError):
+                return False
+        elif isinstance(x, tuple) and isinstance(y, tuple):
+            if not rows_equal(x, y):
+                return False
+        else:
+            if str(x) != str(y):
+                return False
+    return True
+
+
+def check_one(spark, con, key: str, fn, sql: str | None, sf_dir: str) -> tuple[bool, str]:
+    t0 = time.time()
+    sdf = fn(spark, sf_dir).toPandas()
+    t_spark = time.time() - t0
+    if sql is None:
+        return True, f"rows-only: {len(sdf)} rows ({t_spark:.1f}s)"
+    odf = con.execute(sql).fetchdf()
+    if len(sdf) != len(odf):
+        return False, f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return False, f"SCHEMA spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    ns, no = normalize(sdf), normalize(odf)
+    srows = list(ns.itertuples(index=False, name=None))
+    orows = list(no.itertuples(index=False, name=None))
+    bad = 0
+    first = None
+    for i, (ra, rb) in enumerate(zip(srows, orows)):
+        if not rows_equal(ra, rb):
+            bad += 1
+            if first is None:
+                first = (i, ra, rb)
+    if bad:
+        return False, f"VALUES {bad}/{len(srows)} rows differ; first @{first[0]}:\n  spark ={first[1]}\n  oracle={first[2]}"
+    return True, f"match: {len(sdf)} rows ({t_spark:.1f}s)"
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and args[0].startswith("/"):
+        sf_dir = args.pop(0)
+    queries = all_queries()
+    oracles = all_oracles()
+    keys = args or sorted(queries)
+    spark = get_spark("check")
+    con = duck_con(sf_dir)
+    failed = []
+    for key in keys:
+        if key not in queries:
+            print(f"{key}: UNKNOWN KEY")
+            failed.append(key)
+            continue
+        try:
+            ok, msg = check_one(spark, con, key, queries[key], oracles.get(key), sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        status = "OK " if ok else "FAIL"
+        print(f"[{status}] {key}: {msg}")
+        if not ok:
+            failed.append(key)
+    print(f"\n{len(keys) - len(failed)}/{len(keys)} passed")
+    if failed:
+        print("failed:", " ".join(failed))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
