@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Timing protocol: one shared SparkSession (JVM startup amortized, never
+per query — BASELINE.md rules); each query is materialized with a
+count-collapsing noop write so the full plan executes distributed and
+nothing funnels through the driver; one untimed warmup of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from engine.registry import all_queries  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_agg_group",        # flagship scan+filter+hash-agg
+    "q_join_broadcast",   # fact x broadcast dim
+    "q_join_sortmerge",   # fact x fact shuffle join
+    "q_join_multiway",    # 4-way snowflake
+    "q_join_asof",        # as-of join (window emulation)
+    "q_win_running",      # partitioned running sum
+    "q_topk_per_group",   # windowed top-k
+    "q_agg_pivot",        # pivot
+    "q_dedup_jaccard",    # inverted-index near-dup join
+    "q_sim_topk",         # brute-force cosine top-k
+    "q_text_tfidf",       # token explode + df join + window
+    "q_udf_pandas_scalar",  # Arrow UDF boundary
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # untimed warmup: JVM/codegen/broadcast machinery
+    queries["q_agg_group"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

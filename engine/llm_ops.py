@@ -1,1 +1,628 @@
-"""Placeholder — filled in later this round."""
+"""LLM-data-pipeline operators (SURVEY.md §2.11): deduplication,
+similarity search, text analysis, multimodal columns.
+
+These are first-class engine operators for training-data pipelines at
+100 TB (BASELINE.json north star). Scale design per operator family:
+
+- Exact dedup: hash + window keep-first — one shuffle on the hash.
+- Near-dedup: token-explode + equi-join on token (inverted-index join,
+  the scalable exact-Jaccard path), MinHash-LSH (band-bucket join,
+  the approximate path that avoids the quadratic pair space), SimHash
+  (per-doc signature, constant work per doc, hamming-bucket joinable).
+- Similarity: brute-force cosine = broadcast query x full scan ->
+  TakeOrderedAndProject (linear, no shuffle); LSH variant buckets
+  candidates to sub-linear probes.
+- Text analysis: pure built-in functions over split/explode — all
+  whole-stage codegen, no Python.
+- Multimodal: binary columns + Arrow-batch (mapInPandas) decode
+  plumbing; the actual media decode is a deterministic stub (no media
+  libs in this container) with the real schema/batching/partitioning.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+FP_MOD = 1_000_000_007
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: content-hash groups, keep lowest doc_id.
+    Correct when zero duplicates exist (FIXTURES.md note). At scale the
+    shuffle key is the 256-bit hash, never the full text."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle="""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (>= 0.95) via the
+    prefix-filtered inverted-index join (PPJoin-style):
+
+    1. canonical token order = ascending document frequency (rarest
+       first), so prefixes are maximally selective;
+    2. each doc indexes only its first ``n - ceil(t*n) + 1`` tokens —
+       any pair with Jaccard >= t MUST share a prefix token, so the
+       candidate join touches a tiny fraction of the posting lists;
+    3. candidates are verified exactly with ``array_intersect`` on the
+       full distinct-token arrays (JVM codegen, no re-explosion).
+
+    This keeps the exact semantics of the naive inverted-index join
+    while cutting candidate pairs by orders of magnitude — the property
+    that makes exact near-dedup feasible at 100 TB. The prefix length
+    uses integer arithmetic (ceil(19n/20) = (19n+19) div 20) to avoid
+    float-boundary drift against the oracle."""
+    t_num, t_den = 19, 20  # threshold 0.95 as a rational
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ranked = (
+        tok.join(F.broadcast(dfreq), "tok")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("dfreq", "tok")
+            ),
+        )
+        .join(F.broadcast(sz), "doc_id")
+    )
+    prefix_len = F.col("n") - ((F.col("n") * t_num + (t_den - 1)) / t_den).cast("long") + 1
+    prefix = ranked.filter(F.col("rnk") <= prefix_len).select("doc_id", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    arrs = d.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
+    )
+    ta = arrs.alias("ta")
+    tb = arrs.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    jac = inter / union
+    return (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .filter(jac >= t_num / t_den)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@register("q_dedup_minhash")  # rows-only: LSH is approximate (SURVEY §2.11)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (shingle -> minhash -> band
+    bucket -> bucket join), fixed seed. The sub-quadratic scale path for
+    near-dedup: candidate pairs come from hash-bucket joins instead of
+    all-pairs. Recall vs exact Jaccard asserted in tests/test_llm_ops.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14, binary=True)
+    feat = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.1, distCol="jdist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1 - F.col("jdist")).alias("jaccard_est"),
+        )
+    )
+
+
+@register("q_dedup_simhash")  # rows-only: xxhash64-based, Spark-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document from xxhash64 token hashes: explode
+    tokens, sign-sum each bit, reassemble. Constant output per doc;
+    near-dups then join on hamming buckets (tested in test_llm_ops).
+    48 bits keeps the reassembled value well inside a signed long."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tok = tok.withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(48)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(48):
+        bit = F.when(F.col(f"b{i}") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long")
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH pr AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(unnest(a.embedding) AS DOUBLE) AS x,
+               CAST(unnest(b.embedding) AS DOUBLE) AS y
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+    cs AS (SELECT va, vb,
+                  sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+           FROM pr GROUP BY va, vb)
+    SELECT DISTINCT vb AS dropped_id
+    FROM cs WHERE cos > 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: within each label block, any
+    vector whose cosine to a lower-id vector exceeds 0.35 is dropped.
+    Blocked pairwise join (equi on label) + dot product expression."""
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e2 = e.select("vec_id", "label", as_double.alias("emb"))
+    a = e2.alias("a")
+    b = e2.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.emb"), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x
+        )
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos > 0.35)
+        .select(F.col("b.vec_id").alias("dropped_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+_COS_TOPK_ORACLE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    pairs AS (SELECT e.vec_id,
+                     CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                     CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y
+              FROM embeddings e),
+    s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS na
+          FROM pairs GROUP BY vec_id),
+    qn AS (SELECT sqrt(sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nq
+           FROM (SELECT unnest(qe) AS u FROM q))
+    SELECT vec_id, round(dot / (na * (SELECT nq FROM qn)), 6) AS cosine
+    FROM s
+    WHERE vec_id != 0
+    ORDER BY round(dot / (na * (SELECT nq FROM qn)), 6) DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+@register("q_sim_topk", oracle=_COS_TOPK_ORACLE)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vector, compute the
+    dot product with zip_with/aggregate (JVM codegen, no Python), take
+    top-10 via orderBy+limit -> TakeOrderedAndProject. Linear scan, no
+    shuffle of the embedding table — the exact-search baseline that
+    q_sim_topk_lsh approximates sub-linearly."""
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", as_double.alias("emb"))
+    q = ed.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    self_norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cosine = F.round(dot / (self_norm("emb") * self_norm("qe")), 6)
+    return (
+        ed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_sim_pairwise",
+    oracle="""
+    WITH pr AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(unnest(a.embedding) AS DOUBLE) AS x,
+               CAST(unnest(b.embedding) AS DOUBLE) AS y
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+    FROM pr GROUP BY vec_a, vec_b
+    HAVING sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) > 0.35
+    """,
+)
+def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity above threshold, blocked by label: the
+    blocking key turns the quadratic pair space into per-block joins
+    (equi-join on label), the standard scale pattern for pairwise
+    similarity."""
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e2 = e.select("vec_id", "label", as_double.alias("emb"))
+    a = e2.alias("a")
+    b = e2.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.emb"), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x
+        )
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos > 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+@register("q_sim_topk_lsh")  # rows-only: LSH is approximate
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours via random-projection LSH
+    (Euclidean buckets), fixed seed: the sub-linear scale path. Recall
+    vs the exact q_sim_topk asserted in tests/test_llm_ops.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", array_to_vector(F.col("embedding")).alias("vec"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=6, seed=42
+    )
+    model = lsh.fit(ev)
+    query = ev.filter(F.col("vec_id") == 0).head()
+    nn = model.approxNearestNeighbors(
+        ev.filter(F.col("vec_id") != 0), query["vec"], 10, distCol="dist"
+    )
+    return nn.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           sum(len(string_split(text, ' '))) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: docs, sources, chars, tokens."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(_tokens(F.col("text")))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.sum(ntok).alias("total_tokens"),
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH n AS (SELECT count(*) AS total FROM documents),
+    tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tfc.doc_id, tfc.term,
+               tfc.tf * ln((SELECT total FROM n) * 1.0 / df.df) AS tfidf
+        FROM tfc JOIN df ON tfc.term = df.term
+        WHERE tfc.doc_id < 20)
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, rnk FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 2
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-2 terms per document (docs 0-19): token explode ->
+    tf counts -> document frequency join -> log-idf scoring -> windowed
+    top-k. Pure DataFrame ops, fully oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()  # scalar query parameter (dim-sized, not data-sized)
+    terms = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tfc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tfc.filter(F.col("doc_id") < 20)
+        .join(F.broadcast(dfc), "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(float(total)) / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_ratio,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN {STOPWORDS!r})) * 1.0
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                  / len(string_split(text, ' ')))
+             + 0.5 * (1.0 - len(list_filter(string_split(text, ' '),
+                                x -> x IN {STOPWORDS!r})) * 1.0
+                            / len(string_split(text, ' '))) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: type/token ratio + stopword ratio
+    composite — the training-data quality-filter primitive."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (0.5 * distinct_ratio + 0.5 * (1.0 - stop_ratio)).alias("quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("table", "row", "batch"),
+    "fr": ("value", "key", "hash"),
+}
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text,' '), x -> x IN {_LANG_MARKERS['en']!r})) AS s_en,
+               len(list_filter(string_split(text,' '), x -> x IN {_LANG_MARKERS['de']!r})) AS s_de,
+               len(list_filter(string_split(text,' '), x -> x IN {_LANG_MARKERS['fr']!r})) AS s_fr
+        FROM documents)
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang,
+           s_en, s_de, s_fr
+    FROM s
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token hit counts per language,
+    argmax with a fixed priority tie-break. (The fixture corpus shares
+    one vocabulary across langs, so accuracy is meaningless here — the
+    operator shape, scoring and argmax selection are what's tested.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    def marker_count(markers):
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in _LANG_MARKERS.items()}
+    pred = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  t -> CAST(length(t) + ascii(t) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % {FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the token stream (document
+    fingerprinting): fold (acc*31 + len(tok)+ascii(tok)) mod p via the
+    higher-order aggregate — constant memory per doc, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    vals = F.transform(
+        _tokens(F.col("text")),
+        lambda t: (F.length(t) + F.ascii(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_struct",
+    oracle="""
+    SELECT d.doc_id,
+           d.lang AS lang,
+           e.label AS label,
+           len(e.embedding) AS dim,
+           round(sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: struct<text, lang, embedding, meta>
+    built from the documents x embeddings join, fields projected back
+    out (flat output so the oracle compares scalars)."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    rec = F.struct(
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+        F.col("embedding").alias("embedding"),
+        F.struct(F.col("source").alias("source"), F.col("label").alias("label")).alias("meta"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("rec.embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return joined.select("doc_id", rec.alias("rec")).select(
+        "doc_id",
+        F.col("rec.lang").alias("lang"),
+        F.col("rec.meta.label").alias("label"),
+        F.size("rec.embedding").alias("dim"),
+        F.round(norm, 6).alias("emb_norm"),
+    )
+
+
+@register(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS blob_len,
+           lower(substring(hex(encode(text)), 1, 8)) AS head_hex
+    FROM documents
+    """,
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: encode payload to binary, ship
+    Arrow batches through mapInPandas, 'decode' per batch. The decode
+    here is a deterministic stand-in (length + head bytes hex) because
+    media libraries aren't in this container — the schema, batch shape
+    and partitioning are the real multimodal path (SURVEY §2.11).
+    See engine/multimodal.py for the gated real-decode stubs."""
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+
+    def decode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob_len": pdf["blob"].map(len).astype("int64"),
+                    "head_hex": pdf["blob"].map(lambda b: bytes(b)[:4].hex()),
+                }
+            )
+
+    return blobs.mapInPandas(decode, "doc_id long, blob_len long, head_hex string")

@@ -1,1 +1,360 @@
-"""Placeholder — filled in later this round."""
+"""Structured Streaming operators (SURVEY.md §2.9) over the events table.
+
+Verification strategy (SURVEY §5.2): replay ``events.parquet`` through a
+file-source stream (ts-ordered staged files, ``maxFilesPerTrigger=1`` so
+the watermark advances across real micro-batches), collect into a memory
+sink, and compare the final state against the equivalent batch SQL — so
+most streaming keys still carry a full DuckDB oracle.
+
+Mechanics:
+- Staging writes ts-sorted slices of the fixture events (never new data)
+  under ``.tmp/stream/``; file mtimes are staggered so the file source
+  processes them in order (deterministic micro-batches).
+- Watermark-flush sentinels: stateful append-mode operators (session
+  windows, stateful agg) only emit state closed by the watermark, which
+  never passes the last real event. Two sentinel rows with
+  ``user_id = -1`` far in the future (filtered from every result) push
+  the watermark past all real state — plumbing, not data.
+- Each query uses a fresh checkpoint dir + unique memory-sink name.
+
+At scale the same plans run unchanged against Kafka/file sources on a
+cluster: state lives in the executor state stores, watermarks gate
+eviction, and ``complete`` modes here become ``update`` + sink upserts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from engine.registry import register
+from engine.session import tune
+
+_TMP = "/root/repo/.tmp/stream"
+N_SLICES = 8
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),  # µs epoch; cast to ts in-stream
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stage(sf_dir: str, variant: str) -> str:
+    """Stage ts-sorted event slices as ordered parquet files.
+
+    variant: 'plain' (8 ordered slices), 'sentinel' (plus 2 watermark
+    flush files), 'late' (every 50th event withheld to the final file —
+    deterministically late by hours).
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"{_TMP}/{tag}/{variant}"
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    df = tbl.to_pandas()
+    # ns -> µs floor, matching engine.io.load_table's batch conversion
+    df["ts_us"] = (df["ts"].astype("int64") // 1000).astype("int64")
+    df = df.drop(columns=["ts"]).sort_values(["ts_us", "event_id"], ignore_index=True)
+    cols = ["event_id", "ts_us", "user_id", "event_type", "value", "props"]
+    df = df[cols]
+
+    slices: list[pd.DataFrame] = []
+    if variant == "late":
+        late = df[df["event_id"] % 50 == 0]
+        ontime = df[df["event_id"] % 50 != 0]
+        k = len(ontime) // N_SLICES + 1
+        slices = [ontime.iloc[i * k : (i + 1) * k] for i in range(N_SLICES)]
+        slices.append(late)  # arrives after everything else
+    else:
+        k = len(df) // N_SLICES + 1
+        slices = [df.iloc[i * k : (i + 1) * k] for i in range(N_SLICES)]
+
+    if variant == "sentinel":
+        max_us = int(df["ts_us"].max())
+        day = 86_400_000_000
+        for j in (10, 11):
+            slices.append(
+                pd.DataFrame(
+                    {
+                        "event_id": [-j],
+                        "ts_us": [max_us + j * day],
+                        "user_id": [-1],
+                        "event_type": ["sentinel"],
+                        "value": [0.0],
+                        "props": ["{}"],
+                    }
+                )
+            )
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    t0 = 1_600_000_000
+    for i, sl in enumerate(s for s in slices if len(s)):
+        path = f"{out}/{i:04d}.parquet"
+        pq.write_table(pa.Table.from_pandas(sl, schema=schema, preserve_index=False), path)
+        os.utime(path, (t0 + i, t0 + i))  # mtime order == slice order
+    return out
+
+
+def _read_stream(spark: SparkSession, src: str) -> DataFrame:
+    tune(spark)
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .parquet(src)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Execute the streaming query to completion into a memory sink."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = f"/root/repo/.tmp/ckpt/{name}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour bars per event_type (the OHLCV bar shape):
+    streamed with watermark, complete-mode final state == batch agg."""
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    SELECT CAST(epoch(ws) AS BIGINT) AS win_start, count(*) AS n
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): each event lands in two
+    overlapping windows; complete-mode final state == batch expansion."""
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp(F.col("window.start")).alias("win_start"), "n")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    marked AS (
+        SELECT user_id,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM ordered)
+    SELECT user_id, sum(new_s) AS n_sessions
+    FROM marked GROUP BY user_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — address-activity
+    sessionization. Append mode + watermark; sentinel rows flush the
+    final sessions; oracle is the batch islands (gap-and-island) SQL."""
+    src = _stage(sf_dir, "sentinel")
+    ev = _read_stream(spark, src)
+    sess = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(sess, "append")
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+
+
+@register("q_stream_watermark_late")  # rows-only: drop set depends on batch order
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: every 50th event is replayed hours late (in
+    the final file); a 1-hour watermark drops those whose window closed.
+    Deterministic given the staged batch order, but not expressible as
+    batch SQL -> rows-only here; dropped-count assertions live in
+    tests/test_streaming.py."""
+    src = _stage(sf_dir, "late")
+    ev = _read_stream(spark, src)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "append")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within watermark on (user_id, event_type): the
+    emitted key set equals batch DISTINCT regardless of which arrival
+    won, so only the keys are output."""
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src)
+    dd = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(dd, "append")
+
+
+@register(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful aggregation via applyInPandasWithState: a
+    per-user (count, sum) accumulator emitting its running state every
+    micro-batch; the final emission per user equals the batch aggregate.
+    (SURVEY §7: transformWithStateInPandas is the 4.x successor; the
+    GroupState API is used here for stability.)"""
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src).select("user_id", "value")
+
+    out_schema = "user_id long, n_events long, total double, emit long"
+    state_schema = "cnt long, total double, emit long"
+
+    def track(key, pdf_iter, state):
+        cnt, total, emit = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        emit += 1
+        state.update((cnt, total, emit))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total": [total], "emit": [emit]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    st = ev.groupBy("user_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_memory(st, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit"))
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total", 2).alias("total"))
+    )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events enriched against the static
+    customer dim (broadcast per micro-batch), then aggregated."""
+    from engine.io import load_table
+
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return _run_to_memory(agg, "complete")

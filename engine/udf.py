@@ -1,1 +1,188 @@
-"""Placeholder — filled in later this round."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+Every UDF body is chosen to have an exact SQL equivalent so the whole
+surface stays oracle-checked (SURVEY §2.10 note). The Arrow-vectorized
+forms (pandas_udf / applyInPandas / mapInPandas) are the 100 TB path —
+one Python worker per executor core consuming Arrow batches; the
+row-at-a-time UDF exists to cover the API but is documented as the slow
+path (SURVEY §4: UDFs are the slow path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from engine.io import load_table
+from engine.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (API coverage; deliberately on a small
+    filtered slice — this is the documented slow path)."""
+
+    @F.udf(returnType=DoubleType())
+    def net_price(price: float, discount: float) -> float:
+        return price * (1 - discount)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@register(
+    "q_udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    """,
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Series->Series pandas UDF (Arrow batches): whitespace
+    token count — the LLM-pipeline token-counting primitive."""
+
+    @F.pandas_udf(LongType())
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return text.str.split(" ").str.len().astype("int64")
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+@register(
+    "q_udf_pandas_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF via grouped-agg pandas UDF: quantity-weighted mean price
+    (exact SQL equivalent: sum(x*w)/sum(w)).
+
+    Note: operates on (price, qty) pairs shipped as two Series per
+    group over Arrow; partial aggregation is not available for pandas
+    UDAFs, so at 100 TB this shuffles raw pairs — acceptable for truly
+    custom aggregates, otherwise prefer built-ins (engine docstring)."""
+
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+@register(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN sd > 0 THEN (c_acctbal - mu) / sd ELSE 0.0 END AS z_score
+    FROM (
+        SELECT c_custkey, c_acctbal,
+               avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS mu,
+               stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey) AS sd
+        FROM customer
+    )
+    """,
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-apply-combine via applyInPandas: per-nation z-score
+    normalization (the per-asset normalization pattern). Each group is
+    one Arrow batch in a Python worker; groups are distributed by the
+    groupBy hash — scales as long as single groups fit in memory."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)  # matches stddev_samp
+        z = (pdf["c_acctbal"] - mu) / sd if pd.notna(sd) and sd > 0 else 0.0
+        return pd.DataFrame({"c_custkey": pdf["c_custkey"], "z_score": z})
+
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        zscore, "c_custkey long, z_score double"
+    )
+
+
+@register(
+    "q_udf_map_batches",
+    oracle="""
+    SELECT event_id, user_id, value * 2.0 AS boosted
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_udf_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition Arrow-batch transform via mapInPandas — the
+    multimodal decode/feature-extract execution shape (SURVEY §2.11):
+    arbitrary per-batch Python with streaming iterator semantics."""
+
+    def boost(batches):
+        for pdf in batches:
+            out = pdf[pdf["event_type"] == "purchase"]
+            if len(out):
+                yield pd.DataFrame(
+                    {
+                        "event_id": out["event_id"],
+                        "user_id": out["user_id"],
+                        "boosted": out["value"] * 2.0,
+                    }
+                )
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.mapInPandas(boost, "event_id long, user_id long, boosted double")
+
+
+@register(
+    "q_udtf",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+): one row -> N rows word splitter with
+    positions (the bar-splitter/tokenizer table-function shape)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    d = _t(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") < 20).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM _udtf_docs d, LATERAL split_words(d.text) t
+        """
+    )

@@ -1,0 +1,73 @@
+"""Source/sink coverage (SURVEY §2.1): CSV/JSON ingestion with corrupt-
+record capture, partitioned parquet sink with partition pruning."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from engine.io import load_table, read_csv, read_json, write_partitioned
+from tests.conftest import SF_SMOKE
+
+TMP = "/root/repo/.tmp/io_test"
+
+
+def setup_module():
+    shutil.rmtree(TMP, ignore_errors=True)
+    os.makedirs(TMP, exist_ok=True)
+
+
+def _schema():
+    return StructType(
+        [
+            StructField("id", LongType()),
+            StructField("sym", StringType()),
+            StructField("px", DoubleType()),
+        ]
+    )
+
+
+def test_csv_ingestion_with_corrupt_records(spark):
+    path = f"{TMP}/trades.csv"
+    with open(path, "w") as f:
+        f.write("id,sym,px\n1,ZIL,0.021\n2,BTC,64250.5\nnot,a,number\n")
+    df = read_csv(spark, path, _schema()).cache()  # Spark disallows corrupt-col-only queries on raw scans
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+
+
+def test_json_ingestion(spark):
+    path = f"{TMP}/trades.jsonl"
+    with open(path, "w") as f:
+        f.write('{"id": 1, "sym": "ZIL", "px": 0.021}\n')
+        f.write('{"id": 2, "sym": "ETH", "px": 3100.25}\n')
+        f.write("{bad json\n")
+    df = read_json(spark, path, _schema()).cache()
+    assert df.filter(F.col("_corrupt_record").isNull()).count() == 2
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+
+
+def test_partitioned_sink_prunes_on_read(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = f"{TMP}/li_by_year"
+    write_partitioned(li, out, ["ship_year"])
+    back = spark.read.parquet(out)
+    one_year = back.filter(F.col("ship_year") == 1996)
+    expected = li.filter(F.col("ship_year") == 1996).count()
+    assert one_year.count() == expected
+    # partition pruning visible in the physical plan
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ship_year" in plan

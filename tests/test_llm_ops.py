@@ -1,0 +1,71 @@
+"""LLM-ops semantics tests: LSH recall vs exact baselines, simhash
+locality, dedup invariants (SURVEY §5.2.2 approx-vs-exact bounds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Every exact-Jaccard>=0.95 pair must be found by MinHashLSH at
+    distance threshold 0.1 (recall bound for the approximate path)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["q_dedup_jaccard"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["q_dedup_minhash"](spark, SF_SMOKE).collect()
+    }
+    if not exact:
+        return
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} < 0.8 ({len(exact)} true pairs)"
+
+
+def test_lsh_topk_overlaps_exact_topk(spark):
+    exact = [r["vec_id"] for r in all_queries()["q_sim_topk"](spark, SF_SMOKE).collect()]
+    approx = [r["vec_id"] for r in all_queries()["q_sim_topk_lsh"](spark, SF_SMOKE).collect()]
+    # BucketedRandomProjectionLSH is Euclidean while exact is cosine —
+    # demand meaningful but not total overlap.
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3, f"LSH top-10 shares only {overlap} with exact top-10"
+
+
+def test_simhash_locality(spark):
+    """Docs with identical token SETS (jaccard 1.0) should have closer
+    simhashes than random pairs on average."""
+    sim = {r["doc_id"]: r["simhash"] for r in all_queries()["q_dedup_simhash"](spark, SF_SMOKE).collect()}
+    pairs = all_queries()["q_dedup_jaccard"](spark, SF_SMOKE).filter(F.col("jaccard") >= 0.999).collect()
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    if pairs:
+        dup_d = sum(ham(sim[p["doc_a"]], sim[p["doc_b"]]) for p in pairs) / len(pairs)
+        ids = sorted(sim)
+        rand_d = sum(ham(sim[ids[i]], sim[ids[-1 - i]]) for i in range(20)) / 20
+        assert dup_d < rand_d, (dup_d, rand_d)
+
+
+def test_dedup_exact_idempotent_and_complete(spark):
+    q = all_queries()["q_dedup_exact"]
+    out = q(spark, SF_SMOKE)
+    docs = out.sparkSession.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_unique_texts = docs.select("text").distinct().count()
+    assert out.count() == n_unique_texts
+
+
+def test_multimodal_binary_roundtrip(spark):
+    out = all_queries()["q_multimodal_binary"](spark, SF_SMOKE).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    for r in out[:25]:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        assert r["blob_len"] == len(raw)
+        assert r["head_hex"] == raw[:4].hex()

@@ -1,0 +1,96 @@
+"""Operator-level edge cases on tiny inline DataFrames (SURVEY §5.2.3)
+plus approximate-aggregate accuracy bounds (§5.2.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_join_null_keys_dont_match(spark):
+    a = spark.createDataFrame([(1, "x"), (None, "y")], "k int, va string")
+    b = spark.createDataFrame([(1, "p"), (None, "q")], "k int, vb string")
+    joined = a.join(b, a.k.eqNullSafe(b.k)).count()
+    plain = a.join(b, a.k == b.k).count()
+    assert plain == 1  # null keys never equi-match
+    assert joined == 2  # eqNullSafe matches null-null
+
+
+def test_empty_group_aggregate(spark):
+    df = spark.createDataFrame([], "k int, v double")
+    out = df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    assert out == []
+    glob = df.agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()[0]
+    assert glob["n"] == 0 and glob["s"] is None
+
+
+def test_semi_plus_anti_partition(spark):
+    c = load_table(spark, SF_SMOKE, "customer")
+    o = load_table(spark, SF_SMOKE, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_union_by_name_reorders_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, s string")
+    b = spark.createDataFrame([("y", 2)], "s string, id int")
+    u = a.unionByName(b).collect()
+    assert {(r["id"], r["s"]) for r in u} == {(1, "x"), (2, "y")}
+
+
+def test_dedup_idempotent(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_returnflag", "l_linestatus")
+    once = li.distinct()
+    assert once.count() == once.distinct().count()
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(3, 0.1 * ex), (k, ex, approx[k])
+
+
+def test_ns_timestamp_truncation_matches_duckdb(spark, duck):
+    ev = load_table(spark, SF_SMOKE, "events")
+    s_min = ev.agg(F.min(F.unix_timestamp("ts")).alias("m")).collect()[0]["m"]
+    d_min = duck.execute(
+        "SELECT CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) FROM events"
+    ).fetchone()[0]
+    assert s_min == d_min
+
+
+def test_broadcast_join_plan_has_no_fact_shuffle(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    p = load_table(spark, SF_SMOKE, "part")
+    plan = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    plan = (
+        o.orderBy(F.desc("o_totalprice")).limit(5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

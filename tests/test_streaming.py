@@ -1,0 +1,59 @@
+"""Stream-vs-batch equivalence + watermark late-drop semantics
+(SURVEY §5.2.2). Runs at sf0.001 to keep micro-batch replay fast."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def test_tumbling_stream_equals_batch(spark):
+    out = all_queries()["q_stream_tumbling"](spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+
+def test_stateful_totals_equal_batch_group(spark):
+    out = all_queries()["q_stream_stateful"](spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total")
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+
+def test_watermark_drops_late_rows(spark):
+    """The late-replay variant must emit no MORE rows per window than
+    batch, and must drop at least one late contribution."""
+    out = all_queries()["q_stream_watermark_late"](spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            F.col("n").alias("n_batch"),
+        )
+    )
+    j = out.join(batch, ["win_start", "event_type"], "full")
+    over = j.filter(F.col("n") > F.col("n_batch")).count()
+    assert over == 0, "streaming emitted more than batch"
+    total_stream = out.agg(F.sum("n")).collect()[0][0] or 0
+    total_batch = batch.agg(F.sum("n_batch")).collect()[0][0]
+    assert total_stream < total_batch, "no late rows were dropped"
