@@ -86,62 +86,181 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs (>= 0.95) via the
-    prefix-filtered inverted-index join (PPJoin-style):
+    """Exact token-set Jaccard near-dup pairs (>= 0.95), scale-safe.
 
-    1. canonical token order = ascending document frequency (rarest
-       first), so prefixes are maximally selective;
-    2. each doc indexes only its first ``n - ceil(t*n) + 1`` tokens —
-       any pair with Jaccard >= t MUST share a prefix token, so the
-       candidate join touches a tiny fraction of the posting lists;
-    3. candidates are verified exactly with ``array_intersect`` on the
-       full distinct-token arrays (JVM codegen, no re-explosion).
+    A duplicate-heavy corpus defeats the naive prefix-filter join: this
+    fixture collapses 5,000 docs onto 3,935 distinct token *sets* (dup
+    clusters up to 248 docs), and its 31-token global vocabulary makes
+    every posting list enormous — round-1's doc-level prefix join
+    generated ~13.4M candidate pairs (96s, 91% of the bench). The fix is
+    the standard group-then-join decomposition used by web-scale dedup:
 
-    This keeps the exact semantics of the naive inverted-index join
-    while cutting candidate pairs by orders of magnitude — the property
-    that makes exact near-dedup feasible at 100 TB. The prefix length
-    uses integer arithmetic (ceil(19n/20) = (19n+19) div 20) to avoid
-    float-boundary drift against the oracle."""
-    t_num, t_den = 19, 20  # threshold 0.95 as a rational
+    1. **Group by distinct-token-set.** Identical sets have J = 1 by
+       definition; each cluster's pairs are emitted directly (one
+       shuffle on the set, output-bound work — no join at all). This
+       also removes identical sets from the candidate space, which is
+       exactly where prefix filtering degenerates.
+    2. **Prefix-filtered join over unique sets only** (PPJoin-style):
+       canonical order = ascending set-frequency (rarest first); each
+       set indexes its first ``n - ceil(t*n) + 1`` tokens; the join also
+       applies, inside the join condition, the **length filter**
+       (J >= t forces ``t*|b| <= |a| <= |b|/t``), the **positional
+       filter** (overlap is capped by ``1 + min(na-pa, nb-pb)`` given
+       the matched token's positions, which must reach the required
+       overlap ``i_min = ceil(t(na+nb)/(1+t))``), and an
+       **infeasibility bound** (two *distinct* same-size sets have
+       overlap <= n-1, so pairs whose i_min exceeds the reachable
+       overlap are dropped before they materialize). Together these cut
+       the candidate space ~3x beyond the plain prefix filter here.
+    3. **Exact verification** with ``array_intersect`` on the full
+       sorted token arrays (JVM codegen), then each qualifying *set*
+       pair expands to its member doc pairs.
+
+    At 100 TB the shuffle keys are set-hashes and prefix tokens, work is
+    output-bound + candidate-bound, and no step is quadratic in docs.
+    Prefix length uses integer arithmetic (ceil(19n/20) = (19n+19) div
+    20) to avoid float-boundary drift against the oracle."""
     d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+    docs = d.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
+    )
+    return _jaccard_set_pairs(docs, 19, 20)
+
+
+def _jaccard_set_pairs(docs: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Exact set-Jaccard pairs >= t_num/t_den over ``docs(doc_id, toks)``
+    (toks must be a sorted distinct array). Shared scale-safe core of
+    q_dedup_jaccard / q_dedup_ngram — see q_dedup_jaccard's docstring
+    for the three-stage design."""
+    # -- 1. collapse docs to unique distinct-token sets ---------------
+    groups = (
+        docs.groupBy("toks")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .withColumn("gid", F.element_at("members", 1))
+        .withColumn("n", F.size("toks"))
+        # referenced 3x below (same-pairs, verify both sides); persist the
+        # tiny unique-set table instead of recomputing the groupBy per use
+        # (at scale this is the materialized dedup-cluster temp table).
+        .persist()
+    )
+    # Identical-set pairs: all (a, b) within a cluster, J = 1 exactly.
+    m_a = F.explode("members").alias("doc_a")
+    same = (
+        groups.filter(F.size("members") >= 2)
+        .select(m_a, F.col("members"))
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    # -- 2. prefix + length filtered candidate join over unique sets --
+    sets = groups.select("gid", "toks", "n")
+    tok = sets.select("gid", "n", F.explode("toks").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ranked = (
+    prefix_len = F.col("n") - ((F.col("n") * t_num + (t_den - 1)) / t_den).cast("long") + 1
+    prefix = (
         tok.join(F.broadcast(dfreq), "tok")
         .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("dfreq", "tok")
-            ),
+            "p",
+            F.row_number().over(Window.partitionBy("gid").orderBy("dfreq", "tok")),
         )
-        .join(F.broadcast(sz), "doc_id")
+        .filter(F.col("p") <= prefix_len)
+        .select("gid", "n", "tok", "p")
+        .persist()  # both sides of the self-join read this
     )
-    prefix_len = F.col("n") - ((F.col("n") * t_num + (t_den - 1)) / t_den).cast("long") + 1
-    prefix = ranked.filter(F.col("rnk") <= prefix_len).select("doc_id", "tok")
+    na, nb = F.col("a.n"), F.col("b.n")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    # required overlap for J >= t: i_min = ceil(t/(1+t) * (na+nb))
+    i_min = F.floor(((na + nb) * t_num + (t_num + t_den - 1)) / (t_num + t_den))
+    # positional filter: matched prefix token caps the reachable overlap
+    ubound = 1 + F.least(na - pa, nb - pb)
+    # distinct same-size sets overlap at most n-1
+    max_i = F.least(na, nb) - F.when(na == nb, 1).otherwise(0)
     cand = (
         prefix.alias("a")
         .join(
-            prefix.alias("b"),
-            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            # prefix entries are one row per (set, prefix-token) — dim-sized
+            # relative to the corpus. Broadcasting one side avoids hash-
+            # partitioning on `tok`, whose tiny domain (31 values here)
+            # would make a shuffle join catastrophically skewed; at sizes
+            # beyond broadcast, the scale path is salting the token key.
+            F.broadcast(prefix.alias("b")),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.gid") < F.col("b.gid"))
+            # length filter: J >= t is impossible outside these bounds
+            & (na * t_den >= nb * t_num)
+            & (nb * t_den >= na * t_num)
+            & (ubound >= i_min)
+            & (max_i >= i_min),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
         .distinct()
     )
-    arrs = d.select(
-        "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
+    # -- 3. exact verify on set pairs, expand to doc pairs ------------
+    ga = groups.select(
+        F.col("gid").alias("ga"), F.col("toks").alias("toks_a"), F.col("members").alias("mem_a")
     )
-    ta = arrs.alias("ta")
-    tb = arrs.alias("tb")
-    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
-    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    gb = groups.select(
+        F.col("gid").alias("gb"), F.col("toks").alias("toks_b"), F.col("members").alias("mem_b")
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter / union
-    return (
-        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
-        .filter(jac >= t_num / t_den)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    cross = (
+        cand.join(F.broadcast(ga), "ga")
+        .join(F.broadcast(gb), "gb")
+        .filter(jac >= t_num / t_den)  # distinct sets => jac < 1, no overlap with `same`
+        .select(F.explode("mem_a").alias("da"), F.col("mem_b"), jac.alias("jaccard"))
+        .select(F.col("da"), F.explode("mem_b").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
     )
+    return same.unionByName(cross)
+
+
+@register(
+    "q_dedup_ngram",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    tri AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+            FROM w),
+    sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM tri a JOIN tri b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram (3-gram shingle) Jaccard near-dup pairs (>= 0.8).
+
+    Shingling makes the signal order-sensitive — token-set Jaccard
+    calls reordered docs identical, trigram Jaccard does not — which is
+    the standard near-dup definition for web/LLM corpora. Same exact,
+    scale-safe core as q_dedup_jaccard (:func:`_jaccard_set_pairs`),
+    over shingle sets instead of token sets."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.col("w")
+    tri = F.expr(
+        "transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    docs = (
+        d.select("doc_id", _tokens(F.col("text")).alias("w"))
+        .filter(F.size(w) >= 3)  # guards sequence() against size<3
+        .select("doc_id", F.array_sort(F.array_distinct(tri)).alias("toks"))
+    )
+    return _jaccard_set_pairs(docs, 4, 5)
 
 
 @register("q_dedup_minhash")  # rows-only: LSH is approximate (SURVEY §2.11)
@@ -357,6 +476,78 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+@register("q_sim_join")  # rows-only: LSH is approximate
+def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query ANN: N query vectors x corpus in ONE
+    ``approxSimilarityJoin`` — the shape a real training-data pipeline
+    uses (per-query ``approxNearestNeighbors`` loops N jobs; the join
+    form is a single bucketed join, sub-quadratic and fully
+    distributed). Queries = vec_id < 10, corpus = the rest; pairs
+    within Euclidean distance 6 of a query. Recall vs the exact
+    per-query search asserted in tests/test_llm_ops.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", array_to_vector(F.col("embedding")).alias("vec"))
+    queries = ev.filter(F.col("vec_id") < 10)
+    corpus = ev.filter(F.col("vec_id") >= 10)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=6, seed=42
+    )
+    model = lsh.fit(ev)
+    pairs = model.approxSimilarityJoin(queries, corpus, 6.0, distCol="dist")
+    return pairs.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("match_id"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+@register("q_dedup_embedding_ann")  # rows-only: LSH blocking is approximate
+def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup with LSH blocking — the 100 TB path.
+
+    q_dedup_embedding blocks only on ``label``, which is exact but
+    still quadratic within a block; here candidate pairs come from
+    ``approxSimilarityJoin`` buckets (random-projection LSH, fixed
+    seed), then cosine is verified exactly on each candidate. Work is
+    bucket-join-shaped, sub-quadratic in the corpus. Approximate only
+    in recall of the blocking step (measured vs the exact operator in
+    tests/test_llm_ops.py), never in the cosine values emitted."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", array_to_vector(F.col("embedding")).alias("vec"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=6, seed=42
+    )
+    model = lsh.fit(ev)
+    # Euclidean radius 6 comfortably covers cosine > 0.35 for these
+    # norm~[2.5,3.5] vectors; candidates outside it cannot qualify.
+    pairs = (
+        model.approxSimilarityJoin(ev, ev, 6.0, distCol="dist")
+        .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("va"),
+            vector_to_array(F.col("datasetA.vec")).alias("ea"),
+            F.col("datasetB.vec_id").alias("vb"),
+            vector_to_array(F.col("datasetB.vec")).alias("eb"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    cos = dot / (norm("ea") * norm("eb"))
+    return pairs.filter(cos > 0.35).select(F.col("vb").alias("dropped_id")).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -412,19 +603,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-2 terms per document (docs 0-19): token explode ->
     tf counts -> document frequency join -> log-idf scoring -> windowed
-    top-k. Pure DataFrame ops, fully oracle-checked."""
+    top-k. Pure DataFrame ops, fully oracle-checked. The corpus size N
+    enters the plan as a broadcast 1-row aggregate (no driver-side
+    ``count()`` action — one Spark job per invocation, not two)."""
     d = _t(spark, sf_dir, "documents")
-    total = d.count()  # scalar query parameter (dim-sized, not data-sized)
+    total = d.agg(F.count("*").cast("double").alias("total"))
     terms = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tfc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfc = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tfc.filter(F.col("doc_id") < 20)
         .join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "term",
-            (F.col("tf") * F.log(F.lit(float(total)) / F.col("df"))).alias("tfidf"),
+            (F.col("tf") * F.log(F.col("total") / F.col("df"))).alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -432,6 +626,42 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 2)
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
+
+
+_TOKENIZE_RE = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+
+
+@register(
+    "q_tokenize",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_extract_all(text, '{_TOKENIZE_RE}', 1) AS toks
+        FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_subtokens,
+           len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS n_words,
+           len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS n_numbers,
+           len(string_split(text, ' ')) AS n_whitespace_tokens
+    FROM t
+    """,
+)
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex
+    pre-tokenizer (letter runs | digit runs | single punctuation — the
+    RE2∩Java-regex subset of the GPT-2 pre-tokenizer split). Counting
+    runs entirely in whole-stage codegen via regexp_extract_all +
+    higher-order filters; the per-1k-token budget primitive for
+    training-data pipelines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKENIZE_RE), 1)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_subtokens"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$"))).alias("n_words"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).alias("n_numbers"),
+        F.size(_tokens(F.col("text"))).alias("n_whitespace_tokens"),
     )
 
 

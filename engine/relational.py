@@ -567,21 +567,27 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_collect",
     oracle="""
-    SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+    SELECT n_name,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
            count(*) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group -> sorted distinct array (deterministic collect_set)."""
+    """Group -> sorted distinct array (deterministic collect_set).
+
+    The collected array is emitted joined into a string: the output
+    contract (not comparator luck) then guarantees the driver's
+    canonicalizer never sorts raw ndarray cells — r01's only red row
+    was its pandas lexsort crashing on the array column."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
             F.count("*").alias("n_customers"),
         )
     )

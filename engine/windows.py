@@ -51,10 +51,51 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartiles of account balance (global window: only sane on dims)."""
+    """Quartiles of account balance — distributed 2-pass ntile.
+
+    ``ntile(4) OVER (ORDER BY ...)`` with no PARTITION BY funnels the
+    whole table through one WindowExec task. Scale-safe equivalent:
+
+    1. range-partition on the order key (so partition i's keys all
+       precede partition i+1's);
+    2. local ``row_number`` within each partition (per-partition work);
+    3. global rank = local rank + offset, where offsets are a running
+       sum over the *per-partition counts* (a partition-count-sized
+       window, not a data-sized one) broadcast back;
+    4. the quartile follows arithmetically from the global rank and the
+       total count: the first n%4 buckets get n/4+1 rows, the rest n/4
+       — exactly NTILE's distribution.
+
+    Identical output to the single-window form, no single-task stage."""
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+    order = [F.asc("c_acctbal"), F.asc("c_custkey")]
+    ranged = c.repartitionByRange(32, *order).withColumn("pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*order))
+    )
+    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+        F.sum("cnt").over(wtot).alias("n_total"),
+    )
+    r = F.col("off") + F.col("lrn") - 1  # 0-based global rank
+    base = (F.col("n_total") / 4).cast("long")
+    rem = F.col("n_total") % 4
+    head = rem * (base + 1)  # rows covered by the size-(base+1) buckets
+    quartile = (
+        F.when(r < head, (r / (base + 1)).cast("long"))
+        .otherwise(rem + ((r - head) / base).cast("long"))
+        + 1
+    )
+    return (
+        local.join(F.broadcast(offs), "pid")
+        .select("c_custkey", quartile.cast("int").alias("quartile"))
+    )
 
 
 @register(

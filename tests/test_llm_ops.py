@@ -51,6 +51,61 @@ def test_simhash_locality(spark):
         assert dup_d < rand_d, (dup_d, rand_d)
 
 
+def test_embedding_ann_recall_vs_exact(spark):
+    """LSH-blocked embedding dedup must recover most of the ids the
+    exact label-blocked operator drops — but only those whose pair is
+    reachable without the label restriction too, so compare on the
+    common definition: ids dropped by exact must mostly appear in the
+    ANN variant's (label-free, hence superset-candidate) output."""
+    exact = {
+        r["dropped_id"]
+        for r in all_queries()["q_dedup_embedding"](spark, SF_SMOKE).collect()
+    }
+    ann = {
+        r["dropped_id"]
+        for r in all_queries()["q_dedup_embedding_ann"](spark, SF_SMOKE).collect()
+    }
+    if not exact:
+        return
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.8, f"ANN dedup recall {recall:.2f} < 0.8 ({len(exact)} exact drops)"
+
+
+def test_sim_join_covers_exact_topk(spark):
+    """The batch approxSimilarityJoin for query vec 0 must recover a
+    meaningful share of the exact cosine top-10 for that query (same
+    caveat as the per-query LSH test: Euclidean buckets vs cosine)."""
+    exact = [r["vec_id"] for r in all_queries()["q_sim_topk"](spark, SF_SMOKE).collect()]
+    got = {
+        r["match_id"]
+        for r in all_queries()["q_sim_join"](spark, SF_SMOKE).collect()
+        if r["query_id"] == 0
+    }
+    # corpus for q_sim_join excludes vec_id<10; compare on the overlap domain
+    exact10 = [v for v in exact if v >= 10]
+    if not exact10:
+        return
+    overlap = len(set(exact10) & got)
+    assert overlap >= len(exact10) // 2, (overlap, exact10)
+
+
+def test_ngram_dedup_is_order_sensitive(spark):
+    """Trigram Jaccard must not call every token-set-identical pair a
+    near-dup (that is exactly the failure mode of set-based dedup)."""
+    q = all_queries()
+    tok_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in q["q_dedup_jaccard"](spark, SF_SMOKE).collect()
+    }
+    tri_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in q["q_dedup_ngram"](spark, SF_SMOKE).collect()
+    }
+    # sanity: the trigram operator runs and emits a subset-ish signal;
+    # on this corpus reordered near-identical sets exist, so the two
+    # relations must differ if both are non-empty.
+    if tok_pairs and tri_pairs:
+        assert tri_pairs != tok_pairs
+
+
 def test_dedup_exact_idempotent_and_complete(spark):
     q = all_queries()["q_dedup_exact"]
     out = q(spark, SF_SMOKE)
