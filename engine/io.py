@@ -155,15 +155,53 @@ _EVENTS_RAW = StructType(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table with its explicit schema."""
+    """Read one fixture table with its explicit schema.
+
+    ``tune`` applies the full RUNTIME_CONF — including
+    ``nanosAsLong`` for the events table's TIMESTAMP(NANOS) column —
+    uniformly, so no read path flips session confs as a side effect."""
     tune(spark)  # UTC + AQE + Arrow even on an externally built session
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         raw = spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> dict[str, str]:
+    """Build the option map for a JDBC read (pure, unit-testable).
+
+    At scale, always pass the partitioning arguments: without them the
+    whole table streams through ONE task; with them Spark issues
+    ``num_partitions`` bounded range queries in parallel."""
+    opts = {"url": url, "dbtable": table, **(properties or {})}
+    if partition_column is not None:
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError("partitioned JDBC read needs lower/upper bound + num_partitions")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **kwargs):
+    """JDBC source (SURVEY §2.1 row 3): configured ``DataFrameReader``
+    for external RDBMS ingestion. Documented + unit-tested for
+    configuration only — no JDBC endpoint exists in this harness, so
+    tests assert :func:`jdbc_options`, never ``.load()``."""
+    return spark.read.format("jdbc").options(**jdbc_options(url, table, **kwargs))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -17,6 +17,7 @@ Scale notes (100 TB design intent):
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -30,16 +31,39 @@ RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local[32] box: 32 is 1x cores; AQE coalesces small stages further.
     "spark.sql.shuffle.partitions": "32",
+    # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    # reader rejects; engine.io reads the raw int64 nanos and converts.
+    # Applied session-wide (uniform + visible) rather than flipped as a
+    # read-time side effect inside one loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+# Confs correctness depends on: a silent failure here would surface as
+# bogus oracle diffs, so these must verify after set (fail loud).
+_REQUIRED = ("spark.sql.session.timeZone",)
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (idempotent)."""
+    """Apply runtime confs to an existing session (idempotent).
+
+    Best-effort for perf confs (warn on failure); hard-verified for the
+    confs the DuckDB differential comparison depends on (timezone) —
+    a session that cannot take those would produce wrong-looking
+    'correctness' diffs, which must be an error, not a mystery."""
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # non-settable on this build — keep going
+        except Exception as e:  # noqa: BLE001
+            if k in _REQUIRED:
+                raise RuntimeError(f"cannot set required conf {k}={v}: {e}") from e
+            warnings.warn(f"engine.session.tune: could not set {k}={v}: {e}", stacklevel=2)
+    for k in _REQUIRED:
+        got = spark.conf.get(k, None)
+        if got != RUNTIME_CONF[k]:
+            raise RuntimeError(
+                f"required conf {k} is {got!r}, expected {RUNTIME_CONF[k]!r} — "
+                "oracle comparisons would silently diverge"
+            )
     return spark
 
 

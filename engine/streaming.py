@@ -69,8 +69,16 @@ def _stage(sf_dir: str, variant: str) -> str:
     """
     tag = sf_dir.strip("/").replace("/", "_")
     out = f"{_TMP}/{tag}/{variant}"
-    if os.path.isdir(out) and os.listdir(out):
-        return out
+    # Cache keyed on the SOURCE parquet's identity (size + mtime): a
+    # merely non-empty dir could hold stale slices of an older fixture
+    # (and git checkouts don't preserve the staged files' own mtimes).
+    st = os.stat(f"{sf_dir}/events.parquet")
+    src_key = f"{st.st_size}:{st.st_mtime_ns}"
+    marker = f"{out}/.source"
+    if os.path.isdir(out) and os.path.isfile(marker):
+        with open(marker) as fh:
+            if fh.read() == src_key:
+                return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
@@ -124,7 +132,12 @@ def _stage(sf_dir: str, variant: str) -> str:
     for i, sl in enumerate(s for s in slices if len(s)):
         path = f"{out}/{i:04d}.parquet"
         pq.write_table(pa.Table.from_pandas(sl, schema=schema, preserve_index=False), path)
-        os.utime(path, (t0 + i, t0 + i))  # mtime order == slice order
+        # mtime order == slice order; zero-padded names break mtime ties
+        # deterministically (Spark's file source orders by timestamp,
+        # then path) if a copy/checkout ever flattens the mtimes.
+        os.utime(path, (t0 + i, t0 + i))
+    with open(marker, "w") as fh:
+        fh.write(src_key)
     return out
 
 

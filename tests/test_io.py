@@ -71,3 +71,41 @@ def test_partitioned_sink_prunes_on_read(spark):
     # partition pruning visible in the physical plan
     plan = one_year._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(ship_year" in plan
+
+
+def test_jdbc_options_configured():
+    from engine.io import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://db:5432/crypto",
+        "public.trades",
+        properties={"user": "etl", "fetchsize": "10000"},
+        partition_column="trade_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert opts["url"].startswith("jdbc:postgresql://")
+    assert opts["dbtable"] == "public.trades"
+    assert opts["fetchsize"] == "10000"
+    # the 4 options that keep a big table read parallel, not 1-task
+    assert opts["partitionColumn"] == "trade_id"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
+    assert opts["numPartitions"] == "32"
+
+
+def test_jdbc_options_partitioning_requires_bounds():
+    import pytest as _pytest
+
+    from engine.io import jdbc_options
+
+    with _pytest.raises(ValueError):
+        jdbc_options("jdbc:h2:mem:t", "t", partition_column="id")
+
+
+def test_read_jdbc_builds_reader(spark):
+    from engine.io import read_jdbc
+
+    reader = read_jdbc(spark, "jdbc:h2:mem:t", "t")
+    # configured reader object; .load() needs a live endpoint (none here)
+    assert reader is not None

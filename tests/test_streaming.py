@@ -57,3 +57,27 @@ def test_watermark_drops_late_rows(spark):
     total_stream = out.agg(F.sum("n")).collect()[0][0] or 0
     total_batch = batch.agg(F.sum("n_batch")).collect()[0][0]
     assert total_stream < total_batch, "no late rows were dropped"
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin Spark's session-merge behavior at EXACTLY gap distance: two
+    events 30:00.000000 apart must fall in ONE session (merge is
+    inclusive: an event starting at the current session's end extends
+    it). The batch oracle for q_stream_session therefore uses
+    `ts - prev_ts > INTERVAL 30 MINUTE` (strictly greater starts a new
+    session) — this test fails if a Spark upgrade flips that boundary."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0)),  # exactly the gap later
+        (1, dt.datetime(2024, 1, 1, 2, 0, 0)),   # well past the gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(out) == 2, f"expected 2 sessions, got {out}"
+    assert sorted(r["n"] for r in out) == [1, 2]

@@ -58,9 +58,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = pd.DataFrame(
         {c: pd.Series([norm_cell(v) for v in df[c]], dtype=object) for c in df.columns}
     )
+    def sort_repr(v):
+        # Floats are rounded before keying so engine rounding noise
+        # (0.3 vs 0.30000000000000004) cannot reorder rows relative to
+        # their cross-engine counterparts and misalign the zip compare.
+        if isinstance(v, float):
+            return f"{round(v, 6):.6e}"
+        if isinstance(v, tuple):
+            return "(" + ",".join(sort_repr(x) for x in v) + ")"
+        return str(v)
+
     rows = sorted(
         out.itertuples(index=False, name=None),
-        key=lambda r: tuple((x is None, str(x)) for x in r),
+        key=lambda r: tuple((x is None, sort_repr(x)) for x in r),
     )
     return pd.DataFrame(rows, columns=out.columns)
 
@@ -124,6 +134,11 @@ def main() -> None:
         sf_dir = args.pop(0)
     queries = all_queries()
     oracles = all_oracles()
+    if args == ["llm"]:
+        # LLM-ops sweep (use with sf0.1: near-dup/similarity plans only
+        # stress at a scale where documents/embeddings exceed 500 rows)
+        args = [k for k in queries if k.split("_")[1] in
+                ("dedup", "sim", "text", "multimodal", "tokenize")]
     keys = args or sorted(queries)
     spark = get_spark("check")
     con = duck_con(sf_dir)
