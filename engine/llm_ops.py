@@ -127,31 +127,57 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_set_pairs(docs, 19, 20)
 
 
+def _set_groups(docs: DataFrame) -> DataFrame:
+    """Collapse docs to unique distinct-token sets: (toks, members,
+    gid, n). Persisted — the tiny unique-set table is referenced by
+    several branches downstream (at scale this is the materialized
+    dedup-cluster temp table)."""
+    return (
+        docs.groupBy("toks")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .withColumn("gid", F.element_at("members", 1))
+        .withColumn("n", F.size("toks"))
+        .persist()
+    )
+
+
+def _same_set_pairs(groups: DataFrame, value_name: str) -> DataFrame:
+    """All within-cluster doc pairs (identical sets -> similarity 1)."""
+    return (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("doc_a"), F.col("members"))
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias(value_name))
+    )
+
+
+def _expand_set_pairs(groups: DataFrame, set_pairs: DataFrame, value_name: str) -> DataFrame:
+    """Expand scored unique-set pairs (ga, gb, <value>) to doc pairs."""
+    ma = groups.select(F.col("gid").alias("ga"), F.col("members").alias("mem_a"))
+    mb = groups.select(F.col("gid").alias("gb"), F.col("members").alias("mem_b"))
+    return (
+        set_pairs.join(F.broadcast(ma), "ga")
+        .join(F.broadcast(mb), "gb")
+        .select(F.explode("mem_a").alias("da"), "mem_b", value_name)
+        .select("da", F.explode("mem_b").alias("db"), value_name)
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            value_name,
+        )
+    )
+
+
 def _jaccard_set_pairs(docs: DataFrame, t_num: int, t_den: int) -> DataFrame:
     """Exact set-Jaccard pairs >= t_num/t_den over ``docs(doc_id, toks)``
     (toks must be a sorted distinct array). Shared scale-safe core of
     q_dedup_jaccard / q_dedup_ngram — see q_dedup_jaccard's docstring
     for the three-stage design."""
     # -- 1. collapse docs to unique distinct-token sets ---------------
-    groups = (
-        docs.groupBy("toks")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
-        .withColumn("gid", F.element_at("members", 1))
-        .withColumn("n", F.size("toks"))
-        # referenced 3x below (same-pairs, verify both sides); persist the
-        # tiny unique-set table instead of recomputing the groupBy per use
-        # (at scale this is the materialized dedup-cluster temp table).
-        .persist()
-    )
+    groups = _set_groups(docs)
     # Identical-set pairs: all (a, b) within a cluster, J = 1 exactly.
-    m_a = F.explode("members").alias("doc_a")
-    same = (
-        groups.filter(F.size("members") >= 2)
-        .select(m_a, F.col("members"))
-        .select("doc_a", F.explode("members").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
-    )
+    same = _same_set_pairs(groups, "jaccard")
     # -- 2. prefix + length filtered candidate join over unique sets --
     sets = groups.select("gid", "toks", "n")
     tok = sets.select("gid", "n", F.explode("toks").alias("tok"))
@@ -196,28 +222,18 @@ def _jaccard_set_pairs(docs: DataFrame, t_num: int, t_den: int) -> DataFrame:
         .distinct()
     )
     # -- 3. exact verify on set pairs, expand to doc pairs ------------
-    ga = groups.select(
-        F.col("gid").alias("ga"), F.col("toks").alias("toks_a"), F.col("members").alias("mem_a")
-    )
-    gb = groups.select(
-        F.col("gid").alias("gb"), F.col("toks").alias("toks_b"), F.col("members").alias("mem_b")
-    )
+    ga = groups.select(F.col("gid").alias("ga"), F.col("toks").alias("toks_a"))
+    gb = groups.select(F.col("gid").alias("gb"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter / union
-    cross = (
+    verified = (
         cand.join(F.broadcast(ga), "ga")
         .join(F.broadcast(gb), "gb")
         .filter(jac >= t_num / t_den)  # distinct sets => jac < 1, no overlap with `same`
-        .select(F.explode("mem_a").alias("da"), F.col("mem_b"), jac.alias("jaccard"))
-        .select(F.col("da"), F.explode("mem_b").alias("db"), "jaccard")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
-        )
+        .select("ga", "gb", jac.alias("jaccard"))
     )
-    return same.unionByName(cross)
+    return same.unionByName(_expand_set_pairs(groups, verified, "jaccard"))
 
 
 @register(
@@ -263,29 +279,84 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_set_pairs(docs, 4, 5)
 
 
+_MH_HASHES = 32  # minhash signature length
+_MH_BANDS = 8    # 8 bands x 4 rows: P(candidate) = 1-(1-J^4)^8
+
+
 @register("q_dedup_minhash")  # rows-only: LSH is approximate (SURVEY §2.11)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (shingle -> minhash -> band
-    bucket -> bucket join), fixed seed. The sub-quadratic scale path for
-    near-dedup: candidate pairs come from hash-bucket joins instead of
-    all-pairs. Recall vs exact Jaccard asserted in tests/test_llm_ops.py."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    bucket -> bucket join), entirely in whole-stage codegen.
 
+    Native DataFrame implementation, deterministic (xxhash64 with the
+    hash index as seed column). MLlib's ``MinHashLSH.approxSimilarityJoin``
+    computes an exact key-distance per bucket-colliding pair through a
+    row-at-a-time Scala UDF — on this duplicate-heavy corpus (most sets
+    near-identical, so most pairs collide in some bucket) that was 356s
+    at sf0.1. Here instead:
+
+    1. unique token-set grouping (:func:`_set_groups`) removes the
+       identical-set bulk before any join (their pairs are emitted
+       directly with estimate 1.0);
+    2. a 32-hash minhash signature per unique set is a single
+       explode + groupBy(min) — linear, codegen;
+    3. sets band-join on 8 banded signature hashes (4 rows/band);
+       P(collide | J) = 1-(1-J^4)^8, i.e. ~1.0 at J=0.95, 0.03 at
+       J=0.5 — the classic sub-quadratic candidate generator;
+    4. the emitted jaccard_est is the signature agreement fraction
+       (unbiased estimator of J, sigma ~ sqrt(J(1-J)/32)); candidates
+       keep est >= 0.85 (matching the old distance<=~0.1 contract with
+       2.6-sigma slack at J=0.95).
+
+    Recall vs exact Jaccard asserted in tests/test_llm_ops.py."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks"))
-    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14, binary=True)
-    feat = tf.transform(toks)
-    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
-    model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.1, distCol="jdist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            (1 - F.col("jdist")).alias("jaccard_est"),
-        )
+    docs = d.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
     )
+    groups = _set_groups(docs)
+    same = _same_set_pairs(groups, "jaccard_est")
+
+    tok = groups.select("gid", F.explode("toks").alias("tok"))
+    sigs = tok.groupBy("gid").agg(
+        *[F.min(F.xxhash64("tok", F.lit(i))).alias(f"s{i}") for i in range(_MH_HASHES)]
+    )
+    r = _MH_HASHES // _MH_BANDS
+    band_hashes = F.array(
+        *[F.xxhash64(*[f"s{b * r + j}" for j in range(r)]) for b in range(_MH_BANDS)]
+    )
+    sig_arr = F.array(*[f"s{i}" for i in range(_MH_HASHES)])
+    banded = sigs.select(
+        "gid", sig_arr.alias("sig"), F.posexplode(band_hashes).alias("band", "bh")
+    ).persist()  # both sides of the bucket self-join
+    cand = (
+        banded.alias("a")
+        .join(
+            # dim-sized (_MH_BANDS rows per unique set); broadcast avoids
+            # shuffling on the band-hash key, whose buckets are skewed on
+            # a duplicate-heavy corpus. Beyond broadcast size: salt it.
+            F.broadcast(banded.alias("b")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .select(
+            F.col("a.gid").alias("ga"),
+            F.col("b.gid").alias("gb"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = agree / F.lit(float(_MH_HASHES))
+    scored = cand.select("ga", "gb", est.alias("jaccard_est")).filter(
+        F.col("jaccard_est") >= 0.85
+    )
+    return same.unionByName(_expand_set_pairs(groups, scored, "jaccard_est"))
 
 
 @register("q_dedup_simhash")  # rows-only: xxhash64-based, Spark-specific
@@ -476,6 +547,16 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+# The fixture embeddings are unit-normalized (measured: norms in
+# [1-2e-7, 1+1e-7]), so cosine > t  <=>  euclidean d < sqrt(2-2t);
+# for t = 0.35 that is sqrt(1.3). A join radius above it only inflates
+# candidates: the original 6.0 exceeded the max possible distance (2.0)
+# and made the bucketed join emit every colliding pair (102s at sf0.1);
+# the derived radius plus bucketLength 0.5 runs the same join in ~4s
+# with ~full recall (4128/~4130 in-radius pairs found at sf0.1).
+_COS_RADIUS = 1.1402  # sqrt(2 - 2*0.35), rounded up
+
+
 @register("q_sim_join")  # rows-only: LSH is approximate
 def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-query ANN: N query vectors x corpus in ONE
@@ -483,8 +564,8 @@ def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses (per-query ``approxNearestNeighbors`` loops N jobs; the join
     form is a single bucketed join, sub-quadratic and fully
     distributed). Queries = vec_id < 10, corpus = the rest; pairs
-    within Euclidean distance 6 of a query. Recall vs the exact
-    per-query search asserted in tests/test_llm_ops.py."""
+    within the cosine>0.35-equivalent radius of a query. Recall vs the
+    exact per-query search asserted in tests/test_llm_ops.py."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -493,10 +574,10 @@ def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = ev.filter(F.col("vec_id") < 10)
     corpus = ev.filter(F.col("vec_id") >= 10)
     lsh = BucketedRandomProjectionLSH(
-        inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=6, seed=42
+        inputCol="vec", outputCol="buckets", bucketLength=0.5, numHashTables=6, seed=42
     )
     model = lsh.fit(ev)
-    pairs = model.approxSimilarityJoin(queries, corpus, 6.0, distCol="dist")
+    pairs = model.approxSimilarityJoin(queries, corpus, _COS_RADIUS, distCol="dist")
     return pairs.select(
         F.col("datasetA.vec_id").alias("query_id"),
         F.col("datasetB.vec_id").alias("match_id"),
@@ -516,36 +597,49 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     in recall of the blocking step (measured vs the exact operator in
     tests/test_llm_ops.py), never in the cosine values emitted."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     e = _t(spark, sf_dir, "embeddings")
     ev = e.select("vec_id", array_to_vector(F.col("embedding")).alias("vec"))
     lsh = BucketedRandomProjectionLSH(
-        inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=6, seed=42
+        inputCol="vec", outputCol="buckets", bucketLength=0.5, numHashTables=6, seed=42
     )
     model = lsh.fit(ev)
-    # Euclidean radius 6 comfortably covers cosine > 0.35 for these
-    # norm~[2.5,3.5] vectors; candidates outside it cannot qualify.
-    pairs = (
-        model.approxSimilarityJoin(ev, ev, 6.0, distCol="dist")
+    # _COS_RADIUS: no pair with cosine > 0.35 lies outside it (unit
+    # vectors), so the radius prunes candidates without losing any.
+    # Project candidate ID PAIRS only, and re-join the raw arrays for
+    # the exact verify: computing cosine on columns carried out of the
+    # LSH join lets Catalyst evaluate it under the join — i.e. on every
+    # bucket collision (~10^7 here) instead of on the ~4k in-radius
+    # candidates (measured 95s vs 5s at sf0.1). The re-join puts the
+    # verify above its own joins, so it runs exactly once per candidate.
+    cand = (
+        model.approxSimilarityJoin(ev, ev, _COS_RADIUS, distCol="dist")
         .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
             F.col("datasetA.vec_id").alias("va"),
-            vector_to_array(F.col("datasetA.vec")).alias("ea"),
             F.col("datasetB.vec_id").alias("vb"),
-            vector_to_array(F.col("datasetB.vec")).alias("eb"),
         )
     )
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ea = e.select(F.col("vec_id").alias("va"), as_double.alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vb"), as_double.alias("emb_b"))
     dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
     )
-    cos = dot / (norm("ea") * norm("eb"))
-    return pairs.filter(cos > 0.35).select(F.col("vb").alias("dropped_id")).distinct()
+    cos = dot / (norm("emb_a") * norm("emb_b"))
+    return (
+        cand.join(F.broadcast(ea), "va")
+        .join(F.broadcast(eb), "vb")
+        .filter(cos > 0.35)
+        .select(F.col("vb").alias("dropped_id"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -71,22 +71,42 @@ def test_embedding_ann_recall_vs_exact(spark):
     assert recall >= 0.8, f"ANN dedup recall {recall:.2f} < 0.8 ({len(exact)} exact drops)"
 
 
-def test_sim_join_covers_exact_topk(spark):
-    """The batch approxSimilarityJoin for query vec 0 must recover a
-    meaningful share of the exact cosine top-10 for that query (same
-    caveat as the per-query LSH test: Euclidean buckets vs cosine)."""
-    exact = [r["vec_id"] for r in all_queries()["q_sim_topk"](spark, SF_SMOKE).collect()]
-    got = {
-        r["match_id"]
-        for r in all_queries()["q_sim_join"](spark, SF_SMOKE).collect()
-        if r["query_id"] == 0
+def test_sim_join_recall_vs_exact_threshold_join(spark):
+    """q_sim_join is a similarity-THRESHOLD join (pairs within the
+    cosine>0.35-equivalent radius), so compare against the exact
+    threshold join computed by brute force at smoke scale: recall of
+    true (query, match) pairs must be high, and every emitted pair
+    must actually be within the radius (soundness)."""
+    from pyspark.sql import functions as F2
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    as_double = F2.transform(F2.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", as_double.alias("emb"))
+    q = ed.filter(F2.col("vec_id") < 10).select(
+        F2.col("vec_id").alias("qid"), F2.col("emb").alias("qe")
+    )
+    c = ed.filter(F2.col("vec_id") >= 10)
+    dot = F2.aggregate(
+        F2.zip_with(F2.col("emb"), F2.col("qe"), lambda x, y: x * y),
+        F2.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda col: F2.sqrt(  # noqa: E731
+        F2.aggregate(F2.transform(F2.col(col), lambda x: x * x), F2.lit(0.0), lambda a, x: a + x)
+    )
+    cos = dot / (nrm("emb") * nrm("qe"))
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in c.crossJoin(F2.broadcast(q)).filter(cos > 0.35).select("qid", "vec_id").collect()
     }
-    # corpus for q_sim_join excludes vec_id<10; compare on the overlap domain
-    exact10 = [v for v in exact if v >= 10]
-    if not exact10:
+    got_rows = all_queries()["q_sim_join"](spark, SF_SMOKE).collect()
+    got = {(r["query_id"], r["match_id"]) for r in got_rows}
+    # soundness: the radius equals the cosine threshold for unit vectors
+    assert all(r["dist"] <= 1.1402 + 1e-9 for r in got_rows)
+    if not exact:
         return
-    overlap = len(set(exact10) & got)
-    assert overlap >= len(exact10) // 2, (overlap, exact10)
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, (recall, exact - got)
 
 
 def test_ngram_dedup_is_order_sensitive(spark):
