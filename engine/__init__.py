@@ -27,4 +27,5 @@ def load_all() -> None:
     from engine import functions  # noqa: F401
     from engine import udf  # noqa: F401
     from engine import llm_ops  # noqa: F401
+    from engine import crypto  # noqa: F401
     from engine import streaming  # noqa: F401
