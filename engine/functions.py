@@ -323,7 +323,7 @@ def q_fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_cast",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
            CAST(floor(o_totalprice) AS BIGINT) AS price_long,
            CAST(o_orderkey AS VARCHAR) AS key_str,
            strftime(CAST('1996-06-15' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_parsed,
@@ -334,11 +334,15 @@ def q_fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast family: double->decimal(18,2), double->long (truncation ==
     floor for positives, aligned with the oracle), long<->string,
-    string->timestamp."""
+    string->timestamp. The decimal is emitted as its exact string form:
+    a DecimalType column reaches pandas as ``Decimal`` objects while
+    DuckDB hands back float64, so a raw decimal column can never
+    value-hash equal across engines — stringifying pins the contract
+    (and still exercises the cast + banker's-free HALF_UP rounding)."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
         F.col("o_totalprice").cast("long").alias("price_long"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.date_format(
