@@ -60,3 +60,49 @@ def test_groupby_sum_equals_global_sum(spark, data):
         assert total_a is None and total_b is None
     else:
         assert abs(total_a - total_b) <= 1e-6 * max(1.0, abs(total_b))
+
+
+# -- exact Jaccard pair-join vs brute force ---------------------------
+
+_vocab = [f"w{i}" for i in range(12)]
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=1, max_size=8),
+    min_size=2,
+    max_size=18,
+)
+_thresholds = st.sampled_from([(1, 2), (4, 5), (9, 10), (19, 20)])
+
+
+@given(docs=_docs_strategy, t=_thresholds)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_jaccard_set_pairs_matches_brute_force(spark, docs, t):
+    """_jaccard_set_pairs (set-group + PPJoin prefix/length/positional/
+    infeasibility filters) must equal the brute-force O(n^2) answer for
+    ANY corpus and threshold — the filters may only prune candidates
+    that provably cannot qualify."""
+    from engine.llm_ops import _jaccard_set_pairs
+
+    t_num, t_den = t
+    sets = {i: frozenset(toks) for i, toks in enumerate(docs)}
+    expected = set()
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            inter = len(a & b)
+            union = len(a | b)
+            if inter * t_den >= t_num * union:
+                expected.add((ids[i], ids[j]))
+    df = spark.createDataFrame(
+        [(i, sorted(sets[i])) for i in ids], "doc_id long, toks array<string>"
+    )
+    got_rows = _jaccard_set_pairs(df, t_num, t_den).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == expected, (sorted(expected - got), sorted(got - expected))
+    for r in got_rows:  # emitted jaccard values are the true ratios
+        a, b = sets[r["doc_a"]], sets[r["doc_b"]]
+        assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-12
