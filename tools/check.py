@@ -12,6 +12,7 @@ Usage: python tools/check.py [sf_dir] [key ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -140,7 +141,14 @@ def main() -> None:
         args = [k for k in queries if k.split("_")[1] in
                 ("dedup", "sim", "text", "multimodal", "tokenize")]
     keys = args or sorted(queries)
-    spark = get_spark("check")
+    if os.environ.get("CHECK_VANILLA"):
+        # simulate the external driver: bare session, none of the
+        # engine confs — load_table's tune() must supply everything
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("check-vanilla").getOrCreate()
+    else:
+        spark = get_spark("check")
     con = duck_con(sf_dir)
     failed = []
     for key in keys:
