@@ -987,3 +987,40 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return blobs.mapInPandas(decode, "doc_id long, blob_len long, head_hex string")
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha,
+           lower(substring(hex(encode(text)), 1, 16)) AS feature
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal feature-extraction path, oracle-checked: build
+    media rows (opaque binary payload + typed metadata struct), size
+    partitions by byte budget (engine.multimodal.repartition_for_media
+    — media rows are skewed, row-count splits overload Arrow batches),
+    then extract per-item features in an Arrow-batched mapInPandas.
+    The extractor is the deterministic stand-in (length, sha256,
+    head-bytes) since no codec libs exist in this container, but every
+    Spark-side piece — schema, byte-budget partitioning, batch
+    iteration — is the real pipeline (engine/multimodal.py)."""
+    from engine.multimodal import deterministic_features, repartition_for_media
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.struct(
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(0).alias("sample_rate"),
+            F.col("n_chars").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return deterministic_features(repartition_for_media(media))

@@ -69,12 +69,13 @@ _PRIORITY: list[str] = [
     "q_text_fingerprint", "q_multimodal_struct", "q_multimodal_binary",
     # new in round 2
     "q_dedup_ngram", "q_dedup_embedding_ann", "q_sim_join", "q_tokenize",
+    "q_multimodal_features", "q_bars_ohlcv", "q_vwap", "q_win_volatility",
     # rewritten in round 2 (r01 red / changed plans)
     "q_agg_collect", "q_win_ntile",
     # r01-unverified: streaming (micro-batch replay — slowest, keep late)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_watermark_late", "q_stream_dedup", "q_stream_stateful",
-    "q_stream_join",
+    "q_stream_join", "q_stream_stream_join",
     # r01-green regression anchors (bench headliners + coverage spread)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_join_asof", "q_win_running", "q_topk_per_group", "q_agg_pivot",

@@ -351,6 +351,58 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    purchases within the next 30 minutes (conversion attribution).
+    Both sides carry watermarks and the join carries the time-range
+    constraint, so per-key state is bounded and evicted as the
+    watermark advances — the canonical Structured Streaming
+    stream-stream join shape. The replay is ts-ordered, so the final
+    emitted set equals the batch interval join (the oracle); fixture
+    timestamps are µs-aligned, making the ns->µs load truncation
+    lossless for the boundary comparison."""
+    src = _stage(sf_dir, "plain")
+    clicks = (
+        _read_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _read_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", F.col("click_user").alias("user_id"))
+    return _run_to_memory(joined, "append")
+
+
+@register(
     "q_stream_join",
     oracle="""
     SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
