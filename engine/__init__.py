@@ -28,4 +28,5 @@ def load_all() -> None:
     from engine import udf  # noqa: F401
     from engine import llm_ops  # noqa: F401
     from engine import crypto  # noqa: F401
+    from engine import pipeline  # noqa: F401
     from engine import streaming  # noqa: F401

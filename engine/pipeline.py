@@ -1,0 +1,347 @@
+"""Training-data pipeline composites (SURVEY.md §2.11 extension, r2).
+
+The operations a 100 TB LLM training-data pipeline runs *after* the
+per-document operators in :mod:`engine.llm_ops`: deterministic
+train/val/test splitting, stratified downsampling, near-dup cluster
+resolution (pairs -> connected components -> canonical doc),
+token-budget sequence packing, gap-based sessionization, and CDC-style
+upsert merge. All are pure DataFrame compositions; the one genuinely
+iterative algorithm (connected components) is a bounded label-
+propagation loop whose per-round work is a single shuffle join.
+
+Cross-engine determinism: random choices (splits, samples) are
+content-addressed via md5 hex buckets — ``conv(substring(md5(x),1,8),
+16,10) % 100`` in Spark equals ``CAST('0x' || ...) % 100`` in DuckDB
+bit-for-bit (verified in tests), so every "random" decision is
+reproducible, shard-stable, and oracle-checkable. Timestamps compare in
+microseconds (``unix_micros`` == ``epoch_us``; the events fixture is
+µs-grained).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import register
+
+SPLIT_BUCKETS = 100
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _md5_bucket(col, salt: str, buckets: int = SPLIT_BUCKETS):
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of
+    ``salt || col`` as a 32-bit int, mod buckets. Identical in DuckDB as
+    ``CAST('0x' || substring(md5(salt || col), 1, 8) AS BIGINT) % b``."""
+    h = F.md5(F.concat(F.lit(salt), col))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+@register(
+    "q_split_hash",
+    oracle="""
+    SELECT doc_id, lang, source, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang, source,
+                 CAST('0x' || substring(md5('split:' || text), 1, 8) AS BIGINT)
+                     % 100 AS bucket
+          FROM documents)
+    """,
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split, content-addressed.
+
+    Hashing the *text* (not the id) gives two properties a random
+    split lacks: membership is stable under re-sharding/re-ingestion,
+    and byte-identical duplicates always land in the same split — so
+    exact dups can never leak from train into test. Pure projection
+    (no shuffle, no RNG state); at 100 TB this is a map-only stage."""
+    d = _t(spark, sf_dir, "documents")
+    b = _md5_bucket(F.col("text"), "split:")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source, bucket
+    FROM (SELECT doc_id, lang, source,
+                 CAST('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 100 AS bucket
+          FROM documents)
+    WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: 10% of the majority language,
+    40% of everything else — the corpus-rebalancing op. Hash-threshold
+    instead of ``sampleBy`` so the sample is reproducible across runs,
+    engines, and partitionings (Bernoulli sampling's per-partition RNG
+    is none of those). Map-only, filter pushes to the scan."""
+    d = _t(spark, sf_dir, "documents")
+    b = _md5_bucket(F.col("doc_id").cast("string"), "sample:")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(40)
+    return d.select("doc_id", "lang", "source", b.alias("bucket")).filter(
+        F.col("bucket") < rate
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events),
+    g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_id
+          FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(us) AS session_start_us, max(us) AS session_end_us,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min inactivity gap) — the
+    batch counterpart of q_stream_session: lag to detect gap starts,
+    running sum to number sessions, then one aggregate per session.
+    Both windows and the final groupBy share the user_id hash
+    partitioning, so the whole plan is one shuffle; comparisons are in
+    integer microseconds (no float time arithmetic)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    new_s = F.when(prev.isNull() | (F.col("us") - prev > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH d AS (SELECT source, doc_id,
+                      len(string_split(text, ' ')) AS toks
+               FROM documents),
+    c AS (SELECT source, doc_id, toks,
+                 COALESCE(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum_before
+          FROM d)
+    SELECT source, cum_before // 512 AS seq_id,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc
+    FROM c GROUP BY source, seq_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-and-chunk, 512-token
+    budget): documents are laid out in deterministic order within each
+    source shard, and each doc is assigned to the chunk containing its
+    start offset (``cumulative_tokens_before div budget``) — the
+    streaming concatenation layout LLM training uses, where the last
+    doc of a chunk carries the overflow into truncation. Packing is
+    per-shard (PARTITION BY source), never a global sort: at 100 TB
+    each shard packs independently in one windowed pass, and the
+    running sum + final aggregate reuse one hash partitioning."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("toks")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        d.withColumn("cum_before", cum_before)
+        .withColumn("seq_id", F.expr(f"cum_before div {SEQ_BUDGET}"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, 'U' AS u_status,
+               floor(o_totalprice * 1.05 * 100) / 100 AS u_price
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', floor(o_totalprice * 100) / 100
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN u.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           COALESCE(u.u_status, b.o_orderstatus) AS status,
+           COALESCE(u.u_price, floor(b.o_totalprice * 100) / 100) AS price
+    FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE (upsert) emulated on plain parquet: a derived
+    changeset (10% updates + synthetic inserts) full-outer-joins the
+    base on the key; COALESCE picks the surviving value and the null
+    pattern classifies insert/update/keep. This is the Delta/Iceberg
+    MERGE INTO dataflow — at scale both sides hash-partition on the
+    merge key (AQE handles the changeset's skew), and floor-cents
+    arithmetic keeps money math rounding-mode-free across engines."""
+    o = _t(spark, sf_dir, "orders")
+    cents = lambda c: F.floor(c * 100) / 100  # noqa: E731
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("u_status"),
+            cents(F.col("o_totalprice") * 1.05).alias("u_price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("N").alias("u_status"),
+                cents(F.col("o_totalprice")).alias("u_price"),
+            )
+        )
+    )
+    b, u = o.alias("b"), upd.alias("u")
+    bk, uk = F.col("b.o_orderkey"), F.col("u.o_orderkey")
+    return b.join(u, bk == uk, "full_outer").select(
+        F.coalesce(bk, uk).alias("o_orderkey"),
+        F.when(bk.isNull(), "insert")
+        .when(uk.isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce(F.col("u.u_status"), F.col("b.o_orderstatus")).alias("status"),
+        F.coalesce(F.col("u.u_price"), cents(F.col("b.o_totalprice"))).alias("price"),
+    )
+
+
+@register(
+    "q_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b),
+    p AS (SELECT doc_a, doc_b FROM inter
+          JOIN sz sa ON doc_a = sa.doc_id
+          JOIN sz sb ON doc_b = sb.doc_id
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id
+    ),
+    m AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM m
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the exact
+    Jaccard >= 0.95 pair graph (q_dedup_jaccard's edges), labeling every
+    doc with its component's min doc_id and flagging the canonical
+    keeper — the step that turns pairwise dedup output into an actual
+    keep/drop decision.
+
+    Components are computed by min-label propagation: every doc starts
+    as its own label; each round every node takes the min of its label
+    and its neighbors' labels, until a round changes nothing. Rounds =
+    graph eccentricity, which for dedup graphs is tiny (dup clusters
+    are near-cliques: this corpus converges in 2 rounds). Per round the
+    work is one edge->label hash join + groupBy min — no quadratic
+    step, and ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1. The edge list itself is
+    checkpointed once up front (it is the expensive part). At larger
+    diameters the same loop admits the large-star/small-star
+    optimization (halves round count); dedup graphs don't need it.
+
+    The driver-side loop (one ``count()`` per round) is inherent to
+    iterative fixpoints — same shape as GraphX/GraphFrames — and each
+    action is O(1) driver data. Oracle: DuckDB recursive CTE computing
+    min reachable node per doc (exact transitive closure)."""
+    d = _t(spark, sf_dir, "documents")
+    from engine.llm_ops import _jaccard_set_pairs, _tokens
+
+    docs = d.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
+    )
+    pairs = _jaccard_set_pairs(docs, 19, 20).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(50):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("dl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dl").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least("cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("cluster_id").alias("old")), "doc_id"
+            )
+            .filter(F.col("cluster_id") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("connected components did not converge in 50 rounds")
+    wc = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(wc).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -52,10 +52,11 @@ def _ensure_loaded() -> None:
 # operator a hard driver-verified row across rounds, each round fronts
 # the keys lacking one: round 2 leads with the 33 keys r01 never
 # reached, the two operators rewritten this round, and the new
-# operators; streaming (slowest, rows-only) sits late in the window and
-# r01-green regression anchors fill the remainder. Keys beyond the
-# window stay registered and remain covered by tools/check.py's full
-# sweep plus their r01 rows.
+# operators; streaming (slowest, rows-only) sits late in the window.
+# With 98 registered keys the 50-slot window is exactly the keys
+# lacking an r01 row (44 carried + 6 pipeline composites); the
+# r01-green anchors listed after them fall outside it and stay covered
+# by tools/check.py's full sweep plus their r01 rows.
 _PRIORITY: list[str] = [
     # r01-unverified: scalar-function tail
     "q_fn_json", "q_fn_cond_null", "q_fn_hash", "q_fn_hash_native", "q_fn_cast",
@@ -70,6 +71,8 @@ _PRIORITY: list[str] = [
     # new in round 2
     "q_dedup_ngram", "q_dedup_embedding_ann", "q_sim_join", "q_tokenize",
     "q_multimodal_features", "q_bars_ohlcv", "q_vwap", "q_win_volatility",
+    "q_split_hash", "q_sample_stratified", "q_sessionize", "q_pack_sequences",
+    "q_merge_upsert", "q_dedup_cluster",
     # rewritten in round 2 (r01 red / changed plans)
     "q_agg_collect", "q_win_ntile",
     # r01-unverified: streaming (micro-batch replay — slowest, keep late)
