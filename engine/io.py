@@ -235,3 +235,24 @@ def write_partitioned(
 ) -> None:
     """Date/key-partitioned Parquet sink (partition-pruned on read)."""
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted Parquet table sink (SURVEY §2.1): pre-hash-
+    partitions the data on ``key`` at write time so subsequent joins and
+    aggregations on that key are co-located and need NO shuffle — the
+    standard way to amortize the shuffle of a 100 TB fact table across
+    every downstream query. Read back via ``spark.table(table)``;
+    tests/test_bucketing.py asserts the bucketed join plan is
+    Exchange-free. ``path`` makes the table external (data outside the
+    warehouse dir); bucket metadata lives in the session catalog."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

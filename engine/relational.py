@@ -416,6 +416,49 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("r_name").crossJoin(segs)
 
 
+@register(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: identical result to the plain
+    events×customer join (the oracle IS the plain join), but the
+    fact side carries a deterministic per-row salt
+    (``pmod(xxhash64(event_id), 8)``) and the dimension side is
+    replicated once per salt value, so the join key becomes
+    (user_id, salt) and a hot user's rows spread across 8 tasks
+    instead of one straggler. ``shuffle_hash`` hint keeps the join a
+    shuffled hash join — the regime where salting matters (a broadcast
+    join needs no salt; at 100 TB the dim side outgrows broadcast and
+    this is the fallback). Salt count trades dim-replication (8×) for
+    parallelism; AQE's skew-join handles moderate skew automatically,
+    salting handles the pathological single-key case AQE splits can't."""
+    n_salts = 8
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt_r", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    )
+    return (
+        ev.join(
+            cust.hint("shuffle_hash"),
+            (F.col("user_id") == F.col("c_custkey")) & (F.col("salt") == F.col("salt_r")),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------

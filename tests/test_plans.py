@@ -17,8 +17,10 @@ import pytest
 from engine.registry import all_queries
 from tests.conftest import SF_SMOKE
 
-# Streaming queries execute a micro-batch replay when built; their plan
-# guards live in tests/test_streaming.py. Everything else is explained.
+# Streaming queries execute a full micro-batch replay when built, so
+# explaining them here would re-run every stream; their semantics are
+# covered by the oracle sweep and tests/test_streaming.py. Everything
+# else is explained without execution.
 _SKIP_PREFIX = "q_stream_"
 
 # Queries allowed to contain a single-partition exchange/window, each
@@ -110,6 +112,9 @@ def test_join_strategies(plans):
         "SortMergeJoin" in plans["q_join_asof"]
         or "BroadcastHashJoin" in plans["q_join_asof"]
     )
+    # the salted skew join must stay in the shuffled-hash regime (a
+    # broadcast would make the salt meaningless)
+    assert "ShuffledHashJoin" in plans["q_join_skew_salted"]
 
 
 def test_topk_uses_take_ordered(plans):
