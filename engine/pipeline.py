@@ -247,6 +247,95 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice) FROM orders
+    UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate) FROM orders
+    UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: per-column row/null/distinct counts in ONE
+    pass over the table (the pre-ingestion health check every pipeline
+    runs). All per-column aggregates compute in a single wide ``agg`` —
+    one scan, not one scan per column (the oracle's UNION ALL shape is
+    the naive N-scan formulation) — then unpivot driver-side-free via
+    ``stack``. Exact ``countDistinct`` keeps the oracle comparable; at
+    100 TB swap in ``approx_count_distinct`` (HLL) to avoid the
+    per-column distinct expands — noted here as the scale knob."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in o.columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in o.columns)
+    return wide.selectExpr(
+        f"stack({len(o.columns)}, {stack}) AS (column_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, min(us) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+    SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+    UNION ALL SELECT '2_click', count(*) FROM s2
+    UNION ALL SELECT '3_purchase', count(*) FROM s3
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> later click -> later
+    purchase): users advance a stage only with a strictly later event
+    of the next type — the sequence-sensitive product-analytics op, not
+    a mere type-count. Each stage is a pushed-down type filter, a join
+    on user_id against the previous stage's first-hit time, and a min —
+    every shuffle keys on user_id, so the whole funnel reuses one hash
+    partitioning and stage depth (not data volume) sets plan length."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+
+    def first_hit(etype: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
+        s = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("us") > F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("us").alias(t))
+
+    s1 = first_hit("signup", None, "", "t1")
+    s2 = first_hit("click", s1, "t1", "t2")
+    s3 = first_hit("purchase", s2, "t2", "t3")
+
+    def stage_count(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage_count(s1, "1_signup")
+        .unionByName(stage_count(s2, "2_click"))
+        .unionByName(stage_count(s3, "3_purchase"))
+    )
+
+
+@register(
     "q_dedup_cluster",
     oracle="""
     WITH RECURSIVE

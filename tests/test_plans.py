@@ -39,6 +39,8 @@ _SINGLE_PARTITION_OK = {
     "q_udtf",             # single lateral-join demo slice
     "q_fn_cond_null",     # ordered display contract
     "q_multimodal_features",  # 1-row total-bytes agg sizes the repartition
+    "q_profile_table",    # whole-table profile reduces to one wide row
+    "q_funnel",           # per-stage counts reduce to one row each
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
