@@ -393,13 +393,35 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
     )
     pairs = _jaccard_set_pairs(docs, 19, 20).select("doc_a", "doc_b")
+    labels = connected_components(d.select("doc_id"), pairs, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(wc).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, id_col: str, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components by min-label propagation (see
+    q_dedup_cluster's docstring for the scale analysis). ``nodes`` has
+    one row per ``id_col``; ``pairs`` has undirected edges in its first
+    two columns. Returns (id_col, cluster_id = component min).
+    Property-tested against brute-force components over random graphs
+    in tests/test_properties.py."""
+    a, b = pairs.columns[0], pairs.columns[1]
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .localCheckpoint()
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    for _ in range(50):
+    labels = nodes.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
         nbr_min = (
             edges.join(
                 labels.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("dl")),
@@ -426,11 +448,5 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     else:
-        raise RuntimeError("connected components did not converge in 50 rounds")
-    wc = Window.partitionBy("cluster_id")
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        F.count("*").over(wc).alias("cluster_size"),
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-    )
+        raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
+    return labels.withColumnRenamed("doc_id", id_col)

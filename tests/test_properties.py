@@ -106,3 +106,48 @@ def test_jaccard_set_pairs_matches_brute_force(spark, docs, t):
     for r in got_rows:  # emitted jaccard values are the true ratios
         a, b = sets[r["doc_a"]], sets[r["doc_b"]]
         assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-12
+
+
+# -- connected components vs brute-force union-find -------------------
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(edges=_edges_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must equal union-find components for ANY
+    graph, including the adversarial long-chain shapes (propagation
+    needs eccentricity rounds there) and self-loops/duplicate edges."""
+    from engine.pipeline import connected_components
+
+    n = 16
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(edges or [], "pa long, pb long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs, "id").collect()
+    }
+    assert got == expected
