@@ -547,6 +547,51 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+@register("q_sim_topk_ivf")  # rows-only: IVF is approximate
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the other classic scale path next to
+    LSH (q_sim_topk_lsh): a KMeans coarse quantizer (k=16, fixed seed)
+    partitions the corpus into posting lists; at query time only the
+    nprobe=6 lists whose centroids are nearest the query are scanned
+    with the exact cosine. Probing is a partition-pruning *filter* on
+    the assignment column — at 100 TB the index is written partitioned
+    by `list_id`, so the probe reads nprobe/k of the data and the scan
+    stays the same codegen'd zip_with dot product as q_sim_topk.
+    Centroid ranking happens on the driver over k (=16) vectors —
+    O(k·dim) scalar work, like the LSH variant's single-row `.head()`.
+    Recall vs exact top-k asserted in tests/test_llm_ops.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 16, 6
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", as_double.alias("emb"))
+    feat = ed.withColumn("features", array_to_vector(F.col("emb")))
+    model = KMeans(k=k, seed=7, maxIter=10).fit(feat)
+    assigned = model.transform(feat).select("vec_id", "emb", F.col("prediction").alias("list_id"))
+
+    qv = ed.filter(F.col("vec_id") == 0).head()["emb"]
+    d2 = [sum((c - q) ** 2 for c, q in zip(center, qv)) for center in model.clusterCenters()]
+    probe = sorted(range(k), key=lambda i: d2[i])[:nprobe]
+
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), qcol, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cosine = F.round(dot / (norm(F.col("emb")) * norm(qcol)), 6)
+    return (
+        assigned.filter(F.col("list_id").isin([int(p) for p in probe]))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 # The fixture embeddings are unit-normalized (measured: norms in
 # [1-2e-7, 1+1e-7]), so cosine > t  <=>  euclidean d < sqrt(2-2t);
 # for t = 0.35 that is sqrt(1.3). A join radius above it only inflates

@@ -56,9 +56,10 @@ def _ensure_loaded() -> None:
 # With 99 registered keys the 50-slot window is exactly the keys
 # lacking an r01 row (44 carried + 6 pipeline composites); the
 # r01-green anchors listed after them fall outside it and stay covered
-# by tools/check.py's full sweep plus their r01 rows. Three late r2
-# additions (q_join_skew_salted, q_profile_table, q_funnel —
-# registration-order tail) didn't fit — round 3 must front them.
+# by tools/check.py's full sweep plus their r01 rows. Four late r2
+# additions (q_join_skew_salted, q_profile_table, q_funnel,
+# q_sim_topk_ivf — registration-order tail) didn't fit — round 3 must
+# front them.
 _PRIORITY: list[str] = [
     # r01-unverified: scalar-function tail
     "q_fn_json", "q_fn_cond_null", "q_fn_hash", "q_fn_hash_native", "q_fn_cast",

@@ -35,6 +35,16 @@ def test_lsh_topk_overlaps_exact_topk(spark):
     assert overlap >= 3, f"LSH top-10 shares only {overlap} with exact top-10"
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF probes 6/16 posting lists with the SAME cosine scoring as
+    exact search, so misses can come only from the quantizer assigning
+    a true neighbor to an unprobed list — recall should be high."""
+    exact = [r["vec_id"] for r in all_queries()["q_sim_topk"](spark, SF_SMOKE).collect()]
+    approx = [r["vec_id"] for r in all_queries()["q_sim_topk_ivf"](spark, SF_SMOKE).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"IVF top-10 shares only {overlap} with exact top-10"
+
+
 def test_simhash_locality(spark):
     """Docs with identical token SETS (jaccard 1.0) should have closer
     simhashes than random pairs on average."""
