@@ -153,7 +153,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                           0) AS cum_before
           FROM d)
-    SELECT source, cum_before // 512 AS seq_id,
+    SELECT source, CAST(cum_before // 512 AS BIGINT) AS seq_id,
            count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS seq_tokens,
            min(doc_id) AS first_doc
     FROM c GROUP BY source, seq_id
