@@ -737,7 +737,7 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT source) AS n_sources,
            round(avg(n_chars), 4) AS avg_chars,
            round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-           sum(len(string_split(text, ' '))) AS total_tokens
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang
     """,

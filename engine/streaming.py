@@ -240,7 +240,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN prev_ts IS NULL
                          OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
         FROM ordered)
-    SELECT user_id, sum(new_s) AS n_sessions
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
     FROM marked GROUP BY user_id
     """,
 )

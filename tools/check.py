@@ -113,6 +113,20 @@ def check_one(spark, con, key: str, fn, sql: str | None, sf_dir: str) -> tuple[b
         return False, f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"
     if sorted(sdf.columns) != sorted(odf.columns):
         return False, f"SCHEMA spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    # int-vs-float dtype drift (e.g. DuckDB HUGEINT -> float64) passes
+    # the tolerant value compare here but can fail the external
+    # driver's canonicalizer (r01's only red row was this class).
+    # A float column WITH nulls is legit (nullable ints widen), so only
+    # null-free float-vs-int pairs are hard drift.
+    for c in sdf.columns:
+        ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+        if {ks, ko} == {"i", "f"}:
+            fcol = sdf[c] if ks == "f" else odf[c]
+            if not fcol.isna().any():
+                return False, (
+                    f"DTYPE {c}: spark={sdf[c].dtype} oracle={odf[c].dtype} "
+                    "(null-free float vs int — add an explicit cast)"
+                )
     ns, no = normalize(sdf), normalize(odf)
     srows = list(ns.itertuples(index=False, name=None))
     orows = list(no.itertuples(index=False, name=None))
