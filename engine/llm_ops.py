@@ -222,18 +222,32 @@ def _jaccard_set_pairs(docs: DataFrame, t_num: int, t_den: int) -> DataFrame:
         .distinct()
     )
     # -- 3. exact verify on set pairs, expand to doc pairs ------------
-    ga = groups.select(F.col("gid").alias("ga"), F.col("toks").alias("toks_a"))
-    gb = groups.select(F.col("gid").alias("gb"), F.col("toks").alias("toks_b"))
+    # One broadcast per side carries BOTH the token array (verify) and
+    # the member list (expand), instead of four separate broadcasts of
+    # the same dim-sized groups table — two fewer broadcast jobs per
+    # invocation (exactness pinned by the hypothesis brute-force test).
+    ga = groups.select(
+        F.col("gid").alias("ga"), F.col("toks").alias("toks_a"), F.col("members").alias("mem_a")
+    )
+    gb = groups.select(
+        F.col("gid").alias("gb"), F.col("toks").alias("toks_b"), F.col("members").alias("mem_b")
+    )
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter / union
-    verified = (
+    expanded = (
         cand.join(F.broadcast(ga), "ga")
         .join(F.broadcast(gb), "gb")
         .filter(jac >= t_num / t_den)  # distinct sets => jac < 1, no overlap with `same`
-        .select("ga", "gb", jac.alias("jaccard"))
+        .select(F.explode("mem_a").alias("da"), "mem_b", jac.alias("jaccard"))
+        .select("da", F.explode("mem_b").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
     )
-    return same.unionByName(_expand_set_pairs(groups, verified, "jaccard"))
+    return same.unionByName(expanded)
 
 
 @register(
