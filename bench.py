@@ -32,6 +32,13 @@ HEADLINE = [
     "q_sim_topk",         # brute-force cosine top-k
     "q_text_tfidf",       # token explode + df join + window
     "q_udf_pandas_scalar",  # Arrow UDF boundary
+    # r3 additions: the heavy operators where a regression actually
+    # hurts (the original 12 are kept unchanged for r01/r02
+    # comparability — compare totals on the first 12 keys)
+    "q_dedup_minhash",    # banded minhash candidate join
+    "q_dedup_ngram",      # trigram-shingle PPJoin
+    "q_dedup_embedding_ann",  # LSH blocking + re-join cosine verify
+    "q_merge_upsert",     # CDC full-outer merge
 ]
 
 

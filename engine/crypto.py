@@ -119,3 +119,70 @@ def q_win_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.stddev_samp("value").over(w), 4).alias("vol_1h"),
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, value,
+                      avg(value) OVER w AS mu,
+                      stddev_samp(value) OVER w AS sigma
+               FROM events
+               WINDOW w AS (PARTITION BY user_id))
+    SELECT event_id, user_id, round((value - mu) / sigma, 4) AS z
+    FROM s
+    WHERE abs((value - mu) / sigma) > 2.5
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier ticks: |z| > 2.5 against the user's own value
+    distribution — the wash-trade / fat-finger surveillance primitive.
+    Mean and stddev come from an unordered window over the user
+    partition (no self-join, one shuffle); the z expression stays in
+    codegen. At 100 TB this is the same single-exchange shape as
+    q_win_volatility."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.select("event_id", "user_id", "value", mu.alias("mu"), sigma.alias("sigma"))
+        .filter(F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 2.5)
+        .select(
+            "event_id",
+            "user_id",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "q_win_corr",
+    oracle="""
+    SELECT user_id,
+           round(corr(value, epoch_us(ts) - 1704067200000000), 4) AS drift_corr,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 20
+    """,
+)
+def q_win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value-vs-time correlation (price-drift detector): the
+    co-moment aggregate ``corr`` with map-side partial aggregation —
+    one shuffle of constant-size partial states per user, never the
+    ticks themselves. Time is centered on the 2024-01-01 epoch before
+    entering the co-moment sums so both engines do the arithmetic at
+    the same (small) magnitude; HAVING suppresses degenerate tiny
+    groups."""
+    ev = _t(spark, sf_dir, "events")
+    centered = (F.unix_micros("ts") - F.lit(1704067200000000)).cast("double")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.corr(F.col("value"), centered), 4).alias("drift_corr"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )

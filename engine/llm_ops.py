@@ -42,6 +42,85 @@ def _tokens(col):
 
 
 # ---------------------------------------------------------------------------
+# Scale-adaptive join machinery shared by the dedup/ANN family
+# ---------------------------------------------------------------------------
+
+# Row-count gate for broadcasting corpus-derived intermediates (prefix /
+# banded-signature / bucket tables, ~40-80 bytes per row => ~64-100 MB
+# at the gate). Below it a broadcast join sidesteps shuffle skew on the
+# tiny-domain join keys (tokens / band hashes / LSH buckets); above it
+# the plan switches to a salted shuffled-hash join so it still compiles
+# and balances when the intermediate outgrows executor broadcast memory.
+_BROADCAST_ROWS = 1_500_000
+_SALT_N = 8
+
+# Resources (persisted DataFrames, sc.broadcast handles) allocated by
+# the previous dedup-family invocation. Released lazily at the START of
+# the next invocation — by which point the prior returned DataFrame has
+# been consumed by the sweep/bench loop — so cached blocks do not
+# accumulate over a 100-query session (correctness is unaffected either
+# way: an unpersisted handle simply recomputes).
+_LIVE_RESOURCES: list = []
+
+
+def _release_previous() -> None:
+    while _LIVE_RESOURCES:
+        res = _LIVE_RESOURCES.pop()
+        try:
+            res.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort cleanup
+            pass
+
+
+def _track(resource):
+    _LIVE_RESOURCES.append(resource)
+    return resource
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int, gate: int = _BROADCAST_ROWS) -> DataFrame:
+    """Broadcast a dim-sized table below the gate; above it, return it
+    plain so Catalyst plans an ordinary shuffle join (the join keys for
+    these callers — gid / vec_id — are high-cardinality, so the shuffle
+    needs no salt). ``gate`` is row-count-based and set per caller to
+    reflect row width (a 64-double embedding row is ~13x a prefix row)."""
+    return F.broadcast(df) if n_rows <= gate else df
+
+
+def _self_candidate_join(
+    tbl: DataFrame, keys: list[str], row_key: str, cond, mode: str | None, n_est: int = 0
+):
+    """Skew-aware self-join producing candidate pairs: ``tbl`` aliased
+    a/b, equi on ``keys`` plus the caller's extra ``cond`` (written
+    against aliases a/b). ``mode``: "broadcast" | "salted" | None (auto:
+    broadcast iff ``n_est`` — the caller's measured/derived row count
+    for ``tbl`` — is under the gate).
+
+    Broadcast mode avoids hash-partitioning on ``keys``, whose domains
+    are small and skewed (a 31-token vocabulary, duplicate-heavy LSH
+    buckets). Salted mode keeps the join compilable and balanced beyond
+    broadcast scale: side a carries ``pmod(xxhash64(row_key), S)``, side
+    b is replicated once per salt value, and the effective join key
+    (keys..., salt) spreads each hot key over S tasks — same technique
+    as q_join_skew_salted, at the cost of an S-times b-side shuffle."""
+    eq = None
+    for k in keys:
+        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        eq = c if eq is None else eq & c
+    if mode is None:
+        mode = "broadcast" if n_est <= _BROADCAST_ROWS else "salted"
+    if mode == "broadcast":
+        return tbl.alias("a").join(F.broadcast(tbl.alias("b")), eq & cond)
+    sa = tbl.withColumn("_salt", F.pmod(F.xxhash64(row_key), F.lit(_SALT_N)))
+    sb = tbl.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_N)]))
+    )
+    return sa.alias("a").join(
+        sb.alias("b").hint("shuffle_hash"),
+        eq & (F.col("a._salt") == F.col("b._salt")) & cond,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
 
@@ -152,13 +231,17 @@ def _same_set_pairs(groups: DataFrame, value_name: str) -> DataFrame:
     )
 
 
-def _expand_set_pairs(groups: DataFrame, set_pairs: DataFrame, value_name: str) -> DataFrame:
-    """Expand scored unique-set pairs (ga, gb, <value>) to doc pairs."""
+def _expand_set_pairs(
+    groups: DataFrame, set_pairs: DataFrame, value_name: str, n_groups: int
+) -> DataFrame:
+    """Expand scored unique-set pairs (ga, gb, <value>) to doc pairs.
+    The member-list dim joins broadcast below the gate; above it they
+    are plain shuffle joins on the high-cardinality gid."""
     ma = groups.select(F.col("gid").alias("ga"), F.col("members").alias("mem_a"))
     mb = groups.select(F.col("gid").alias("gb"), F.col("members").alias("mem_b"))
     return (
-        set_pairs.join(F.broadcast(ma), "ga")
-        .join(F.broadcast(mb), "gb")
+        set_pairs.join(_maybe_broadcast(ma, n_groups), "ga")
+        .join(_maybe_broadcast(mb, n_groups), "gb")
         .select(F.explode("mem_a").alias("da"), "mem_b", value_name)
         .select("da", F.explode("mem_b").alias("db"), value_name)
         .select(
@@ -169,21 +252,39 @@ def _expand_set_pairs(groups: DataFrame, set_pairs: DataFrame, value_name: str) 
     )
 
 
-def _jaccard_set_pairs(docs: DataFrame, t_num: int, t_den: int) -> DataFrame:
+def _jaccard_set_pairs(
+    docs: DataFrame, t_num: int, t_den: int, mode: str | None = None
+) -> DataFrame:
     """Exact set-Jaccard pairs >= t_num/t_den over ``docs(doc_id, toks)``
     (toks must be a sorted distinct array). Shared scale-safe core of
     q_dedup_jaccard / q_dedup_ngram — see q_dedup_jaccard's docstring
-    for the three-stage design."""
+    for the three-stage design.
+
+    ``mode`` picks the candidate-join strategy ("broadcast" | "salted" |
+    None = auto by measured row count, see :func:`_self_candidate_join`);
+    both modes produce identical pairs (asserted by the hypothesis
+    brute-force property test in tests/test_properties.py)."""
+    _release_previous()
     # -- 1. collapse docs to unique distinct-token sets ---------------
-    groups = _set_groups(docs)
+    groups = _track(_set_groups(docs))
+    prefix_len = F.col("n") - ((F.col("n") * t_num + (t_den - 1)) / t_den).cast("long") + 1
+    if mode is None:
+        # ONE aggregate job over the (persisted) groups table doubles as
+        # its materialization point and yields both gate inputs exactly:
+        # unique-set count and the total prefix-index row count.
+        stats = groups.agg(
+            F.count("*").alias("ng"), F.sum(prefix_len).alias("np")
+        ).head()
+        n_groups, n_prefix = stats["ng"], stats["np"] or 0
+    else:
+        n_groups = n_prefix = 0 if mode == "broadcast" else _BROADCAST_ROWS + 1
     # Identical-set pairs: all (a, b) within a cluster, J = 1 exactly.
     same = _same_set_pairs(groups, "jaccard")
     # -- 2. prefix + length filtered candidate join over unique sets --
     sets = groups.select("gid", "toks", "n")
     tok = sets.select("gid", "n", F.explode("toks").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    prefix_len = F.col("n") - ((F.col("n") * t_num + (t_den - 1)) / t_den).cast("long") + 1
-    prefix = (
+    prefix = _track(
         tok.join(F.broadcast(dfreq), "tok")
         .withColumn(
             "p",
@@ -202,30 +303,32 @@ def _jaccard_set_pairs(docs: DataFrame, t_num: int, t_den: int) -> DataFrame:
     # distinct same-size sets overlap at most n-1
     max_i = F.least(na, nb) - F.when(na == nb, 1).otherwise(0)
     cand = (
-        prefix.alias("a")
-        .join(
-            # prefix entries are one row per (set, prefix-token) — dim-sized
-            # relative to the corpus. Broadcasting one side avoids hash-
-            # partitioning on `tok`, whose tiny domain (31 values here)
-            # would make a shuffle join catastrophically skewed; at sizes
-            # beyond broadcast, the scale path is salting the token key.
-            F.broadcast(prefix.alias("b")),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.gid") < F.col("b.gid"))
+        # prefix entries are one row per (set, prefix-token), joined on
+        # `tok` — a tiny, skewed domain (31 values here): broadcast
+        # below the gate, salted shuffled-hash above it.
+        _self_candidate_join(
+            prefix,
+            ["tok"],
+            "gid",
+            (F.col("a.gid") < F.col("b.gid"))
             # length filter: J >= t is impossible outside these bounds
             & (na * t_den >= nb * t_num)
             & (nb * t_den >= na * t_num)
             & (ubound >= i_min)
             & (max_i >= i_min),
+            mode,
+            n_prefix,
         )
         .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
         .distinct()
     )
     # -- 3. exact verify on set pairs, expand to doc pairs ------------
-    # One broadcast per side carries BOTH the token array (verify) and
-    # the member list (expand), instead of four separate broadcasts of
-    # the same dim-sized groups table — two fewer broadcast jobs per
-    # invocation (exactness pinned by the hypothesis brute-force test).
+    # One dim-join per side carries BOTH the token array (verify) and
+    # the member list (expand), instead of four separate joins against
+    # the same groups table — two fewer jobs per invocation (exactness
+    # pinned by the hypothesis brute-force test). Broadcast below the
+    # gate; above it these become plain shuffle joins on the high-
+    # cardinality gid key (no salt needed).
     ga = groups.select(
         F.col("gid").alias("ga"), F.col("toks").alias("toks_a"), F.col("members").alias("mem_a")
     )
@@ -236,8 +339,8 @@ def _jaccard_set_pairs(docs: DataFrame, t_num: int, t_den: int) -> DataFrame:
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter / union
     expanded = (
-        cand.join(F.broadcast(ga), "ga")
-        .join(F.broadcast(gb), "gb")
+        cand.join(_maybe_broadcast(ga, n_groups), "ga")
+        .join(_maybe_broadcast(gb, n_groups), "gb")
         .filter(jac >= t_num / t_den)  # distinct sets => jac < 1, no overlap with `same`
         .select(F.explode("mem_a").alias("da"), "mem_b", jac.alias("jaccard"))
         .select("da", F.explode("mem_b").alias("db"), "jaccard")
@@ -299,6 +402,10 @@ _MH_BANDS = 8    # 8 bands x 4 rows: P(candidate) = 1-(1-J^4)^8
 
 @register("q_dedup_minhash")  # rows-only: LSH is approximate (SURVEY §2.11)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir, mode=None)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (shingle -> minhash -> band
     bucket -> bucket join), entirely in whole-stage codegen.
 
@@ -323,11 +430,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        2.6-sigma slack at J=0.95).
 
     Recall vs exact Jaccard asserted in tests/test_llm_ops.py."""
+    _release_previous()
     d = _t(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
     )
-    groups = _set_groups(docs)
+    groups = _track(_set_groups(docs))
+    # One count job doubles as the persist materialization point; the
+    # banded table is exactly _MH_BANDS rows per unique set, so no
+    # second count is needed for its gate.
+    n_groups = (
+        groups.count() if mode is None
+        else (0 if mode == "broadcast" else _BROADCAST_ROWS + 1)
+    )
     same = _same_set_pairs(groups, "jaccard_est")
 
     tok = groups.select("gid", F.explode("toks").alias("tok"))
@@ -339,19 +454,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.xxhash64(*[f"s{b * r + j}" for j in range(r)]) for b in range(_MH_BANDS)]
     )
     sig_arr = F.array(*[f"s{i}" for i in range(_MH_HASHES)])
-    banded = sigs.select(
-        "gid", sig_arr.alias("sig"), F.posexplode(band_hashes).alias("band", "bh")
-    ).persist()  # both sides of the bucket self-join
+    banded = _track(
+        sigs.select(
+            "gid", sig_arr.alias("sig"), F.posexplode(band_hashes).alias("band", "bh")
+        ).persist()  # both sides of the bucket self-join
+    )
     cand = (
-        banded.alias("a")
-        .join(
-            # dim-sized (_MH_BANDS rows per unique set); broadcast avoids
-            # shuffling on the band-hash key, whose buckets are skewed on
-            # a duplicate-heavy corpus. Beyond broadcast size: salt it.
-            F.broadcast(banded.alias("b")),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.gid") < F.col("b.gid")),
+        # _MH_BANDS rows per unique set, joined on the band-hash key
+        # whose buckets skew on a duplicate-heavy corpus: broadcast
+        # below the gate, salted shuffled-hash above it.
+        _self_candidate_join(
+            banded,
+            ["band", "bh"],
+            "gid",
+            F.col("a.gid") < F.col("b.gid"),
+            mode,
+            _MH_BANDS * n_groups,
         )
         .select(
             F.col("a.gid").alias("ga"),
@@ -370,7 +488,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select("ga", "gb", est.alias("jaccard_est")).filter(
         F.col("jaccard_est") >= 0.85
     )
-    return same.unionByName(_expand_set_pairs(groups, scored, "jaccard_est"))
+    return same.unionByName(_expand_set_pairs(groups, scored, "jaccard_est", n_groups))
 
 
 @register("q_dedup_simhash")  # rows-only: xxhash64-based, Spark-specific
@@ -668,8 +786,18 @@ def _rp_bucket_cols():
     return cols
 
 
+# Broadcast gate for the embeddings dim table itself: a 64-double row
+# is ~520 bytes, so 150k rows ~ 80 MB — far under executor memory but
+# the right ceiling for a broadcast hash table.
+_EMB_BROADCAST_ROWS = 150_000
+
+
 @register("q_dedup_embedding_ann")  # rows-only: LSH blocking is approximate
 def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_ann_dropped(spark, sf_dir, mode=None)
+
+
+def _embedding_ann_dropped(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFrame:
     """Embedding dedup with LSH blocking — the 100 TB path.
 
     q_dedup_embedding blocks only on ``label``, which is exact but
@@ -683,56 +811,63 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed seed), ``floor(proj / w)`` bucket ids, a bucket-equi
     self-join per table for candidates (whole-stage codegen; MLlib's
     ``approxSimilarityJoin`` computes a per-collision distance through
-    a row-at-a-time UDF), then a **vectorized numpy verify**: at a low
-    similarity bar (0.35) LSH needs ~15% of the pair space as
-    candidates for high recall (measured: 1.85M candidates for 0.97
-    pair-recall at sf0.1), and shipping two 64-double arrays through
-    every candidate join row dominates (~10s). Instead the candidate
-    (va, vb) ID pairs meet a broadcast (n x 64) embedding matrix
-    inside an Arrow-batched pandas UDF — row-gather + einsum, dense
-    math where numpy is the right kernel (11s -> ~4s at sf0.1). The
-    matrix is dim-table-sized (2.5 MB here); beyond driver-broadcast
-    size the scale path is the array re-join, sharded."""
-    import numpy as np
+    a row-at-a-time UDF). The exact verify is a **candidate-pair
+    re-join**: the distinct (va, vb) id pairs join back to the
+    embeddings table per side and the cosine is a codegen
+    zip_with/aggregate dot product — the verify runs once per unique
+    pair because the ``distinct`` sits between the bucket join and the
+    re-join (Catalyst cannot push the cosine under the LSH join — the
+    r2 95s trap). Everything is cluster-side: no driver collect of the
+    corpus anywhere; the per-side join broadcasts the embeddings below
+    ``_EMB_BROADCAST_ROWS`` and becomes a plain shuffle join on the
+    high-cardinality vec_id above it (the sharded scale path).
 
+    ``mode`` forces the join strategies for the both-modes-equal
+    property test; None = auto by measured size."""
+    _release_previous()
     e = _t(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    ed = e.select("vec_id", as_double.alias("emb"))
-    buckets = ed.select(
-        "vec_id", F.posexplode(F.array(*_rp_bucket_cols())).alias("table", "bucket")
+    ed = _track(e.select("vec_id", as_double.alias("emb")).persist())
+    # One count job (doubling as the persist materialization point)
+    # feeds both gates: the bucket table is exactly _RP_TABLES rows per
+    # vector, so no second count is needed.
+    n_vecs = (
+        ed.count() if mode is None
+        else (0 if mode == "broadcast" else _EMB_BROADCAST_ROWS + 1)
+    )
+    buckets = _track(
+        ed.select(
+            "vec_id", F.posexplode(F.array(*_rp_bucket_cols())).alias("table", "bucket")
+        ).persist()  # both sides of the bucket self-join
     )
     cand = (
-        buckets.alias("a")
-        .join(
-            # one row per (vector, table): dim-sized next to the pair
-            # space — broadcast avoids shuffling on the skewed bucket
-            # key (dense corpora pile into few buckets); beyond
-            # broadcast size the scale path is salting the bucket key.
-            F.broadcast(buckets.alias("b")),
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        # one row per (vector, table), joined on the bucket key (dense
+        # corpora pile into few buckets — skewed): broadcast below the
+        # gate, salted shuffled-hash above it.
+        _self_candidate_join(
+            buckets,
+            ["table", "bucket"],
+            "vec_id",
+            F.col("a.vec_id") < F.col("b.vec_id"),
+            mode,
+            _RP_TABLES * n_vecs,
         )
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .distinct()
     )
-    pdf = e.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    index = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
-    index[ids] = np.arange(len(ids))
-    bc = spark.sparkContext.broadcast((index, mat))
-
-    @F.pandas_udf("double")
-    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        idx, m = bc.value
-        a = m[idx[va.to_numpy()]]
-        b = m[idx[vb.to_numpy()]]
-        return pd.Series(np.einsum("ij,ij->i", a, b))
-
+    ea = ed.select(F.col("vec_id").alias("va"), F.col("emb").alias("emb_a"))
+    eb = ed.select(F.col("vec_id").alias("vb"), F.col("emb").alias("emb_b"))
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))
     return (
-        cand.filter(pair_cos("va", "vb") > 0.35)
+        cand.join(_maybe_broadcast(ea, n_vecs, _EMB_BROADCAST_ROWS), "va")
+        .join(_maybe_broadcast(eb, n_vecs, _EMB_BROADCAST_ROWS), "vb")
+        .filter(cos > 0.35)
         .select(F.col("vb").alias("dropped_id"))
         .distinct()
     )
@@ -1083,3 +1218,68 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return deterministic_features(repartition_for_media(media))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (round 3): PII masking + repetition quality signal
+# ---------------------------------------------------------------------------
+
+# One alternation, engine-portable (same semantics in Java regex and
+# RE2): emails, then SSN-shaped, then any digit run. Order matters —
+# the email arm must win before its digits are masked piecemeal.
+_PII_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+|[0-9]{3}-[0-9]{2}-[0-9]{4}|[0-9]+"
+
+
+@register(
+    "q_text_pii",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(props, '{_PII_PATTERN}', '<PII>', 'g') AS props_redacted,
+           len(regexp_extract_all(props, '{_PII_PATTERN}')) AS n_redactions
+    FROM events
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over free-form payloads — the pre-training scrub
+    pass: emails, SSN-shaped ids, and bare digit runs collapse to
+    ``<PII>``, with a per-row redaction count for audit sampling. Runs
+    over the events ``props`` JSON (the fixture's only column with
+    digit payloads). Pure ``regexp_replace``/``regexp_count`` codegen —
+    map-only, no shuffle, linear at any scale; the pattern alternation
+    is anchored longest-first so an email is one redaction, not three."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", _PII_PATTERN, "<PII>").alias("props_redacted"),
+        F.regexp_count("props", F.lit(_PII_PATTERN)).cast("long").alias("n_redactions"),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_distinct,
+           round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS repetition_ratio,
+           CAST(1.0 - len(list_distinct(w)) * 1.0 / len(w) > 0.7 AS BOOLEAN)
+               AS is_repetitive
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal (1 - distinct/total tokens) — the
+    boilerplate/spam filter every pre-training mix applies before
+    dedup. Map-only expression work (split + array_distinct + size), no
+    shuffle; the boolean cut at 0.7 is the mix-filter predicate, kept as
+    a column so downstream sampling can stratify on it."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    ratio = 1.0 - F.size(F.array_distinct(w)) / F.size(w)
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.round(ratio, 4).alias("repetition_ratio"),
+        (ratio > 0.7).alias("is_repetitive"),
+    )

@@ -450,3 +450,127 @@ def connected_components(
     else:
         raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
     return labels.withColumnRenamed("doc_id", id_col)
+
+
+@register(
+    "q_sample_quota",
+    oracle="""
+    SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents) WHERE rn <= 10
+    """,
+)
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: at most 10 docs per source, picked by
+    deterministic hash order — the per-domain cap that keeps one giant
+    crawl domain from dominating a training mix. Hash-ordered
+    ``row_number`` (not ORDER BY ingestion order) makes the kept set
+    stable across runs, engines and partitionings; one shuffle on
+    ``source``, and the per-partition sort is bounded by the domain's
+    doc count. At 100 TB a hot domain makes this window's partition
+    large — the standard refinement is a per-partition pre-limit
+    (any K rows per map task pass rn<=K per (task, source), then the
+    window runs on the survivors); the fixture's uniform sources don't
+    need it."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@register(
+    "q_split_contamination",
+    oracle="""
+    WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w,
+                       CAST('0x' || substring(md5('split:' || text), 1, 8) AS BIGINT)
+                           % 100 AS bucket
+                FROM documents),
+    sh AS (SELECT DISTINCT doc_id, bucket,
+                  unnest(list_transform(range(1, len(w) - 6),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                           w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS sh
+           FROM sp WHERE len(w) >= 8),
+    tr AS (SELECT DISTINCT sh FROM sh WHERE bucket < 80),
+    te AS (SELECT doc_id, sh FROM sh WHERE bucket >= 90)
+    SELECT te.doc_id, count(*) AS n_shared_shingles
+    FROM te JOIN tr ON te.sh = tr.sh
+    GROUP BY te.doc_id
+    """,
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination check: for every TEST document (per
+    q_split_hash's content-addressed buckets), how many of its distinct
+    word 8-grams also appear anywhere in the TRAIN split — the standard
+    benchmark-decontamination signal (n-gram overlap a la GPT-3's 13-gram
+    filter, here 8 to fit fixture doc lengths).
+
+    Scale shape: both sides collapse to DISTINCT shingles before the
+    join (the train posting list is deduped, so a shingle repeated in a
+    million train docs joins once), the join key is the shingle, and
+    the count is per test doc. At 100 TB the refinement is dropping
+    ubiquitous shingles (df above a cap carries no contamination
+    signal) — the same frequency-prune the dedup family's prefix filter
+    applies. Exact-duplicate leakage is structurally zero here (dups
+    share a split by construction — q_split_hash), so any hit is a
+    *partial* overlap worth surfacing."""
+    d = _t(spark, sf_dir, "documents")
+    b = _md5_bucket(F.col("text"), "split:")
+    w = F.col("w")
+    sh8 = F.expr(
+        "transform(sequence(0, size(w) - 8), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))"
+    )
+    docs = (
+        d.select("doc_id", b.alias("bucket"), F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size(w) >= 8)
+        .select("doc_id", "bucket", F.explode(F.array_distinct(sh8)).alias("sh"))
+    )
+    train = docs.filter(F.col("bucket") < 80).select("sh").distinct()
+    test = docs.filter(F.col("bucket") >= 90).select("doc_id", "sh")
+    return (
+        test.join(train, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, c.cohort_day, e.day - c.cohort_day AS day_offset
+          FROM e JOIN c ON e.user_id = c.user_id)
+    SELECT cohort_day, day_offset, count(*) AS n_users
+    FROM a GROUP BY cohort_day, day_offset
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, then
+    counted per (cohort day, day offset) of later activity — the
+    product-analytics composite. The cohort day comes from a window
+    ``min`` over the user partition (no self-join); the following
+    DISTINCT reuses the same user_id hash partitioning (its key set
+    contains user_id, so Spark inserts no second exchange); only the
+    final small (cohort, offset) aggregate reshuffles. Day arithmetic is
+    integer floor-division of microseconds — no float time math."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+    )
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
+    return (
+        e.withColumn("cohort_day", cohort)
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -373,29 +373,42 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (latest 'view' at or before each purchase, per user) —
     the crypto price-at-trade-time pattern (SURVEY §2.3 q_join_asof).
 
-    Spark has no native ASOF JOIN; emulated as equi-join on the partition
-    key + window row_number()=1. Tie rule: equal timestamps resolved by
-    highest event_id (explicit, SURVEY §7 risk register). At 100 TB the
-    join is hash-partitioned by user_id and the window sorts within
-    partitions only."""
+    Spark has no native ASOF JOIN. The naive emulation (equi-join on
+    user_id + ``b.ts <= a.ts`` range predicate + keep rn=1) materializes
+    every (purchase, earlier view) pair first — Σ_user(purchases×views),
+    quadratic on a hot user, a skewed-key scale-killer at 100 TB even
+    though it benches fine on uniform fixtures. Linear-state plan
+    instead: UNION both event streams, ONE window per user ordered by
+    time, and carry the prevailing view forward with
+    ``last(..., ignorenulls=True)`` over UNBOUNDED PRECEDING — a single
+    Exchange on user_id, per-row constant state, no join at all.
+
+    Tie rule (SURVEY §7 risk register): a view at exactly the purchase
+    timestamp is eligible, and equal-ts views resolve to the highest
+    event_id — encoded in the sort key (ts ASC, views-before-purchases,
+    event_id ASC) so the *last* carried view is the winning one.
+    Purchases with no prior view drop out (inner as-of semantics)."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").alias("a")
-    b = ev.filter(F.col("event_type") == "view").alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("b.ts") <= F.col("a.ts")),
-    ).select(
-        F.col("a.event_id").alias("event_id"),
-        F.col("b.event_id").alias("view_id"),
-        F.col("b.value").alias("view_value"),
-        F.col("b.ts").alias("b_ts"),
+    is_view = F.col("event_type") == "view"
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (~is_view).cast("int").alias("is_purchase"),
+        F.when(is_view, F.col("event_id")).alias("v_id"),
+        F.when(is_view, F.col("value")).alias("v_val"),
     )
-    w = Window.partitionBy("event_id").orderBy(F.desc("b_ts"), F.desc("view_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_purchase"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        tagged.withColumn("view_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("view_value", F.last("v_val", ignorenulls=True).over(w))
+        .filter((F.col("is_purchase") == 1) & F.col("view_id").isNotNull())
         .select("event_id", "view_id", "view_value")
     )
 
@@ -930,3 +943,76 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact row dedup (hash-groupBy under the hood)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.4b reshaping + sketch aggregation (round 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           CAST(l_quantity AS DOUBLE) AS metric_value
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', CAST(l_extendedprice AS DOUBLE)
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE)
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT / melt) — the inverse of
+    q_agg_pivot: three measure columns become (metric, metric_value)
+    rows. ``DataFrame.unpivot`` is a pure map-side Expand node (each
+    input row emits 3 output rows in place): no shuffle, no join, scales
+    as a linear scan at any size. The oracle is the equivalent
+    3-way UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        "metric",
+        "metric_value",
+    ).withColumn(
+        "metric",
+        F.regexp_replace("metric", "^l_", ""),
+    ).withColumn("metric_value", F.col("metric_value").cast("double"))
+
+
+@register("q_agg_hll_sketch")  # rows-only: HLL estimates are approximate
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark 3.5+ ``hll_sketch_agg``) — the 100 TB pattern for COUNT
+    DISTINCT over nested groupings: each partition builds a partial
+    sketch (map-side combine), per-group sketches merge with
+    ``hll_union_agg`` WITHOUT re-touching the raw data — re-aggregation
+    over a rollup dimension costs sketch-merge, not a second scan.
+    Output: per-segment estimated distinct customers plus a TOTAL row
+    whose estimate comes only from merging the per-segment sketches.
+    Estimate accuracy vs exact COUNT DISTINCT asserted in
+    tests/test_relational.py (lgConfigK=12 -> ~1.6% rel. std. error)."""
+    o = _t(spark, sf_dir, "orders")
+    per_seg = (
+        o.join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+    )
+    total = per_seg.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("TOTAL").alias("c_mktsegment"), "sk"
+    )
+    return (
+        per_seg.unionByName(total)
+        .select(
+            "c_mktsegment",
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_customers"),
+        )
+    )

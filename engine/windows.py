@@ -73,6 +73,14 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = ranged.withColumn(
         "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*order))
     )
+    # `local` feeds two consumers (the counts->offsets branch and the
+    # final join). Both must observe the SAME physical range
+    # partitioning: RangePartitioner samples with an RDD-id-derived
+    # seed, so two independent executions of the exchange could pick
+    # different boundaries and silently misalign offsets vs ranks.
+    # localCheckpoint(eager) materializes the partitioning exactly once;
+    # both branches then read the pinned blocks.
+    local = local.localCheckpoint(eager=True)
     counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     wtot = Window.orderBy("pid").rowsBetween(
@@ -87,9 +95,14 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (F.col("n_total") / 4).cast("long")
     rem = F.col("n_total") % 4
     head = rem * (base + 1)  # rows covered by the size-(base+1) buckets
+    # For n_total < 4: base = 0, rem = n, head = n, so every rank r in
+    # [0, n) takes the first branch (r / 1 -> buckets 1..n, NTILE's
+    # answer) and the base-divisor branch is unreachable. The divisor
+    # is still pinned >= 1 so no distribution can produce a NULL
+    # quartile through a 0 division.
     quartile = (
         F.when(r < head, (r / (base + 1)).cast("long"))
-        .otherwise(rem + ((r - head) / base).cast("long"))
+        .otherwise(rem + ((r - head) / F.greatest(base, F.lit(1))).cast("long"))
         + 1
     )
     return (

@@ -154,3 +154,33 @@ def test_multimodal_binary_roundtrip(spark):
         raw = docs[r["doc_id"]].encode("utf-8")
         assert r["blob_len"] == len(raw)
         assert r["head_hex"] == raw[:4].hex()
+
+
+def test_dedup_family_salted_mode_matches_broadcast(spark):
+    """The size-adaptive candidate-join switch (broadcast below the row
+    gate, salted shuffled-hash above it) must be invisible in the
+    output: minhash band-join and embedding-ANN verify produce the
+    identical result in both modes. (The jaccard core gets the same
+    guarantee, against brute force, in tests/test_properties.py.)"""
+    from engine.llm_ops import _embedding_ann_dropped, _minhash_pairs
+
+    m_b = sorted(map(tuple, _minhash_pairs(spark, SF_SMOKE, "broadcast").collect()))
+    m_s = sorted(map(tuple, _minhash_pairs(spark, SF_SMOKE, "salted").collect()))
+    assert m_b == m_s and m_b
+
+    a_b = sorted(r[0] for r in _embedding_ann_dropped(spark, SF_SMOKE, "broadcast").collect())
+    a_s = sorted(r[0] for r in _embedding_ann_dropped(spark, SF_SMOKE, "salted").collect())
+    assert a_b == a_s and a_b
+
+
+def test_embedding_ann_has_no_driver_collect():
+    """The ANN verify path must stay cluster-side: no toPandas()/
+    collect()/sc.broadcast of the corpus inside the operator (the
+    r2 driver-memory scale-killer must not come back)."""
+    import inspect
+
+    from engine import llm_ops
+
+    src = inspect.getsource(llm_ops._embedding_ann_dropped)
+    for banned in ("toPandas", ".collect()", "sparkContext.broadcast"):
+        assert banned not in src, f"driver-side {banned} in ANN verify path"

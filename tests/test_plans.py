@@ -41,6 +41,7 @@ _SINGLE_PARTITION_OK = {
     "q_multimodal_features",  # 1-row total-bytes agg sizes the repartition
     "q_profile_table",    # whole-table profile reduces to one wide row
     "q_funnel",           # per-stage counts reduce to one row each
+    "q_agg_hll_sketch",   # TOTAL row = union of 5 per-segment sketches
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -108,12 +109,15 @@ def test_join_strategies(plans):
         "SortMergeJoin" in plans["q_join_sortmerge"]
         or "BroadcastHashJoin" in plans["q_join_sortmerge"]
     )
-    # as-of join must stay an equi-anchored hash/merge join, never a
-    # range-only nested loop
-    assert (
-        "SortMergeJoin" in plans["q_join_asof"]
-        or "BroadcastHashJoin" in plans["q_join_asof"]
-    )
+    # the as-of join is the union + last_value carry-forward plan: one
+    # hash Exchange on user_id, one window, and NO join — the pair-
+    # exploding equi-join emulation must not reappear
+    asof = plans["q_join_asof"]
+    assert "Join" not in asof, "as-of join regressed to a pair-exploding join"
+    # formatted explain lists each node once in the tree ("Exchange (4)")
+    # and once in the detail section ("(4) Exchange") — count tree nodes
+    assert asof.count("Exchange (") == 1, "as-of join should shuffle exactly once"
+    assert "hashpartitioning(user_id" in asof
     # the salted skew join must stay in the shuffled-hash regime (a
     # broadcast would make the salt meaningless)
     assert "ShuffledHashJoin" in plans["q_join_skew_salted"]
@@ -121,6 +125,38 @@ def test_join_strategies(plans):
 
 def test_topk_uses_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["q_topk"]
+
+
+def test_salting_flattens_skewed_shuffle(spark):
+    """Demonstrates (not just registers) the salting technique behind
+    q_join_skew_salted and the dedup family's salted fallback: on a
+    fixture where one hot user owns 80% of rows, partitioning by the
+    bare key funnels all hot rows into one task, while the 8-way salt
+    caps the max task at ~1/8 of that — the straggler the salt exists
+    to kill, measured directly on the shuffle's partition sizes (the
+    join-stage input distribution)."""
+    from pyspark.sql import functions as F
+
+    n_salts = 8
+    rows = [(i, 777 if i < 8000 else i) for i in range(10000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    salted_df = df.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+
+    def max_partition_rows(d, *cols):
+        return max(d.repartition(256, *cols).rdd.glom().map(len).collect())
+
+    plain = max_partition_rows(df, "user_id")
+    salted = max_partition_rows(salted_df, "user_id", "salt")
+    assert plain >= 8000, "hot key should funnel into a single task"
+    # Per-join-key load drops by exactly ~n_salts (the 1/8 claim) ...
+    key_max = max(
+        r["n"] for r in salted_df.groupBy("user_id", "salt").agg(F.count("*").alias("n")).collect()
+    )
+    assert key_max <= plain / 6, f"per-key load not flattened: {key_max} vs {plain}"
+    # ... and task input drops with it — allow one hash collision of two
+    # hot salt-buckets landing in the same partition (deterministic
+    # here: xxhash64 on fixed data).
+    assert salted <= plain * 2.2 / n_salts, f"salt did not flatten the skew: {salted} vs {plain}"
 
 
 def test_map_only_ops_have_no_exchange(plans):

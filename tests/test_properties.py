@@ -83,7 +83,10 @@ def test_jaccard_set_pairs_matches_brute_force(spark, docs, t):
     """_jaccard_set_pairs (set-group + PPJoin prefix/length/positional/
     infeasibility filters) must equal the brute-force O(n^2) answer for
     ANY corpus and threshold — the filters may only prune candidates
-    that provably cannot qualify."""
+    that provably cannot qualify. Run in BOTH candidate-join modes: the
+    broadcast plan and the salted shuffled-hash fallback must emit the
+    identical pair set (the size-adaptive switch may never change the
+    answer)."""
     from engine.llm_ops import _jaccard_set_pairs
 
     t_num, t_den = t
@@ -97,15 +100,16 @@ def test_jaccard_set_pairs_matches_brute_force(spark, docs, t):
             union = len(a | b)
             if inter * t_den >= t_num * union:
                 expected.add((ids[i], ids[j]))
-    df = spark.createDataFrame(
-        [(i, sorted(sets[i])) for i in ids], "doc_id long, toks array<string>"
-    )
-    got_rows = _jaccard_set_pairs(df, t_num, t_den).collect()
-    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
-    assert got == expected, (sorted(expected - got), sorted(got - expected))
-    for r in got_rows:  # emitted jaccard values are the true ratios
-        a, b = sets[r["doc_a"]], sets[r["doc_b"]]
-        assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-12
+    for mode in ("broadcast", "salted"):
+        df = spark.createDataFrame(
+            [(i, sorted(sets[i])) for i in ids], "doc_id long, toks array<string>"
+        )
+        got_rows = _jaccard_set_pairs(df, t_num, t_den, mode=mode).collect()
+        got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+        assert got == expected, (mode, sorted(expected - got), sorted(got - expected))
+        for r in got_rows:  # emitted jaccard values are the true ratios
+            a, b = sets[r["doc_a"]], sets[r["doc_b"]]
+            assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-12
 
 
 # -- connected components vs brute-force union-find -------------------

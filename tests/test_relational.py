@@ -94,3 +94,33 @@ def test_topk_uses_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_sketch_estimates_near_exact(spark):
+    """q_agg_hll_sketch is rows-only (sketch estimates are approximate
+    by design); pin its accuracy instead: every per-segment estimate and
+    the sketch-merged TOTAL must sit within 5% of the exact COUNT
+    DISTINCT (lgConfigK=12 -> ~1.6% relative standard error, so 5% is
+    ~3 sigma)."""
+    from engine.registry import all_queries
+    from tests.conftest import SF_T2
+
+    got = {
+        r["c_mktsegment"]: r["approx_customers"]
+        for r in all_queries()["q_agg_hll_sketch"](spark, SF_T2).collect()
+    }
+    o = spark.read.parquet(f"{SF_T2}/orders.parquet")
+    c = spark.read.parquet(f"{SF_T2}/customer.parquet")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["c_mktsegment"]: r["n"]
+        for r in o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["TOTAL"] = o.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for seg, est in got.items():
+        assert abs(est - exact[seg]) <= 0.05 * exact[seg], (seg, est, exact[seg])

@@ -1,8 +1,13 @@
 """Simulate the driver harness: vanilla SparkSession (no engine configs),
 import __spark_entry__, smoke entry(), then differential-check a sample."""
-import sys, importlib.util, math
+import sys, importlib.util
 import duckdb, pandas as pd
 from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+# Same row normalization as the hardened checker: floats rounded before
+# keying the sort, so cross-engine rounding noise can't misalign rows.
+from tools.check import normalize, rows_equal
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec)
@@ -42,14 +47,10 @@ for k in sample:
     odf = con.execute(os_[k]).fetchdf()
     assert len(sdf) == len(odf), (k, len(sdf), len(odf))
     assert sorted(sdf.columns) == sorted(odf.columns), k
-    a = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(by=sorted(sdf.columns), ignore_index=True)
-    b = odf.reindex(sorted(odf.columns), axis=1).sort_values(by=sorted(odf.columns), ignore_index=True)
-    for c in a.columns:
-        for x, y in zip(a[c], b[c]):
-            if isinstance(x, float) and isinstance(y, float):
-                if math.isnan(x) and math.isnan(y): continue
-                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (k, c, x, y)
-            else:
-                assert str(x) == str(y), (k, c, x, y)
+    a, b = normalize(sdf), normalize(odf)
+    for i, (ra, rb) in enumerate(
+        zip(a.itertuples(index=False, name=None), b.itertuples(index=False, name=None))
+    ):
+        assert rows_equal(ra, rb), (k, i, ra, rb)
     print(f"{k}: OK ({len(sdf)} rows)")
 print("DRIVER-SIM PASS")
