@@ -186,3 +186,189 @@ def q_win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 20)
     )
+
+
+@register(
+    "q_drawdown",
+    oracle="""
+    SELECT event_id, user_id,
+           round(max(value) OVER w, 2) AS peak,
+           round(value / max(value) OVER w - 1.0, 4) AS drawdown
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown per user — the risk metric every
+    portfolio dashboard computes. Single partitioned window with a
+    running MAX frame (constant state per row); the ratio stays in
+    codegen. Same one-Exchange shape as q_win_volatility, so it scales
+    with user cardinality, not tick volume per task."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(peak, 2).alias("peak"),
+        F.round(F.col("value") / peak - 1.0, 4).alias("drawdown"),
+    )
+
+
+@register(
+    "q_twap",
+    oracle="""
+    WITH t AS (SELECT user_id, value, epoch_us(ts) AS us,
+                      lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts ASC, event_id ASC) AS nxt
+               FROM events)
+    SELECT user_id,
+           round(sum(value * (nxt - us)) / sum(nxt - us), 4) AS twap,
+           count(*) AS n_intervals
+    FROM t WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per user: each tick's value is held
+    until the next tick, so the weight is the interval length (the
+    standard TWAP benchmark execution quality is measured against).
+    One window (lead) + one hash aggregate — both shuffle on user_id,
+    and AQE reuses the exchange; the last tick of each user has no
+    holding interval and is excluded on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    # us = unix_micros(ts) is order-isomorphic to ts (full microsecond
+    # precision), so ordering the lead window on it matches the oracle's
+    # ORDER BY ts without carrying the timestamp column along.
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    us = F.unix_micros("ts")
+    t = ev.select("user_id", "value", us.alias("us"), "event_id").withColumn(
+        "nxt", F.lead("us").over(w)
+    )
+    dt = F.col("nxt") - F.col("us")
+    return (
+        t.filter(F.col("nxt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias("twap"),
+            F.count("*").alias("n_intervals"),
+        )
+    )
+
+
+@register(
+    "q_bar_gaps",
+    oracle="""
+    WITH p AS (SELECT DISTINCT event_type,
+                      CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bar_start
+               FROM events),
+         r AS (SELECT event_type, min(bar_start) AS lo, max(bar_start) AS hi
+               FROM p GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS bar_start
+               FROM r)
+    SELECT event_type, bar_start FROM g
+    WHERE NOT EXISTS (SELECT 1 FROM p
+                      WHERE p.event_type = g.event_type
+                        AND p.bar_start = g.bar_start)
+    """,
+)
+def q_bar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-bar detection: hours inside each event_type's active
+    range with zero ticks — the data-quality check run before any
+    backfill. The distinct (type, hour) set is tiny (hours x types,
+    independent of tick volume), so the expected grid is generated from
+    a 5-row min/max aggregate via ``sequence``/``explode`` and the
+    anti-join against present hours is a broadcast — at 100 TB the only
+    full-data pass is the first aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    present = ev.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bar_start"),
+    ).distinct()
+    rng = present.groupBy("event_type").agg(
+        F.min("bar_start").alias("lo"), F.max("bar_start").alias("hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias("bar_start"),
+    )
+    return grid.join(present, ["event_type", "bar_start"], "left_anti")
+
+
+@register(
+    "q_resample_ffill",
+    oracle="""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us, value, event_id, 0 AS is_grid
+               FROM events),
+         r AS (SELECT user_id,
+                      CAST(ceil(min(us) / 3600000000.0) AS BIGINT) AS lo,
+                      CAST(floor(max(us) / 3600000000.0) AS BIGINT) AS hi
+               FROM t GROUP BY user_id),
+         g AS (SELECT user_id, unnest(range(lo, hi + 1)) * 3600000000 AS us,
+                      CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS event_id,
+                      1 AS is_grid
+               FROM r),
+         u AS (SELECT * FROM t UNION ALL SELECT * FROM g),
+         c AS (SELECT user_id, us, is_grid,
+                      last_value(value IGNORE NULLS)
+                          OVER (PARTITION BY user_id
+                                ORDER BY us ASC, is_grid ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+               FROM u)
+    SELECT user_id, CAST(us / 1000000 AS BIGINT) AS bar_start, round(price, 2) AS price
+    FROM c WHERE is_grid = 1
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular tick stream onto a regular hourly
+    grid with forward-fill (the gap-filling / `LOCF` hypertable
+    operation). Grid rows are generated from a per-user min/max
+    aggregate (so the grid is bounded by active range, never global
+    time), unioned with the ticks, and a single carry-forward window
+    per user fills the price — the same scale-safe union + last_value
+    plan as q_join_asof: one Exchange on user_id, no pair join, linear
+    state. Ticks at exactly a grid instant win via the is_grid sort
+    key; ties between ticks resolve to the highest event_id."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    ticks = ev.select(
+        "user_id",
+        us.alias("us"),
+        "value",
+        "event_id",
+        F.lit(0).alias("is_grid"),
+    )
+    hour_us = 3600 * 1_000_000
+    rng = ticks.groupBy("user_id").agg(
+        F.ceil(F.min("us") / F.lit(float(hour_us))).cast("long").alias("lo"),
+        F.floor(F.max("us") / F.lit(float(hour_us))).cast("long").alias("hi"),
+    )
+    grid = rng.select(
+        "user_id", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("slot")
+    ).select(
+        "user_id",
+        (F.col("slot") * hour_us).alias("us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_grid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.asc("is_grid"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ticks.unionByName(grid)
+        .withColumn("price", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            (F.col("us") / 1_000_000).cast("long").alias("bar_start"),
+            F.round("price", 2).alias("price"),
+        )
+    )

@@ -350,3 +350,30 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts_parsed"),
         F.col("o_orderkey").cast("string").cast("long").alias("roundtrip"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           user_id & 255 AS and_mask,
+           user_id | 4096 AS or_set,
+           xor(user_id, event_id) AS xored,
+           user_id << 2 AS shifted,
+           bit_count(user_id) AS popcount
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface (AND/OR/XOR/shift/popcount) — the
+    flag-field and bitmap-index manipulation primitives; all pure
+    codegen projections over a pushed filter."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("and_mask"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).alias("or_set"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("xored"),
+        F.shiftleft(F.col("user_id"), 2).alias("shifted"),
+        F.bit_count("user_id").alias("popcount"),
+    )

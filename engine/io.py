@@ -256,3 +256,72 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive-ecosystem
+    hand-off). Same pushdown/pruning contract as the Parquet path."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source with predicate pushdown + column pruning (asserted in
+    tests/test_io.py)."""
+    return spark.read.orc(path)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustering write: interleave the bit
+    patterns of the rank-normalized cluster columns so every output
+    file's min/max footer stats are narrow on EVERY clustering
+    dimension — the multi-dimensional data-skipping layout (a plain
+    ``sortBy`` narrows only its leading column). At 100 TB this is what
+    turns point/range predicates on ANY clustered column into file-level
+    pruning instead of a full scan.
+
+    Each column is linearly scaled to a ``bits``-wide integer using
+    min/max from one tiny aggregate (2 x len(cols) scalars — size-
+    independent driver action), the scaled values' bits are interleaved
+    into the Morton key in pure codegen, and the write range-partitions
+    + sorts on that key. Linear scaling keeps the whole computation
+    JVM-side; heavily skewed columns would prefer rank scaling (an extra
+    window) — callers can pre-transform."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        span = float(hi - lo) if hi > lo else 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(float(lo))) / span * top).cast(
+                    "long"
+                ),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -459,10 +459,22 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFr
             "gid", sig_arr.alias("sig"), F.posexplode(band_hashes).alias("band", "bh")
         ).persist()  # both sides of the bucket self-join
     )
-    cand = (
+    agree = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = agree / F.lit(float(_MH_HASHES))
+    scored = (
         # _MH_BANDS rows per unique set, joined on the band-hash key
         # whose buckets skew on a duplicate-heavy corpus: broadcast
-        # below the gate, salted shuffled-hash above it.
+        # below the gate, salted shuffled-hash above it. The signature
+        # agreement is computed INSIDE the join projection and the
+        # below-threshold bulk filtered before the pair dedup, so the
+        # distinct shuffles a 3-column (ga, gb, est) row (~24 bytes),
+        # never the two 32-long signature arrays (~520 bytes) — a
+        # multi-band collision dedups on the small tuple (est is
+        # deterministic per pair, so distinct keys on it for free).
         _self_candidate_join(
             banded,
             ["band", "bh"],
@@ -474,19 +486,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFr
         .select(
             F.col("a.gid").alias("ga"),
             F.col("b.gid").alias("gb"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("jaccard_est"),
         )
+        .filter(F.col("jaccard_est") >= 0.85)
         .distinct()
-    )
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    est = agree / F.lit(float(_MH_HASHES))
-    scored = cand.select("ga", "gb", est.alias("jaccard_est")).filter(
-        F.col("jaccard_est") >= 0.85
     )
     return same.unionByName(_expand_set_pairs(groups, scored, "jaccard_est", n_groups))
 
@@ -1282,4 +1285,80 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(w)).alias("n_distinct"),
         F.round(ratio, 4).alias("repetition_ratio"),
         (ratio > 0.7).alias("is_repetitive"),
+    )
+
+
+@register(
+    "q_text_ngram_top",
+    oracle="""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (SELECT lang, unnest(list_transform(range(1, len(w)),
+                                i -> w[i] || ' ' || w[i+1])) AS bigram
+           FROM t),
+    c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram)
+    SELECT lang, bigram, cnt FROM (
+        SELECT lang, bigram, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, bigram ASC) AS rn
+        FROM c) WHERE rn <= 5
+    """,
+)
+def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — the n-gram LM / corpus-mix
+    inspection query. Bigram explode feeds a hash aggregate (map-side
+    combine absorbs the duplicate-heavy mass), then the top-k window
+    runs over the per-(lang, bigram) COUNT table — orders of magnitude
+    smaller than the token stream — partitioned by lang with a
+    deterministic tie rule."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.col("w")
+    bigrams = F.expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")
+    counts = (
+        d.select("lang", _tokens(F.col("text")).alias("w"))
+        .filter(F.size(w) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "cnt")
+    )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY doc_id, ch),
+         a AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * log2(cnt)) AS s
+               FROM c GROUP BY doc_id)
+    SELECT doc_id, round(log2(n) - s / n, 4) AS char_entropy FROM a
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    cheap randomness/quality signal that separates natural text from
+    base64 blobs, minified code, and repeated-character spam in a
+    pre-training corpus scrub. Computed without materializing
+    probabilities: H = log2(n) - (1/n) * sum(c * log2(c)) over the
+    per-char counts, so the plan is two hash aggregates ((doc, char)
+    then doc) with map-side combine absorbing the per-doc char mass —
+    no window, no driver math, all codegen."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.log2(F.col("cnt"))).alias("s"),
+    )
+    return a.select(
+        "doc_id",
+        F.round(F.log2(F.col("n")) - F.col("s") / F.col("n"), 4).alias("char_entropy"),
     )

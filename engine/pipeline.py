@@ -574,3 +574,58 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "q_pipeline_pretrain",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, text, lang,
+               len(string_split(text, ' ')) AS toks
+        FROM documents
+        WHERE 1.0 - len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')) <= 0.7
+    ),
+    d AS (
+        SELECT doc_id, text, lang, toks FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM q) WHERE rn = 1
+    ),
+    s AS (
+        SELECT lang, toks,
+               CASE WHEN CAST('0x' || substring(md5('split:' || text), 1, 8) AS BIGINT)
+                         % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substring(md5('split:' || text), 1, 8) AS BIGINT)
+                         % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM d
+    )
+    SELECT split, lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, lang
+    """,
+)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end pre-training data build, one DataFrame chain:
+    quality filter (repetition ratio <= 0.7) -> exact dedup (keep lowest
+    doc_id per text) -> content-addressed 80/10/10 split -> per-(split,
+    lang) doc/token budget. This is the composition a real user runs
+    daily; every stage is an already-verified operator's expression
+    re-used inline, so the whole chain stays in two shuffles (the dedup
+    window on the text hash, the final small aggregate) plus map-only
+    stages — at 100 TB nothing else materializes."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    ratio = 1.0 - F.size(F.array_distinct(w)) / F.size(w)
+    q = d.filter(ratio <= 0.7).select("doc_id", "text", "lang", F.size(w).alias("toks"))
+    win = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    deduped = q.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
+    b = _md5_bucket(F.col("text"), "split:")
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        deduped.select(split.alias("split"), "lang", "toks")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+        )
+    )

@@ -67,7 +67,10 @@ _PRIORITY: list[str] = [
     # new in round 3
     "q_unpivot", "q_agg_hll_sketch", "q_sample_quota", "q_split_contamination",
     "q_retention", "q_anomaly_zscore", "q_win_corr", "q_text_pii",
-    "q_text_repetition",
+    "q_text_repetition", "q_join_asof_tolerance", "q_agg_mode",
+    "q_text_ngram_top", "q_fn_bitwise", "q_pipeline_pretrain",
+    "q_drawdown", "q_twap", "q_bar_gaps", "q_resample_ffill",
+    "q_agg_kll_quantiles", "q_agg_theta_sketch", "q_text_entropy",
     # r01-only anchors, stalest hard rows first: bench headliners
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

@@ -1016,3 +1016,156 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sk").cast("long").alias("approx_customers"),
         )
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT event_id, view_id, view_value FROM (
+        SELECT a.event_id,
+               b.event_id AS view_id,
+               b.value AS view_value,
+               row_number() OVER (PARTITION BY a.event_id
+                                  ORDER BY b.ts DESC, b.event_id DESC) AS rn
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id AND b.event_type = 'view' AND b.ts <= a.ts
+         AND epoch_us(a.ts) - epoch_us(b.ts) <= 3600000000
+        WHERE a.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: latest view at or before each
+    purchase, but only if it is at most 1 hour old — the crypto
+    price-at-trade pattern with a max-quote-age guard. Same linear
+    union + last_value carry-forward plan as q_join_asof (one Exchange
+    on user_id, no join); the tolerance is a post-window filter on the
+    carried view's timestamp. Equivalence note: the newest prior view
+    is the only candidate — if IT is stale, every earlier view is
+    staler, so filtering the carried row equals the bounded-range
+    join's rn=1."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    is_view = F.col("event_type") == "view"
+    us = F.unix_micros("ts")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        (~is_view).cast("int").alias("is_purchase"),
+        F.when(is_view, F.col("event_id")).alias("v_id"),
+        F.when(is_view, F.col("value")).alias("v_val"),
+        F.when(is_view, us).alias("v_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.asc("is_purchase"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("view_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("view_value", F.last("v_val", ignorenulls=True).over(w))
+        .withColumn("view_us", F.last("v_us", ignorenulls=True).over(w))
+        .filter(
+            (F.col("is_purchase") == 1)
+            & F.col("view_id").isNotNull()
+            & (F.col("us") - F.col("view_us") <= 3600 * 1_000_000)
+        )
+        .select("event_id", "view_id", "view_value")
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT l_returnflag, mode_status, cnt FROM (
+        SELECT l_returnflag, l_linestatus AS mode_status, count(*) AS cnt,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC, l_linestatus ASC) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with an explicit tie rule (smallest
+    value wins) — engines' built-in ``mode()`` breaks ties arbitrarily,
+    so the portable form is count-then-rank: a two-level hash aggregate
+    (map-side combine does the heavy lifting) followed by a window over
+    the tiny (group, value) count table. No raw-row window anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    counts = li.groupBy("l_returnflag", F.col("l_linestatus").alias("mode_status")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("mode_status"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_status", "cnt")
+    )
+
+
+@register("q_agg_kll_quantiles")  # rows-only: KLL estimates are approximate
+def q_agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL via Spark
+    4.0+ ``kll_sketch_agg_double``) — the 100 TB pattern for
+    percentiles over nested groupings: per-segment sketches of
+    l_extendedprice answer p50/p95/p99, and the TOTAL row's quantiles
+    come from ``kll_merge_agg_double`` over the per-segment sketches
+    WITHOUT a second scan of the raw data. This is what replaces exact
+    ``percentile`` (a full sort per group) once groups stop fitting in
+    memory. Estimate accuracy vs exact percentiles asserted in
+    tests/test_relational.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice", F.lit(400)).alias("sk")
+    )
+    total = per_flag.agg(F.kll_merge_agg_double("sk").alias("sk")).select(
+        F.lit("TOTAL").alias("l_returnflag"), "sk"
+    )
+    q = lambda r: F.round(  # noqa: E731
+        F.kll_sketch_get_quantile_double("sk", F.lit(r)), 2
+    )
+    return per_flag.unionByName(total).select(
+        "l_returnflag",
+        q(0.5).alias("approx_p50"),
+        q(0.95).alias("approx_p95"),
+        q(0.99).alias("approx_p99"),
+    )
+
+
+@register("q_agg_theta_sketch")  # rows-only: theta estimates are approximate
+def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable set-operation sketches (Apache DataSketches Theta via
+    Spark 4.1 ``theta_sketch_agg``): per-event-type sketches of the
+    user_id set support estimated UNION (reach across both types) and
+    INTERSECTION (overlap audiences) WITHOUT re-scanning raw events —
+    the segment-overlap query that is quadratic-in-segments if done
+    with exact DISTINCT joins. Output: one row per event-type pair
+    (type_a < type_b) with estimated distinct users in a, b, their
+    union and intersection. The pair join runs over the tiny per-type
+    sketch table (5 rows here; segments, never ticks, at scale).
+    Accuracy vs exact counts asserted in tests/test_relational.py."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    a = per_type.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = per_type.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    est = F.theta_sketch_estimate
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            est(F.col("sk_a")).cast("long").alias("approx_users_a"),
+            est(F.col("sk_b")).cast("long").alias("approx_users_b"),
+            est(F.theta_union(F.col("sk_a"), F.col("sk_b"))).cast("long").alias("approx_union"),
+            est(F.theta_intersection(F.col("sk_a"), F.col("sk_b"))).cast("long").alias(
+                "approx_intersection"
+            ),
+        )
+    )

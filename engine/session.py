@@ -31,6 +31,12 @@ RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local[32] box: 32 is 1x cores; AQE coalesces small stages further.
     "spark.sql.shuffle.partitions": "32",
+    # Runtime bloom-filter semi-join reduction: on a selective build
+    # side, the probe-side scan filters rows BEFORE the shuffle — at
+    # 100 TB this is the difference between shuffling the whole fact
+    # table and shuffling the ~matching slice (explicit: the default
+    # has flipped across Spark minors).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     # reader rejects; engine.io reads the raw int64 nanos and converts.
     # Applied session-wide (uniform + visible) rather than flipped as a

@@ -109,3 +109,63 @@ def test_read_jdbc_builds_reader(spark):
     reader = read_jdbc(spark, "jdbc:h2:mem:t", "t")
     # configured reader object; .load() needs a live endpoint (none here)
     assert reader is not None
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip preserves schema and values, and a
+    filtered read pushes the predicate into the ORC scan."""
+    import contextlib
+    import io as _io
+
+    from engine.io import load_table, read_orc, write_orc
+
+    src = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(back.n_nationkey < 5).select("n_name").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters:" in plan and "n_nationkey" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_zorder_write_narrows_file_stats_on_both_dims(spark, tmp_path):
+    """Z-order layout: per-file min/max ranges must be narrow on BOTH
+    clustering columns (the data-skipping property), where a plain
+    single-column sort narrows only its own column. Compared against the
+    whole-table range; 8 files over two independent uniform keys should
+    each cover well under the full span on each dimension."""
+    from pyspark.sql import functions as F
+
+    from engine.io import load_table, write_zorder
+
+    src = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey")
+    path = str(tmp_path / "li_z")
+    write_zorder(src, path, ["l_partkey", "l_suppkey"], n_files=8)
+
+    import glob
+
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 4
+    glob_stats = src.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    p_span = glob_stats[1] - glob_stats[0]
+    s_span = glob_stats[3] - glob_stats[2]
+    fracs_p, fracs_s = [], []
+    for f in files:
+        st = (
+            spark.read.parquet(f)
+            .agg(F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey"))
+            .first()
+        )
+        fracs_p.append((st[1] - st[0]) / p_span)
+        fracs_s.append((st[3] - st[2]) / s_span)
+    # every file narrow on at least one dim, and on average narrow on both
+    assert sum(fracs_p) / len(fracs_p) < 0.62, fracs_p
+    assert sum(fracs_s) / len(fracs_s) < 0.62, fracs_s
+    # round-trip completeness
+    assert spark.read.parquet(path).count() == src.count()

@@ -124,3 +124,60 @@ def test_hll_sketch_estimates_near_exact(spark):
     assert set(got) == set(exact)
     for seg, est in got.items():
         assert abs(est - exact[seg]) <= 0.05 * exact[seg], (seg, est, exact[seg])
+
+
+def test_kll_quantile_estimates_near_exact(spark):
+    """q_agg_kll_quantiles is rows-only (sketch estimates); pin its
+    accuracy: each per-flag p50/p95/p99 and the sketch-merged TOTAL must
+    sit within 2% of the exact percentile in RANK space — KLL bounds
+    rank error (k=400 -> ~0.7% at 99% confidence), so value tolerance is
+    checked by widening the exact rank +/-2% into a value interval."""
+    from pyspark.sql import functions as F
+
+    from engine.registry import all_queries
+    from tests.conftest import SF_T2
+
+    rows = all_queries()["q_agg_kll_quantiles"](spark, SF_T2).collect()
+    li = spark.read.parquet(f"{SF_T2}/lineitem.parquet")
+    eps = 0.02
+    for r in rows:
+        seg = li if r["l_returnflag"] == "TOTAL" else li.filter(
+            F.col("l_returnflag") == r["l_returnflag"]
+        )
+        for q, col in [(0.5, "approx_p50"), (0.95, "approx_p95"), (0.99, "approx_p99")]:
+            lo, hi = seg.select(
+                F.percentile_approx("l_extendedprice", max(q - eps, 0.0), 10000),
+                F.percentile_approx("l_extendedprice", min(q + eps, 1.0), 10000),
+            ).first()
+            assert lo <= r[col] <= hi, (r["l_returnflag"], col, r[col], lo, hi)
+
+
+def test_theta_sketch_estimates_near_exact(spark):
+    """q_agg_theta_sketch is rows-only; pin accuracy: per-type, union
+    and intersection estimates within 5% of exact distinct-user counts
+    (every fixture type covers all 150 users, so intersections are
+    full-sized, not degenerate)."""
+    from pyspark.sql import functions as F
+
+    from engine.registry import all_queries
+    from tests.conftest import SF_T2
+
+    rows = all_queries()["q_agg_theta_sketch"](spark, SF_T2).collect()
+    ev = spark.read.parquet(f"{SF_T2}/events.parquet")
+    users = {
+        r["event_type"]: {x["user_id"] for x in grp.collect()}
+        for r in ev.select("event_type").distinct().collect()
+        for grp in [
+            ev.filter(F.col("event_type") == r["event_type"]).select("user_id").distinct()
+        ]
+    }
+    assert len(rows) == len(users) * (len(users) - 1) // 2
+    for r in rows:
+        a, b = users[r["type_a"]], users[r["type_b"]]
+        for est, exact in [
+            (r["approx_users_a"], len(a)),
+            (r["approx_users_b"], len(b)),
+            (r["approx_union"], len(a | b)),
+            (r["approx_intersection"], len(a & b)),
+        ]:
+            assert abs(est - exact) <= max(0.05 * exact, 2), (r, est, exact)
