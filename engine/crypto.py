@@ -372,3 +372,43 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("price", 2).alias("price"),
         )
     )
+
+
+@register(
+    "q_rollup_time",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+                      strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      value
+               FROM events)
+    SELECT event_type, month, day,
+           round(sum(value), 2) AS volume, count(*) AS n_ticks
+    FROM e
+    GROUP BY GROUPING SETS ((event_type, month, day), (event_type, month),
+                            (event_type), ())
+    """,
+)
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (day -> month -> type -> grand
+    total) in ONE pass via GROUPING SETS — the hypertable continuous-
+    aggregate shape: Spark's Expand node emits one row per grouping set
+    per input row before a single hash aggregate, so 100 TB of ticks is
+    scanned once, not once per granularity. Calendar buckets are
+    emitted as ISO date strings (cross-engine-stable per the float/date
+    policy in engine/registry.py)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rt")
+    return spark.sql(
+        """
+        WITH e AS (SELECT event_type,
+                          date_format(date_trunc('month', ts), 'yyyy-MM-dd') AS month,
+                          date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                          value
+                   FROM events_rt)
+        SELECT event_type, month, day,
+               round(sum(value), 2) AS volume, count(*) AS n_ticks
+        FROM e
+        GROUP BY GROUPING SETS ((event_type, month, day), (event_type, month),
+                                (event_type), ())
+        """
+    )

@@ -325,3 +325,16 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque-media ingestion: Spark's ``binaryFile`` source reads any
+    file tree as (path, modificationTime, length, content) — the entry
+    point for the multimodal pipeline (engine/multimodal.py), which
+    treats payloads as binary columns + typed metadata. Partition
+    parallelism comes from the file listing; ``pathGlobFilter`` prunes
+    non-media files before any byte is read."""
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -1362,3 +1362,43 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.log2(F.col("n")) - F.col("s") / F.col("n"), 4).alias("char_entropy"),
     )
+
+
+@register(
+    "q_doc_chunk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w,
+                      unnest(range(0, greatest(len(w), 1), 24)) AS start
+               FROM t)
+    SELECT doc_id, start,
+           array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text,
+           len(w[start + 1 : start + 32]) AS n_tokens
+    FROM s
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window re-chunking: split each document into 32-token
+    chunks with stride 24 (8-token overlap) — the context-window
+    packing / RAG-indexing primitive. Chunk starts come from a
+    ``sequence`` generator sized by each doc's own token count (no
+    global state), the slice stays an array expression, and the whole
+    plan is map-only: explode + codegen projections, zero shuffles, so
+    it scales as a linear scan and parallelism is limited only by input
+    splits."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(24)
+    )
+    chunk = F.slice(F.col("w"), F.col("start") + 1, 32)
+    return (
+        d.select("doc_id", toks.alias("w"))
+        .select("doc_id", "w", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            "start",
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )

@@ -629,3 +629,42 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "q_sample_mixture",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         r AS (SELECT lang,
+                      least(1.0, (CASE lang WHEN 'en' THEN 0.4 ELSE 0.15 END)
+                                 * 300.0 / n) AS rate
+               FROM c)
+    SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000
+          < CAST(floor(rate * 10000) AS BIGINT)
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling toward a target corpus blend (40%
+    en, 15% each of the rest, ~300 docs): per-language keep-rates are
+    derived from the measured language counts (rate = w * target / n,
+    capped at 1), and membership is decided by a content-addressed md5
+    bucket — re-running on the same corpus reproduces the same sample,
+    shards never coordinate, and upsampling a language never duplicates
+    rows. The rate table is a tiny aggregate broadcast back onto the
+    corpus: one scan + one broadcast join at any scale; this is the
+    domain-reweighting step every pre-training mix runs."""
+    d = _t(spark, sf_dir, "documents")
+    weight = F.when(F.col("lang") == "en", 0.4).otherwise(0.15)
+    rates = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .select("lang", F.least(F.lit(1.0), weight * 300.0 / F.col("n")).alias("rate"))
+    )
+    bucket = _md5_bucket(F.col("doc_id").cast("string"), "mix:", 10000)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.floor(F.col("rate") * 10000).cast("long"))
+        .select("doc_id", "lang")
+    )

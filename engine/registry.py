@@ -71,6 +71,8 @@ _PRIORITY: list[str] = [
     "q_text_ngram_top", "q_fn_bitwise", "q_pipeline_pretrain",
     "q_drawdown", "q_twap", "q_bar_gaps", "q_resample_ffill",
     "q_agg_kll_quantiles", "q_agg_theta_sketch", "q_text_entropy",
+    "q_rollup_time", "q_sample_mixture", "q_doc_chunk", "q_stream_bars",
+    "q_join_null_safe", "q_join_lateral", "q_except_all", "q_intersect_all",
     # r01-only anchors, stalest hard rows first: bench headliners
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

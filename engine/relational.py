@@ -1169,3 +1169,111 @@ def q_agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH cg AS (SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL
+                            ELSE c_nationkey % 5 END AS grp,
+                       count(*) AS n_cust
+                FROM customer GROUP BY 1),
+         sg AS (SELECT CASE WHEN s_nationkey % 5 = 0 THEN NULL
+                            ELSE s_nationkey % 5 END AS grp,
+                       count(*) AS n_supp
+                FROM supplier GROUP BY 1)
+    SELECT cg.grp, n_cust, n_supp
+    FROM cg JOIN sg ON cg.grp IS NOT DISTINCT FROM sg.grp
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics CDC and
+    sentinel-key pipelines need. ``EqualNullSafe`` is a first-class
+    equi-join key for Catalyst, so this still plans as a hash/sort-merge
+    join (not a nested loop) and scales like any other equi-join. The
+    nullable key is derived (bucket 0 -> NULL) because the fixture
+    tables are null-free."""
+    grp = lambda c: F.when(F.col(c) % 5 == 0, None).otherwise(F.col(c) % 5)  # noqa: E731
+    cg = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(grp("c_nationkey").alias("grp"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sg = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(grp("s_nationkey").alias("grp"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cg.join(sg, cg["grp"].eqNullSafe(sg["grp"])).select(
+        cg["grp"], "n_cust", "n_supp"
+    )
+
+
+@register(
+    "q_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+    ) t
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-2 orders per customer) through the
+    SQL entry point — the dependent-subquery surface users port from
+    warehouse SQL. Catalyst decorrelates the per-row ORDER BY/LIMIT
+    subquery into a joined window top-k, so execution is one shuffle on
+    the join key, never a per-customer re-scan of orders (the thing a
+    naive lateral executor would do and the reason this is usually the
+    first query to die at scale)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lv c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_lv o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        """
+    )
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 2
+    EXCEPT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, duplicate counts preserved) —
+    the bag semantics ETL reconciliation needs, vs q_except's set
+    semantics. Spark plans ``exceptAll`` as a count-tagged aggregate +
+    generate (no sort), one shuffle per side on the row key."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select("l_orderkey", "l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 2
+    INTERSECT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection): min(dup counts) per row
+    key, same single-shuffle count-tagged plan as q_except_all."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select("l_orderkey", "l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
+    return a.intersectAll(b)

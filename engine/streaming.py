@@ -423,3 +423,58 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_bars",
+    oracle="""
+    SELECT DISTINCT
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bar_start,
+           event_type,
+           first_value(value) OVER w AS open,
+           max(value) OVER w AS high,
+           min(value) OVER w AS low,
+           last_value(value) OVER w AS close,
+           count(*) OVER w AS n_trades,
+           round(sum(value) OVER w, 2) AS volume
+    FROM events
+    WINDOW w AS (PARTITION BY date_trunc('hour', ts), event_type
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_stream_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLCV bar construction — the live market-data path of
+    q_bars_ohlcv, and the flagship 'lambda-architecture collapse'
+    statement: the SAME aggregate expressions (min_by/max_by on the
+    (ts, event_id) order key) run under a watermark + tumbling window,
+    and the final state hash-matches the batch oracle exactly. At scale
+    the plan is incremental per-window partial aggregation with
+    watermark-bounded state; late ticks within 1 hour still land in
+    their bar."""
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src)
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count("*").alias("n_trades"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bar_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+            "volume",
+        )
+    )
+    return _run_to_memory(agg, "complete")

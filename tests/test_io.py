@@ -169,3 +169,17 @@ def test_zorder_write_narrows_file_stats_on_both_dims(spark, tmp_path):
     assert sum(fracs_s) / len(fracs_s) < 0.62, fracs_s
     # round-trip completeness
     assert spark.read.parquet(path).count() == src.count()
+
+
+def test_binary_file_source_reads_content(spark, tmp_path):
+    """binaryFile source: payload bytes round-trip and the glob filter
+    prunes non-matching files from the listing."""
+    from engine.io import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    (tmp_path / "b.txt").write_text("not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == b"\x00\x01payload"
+    assert rows[0]["length"] == 9

@@ -42,14 +42,18 @@ _SINGLE_PARTITION_OK = {
     "q_profile_table",    # whole-table profile reduces to one wide row
     "q_funnel",           # per-stage counts reduce to one row each
     "q_agg_hll_sketch",   # TOTAL row = union of 5 per-segment sketches
+    "q_agg_kll_quantiles",  # TOTAL row = merge of per-flag KLL sketches
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
 # 5x5 dim cross join; q_sim_topk and q_text_tfidf fold a broadcast
 # ONE-ROW aggregate (query vector / corpus size) into the plan — a
 # 1-row BroadcastNestedLoopJoin is the scalar-subquery pattern and is
-# size-independent.
-_CROSS_OK = {"q_join_cross", "q_sim_topk", "q_text_tfidf"}
+# size-independent. q_agg_theta_sketch pairs the per-segment sketch
+# table with itself (type_a < type_b): the input is one row per
+# SEGMENT (5 here; segments, never ticks, at scale), so the non-equi
+# broadcast join is over a cardinality that does not grow with data.
+_CROSS_OK = {"q_join_cross", "q_sim_topk", "q_text_tfidf", "q_agg_theta_sketch"}
 
 
 @pytest.fixture(scope="module")
