@@ -186,3 +186,46 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL split_words(d.text) t
         """
     )
+
+
+@register(
+    "q_udf_map_arrow",
+    oracle="""
+    SELECT event_id, user_id, round(value * 1.1, 2) AS uplifted
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition transform via ``mapInArrow`` — the zero-copy
+    sibling of mapInPandas: batches arrive as ``pyarrow.RecordBatch``
+    with NO pandas conversion, the right boundary for libraries that
+    speak Arrow natively (tokenizers, image codecs, vector engines).
+    Same streaming-iterator scale contract as q_udf_map_batches; the
+    arithmetic here uses pyarrow.compute so the batch never leaves
+    Arrow memory."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def uplift(batches):
+        for batch in batches:
+            mask = pc.equal(batch.column("event_type"), pa.scalar("click"))
+            kept = batch.filter(mask)
+            if kept.num_rows:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        kept.column("event_id"),
+                        kept.column("user_id"),
+                        # half_towards_infinity == SQL round-half-up for
+                        # positive values (Arrow defaults to banker's
+                        # rounding, which diverges from the oracle)
+                        pc.round(
+                            pc.multiply(kept.column("value"), pa.scalar(1.1)),
+                            2,
+                            round_mode="half_towards_infinity",
+                        ),
+                    ],
+                    names=["event_id", "user_id", "uplifted"],
+                )
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.mapInArrow(uplift, "event_id long, user_id long, uplifted double")

@@ -81,3 +81,35 @@ def test_session_window_exact_gap_boundary(spark):
     )
     assert len(out) == 2, f"expected 2 sessions, got {out}"
     assert sorted(r["n"] for r in out) == [1, 2]
+
+
+def test_foreachbatch_parquet_sink_equals_batch(spark, tmp_path):
+    """foreachBatch sink: replaying the event stream through a
+    per-micro-batch parquet append must land exactly the batch table —
+    the production sink shape (idempotent per-batch writes + custom
+    logic) that the memory-sink queries don't exercise."""
+    from engine.streaming import _read_stream, _stage
+
+    src = _stage(SF_SMOKE, "plain")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _read_stream(spark, src).select("event_id", "event_type", "value")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    want = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
