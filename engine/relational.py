@@ -1277,3 +1277,80 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_linenumber") <= 2).select("l_orderkey", "l_partkey")
     b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
     return a.intersectAll(b)
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) + 1 AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of tick values via ``width_bucket`` (20
+    buckets over [0, 500)) — the profiling/monitoring primitive. One
+    hash aggregate over the bucket id; map-side combine collapses the
+    tick volume to <=22 rows before the (tiny) shuffle. The oracle is
+    the arithmetic definition of the same bucketing (all fixture values
+    are strictly inside the range, so no under/overflow buckets)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(20)).alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_win_gaps_islands",
+    oracle="""
+    WITH t AS (SELECT user_id, event_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS rn,
+                      row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts ASC, event_id ASC) AS rnt
+               FROM events)
+    SELECT user_id, event_type, count(*) AS streak_len,
+           min(event_id) AS first_event
+    FROM t GROUP BY user_id, event_type, rn - rnt
+    HAVING count(*) >= 3
+    """,
+)
+def q_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (>=3 long) — the streak/uptime/consecutive-login analysis
+    pattern. The classic two-rank difference trick: rn (per user) minus
+    rnt (per user+type) is constant exactly within a run, so islands
+    fall out of a hash aggregate — no iterative logic, no self-join.
+    Two window exchanges (user_id, then user_id+type) and a final agg;
+    state per row is one long, so the plan is skew-safe at any scale."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wt = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            (F.row_number().over(wu) - F.row_number().over(wt)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count("*").alias("streak_len"), F.min("event_id").alias("first_event"))
+        .filter(F.col("streak_len") >= 3)
+        .drop("grp")
+    )
