@@ -668,3 +668,43 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.floor(F.col("rate") * 10000).cast("long"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    SELECT user_id, event_id, value AS attr_value,
+           epoch_us(ts) AS eff_from,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS eff_to,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) IS NULL
+               AS is_current
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: each change event for a
+    user becomes a versioned row with [eff_from, eff_to) validity and an
+    is_current flag — the warehouse dimension-history pattern, and the
+    batch complement of q_merge_upsert's Type 1 overwrite. One lead
+    window per user (single Exchange on user_id after the pushed
+    event-type filter); at 100 TB the validity intervals then serve
+    point-in-time joins via the same union+last_value as-of plan as
+    q_join_asof."""
+    ev = _t(spark, sf_dir, "events")
+    # eff_from = unix_micros(ts) is order-isomorphic to ts, so the lead
+    # window sorts on it directly (ts is projected away by then)
+    w = Window.partitionBy("user_id").orderBy(F.asc("eff_from"), F.asc("event_id"))
+    us = F.unix_micros("ts")
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("attr_value"),
+            us.alias("eff_from"),
+        )
+        .withColumn("eff_to", F.lead("eff_from").over(w))
+        .withColumn("is_current", F.col("eff_to").isNull())
+    )

@@ -73,7 +73,7 @@ _PRIORITY: list[str] = [
     "q_agg_kll_quantiles", "q_agg_theta_sketch", "q_text_entropy",
     "q_rollup_time", "q_sample_mixture", "q_doc_chunk", "q_stream_bars",
     "q_join_null_safe", "q_join_lateral", "q_except_all", "q_intersect_all",
-    "q_udf_map_arrow", "q_agg_histogram", "q_win_gaps_islands",
+    "q_udf_map_arrow", "q_agg_histogram", "q_win_gaps_islands", "q_scd2",
     # r01-only anchors, stalest hard rows first: bench headliners
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

@@ -167,3 +167,24 @@ def test_map_only_ops_have_no_exchange(plans):
     # content-addressed split and stratified sample are pure map stages
     for k in ("q_split_hash", "q_sample_stratified"):
         assert "Exchange" not in plans[k], f"{k} shuffles but should be map-only"
+
+
+def test_r3_operator_plan_shapes(plans):
+    """Pin the scale-critical physical properties of the r3 operators:
+    single-Exchange windows, map-only chunking, one-pass rollup, and
+    decorrelated lateral."""
+    # q_twap / q_drawdown / q_scd2: exactly one shuffle (on user_id) —
+    # window and downstream agg share the partitioning
+    for k in ["q_twap", "q_drawdown", "q_scd2"]:
+        body = plans[k].split("== Physical Plan ==")[-1].split("===== Subqueries")[0]
+        tree = body.split("(1) ")[0]
+        assert tree.count("Exchange") == 1, (k, tree)
+    # q_doc_chunk: map-only — zero shuffles
+    tree = plans["q_doc_chunk"].split("(1) ")[0]
+    assert "Exchange" not in tree, tree
+    # q_rollup_time: one Expand feeding one aggregation pass
+    assert "Expand" in plans["q_rollup_time"]
+    # q_join_lateral: decorrelated — rank-pushdown window, no nested loop
+    p = plans["q_join_lateral"]
+    assert "WindowGroupLimit" in p
+    assert "NestedLoop" not in p and "Cartesian" not in p
