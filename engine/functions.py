@@ -377,3 +377,64 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("user_id"), 2).alias("shifted"),
         F.bit_count("user_id").alias("popcount"),
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (SELECT doc_id,
+                      'https://' || source || '.example.com/docs/' ||
+                      CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
+                      source, lang
+               FROM documents)
+    SELECT doc_id, url,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (``parse_url`` HOST/PATH/QUERY-param extraction) —
+    the crawl-metadata normalization step of a web-corpus pipeline. The
+    fixture has no URL column, so URLs are constructed from document
+    fields and parse_url's output is oracle-checked against the ground
+    truth the construction implies — a round-trip proof, all codegen
+    map-only."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "q_fn_explode_outer",
+    oracle="""
+    SELECT d.doc_id, t.tok
+    FROM documents d LEFT JOIN LATERAL (
+        SELECT unnest(list_filter(string_split(d.text, ' '),
+                                  x -> len(x) > 5)) AS tok
+    ) t ON TRUE
+    """,
+)
+def q_fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (``explode_outer``): documents whose
+    long-token list is empty still emit one NULL row — the LEFT JOIN
+    LATERAL semantics that plain explode silently drops (losing parent
+    rows is the classic ETL bug this operator exists to avoid). Map-only
+    Generate node with outer=true, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    long_toks = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 5)
+    return d.select("doc_id", F.explode_outer(long_toks).alias("tok"))

@@ -74,6 +74,8 @@ _PRIORITY: list[str] = [
     "q_rollup_time", "q_sample_mixture", "q_doc_chunk", "q_stream_bars",
     "q_join_null_safe", "q_join_lateral", "q_except_all", "q_intersect_all",
     "q_udf_map_arrow", "q_agg_histogram", "q_win_gaps_islands", "q_scd2",
+    "q_join_point_in_time", "q_agg_filter", "q_win_nth_value", "q_fn_url",
+    "q_fn_explode_outer",
     # r01-only anchors, stalest hard rows first: bench headliners
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

@@ -1354,3 +1354,110 @@ def q_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_len") >= 3)
         .drop("grp")
     )
+
+
+@register(
+    "q_join_point_in_time",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS version_id, value AS attr_value,
+                      epoch_us(ts) AS eff_from,
+                      lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts ASC, event_id ASC)
+                          AS eff_to
+               FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, v.version_id, v.attr_value
+    FROM events p JOIN v ON p.user_id = v.user_id
+     AND epoch_us(p.ts) >= v.eff_from
+     AND (v.eff_to IS NULL OR epoch_us(p.ts) < v.eff_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase picks the dimension version
+    (q_scd2's [eff_from, eff_to) rows) valid at its timestamp — the
+    feature-store correctness primitive that prevents training-serving
+    leakage. The oracle states it as the interval join over the
+    versioned dimension; the Spark plan is the scale-safe equivalent:
+    versions and facts union into ONE stream, a single carry-forward
+    window per user resolves the valid version (intervals partition
+    time, so latest-at-or-before == interval membership) — one Exchange
+    on user_id, no range join, no pair blow-up on hot users."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    is_v = F.col("event_type") == "signup"
+    tagged = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        (~is_v).cast("int").alias("is_fact"),
+        F.when(is_v, F.col("event_id")).alias("v_id"),
+        F.when(is_v, F.col("value")).alias("v_val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.asc("is_fact"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("version_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("attr_value", F.last("v_val", ignorenulls=True).over(w))
+        .filter((F.col("is_fact") == 1) & F.col("version_id").isNotNull())
+        .select("event_id", "version_id", "attr_value")
+    )
+
+
+@register(
+    "q_agg_filter",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+               AS discounted_rev,
+           count(*) AS n_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the SQL FILTER clause / count_if
+    surface): multiple differently-filtered aggregates in ONE scan and
+    ONE hash aggregate — the alternative users otherwise write as N
+    self-joining subqueries. ``count_if`` and when()-guarded sums are
+    pure codegen partial aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+        ).alias("discounted_rev"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@register(
+    "q_win_nth_value",
+    oracle="""
+    SELECT event_id, user_id,
+           nth_value(value, 3) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS third_seen
+    FROM events
+    """,
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running nth_value (the value of each user's 3rd tick, NULL until
+    it exists) — completes the analytic-function surface next to
+    first/last/lag/lead. Single partitioned window, running frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.nth_value("value", 3).over(w).alias("third_seen")
+    )
