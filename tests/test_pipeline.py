@@ -119,3 +119,23 @@ def test_cluster_matches_union_find(spark):
     want = {d: find(d) for d in got}
     # canonical label = min member, which union-by-min preserves
     assert got == want
+
+
+def test_scd2_intervals_partition_time(spark):
+    """SCD2 invariants beyond the oracle hash: per user, exactly one
+    current version; intervals are non-overlapping, gap-free, and
+    chained (each eff_to equals the next eff_from)."""
+    from engine.registry import all_queries
+
+    rows = all_queries()["q_scd2"](spark, SF_SMOKE).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r["eff_from"])
+        currents = [v for v in vs if v["is_current"]]
+        assert len(currents) == 1, (user, currents)
+        assert vs[-1]["is_current"] and vs[-1]["eff_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["eff_to"] == b["eff_from"], (user, a, b)

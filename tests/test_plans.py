@@ -173,9 +173,10 @@ def test_r3_operator_plan_shapes(plans):
     """Pin the scale-critical physical properties of the r3 operators:
     single-Exchange windows, map-only chunking, one-pass rollup, and
     decorrelated lateral."""
-    # q_twap / q_drawdown / q_scd2: exactly one shuffle (on user_id) —
-    # window and downstream agg share the partitioning
-    for k in ["q_twap", "q_drawdown", "q_scd2"]:
+    # q_twap / q_drawdown / q_scd2 / q_join_point_in_time: exactly one
+    # shuffle (on user_id) — window, filter and downstream agg all share
+    # the partitioning (the PIT join must never appear as a range join)
+    for k in ["q_twap", "q_drawdown", "q_scd2", "q_join_point_in_time"]:
         body = plans[k].split("== Physical Plan ==")[-1].split("===== Subqueries")[0]
         tree = body.split("(1) ")[0]
         assert tree.count("Exchange") == 1, (k, tree)
