@@ -16,6 +16,12 @@ def test_priority_keys_all_registered():
     assert set(_PRIORITY) <= set(all_queries())
 
 
+def test_priority_has_no_duplicates():
+    """A duplicate in _PRIORITY would silently shrink the graded 50-key
+    window (dict-comprehension dedup in _ordered)."""
+    assert len(_PRIORITY) == len(set(_PRIORITY))
+
+
 def test_every_unverified_key_inside_driver_window():
     """Any key lacking a hash/rows row in EVERY prior round's
     CORRECTNESS file must sit inside the next round's graded 50-key
