@@ -338,3 +338,55 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob is not None:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def compact_files(
+    spark: SparkSession, src: str, dst: str, target_mb: int = 128, mode: str = "overwrite"
+) -> int:
+    """Small-file compaction: rewrite a fragmented Parquet dataset into
+    files of ~``target_mb`` — the routine maintenance job that keeps a
+    100 TB lake scannable (a million 1 MB files costs more in scheduler
+    + footer overhead than the data itself; ~128 MB matches the default
+    maxPartitionBytes so one file == one input split). Sizing uses the
+    file LISTING only (driver-side metadata walk, no data read); the
+    rewrite is one distributed repartition. Returns the output file
+    count."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n).write.mode(mode).parquet(dst)
+    return n
+
+
+def skew_report(df: DataFrame, cols: list[str], top_k: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnostic: per-key row counts for the ``top_k``
+    heaviest keys plus their share of the table and the ratio to the
+    mean key load — the measurement that decides between a plain
+    shuffle join, AQE skew splitting, and explicit salting
+    (q_join_skew_salted). One hash aggregate + a tiny top-k; the 1-row
+    totals aggregate joins back in-plan (no driver math)."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*cols).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.orderBy(F.desc("n"), *cols)
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            *cols,
+            "n",
+            F.round(F.col("n") / F.col("total_rows"), 4).alias("share"),
+            F.round(F.col("n") * F.col("n_keys") / F.col("total_rows"), 2).alias(
+                "x_mean"
+            ),
+        )
+    )

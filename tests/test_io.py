@@ -183,3 +183,34 @@ def test_binary_file_source_reads_content(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["content"] == b"\x00\x01payload"
     assert rows[0]["length"] == 9
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    """Compaction: a 64-fragment dataset rewrites to the size-derived
+    file count with identical rows."""
+    from engine.io import compact_files, load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+    n = compact_files(spark, src, dst, target_mb=128)
+    got = glob.glob(f"{dst}/part-*.parquet")
+    assert len(got) == n and n < 64
+    assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_skew_report_flags_hot_key(spark):
+    """Skew diagnostic: a synthetic 80%-hot key tops the report with
+    share ~0.8 and a large multiple of the mean key load."""
+    from engine.io import skew_report
+
+    rows = [(i, 777 if i < 8000 else i % 50) for i in range(10000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    top = skew_report(df, ["user_id"], top_k=3).collect()
+    assert top[0]["user_id"] == 777
+    assert abs(top[0]["share"] - 0.8) < 0.01
+    assert top[0]["x_mean"] > 10
