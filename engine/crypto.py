@@ -412,3 +412,144 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (event_type), ())
         """
     )
+
+
+@register(
+    "q_win_bollinger",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 4) AS mid,
+           round(avg(value) OVER w + 2 * stddev_samp(value) OVER w, 4) AS upper,
+           round(avg(value) OVER w - 2 * stddev_samp(value) OVER w, 4) AS lower,
+           CASE WHEN value > avg(value) OVER w + 2 * stddev_samp(value) OVER w
+                  OR value < avg(value) OVER w - 2 * stddev_samp(value) OVER w
+                THEN 1 ELSE 0 END AS breach
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    QUALIFY count(*) OVER w = 20
+    """,
+)
+def q_win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: 20-tick rolling mean ±2 sample-stddev per user,
+    plus a band-breach flag (the volatility-breakout signal). One
+    partitioned ROWS-frame window — constant state per row, single
+    Exchange on user_id, all arithmetic in codegen. Warm-up rows
+    (frame < 20 ticks) are excluded on both sides, so every emitted
+    band is a full window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+    )
+    mid, sd = F.avg("value").over(w), F.stddev_samp("value").over(w)
+    up, lo = mid + 2 * sd, mid - 2 * sd
+    return (
+        ev.withColumn("n_in_frame", F.count("*").over(w))
+        .withColumn("mid", F.round(mid, 4))
+        .withColumn("upper", F.round(up, 4))
+        .withColumn("lower", F.round(lo, 4))
+        .withColumn(
+            "breach",
+            F.when((F.col("value") > up) | (F.col("value") < lo), 1).otherwise(0),
+        )
+        .filter(F.col("n_in_frame") == 20)
+        .select("event_id", "user_id", "mid", "upper", "lower", "breach")
+    )
+
+
+@register(
+    "q_win_rsi",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id, ts,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS delta
+      FROM events
+    )
+    SELECT event_id, user_id,
+           round(CASE WHEN avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w = 0
+                      THEN 100.0
+                      ELSE 100.0 - 100.0 /
+                           (1.0 + avg(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER w
+                                / avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w)
+                 END, 4) AS rsi
+    FROM d WHERE delta IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    QUALIFY count(*) OVER w = 14
+    """,
+)
+def q_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-tick relative strength index per user (simple-average form):
+    RSI = 100 − 100/(1 + avgGain/avgLoss), RSI = 100 when the frame has
+    no losses. Two stacked windows on the SAME (user_id, ts) ordering —
+    lag for tick deltas, then a 14-row frame for the gain/loss means —
+    so Catalyst plans one Exchange and one Sort shared by both. Warm-up
+    rows (fewer than 14 deltas) are excluded on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = wo.rowsBetween(-13, Window.currentRow)
+    d = (
+        ev.withColumn("delta", F.col("value") - F.lag("value").over(wo))
+        .filter(F.col("delta").isNotNull())
+    )
+    gain = F.when(F.col("delta") > 0, F.col("delta")).otherwise(0.0)
+    loss = F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0.0)
+    ag, al = F.avg(gain).over(w), F.avg(loss).over(w)
+    rsi = F.when(al == 0, 100.0).otherwise(100.0 - 100.0 / (1.0 + ag / al))
+    return (
+        d.withColumn("n_in_frame", F.count("*").over(w))
+        .withColumn("rsi", F.round(rsi, 4))
+        .filter(F.col("n_in_frame") == 14)
+        .select("event_id", "user_id", "rsi")
+    )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, med, median(abs(value - med)) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med
+    )
+    SELECT e.event_type,
+           round(med, 4) AS med,
+           round(mad, 4) AS mad,
+           count(CASE WHEN abs(value - med) > 3 * 1.4826 * mad THEN 1 END)
+             AS n_outliers,
+           count(*) AS n_ticks
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, med, mad
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier surveillance: flag ticks beyond 3 scaled median-
+    absolute-deviations of their event-type median — immune to the
+    outliers polluting the threshold itself, unlike q_anomaly_zscore's
+    mean/stddev. Two exact-median hash aggregates with tiny (one row
+    per event_type) results broadcast back between passes; the fact
+    table is scanned, never shuffled on a data-volume key."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "med").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    scored = ev.join(F.broadcast(mad), "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return scored.groupBy("event_type", "med", "mad").agg(
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        F.count("*").alias("n_ticks"),
+    ).select(
+        "event_type",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n_outliers",
+        "n_ticks",
+    )

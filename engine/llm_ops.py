@@ -1402,3 +1402,80 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "q_dedup_edit",
+    oracle="""
+    WITH reps AS (SELECT lang, text, length(text) AS len, min(doc_id) AS rep_id
+                  FROM documents GROUP BY lang, text),
+    a AS (SELECT lang, text, len, rep_id,
+                 CAST(greatest(len - 8, 0) // 16 AS BIGINT) AS blk FROM reps
+          UNION
+          SELECT lang, text, len, rep_id,
+                 CAST((len + 8) // 16 AS BIGINT) FROM reps)
+    SELECT a.rep_id AS doc_a, b.rep_id AS doc_b,
+           levenshtein(a.text, b.text) AS dist
+    FROM a JOIN reps b
+      ON a.lang = b.lang AND a.blk = CAST(b.len // 16 AS BIGINT)
+    WHERE a.rep_id < b.rep_id AND abs(a.len - b.len) <= 8
+      AND levenshtein(a.text, b.text) <= 8
+    """,
+)
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: doc pairs within Levenshtein
+    distance 8, blocked EXACTLY by (lang, 16-char length band).
+
+    The character complement of the token-set families (q_dedup_jaccard
+    catches reorderings, this catches typo-level char edits). Plan:
+    (1) collapse identical (lang, text) to one representative (the same
+    duplicate-bulk trick as the jaccard core — pair work scales with
+    UNIQUE texts); (2) the left side registers under BOTH blocks its
+    ±8-length window can reach ((len±8)//16 — at most 2, so the fanout
+    is bounded at 2x and the blocking is provably lossless for the
+    threshold, verified pair-identical to the unblocked join in
+    tests/test_llm_ops.py); (3) equi-join on (lang, block) — a plain
+    shuffle hash join on a composite key whose cardinality grows with
+    corpus size, never a length-band theta join (5-value lang alone
+    would be catastrophically skewed); (4) the length filter prunes
+    candidates before Levenshtein, and the threshold form
+    ``levenshtein(a, b, 9)`` caps the DP at O(threshold * len) per pair
+    instead of O(len^2).
+    """
+    d = _t(spark, sf_dir, "documents")
+    reps = (
+        d.groupBy("lang", "text")
+        .agg(F.min("doc_id").alias("rep_id"))
+        .withColumn("len", F.length("text"))
+    )
+    lo_blk = F.floor(F.greatest(F.col("len") - 8, F.lit(0)) / 16)
+    hi_blk = F.floor((F.col("len") + 8) / 16)
+    a = (
+        reps.select(
+            "lang", "text", "len", "rep_id",
+            F.array_distinct(F.array(lo_blk, hi_blk)).alias("blks"),
+        )
+        .select("lang", "text", "len", "rep_id", F.explode("blks").alias("blk"))
+    )
+    b = reps.select(
+        F.col("lang").alias("b_lang"),
+        F.col("text").alias("b_text"),
+        F.col("len").alias("b_len"),
+        F.col("rep_id").alias("b_rep_id"),
+        F.floor(F.col("len") / 16).alias("b_blk"),
+    )
+    # threshold form returns -1 above the cap, so <= 8 keeps real hits
+    lev = F.levenshtein(F.col("text"), F.col("b_text"), 9)
+    return (
+        a.join(b, (F.col("lang") == F.col("b_lang")) & (F.col("blk") == F.col("b_blk")))
+        .filter(
+            (F.col("rep_id") < F.col("b_rep_id"))
+            & (F.abs(F.col("len") - F.col("b_len")) <= 8)
+        )
+        .select(
+            F.col("rep_id").alias("doc_a"),
+            F.col("b_rep_id").alias("doc_b"),
+            lev.alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 8))
+    )

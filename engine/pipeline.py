@@ -708,3 +708,83 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("eff_to", F.lead("eff_from").over(w))
         .withColumn("is_current", F.col("eff_to").isNull())
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH okey AS (SELECT o_orderkey, o_totalprice,
+                         CAST(o_orderkey AS VARCHAR) AS ks
+                  FROM orders),
+    old AS (
+      SELECT o_orderkey, o_totalprice AS old_price FROM okey
+      WHERE CAST('0x' || substring(md5('ins:' || ks), 1, 8) AS BIGINT) % 100 >= 10
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN CAST('0x' || substring(md5('upd:' || ks), 1, 8) AS BIGINT) % 100 < 20
+                  THEN CAST(floor(o_totalprice * 110) AS BIGINT) / 100.0
+                  ELSE o_totalprice END AS new_price
+      FROM okey
+      WHERE CAST('0x' || substring(md5('del:' || ks), 1, 8) AS BIGINT) % 100 >= 10
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           round(old_price, 2) AS old_price,
+           round(new_price, 2) AS new_price
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old_price <> new_price
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the inverse of q_merge_upsert: given two table
+    states, emit the CDC change log (insert/delete/update rows) that
+    transforms one into the other. The two states are derived
+    deterministically from ``orders`` via content-addressed md5 buckets
+    (~10% of keys missing from the old state, ~10% missing from the
+    new, ~20% repriced), so the expected log is oracle-checkable.
+
+    Plan: both snapshots prune to (key, price) at the scan, full-outer
+    join shuffles once on the natural key, and the unchanged bulk —
+    the overwhelming majority at 100 TB — is dropped by a codegen
+    filter immediately after the join, so downstream sinks see only
+    the delta. No windows, no driver state.
+    """
+    ks = F.col("o_orderkey").cast("string")
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        _md5_bucket(ks, "ins:").alias("ins_b"),
+        _md5_bucket(ks, "del:").alias("del_b"),
+        _md5_bucket(ks, "upd:").alias("upd_b"),
+    )
+    old = base.filter(F.col("ins_b") >= 10).select(
+        F.col("o_orderkey").alias("old_key"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    new = base.filter(F.col("del_b") >= 10).select(
+        F.col("o_orderkey").alias("new_key"),
+        F.when(
+            F.col("upd_b") < 20, F.floor(F.col("o_totalprice") * 110) / 100.0
+        ).otherwise(F.col("o_totalprice")).alias("new_price"),
+    )
+    joined = old.join(new, F.col("old_key") == F.col("new_key"), "full_outer")
+    return (
+        joined.filter(
+            F.col("old_key").isNull()
+            | F.col("new_key").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            F.coalesce("old_key", "new_key").alias("o_orderkey"),
+            F.when(F.col("old_key").isNull(), "insert")
+            .when(F.col("new_key").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.round("old_price", 2).alias("old_price"),
+            F.round("new_price", 2).alias("new_price"),
+        )
+    )

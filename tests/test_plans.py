@@ -189,3 +189,18 @@ def test_r3_operator_plan_shapes(plans):
     p = plans["q_join_lateral"]
     assert "WindowGroupLimit" in p
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_tpch_suite_plan_shapes(plans):
+    """Pin the scale-critical properties of the classic-OLAP suite."""
+    # Q18: the per-order quantity agg feeds the joins directly — one
+    # lineitem scan total, never the IN-subquery double scan
+    assert plans["q_tpch_q18"].count("lineitem.parquet") == 1
+    # Q3 / Q10 / Q18: top-k lowers to per-partition heaps, no global sort
+    for k in ("q_tpch_q3", "q_tpch_q10", "q_tpch_q18"):
+        assert "TakeOrderedAndProject" in plans[k], k
+    # Q5: constant-size dims (nation x region) reach the facts as a
+    # broadcast; the segment/date filters reach their parquet scans
+    assert "BroadcastHashJoin" in plans["q_tpch_q5"]
+    for k in ("q_tpch_q3", "q_tpch_q5", "q_tpch_q10"):
+        assert "PushedFilters: [IsNotNull" in plans[k], k
