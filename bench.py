@@ -39,6 +39,8 @@ HEADLINE = [
     "q_dedup_ngram",      # trigram-shingle PPJoin
     "q_dedup_embedding_ann",  # LSH blocking + re-join cosine verify
     "q_merge_upsert",     # CDC full-outer merge
+    "q_tpch_q5",          # 6-table snowflake join (classic OLAP)
+    "q_tpch_q18",         # agg-then-join large-volume filter
 ]
 
 

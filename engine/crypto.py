@@ -553,3 +553,105 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "n_ticks",
     )
+
+
+@register(
+    "q_win_ewma",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts ASC, event_id ASC) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           round(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc), 4) AS ewma,
+           len(vs) AS n_ticks
+    FROM s
+    """,
+)
+def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.2) per user —
+    the smoothing recursion y_t = 0.2*x_t + 0.8*y_{t-1} seeded with the
+    first tick, evaluated to the latest tick (the live smoothed price).
+
+    The recursion is inherently sequential per key, so it is expressed
+    as a codegen ``aggregate`` over the user's time-ordered tick array
+    (collect_list + sort_array, one shuffle on user_id, zero Python) —
+    both engines fold left over the identical ordering, so the float
+    result matches bit-for-bit before rounding. Scale note: the per-key
+    array materializes one user's ticks in one task (fine for bounded
+    per-entity series; an unbounded-series variant would segment the
+    fold via the associative (a,b)-affine composition trick, at the
+    cost of a second shuffle).
+    """
+    ev = _t(spark, sf_dir, "events")
+    ticks = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    vals = F.transform(F.col("ticks"), lambda s: s["value"].cast("double"))
+    ewma = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: 0.2 * x + 0.8 * acc,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(ticks.alias("ticks"))
+        .select("user_id", vals.alias("vs"))
+        .select(
+            "user_id",
+            F.round(ewma, 4).alias("ewma"),
+            F.size("vs").cast("long").alias("n_ticks"),
+        )
+    )
+
+
+@register(
+    "q_win_macd",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts ASC, event_id ASC) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           round(list_reduce(vs, (acc, x) -> 2.0/13 * x + (1 - 2.0/13) * acc)
+                 - list_reduce(vs, (acc, x) -> 2.0/27 * x + (1 - 2.0/27) * acc),
+                 4) + 0.0 AS macd,
+           len(vs) AS n_ticks
+    FROM s
+    """,
+)
+def q_win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD line (EMA-12 minus EMA-26, both seeded with the first tick,
+    standard alpha = 2/(n+1)) per user at the latest tick — the trend/
+    momentum crossover signal. Same plan as q_win_ewma: one shuffle to
+    collect each user's time-ordered tick array, then TWO codegen folds
+    over the SAME array (the array materializes once; no second
+    shuffle, no Python). macd hovers near zero by construction, so the
+    rounded output folds the IEEE zero sign per the registry contract.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ticks = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    vals = F.transform(F.col("ticks"), lambda s: s["value"].cast("double"))
+
+    def ema(n: int):
+        a = 2.0 / (n + 1)
+        return F.aggregate(
+            F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+            F.element_at(F.col("vs"), 1),
+            lambda acc, x: a * x + (1 - a) * acc,
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .agg(ticks.alias("ticks"))
+        .select("user_id", vals.alias("vs"))
+        .select(
+            "user_id",
+            (F.round(ema(12) - ema(26), 4) + 0.0).alias("macd"),
+            F.size("vs").cast("long").alias("n_ticks"),
+        )
+    )

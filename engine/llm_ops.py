@@ -1479,3 +1479,75 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= 8))
     )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    SELECT vec_id, label,
+           list_transform(embedding,
+             x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0)
+                             * 127 + 0.5) AS INTEGER)) AS q
+    FROM embeddings
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column (clamp to
+    [-1, 1], symmetric scale 127, explicit half-up rounding) — the 4x
+    compression step an ANN index applies before sharding vectors at
+    100 TB. Map-only higher-order ``transform``: stays in codegen, no
+    shuffle, exact integer output so the oracle hash is float-free.
+    Half-up is spelled ``floor(x*127 + 0.5)`` because Spark and DuckDB
+    disagree on ``round()`` tie semantics (banker's vs half-up)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) * 127 + 0.5
+        ).cast("int"),
+    )
+    return e.select("vec_id", "label", q.alias("q"))
+
+
+@register(
+    "q_embed_centroids",
+    oracle="""
+    WITH u AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(greatest(least(CAST(unnest(embedding) AS DOUBLE), 1.0), -1.0)
+                        * 127 + 0.5) AS BIGINT) AS q
+      FROM embeddings
+    )
+    SELECT label, pos,
+           round(sum(q) / (127.0 * count(*)), 4) + 0.0 AS centroid_v,
+           count(*) AS n_vecs
+    FROM u GROUP BY label, pos
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids of the int8-quantized embeddings in long
+    form (label, dimension, mean component) — the coarse-quantizer
+    build step of an IVF index (q_sim_topk_ivf consumes exactly this
+    shape) as pure relational algebra: posexplode to (label, dim, code)
+    rows, one hash aggregate with map-side combine. Shuffle volume is
+    |labels| x dims partials per task, independent of vector count —
+    this is how you average a billion vectors without ever holding two
+    of them in one place. Averaging the integer CODES (not raw floats)
+    keeps the sum order-independent, so the result is deterministic
+    under Spark's nondeterministic partial-agg order and hash-matches
+    the oracle exactly. 1-based dim to match SQL subscripts."""
+    e = _t(spark, sf_dir, "embeddings")
+    code = F.floor(
+        F.greatest(F.least(F.col("v").cast("double"), F.lit(1.0)), F.lit(-1.0)) * 127
+        + 0.5
+    )
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            # + 0.0 folds IEEE -0.0 to +0.0 (the engines disagree on
+            # the zero sign after round; equal values must sort equal)
+            (F.round(F.sum(code) / (127.0 * F.count("*")), 4) + 0.0).alias("centroid_v"),
+            F.count("*").alias("n_vecs"),
+        )
+    )

@@ -11,7 +11,16 @@ Contract details (driver protocol, __spark_entry__.py docstring):
   ``.alias``-ed identically on both sides;
 - outputs are made deterministic (sorted arrays, tie-broken top-k) and
   cross-engine-stable (rounded doubles, DATE/epoch instead of raw
-  timestamps — SURVEY.md §7 risk register).
+  timestamps — SURVEY.md §7 risk register);
+- a float column that can round to ZERO must fold the IEEE zero sign
+  (``round(x, n) + 0.0`` on BOTH sides): the engines disagree on the
+  sign of a rounded-to-zero result, and ``-0.0`` vs ``0.0`` compare
+  equal but serialize/sort differently (found via q_embed_centroids);
+- nondeterministically-ordered float aggregation (plain ``avg``/``sum``
+  over partials) must not feed ``round`` directly — rounding amplifies
+  1-ulp order noise into visible diffs; aggregate exact integers (see
+  q_embed_centroids' quantize-then-average) or pin the fold order
+  (q_win_ewma's sorted-array ``aggregate``).
 """
 
 from __future__ import annotations

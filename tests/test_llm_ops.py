@@ -184,3 +184,46 @@ def test_embedding_ann_has_no_driver_collect():
     src = inspect.getsource(llm_ops._embedding_ann_dropped)
     for banned in ("toPandas", ".collect()", "sparkContext.broadcast"):
         assert banned not in src, f"driver-side {banned} in ANN verify path"
+
+
+def test_dedup_edit_blocking_is_lossless(spark):
+    """The (lang, 16-char length band) blocking in q_dedup_edit must
+    find EXACTLY the pairs of the unblocked same-lang join — the ±8
+    length window can span at most 2 bands and the left side registers
+    under both, so no qualifying pair can straddle out of reach."""
+    from engine.io import load_table
+    from tests.conftest import SF_T2
+
+    sf = SF_T2  # sf0.01: the smoke corpus has no lev<=8 pairs
+    blocked = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in all_queries()["q_dedup_edit"](spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents")
+    reps = (
+        d.groupBy("lang", "text")
+        .agg(F.min("doc_id").alias("rep_id"))
+        .withColumn("len", F.length("text"))
+    )
+    b = reps.select(
+        F.col("lang").alias("b_lang"),
+        F.col("text").alias("b_text"),
+        F.col("len").alias("b_len"),
+        F.col("rep_id").alias("b_rep_id"),
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in (
+            reps.join(b, F.col("lang") == F.col("b_lang"))
+            .filter(F.col("rep_id") < F.col("b_rep_id"))
+            .select(
+                F.col("rep_id").alias("doc_a"),
+                F.col("b_rep_id").alias("doc_b"),
+                F.levenshtein(F.col("text"), F.col("b_text"), 9).alias("dist"),
+            )
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= 8))
+            .collect()
+        )
+    }
+    assert brute, "fixture should contain at least one lev<=8 pair"
+    assert blocked == brute

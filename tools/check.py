@@ -64,7 +64,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         # (0.3 vs 0.30000000000000004) cannot reorder rows relative to
         # their cross-engine counterparts and misalign the zip compare.
         if isinstance(v, float):
-            return f"{round(v, 6):.6e}"
+            # v == 0 folds -0.0 to +0.0: the engines disagree on the
+            # sign of a rounded-to-zero result, and "-0.000000e+00" vs
+            # "0.000000e+00" would misalign rows that compare equal.
+            return f"{round(v, 6) + 0.0:.6e}" if v == 0 else f"{round(v, 6):.6e}"
         if isinstance(v, tuple):
             return "(" + ",".join(sort_repr(x) for x in v) + ")"
         return str(v)
