@@ -250,3 +250,406 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-agg.
+
+    The whole query is one vectorized parquet scan: all four predicates
+    push to the scan (row-group min/max skipping on l_shipdate at
+    scale), only the three touched columns are read, and the global
+    aggregate reduces map-side to one row per partition before the
+    single-row final agg. The canonical "is pushdown working" probe.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _cents_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           sum(cents) / 100.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS cents
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    by ship year.
+
+    The classic disjunction ((n1=A AND n2=B) OR (n1=B AND n2=A)) is
+    factored scale-side: BOTH dimension sides are pre-filtered to the
+    two nations via broadcast nation joins (supplier and customer
+    shrink ~2/25 before touching any fact), and the residual condition
+    collapses to ``supp_nation != cust_nation`` — evaluated after the
+    equi-joins, touching only surviving rows. No OR reaches a join
+    condition, so every join stays hash-based.
+    """
+    nations = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2")
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+    SELECT round(100.0 * promo_cents / total_cents, 4) AS promo_pct,
+           promo_cents / 100.0 AS promo_revenue,
+           total_cents / 100.0 AS total_revenue
+    FROM (
+      SELECT sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS promo_cents,
+             sum(cents) AS total_cents
+      FROM (
+        SELECT p_type,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+      )
+    )
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo share of one month's revenue.
+
+    One month of lineitem (date filter pushed to the scan) joins part on
+    the part key; the conditional and unconditional sums ride the SAME
+    hash aggregate — one scan, one join, one agg. Both sums are exact
+    cents integers, so the final ratio is a deterministic double on
+    both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
+                "promo_cents"
+            ),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        F.round(100.0 * F.col("promo_cents") / F.col("total_cents"), 4).alias(
+            "promo_pct"
+        ),
+        (F.col("promo_cents") / 100.0).alias("promo_revenue"),
+        (F.col("total_cents") / 100.0).alias("total_revenue"),
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): disjunctive mixed-table predicate.
+
+    The OR-of-conjunctions can't push down as-is, so the per-side
+    implications are factored by hand (the rewrite CNF-based pushdown
+    would derive): part pre-filters to the union of (brand, size)
+    branches, lineitem to the union of quantity ranges — both reach the
+    scans — and only the residual cross-table disjunction evaluates
+    after the hash join. At 100 TB the factored filters cut the join
+    inputs by orders of magnitude; without them every row of both
+    tables shuffles.
+    """
+    b1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+    b2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+    b3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+    q1 = F.col("l_quantity").between(1, 11)
+    q2 = F.col("l_quantity").between(10, 20)
+    q3 = F.col("l_quantity").between(20, 30)
+    part = _t(spark, sf_dir, "part").filter(b1 | b2 | b3).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(q1 | q2 | q3).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter((b1 & q1) | (b2 & q2) | (b3 & q3))
+        .agg(
+            _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): orders in one quarter with at
+    least one line shipped after the order date, counted by priority.
+
+    (The fixture lacks l_commitdate/l_receiptdate, so "late line"
+    becomes l_shipdate > o_orderdate — same EXISTS shape.) The
+    correlated EXISTS is a LEFT SEMI join on the order key: lineitem
+    never duplicates orders, no DISTINCT repair pass, and the date
+    filter prunes orders before the join. The residual
+    ``l_shipdate > o_orderdate`` comparison rides the semi join as a
+    non-equi condition on already-matched keys.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, cents / 100.0 AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = suppkey
+    WHERE cents = (SELECT max(cents) FROM rev)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue in
+    one quarter.
+
+    The revenue view aggregates once; the scalar max is a 1-row
+    aggregate of that (small, post-agg) table broadcast back — the
+    revenue table is NOT re-scanned from lineitem, and the fact scan
+    happens exactly once. Exact cents integers make the max/equality
+    cross-engine stable (no float-max tie ambiguity).
+    """
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)).alias("cents"))
+    )
+    best = rev.agg(F.max("cents").alias("best_cents"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("cents") == F.col("best_cents"))
+        .join(supp, F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name", (F.col("cents") / 100.0).alias("total_revenue"))
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 700.0
+             AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines of one brand
+    whose quantity is below 20% of that part's average quantity.
+
+    The correlated scalar subquery (per-part average) decorrelates into
+    one per-part aggregate joined back on the part key — lineitem scans
+    twice (once aggregated, once probed), both shuffles on l_partkey so
+    AQE can reuse the exchange layout; the brand filter prunes the part
+    side before its join. avg(l_quantity) is sum-of-doubles over exact
+    .0 fixture values — order-independent, so the 0.2× threshold is
+    cross-engine stable.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey"
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.floor(F.col("l_extendedprice") * 100)) / 700.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (SELECT avg(c_acctbal) AS cutoff FROM customer
+                 WHERE c_acctbal > 0.0
+                   AND (c_nationkey % 10) IN (1, 3, 5, 7)),
+    cand AS (SELECT c_custkey, (c_nationkey % 10) AS cntrycode, c_acctbal
+             FROM customer, pos
+             WHERE (c_nationkey % 10) IN (1, 3, 5, 7) AND c_acctbal > cutoff)
+    SELECT cntrycode, count(*) AS numcust,
+           sum(CAST(floor(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers in
+    selected country codes with no RECENT order.
+
+    (Country code = c_nationkey % 10 — the fixture has no phone column;
+    and because every fixture customer has at least one lifetime order,
+    the classic "never ordered" predicate is vacuous here, so the anti
+    join runs against orders since 2000 — the lapsed-customer variant
+    with the identical plan shape.) Three classic shapes in one: a
+    scalar subquery (the positive-balance average, a 1-row broadcast),
+    an anti join against date-pruned orders (never materializing the
+    match), and the final hash agg. The candidate filter runs BEFORE
+    the anti join, so the expensive probe sees only qualifying
+    customers. avg() over doubles is safe here because the filter
+    compares against it with strict >, and the fixture balances are
+    .01-grained — a 1-ulp avg shift cannot cross a balance value
+    (asserted by the driver hash staying green).
+    """
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.col("c_nationkey") % 10
+    )
+    sel = cust.filter(F.col("cntrycode").isin(1, 3, 5, 7))
+    cutoff = sel.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cutoff")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        sel.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(F.floor(F.col("c_acctbal") * 100)) / 100.0).alias("totacctbal"),
+        )
+    )

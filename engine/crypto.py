@@ -655,3 +655,125 @@ def q_win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("vs").cast("long").alias("n_ticks"),
         )
     )
+
+
+@register(
+    "q_win_obv",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS vol,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN prev IS NULL THEN 0
+                         WHEN value > prev THEN vol
+                         WHEN value < prev THEN -vol
+                         ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS obv
+    FROM t
+    """,
+)
+def q_win_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per user: running sum of volume signed by the
+    tick-to-tick price direction (the classic accumulation/distribution
+    indicator; price = ``value``, volume = the integer ``props.k``).
+
+    Two window passes over the SAME (user_id, ts, event_id) ordering —
+    lag then running sum — share one Exchange + Sort; state per row is
+    constant. The flow is an exact integer, so the running sum is
+    deterministic under any partial ordering (no float fold concerns).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    vol = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("long")
+    prev = F.lag("value").over(w)
+    flow = (
+        F.when(prev.isNull(), 0)
+        .when(F.col("value") > prev, vol)
+        .when(F.col("value") < prev, -vol)
+        .otherwise(0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(flow)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("obv"),
+    )
+
+
+@register(
+    "q_win_stochastic",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts, value,
+             min(value)  OVER w AS lo14,
+             max(value)  OVER w AS hi14,
+             count(*)    OVER w AS n14
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN hi14 = lo14 THEN 50.0
+                  ELSE 100.0 * (value - lo14) / (hi14 - lo14) END AS pk
+      FROM base WHERE n14 = 14
+    )
+    SELECT event_id, user_id,
+           round(pk, 4) AS pct_k,
+           round(avg(pk) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 4) AS pct_d
+    FROM k
+    """,
+)
+def q_win_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator per user: %K = position of the latest tick
+    inside the trailing 14-tick low/high channel, %D = 3-tick SMA of %K
+    (the overbought/oversold momentum pair).
+
+    Warm-up rows (frame < 14) are excluded BEFORE the %D window on both
+    engines, so the two stages see identical row sets. All three
+    windows — min/max/count, then the %D average — partition on
+    user_id with the same ordering: one Exchange, chained Sort-free
+    window nodes. Flat channels (hi = lo) pin %K to 50 rather than
+    dividing by zero. %D averages at most 3 doubles in frame order —
+    a deterministic fold on both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w14 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-13, Window.currentRow)
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.min("value").over(w14).alias("lo14"),
+        F.max("value").over(w14).alias("hi14"),
+        F.count("*").over(w14).alias("n14"),
+    ).filter(F.col("n14") == 14)
+    pk = F.when(F.col("hi14") == F.col("lo14"), F.lit(50.0)).otherwise(
+        100.0 * (F.col("value") - F.col("lo14")) / (F.col("hi14") - F.col("lo14"))
+    )
+    k = base.select("event_id", "user_id", "ts", pk.alias("pk"))
+    w3 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return k.select(
+        "event_id",
+        "user_id",
+        F.round("pk", 4).alias("pct_k"),
+        F.round(F.avg("pk").over(w3), 4).alias("pct_d"),
+    )

@@ -138,10 +138,15 @@ SCHEMAS: dict[str, StructType] = {
 BROADCAST_DIMS = {"region", "nation"}
 
 
-# events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-# rejects; read the raw int64 nanos (nanosAsLong) and floor-convert to a
-# microsecond TimestampType — identical to the ns->us truncation DuckDB
-# oracle queries apply via date_trunc (SURVEY.md §7 risk register).
+# events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+# generations (Spark's vectorized reader rejects NANOS; read the raw
+# int64 nanos via nanosAsLong and floor-convert to a microsecond
+# TimestampType — identical to the ns->us truncation DuckDB oracle
+# queries apply via date_trunc, SURVEY.md §7 risk register) and as
+# TIMESTAMP(MICROS) in others (plain schema read). ``load_table``
+# sniffs the footer once per call — a driver-side metadata-only read,
+# O(1) regardless of data volume — and picks the right path; a wrong
+# guess would silently shift every event timestamp 1000x.
 _EVENTS_RAW = StructType(
     [
         StructField("event_id", LongType()),
@@ -154,18 +159,41 @@ _EVENTS_RAW = StructType(
 )
 
 
+def _events_ts_unit(path: str) -> str:
+    """Timestamp unit ('ns' | 'us' | 'ms') of events.ts, from the parquet
+    footer. Cached per path — one local metadata read, never a data scan."""
+    if path not in _TS_UNIT_CACHE:
+        import os
+
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(p):
+            p = next(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        _TS_UNIT_CACHE[path] = pq.read_schema(p).field("ts").type.unit
+    return _TS_UNIT_CACHE[path]
+
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its explicit schema.
 
     ``tune`` applies the full RUNTIME_CONF — including
-    ``nanosAsLong`` for the events table's TIMESTAMP(NANOS) column —
-    uniformly, so no read path flips session confs as a side effect."""
+    ``nanosAsLong`` for NANOS-generation events fixtures — uniformly,
+    so no read path flips session confs as a side effect."""
     tune(spark)  # UTC + AQE + Arrow even on an externally built session
     if name == "events":
-        from pyspark.sql import functions as F
+        path = f"{sf_dir}/events.parquet"
+        if _events_ts_unit(path) == "ns":
+            from pyspark.sql import functions as F
 
-        raw = spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            raw = spark.read.schema(_EVENTS_RAW).parquet(path)
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return spark.read.schema(SCHEMAS[name]).parquet(path)
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1551,3 +1551,440 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vecs"),
         )
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle="""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, round(i * 1.0 / sa.n, 4) AS containment
+    FROM inter JOIN sz sa ON doc_a = sa.doc_id
+    WHERE i * 20 >= 19 * sa.n
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional set-containment pairs: |A∩B| / |A| >= 0.95 — the
+    sub-document duplication signal (a page embedded inside a larger
+    page), which symmetric Jaccard misses whenever the container is
+    much bigger than the contained doc.
+
+    Same three-stage scale shape as q_dedup_jaccard, adapted to the
+    asymmetric threshold:
+
+    1. Docs collapse to unique distinct-token sets; identical sets emit
+       containment 1.0 in BOTH directions (no join).
+    2. Candidate join: the probe side A indexes only its PPJoin prefix
+       (rarest-first order, ``na - ceil(t*na) + 1`` tokens — if
+       C(A,B) >= t then at least one prefix token of A is in B), while
+       the build side B posts ALL tokens; the join carries the length
+       filter (``nb >= ceil(t*na)``), the positional filter
+       (``1 + min(na-pa, nb-pb) >= ceil(t*na)``, lossless for the
+       minimal-pa match by the canonical-order argument), and the
+       distinct-same-size bound. The token key is the same tiny skewed
+       domain as Jaccard's: broadcast below the gate, salted
+       shuffled-hash above it.
+    3. Exact verify via ``array_intersect`` on the full sorted arrays,
+       then directional expansion to (contained, container) doc pairs.
+
+    Work stays candidate-bound and sub-quadratic in docs at 100 TB; no
+    driver-side state."""
+    t_num, t_den = 19, 20
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
+    )
+    _release_previous()
+    groups = _track(_set_groups(docs))
+    stats = groups.agg(F.count("*").alias("ng"), F.sum("n").alias("nt")).head()
+    n_groups, n_post = stats["ng"], stats["nt"] or 0
+
+    # Both directions of every within-cluster ordered pair.
+    same = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("doc_a"), F.col("members"))
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("containment"))
+    )
+
+    # Full posting with canonical rank (rarest token first) — the probe
+    # restriction to A's prefix lives in the join condition, so one
+    # table serves both sides of the size-adaptive self-join.
+    sets = groups.select("gid", "toks", "n")
+    tok = sets.select("gid", "n", F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    posting = _track(
+        tok.join(F.broadcast(dfreq), "tok")
+        .withColumn(
+            "p",
+            F.row_number().over(Window.partitionBy("gid").orderBy("dfreq", "tok")),
+        )
+        .select("gid", "n", "tok", "p")
+        .persist()
+    )
+    na, nb = F.col("a.n"), F.col("b.n")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    i_min = F.floor((na * t_num + (t_den - 1)) / t_den)  # ceil(t * na)
+    max_i = F.least(na, nb) - F.when(na == nb, 1).otherwise(0)
+    cand = (
+        _self_candidate_join(
+            posting,
+            ["tok"],
+            "gid",
+            (F.col("a.gid") != F.col("b.gid"))
+            & (pa <= na - i_min + 1)  # probe-side prefix filter
+            & (nb >= i_min)  # length filter
+            & (1 + F.least(na - pa, nb - pb) >= i_min)  # positional filter
+            & (max_i >= i_min),
+            None,
+            n_post,
+        )
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+        .distinct()
+    )
+    ga = groups.select(
+        F.col("gid").alias("ga"), F.col("toks").alias("toks_a"),
+        F.col("members").alias("mem_a"),
+    )
+    gb = groups.select(
+        F.col("gid").alias("gb"), F.col("toks").alias("toks_b"),
+        F.col("members").alias("mem_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    expanded = (
+        cand.join(_maybe_broadcast(ga, n_groups), "ga")
+        .join(_maybe_broadcast(gb, n_groups), "gb")
+        .filter(inter * t_den >= F.size("toks_a") * t_num)
+        .select(
+            F.explode("mem_a").alias("doc_a"),
+            F.col("mem_b"),
+            F.round(inter / F.size("toks_a"), 4).alias("containment"),
+        )
+        .select("doc_a", F.explode("mem_b").alias("doc_b"), "containment")
+    )
+    return same.unionByName(expanded)
+
+
+@register(
+    "q_text_bm25",
+    oracle="""
+    WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tokd),
+    tf AS (SELECT doc_id, dl, tok, count(*) AS tf_cnt
+           FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM tokd)
+           WHERE tok IN ('join', 'vector', 'dup')
+           GROUP BY doc_id, dl, tok),
+    df AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.tok AS term, tf.doc_id,
+             round(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1)
+                   * tf_cnt * 2.2
+                   / (tf_cnt + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+      FROM tf JOIN df ON tf.tok = df.tok, stats
+    )
+    SELECT term, doc_id, bm25 FROM (
+      SELECT term, doc_id, bm25,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY bm25 DESC, doc_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1 = 1.2, b = 0.75, Lucene-style idf) posting scores for a
+    fixed query-term set, top-5 docs per term — the lexical-retrieval
+    ranking primitive behind corpus search / RAG keyword recall.
+
+    dl rides the explode row (no separate length join); tf is ONE hash
+    aggregate on (doc_id, term) after the term filter prunes the
+    exploded stream map-side; the document-frequency table and the
+    1-row (N, avgdl) aggregate broadcast back. Top-5-per-term is a
+    window over the tiny scored table. Every idf/tf input is an exact
+    integer, so the float formula evaluates identically on both
+    engines (identical expression shape, left-to-right)."""
+    terms = ("join", "vector", "dup")
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").alias("tf_cnt"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1
+    )
+    score = (
+        idf
+        * F.col("tf_cnt")
+        * 2.2
+        / (F.col("tf_cnt") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("tok").alias("term"), "doc_id", F.round(score, 4).alias("bm25")
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("term", "doc_id", "bm25")
+    )
+
+
+@register(
+    "q_sim_hybrid_rrf",
+    oracle="""
+    WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tokd),
+    tf AS (SELECT doc_id, dl,
+                  count(*) FILTER (WHERE tok = 'join')   AS tf_j,
+                  count(*) FILTER (WHERE tok = 'vector') AS tf_v
+           FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM tokd)
+           WHERE tok IN ('join', 'vector')
+           GROUP BY doc_id, dl),
+    dfs AS (SELECT count(*) FILTER (WHERE tf_j > 0) AS df_j,
+                   count(*) FILTER (WHERE tf_v > 0) AS df_v
+            FROM tf),
+    lex AS (SELECT doc_id,
+                   round(
+                     (CASE WHEN tf_j > 0 THEN
+                        ln((n_docs - df_j + 0.5) / (df_j + 0.5) + 1)
+                        * tf_j * 2.2 / (tf_j + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      ELSE 0.0 END)
+                     + (CASE WHEN tf_v > 0 THEN
+                        ln((n_docs - df_v + 0.5) / (df_v + 0.5) + 1)
+                        * tf_v * 2.2 / (tf_v + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      ELSE 0.0 END), 4) AS bm25
+            FROM tf, stats, dfs),
+    lrank AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+              FROM lex),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    pairs AS (SELECT e.vec_id,
+                     CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                     CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y
+              FROM embeddings e),
+    s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS na
+          FROM pairs GROUP BY vec_id),
+    qn AS (SELECT sqrt(sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nq
+           FROM (SELECT unnest(qe) AS u FROM q)),
+    cos AS (SELECT vec_id,
+                   round(dot / (na * (SELECT nq FROM qn)), 6) AS cosine
+            FROM s WHERE vec_id != 0),
+    vrank AS (SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rv
+              FROM cos)
+    SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+           round(COALESCE(1.0 / (60 + rl), 0.0)
+                 + COALESCE(1.0 / (60 + rv), 0.0), 6) AS rrf
+    FROM (SELECT * FROM lrank WHERE rl <= 20) l
+    FULL OUTER JOIN (SELECT * FROM vrank WHERE rv <= 20) v
+      ON l.doc_id = v.vec_id
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: fuse a lexical
+    BM25 ranking (2-term query over documents) with a dense cosine
+    ranking (query vector = vec_id 0 over embeddings, doc_id-aligned)
+    via RRF(60) — the standard way RAG stacks combine keyword recall
+    with embedding recall without score calibration.
+
+    Scale shape: each arm is its own verified pattern (q_text_bm25's
+    one-hash-agg lexical scoring with 1-row broadcast stats;
+    q_sim_topk's broadcast-query codegen dot product with
+    TakeOrderedAndProject); each arm gathers only its top-20 BEFORE
+    ranks are assigned (rank windows run over <=20 gathered rows, not
+    the corpus), and the fusion is a full outer join of two 20-row
+    tables. Per-doc BM25 sums its two term scores in FIXED textual
+    order (join then vector), so the float fold is deterministic
+    cross-engine; RRF adds two exact reciprocals the same way."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+        )
+        .filter(F.col("tok").isin("join", "vector"))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.when(F.col("tok") == "join", 1)).alias("tf_j"),
+            F.count(F.when(F.col("tok") == "vector", 1)).alias("tf_v"),
+        )
+    )
+    dfs = tf.agg(
+        F.count(F.when(F.col("tf_j") > 0, 1)).alias("df_j"),
+        F.count(F.when(F.col("tf_v") > 0, 1)).alias("df_v"),
+    )
+
+    def _term_score(tf_c: str, df_c: str):
+        idf = F.log(
+            (F.col("n_docs") - F.col(df_c) + 0.5) / (F.col(df_c) + 0.5) + 1
+        )
+        s = (
+            idf
+            * F.col(tf_c)
+            * 2.2
+            / (F.col(tf_c) + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+        )
+        return F.when(F.col(tf_c) > 0, s).otherwise(F.lit(0.0))
+
+    lex = (
+        tf.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+        .select(
+            "doc_id",
+            F.round(_term_score("tf_j", "df_j") + _term_score("tf_v", "df_v"), 4).alias(
+                "bm25"
+            ),
+        )
+    )
+    # top-20 gathered first (TakeOrderedAndProject); the rank window
+    # then runs over <= 20 rows, never the corpus
+    ltop = lex.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    lrank = ltop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rl"),
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", as_double.alias("emb"))
+    q = ed.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    self_norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    cosine = F.round(dot / (self_norm("emb") * self_norm("qe")), 6)
+    vtop = (
+        ed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(20)
+    )
+    vrank = vtop.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("rv"),
+    )
+
+    fused = lrank.join(vrank, F.col("doc_id") == F.col("vec_id"), "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("rl")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("rv")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register("q_embed_pca")  # rows-only: eigenvector sign/ulp drift has no SQL oracle
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-8 principal
+    components — the dimensionality-reduction step before cheap ANN /
+    clustering / visualization in an embedding pipeline.
+
+    100 TB shape: the driver only ever holds dim- and dim²-sized state,
+    never row-count-sized state.
+    1. Mean vector: one aggregate -> 64 doubles.
+    2. Covariance: posexplode each vector twice (map-side; the 64×64
+       pair blowup never shuffles raw rows because partial hash
+       aggregation collapses every partition to <= 4096 (i, j) cells
+       before the exchange) -> 4096-row co-moment table -> driver.
+    3. ``numpy.linalg.eigh`` on the 64×64 matrix (driver, O(dim³),
+       data-independent) -> top-8 components, sign-canonicalized
+       (largest-|coordinate| positive) so output is deterministic.
+    4. Projection: components broadcast back as literal arrays; the
+       per-row dot products are codegen ``aggregate``/``zip_with`` —
+       map-only, no shuffle, no Python at runtime.
+
+    Correctness is pinned by tests/test_llm_ops.py: projection
+    variances match the eigenvalue order and the components are
+    orthonormal (rows-only at the driver; no cross-engine float
+    contract can survive eigensolver differences)."""
+    import numpy as np
+
+    k = 8
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", as_double.alias("emb"))
+
+    # -- driver state: dim + dim² aggregates only ---------------------
+    n, mean = (
+        ed.select(F.posexplode("emb").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.count("*").alias("cnt"), F.sum("x").alias("sx"))
+        .orderBy("i")
+        .groupBy()
+        .agg(
+            F.first("cnt").alias("n"),
+            F.collect_list(F.struct("i", "sx")).alias("sums"),
+        )
+        .select("n", F.transform(F.array_sort("sums"), lambda s: s["sx"]).alias("sums"))
+        .head()
+    )
+    mu = np.array(mean) / n
+    co = (
+        ed.select(F.posexplode("emb").alias("i", "x"), F.col("emb"))
+        .select("i", "x", F.posexplode("emb").alias("j", "y"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("sxy"))
+        .collect()
+    )
+    dim = len(mu)
+    cov = np.zeros((dim, dim))
+    for r in co:
+        cov[r["i"], r["j"]] = r["sxy"]
+    cov = cov / n - np.outer(mu, mu)
+
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :k].T  # top-k rows
+    # canonical sign: largest-|coordinate| entry is positive
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+
+    # -- distributed projection: map-only codegen dot products --------
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    centered = F.zip_with(F.col("emb"), mu_lit, lambda x, m: x - m)
+    proj_cols = []
+    for ci, c in enumerate(comps):
+        c_lit = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(centered, c_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append(F.round(dot, 6).alias(f"pc{ci}"))
+    return ed.select("vec_id", *proj_cols)

@@ -671,6 +671,45 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_temperature",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT min(n) AS n_min FROM c),
+         r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n) AS rate FROM c, m)
+    SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST('0x' || substring(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000
+          < CAST(floor(rate * 10000) AS BIGINT)
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (alpha = 0.5): keep-rate
+    per language = sqrt(n_min / n_lang), so sampled counts are
+    proportional to sqrt(n_lang) — the standard unigram-smoothing mix
+    multilingual pre-training uses to lift low-resource languages
+    without exploding the majority one. alpha = 0.5 is deliberate:
+    sqrt is correctly-rounded IEEE on both engines, so the rate (and
+    therefore every bucket-threshold decision) is bit-identical,
+    where a general pow() could drift by an ulp and flip a boundary
+    doc. Membership is the same content-addressed md5 bucket as
+    q_sample_mixture — reproducible, shard-independent, one scan plus
+    a broadcast of the 5-row rate table at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n")).alias("rate"),
+    )
+    bucket = _md5_bucket(F.col("doc_id").cast("string"), "temp:", 10000)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.floor(F.col("rate") * 10000).cast("long"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "q_scd2",
     oracle="""
     SELECT user_id, event_id, value AS attr_value,

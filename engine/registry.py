@@ -85,6 +85,19 @@ _PRIORITY: list[str] = [
     "q_udf_map_arrow", "q_agg_histogram", "q_win_gaps_islands", "q_scd2",
     "q_join_point_in_time", "q_agg_filter", "q_win_nth_value", "q_fn_url",
     "q_fn_explode_outer",
+    # late r3 batch: bench headliners take the last 2 in-window slots
+    # (slot 50 falls after q_tpch_q18); the rest are the r4 first-row
+    # backlog, ordered ahead of the refresh-only anchors
+    "q_tpch_q5", "q_tpch_q18",
+    "q_tpch_q3", "q_tpch_q10", "q_dedup_edit", "q_embed_quantize",
+    "q_embed_centroids", "q_snapshot_diff", "q_win_bollinger", "q_win_rsi",
+    "q_win_ewma", "q_win_macd", "q_anomaly_mad",
+    # session-4 batch (also r4 first-row backlog)
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q14", "q_tpch_q19",
+    "q_win_obv", "q_win_stochastic",
+    "q_dedup_containment", "q_text_bm25", "q_sample_temperature",
+    "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q22", "q_sim_hybrid_rrf",
+    "q_embed_pca",
     # r01-only anchors, stalest hard rows first: bench headliners
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

@@ -84,8 +84,12 @@ def _stage(sf_dir: str, variant: str) -> str:
 
     tbl = pq.read_table(f"{sf_dir}/events.parquet")
     df = tbl.to_pandas()
-    # ns -> µs floor, matching engine.io.load_table's batch conversion
-    df["ts_us"] = (df["ts"].astype("int64") // 1000).astype("int64")
+    # unit-safe -> µs floor, matching engine.io.load_table's batch
+    # conversion (fixture generations vary between ns and µs storage:
+    # pin to ns first so the integer division is unit-independent)
+    df["ts_us"] = (
+        df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    ).astype("int64")
     df = df.drop(columns=["ts"]).sort_values(["ts_us", "event_id"], ignore_index=True)
     cols = ["event_id", "ts_us", "user_id", "event_type", "value", "props"]
     df = df[cols]

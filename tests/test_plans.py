@@ -43,6 +43,15 @@ _SINGLE_PARTITION_OK = {
     "q_funnel",           # per-stage counts reduce to one row each
     "q_agg_hll_sketch",   # TOTAL row = union of 5 per-segment sketches
     "q_agg_kll_quantiles",  # TOTAL row = merge of per-flag KLL sketches
+    "q_text_bm25",        # 1-row (N, avgdl) broadcast aggregate
+    "q_sim_hybrid_rrf",   # rank windows over two already-gathered top-20s
+    "q_tpch_q6",          # global scan-filter-agg: one output row
+    "q_tpch_q14",         # promo-share ratio reduces to one row
+    "q_tpch_q15",         # 1-row scalar max of the post-agg revenue table
+    "q_tpch_q17",         # global revenue sum: one output row
+    "q_tpch_q19",         # global revenue sum: one output row
+    "q_tpch_q22",         # 1-row positive-balance average broadcast
+    "q_sample_temperature",  # 1-row min-count aggregate sizes the rates
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -53,7 +62,16 @@ _SINGLE_PARTITION_OK = {
 # table with itself (type_a < type_b): the input is one row per
 # SEGMENT (5 here; segments, never ticks, at scale), so the non-equi
 # broadcast join is over a cardinality that does not grow with data.
-_CROSS_OK = {"q_join_cross", "q_sim_topk", "q_text_tfidf", "q_agg_theta_sketch"}
+_CROSS_OK = {
+    "q_join_cross", "q_sim_topk", "q_text_tfidf", "q_agg_theta_sketch",
+    # 1-row broadcast scalar folds (scalar-subquery pattern, size-
+    # independent): BM25's (N, avgdl) + df table; the temperature
+    # sampler's min-count; Q15's scalar max; Q22's positive-balance
+    # average; the RRF fusion inherits q_sim_topk's query-vector fold
+    # plus BM25's stats folds.
+    "q_text_bm25", "q_sample_temperature", "q_tpch_q15", "q_tpch_q22",
+    "q_sim_hybrid_rrf",
+}
 
 
 @pytest.fixture(scope="module")
