@@ -2119,3 +2119,79 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.count("*").alias("n_variants"), F.min("doc_id").alias("keeper"))
     )
+
+
+@register("q_tokenize_bpe")  # rows-only: iterative merge learning has no SQL oracle
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (8 rounds) over the corpus vocabulary — the
+    tokenizer-training step of an LLM data pipeline, and the engine's
+    demonstration of the iterate-to-fixpoint pattern (like
+    connected_components): per-round work is DISTRIBUTED, per-round
+    driver traffic is ONE argmax row.
+
+    Scalable-BPE decomposition: the corpus is scanned ONCE into a
+    (word, count) table — all 8 merge rounds then iterate over that
+    vocabulary-sized table (rows = |vocab|, not |corpus|; this is how
+    production BPE trainers scale, the corpus never re-enters). Each
+    round: adjacent symbol pairs explode from the symbol arrays,
+    weight by word count, hash-aggregate, and the best pair (max
+    count, lexicographic tie-break -> fully deterministic) returns to
+    the driver; the merge itself is a codegen ``aggregate`` fold that
+    rebuilds each symbol array left-greedily (standard BPE
+    non-overlapping semantics). Output: the learned merge table
+    (rank, left, right, pair count) — bounded by the round count.
+    Exactness vs a pure-Python reference BPE is pinned in
+    tests/test_llm_ops.py."""
+    rounds = 8
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("w"))
+    )
+    # split on the between-char lookahead keeps a trailing "" (Java
+    # split with limit -1): drop empties so symbols == characters
+    chars = F.filter(F.split(F.col("word"), "(?!^)"), lambda x: x != "")
+    syms = wc.select("w", chars.alias("s")).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(rounds):
+        n = F.size("s")
+        pair = F.transform(
+            F.slice(F.col("s"), 1, n - 1),
+            lambda x, i: F.struct(
+                x.alias("l"), F.element_at(F.col("s"), i + 2).alias("r")
+            ),
+        )
+        best = (
+            syms.filter(n >= 2)
+            .select("w", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("w").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < 2:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((r, left, right, int(cnt)))
+        lv, rv = F.lit(left), F.lit(right)
+        merged = F.aggregate(
+            F.col("s"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lv)
+                & (x == rv),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(lv, rv)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("w", merged.alias("s")).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges or [(-1, "", "", 0)], "rank int, left string, right string, cnt int"
+    )

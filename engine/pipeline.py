@@ -710,6 +710,36 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_reservoir",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             md5('res:' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ) ORDER BY hk, doc_id LIMIT 100
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size uniform sample (k = 100): rank every
+    row by a content-addressed hash and keep the k smallest — the
+    distributed, reproducible replacement for reservoir sampling
+    (same marginal uniformity, but shard-independent, re-runnable, and
+    mergeable: the k smallest of a union is computable from each
+    shard's k smallest). ``orderBy(hash).limit(k)`` lowers to
+    TakeOrderedAndProject: per-partition k-heaps, one k-row gather —
+    no global sort, no RNG state, no driver coordination at any
+    scale."""
+    d = _t(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", hk.alias("hk"))
+        .orderBy(F.asc("hk"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "q_scd2",
     oracle="""
     SELECT user_id, event_id, value AS attr_value,

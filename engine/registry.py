@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "q_dedup_containment", "q_text_bm25", "q_sample_temperature",
     "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q22", "q_sim_hybrid_rrf",
     "q_embed_pca", "q_agg_heavy_hitters", "q_dedup_url",
+    "q_sample_reservoir", "q_tokenize_bpe",
     # r01-only anchors, stalest hard rows first: bench headliners
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

@@ -279,3 +279,52 @@ def test_heavy_hitters_bounds_vs_exact(spark):
     )[:10]
     missing = [t for t in guaranteed if t not in hh]
     assert not missing, missing
+
+
+def test_bpe_merges_match_reference(spark):
+    """The distributed BPE learner must produce exactly the merge
+    sequence a straightforward single-process BPE produces on the same
+    (word, count) table — same pairs, same order, same counts."""
+    from collections import Counter
+
+    from engine.io import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    wc = Counter()
+    for row in d.select("text").collect():
+        for w in row["text"].split(" "):
+            wc[w] += 1
+
+    vocab = {w: list(w) for w in wc}
+    expected = []
+    for r in range(8):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc[w]
+        if not pairs:
+            break
+        (l, rgt), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        expected.append((r, l, rgt, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rgt:
+                    out.append(l + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["cnt"])
+        for r in all_queries()["q_tokenize_bpe"](spark, SF_SMOKE)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected, (got, expected)

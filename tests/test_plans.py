@@ -52,6 +52,7 @@ _SINGLE_PARTITION_OK = {
     "q_tpch_q19",         # global revenue sum: one output row
     "q_tpch_q22",         # 1-row positive-balance average broadcast
     "q_sample_temperature",  # 1-row min-count aggregate sizes the rates
+    "q_sample_reservoir",  # TakeOrderedAndProject gathers k=100 rows
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
