@@ -555,6 +555,42 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seg_ticks(ev: DataFrame) -> DataFrame:
+    """Per-(user, day-segment) time-ordered value arrays.
+
+    The segmented-scan building block for sequential per-key recursions
+    (EWMA/MACD): each tick is the affine map y -> (1-a)*y + a*x, and
+    affine maps compose associatively ((m2,b2)∘(m1,b1) = (m2*m1,
+    m2*b1+b2)), so a segment's ticks fold into ONE (m, b) pair and the
+    per-user state is one row per SEGMENT, never the full series. The
+    segment key is a deterministic time bucket (day), so no task ever
+    materializes more than one key-day of ticks — at 100 TB a hot key's
+    series spreads across (user, day) tasks instead of one task holding
+    tens of millions of ticks (the r3 collect_list plan's failure mode).
+    """
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("seg"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+                )
+            ).alias("ticks")
+        )
+        .select(
+            "user_id",
+            "seg",
+            F.transform(F.col("ticks"), lambda s: s["value"].cast("double")).alias(
+                "vs"
+            ),
+        )
+    )
+
+
+def _tail(arr: str):
+    return F.slice(F.col(arr), 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+
+
 @register(
     "q_win_ewma",
     oracle="""
@@ -574,35 +610,54 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smoothing recursion y_t = 0.2*x_t + 0.8*y_{t-1} seeded with the
     first tick, evaluated to the latest tick (the live smoothed price).
 
-    The recursion is inherently sequential per key, so it is expressed
-    as a codegen ``aggregate`` over the user's time-ordered tick array
-    (collect_list + sort_array, one shuffle on user_id, zero Python) —
-    both engines fold left over the identical ordering, so the float
-    result matches bit-for-bit before rounding. Scale note: the per-key
-    array materializes one user's ticks in one task (fine for bounded
-    per-entity series; an unbounded-series variant would segment the
-    fold via the associative (a,b)-affine composition trick, at the
-    cost of a second shuffle).
+    Segmented-scan plan (replaces r3's per-key full-series
+    collect_list): ticks fold per (user, day) segment into the affine
+    composition (m, b) = (0.8^n, folded additive part) plus fb (the
+    segment folded seeded with its own first tick, used when the
+    segment is the user's first); the per-user pass then folds ONE ROW
+    PER SEGMENT in day order: y = m*y_prev + b, seeded with the first
+    segment's fb. Two shuffles, both codegen, zero Python; per-task
+    state is bounded by one key-day of ticks / one key's segment count.
+    The additive fold step (0.2*x + 0.8*acc) is the exact expression
+    the sequential oracle folds, so within a segment the b-chain is
+    bit-identical to the sequential recursion; across segment
+    boundaries the affine re-association drifts O(ulp), far below the
+    round(4) output contract.
     """
     ev = _t(spark, sf_dir, "events")
-    ticks = F.sort_array(
-        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    comp = F.aggregate(
+        F.col("vs"),
+        F.struct(F.lit(1.0).alias("m"), F.lit(0.0).alias("b")),
+        lambda acc, x: F.struct(
+            (0.8 * acc["m"]).alias("m"), (0.2 * x + 0.8 * acc["b"]).alias("b")
+        ),
     )
-    vals = F.transform(F.col("ticks"), lambda s: s["value"].cast("double"))
-    ewma = F.aggregate(
-        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+    fb = F.aggregate(
+        _tail("vs"),
         F.element_at(F.col("vs"), 1),
         lambda acc, x: 0.2 * x + 0.8 * acc,
     )
-    return (
-        ev.groupBy("user_id")
-        .agg(ticks.alias("ticks"))
-        .select("user_id", vals.alias("vs"))
-        .select(
-            "user_id",
-            F.round(ewma, 4).alias("ewma"),
-            F.size("vs").cast("long").alias("n_ticks"),
-        )
+    segs = _seg_ticks(ev).select(
+        "user_id",
+        F.struct(
+            F.col("seg"),
+            comp["m"].alias("m"),
+            comp["b"].alias("b"),
+            fb.alias("fb"),
+            F.size("vs").cast("long").alias("n"),
+        ).alias("s"),
+    )
+    per_user = segs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    ewma = F.aggregate(
+        _tail("ss"),
+        F.element_at(F.col("ss"), 1)["fb"],
+        lambda acc, s: s["m"] * acc + s["b"],
+    )
+    n = F.aggregate(F.col("ss"), F.lit(0).cast("long"), lambda acc, s: acc + s["n"])
+    return per_user.select(
+        "user_id", F.round(ewma, 4).alias("ewma"), n.alias("n_ticks")
     )
 
 
@@ -625,35 +680,72 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MACD line (EMA-12 minus EMA-26, both seeded with the first tick,
     standard alpha = 2/(n+1)) per user at the latest tick — the trend/
-    momentum crossover signal. Same plan as q_win_ewma: one shuffle to
-    collect each user's time-ordered tick array, then TWO codegen folds
-    over the SAME array (the array materializes once; no second
-    shuffle, no Python). macd hovers near zero by construction, so the
+    momentum crossover signal.
+
+    Same segmented-scan plan as q_win_ewma (see its docstring), with
+    BOTH EMA recursions carried through one pass: the per-segment fold
+    state is the 4-field struct (m12, b12, m26, b26) plus the two
+    first-segment seeds (fb12, fb26), and the per-user segment fold
+    advances both chains together. Two shuffles, bounded per-task
+    state, zero Python. macd hovers near zero by construction, so the
     rounded output folds the IEEE zero sign per the registry contract.
     """
+    a12 = 2.0 / 13
+    a26 = 2.0 / 27
     ev = _t(spark, sf_dir, "events")
-    ticks = F.sort_array(
-        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    comp = F.aggregate(
+        F.col("vs"),
+        F.struct(
+            F.lit(1.0).alias("m12"),
+            F.lit(0.0).alias("b12"),
+            F.lit(1.0).alias("m26"),
+            F.lit(0.0).alias("b26"),
+        ),
+        lambda acc, x: F.struct(
+            ((1 - a12) * acc["m12"]).alias("m12"),
+            (a12 * x + (1 - a12) * acc["b12"]).alias("b12"),
+            ((1 - a26) * acc["m26"]).alias("m26"),
+            (a26 * x + (1 - a26) * acc["b26"]).alias("b26"),
+        ),
     )
-    vals = F.transform(F.col("ticks"), lambda s: s["value"].cast("double"))
 
-    def ema(n: int):
-        a = 2.0 / (n + 1)
+    def fseed(a: float):
         return F.aggregate(
-            F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+            _tail("vs"),
             F.element_at(F.col("vs"), 1),
             lambda acc, x: a * x + (1 - a) * acc,
         )
 
-    return (
-        ev.groupBy("user_id")
-        .agg(ticks.alias("ticks"))
-        .select("user_id", vals.alias("vs"))
-        .select(
-            "user_id",
-            (F.round(ema(12) - ema(26), 4) + 0.0).alias("macd"),
-            F.size("vs").cast("long").alias("n_ticks"),
-        )
+    segs = _seg_ticks(ev).select(
+        "user_id",
+        F.struct(
+            F.col("seg"),
+            comp["m12"].alias("m12"),
+            comp["b12"].alias("b12"),
+            comp["m26"].alias("m26"),
+            comp["b26"].alias("b26"),
+            fseed(a12).alias("fb12"),
+            fseed(a26).alias("fb26"),
+            F.size("vs").cast("long").alias("n"),
+        ).alias("s"),
+    )
+    per_user = segs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    first = F.element_at(F.col("ss"), 1)
+    folded = F.aggregate(
+        _tail("ss"),
+        F.struct(first["fb12"].alias("e12"), first["fb26"].alias("e26")),
+        lambda acc, s: F.struct(
+            (s["m12"] * acc["e12"] + s["b12"]).alias("e12"),
+            (s["m26"] * acc["e26"] + s["b26"]).alias("e26"),
+        ),
+    )
+    n = F.aggregate(F.col("ss"), F.lit(0).cast("long"), lambda acc, s: acc + s["n"])
+    return per_user.select(
+        "user_id",
+        (F.round(folded["e12"] - folded["e26"], 4) + 0.0).alias("macd"),
+        n.alias("n_ticks"),
     )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -208,6 +209,27 @@ def test_r3_operator_plan_shapes(plans):
     p = plans["q_join_lateral"]
     assert "WindowGroupLimit" in p
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_ewma_macd_segmented_fold(plans):
+    """EWMA/MACD must stay on the segmented-scan plan: the tick
+    collect_list is keyed by (user_id, day-segment), never by user_id
+    alone — a single-level plan would materialize a hot key's entire
+    series in one task at scale (the r3 shape this replaces). Shape:
+    exactly two Exchanges, the first on (user_id, seg), the second on
+    user_id only, with the segment bucket (date_trunc) in the plan."""
+    for k in ("q_win_ewma", "q_win_macd"):
+        p = plans[k]
+        body = p.split("== Physical Plan ==")[-1].split("===== Subqueries")[0]
+        tree = body.split("(1) ")[0]
+        assert tree.count("Exchange") == 2, (k, tree)
+        assert "date_trunc" in p, k
+        # the segment key lowers to _groupingexpression in the exchange:
+        # first partitioning = (user_id, <seg expr>), second = user_id only
+        parts = [l for l in body.splitlines() if "hashpartitioning" in l]
+        two_col = [l for l in parts if re.search(r"hashpartitioning\(user_id#\d+L?, [^,)]+, \d+\)", l)]
+        one_col = [l for l in parts if re.search(r"hashpartitioning\(user_id#\d+L?, \d+\)", l)]
+        assert two_col and one_col, (k, parts)
 
 
 def test_tpch_suite_plan_shapes(plans):

@@ -155,3 +155,55 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(nodes, pairs, "id").collect()
     }
     assert got == expected
+
+
+# ---- segmented EWMA fold (q_win_ewma / q_win_macd plan) ----------------
+#
+# The Spark plan folds each (user, day) segment into an affine map
+# (m, b) = (prod(1-a), additive fold) and composes one row per segment;
+# these pure-Python mirrors prove the segmented composition equals the
+# sequential recursion for ANY segmentation of ANY series, including
+# the empty-segment / single-tick / single-segment edges. Exactness:
+# within a segment the b-chain is bit-identical to the sequential fold;
+# each segment BOUNDARY re-associates one multiply-add, so equality is
+# asserted to 1e-9 relative (vs the 5e-5 round(4) output granularity).
+
+
+def _seq_ewma(xs: list[float], a: float) -> float:
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = a * x + (1 - a) * acc
+    return acc
+
+
+def _segmented_ewma(segments: list[list[float]], a: float) -> float:
+    segs = [s for s in segments if s]
+    y = _seq_ewma(segs[0], a)
+    for s in segs[1:]:
+        m, b = 1.0, 0.0
+        for x in s:
+            m, b = (1 - a) * m, a * x + (1 - a) * b
+        y = m * y + b
+    return y
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=200
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=200), max_size=10),
+    a=st.sampled_from([0.2, 2.0 / 13, 2.0 / 27]),
+)
+def test_segmented_ewma_matches_sequential(xs, cuts, a):
+    bounds = sorted({c for c in cuts if c <= len(xs)} | {0, len(xs)})
+    segments = [xs[i:j] for i, j in zip(bounds, bounds[1:])]
+    seq = _seq_ewma(xs, a)
+    seg = _segmented_ewma(segments, a)
+    assert abs(seg - seq) <= 1e-9 * max(1.0, abs(seq))
+
+
+def test_segmented_ewma_single_segment_is_bit_identical():
+    xs = [101.5, 99.25, 100.0625, 103.125, 98.5]
+    assert _segmented_ewma([xs], 0.2) == _seq_ewma(xs, 0.2)
+    assert _segmented_ewma([[], xs, []], 0.2) == _seq_ewma(xs, 0.2)
+    assert _segmented_ewma([[7.0]], 0.2) == 7.0

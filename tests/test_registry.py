@@ -24,10 +24,10 @@ def test_priority_has_no_duplicates():
 
 # Keys whose PLAN was rewritten after their last green driver row —
 # a prior row no longer certifies them, so they legitimately occupy
-# window slots ahead of first-row keys (round-3 rewrites).
+# window slots ahead of refresh-only keys (round-4 rewrites; the r3
+# set — q_join_asof etc. — got green r03 rows and dropped out).
 _RECERT = {
-    "q_join_asof", "q_win_ntile", "q_dedup_jaccard", "q_dedup_ngram",
-    "q_dedup_minhash", "q_dedup_embedding_ann",
+    "q_dedup_jaccard",
 }
 
 
