@@ -41,6 +41,9 @@ HEADLINE = [
     "q_merge_upsert",     # CDC full-outer merge
     "q_tpch_q5",          # 6-table snowflake join (classic OLAP)
     "q_tpch_q18",         # agg-then-join large-volume filter
+    # r4 additions: heaviest previously-untimed families
+    "q_pipeline_pretrain",  # flagship multi-op pretrain chain
+    "q_resample_ffill",     # LOCF grid resample (105k-row output)
 ]
 
 

@@ -387,12 +387,14 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     action is O(1) driver data. Oracle: DuckDB recursive CTE computing
     min reachable node per doc (exact transitive closure)."""
     d = _t(spark, sf_dir, "documents")
-    from engine.llm_ops import _jaccard_set_pairs, _tokens
+    from engine.llm_ops import _groups_cache_key, _jaccard_set_pairs, _tokens
 
     docs = d.select(
         "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
     )
-    pairs = _jaccard_set_pairs(docs, 19, 20).select("doc_a", "doc_b")
+    pairs = _jaccard_set_pairs(
+        docs, 19, 20, cache_key=_groups_cache_key(sf_dir, "word")
+    ).select("doc_a", "doc_b")
     labels = connected_components(d.select("doc_id"), pairs, "doc_id")
     wc = Window.partitionBy("cluster_id")
     return labels.select(
