@@ -1277,6 +1277,91 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_features(repartition_for_media(media))
 
 
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS fmt,
+           CASE doc_id % 3
+                WHEN 0 THEN CAST(n_chars % 640 + 16 AS INTEGER)
+                WHEN 1 THEN CAST(n_chars % 320 + 1 AS INTEGER) END AS width,
+           CASE doc_id % 3
+                WHEN 0 THEN CAST(n_chars % 480 + 16 AS INTEGER)
+                WHEN 1 THEN CAST(n_chars % 240 + 1 AS INTEGER) END AS height,
+           CASE doc_id % 3
+                WHEN 2 THEN CAST(8000 + (n_chars % 5) * 4000 AS INTEGER) END AS sample_rate,
+           CASE doc_id % 3
+                WHEN 2 THEN n_chars * 1000 // ((8000 + (n_chars % 5) * 4000) * 2) END AS duration_ms,
+           CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 14
+                ELSE 44 + n_chars END AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media metadata decode, end-to-end and hash-checked: codegen
+    synthesizes a structurally valid PNG / GIF / WAV container per doc
+    (header bytes assembled with hex/lpad/byte-swap + unhex — dimensions
+    and sample rate derived from doc columns), then
+    ``engine.multimodal.decode_headers`` parses the binary payloads back
+    with the dependency-free ``struct`` header parser inside an
+    Arrow-batched ``mapInPandas``. The DuckDB oracle computes the
+    expected metadata arithmetically, so the decode round-trip (build →
+    bytes → parse) is verified value-by-value — no codec library
+    involved, which is exactly the catalog/stats pass a 100 TB media
+    lake runs. Byte-budget repartitioning upstream bounds Arrow batch
+    size under payload skew."""
+    from engine.multimodal import decode_headers, repartition_for_media
+
+    d = _t(spark, sf_dir, "documents")
+
+    def be32(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    def swap(h, n):  # little-endian: reverse the n/2 byte pairs
+        return F.concat(*[F.substring(h, i, 2) for i in range(n - 1, 0, -2)])
+
+    def le16(c):
+        return swap(F.lpad(F.hex(c), 4, "0"), 4)
+
+    def le32(c):
+        return swap(F.lpad(F.hex(c), 8, "0"), 8)
+
+    nc = F.col("n_chars")
+    w_png, h_png = F.pmod(nc, F.lit(640)) + 16, F.pmod(nc, F.lit(480)) + 16
+    w_gif, h_gif = F.pmod(nc, F.lit(320)) + 1, F.pmod(nc, F.lit(240)) + 1
+    rate = F.lit(8000) + F.pmod(nc, F.lit(5)) * 4000
+    data_size = nc
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),  # sig + IHDR len/type
+        be32(w_png),
+        be32(h_png),
+        F.lit("0806000000" + "00000000"),  # depth/color/crc (crc unvalidated)
+        F.lit("00000000" + "49454E44" + "AE426082"),  # IEND
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        le16(w_gif),
+        le16(h_gif),
+        F.lit("F70000" + "3B"),  # flags + trailer
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),  # RIFF
+        le32(F.lit(36) + data_size),
+        F.lit("57415645" + "666D7420" + "10000000" + "0100" + "0100"),  # WAVE fmt PCM mono
+        le32(rate),
+        le32(rate * 2),  # byte rate: mono 16-bit
+        F.lit("0200" + "1000" + "64617461"),  # block align, bits, 'data'
+        le32(data_size),
+        F.repeat(F.lit("00"), data_size.cast("int")),
+    )
+    mod = F.pmod(F.col("doc_id"), F.lit(3))
+    payload = F.unhex(
+        F.when(mod == 0, png_hex).when(mod == 1, gif_hex).otherwise(wav_hex)
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return decode_headers(repartition_for_media(media))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (round 3): PII masking + repetition quality signal
 # ---------------------------------------------------------------------------

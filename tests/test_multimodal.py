@@ -44,6 +44,108 @@ def test_frame_sample_plan(media_df):
     assert idx == [0, 1, 2, 3]  # 4500ms at 1000ms sampling
 
 
-def test_image_decode_is_gated(media_df):
+def test_pixel_decode_is_gated(media_df):
     with pytest.raises(NotImplementedError):
-        multimodal._decode_image(b"not-an-image")
+        multimodal._decode_pixels(b"not-an-image")
+
+
+# ---- dependency-free header decode (real path, no codec libs) ----------
+
+
+def _png(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + struct.pack(">I", 0)
+        + b"IEND\xaeB`\x82"
+    )
+
+
+def _gif(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + b"\x3b"
+
+
+def _bmp(w: int, h: int) -> bytes:
+    import struct
+
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+
+
+def _wav(rate: int, data_size: int) -> bytes:
+    import struct
+
+    byte_rate = rate * 2  # mono 16-bit PCM
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + b"\x00" * data_size
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_media_header_formats():
+    assert multimodal.parse_media_header(_png(640, 480)) == {
+        "fmt": "png", "width": 640, "height": 480,
+        "sample_rate": None, "duration_ms": None,
+    }
+    assert multimodal.parse_media_header(_gif(320, 200))["width"] == 320
+    assert multimodal.parse_media_header(_gif(320, 200))["fmt"] == "gif"
+    assert multimodal.parse_media_header(_bmp(800, -600)) == {
+        "fmt": "bmp", "width": 800, "height": 600,  # negative h = top-down
+        "sample_rate": None, "duration_ms": None,
+    }
+    wav = multimodal.parse_media_header(_wav(16000, 64000))
+    assert wav["fmt"] == "wav"
+    assert wav["sample_rate"] == 16000
+    assert wav["duration_ms"] == 64000 * 1000 // 32000  # 2000 ms
+    jpg = multimodal.parse_media_header(_jpeg(1920, 1080))
+    assert jpg == {
+        "fmt": "jpeg", "width": 1920, "height": 1080,
+        "sample_rate": None, "duration_ms": None,
+    }
+
+
+def test_parse_media_header_garbage_and_truncation():
+    assert multimodal.parse_media_header(b"")["fmt"] == "unknown"
+    assert multimodal.parse_media_header(b"not-media-at-all")["fmt"] == "unknown"
+    # truncated mid-header: degrade, never raise
+    assert multimodal.parse_media_header(_png(640, 480)[:12])["fmt"] == "unknown"
+    assert multimodal.parse_media_header(_jpeg(10, 10)[:5])["fmt"] == "unknown"
+    trunc_wav = multimodal.parse_media_header(_wav(8000, 100)[:16])
+    assert trunc_wav["fmt"] == "unknown"
+
+
+def test_decode_headers_dataframe(spark):
+    rows = [
+        (1, _png(64, 48), "image", (None, None, None, None)),
+        (2, _wav(8000, 16000), "audio", (None, None, None, None)),
+        (3, b"garbage", "video", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.decode_headers(df).collect()}
+    assert out[1]["fmt"] == "png" and out[1]["width"] == 64 and out[1]["height"] == 48
+    assert out[2]["fmt"] == "wav" and out[2]["sample_rate"] == 8000
+    assert out[2]["duration_ms"] == 1000  # 16000 bytes / 16000 B/s
+    assert out[3]["fmt"] == "unknown" and out[3]["width"] is None
+    assert out[3]["n_bytes"] == len(b"garbage")
