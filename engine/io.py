@@ -161,22 +161,30 @@ _EVENTS_RAW = StructType(
 
 def _events_ts_unit(path: str) -> str:
     """Timestamp unit ('ns' | 'us' | 'ms') of events.ts, from the parquet
-    footer. Cached per path — one local metadata read, never a data scan."""
-    if path not in _TS_UNIT_CACHE:
-        import os
+    footer. Cached on (file, mtime, size) — one local metadata read,
+    never a data scan, and a fixture regenerated in-place with a
+    different unit misses the cache instead of silently serving a stale
+    unit that would shift every timestamp 1000x (the footer read is
+    cheap; the cache only spares repeated stat-parse chatter)."""
+    import os
 
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        p = path
-        if os.path.isdir(p):
-            p = next(
-                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
-            )
-        _TS_UNIT_CACHE[path] = pq.read_schema(p).field("ts").type.unit
-    return _TS_UNIT_CACHE[path]
+    p = path
+    if os.path.isdir(p):
+        p = next(
+            os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+        )
+    st = os.stat(p)
+    key = (p, st.st_mtime_ns, st.st_size)
+    if key not in _TS_UNIT_CACHE:
+        if len(_TS_UNIT_CACHE) > 64:  # dead generations accumulate slowly
+            _TS_UNIT_CACHE.clear()
+        _TS_UNIT_CACHE[key] = pq.read_schema(p).field("ts").type.unit
+    return _TS_UNIT_CACHE[key]
 
 
-_TS_UNIT_CACHE: dict[str, str] = {}
+_TS_UNIT_CACHE: dict[tuple, str] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

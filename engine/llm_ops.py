@@ -2152,9 +2152,18 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Input is repartitioned on doc_id and sorted within partitions so
     the per-partition stream order — which MG bounds depend on — is
     deterministic for a fixed file set."""
+    merged = _mg_summary(spark, sf_dir, 16)
+    return merged.orderBy(F.desc("bound"), F.asc("tok")).limit(10)
+
+
+def _mg_summary(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Pre-limit merged Misra-Gries summary (tok, bound) — the table
+    carrying the N/k presence guarantee (the top-10 LIMIT in
+    q_agg_heavy_hitters can drop a guaranteed token on a bound-vs-true
+    rank inversion, so contracts test THIS table, not the limited
+    output)."""
     import pandas as pd
 
-    k = 16
     d = _t(spark, sf_dir, "documents")
     # Key-hash repartition at the session's shuffle parallelism (scales
     # with the cluster; never a fixed count) + in-partition sort: the
@@ -2184,8 +2193,7 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     summaries = toks.mapInPandas(mg, "tok string, cnt long")
-    merged = summaries.groupBy("tok").agg(F.sum("cnt").alias("bound"))
-    return merged.orderBy(F.desc("bound"), F.asc("tok")).limit(10)
+    return summaries.groupBy("tok").agg(F.sum("cnt").alias("bound"))
 
 
 @register(

@@ -271,13 +271,19 @@ def test_heavy_hitters_bounds_vs_exact(spark):
     assert hh, "no heavy hitters returned"
     for tok, bound in hh.items():
         assert bound <= exact[tok], (tok, bound, exact[tok])
-    # top-10 output: all of the 10 highest true counts that clear the
-    # N/k guarantee must be present
-    guaranteed = sorted(
-        (t for t, c in exact.items() if c > n / 16),
-        key=lambda t: (-exact[t], t),
-    )[:10]
-    missing = [t for t in guaranteed if t not in hh]
+    # N/k presence guarantee holds on the PRE-LIMIT merged summary (the
+    # top-10 output can legitimately drop a guaranteed token on a
+    # bound-vs-true-count rank inversion, so the contract is tested on
+    # the summary table the guarantee actually applies to)
+    from engine.llm_ops import _mg_summary
+
+    summary = {
+        r["tok"]: r["bound"] for r in _mg_summary(spark, SF_SMOKE, 16).collect()
+    }
+    for tok, bound in summary.items():
+        assert bound <= exact[tok], (tok, bound, exact[tok])
+    guaranteed = [t for t, c in exact.items() if c > n / 16]
+    missing = [t for t in guaranteed if t not in summary]
     assert not missing, missing
 
 
