@@ -309,24 +309,82 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(dd, "append")
 
 
-@register(
-    "q_stream_stateful",
-    oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary stateful aggregation via applyInPandasWithState: a
-    per-user (count, sum) accumulator emitting its running state every
-    micro-batch; the final emission per user equals the batch aggregate.
-    (SURVEY §7: transformWithStateInPandas is the 4.x successor; the
-    GroupState API is used here for stability.)"""
-    src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src).select("user_id", "value")
+def tws_available() -> bool:
+    """Can transformWithStateInPandas run here? Spark 4.x's new
+    arbitrary-state API talks to a driver-side state server over
+    protobuf; without the ``google.protobuf`` python package the
+    streaming runner crashes at init (verified in this container:
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE → ImportError).
+    The engine probes once and falls back to applyInPandasWithState."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
 
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_accumulate(ev: DataFrame, api: str = "auto") -> DataFrame:
+    """Per-user (count, sum) streaming accumulator emitting running
+    state each micro-batch — on ``transformWithStateInPandas`` (Spark
+    4.x StatefulProcessor, the forward path) when the environment
+    supports it, else on ``applyInPandasWithState`` (GroupState API).
+    Both paths keep O(1) state per key in the executor state store and
+    emit identical rows (same accumulator, same emit counter), so the
+    downstream latest-emission projection is API-agnostic.
+
+    ``api``: "auto" (probe) | "tws" | "apply"."""
     out_schema = "user_id long, n_events long, total double, emit long"
+    if api == "auto":
+        api = "tws" if tws_available() else "apply"
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class Acc(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "acc",
+                    StructType(
+                        [
+                            StructField("cnt", LongType()),
+                            StructField("total", DoubleType()),
+                            StructField("emit", LongType()),
+                        ]
+                    ),
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                cnt, total, emit = (
+                    self._state.get() if self._state.exists() else (0, 0.0, 0)
+                )
+                for pdf in rows:
+                    cnt += len(pdf)
+                    total += float(pdf["value"].sum())
+                emit += 1
+                self._state.update((cnt, total, emit))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [cnt],
+                        "total": [total],
+                        "emit": [emit],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Acc(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
     state_schema = "cnt long, total double, emit long"
 
     def track(key, pdf_iter, state):
@@ -342,9 +400,30 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    st = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+@register(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful aggregation (see :func:`stateful_accumulate`):
+    per-user (count, sum) accumulator emitting running state every
+    micro-batch; the final emission per user equals the batch aggregate.
+    Runs on transformWithStateInPandas where the environment supports
+    it, applyInPandasWithState otherwise (this container lacks
+    protobuf, so the fallback is what executes here — both paths emit
+    identical rows by construction)."""
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src).select("user_id", "value")
+    st = stateful_accumulate(ev, api="auto")
     raw = _run_to_memory(st, "update")
     w = Window.partitionBy("user_id").orderBy(F.desc("emit"))
     return (

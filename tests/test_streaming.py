@@ -113,3 +113,51 @@ def test_foreachbatch_parquet_sink_equals_batch(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_tws_gate_matches_environment():
+    """The transformWithStateInPandas capability probe must reflect
+    reality: exactly when google.protobuf imports (the TWS python
+    runner hard-requires it — without it the streaming runner crashes
+    at init, so auto-fallback to applyInPandasWithState is mandatory)."""
+    from engine.streaming import tws_available
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        expected = True
+    except ImportError:
+        expected = False
+    assert tws_available() is expected
+
+
+def test_stateful_accumulate_tws_equivalence(spark):
+    """Where TWS can run, both stateful APIs must emit identical final
+    state; where it cannot (this container: no protobuf), the probe
+    routes auto to the fallback — asserted via the gate test above."""
+    import pytest
+
+    from engine.streaming import _read_stream, _run_to_memory, _stage, stateful_accumulate, tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf (absent here)")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = _stage(SF_SMOKE, "plain")
+
+    def final_state(api: str):
+        ev = _read_stream(spark, src).select("user_id", "value")
+        raw = _run_to_memory(stateful_accumulate(ev, api=api), "update")
+        w = Window.partitionBy("user_id").orderBy(F.desc("emit"))
+        return sorted(
+            map(
+                tuple,
+                raw.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "n_events", F.round("total", 2).alias("total"))
+                .collect(),
+            )
+        )
+
+    assert final_state("tws") == final_state("apply")
