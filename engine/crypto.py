@@ -869,3 +869,39 @@ def q_win_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pk", 4).alias("pct_k"),
         F.round(F.avg("pk").over(w3), 4).alias("pct_d"),
     )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (path) analysis: counts of consecutive
+    event-type pairs per user stream — the Markov-transition table
+    behind funnel discovery and next-action modeling.
+
+    One shuffle on user_id for the lag window; the transition agg
+    map-side-combines to at most |types|² rows, so the second exchange
+    is constant-size at any event volume."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )

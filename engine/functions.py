@@ -438,3 +438,36 @@ def q_fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     long_toks = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 5)
     return d.select("doc_id", F.explode_outer(long_toks).alias("tok"))
+
+
+@register(
+    "q_fn_regexp",
+    oracle="""
+    SELECT event_id,
+           regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS k_str,
+           len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
+           CASE WHEN regexp_matches(props, '"k":\\s*[0-9]{2,}') THEN 1 ELSE 0 END
+               AS k_multi_digit,
+           regexp_replace(props, '[0-9]', '#', 'g') AS masked
+    FROM events
+    """,
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface in one pass: group extraction
+    (``regexp_extract``), match enumeration (``regexp_extract_all`` +
+    size), boolean match (``rlike``), and global substitution
+    (``regexp_replace``) over the events props JSON. Patterns restricted
+    to the Java∩RE2 common dialect (no lookaround/backrefs) so both
+    engines execute identical semantics. Map-only codegen, pushdown-
+    friendly projection."""
+    ev = _t(spark, sf_dir, "events")
+    props = F.col("props")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(props, '"k":\\s*([0-9]+)', 1).alias("k_str"),
+        F.size(F.regexp_extract_all(props, F.lit("[0-9]+"), F.lit(0))).alias(
+            "n_digit_runs"
+        ),
+        props.rlike('"k":\\s*[0-9]{2,}').cast("int").alias("k_multi_digit"),
+        F.regexp_replace(props, "[0-9]", "#").alias("masked"),
+    )

@@ -715,6 +715,78 @@ def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_embed_knn",
+    oracle="""
+    WITH pr AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               CAST(unnest(a.embedding) AS DOUBLE) AS x,
+               CAST(unnest(b.embedding) AS DOUBLE) AS y
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    cos AS (
+        SELECT vec_id, neighbor_id,
+               round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) + 0.0 AS cosine
+        FROM pr GROUP BY vec_id, neighbor_id),
+    rk AS (
+        SELECT vec_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM cos)
+    SELECT vec_id, neighbor_id, cosine, rank FROM rk WHERE rank <= 3
+    """,
+)
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k=3 cosine neighbours per vector,
+    blocked by label) — the neighbourhood graph behind semantic dedup
+    clustering, diversity sampling, and label propagation.
+
+    Scale shape: the label block bounds each join cell (the unblocked
+    scale path is the IVF coarse quantizer, q_sim_topk_ivf); cosine is
+    a codegen zip_with/aggregate fold (no Python); per-node top-k runs
+    as a rank window partitioned by vec_id — WindowGroupLimit pushes
+    the k=3 cut below the sort. Ranking uses the ROUNDED cosine with
+    neighbor_id tiebreak so rank order is reproducible cross-engine
+    (near-equal float ranks would otherwise flip on 1-ulp noise)."""
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e2 = e.select("vec_id", "label", as_double.alias("emb"))
+    a, b = e2.alias("a"), e2.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(side):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(f"{side}.emb"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a_, x: a_ + x,
+            )
+        )
+
+    cos_r = F.round(dot / (norm("a") * norm("b")), 4) + 0.0
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos_r.alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 @register("q_sim_topk_lsh")  # rows-only: LSH is approximate
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbours via random-projection LSH
@@ -1360,6 +1432,76 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
     return decode_headers(repartition_for_media(media))
+
+
+@register(
+    "q_text_boilerplate",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 5),
+    g AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+          FROM w, UNNEST(range(1, len(w) - 3)) AS t(i)),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+    common AS (SELECT gram FROM df WHERE df >= 10)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(c.gram) AS n_common,
+           round(count(c.gram) * 1.0 / count(*), 4) + 0.0 AS boilerplate_frac
+    FROM g LEFT JOIN common c ON g.gram = c.gram
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection — the web-corpus cleaning
+    pass that strips navigation chrome / license banners repeated across
+    many pages: word 5-gram passages with document frequency >= 10 are
+    'boilerplate', and each doc reports how much of it is made of them.
+
+    Scale shape: positions explode map-side (one row per 5-gram
+    occurrence), document frequency is one hash aggregate on the gram
+    key, and the common-gram table is SMALL BY CONSTRUCTION (df >= T
+    bounds it to total_grams / T rows), so the re-join of positions
+    against it broadcasts at any corpus size; the per-doc rollup is the
+    second and last shuffle. No step is quadratic and no driver state."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.col("w")
+    grams = (
+        d.select("doc_id", _tokens(F.col("text")).alias("w"))
+        .filter(F.size(w) >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 5),
+                    lambda i: F.concat_ws(
+                        " ", w[i], w[i + 1], w[i + 2], w[i + 3], w[i + 4]
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    common = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 10)
+        .select("gram", F.lit(1).alias("is_common"))
+    )
+    return (
+        grams.join(F.broadcast(common), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("is_common").alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_common",
+            (F.round(F.col("n_common") / F.col("n_grams"), 4) + 0.0).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2194,6 +2336,70 @@ def _mg_summary(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 
     summaries = toks.mapInPandas(mg, "tok string, cnt long")
     return summaries.groupBy("tok").agg(F.sum("cnt").alias("bound"))
+
+
+_CM_DEPTH = 4   # independent hash rows
+_CM_WIDTH = 64  # counters per row
+
+
+def _cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch table (seed, bucket, cnt): each token occurrence
+    increments one bucket per hash row. Fully relational — the sketch is
+    ONE hash aggregate over (seed, bucket), at most depth x width rows
+    total regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    cells = toks.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("tok", F.lit(i)), F.lit(_CM_WIDTH))
+                    for i in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("seed", "bucket")
+    )
+    return cells.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
+
+
+@register("q_agg_count_min")  # rows-only: xxhash64 seeding is Spark-specific
+def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for every distinct token:
+    est(t) = min over hash rows of the token's bucket counter — the
+    mergeable fixed-memory frequency sketch for domains too large for
+    an exact hash aggregate (the CM complement to Misra-Gries presence,
+    q_agg_heavy_hitters).
+
+    Scale shape: the sketch is depth x width = 256 rows built by one
+    hash aggregate (it BROADCASTS to the probe join at any corpus
+    size); probes explode to depth rows each, join on (seed, bucket),
+    and take a min-groupBy. CM guarantees est >= true and
+    est <= true + eps*N w.h.p. — both contract-tested against the exact
+    aggregate in tests/test_llm_ops.py. Top-10 by estimate, token
+    tiebreak, for a stable driver row."""
+    sketch = _cm_sketch(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    probes = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .select(
+            "tok",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64("tok", F.lit(i)), F.lit(_CM_WIDTH))
+                        for i in range(_CM_DEPTH)
+                    ]
+                )
+            ).alias("seed", "bucket"),
+        )
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.orderBy(F.desc("est"), F.asc("tok")).limit(10)
 
 
 @register(

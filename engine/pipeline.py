@@ -859,3 +859,41 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("new_price", 2).alias("new_price"),
         )
     )
+
+
+@register(
+    "q_shuffle_shard",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST('0x' || substring(hx, 1, 2) AS BIGINT) AS shard,
+           row_number() OVER (PARTITION BY CAST('0x' || substring(hx, 1, 2) AS BIGINT)
+                              ORDER BY hx ASC, doc_id ASC) AS pos
+    FROM h
+    """,
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training-order assignment:
+    every doc gets a (shard, pos) coordinate by md5 — the global
+    training order is (shard, pos), reproducible across runs/shards
+    with NO RNG state and no re-shuffle on re-ingestion (same salt =>
+    same order).
+
+    Scale shape: a single global ``row_number`` would funnel 100 TB
+    through one window partition; sharding on the hash's first byte
+    (256 shards, load-balanced by construction since md5 is uniform)
+    makes the position window 256-way parallel — one Exchange on the
+    shard key, map-side hashing, no global sort. Readers stream shards
+    in order, concatenating (shard, pos) runs."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.asc("hx"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", hx.alias("hx"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )

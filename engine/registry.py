@@ -81,7 +81,8 @@ _PRIORITY: list[str] = [
     "q_agg_heavy_hitters", "q_tokenize_bpe",
     "q_sample_temperature", "q_sample_reservoir", "q_snapshot_diff",
     # -- new in round 4 (first-row keys, inserted as created) --
-    "q_multimodal_decode",
+    "q_multimodal_decode", "q_text_boilerplate", "q_embed_knn",
+    "q_agg_count_min", "q_shuffle_shard", "q_fn_regexp", "q_event_paths",
     # -- plans rewritten in round 4 (re-certify; test_registry._RECERT) --
     "q_dedup_jaccard",
     # -- r01-only anchors, stalest hard rows first: bench headliners --

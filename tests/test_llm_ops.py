@@ -334,3 +334,38 @@ def test_bpe_merges_match_reference(spark):
         .collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_count_min_bounds(spark):
+    """Count-Min contract vs the exact aggregate: every estimate is an
+    OVERestimate (est >= true, the CM guarantee), and the classic
+    accuracy bound est <= true + N/width holds for every probed token
+    (deterministic here: hash collisions are fixed, not sampled)."""
+    from engine.llm_ops import _CM_WIDTH, _cm_sketch, _tokens
+    from engine.io import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        r["tok"]: r["cnt"]
+        for r in d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n = sum(exact.values())
+    # probe EVERY token via the same estimate plan the query uses
+    sketch = {(r["seed"], r["bucket"]): r["cnt"] for r in _cm_sketch(spark, SF_SMOKE).collect()}
+    probes = d.select(F.explode(_tokens(F.col("text"))).alias("tok")).distinct()
+    pr = probes.select(
+        "tok",
+        *[
+            F.pmod(F.xxhash64("tok", F.lit(i)), F.lit(_CM_WIDTH)).alias(f"b{i}")
+            for i in range(4)
+        ],
+    ).collect()
+    assert pr, "no probe tokens"
+    for r in pr:
+        est = min(sketch[(i, r[f"b{i}"])] for i in range(4))
+        true = exact[r["tok"]]
+        assert est >= true, (r["tok"], est, true)
+        assert est <= true + n / _CM_WIDTH, (r["tok"], est, true, n)

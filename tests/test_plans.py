@@ -40,6 +40,7 @@ _SINGLE_PARTITION_OK = {
     "q_udtf",             # single lateral-join demo slice
     "q_fn_cond_null",     # ordered display contract
     "q_multimodal_features",  # 1-row total-bytes agg sizes the repartition
+    "q_multimodal_decode",    # same 1-row total-bytes sizing agg
     "q_profile_table",    # whole-table profile reduces to one wide row
     "q_funnel",           # per-stage counts reduce to one row each
     "q_agg_hll_sketch",   # TOTAL row = union of 5 per-segment sketches
@@ -230,6 +231,29 @@ def test_ewma_macd_segmented_fold(plans):
         two_col = [l for l in parts if re.search(r"hashpartitioning\(user_id#\d+L?, [^,)]+, \d+\)", l)]
         one_col = [l for l in parts if re.search(r"hashpartitioning\(user_id#\d+L?, \d+\)", l)]
         assert two_col and one_col, (k, parts)
+
+
+def test_r4_operator_plan_shapes(plans):
+    """Scale-critical physical properties of the r4 operators."""
+    # deterministic shuffle must never funnel through one partition —
+    # the shard key exists precisely to parallelize the rank window
+    assert "SinglePartition" not in plans["q_shuffle_shard"]
+    # boilerplate: the common-gram table is small by construction and
+    # must reach the positions join as a broadcast
+    assert "BroadcastHashJoin" in plans["q_text_boilerplate"]
+    # kNN graph: per-node top-k lowers to WindowGroupLimit (rank cut
+    # below the sort), and the label block is a real equi-join
+    knn = plans["q_embed_knn"]
+    assert "WindowGroupLimit" in knn
+    assert "NestedLoop" not in knn and "Cartesian" not in knn
+    # count-min: the 256-row sketch broadcasts; top-10 is a heap, not a
+    # global sort
+    cm = plans["q_agg_count_min"]
+    assert "BroadcastHashJoin" in cm
+    assert "TakeOrderedAndProject" in cm
+    # event paths: lag window and transition agg — map-side combine
+    # bounds the second exchange to |types|^2 rows
+    assert "Window" in plans["q_event_paths"]
 
 
 def test_tpch_suite_plan_shapes(plans):
