@@ -1461,3 +1461,47 @@ def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.nth_value("value", 3).over(w).alias("third_seen")
     )
+
+
+@register(
+    "q_basket_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in >= 2
+    orders (the candidate-generation step of frequent-itemset mining /
+    "bought together" recommendations).
+
+    Scale shape: the self-join is blocked by l_orderkey, whose group
+    size is the lines-per-order bound (~7 in TPC-H-shaped data), so the
+    pair space is lines-per-order-squared PER ORDER — linear in orders,
+    never corpus-quadratic; the pre-join DISTINCT and the pair count
+    are plain hash aggregates, and the HAVING filters after the
+    map-side combine."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -257,3 +257,43 @@ def q_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "q_win_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC
+                                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+                 4) + 0.0 AS med10
+    FROM events
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over the trailing 10 ticks per user — the
+    robust-location counterpart of q_win_moving_avg (outlier-resistant
+    smoothing for noisy market data). Spark's ``median`` aggregate
+    rejects window frames, so the frame's values ride a bounded
+    ``collect_list`` (≤10 doubles per row — constant state, unlike the
+    full-series anti-pattern) and the midpoint interpolates in codegen:
+    odd count → middle element, even count → mean of the two middles,
+    matching the oracle's interpolated median. One Exchange on
+    user_id; zero-sign folded per the registry contract."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-9, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise((F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.round(med, 4) + 0.0).alias("med10"),
+    )
