@@ -369,3 +369,42 @@ def test_count_min_bounds(spark):
         true = exact[r["tok"]]
         assert est >= true, (r["tok"], est, true)
         assert est <= true + n / _CM_WIDTH, (r["tok"], est, true, n)
+
+
+def test_groups_cache_eviction_and_invalidation(spark, tmp_path):
+    """The dedup-family groups cache must (a) key on file identity so a
+    regenerated fixture misses instead of serving stale groups, and
+    (b) hold at most its capacity, unpersisting evictees — the bounded
+    -storage guarantee that replaced r3's release-everything policy."""
+    import os
+    import shutil
+
+    import engine.llm_ops as lo
+
+    src = f"{SF_SMOKE}/documents.parquet"
+    p = tmp_path / "documents.parquet"
+    shutil.copyfile(src, p)
+    k1 = lo._groups_cache_key(str(tmp_path), "word")
+    # same file, same tag -> same key; different tag -> different key
+    assert k1 == lo._groups_cache_key(str(tmp_path), "word")
+    assert k1 != lo._groups_cache_key(str(tmp_path), "tri3")
+    # touching the file (regen) must change the key
+    os.utime(p, ns=(1, 1))
+    k2 = lo._groups_cache_key(str(tmp_path), "word")
+    assert k2 != k1
+
+    # capacity: filling beyond _GROUPS_CACHE_CAP evicts the oldest
+    lo._GROUPS_CACHE.clear()
+    from pyspark.sql import functions as F2
+
+    docs = spark.read.parquet(src).select(
+        "doc_id",
+        F2.array_sort(F2.array_distinct(F2.split(F2.col("text"), " "))).alias("toks"),
+    )
+    keys = [("fake", i) for i in range(lo._GROUPS_CACHE_CAP + 2)]
+    for k in keys:
+        lo._cached_groups(docs, k)
+    assert len(lo._GROUPS_CACHE) <= lo._GROUPS_CACHE_CAP
+    assert keys[-1] in lo._GROUPS_CACHE  # newest survives
+    assert keys[0] not in lo._GROUPS_CACHE  # oldest evicted
+    lo._GROUPS_CACHE.clear()
