@@ -897,3 +897,88 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .select("doc_id", "shard", "pos")
     )
+
+
+@register(
+    "q_concurrency",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+    g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id, us
+          FROM g),
+    iv AS (SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+           FROM s GROUP BY user_id, session_id),
+    b AS (SELECT user_id, s_us AS us, 1 AS delta FROM iv
+          UNION ALL
+          SELECT user_id, e_us AS us, -1 AS delta FROM iv)
+    SELECT us, user_id, delta,
+           CAST(sum(delta) OVER (ORDER BY us ASC, delta DESC, user_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS concurrent
+    FROM b
+    """,
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency curve: how many user sessions are open at
+    every session boundary (the capacity-planning / peak-load query).
+    Sessions are the 30-min-gap intervals of q_sessionize; each emits a
+    (+1 at start, -1 at end) boundary and concurrency is the running
+    sum over all boundaries in global time order (starts before ends at
+    ties — the max-overlap convention; total order via user_id).
+
+    A naive global running sum is a ONE-PARTITION window — the r1
+    anti-pattern. This is the distributed two-level prefix sum instead:
+    boundaries partition by UTC day, the within-day running sum is an
+    ordinary day-partitioned window, and each day's carry-in offset
+    comes from the cumulative day totals — a table with one row per
+    DAY, so its ordering window is single-partition over ~tens of rows
+    (the q_win_ntile counts-table pattern), broadcast back to the
+    boundary rows. Same shape scales to any horizon: shuffle on day,
+    map-side window, O(days) driver-free carry composition."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    ws = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(ws)
+    new_s = F.when(prev.isNull() | (F.col("us") - prev > 1800 * 1_000_000), 1).otherwise(0)
+    iv = (
+        ev.withColumn("new_s", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    b = iv.select(
+        "user_id", F.col("s_us").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("user_id", F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    day = (F.col("us") / F.lit(86_400_000_000)).cast("long")
+    b = b.withColumn("day", day)
+    wd = Window.partitionBy("day").orderBy(
+        F.asc("us"), F.desc("delta"), F.asc("user_id")
+    )
+    within = F.sum("delta").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    # one row per day: cumulative carry-in from all earlier days
+    day_totals = b.groupBy("day").agg(F.sum("delta").alias("day_total"))
+    wdays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = day_totals.select(
+        "day", F.coalesce(F.sum("day_total").over(wdays), F.lit(0)).alias("carry")
+    )
+    return (
+        b.withColumn("within", within)
+        .join(F.broadcast(offsets), "day")
+        .select(
+            "us",
+            "user_id",
+            "delta",
+            (F.col("within") + F.col("carry")).cast("long").alias("concurrent"),
+        )
+    )

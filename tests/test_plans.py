@@ -54,6 +54,7 @@ _SINGLE_PARTITION_OK = {
     "q_tpch_q19",         # global revenue sum: one output row
     "q_tpch_q22",         # 1-row positive-balance average broadcast
     "q_sample_temperature",  # 1-row min-count aggregate sizes the rates
+    "q_concurrency",      # carry-in window over the one-row-per-DAY totals table
     "q_sample_reservoir",  # TakeOrderedAndProject gathers k=100 rows
 }
 
