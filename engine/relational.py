@@ -1505,3 +1505,54 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "q_join_range_banded",
+    oracle="""
+    SELECT a.event_id, count(b.event_id) AS n_prior_5min
+    FROM events a
+    LEFT JOIN events b
+      ON b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts < a.ts
+    GROUP BY a.event_id
+    """,
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join — no equi anchor anywhere in the predicate:
+    market-wide activity in the 5 minutes before each event, across ALL
+    users (the cross-entity temporal-proximity query). Spark plans a
+    raw inequality join as a BroadcastNestedLoopJoin — quadratic, the
+    one shape that can never survive 100 TB — so the interval is BANDED
+    into 5-minute buckets: the build side registers at its bucket, the
+    probe side explodes to the 2 buckets its window can overlap, the
+    join is a plain equi hash join on the bucket id, and the exact
+    range predicate filters residually (each pair matches at most once
+    because the probe buckets are distinct). DuckDB's IEJoin computes
+    the same relation for the oracle. Bucket skew (hot minutes) is AQE
+    skew-join territory — same mitigation as any hot hash key."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    w_us = 300 * 1_000_000
+    bucket = (F.col("us") / w_us).cast("long")
+    build = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("us").alias("b_us"),
+        bucket.alias("bucket"),
+    )
+    probe = ev.select(
+        "event_id",
+        "us",
+        F.explode(F.array(bucket, bucket - 1)).alias("bucket"),
+    )
+    counts = (
+        probe.join(build, "bucket")
+        .filter(
+            (F.col("b_us") >= F.col("us") - w_us) & (F.col("b_us") < F.col("us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("b_id").alias("n_prior_5min"))
+    )
+    return ev.select("event_id").join(counts, "event_id", "left").select(
+        "event_id", F.coalesce("n_prior_5min", F.lit(0)).alias("n_prior_5min")
+    )

@@ -255,6 +255,15 @@ def test_r4_operator_plan_shapes(plans):
     # event paths: lag window and transition agg — map-side combine
     # bounds the second exchange to |types|^2 rows
     assert "Window" in plans["q_event_paths"]
+    # pure range join: banding must turn the inequality join into a
+    # hash join on the bucket id — a nested loop here is the exact
+    # quadratic shape the operator exists to avoid
+    rb = plans["q_join_range_banded"]
+    assert "NestedLoop" not in rb and "Cartesian" not in rb
+    # concurrency: the boundary running sum must be day-partitioned
+    # (the only SinglePartition window allowed is the tiny day-offsets
+    # table, asserted via the allowlist)
+    assert "hashpartitioning" in plans["q_concurrency"]
 
 
 def test_tpch_suite_plan_shapes(plans):
