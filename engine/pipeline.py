@@ -982,3 +982,65 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("within") + F.col("carry")).cast("long").alias("concurrent"),
         )
     )
+
+
+def pagerank(
+    nodes: DataFrame, edges: DataFrame, id_col: str, rounds: int = 5, d: float = 0.85
+) -> DataFrame:
+    """PageRank by power iteration over a directed edge list — the
+    second iterative-fixpoint capability beside
+    :func:`connected_components`, and the authority signal used to
+    weight training documents by graph centrality.
+
+    Scale shape per round: one join (edges × current ranks on src — the
+    rank table is one row per NODE, broadcast-able when nodes ≪ edges)
+    and one hash aggregate on dst; ranks are ``localCheckpoint``-ed
+    each round so round N never replays rounds 1..N-1 and the plan
+    stays constant-size. No driver-side state at all (the loop is a
+    fixed round count, not a convergence collect). Dangling nodes are
+    the caller's concern (a kNN edge set has uniform out-degree k, so
+    none exist)."""
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    ranks = nodes.select(F.col(id_col).alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(rounds):
+        contrib = (
+            e.join(deg, "src")
+            .join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(1 - d) + d * F.coalesce("in_sum", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@register("q_graph_pagerank")  # rows-only: iterative float fixpoint (no SQL oracle)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 rounds, d=0.85) over the label-blocked k=3 cosine
+    kNN graph of the embeddings table — document-authority scoring on
+    the semantic neighbourhood graph. Exactness vs a single-process
+    numpy power iteration is asserted in tests/test_pipeline.py (same
+    rounds, same damping, 1e-6 tolerance); the driver records the
+    rows-only check since a multi-round float fixpoint has no
+    practical single-statement SQL oracle."""
+    from engine.llm_ops import q_embed_knn
+
+    e = _t(spark, sf_dir, "embeddings")
+    edges = q_embed_knn(spark, sf_dir).select("vec_id", "neighbor_id")
+    ranks = pagerank(e.select("vec_id"), edges, "vec_id", rounds=5)
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.round("rank", 4).alias("rank")
+    ).orderBy(F.desc("rank"), F.asc("vec_id")).limit(20)

@@ -139,3 +139,42 @@ def test_scd2_intervals_partition_time(spark):
         assert vs[-1]["is_current"] and vs[-1]["eff_to"] is None
         for a, b in zip(vs, vs[1:]):
             assert a["eff_to"] == b["eff_from"], (user, a, b)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """The distributed PageRank must equal a single-process power
+    iteration over the same edge list (same rounds, same damping) to
+    float tolerance — the exactness guarantee for the iterative path."""
+    from collections import defaultdict
+
+    from engine.llm_ops import q_embed_knn
+    from engine.pipeline import pagerank
+
+    edges = [
+        (r["vec_id"], r["neighbor_id"])
+        for r in q_embed_knn(spark, SF_SMOKE).select("vec_id", "neighbor_id").collect()
+    ]
+    nodes = sorted({v for e in edges for v in e})
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(5):
+        in_sum = defaultdict(float)
+        for s, t in edges:
+            in_sum[t] += rank[s] / outdeg[s]
+        rank = {n: 0.15 + 0.85 * in_sum[n] for n in nodes}
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    edf = spark.createDataFrame(edges, "vec_id long, neighbor_id long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e.select("vec_id"), edf, "vec_id", rounds=5).collect()
+    }
+    assert set(got) == set(r["vec_id"] for r in e.select("vec_id").collect())
+    for n in nodes:
+        assert abs(got[n] - rank[n]) < 1e-6, (n, got[n], rank[n])
+    # nodes with no in-links sit at the damping floor
+    sinks = set(got) - set(nodes) | {n for n in nodes if n not in {t for _, t in edges}}
+    for n in sinks:
+        assert abs(got[n] - 0.15) < 1e-9
