@@ -408,3 +408,21 @@ def test_groups_cache_eviction_and_invalidation(spark, tmp_path):
     assert keys[-1] in lo._GROUPS_CACHE  # newest survives
     assert keys[0] not in lo._GROUPS_CACHE  # oldest evicted
     lo._GROUPS_CACHE.clear()
+
+
+def test_jaccard_cached_groups_equals_uncached(spark):
+    """The groups cache is a pure materialization concern: q_dedup_jaccard
+    through the cache (registered path) must emit exactly the pairs the
+    uncached explicit-mode core emits."""
+    from engine.llm_ops import _jaccard_set_pairs, _tokens
+
+    cached = sorted(
+        map(tuple, all_queries()["q_dedup_jaccard"](spark, SF_SMOKE).collect())
+    )
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs = d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks"),
+    )
+    uncached = sorted(map(tuple, _jaccard_set_pairs(docs, 19, 20, mode="broadcast").collect()))
+    assert cached == uncached and cached
