@@ -905,3 +905,48 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q_corr_matrix",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                      avg(value) AS v
+               FROM events GROUP BY event_type, day)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(corr(a.v, b.v), 4) + 0.0 AS corr
+    FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-asset correlation matrix: pairwise correlation of daily
+    average values between event types — the portfolio/risk co-movement
+    table.
+
+    Scale shape: the raw ticks collapse FIRST to one row per
+    (type, day) — a single hash aggregate whose output is
+    |types| × |days| regardless of tick volume — and the pair
+    self-join + corr run on that constant-size table (broadcast join,
+    |types|²/2 output rows). The expensive thing (the tick scan)
+    happens exactly once."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg((F.round(F.corr(F.col("a.v"), F.col("b.v")), 4) + 0.0).alias("corr"))
+    )
