@@ -1556,3 +1556,36 @@ def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id").join(counts, "event_id", "left").select(
         "event_id", F.coalesce("n_prior_5min", F.lit(0)).alias("n_prior_5min")
     )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS gid,
+           count(*) AS n,
+           CAST(floor(sum(l_extendedprice) * 100) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with ``grouping_id`` disambiguation — the bitmask
+    that tells a NULL produced by aggregation apart from a NULL data
+    value (the classic rollup-report correctness trap). One Expand +
+    one hash aggregate pass, same plan family as q_agg_grouping_sets;
+    money sums floor to cents per the cross-engine float contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.floor(F.sum("l_extendedprice") * 100).cast("long").alias(
+                "revenue_cents"
+            ),
+        )
+        .filter(F.grouping_id().isin(0, 1, 3))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "revenue_cents")
+    )
