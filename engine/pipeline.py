@@ -1044,3 +1044,72 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("vec_id"), F.round("rank", 4).alias("rank")
     ).orderBy(F.desc("rank"), F.asc("vec_id")).limit(20)
+
+
+@register(
+    "q_rollup_incremental",
+    oracle="""
+    WITH base AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                         count(*) AS n, CAST(floor(sum(value) * 100) AS BIGINT) AS cents
+                  FROM events
+                  WHERE CAST('0x' || substring(md5('inc:' || CAST(event_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 < 80
+                  GROUP BY day, event_type),
+    delta AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                     count(*) AS n, CAST(floor(sum(value) * 100) AS BIGINT) AS cents
+              FROM events
+              WHERE CAST('0x' || substring(md5('inc:' || CAST(event_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 100 >= 80
+              GROUP BY day, event_type)
+    SELECT COALESCE(b.day, d.day) AS day,
+           COALESCE(b.event_type, d.event_type) AS event_type,
+           COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+           COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS cents
+    FROM base b FULL OUTER JOIN delta d
+      ON b.day = d.day AND b.event_type = d.event_type
+    """,
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a (day, type) rollup — the
+    continuous-aggregate / materialized-view refresh dataflow: an
+    existing rollup state merges a new-batch delta WITHOUT rescanning
+    history. Base and delta are disjoint md5-derived slices of the
+    fixture (deterministic stand-ins for "yesterday's table" and
+    "today's arrivals"); counts and cents-floored sums are the
+    decomposable aggregates that make the merge exact (avg/percentile
+    would need sketch state instead — see q_agg_kll_quantiles).
+
+    Scale shape: each side is one pruned scan + hash agg to
+    |days|×|types| rows; the merge is a full-outer join on that
+    constant-size key space — history is never rescanned, which is the
+    entire point at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    b = _md5_bucket(F.col("event_id").cast("string"), "inc:")
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.floor(F.sum("value") * 100).cast("long").alias("cents"),
+        )
+
+    base = rollup(ev.filter(b < 80)).alias("b")
+    delta = rollup(ev.filter(b >= 80)).alias("d")
+    return base.join(
+        delta,
+        (F.col("b.day") == F.col("d.day"))
+        & (F.col("b.event_type") == F.col("d.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.day"), F.col("d.day")).alias("day"),
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("b.cents"), F.lit(0))
+            + F.coalesce(F.col("d.cents"), F.lit(0))
+        ).alias("cents"),
+    )
