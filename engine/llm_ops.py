@@ -2548,3 +2548,72 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges or [(-1, "", "", 0)], "rank int, left string, right string, cnt int"
     )
+
+
+@register(
+    "q_sample_negative",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 % 16 AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY md5('neg:' || CAST(a.vec_id AS VARCHAR) || ':'
+                            || CAST(c.vec_id AS VARCHAR)) ASC,
+                        c.vec_id ASC) AS rank
+      FROM v a JOIN v c
+        ON c.bucket = (a.bucket + 1) % 16 AND c.label <> a.label
+    )
+    SELECT anchor_id, neg_id, rank FROM cand WHERE rank <= 2
+    """,
+)
+def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor vector draws 2 pseudo-random negatives (different label)
+    with no RNG state — reproducible across runs, engines, and
+    partitionings, like every sampler in this engine.
+
+    The pseudo-randomness is a hash ring: vectors land in 16 md5
+    buckets, an anchor's candidate pool is THE NEXT bucket on the ring
+    (bounded: ~N/16 candidates regardless of corpus size — at 100 TB
+    you raise the bucket count, not the pool), and the pick order is
+    md5(anchor, candidate). One equi-join on the bucket id + one
+    bounded rank window; never a cross join against the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    v = e.select("vec_id", "label", bucket.alias("bucket"))
+    a = v.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        ((F.col("bucket") + 1) % 16).alias("probe"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("c_label"),
+        F.col("bucket").alias("probe"),
+    )
+    pick = F.md5(
+        F.concat(
+            F.lit("neg:"),
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(pick.asc(), F.asc("neg_id"))
+    return (
+        a.join(c, "probe")
+        .filter(F.col("c_label") != F.col("a_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("anchor_id", "neg_id", "rank")
+    )

@@ -85,7 +85,7 @@ _PRIORITY: list[str] = [
     "q_agg_count_min", "q_shuffle_shard", "q_fn_regexp", "q_event_paths",
     "q_basket_pairs", "q_win_rolling_median", "q_concurrency",
     "q_join_range_banded", "q_graph_pagerank", "q_corr_matrix",
-    "q_agg_grouping_id", "q_rollup_incremental",
+    "q_agg_grouping_id", "q_rollup_incremental", "q_sample_negative",
     # -- plans rewritten in round 4 (re-certify; test_registry._RECERT) --
     "q_dedup_jaccard",
     # -- r01-only anchors, stalest hard rows first: bench headliners --
