@@ -928,14 +928,17 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, day) — a single hash aggregate whose output is
     |types| × |days| regardless of tick volume — and the pair
     self-join + corr run on that constant-size table (broadcast join,
-    |types|²/2 output rows). The expensive thing (the tick scan)
-    happens exactly once."""
+    |types|²/2 output rows). The daily table is localCheckpoint-ed
+    because BOTH sides of the self-join read it and Catalyst does not
+    reuse the exchange across a broadcast build and a probe side —
+    without it the tick scan + aggregate would run twice."""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.groupBy(
             "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
         )
         .agg(F.avg("value").alias("v"))
+        .localCheckpoint(eager=True)
     )
     a, b = daily.alias("a"), daily.alias("b")
     return (

@@ -104,7 +104,13 @@ def _cached_groups(docs: DataFrame, key: tuple | None) -> tuple[DataFrame, int, 
     materialization point); ZERO jobs on hit — the cached stats also
     replace the per-operator count/stats job."""
     if key is not None and key in _GROUPS_CACHE:
-        return _GROUPS_CACHE[key]
+        hit = _GROUPS_CACHE[key]
+        # a cached DataFrame is bound to the session that built it: if
+        # the process rebuilt its SparkSession (driver recovery, test
+        # re-init) the entry is dead even though the file is unchanged
+        if hit[0].sparkSession is docs.sparkSession:
+            return hit
+        _GROUPS_CACHE.pop(key, None)
     groups = _set_groups(docs)
     stats = groups.agg(F.count("*").alias("ng"), F.sum("n").alias("nt")).head()
     entry = (groups, stats["ng"], stats["nt"] or 0)
@@ -750,24 +756,26 @@ def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-equal float ranks would otherwise flip on 1-ulp noise)."""
     e = _t(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e2 = e.select("vec_id", "label", as_double.alias("emb"))
+    # norms precompute ONCE PER VECTOR before the join — folding them
+    # per pair would redo an O(dim) aggregate 2(B-1) times per vector
+    # inside each label block (O(B²·d) wasted vs O(B·d))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("emb"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a_, x: a_ + x,
+        )
+    )
+    e2 = e.select("vec_id", "label", as_double.alias("emb")).withColumn(
+        "nrm", norm
+    )
     a, b = e2.alias("a"), e2.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-
-    def norm(side):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(F.col(f"{side}.emb"), lambda x: x * x),
-                F.lit(0.0),
-                lambda a_, x: a_ + x,
-            )
-        )
-
-    cos_r = F.round(dot / (norm("a") * norm("b")), 4) + 0.0
+    cos_r = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4) + 0.0
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))

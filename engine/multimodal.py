@@ -115,7 +115,12 @@ def decode_headers(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"].map(bytes)
+            # NULL payloads must degrade like corrupt ones (bytes(None)
+            # would kill the task — the exact failure the parser's
+            # contract forbids)
+            payloads = pdf["payload"].map(
+                lambda b: b"" if b is None else bytes(b)
+            )
             metas = payloads.map(parse_media_header)
             yield pd.DataFrame(
                 {

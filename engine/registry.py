@@ -62,11 +62,11 @@ def _ensure_loaded() -> None:
 # lacking one. After r03 the union of r01∪r02∪r03 rows covers 142 of
 # the 172 keys; round 4 therefore leads with the 30 keys that have no
 # row in ANY round (all registered past r03's slot-50 boundary), then
-# new r4 operators, then every operator whose PLAN changed this round
-# (a prior green row no longer certifies the new plan — mirrored in
-# tests/test_registry.py::_RECERT), then the r01-only anchors whose
-# rows are the stalest (bench headliners first). Keys displaced past
-# slot 50 keep their r01/r02/r03 rows and tools/check.py full-sweep
+# the 16 new r4 operators, then the 2 operators whose PLAN changed
+# this round (a prior green row no longer certifies the new plan —
+# mirrored in tests/test_registry.py::_RECERT), leaving exactly 2
+# window slots for the stalest r01 anchors. Keys displaced past slot
+# 50 keep their r01/r02/r03 rows and tools/check.py full-sweep
 # coverage; the tail is ordered by row staleness so the r5 window is a
 # straight prefix rotation.
 _PRIORITY: list[str] = [
@@ -86,19 +86,21 @@ _PRIORITY: list[str] = [
     "q_basket_pairs", "q_win_rolling_median", "q_concurrency",
     "q_join_range_banded", "q_graph_pagerank", "q_corr_matrix",
     "q_agg_grouping_id", "q_rollup_incremental", "q_sample_negative",
-    # -- plans rewritten in round 4 (re-certify; test_registry._RECERT) --
-    "q_dedup_jaccard",
-    # -- r01-only anchors, stalest hard rows first: bench headliners --
-    "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
+    # -- plans rewritten in round 4 (re-certify; test_registry._RECERT):
+    # both run the rewritten cached-gate path in _jaccard_set_pairs --
+    "q_dedup_jaccard", "q_dedup_ngram",
+    # ---- slot-50 boundary: 30 backlog + 16 new r4 + 2 recert = 48,
+    # so exactly TWO r01 anchors make the window this round (the other
+    # anchors keep their r01 rows and lead the r5 refresh backlog
+    # below; tail order = staleness, so r5's window is the next
+    # prefix) ----
+    "q_agg_group", "q_join_broadcast",
+    # r01-only remainder (r5 refresh backlog, stalest first)
+    "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",
-    # -- r01-only: relational spread (fills the window to slot 50) --
     "q_project", "q_filter", "q_filter_date", "q_case_when",
     "q_join_left", "q_join_outer", "q_join_semi", "q_join_anti",
     "q_join_theta", "q_join_range_interval", "q_join_cross",
-    # ---- slot-50 boundary: everything below keeps an r01/r02/r03 row
-    # (or is rows-only) and stays covered by check.py; tail order =
-    # staleness, so r5's window is the next prefix ----
-    # r01-only remainder (r5 refresh backlog)
     "q_agg_global", "q_agg_distinct", "q_agg_percentile", "q_agg_stats",
     "q_agg_rollup", "q_agg_cube", "q_agg_grouping_sets", "q_agg_having",
     "q_win_rank", "q_win_lag_lead", "q_win_moving_avg", "q_win_range_frame",
@@ -124,7 +126,7 @@ _PRIORITY: list[str] = [
     "q_stream_join", "q_stream_stream_join",
     # r03 rows (freshest — last in the rotation)
     "q_join_skew_salted", "q_profile_table", "q_funnel", "q_sim_topk_ivf",
-    "q_join_asof", "q_win_ntile", "q_dedup_ngram",
+    "q_join_asof", "q_win_ntile",
     "q_dedup_minhash", "q_dedup_embedding_ann",
     "q_unpivot", "q_agg_hll_sketch", "q_sample_quota", "q_split_contamination",
     "q_retention", "q_anomaly_zscore", "q_win_corr", "q_text_pii",

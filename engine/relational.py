@@ -1480,27 +1480,33 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders (the candidate-generation step of frequent-itemset mining /
     "bought together" recommendations).
 
-    Scale shape: the self-join is blocked by l_orderkey, whose group
-    size is the lines-per-order bound (~7 in TPC-H-shaped data), so the
-    pair space is lines-per-order-squared PER ORDER — linear in orders,
-    never corpus-quadratic; the pre-join DISTINCT and the pair count
-    are plain hash aggregates, and the HAVING filters after the
-    map-side combine."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    Scale shape: ONE lineitem scan and ONE shuffle (on l_orderkey) —
+    each order's distinct parts collapse to a sorted array (bounded by
+    the ~7 lines-per-order), pairs generate MAP-SIDE from that array
+    (sorted order gives part_a < part_b for free), and the pair count
+    is a hash aggregate with map-side combine; HAVING filters after
+    it. Pair volume is lines-per-order-squared PER ORDER — linear in
+    orders, never corpus-quadratic. (A naive self-join on l_orderkey
+    reads and DISTINCTs the corpus twice — Catalyst does not reuse the
+    exchange across the two sides — which this shape avoids.)"""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    p = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            p,
+            lambda x, i: F.transform(
+                F.slice(p, i + 2, F.greatest(F.size(p) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
+    )
+    return (
+        parts.select(F.explode(pair_structs).alias("pr"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b")
         )
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)

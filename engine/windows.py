@@ -289,9 +289,14 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.array_sort(F.collect_list("value").over(w))
     n = F.size(arr)
     mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    med = F.when(
-        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
-    ).otherwise((F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2)
+    med = (
+        # collect_list drops NULLs: an all-NULL frame is empty and must
+        # yield NULL like the oracle's median — element_at(arr, 0)
+        # would raise instead
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise((F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2)
+    )
     return ev.select(
         "event_id",
         "user_id",

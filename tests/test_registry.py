@@ -26,8 +26,11 @@ def test_priority_has_no_duplicates():
 # a prior row no longer certifies them, so they legitimately occupy
 # window slots ahead of refresh-only keys (round-4 rewrites; the r3
 # set — q_join_asof etc. — got green r03 rows and dropped out).
+# q_dedup_jaccard AND q_dedup_ngram both run _jaccard_set_pairs'
+# rewritten cached-gate path (n_prefix now derived from cached stats).
 _RECERT = {
     "q_dedup_jaccard",
+    "q_dedup_ngram",
 }
 
 
