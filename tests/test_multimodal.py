@@ -149,3 +149,17 @@ def test_decode_headers_dataframe(spark):
     assert out[2]["duration_ms"] == 1000  # 16000 bytes / 16000 B/s
     assert out[3]["fmt"] == "unknown" and out[3]["width"] is None
     assert out[3]["n_bytes"] == len(b"garbage")
+
+
+def test_decode_headers_null_payload_degrades(spark):
+    """A NULL payload must degrade exactly like a corrupt one — a media
+    lake always contains some null blobs and one must never kill the
+    Arrow batch (the parser contract)."""
+    rows = [
+        (1, _png(32, 16), "image", (None, None, None, None)),
+        (2, None, "image", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.decode_headers(df).collect()}
+    assert out[1]["fmt"] == "png"
+    assert out[2]["fmt"] == "unknown" and out[2]["n_bytes"] == 0

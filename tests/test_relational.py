@@ -181,3 +181,43 @@ def test_theta_sketch_estimates_near_exact(spark):
             (r["approx_intersection"], len(a & b)),
         ]:
             assert abs(est - exact) <= max(0.05 * exact, 2), (r, est, exact)
+
+
+def test_rolling_median_all_null_frame_yields_null(spark):
+    """collect_list drops NULLs, so a frame of only NULL values is an
+    empty array — the operator must yield NULL like the oracle's
+    median, never raise on element_at(arr, 0)."""
+    import datetime as dt
+
+    from engine.windows import q_win_rolling_median  # noqa: F401 — registers
+    from engine.registry import get
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os, shutil
+
+    tmp = tempfile.mkdtemp()
+    try:
+        src = "/root/testdata/sf0.001"
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            shutil.copyfile(f"{src}/{t}.parquet", f"{tmp}/{t}.parquet")
+        ev = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "ts": pd.to_datetime(
+                    [dt.datetime(2024, 1, 1, 0, 0, i) for i in range(3)]
+                ),
+                "user_id": [7, 7, 7],
+                "event_type": ["click"] * 3,
+                "value": [None, None, 5.0],
+                "props": ["{}"] * 3,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(ev), f"{tmp}/events.parquet")
+        fn, _ = get("q_win_rolling_median")
+        out = {r["event_id"]: r["med10"] for r in fn(spark, tmp).collect()}
+        assert out[1] is None and out[2] is None  # all-NULL frames
+        assert out[3] == 5.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
