@@ -953,3 +953,75 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.round(F.corr(F.col("a.v"), F.col("b.v")), 4) + 0.0).alias("corr"))
     )
+
+
+@register(
+    "q_win_cusum",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts ASC, event_id ASC) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           round(list_reduce(list_prepend(0.0, vs),
+                             (acc, x) -> greatest(0.0, acc + x - 100.0)), 4)
+               + 0.0 AS cusum,
+           len(vs) AS n_ticks
+    FROM s
+    """,
+)
+def q_win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per user — the classic
+    change-point detector: S_t = max(0, S_{t-1} + x_t - k) with
+    reference k=100, seeded S_0 = 0, reported at the latest tick.
+
+    Second instance of the segmented-scan pattern (see q_win_ewma):
+    the per-tick map f(s) = max(0, s + d) lives in the max-plus
+    closure {s -> max(c, s + a)}, which composes in closed form —
+    f2∘f1 = max(c2, c1 + a2, s + a1 + a2), i.e. (a, c) ∘ per segment.
+    Ticks fold per (user, day) segment into that (a, c) pair, the
+    per-user pass folds ONE ROW PER SEGMENT in day order seeded with
+    0, and no task ever materializes a full series. Two shuffles, all
+    codegen. The within-segment fold step is the exact oracle
+    expression (greatest(0, acc + x - k)), so per-segment arithmetic
+    is bit-identical; segment boundaries re-associate O(ulp) under
+    round(4)."""
+    k = 100.0
+    ev = _t(spark, sf_dir, "events")
+    # per-segment composition: state (a = sum of deltas, c = floor term)
+    # identity map = (0, -inf); composing tick d: a' = a + d,
+    # c' = max(c + d, 0)
+    comp = F.aggregate(
+        F.col("vs"),
+        F.struct(
+            F.lit(0.0).alias("a"), F.lit(float("-inf")).alias("c")
+        ),
+        lambda acc, x: F.struct(
+            (acc["a"] + (x - k)).alias("a"),
+            F.greatest(acc["c"] + (x - k), F.lit(0.0)).alias("c"),
+        ),
+    )
+    segs = _seg_ticks(ev).select(
+        "user_id",
+        F.struct(
+            F.col("seg"),
+            comp["a"].alias("a"),
+            comp["c"].alias("c"),
+            F.size("vs").cast("long").alias("n"),
+        ).alias("s"),
+    )
+    per_user = segs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    cusum = F.aggregate(
+        F.col("ss"),
+        F.lit(0.0),
+        lambda acc, s: F.greatest(s["c"], acc + s["a"]),
+    )
+    n = F.aggregate(F.col("ss"), F.lit(0).cast("long"), lambda acc, s: acc + s["n"])
+    return per_user.select(
+        "user_id",
+        (F.round(cusum, 4) + 0.0).alias("cusum"),
+        n.alias("n_ticks"),
+    )

@@ -220,7 +220,7 @@ def test_ewma_macd_segmented_fold(plans):
     series in one task at scale (the r3 shape this replaces). Shape:
     exactly two Exchanges, the first on (user_id, seg), the second on
     user_id only, with the segment bucket (date_trunc) in the plan."""
-    for k in ("q_win_ewma", "q_win_macd"):
+    for k in ("q_win_ewma", "q_win_macd", "q_win_cusum"):
         p = plans[k]
         body = p.split("== Physical Plan ==")[-1].split("===== Subqueries")[0]
         tree = body.split("(1) ")[0]

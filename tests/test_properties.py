@@ -207,3 +207,41 @@ def test_segmented_ewma_single_segment_is_bit_identical():
     assert _segmented_ewma([xs], 0.2) == _seq_ewma(xs, 0.2)
     assert _segmented_ewma([[], xs, []], 0.2) == _seq_ewma(xs, 0.2)
     assert _segmented_ewma([[7.0]], 0.2) == 7.0
+
+
+def _seq_cusum(xs: list[float], k: float) -> float:
+    acc = 0.0
+    for x in xs:
+        acc = max(0.0, acc + (x - k))
+    return acc
+
+
+def _segmented_cusum(segments: list[list[float]], k: float) -> float:
+    # mirror of q_win_cusum's max-plus composition: segment -> (a, c)
+    y = 0.0
+    for s in segments:
+        if not s:
+            continue
+        a, c = 0.0, float("-inf")
+        for x in s:
+            a, c = a + (x - k), max(c + (x - k), 0.0)
+        y = max(c, y + a)
+    return y
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=0, max_size=200
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=200), max_size=10),
+    k=st.sampled_from([0.0, 100.0, -3.5]),
+)
+def test_segmented_cusum_matches_sequential(xs, cuts, k):
+    """q_win_cusum's max-plus segment composition must equal the
+    sequential recursion S_t = max(0, S_{t-1} + x_t - k) for ANY
+    segmentation, including empty segments and the empty series."""
+    bounds = sorted({c for c in cuts if c <= len(xs)} | {0, len(xs)})
+    segments = [xs[i:j] for i, j in zip(bounds, bounds[1:])]
+    seq = _seq_cusum(xs, k)
+    seg = _segmented_cusum(segments, k)
+    assert abs(seg - seq) <= 1e-9 * max(1.0, abs(seq))
