@@ -1113,3 +1113,53 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.col("d.cents"), F.lit(0))
         ).alias("cents"),
     )
+
+
+@register(
+    "q_time_to_event",
+    oracle="""
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.v_us AS first_view_us,
+           p.p_us AS first_purchase_us,
+           (p.p_us - v.v_us) // 1000000 AS latency_s
+    FROM v JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion per user: seconds from the first view to the
+    first purchase AT OR AFTER it — the latency complement of
+    q_funnel's stage counts (funnel says how many convert; this says
+    how fast).
+
+    Two pushed-filter scans collapse to one row per user each (hash
+    aggs with map-side combine), then an equi-join on user_id — every
+    shuffle carries per-user rows, never ticks. Integer-microsecond
+    arithmetic end-to-end (no float time math)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_view_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase_us"))
+    )
+    return v.join(p, "user_id").select(
+        "user_id",
+        "first_view_us",
+        "first_purchase_us",
+        F.floor(
+            (F.col("first_purchase_us") - F.col("first_view_us")) / 1_000_000
+        ).cast("long").alias("latency_s"),
+    )

@@ -62,10 +62,10 @@ def _ensure_loaded() -> None:
 # lacking one. After r03 the union of r01∪r02∪r03 rows covers 142 of
 # the 172 keys; round 4 therefore leads with the 30 keys that have no
 # row in ANY round (all registered past r03's slot-50 boundary), then
-# the 17 new r4 operators, then the 2 operators whose PLAN changed
+# the 18 new r4 operators, then the 2 operators whose PLAN changed
 # this round (a prior green row no longer certifies the new plan —
-# mirrored in tests/test_registry.py::_RECERT), leaving exactly 1
-# window slot for the stalest r01 anchor. Keys displaced past slot
+# mirrored in tests/test_registry.py::_RECERT) — together they fill
+# the window exactly (30 + 18 + 2 = 50; no anchor-refresh slots). Keys displaced past slot
 # 50 keep their r01/r02/r03 rows and tools/check.py full-sweep
 # coverage; the tail is ordered by row staleness so the r5 window is a
 # straight prefix rotation.
@@ -86,18 +86,16 @@ _PRIORITY: list[str] = [
     "q_basket_pairs", "q_win_rolling_median", "q_concurrency",
     "q_join_range_banded", "q_graph_pagerank", "q_corr_matrix",
     "q_agg_grouping_id", "q_rollup_incremental", "q_sample_negative",
-    "q_win_cusum",
+    "q_win_cusum", "q_time_to_event",
     # -- plans rewritten in round 4 (re-certify; test_registry._RECERT):
     # both run the rewritten cached-gate path in _jaccard_set_pairs --
     "q_dedup_jaccard", "q_dedup_ngram",
-    # ---- slot-50 boundary: 30 backlog + 17 new r4 + 2 recert = 49,
-    # so exactly ONE r01 anchor makes the window this round (the other
-    # anchors keep their r01 rows and lead the r5 refresh backlog
+    # ---- slot-50 boundary: 30 backlog + 18 new r4 + 2 recert = 50.
+    # Every anchor keeps its r01 row and leads the r5 refresh backlog
     # below; tail order = staleness, so r5's window is the next
-    # prefix) ----
-    "q_agg_group",
+    # prefix ----
     # r01-only remainder (r5 refresh backlog, stalest first)
-    "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
+    "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",
     "q_project", "q_filter", "q_filter_date", "q_case_when",
     "q_join_left", "q_join_outer", "q_join_semi", "q_join_anti",
