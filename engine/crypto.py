@@ -1025,3 +1025,169 @@ def q_win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(cusum, 4) + 0.0).alias("cusum"),
         n.alias("n_ticks"),
     )
+
+
+@register(
+    "q_win_atr",
+    oracle="""
+    WITH bars AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             max(value) OVER b AS high, min(value) OVER b AS low,
+             last_value(value) OVER b AS close
+      FROM events
+      WINDOW b AS (PARTITION BY date_trunc('day', ts), event_type
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    tr AS (
+      SELECT event_type, day,
+             greatest(high - low,
+                      abs(high - lag(close) OVER w),
+                      abs(low  - lag(close) OVER w)) AS true_range
+      FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(avg(true_range) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 4)
+             + 0.0 AS atr14
+    FROM tr WHERE true_range IS NOT NULL
+    """,
+)
+def q_win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (14-day) per event_type — the classic
+    volatility indicator over daily bars.
+
+    Two-level plan: ticks collapse to |types|x|days| daily bars in ONE
+    hash aggregate (map-side combined — the only full-data exchange),
+    then the lag/greatest/trailing-avg windows run over the tiny bar
+    table partitioned by type. greatest() ignoring-null semantics
+    differ between engines on the first bar (lag NULL), so the NULL
+    first row is filtered on both sides; the trailing frame is bounded
+    (14 rows of state per task at any series length).
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_close = F.lag("close").over(w)
+    tr = bars.withColumn(
+        "true_range",
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_close),
+            F.abs(F.col("low") - prev_close),
+        ),
+    ).filter(F.col("true_range").isNotNull())
+    w14 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    return tr.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round(F.avg("true_range").over(w14), 4) + 0.0).alias("atr14"),
+    )
+
+
+@register(
+    "q_candle_patterns",
+    oracle="""
+    WITH bars AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             first_value(value) OVER b AS open,
+             max(value) OVER b AS high, min(value) OVER b AS low,
+             last_value(value) OVER b AS close
+      FROM events
+      WINDOW b AS (PARTITION BY date_trunc('day', ts), event_type
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    flagged AS (
+      SELECT event_type,
+             CASE WHEN abs(close - open) <= 0.1 * (high - low)
+                  THEN 1 ELSE 0 END AS doji,
+             CASE WHEN least(open, close) - low >= 2 * abs(close - open)
+                   AND high - greatest(open, close) <= abs(close - open)
+                  THEN 1 ELSE 0 END AS hammer,
+             CASE WHEN lag(close) OVER w < lag(open) OVER w
+                   AND close > open
+                   AND open <= lag(close) OVER w
+                   AND close >= lag(open) OVER w
+                  THEN 1 ELSE 0 END AS bull_engulf
+      FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(sum(doji) AS BIGINT) AS n_doji,
+           CAST(sum(hammer) AS BIGINT) AS n_hammer,
+           CAST(sum(bull_engulf) AS BIGINT) AS n_bull_engulf,
+           count(*) AS n_bars
+    FROM flagged GROUP BY event_type
+    """,
+)
+def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern screen (doji / hammer / bullish engulfing)
+    over daily bars, counted per event_type.
+
+    Same two-level discipline as q_win_atr: ONE full-data hash
+    aggregate builds the bars, then the pattern predicates are pure
+    codegen arithmetic over the |types|x|days| table (one lag window
+    for the engulfing check). The engulfing CASE is NULL on the first
+    bar (lag NULL) and both engines' CASE-on-NULL yields the ELSE 0 —
+    asserted identical by the differential gate. All comparisons are
+    on raw double arithmetic both engines compute identically from the
+    same bar values (no rounding in predicates).
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    body = F.abs(F.col("close") - F.col("open"))
+    doji = F.when(body <= 0.1 * (F.col("high") - F.col("low")), 1).otherwise(0)
+    hammer = F.when(
+        (F.least("open", "close") - F.col("low") >= 2 * body)
+        & (F.col("high") - F.greatest("open", "close") <= body),
+        1,
+    ).otherwise(0)
+    prev_open, prev_close = F.lag("open").over(w), F.lag("close").over(w)
+    engulf = F.when(
+        (prev_close < prev_open)
+        & (F.col("close") > F.col("open"))
+        & (F.col("open") <= prev_close)
+        & (F.col("close") >= prev_open),
+        1,
+    ).otherwise(0)
+    return (
+        bars.select(
+            "event_type",
+            doji.alias("doji"),
+            hammer.alias("hammer"),
+            engulf.alias("bull_engulf"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("doji").alias("n_doji"),
+            F.sum("hammer").alias("n_hammer"),
+            F.sum("bull_engulf").alias("n_bull_engulf"),
+            F.count("*").alias("n_bars"),
+        )
+    )

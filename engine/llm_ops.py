@@ -2625,3 +2625,53 @@ def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 2)
         .select("anchor_id", "neg_id", "rank")
     )
+
+
+@register(
+    "q_text_hapax",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS n FROM toks GROUP BY w)
+    SELECT count(*) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS hapax_ratio,
+           CAST(sum(n) AS BIGINT) AS corpus_tokens
+    FROM wc
+    """,
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: vocabulary size, hapax-legomena count
+    (words occurring exactly once) and ratio, total token count — the
+    standard corpus-health screen before training (a high hapax ratio
+    flags OCR noise / boilerplate explosion; Heaps-law sanity check).
+
+    One explode + ONE (word -> count) hash aggregate with map-side
+    combine — the shuffle is vocabulary-bounded, not corpus-bounded —
+    then a 1-row global reduce over the (already tiny) word-count
+    table. All four outputs derive from exact integer counts, so the
+    ratio is a deterministic double on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    return wc.agg(
+        F.count("*").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("hapax_ratio"),
+        F.sum("n").alias("corpus_tokens"),
+    )

@@ -1163,3 +1163,74 @@ def q_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("first_purchase_us") - F.col("first_view_us")) / 1_000_000
         ).cast("long").alias("latency_s"),
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT x AS node FROM t
+          UNION ALL SELECT y FROM t
+          UNION ALL SELECT z FROM t)
+    GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 20
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation over the co-purchase graph: top-20 parts
+    by the number of triangles they close (community-density signal;
+    the building block of clustering-coefficient computation).
+
+    The edge set is q_basket_pairs' output (parts co-bought in >= 2
+    orders, a < b orientation), localCheckpoint-ed so the THREE roles
+    in the triangle join read one materialized table instead of
+    re-running the basket pipeline per role. Triangle enumeration is
+    two hash equi-joins (e1.b = e2.a, then the closing (a, c) probe);
+    the a < b < c orientation counts each triangle exactly once and
+    bounds the wedge fan-out by forward-degree. At 100 TB scale the
+    standard refinement is degree orientation (point each edge at the
+    higher-degree endpoint, bounding forward-degree by sqrt(|E|)) —
+    same plan, different orientation predicate; node participation is
+    an explode + hash count, and the top-20 lowers to
+    TakeOrderedAndProject.
+    """
+    from engine.relational import q_basket_pairs
+
+    e = (
+        q_basket_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), F.col("node"))
+        .limit(20)
+    )

@@ -64,11 +64,14 @@ def _ensure_loaded() -> None:
 # row in ANY round (all registered past r03's slot-50 boundary), then
 # the 18 new r4 operators, then the 2 operators whose PLAN changed
 # this round (a prior green row no longer certifies the new plan —
-# mirrored in tests/test_registry.py::_RECERT) — together they fill
-# the window exactly (30 + 18 + 2 = 50; no anchor-refresh slots). Keys displaced past slot
-# 50 keep their r01/r02/r03 rows and tools/check.py full-sweep
-# coverage; the tail is ordered by row staleness so the r5 window is a
-# straight prefix rotation.
+# mirrored in tests/test_registry.py::_RECERT). The TPC-H completion
+# set (9 keys) landed after the seal, so the backlog now overflows the
+# window: 30 + 18 + 9 first-row keys + 2 recerts = 59; the first 50
+# get r04 rows, the last 7 TPC-H keys + the 2 recerts queue at slots
+# 50-58 for r5 (all verified this round by tools/check.py at 3 SFs).
+# Keys displaced past the window keep their r01/r02/r03 rows and
+# tools/check.py full-sweep coverage; the tail is ordered by row
+# staleness so the r5 window is a straight prefix rotation.
 _PRIORITY: list[str] = [
     # -- no driver row in ANY of r01/r02/r03 (the r4 first-row set) --
     "q_tpch_q3", "q_tpch_q10", "q_tpch_q6", "q_tpch_q7", "q_tpch_q14",
@@ -87,13 +90,19 @@ _PRIORITY: list[str] = [
     "q_join_range_banded", "q_graph_pagerank", "q_corr_matrix",
     "q_agg_grouping_id", "q_rollup_incremental", "q_sample_negative",
     "q_win_cusum", "q_time_to_event",
+    # -- round-4 TPC-H completion (first-row keys; Q1 = q_agg_group) --
+    "q_tpch_q2", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q13", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+    # -- round-4 late additions (first-row keys) --
+    "q_win_atr", "q_candle_patterns", "q_graph_triangles", "q_text_hapax",
     # -- plans rewritten in round 4 (re-certify; test_registry._RECERT):
     # both run the rewritten cached-gate path in _jaccard_set_pairs --
     "q_dedup_jaccard", "q_dedup_ngram",
-    # ---- slot-50 boundary: 30 backlog + 18 new r4 + 2 recert = 50.
-    # Every anchor keeps its r01 row and leads the r5 refresh backlog
-    # below; tail order = staleness, so r5's window is the next
-    # prefix ----
+    # ---- slot-50 boundary falls inside the TPC-H completion block
+    # above (30 backlog + 18 r4 + first 2 TPC-H keys = 50); the last 7
+    # TPC-H keys and the 2 recerts queue just past it for r5. Every
+    # anchor keeps its r01 row and leads the r5 refresh backlog below;
+    # tail order = staleness, so r5's window is the next prefix ----
     # r01-only remainder (r5 refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

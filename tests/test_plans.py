@@ -56,6 +56,8 @@ _SINGLE_PARTITION_OK = {
     "q_sample_temperature",  # 1-row min-count aggregate sizes the rates
     "q_concurrency",      # carry-in window over the one-row-per-DAY totals table
     "q_sample_reservoir",  # TakeOrderedAndProject gathers k=100 rows
+    "q_tpch_q11",         # 1-row (total, n_parts) scalar of the post-agg table
+    "q_text_hapax",       # 1-row global reduce of the vocab-bounded count table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -75,6 +77,10 @@ _CROSS_OK = {
     # plus BM25's stats folds.
     "q_text_bm25", "q_sample_temperature", "q_tpch_q15", "q_tpch_q22",
     "q_sim_hybrid_rrf",
+    # Q11's (total, n_parts) threshold: 1-row re-aggregate of the
+    # already-small post-agg value table, broadcast back — never a
+    # second fact scan.
+    "q_tpch_q11",
 }
 
 
@@ -343,3 +349,50 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_completion_plan_shapes(plans):
+    """Pin the scale-critical properties of the round-4 TPC-H
+    completion set (Q2 Q8 Q9 Q11 Q12 Q13 Q16 Q20 Q21)."""
+    # Q2: the per-part min is a WINDOW over the bridge aggregate — one
+    # lineitem scan total, no join-back second scan; the European
+    # dimension chain broadcasts
+    assert plans["q_tpch_q2"].count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plans["q_tpch_q2"]
+    assert "TakeOrderedAndProject" in plans["q_tpch_q2"]
+    # Q8 / Q9: dimension chains reach the facts as broadcasts; the
+    # part-side filter reaches its parquet scan
+    for k in ("q_tpch_q8", "q_tpch_q9"):
+        assert "BroadcastHashJoin" in plans[k], k
+    assert "p_type" in plans["q_tpch_q8"].split("PushedFilters", 1)[1].split("]")[0] \
+        or "PushedFilters: [IsNotNull(p_type)" in plans["q_tpch_q8"]
+    # Q9: the LIKE filter is pushed as a StringContains on the part scan
+    assert "widget" in plans["q_tpch_q9"]
+    # Q11: the localCheckpoint-ed value table replaces the fact scan in
+    # BOTH branches of the action plan — lineitem was scanned exactly
+    # once when the checkpoint materialized, so the plan shows zero
+    # parquet scans and a shared materialized-RDD scan instead
+    assert plans["q_tpch_q11"].count("lineitem.parquet") == 0
+    assert "ExistingRDD" in plans["q_tpch_q11"]
+    # Q13: the priority filter stays in the LEFT join condition (zero-
+    # order customers survive), so no customer-side filter exists
+    assert "LeftOuter" in plans["q_tpch_q13"]
+    # Q16: the excluded-supplier NOT IN lowers to a broadcast anti join
+    assert "LeftAnti" in plans["q_tpch_q16"]
+    # Q20: the IN-chain stays semi end-to-end — no duplicate suppliers
+    # ever materialize
+    assert plans["q_tpch_q20"].count("LeftSemi") >= 2
+    # Q21: the EXISTS/NOT-EXISTS pair decorrelates into ONE lineitem
+    # scan + per-order window (classic form scans lineitem 3x)
+    assert plans["q_tpch_q21"].count("lineitem.parquet") == 1
+    assert "Window" in plans["q_tpch_q21"]
+
+
+def test_tpch_scalar_subqueries_scan_fact_once(plans):
+    """Q15's revenue view and Q11's value view each feed two plan
+    branches (candidate rows + a 1-row scalar); the localCheckpoint
+    must collapse them to ONE lineitem scan — which happens when the
+    checkpoint materializes, leaving the action plan reading the
+    materialized RDD and no parquet fact scan at all."""
+    assert plans["q_tpch_q15"].count("lineitem.parquet") == 0
+    assert "ExistingRDD" in plans["q_tpch_q15"]
