@@ -1595,3 +1595,104 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.grouping_id().isin(0, 1, 3))
         .select("l_returnflag", "l_linestatus", "gid", "n", "revenue_cents")
     )
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             / 100.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom-filter semi-join reduction (the runtime-filter
+    pattern): revenue of lineitem rows joining a selective orders
+    subset, with the probe side pre-filtered MAP-SIDE by a bloom
+    filter built from the build side's keys.
+
+    Why it exists: at 100 TB the equi-join's cost is dominated by
+    shuffling the probe side; when the build side is selective, a
+    bloom filter over its keys — a few KB, broadcast — drops most
+    probe rows BEFORE the exchange. Spark's own runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects exactly
+    this when stats allow; this operator is the explicit, always-on
+    form of that rewrite, built from relational primitives:
+
+    - build: k=3 xxhash64 positions per key -> explode -> (word, bits)
+      hash agg via bit_or -> ONE row holding the dense 1024-word
+      bitmap (map_from_entries + sequence/transform), broadcast;
+    - probe: pure-codegen bit tests (element_at >> shift & mask) — no
+      join, no shuffle, applied at the scan;
+    - the surviving ~|build|-proportional probe rows flow into the
+      EXACT equi-join, so bloom false positives are removed and the
+      result is bit-identical to the plain join (the oracle IS the
+      plain join — the differential gate proves losslessness; no
+      false negatives is a bloom-filter structural property).
+
+    The 2^16-bit / k=3 sizing targets ~1% FP at the fixture's build
+    cardinality; at scale m scales with the build side (or use
+    Spark's native bloom_filter_agg sizing).
+    """
+    m_bits, n_words, k = 1 << 16, (1 << 16) >> 6, 3
+
+    def _positions(col: F.Column) -> list[F.Column]:
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+
+    words = (
+        orders.select(
+            F.explode(F.array(*_positions(F.col("o_orderkey")))).alias("p")
+        )
+        .groupBy(F.expr("p div 64").alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(p % 64 AS INT))")).alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0).cast("long")),
+        ).alias("bloom")
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    probe = li.crossJoin(F.broadcast(bloom))
+    for j, p in enumerate(_positions(F.col("l_orderkey"))):
+        probe = probe.withColumn(f"_p{j}", p)
+    cond = F.lit(True)
+    for j in range(k):
+        cond = cond & (
+            F.expr(
+                f"element_at(bloom, cast(_p{j} div 64 AS INT) + 1) "
+                f"& shiftleft(1L, cast(_p{j} % 64 AS INT)) != 0"
+            )
+        )
+    survivors = probe.filter(cond).drop("bloom", *[f"_p{j}" for j in range(k)])
+
+    return (
+        survivors.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                )
+                / 100.0
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

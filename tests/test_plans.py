@@ -58,6 +58,7 @@ _SINGLE_PARTITION_OK = {
     "q_sample_reservoir",  # TakeOrderedAndProject gathers k=100 rows
     "q_tpch_q11",         # 1-row (total, n_parts) scalar of the post-agg table
     "q_text_hapax",       # 1-row global reduce of the vocab-bounded count table
+    "q_join_bloom",       # 1-row dense-bitmap fold of the 1024-word table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -81,6 +82,9 @@ _CROSS_OK = {
     # already-small post-agg value table, broadcast back — never a
     # second fact scan.
     "q_tpch_q11",
+    # the bloom bitmap is ONE row (a 1024-long array, ~8KB) broadcast
+    # to every probe task — the runtime-filter pattern by construction.
+    "q_join_bloom",
 }
 
 
