@@ -31,3 +31,4 @@ def load_all() -> None:
     from engine import pipeline  # noqa: F401
     from engine import streaming  # noqa: F401
     from engine import benchmarks  # noqa: F401
+    from engine import stats  # noqa: F401

@@ -1,0 +1,198 @@
+"""Statistical inference operators (SURVEY.md §2.12a adjacency, added
+late r4): the experiment-analysis / trend-detection layer of an
+analytics engine.
+
+Reference parity: the reference repo has no code (SURVEY.md §0); these
+implement the committed inventory — the A/B significance test and the
+trend regression every product/market analytics stack ships.
+
+Cross-engine float policy (engine/registry.py docstring): both
+operators aggregate EXACT INTEGERS only (floor-cents values, day
+indexes) — sums of bigints are order-independent, so the final
+double-precision formulas (Welch t, OLS slope) evaluate on identical
+inputs on both engines and round() is safe.
+
+Scale design (100 TB intent):
+- both collapse the fact table in ONE hash aggregate with map-side
+  combine (t-test: conditional sums per event_type; trend: per
+  (type, day) partials then a |types|x|days|-bounded re-aggregate);
+  no windows, no joins, no per-row Python.
+- the A/B assignment is the engine's standard content-addressed md5
+  bucket (engine/pipeline.py convention) — deterministic, shard-stable,
+  reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import register
+
+# md5-hex first-8-hexit bucket, identical in Spark and DuckDB (the
+# q_split_hash idiom): even bucket -> arm A, odd -> arm B. Built lazily
+# -- Column construction requires an active SparkContext, which does
+# not exist at import time.
+def _spark_bucket() -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+
+
+_SQL_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2"
+)
+
+
+@register(
+    "q_stats_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE {_SQL_BUCKET} = 0) AS n_a,
+             count(*) FILTER (WHERE {_SQL_BUCKET} = 1) AS n_b,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 0
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 1
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s_b,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 0
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                              * CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS ss_a,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 1
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                              * CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS ss_b
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(s_a / 100.0 / n_a, 4) AS mean_a,
+           round(s_b / 100.0 / n_b, 4) AS mean_b,
+           round(
+             (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             / sqrt(
+                 ((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
+               + ((ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b
+               ), 4) + 0.0 AS t_stat
+    FROM g WHERE n_a > 1 AND n_b > 1
+    """,
+)
+def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic per event_type between two
+    deterministic md5-hash user arms (the A/B experiment readout).
+
+    ONE conditional hash aggregate computes both arms' (n, Σcents,
+    Σcents²) exactly; mean/variance/t evaluate driver-free in codegen
+    from those integers. Welch (unequal variances) rather than pooled —
+    the form real experiment platforms report. The t close to 0 is the
+    expected null result for a hash split, which is itself the A/A
+    sanity check those platforms run.
+    """
+    cents = F.floor(F.col("value") * 100).cast("long")
+    in_a, in_b = _spark_bucket() == 0, _spark_bucket() == 1
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(in_a, 1)).alias("n_a"),
+            F.count(F.when(in_b, 1)).alias("n_b"),
+            F.sum(F.when(in_a, cents)).alias("s_a"),
+            F.sum(F.when(in_b, cents)).alias("s_b"),
+            F.sum(F.when(in_a, cents * cents)).alias("ss_a"),
+            F.sum(F.when(in_b, cents * cents)).alias("ss_b"),
+        )
+        .filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+    )
+    mean_a_d = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b_d = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    t = (mean_a_d - mean_b_d) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("s_a") / 100.0 / F.col("n_a"), 4).alias("mean_a"),
+        F.round(F.col("s_b") / 100.0 / F.col("n_b"), 4).alias("mean_b"),
+        (F.round(t, 4) + 0.0).alias("t_stat"),
+    )
+
+
+@register(
+    "q_stats_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
+               AS x,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 / 100.0, 4) + 0.0 AS slope_per_day,
+           round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * sy)
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / n / 100.0, 4) + 0.0 AS intercept
+    FROM s WHERE n > 1
+    ORDER BY event_type
+    """,
+)
+def q_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend: slope and intercept of daily revenue vs day
+    index (drift/decay detection over the event stream).
+
+    Two-level plan: the fact table collapses to |types|x|days| daily
+    cents totals in ONE map-side-combined aggregate; the OLS moments
+    (Σx, Σy, Σxy, Σx²) re-aggregate that bounded table as exact
+    bigints, and slope/intercept are closed-form doubles from them —
+    no window, no join, deterministic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("timestamp")
+            ).alias("x"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).filter(F.col("n") > 1)
+    slope = (
+        F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        (F.round(slope / 100.0, 4) + 0.0).alias("slope_per_day"),
+        (F.round(intercept / 100.0, 4) + 0.0).alias("intercept"),
+    ).orderBy("event_type")
