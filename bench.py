@@ -44,6 +44,9 @@ HEADLINE = [
     # r4 additions: heaviest previously-untimed families
     "q_pipeline_pretrain",  # flagship multi-op pretrain chain
     "q_resample_ffill",     # LOCF grid resample (105k-row output)
+    # r4 TPC-H completion: the two heaviest classic shapes added late
+    "q_tpch_q9",            # 5-table profit snowflake with LIKE-pruned part
+    "q_tpch_q21",           # decorrelated EXISTS pair (agg + order window)
 ]
 
 

@@ -992,15 +992,26 @@ def _embedding_ann_dropped(spark: SparkSession, sf_dir: str, mode: str | None) -
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .distinct()
     )
-    ea = ed.select(F.col("vec_id").alias("va"), F.col("emb").alias("emb_a"))
-    eb = ed.select(F.col("vec_id").alias("vb"), F.col("emb").alias("emb_b"))
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    # norms precompute ONCE per vector (O(n*d)); the per-pair verify
+    # is then a single O(d) dot product — candidates outnumber vectors
+    # by orders of magnitude, so recomputing both norms per PAIR (the
+    # O(|cand|*d) trap fixed in q_embed_knn) would triple the verify
+    # arithmetic.
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    cos = dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))
+    ea = ed.select(
+        F.col("vec_id").alias("va"), F.col("emb").alias("emb_a"),
+        norm(F.col("emb")).alias("norm_a"),
+    )
+    eb = ed.select(
+        F.col("vec_id").alias("vb"), F.col("emb").alias("emb_b"),
+        norm(F.col("emb")).alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
     return (
         cand.join(_maybe_broadcast(ea, n_vecs, _EMB_BROADCAST_ROWS), "va")
         .join(_maybe_broadcast(eb, n_vecs, _EMB_BROADCAST_ROWS), "vb")
