@@ -561,3 +561,80 @@ def q_stream_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n_wins,
+             CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, win_start, n,
+           round((n - CAST(s AS DOUBLE) / n_wins)
+                 / sqrt((ss - CAST(s AS DOUBLE) * s / n_wins) / (n_wins - 1)), 4)
+             + 0.0 AS z,
+           CASE WHEN abs((n - CAST(s AS DOUBLE) / n_wins)
+                 / sqrt((ss - CAST(s AS DOUBLE) * s / n_wins) / (n_wins - 1))) > 2.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM hourly h JOIN stats USING (event_type)
+    WHERE n_wins > 1
+    """,
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume-anomaly detection: hourly event counts per type
+    accumulate in the stream (watermarked tumbling windows — the
+    unbounded-state part runs streaming), then each closed window is
+    z-scored against its type's window population and flagged at |z|>2
+    in a batch pass over the small state table.
+
+    This is the production monitoring split: the fact stream collapses
+    to a bounded (type, hour) state table inside the streaming engine
+    (state ~ |types| x |hours|, never |events|); scoring reads ONLY
+    that table, so at scale the alert pass is a metadata-sized batch
+    job (or a foreachBatch hook on the same query). z derives from
+    exact integer (n, Σn, Σn²) — deterministic doubles cross-engine.
+    """
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src)
+    hourly = _run_to_memory(
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "n",
+        ),
+        "complete",
+    )
+    # rename the grouping key in the re-aggregate: both join sides
+    # descend from the same memory view, and fresh aliases on every
+    # stats column give the self-derived join unambiguous references
+    stats = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.count("*").alias("n_wins"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    ).filter(F.col("n_wins") > 1)
+    mean = F.col("s").cast("double") / F.col("n_wins")
+    std = F.sqrt(
+        (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n_wins"))
+        / (F.col("n_wins") - 1)
+    )
+    z = (F.col("n") - mean) / std
+    return (
+        hourly.join(stats, F.col("event_type") == F.col("et"))
+        .select(
+            "event_type",
+            "win_start",
+            "n",
+            (F.round(z, 4) + 0.0).alias("z"),
+            F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
