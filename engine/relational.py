@@ -1696,3 +1696,186 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+             datediff('day', max(o_orderdate), TIMESTAMP '2001-09-01') AS recency,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ),
+    scored AS (
+      SELECT c_custkey, monetary_cents,
+             ntile(5) OVER (ORDER BY recency ASC, c_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, c_custkey) AS m
+      FROM cust
+    )
+    SELECT r, f, m, count(*) AS n_customers,
+           floor(CAST(sum(monetary_cents) AS DOUBLE) / count(*)) / 100.0
+             AS avg_monetary
+    FROM scored GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the classic customer-analytics composite; output is the segment
+    grid (≤125 cells) with sizes and average monetary value.
+
+    One customer⋈orders aggregate builds the per-customer RFM triple;
+    the three ntile windows run over THAT table (|customers| rows, not
+    |orders|), each with a custkey tiebreak so the quintile boundaries
+    are a deterministic total order on both engines; the final cell
+    aggregate is constant-size. ntile's global window is the known
+    scale ceiling here — at 100 TB the quintiles come from
+    approx-quantile cut points broadcast as a 4-value filter instead
+    (the q_win_ntile two-pass pattern); the exact form is kept because
+    the oracle must be exact.
+    """
+    from pyspark.sql import Window
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "orders"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+            ).alias("recency"),
+            F.count("*").alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    scored = cust.select(
+        "c_custkey",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency"), F.asc("c_custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("c_custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("c_custkey")))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            # floor on the exact-integer quotient, not round on a
+            # double: round() lands cell averages on .xx5 boundaries
+            # where the engines' rounding implementations disagree
+            # (found at sf0.001); floor of a <2^53 quotient is stable.
+            (F.floor(F.sum("monetary_cents").cast("double") / F.count("*")) / 100.0)
+            .alias("avg_monetary"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@register(
+    "q_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_cents,
+             sum(cents) OVER () AS total_cents
+      FROM rev
+    )
+    SELECT CASE WHEN CAST(run_cents AS DOUBLE) / total_cents <= 0.8 THEN 'A'
+                WHEN CAST(run_cents AS DOUBLE) / total_cents <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           sum(cents) / 100.0 AS revenue
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts binned by cumulative revenue
+    share (A ≤ 80%, B ≤ 95%, C the tail) — the inventory-analytics
+    composite whose core is a GLOBAL ordered prefix sum.
+
+    The oracle writes the naive global running-sum window; the Spark
+    plan computes the identical prefix sum DISTRIBUTED via the same
+    two-level scheme as q_concurrency, with a deterministic outer key:
+    band = floor(log2(cents)). Bands are totally ordered consistently
+    with the (cents DESC, partkey) sort (within a band cents sorts
+    normally; any higher band's every value exceeds any lower band's),
+    so prefix sum = within-band running sum (window partitioned by
+    band — parallel across bands) + the running total of higher bands
+    (a ≤64-row per-band aggregate, windowed and broadcast back). No
+    single-partition pass ever touches the |parts|-sized table; the
+    ≤64-row band table is the only global window. Exact cents make the
+    0.8/0.95 boundary comparisons cross-engine stable.
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100))
+            .cast("long")
+            .alias("cents")
+        )
+        # log2 band: higher band <=> strictly larger cents range, so
+        # (band DESC, cents DESC, partkey) == (cents DESC, partkey)
+        .withColumn("band", F.floor(F.log2(F.col("cents").cast("double") + 1.5)))
+    )
+    w_in = Window.partitionBy("band").orderBy(
+        F.desc("cents"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = rev.withColumn("run_in_band", F.sum("cents").over(w_in))
+    band_tot = (
+        rev.groupBy("band")
+        .agg(F.sum("cents").alias("band_cents"))
+        .withColumn(
+            "carry_in",
+            F.coalesce(
+                F.sum("band_cents").over(
+                    Window.orderBy(F.desc("band")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("total_cents", F.sum("band_cents").over(Window.partitionBy()))
+        .select(F.col("band").alias("b"), "carry_in", "total_cents")
+    )
+    ranked = within.join(
+        F.broadcast(band_tot), F.col("band") == F.col("b")
+    ).withColumn("run_cents", F.col("run_in_band") + F.col("carry_in"))
+    share = F.col("run_cents").cast("double") / F.col("total_cents")
+    return (
+        ranked.select(
+            F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+            "cents",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )

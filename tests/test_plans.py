@@ -59,6 +59,9 @@ _SINGLE_PARTITION_OK = {
     "q_tpch_q11",         # 1-row (total, n_parts) scalar of the post-agg table
     "q_text_hapax",       # 1-row global reduce of the vocab-bounded count table
     "q_join_bloom",       # 1-row dense-bitmap fold of the 1024-word table
+    "q_rfm_segments",     # exact global ntile (oracle needs exactness; the
+                          # scale path is approx-quantile cut points — docstring)
+    "q_abc_pareto",       # carry-in window over the <=64-row band totals table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the

@@ -245,3 +245,34 @@ def test_segmented_cusum_matches_sequential(xs, cuts, k):
     seq = _seq_cusum(xs, k)
     seg = _segmented_cusum(segments, k)
     assert abs(seg - seq) <= 1e-9 * max(1.0, abs(seq))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200)
+)
+def test_abc_band_decomposition_equals_global_prefix(cents):
+    """q_abc_pareto's claim: floor(log2(c+1.5)) bands ordered DESC,
+    each band internally ordered (cents DESC, idx), concatenate to the
+    same sequence as the global (cents DESC, idx) order — so the
+    banded two-level prefix sum IS the global prefix sum, for ANY
+    multiset of revenues including zeros and duplicates."""
+    import math
+
+    rows = list(enumerate(cents))  # idx = partkey tiebreak
+    global_order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    band = lambda c: math.floor(math.log2(c + 1.5))  # noqa: E731
+    banded = sorted(rows, key=lambda r: (-band(r[1]), -r[1], r[0]))
+    assert banded == global_order
+    # and the carry-in arithmetic reproduces the running sum
+    run, by_band = 0, {}
+    for idx, c in global_order:
+        run += c
+        by_band.setdefault(band(c), []).append((idx, c, run))
+    for b, items in by_band.items():
+        carry = sum(
+            c for hb, higher in by_band.items() if hb > b for _, c, _run in higher
+        )
+        in_band = 0
+        for idx, c, expected_run in items:
+            in_band += c
+            assert in_band + carry == expected_run
