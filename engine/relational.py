@@ -1879,3 +1879,98 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "q_quality_rules",
+    oracle="""
+    WITH li AS (
+      SELECT *,
+             CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END AS bad_qty,
+             CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END AS bad_price,
+             CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END
+               AS bad_disc,
+             CASE WHEN l_shipdate < TIMESTAMP '1995-01-01'
+                    OR l_shipdate >= TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END
+               AS bad_date
+      FROM lineitem
+    ),
+    dup AS (
+      SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS n
+      FROM lineitem
+    ),
+    orphan AS (
+      SELECT count(*) AS n FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(bad_qty) AS BIGINT) AS bad_quantity,
+           CAST(sum(bad_price) AS BIGINT) AS bad_price,
+           CAST(sum(bad_disc) AS BIGINT) AS bad_discount,
+           CAST(sum(bad_date) AS BIGINT) AS bad_shipdate,
+           (SELECT n FROM dup) AS dup_line_keys,
+           (SELECT n FROM orphan) AS orphan_lines,
+           round(CAST(count(*) - CAST(sum(bad_qty + bad_price + bad_disc
+                                          + bad_date) AS BIGINT) AS DOUBLE)
+                 / count(*), 6) AS clean_rate
+    FROM li
+    """,
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule summary over lineitem — the constraint-check
+    pass an ETL pipeline runs before publishing a partition: range
+    rules (quantity/price/discount/shipdate), primary-key duplicate
+    count, referential orphans against orders, and the overall clean
+    rate.
+
+    All range rules ride ONE scan as conditional sums (map-side
+    combined to a single row); the duplicate check is a count-distinct
+    on the composite key (two-phase hash agg, no window); the orphan
+    check is a LEFT ANTI join against the orders key column — at scale
+    the anti join shuffles only the key columns, and a bloom pre-filter
+    (q_join_bloom's pattern) slots in front of it unchanged. The
+    fixture is clean by construction, so the zeros ARE the assertion —
+    the operator's value is the plan shape plus the differential gate
+    on the arithmetic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    bad_qty = F.when(F.col("l_quantity") <= 0, 1).otherwise(0)
+    bad_price = F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)
+    bad_disc = F.when(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1
+    ).otherwise(0)
+    bad_date = F.when(
+        (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        | (F.col("l_shipdate") >= F.lit("2002-01-01").cast("timestamp")),
+        1,
+    ).otherwise(0)
+    base = li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(bad_qty).alias("bad_quantity"),
+        F.sum(bad_price).alias("bad_price"),
+        F.sum(bad_disc).alias("bad_discount"),
+        F.sum(bad_date).alias("bad_shipdate"),
+        (
+            F.count("*")
+            - F.countDistinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("dup_line_keys"),
+        F.sum(bad_qty + bad_price + bad_disc + bad_date).alias("_bad_total"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("orphan_lines"))
+    )
+    return base.crossJoin(F.broadcast(orphans)).select(
+        "n_rows",
+        "bad_quantity",
+        "bad_price",
+        "bad_discount",
+        "bad_shipdate",
+        "dup_line_keys",
+        "orphan_lines",
+        F.round(
+            (F.col("n_rows") - F.col("_bad_total")).cast("double") / F.col("n_rows"), 6
+        ).alias("clean_rate"),
+    )

@@ -62,6 +62,7 @@ _SINGLE_PARTITION_OK = {
     "q_rfm_segments",     # exact global ntile (oracle needs exactness; the
                           # scale path is approx-quantile cut points — docstring)
     "q_abc_pareto",       # carry-in window over the <=64-row band totals table
+    "q_quality_rules",    # whole-table DQ summary reduces to one wide row
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -88,6 +89,8 @@ _CROSS_OK = {
     # the bloom bitmap is ONE row (a 1024-long array, ~8KB) broadcast
     # to every probe task — the runtime-filter pattern by construction.
     "q_join_bloom",
+    # DQ summary: the 1-row orphan count folds into the 1-row rules row.
+    "q_quality_rules",
 }
 
 
