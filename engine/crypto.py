@@ -1191,3 +1191,57 @@ def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bars"),
         )
     )
+
+
+@register(
+    "q_time_intelligence",
+    oracle="""
+    WITH monthly AS (
+      SELECT event_type,
+             CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(month, '%Y-%m') AS month,
+           cents / 100.0 AS revenue,
+           round((cents - lag(cents) OVER w) * 100.0
+                 / lag(cents) OVER w, 4) + 0.0 AS mom_pct,
+           round((cents - lag(cents, 12) OVER w) * 100.0
+                 / lag(cents, 12) OVER w, 4) + 0.0 AS yoy_pct
+    FROM monthly
+    WINDOW w AS (PARTITION BY event_type ORDER BY month)
+    ORDER BY event_type, month
+    """,
+)
+def q_time_intelligence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-intelligence comparison: monthly revenue per event_type
+    with month-over-month and year-over-year growth — the BI staple
+    (PoP/YoY) every reporting layer ships.
+
+    Ticks collapse to |types|x|months| exact cents in ONE map-side-
+    combined aggregate; both growth columns are lag windows over that
+    bounded table sharing a single (event_type) exchange and sort.
+    First-period rows carry NULL growth on both engines (lag over the
+    frame edge). Percentages divide exact integers, so the doubles are
+    cross-engine deterministic.
+    """
+    from pyspark.sql import Window
+
+    monthly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("month")
+    mom = F.lag("cents").over(w)
+    yoy = F.lag("cents", 12).over(w)
+    return monthly.select(
+        "event_type",
+        F.date_format("month", "yyyy-MM").alias("month"),
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.round((F.col("cents") - mom) * 100.0 / mom, 4) + 0.0).alias("mom_pct"),
+        (F.round((F.col("cents") - yoy) * 100.0 / yoy, 4) + 0.0).alias("yoy_pct"),
+    ).orderBy("event_type", "month")

@@ -1234,3 +1234,105 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), F.col("node"))
         .limit(20)
     )
+
+
+@register(
+    "q_eval_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    grp AS (
+      SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+      FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT npos, n,
+             coalesce(sum(n) OVER (ORDER BY score
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_before
+      FROM grp
+    ),
+    tot AS (
+      SELECT CAST(sum(npos) AS BIGINT) AS p,
+             CAST(sum(n) - sum(npos) AS BIGINT) AS q,
+             sum(npos * (cum_before + (n + 1) / 2.0)) AS rank_sum
+      FROM ranked
+    )
+    SELECT p AS n_pos, q AS n_neg,
+           round((rank_sum - p * (p + 1) / 2.0) / (p * q), 6) AS auc
+    FROM tot
+    """,
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a score column against a binary label via the
+    Mann-Whitney rank statistic — the model-evaluation operator of a
+    training pipeline (here: first embedding component vs label parity;
+    ~0.5 is the expected uninformative result on the synthetic fixture,
+    which is the A/A-style sanity read).
+
+    Fully relational and DISTRIBUTED: scores collapse to per-score tie
+    groups (one hash agg), the global rank prefix over the group table
+    runs as the same two-level banded prefix sum as q_abc_pareto
+    (floor(score*64) band key — equal scores share a band, so average
+    ranks of tie groups stay exact), and AUC is closed-form from the
+    exact (n, npos, cum_before) integers. The oracle writes the naive
+    single-partition running-sum window; the plans differ, the relation
+    does not. Average-rank tie handling makes the statistic exact for
+    ANY tie structure, not just distinct scores.
+    """
+    scored = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.element_at("embedding", 1).cast("double").alias("score"),
+            F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+        )
+    )
+    grp = (
+        scored.groupBy("score")
+        .agg(F.count("*").alias("n"), F.sum("y").cast("long").alias("npos"))
+        .withColumn("band", F.floor(F.col("score") * 64))
+    )
+    w_in = Window.partitionBy("band").orderBy(F.asc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = grp.withColumn(
+        "run_in_band", F.coalesce(F.sum("n").over(w_in), F.lit(0))
+    )
+    band_tot = (
+        grp.groupBy("band")
+        .agg(F.sum("n").alias("band_n"))
+        .withColumn(
+            "carry_in",
+            F.coalesce(
+                F.sum("band_n").over(
+                    Window.orderBy(F.asc("band")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(F.col("band").alias("b"), "carry_in")
+    )
+    ranked = within.join(F.broadcast(band_tot), F.col("band") == F.col("b")).withColumn(
+        "cum_before", F.col("run_in_band") + F.col("carry_in")
+    )
+    tot = ranked.agg(
+        F.sum("npos").cast("long").alias("p"),
+        (F.sum("n") - F.sum("npos")).cast("long").alias("q"),
+        F.sum(
+            F.col("npos") * (F.col("cum_before") + (F.col("n") + 1) / 2.0)
+        ).alias("rank_sum"),
+    )
+    return tot.select(
+        F.col("p").alias("n_pos"),
+        F.col("q").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("q")),
+            6,
+        ).alias("auc"),
+    )

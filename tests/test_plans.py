@@ -63,6 +63,8 @@ _SINGLE_PARTITION_OK = {
                           # scale path is approx-quantile cut points — docstring)
     "q_abc_pareto",       # carry-in window over the <=64-row band totals table
     "q_quality_rules",    # whole-table DQ summary reduces to one wide row
+    "q_eval_auc",         # carry-in window over the ~score-band count table
+                          # + the 1-row Mann-Whitney reduce
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the

@@ -70,3 +70,40 @@ def test_trend_matches_numpy_lstsq():
         assert row["n"] == len(daily)
         assert abs(row["slope_per_day"] - round(slope / 100, 4)) < 1e-6, et
         assert abs(row["intercept"] - round(intercept / 100, 4)) < 1e-4, et
+
+
+def test_auc_matches_pairwise_definition():
+    """The Mann-Whitney rank form must equal the O(n²) pairwise
+    definition: P(score_pos > score_neg) + 0.5*P(tie)."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    n_pos, n_neg, auc = con.execute(all_oracles()["q_eval_auc"]).fetchone()
+    df = con.execute(
+        "SELECT CAST(embedding[1] AS DOUBLE) AS s, label % 2 AS y FROM embeddings"
+    ).df()
+    pos = df.loc[df["y"] == 1, "s"].to_numpy()
+    neg = df.loc[df["y"] == 0, "s"].to_numpy()
+    assert (len(pos), len(neg)) == (n_pos, n_neg)
+    cmp = pos[:, None] - neg[None, :]
+    pairwise = ((cmp > 0).sum() + 0.5 * (cmp == 0).sum()) / (len(pos) * len(neg))
+    assert abs(auc - round(pairwise, 6)) < 1e-9
+
+
+def test_auc_tie_handling_is_exact():
+    """Average-rank ties: a hand-built multiset with heavy ties has a
+    closed-form AUC; check the oracle formula on it via DuckDB."""
+    con = duckdb.connect()
+    con.execute(
+        """CREATE VIEW embeddings AS
+           SELECT * FROM (VALUES
+             ([0.5], 1), ([0.5], 0), ([0.5], 1), ([0.5], 0),
+             ([0.9], 1), ([0.1], 0)
+           ) AS t(embedding, label)"""
+    )
+    n_pos, n_neg, auc = con.execute(all_oracles()["q_eval_auc"]).fetchone()
+    # pairs: pos={.5,.5,.9}, neg={.5,.5,.1}: wins = .5>.1 x2, .9>all x3
+    # = 5; ties = 2x2 = 4 -> AUC = (5 + 0.5*4)/9
+    assert (n_pos, n_neg) == (3, 3)
+    assert abs(auc - round((5 + 0.5 * 4) / 9, 6)) < 1e-9
