@@ -1974,3 +1974,48 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows") - F.col("_bad_total")).cast("double") / F.col("n_rows"), 6
         ).alias("clean_rate"),
     )
+
+
+# One SQL text, two engines: the string below is written in the
+# Spark-SQL ∩ DuckDB shared dialect and is executed VERBATIM by both
+# sides of the differential gate — proving the engine's SQL entry
+# point (SURVEY §3 entry point 3), not just the DataFrame API.
+_SQL_API_TEXT = """
+    WITH rev AS (
+      SELECT n_name, l_partkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name, l_partkey
+    ),
+    rnk AS (
+      SELECT n_name, l_partkey, cents,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY cents DESC, l_partkey) AS rn
+      FROM rev
+    )
+    SELECT n_name, l_partkey, cents / 100.0 AS revenue
+    FROM rnk WHERE rn <= 3
+    ORDER BY n_name, revenue DESC, l_partkey
+"""
+
+
+@register("q_sql_api", oracle=_SQL_API_TEXT)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point: top-3 revenue parts per supplier nation,
+    expressed as ONE SQL string executed verbatim by ``spark.sql``
+    (over temp views of the fixture tables) AND by the DuckDB oracle —
+    the same text, two engines, hash-equal results.
+
+    The query exercises CTEs, a snowflake join, exact-cents
+    aggregation, a ranked window, and top-k-per-group filtering in the
+    shared dialect. Catalyst plans it identically to the DataFrame
+    form (WindowGroupLimit pushes rn <= 3 below the sort); at scale
+    the same text runs unchanged on a cluster because the views are
+    just the parquet scans.
+    """
+    for t in ("lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_TEXT)
