@@ -426,3 +426,71 @@ def skew_report(df: DataFrame, cols: list[str], top_k: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data source (Spark 4 pyspark.sql.datasource API)
+# ---------------------------------------------------------------------------
+
+try:  # the API exists in PySpark >= 4; gate for portability
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SyntheticTickSource(DataSource):
+        """Deterministic partitioned tick generator — the engine's
+        demonstration of Spark 4's Python DataSource API (a first-class
+        pluggable source, not a DataFrame built driver-side).
+
+        Rows are pure integer arithmetic of the row index (Knuth
+        multiplicative hash), so the stream is reproducible across
+        runs, partition counts, AND engines — DuckDB replays the same
+        arithmetic over generate_series, which makes a *source
+        connector* oracle-checkable. Options: ``n`` rows (default
+        20000), ``parts`` partitions (default 8). On a cluster the
+        reader runs one task per InputPartition; ship this module via
+        --py-files exactly like any Python source.
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_ticks"
+
+        def schema(self) -> str:
+            return "tick_id BIGINT, bucket INT, value_cents BIGINT"
+
+        def reader(self, schema):  # noqa: ANN001 - API signature
+            return _TickReader(
+                int(self.options.get("n", 20000)),
+                int(self.options.get("parts", 8)),
+            )
+
+    class _TickReader(DataSourceReader):
+        def __init__(self, n: int, parts: int) -> None:
+            self.n, self.parts = n, parts
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            # contiguous index ranges per partition: the union over
+            # partitions is exactly [0, n) for any partition count
+            p = partition.value
+            chunk = -(-self.n // self.parts)
+            for i in range(p * chunk, min((p + 1) * chunk, self.n)):
+                h = (i * 2654435761) % 4294967296
+                yield (i, i % 8, h % 10007)
+
+    _PY_DATASOURCE_OK = True
+except ImportError:  # pragma: no cover - older PySpark
+    _PY_DATASOURCE_OK = False
+
+
+_DS_REGISTERED: set[int] = set()
+
+
+def register_python_sources(spark) -> None:
+    """Idempotently register the engine's Python data sources on a
+    session (keyed on the session object id)."""
+    if not _PY_DATASOURCE_OK or id(spark) in _DS_REGISTERED:
+        return
+    spark.dataSource.register(SyntheticTickSource)
+    _DS_REGISTERED.add(id(spark))

@@ -2019,3 +2019,32 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "supplier", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_API_TEXT)
+
+
+@register(
+    "q_source_python",
+    oracle="""
+    SELECT i AS tick_id, CAST(i % 8 AS INT) AS bucket,
+           ((i * 2654435761) % 4294967296) % 10007 AS value_cents
+    FROM generate_series(0, 19999) t(i)
+    """,
+)
+def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 ``pyspark.sql.datasource``):
+    read 20k deterministic ticks through the engine's registered
+    ``synthetic_ticks`` source — 8 InputPartitions, executor-side row
+    generation (never a driver-built DataFrame) — and hash-match the
+    SAME arithmetic replayed by DuckDB over generate_series. The
+    oracle-checked *connector*: schema declaration, option parsing,
+    partition planning, and per-partition reads all sit on the
+    verified path.
+    """
+    from engine.io import register_python_sources
+
+    register_python_sources(spark)
+    return (
+        spark.read.format("synthetic_ticks")
+        .option("n", "20000")
+        .option("parts", "8")
+        .load()
+    )

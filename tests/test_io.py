@@ -245,3 +245,28 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     # and the pruned read returns exactly the hot days' rows
     expect = ev.filter(F.col("dt") < "2024-01-04").count()
     assert joined.count() == expect
+
+
+def test_python_datasource_partition_invariance(spark):
+    """The synthetic_ticks Python source must yield the identical row
+    set for ANY partition count (the union of InputPartition ranges is
+    exactly [0, n)), and must actually plan one task per partition."""
+    from engine.io import register_python_sources
+
+    register_python_sources(spark)
+
+    def load(parts: int):
+        return (
+            spark.read.format("synthetic_ticks")
+            .option("n", "1000")
+            .option("parts", str(parts))
+            .load()
+        )
+
+    base = sorted(tuple(r) for r in load(1).collect())
+    assert len(base) == 1000
+    assert base[1] == (1, 1, (2654435761 % 4294967296) % 10007)
+    for parts in (3, 8):
+        df = load(parts)
+        assert df.rdd.getNumPartitions() == parts
+        assert sorted(tuple(r) for r in df.collect()) == base
