@@ -433,7 +433,12 @@ def skew_report(df: DataFrame, cols: list[str], top_k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 try:  # the API exists in PySpark >= 4; gate for portability
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     class SyntheticTickSource(DataSource):
         """Deterministic partitioned tick generator — the engine's
@@ -463,6 +468,12 @@ try:  # the API exists in PySpark >= 4; gate for portability
                 int(self.options.get("parts", 8)),
             )
 
+        def simpleStreamReader(self, schema):  # noqa: ANN001 - API signature
+            return _TickStreamReader(
+                int(self.options.get("n", 20000)),
+                int(self.options.get("batch", 4096)),
+            )
+
     class _TickReader(DataSourceReader):
         def __init__(self, n: int, parts: int) -> None:
             self.n, self.parts = n, parts
@@ -478,6 +489,32 @@ try:  # the API exists in PySpark >= 4; gate for portability
             for i in range(p * chunk, min((p + 1) * chunk, self.n)):
                 h = (i * 2654435761) % 4294967296
                 yield (i, i % 8, h % 10007)
+
+    class _TickStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch face of the same tick stream: offsets are row
+        indexes, each read() serves up to ``batch`` rows and reports
+        the next offset, and the stream runs dry at ``n`` (read
+        returns an empty iterator with an unchanged offset) — so a
+        processAllAvailable() drain sees EXACTLY the batch source's
+        rows, replayable from any checkpointed offset."""
+
+        def __init__(self, n: int, batch: int) -> None:
+            self.n, self.batch = n, batch
+
+        def initialOffset(self) -> dict:
+            return {"i": 0}
+
+        def read(self, start: dict):
+            lo = start["i"]
+            hi = min(lo + self.batch, self.n)
+            # a LIST, not a generator: the runner's prefetch cache
+            # copy.copy()s the returned iterator, which a generator
+            # does not support
+            rows = [
+                (i, i % 8, ((i * 2654435761) % 4294967296) % 10007)
+                for i in range(lo, hi)
+            ]
+            return iter(rows), {"i": hi}
 
     _PY_DATASOURCE_OK = True
 except ImportError:  # pragma: no cover - older PySpark

@@ -638,3 +638,38 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "q_stream_python_source",
+    oracle="""
+    SELECT CAST(i % 8 AS INT) AS bucket, count(*) AS n,
+           CAST(sum(((i * 2654435761) % 4294967296) % 10007) AS BIGINT)
+             AS total_cents
+    FROM generate_series(0, 19999) t(i)
+    GROUP BY 1
+    """,
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON STREAMING source (Spark 4
+    SimpleDataSourceStreamReader): the synthetic tick stream is
+    consumed in ~5 micro-batches (offset dict checkpointed per batch,
+    the stream runs dry at n), aggregated per bucket in complete mode,
+    and the drained state hash-matches DuckDB replaying the same
+    arithmetic — source connector + offset protocol + streaming agg,
+    all on the differential gate.
+    """
+    from engine.io import register_python_sources
+
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("synthetic_ticks")
+        .option("n", "20000")
+        .option("batch", "4096")
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("value_cents").cast("long").alias("total_cents"),
+    )
+    return _run_to_memory(agg, "complete")
