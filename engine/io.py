@@ -433,11 +433,15 @@ def skew_report(df: DataFrame, cols: list[str], top_k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 try:  # the API exists in PySpark >= 4; gate for portability
+    from dataclasses import dataclass
+
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 
     class SyntheticTickSource(DataSource):
@@ -516,6 +520,59 @@ try:  # the API exists in PySpark >= 4; gate for portability
             ]
             return iter(rows), {"i": hi}
 
+    class JsonlSinkSource(DataSource):
+        """Python DataSource WRITE side: a JSON-lines sink with the
+        full task-commit protocol — each executor task writes a
+        uniquely-named temp file and returns its path as the commit
+        message; the driver-side commit() renames all temp files into
+        place atomically-per-file, and abort() deletes them. A failed
+        task therefore never leaves a visible partial file — the same
+        staging discipline a production object-store sink uses.
+
+        Options: ``path`` (target directory, required)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite: bool):  # noqa: ANN001
+            return _JsonlWriter(self.options["path"], [f.name for f in schema])
+
+    @dataclass
+    class _JsonlCommit(WriterCommitMessage):
+        tmp_path: str
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, path: str, cols: list) -> None:
+            self.path, self.cols = path, cols
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            _os.makedirs(f"{self.path}/_tmp", exist_ok=True)
+            tmp = f"{self.path}/_tmp/part-{_uuid.uuid4().hex}.jsonl"
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps({c: row[c] for c in self.cols}) + "\n")
+            return _JsonlCommit(tmp_path=tmp)
+
+        def commit(self, messages) -> None:
+            import os as _os
+
+            for m in messages:
+                if m is not None:
+                    final = f"{self.path}/{_os.path.basename(m.tmp_path)}"
+                    _os.replace(m.tmp_path, final)
+
+        def abort(self, messages) -> None:
+            import os as _os
+
+            for m in messages:
+                if m is not None and _os.path.exists(m.tmp_path):
+                    _os.remove(m.tmp_path)
+
     _PY_DATASOURCE_OK = True
 except ImportError:  # pragma: no cover - older PySpark
     _PY_DATASOURCE_OK = False
@@ -530,4 +587,5 @@ def register_python_sources(spark) -> None:
     if not _PY_DATASOURCE_OK or id(spark) in _DS_REGISTERED:
         return
     spark.dataSource.register(SyntheticTickSource)
+    spark.dataSource.register(JsonlSinkSource)
     _DS_REGISTERED.add(id(spark))

@@ -270,3 +270,34 @@ def test_python_datasource_partition_invariance(spark):
         df = load(parts)
         assert df.rdd.getNumPartitions() == parts
         assert sorted(tuple(r) for r in df.collect()) == base
+
+
+def test_python_datasource_writer_roundtrip(spark, tmp_path):
+    """The jsonl_sink Python writer must stage per-task temp files and
+    publish them only at commit: after the write, the target holds
+    only committed part files (no _tmp leftovers) whose union equals
+    the input exactly."""
+    import json
+
+    from engine.io import register_python_sources
+
+    register_python_sources(spark)
+    target = str(tmp_path / "out")
+    df = (
+        spark.read.format("synthetic_ticks")
+        .option("n", "500")
+        .option("parts", "4")
+        .load()
+    )
+    df.write.format("jsonl_sink").option("path", target).mode("append").save()
+
+    files = sorted(p for p in os.listdir(target) if p.endswith(".jsonl"))
+    assert files, "no committed part files"
+    assert not os.listdir(f"{target}/_tmp"), "uncommitted temp files left behind"
+    rows = []
+    for p in files:
+        with open(f"{target}/{p}") as fh:
+            rows += [json.loads(line) for line in fh]
+    got = sorted((r["tick_id"], r["bucket"], r["value_cents"]) for r in rows)
+    expected = sorted(tuple(r) for r in df.collect())
+    assert got == expected
