@@ -1245,3 +1245,75 @@ def q_time_intelligence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((F.col("cents") - mom) * 100.0 / mom, 4) + 0.0).alias("mom_pct"),
         (F.round((F.col("cents") - yoy) * 100.0 / yoy, 4) + 0.0).alias("yoy_pct"),
     ).orderBy("event_type", "month")
+
+
+@register(
+    "q_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    dow AS (
+      SELECT event_type, CAST(dayofweek(day) + 1 AS INT) AS dow,
+             count(*) AS n_days, CAST(sum(cents) AS BIGINT) AS s
+      FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n_days) AS BIGINT) AS tot_days,
+             CAST(sum(s) AS BIGINT) AS tot_cents
+      FROM dow GROUP BY event_type
+    )
+    SELECT d.event_type, dow, n_days,
+           floor(CAST(s AS DOUBLE) / n_days) / 100.0 AS avg_daily,
+           round((CAST(s AS DOUBLE) / n_days)
+                 / (CAST(tot_cents AS DOUBLE) / tot_days), 4) AS seasonal_idx
+    FROM dow d JOIN tot t ON d.event_type = t.event_type
+    ORDER BY d.event_type, dow
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile per event_type: average daily revenue
+    by day-of-week and the seasonal index (day-of-week average over the
+    type's overall daily average) — the decomposition a capacity
+    planner or market-hours analysis starts from.
+
+    Three-level collapse, each map-side combined: ticks →
+    |types|x|days| exact daily cents → |types|x7 day-of-week sums →
+    |types| totals joined back (broadcast — constant size). avg_daily
+    floors the exact-integer quotient (the RFM lesson: round() on a
+    quotient can land on engine-disagreeing half-boundaries); the
+    seasonal index is a ratio of quotients of exact integers,
+    deterministic on both engines. Spark's dayofweek is 1=Sunday..7;
+    DuckDB's is 0=Sunday..6, so the oracle shifts by one.
+    """
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    dow = daily.groupBy(
+        "event_type", F.dayofweek("day").cast("int").alias("dow")
+    ).agg(F.count("*").alias("n_days"), F.sum("cents").cast("long").alias("s"))
+    tot = dow.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("n_days").cast("long").alias("tot_days"),
+        F.sum("s").cast("long").alias("tot_cents"),
+    )
+    avg_daily = F.col("s").cast("double") / F.col("n_days")
+    overall = F.col("tot_cents").cast("double") / F.col("tot_days")
+    return (
+        dow.join(F.broadcast(tot), F.col("event_type") == F.col("et"))
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            (F.floor(avg_daily) / 100.0).alias("avg_daily"),
+            F.round(avg_daily / overall, 4).alias("seasonal_idx"),
+        )
+        .orderBy("event_type", "dow")
+    )
