@@ -301,3 +301,79 @@ def test_python_datasource_writer_roundtrip(spark, tmp_path):
     got = sorted((r["tick_id"], r["bucket"], r["value_cents"]) for r in rows)
     expected = sorted(tuple(r) for r in df.collect())
     assert got == expected
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """Idempotent backfill semantics: with partitionOverwriteMode=dynamic,
+    rewriting ONE date partition must leave every other partition's
+    data untouched (static mode would wipe the whole table) — the
+    contract a daily backfill job depends on."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "dpo")
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("dt"),
+        (F.col("id") * 10).alias("v"),
+    )
+    df.write.partitionBy("dt").mode("overwrite").parquet(target)
+
+    patch = spark.range(50).select(
+        F.col("id"),
+        F.lit(2).alias("dt"),
+        F.lit(-1).alias("v"),
+    )
+    (
+        patch.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt")
+        .mode("overwrite")
+        .parquet(target)
+    )
+    out = spark.read.parquet(target)
+    assert out.filter("dt = 2").count() == 50
+    assert out.filter("dt = 2").agg(F.max("v")).first()[0] == -1
+    # untouched partitions keep their original 25 rows each
+    for dt in (0, 1, 3):
+        part = out.filter(f"dt = {dt}")
+        assert part.count() == 25, dt
+        assert part.agg(F.min("v")).first()[0] >= 0
+
+
+def test_analyze_stats_flip_join_to_broadcast(spark, tmp_path):
+    """Cost-based planning: with autoBroadcastJoinThreshold sized
+    between the two tables and sizeInBytes known from ANALYZE, the
+    small table must broadcast while the big side does not — the
+    CBO-statistics path a production catalog relies on."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    tag = uuid.uuid4().hex[:8]
+    big_rows = 200_000
+    spark.range(big_rows).select(
+        F.col("id").alias("k"), F.col("id").alias("payload")
+    ).write.mode("overwrite").saveAsTable(f"big_{tag}")
+    spark.range(100).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).saveAsTable(f"small_{tag}")
+    try:
+        spark.sql(f"ANALYZE TABLE big_{tag} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE small_{tag} COMPUTE STATISTICS")
+        stats_small = spark.sql(f"DESCRIBE EXTENDED small_{tag}").filter(
+            "col_name = 'Statistics'"
+        ).collect()
+        assert stats_small, "ANALYZE recorded no statistics"
+        joined = spark.table(f"big_{tag}").join(spark.table(f"small_{tag}"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the BUILD side must be the analyzed-small table (probe side
+        # streamed) — a wrong-side broadcast would ship 200k rows: the
+        # first relation named under the BroadcastExchange subtree must
+        # be the small one
+        sub = plan.split("BroadcastExchange", 1)[1]
+        first_small = sub.find(f"small_{tag}")
+        first_big = sub.find(f"big_{tag}")
+        assert first_small != -1 and (first_big == -1 or first_small < first_big)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS big_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS small_{tag}")
