@@ -1317,3 +1317,105 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@register(
+    "q_resample_interpolate",
+    oracle="""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us, value, event_id, 0 AS is_grid
+               FROM events),
+         r AS (SELECT user_id,
+                      CAST(ceil(min(us) / 3600000000.0) AS BIGINT) AS lo,
+                      CAST(floor(max(us) / 3600000000.0) AS BIGINT) AS hi
+               FROM t GROUP BY user_id),
+         g AS (SELECT user_id, unnest(range(lo, hi + 1)) * 3600000000 AS us,
+                      CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS event_id,
+                      1 AS is_grid
+               FROM r),
+         u AS (SELECT * FROM t UNION ALL SELECT * FROM g),
+         c AS (SELECT user_id, us, is_grid,
+                      last_value(value IGNORE NULLS) OVER wp AS vp,
+                      last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+                          OVER wp AS tp,
+                      first_value(value IGNORE NULLS) OVER wn AS vn,
+                      first_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+                          OVER wn AS tn
+               FROM u
+               WINDOW wp AS (PARTITION BY user_id
+                             ORDER BY us ASC, is_grid ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wn AS (PARTITION BY user_id
+                             ORDER BY us ASC, is_grid ASC, event_id ASC
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT user_id, CAST(us / 1000000 AS BIGINT) AS bar_start,
+           round(CASE WHEN us = tp THEN vp
+                      ELSE vp + (vn - vp) * (us - tp) / (tn - tp) END, 4) + 0.0
+             AS price
+    FROM c WHERE is_grid = 1
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid resample with LINEAR time-weighted interpolation —
+    the numeric complement of q_resample_ffill's LOCF: each empty grid
+    instant takes vp + (vn−vp)·(t−tp)/(tn−tp) between its bracketing
+    ticks (NULL outside the first/last tick, exactly like SQL).
+
+    Same scale-safe skeleton as the LOCF form (bounded per-user grid
+    from a min/max agg, union with ticks — never a pair join), but
+    BOTH directions carry in ONE sort: prev (value, tick-us) via a
+    trailing last(ignorenulls) frame and next via a [1, +∞)
+    first(ignorenulls) frame over the SAME partition+ordering, so
+    Catalyst plans one Exchange + one Sort with two Window passes.
+    The us = tp guard keeps exact-tick grid instants finite when no
+    later tick exists. Epochs are exact integers; the interpolation
+    expression is written identically on both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ticks = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+        "event_id",
+        F.lit(0).alias("is_grid"),
+    )
+    hour_us = 3600 * 1_000_000
+    rng = ticks.groupBy("user_id").agg(
+        F.ceil(F.min("us") / F.lit(float(hour_us))).cast("long").alias("lo"),
+        F.floor(F.max("us") / F.lit(float(hour_us))).cast("long").alias("hi"),
+    )
+    grid = rng.select(
+        "user_id", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("slot")
+    ).select(
+        "user_id",
+        (F.col("slot") * hour_us).alias("us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_grid"),
+    )
+    order = [F.asc("us"), F.asc("is_grid"), F.asc("event_id")]
+    wp = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    tick_us = F.when(F.col("is_grid") == 0, F.col("us"))
+    c = (
+        ticks.unionByName(grid)
+        .withColumn("vp", F.last("value", ignorenulls=True).over(wp))
+        .withColumn("tp", F.last(tick_us, ignorenulls=True).over(wp))
+        .withColumn("vn", F.first("value", ignorenulls=True).over(wn))
+        .withColumn("tn", F.first(tick_us, ignorenulls=True).over(wn))
+        .filter(F.col("is_grid") == 1)
+    )
+    interp = F.when(F.col("us") == F.col("tp"), F.col("vp")).otherwise(
+        F.col("vp")
+        + (F.col("vn") - F.col("vp"))
+        * (F.col("us") - F.col("tp"))
+        / (F.col("tn") - F.col("tp"))
+    )
+    return c.select(
+        "user_id",
+        (F.col("us") / 1_000_000).cast("long").alias("bar_start"),
+        (F.round(interp, 4) + 0.0).alias("price"),
+    )

@@ -203,3 +203,31 @@ def test_hapax_counts_are_consistent():
         FROM documents
     """).fetchone()[0]
     assert total == direct
+
+
+def test_interpolation_matches_numpy_interp():
+    """q_resample_interpolate's oracle must equal numpy.interp at every
+    in-range grid instant (and be NULL outside the tick range)."""
+    import numpy as np
+
+    con = _con()
+    got = con.execute(all_oracles()["q_resample_interpolate"]).df()
+    ticks = con.execute(
+        """SELECT user_id, epoch_us(ts) AS us, value, event_id
+           FROM events ORDER BY user_id, us, event_id"""
+    ).df()
+    hour = 3_600_000_000
+    for uid, g in ticks.groupby("user_id"):
+        # duplicate-us ticks: the window's (us, event_id) order makes
+        # the LAST tick at an instant the carry value; np.interp keeps
+        # the last occurrence for duplicated xs as well
+        xs, ys = g["us"].to_numpy(np.float64), g["value"].to_numpy(np.float64)
+        sub = got[got["user_id"] == uid].set_index("bar_start")["price"]
+        for bar, price in sub.items():
+            t = bar * 1_000_000
+            assert t % hour == 0
+            if t < xs[0] or t > xs[-1]:
+                assert pd.isna(price)
+                continue
+            expect = round(float(np.interp(t, xs, ys)), 4) + 0.0
+            assert abs(price - expect) < 1e-9, (uid, bar, price, expect)
