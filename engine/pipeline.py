@@ -1336,3 +1336,78 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "q_rolling_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    bounds AS (SELECT max(day) AS max_day FROM daily),
+    contrib AS (
+      SELECT user_id, day + CAST(x AS INT) AS d
+      FROM daily, unnest(range(0, 7)) t(x)
+    ),
+    wau AS (
+      SELECT d, count(DISTINCT user_id) AS wau
+      FROM contrib, bounds WHERE d <= max_day GROUP BY d
+    ),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM daily GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+           round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+    FROM dau JOIN wau ON d = day
+    ORDER BY day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement metrics: DAU, trailing-7-day WAU, and the
+    DAU/WAU stickiness ratio per day — the product-analytics staple
+    whose naive form is a sliding-window COUNT DISTINCT (state-heavy
+    and not incrementally mergeable).
+
+    Distributed shape: events dedup once to (user, day) — the only
+    full-data exchange — then each activity day CONTRIBUTES itself to
+    the 7 window days that include it (a bounded ×7 explode of the
+    already-small distinct table), and WAU(d) is a plain hash
+    count-distinct per day. No window function, no per-day state,
+    no re-scan per offset; at 100 TB the ×7 blowup of |users|×|days|
+    is trivially smaller than the raw tick table. Partial leading
+    windows keep natural semantics on both engines; contribution days
+    past the data's end are clipped against the 1-row max-day
+    broadcast.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bounds = daily.agg(F.max("day").alias("max_day"))
+    contrib = daily.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("x")).alias("d"))
+    wau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("d") <= F.col("max_day"))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, F.col("d") == F.col("day"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

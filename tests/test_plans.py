@@ -65,6 +65,7 @@ _SINGLE_PARTITION_OK = {
     "q_quality_rules",    # whole-table DQ summary reduces to one wide row
     "q_eval_auc",         # carry-in window over the ~score-band count table
                           # + the 1-row Mann-Whitney reduce
+    "q_rolling_active_users",  # 1-row max-day bound clipping the explode
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -93,6 +94,8 @@ _CROSS_OK = {
     "q_join_bloom",
     # DQ summary: the 1-row orphan count folds into the 1-row rules row.
     "q_quality_rules",
+    # DAU/WAU: the 1-row max-day bound clips contribution days.
+    "q_rolling_active_users",
 }
 
 
