@@ -1419,3 +1419,63 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("us") / 1_000_000).cast("long").alias("bar_start"),
         (F.round(interp, 4) + 0.0).alias("price"),
     )
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM events WHERE value >= 0.01
+    ),
+    counts AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 4) AS observed,
+           round(log10(1.0 + 1.0 / digit), 4) AS benford_expected,
+           round(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 4)
+             AS deviation
+    FROM counts, tot
+    ORDER BY digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over transaction amounts — the
+    classic fraud/synthetic-data screen (natural multiplicative data
+    follows P(d) = log10(1 + 1/d); fabricated values usually don't —
+    and the uniform synthetic fixture deliberately deviates, which the
+    deviation column exposes).
+
+    Map-only digit extraction (first character of the exact cents
+    integer — no float formatting), one 9-row hash aggregate, and a
+    1-row total broadcast. The expected distribution is closed-form
+    log10 arithmetic on integer digits — identical doubles on both
+    engines.
+    """
+    d = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") >= 0.01)
+        .select(
+            F.substring(
+                F.floor(F.col("value") * 100).cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 4).alias("observed"),
+            F.round(exp, 4).alias("benford_expected"),
+            F.round(obs - exp, 4).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

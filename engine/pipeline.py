@@ -1411,3 +1411,241 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firstm AS (
+      SELECT user_id,
+             min(CAST(date_trunc('month', ts) AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    monthly AS (
+      SELECT e.user_id, cohort,
+             (year(ts) * 12 + month(ts))
+               - (year(cohort) * 12 + month(cohort)) AS age,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events e JOIN firstm f ON e.user_id = f.user_id
+    ),
+    cohort_age AS (
+      SELECT cohort, age,
+             CAST(sum(cents) AS BIGINT) AS cents,
+             count(DISTINCT user_id) AS active_users
+      FROM monthly GROUP BY cohort, age
+    ),
+    sized AS (
+      SELECT cohort, count(*) AS cohort_size FROM firstm GROUP BY cohort
+    )
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort, age, active_users,
+           cohort_size,
+           floor(sum(cents) OVER (PARTITION BY c.cohort ORDER BY age)
+                 / CAST(cohort_size AS DOUBLE)) / 100.0 AS cum_ltv_per_user
+    FROM cohort_age c JOIN sized s ON c.cohort = s.cohort
+    ORDER BY cohort, age
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per user by cohort age in
+    months (the acquisition-economics read: does a January cohort
+    monetize like a June cohort at the same age?).
+
+    Per-user first-month aggregate (one shuffle on user_id) joins back
+    to the ticks to tag (cohort, age); revenue collapses to the
+    |cohorts|x|ages| grid in one hash agg, and the cumulative window
+    runs over THAT bounded table partitioned by cohort. floor-cents
+    per-user division (the round-on-quotient trap). Month arithmetic
+    uses year*12+month integers — identical on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstm = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("month", F.col("ts")).cast("date")).alias("cohort")
+    )
+    monthly = ev.join(firstm, "user_id").select(
+        "user_id",
+        "cohort",
+        (
+            (F.year("ts") * 12 + F.month("ts"))
+            - (F.year("cohort") * 12 + F.month("cohort"))
+        ).alias("age"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cohort_age = monthly.groupBy("cohort", "age").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    sized = firstm.groupBy(F.col("cohort").alias("c2")).agg(
+        F.count("*").alias("cohort_size")
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cohort_age.join(F.broadcast(sized), F.col("cohort") == F.col("c2"))
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            "age",
+            "active_users",
+            "cohort_size",
+            (
+                F.floor(
+                    F.sum("cents").over(w) / F.col("cohort_size").cast("double")
+                )
+                / 100.0
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+@register(
+    "q_user_overlap",
+    oracle="""
+    WITH seg AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM seg GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_common
+      FROM seg a JOIN seg b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: Jaccard similarity of the user sets
+    behind each event-type pair (segment-overlap analysis — do
+    purchasers and error-hitters share an audience?).
+
+    The behavioral segments dedup to (type, user) once — the only
+    full-data exchange — then pairs generate through a user-keyed
+    self-join whose fan-out is bounded by |types| per user (each user
+    contributes at most C(|types|,2) pairs), and segment sizes join
+    back as a |types|-row broadcast. Exact integer intersection and
+    union counts; the Jaccard is their deterministic quotient.
+    """
+    seg = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = seg.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = seg.select(F.col("event_type").alias("type_a"), "user_id")
+    b = seg.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("uid_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), F.col("type_a") == F.col("ta"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("tb"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "q_session_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM ordered
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, 8),
+               '>') AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the 20 most common session paths (ordered
+    event-type sequences within 30-minute-gap sessions, truncated to
+    the first 8 steps) — the product-analytics "paths" report.
+
+    Sessionization is the standard lag + running-sum pair on ONE
+    (user_id) exchange; each session's path assembles from a sorted
+    struct array (bounded by the 8-step cap after sorting — per-group
+    state is one session's events, which the gap bound keeps small),
+    and path counting is a hash agg on the path string with the top-20
+    lowering to TakeOrderedAndProject. Ties in ts break on event_id on
+    both engines, so the path strings are byte-identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    8,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )

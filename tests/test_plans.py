@@ -66,6 +66,7 @@ _SINGLE_PARTITION_OK = {
     "q_eval_auc",         # carry-in window over the ~score-band count table
                           # + the 1-row Mann-Whitney reduce
     "q_rolling_active_users",  # 1-row max-day bound clipping the explode
+    "q_benford",          # 1-row total over the 9-digit count table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -96,6 +97,8 @@ _CROSS_OK = {
     "q_quality_rules",
     # DAU/WAU: the 1-row max-day bound clips contribution days.
     "q_rolling_active_users",
+    # Benford: the 1-row total folds into the 9-row digit table.
+    "q_benford",
 }
 
 
