@@ -1602,12 +1602,13 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first 8 steps) — the product-analytics "paths" report.
 
     Sessionization is the standard lag + running-sum pair on ONE
-    (user_id) exchange; each session's path assembles from a sorted
-    struct array (bounded by the 8-step cap after sorting — per-group
-    state is one session's events, which the gap bound keeps small),
-    and path counting is a hash agg on the path string with the top-20
-    lowering to TakeOrderedAndProject. Ties in ts break on event_id on
-    both engines, so the path strings are byte-identical.
+    (user_id) exchange; a row_number cut keeps at most 8 rows per
+    session BEFORE the collect (an unbroken sub-gap activity chain can
+    make a session arbitrarily long — pre-limiting bounds per-group
+    state at 8 structs regardless), the path assembles from the sorted
+    remainder, and path counting is a hash agg on the path string with
+    the top-20 lowering to TakeOrderedAndProject. Ties in ts break on
+    event_id on both engines, so the path strings are byte-identical.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1623,22 +1624,26 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # pre-limit BEFORE collecting: a user with unbroken sub-30-min
+    # activity chains an arbitrarily long session, and collecting it
+    # whole just to slice 8 steps materializes unbounded per-group
+    # state — the row_number cut keeps at most 8 rows per session and
+    # reuses the sessionization window's exchange+sort
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    )
     paths = (
-        sess.groupBy("user_id", "sid")
+        sess.withColumn("rn", rn)
+        .filter(F.col("rn") <= 8)
+        .groupBy("user_id", "sid")
         .agg(
             F.concat_ws(
                 ">",
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("ts", "event_id", "event_type")
-                            )
-                        ),
-                        lambda x: x["event_type"],
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
                     ),
-                    1,
-                    8,
+                    lambda x: x["event_type"],
                 ),
             ).alias("path")
         )
