@@ -414,3 +414,37 @@ def test_tpch_scalar_subqueries_scan_fact_once(plans):
     materialized RDD and no parquet fact scan at all."""
     assert plans["q_tpch_q15"].count("lineitem.parquet") == 0
     assert "ExistingRDD" in plans["q_tpch_q15"]
+
+
+def test_late_r4_operator_plan_shapes(plans):
+    """Scale-critical plan pins for the late round-4 block."""
+    # session paths: ONE user_id exchange serves sessionization, the
+    # row_number cut, and the per-session collect (hashpartitioning on
+    # user_id satisfies the (user_id, sid) clustering); only the final
+    # path count re-shuffles
+    sp = plans["q_session_paths"]
+    assert sp.count("Exchange (") == 2
+    assert "TakeOrderedAndProject" in sp
+    # rolling active users: NO window function anywhere — the sliding
+    # count-distinct is the contribution-day explode + hash agg
+    assert "Window" not in plans["q_rolling_active_users"]
+    # ABC: the parts-sized table sees only band-partitioned windows;
+    # the single-partition stage exists only for the <=64-row band
+    # totals (documented); the final class agg is a plain hash agg
+    assert "hashpartitioning(band" in plans["q_abc_pareto"]
+    # AUC: banded rank prefix — band-partitioned window over the
+    # score-group table, carry joined back as a broadcast
+    auc = plans["q_eval_auc"]
+    assert "hashpartitioning(band" in auc
+    assert "BroadcastHashJoin" in auc
+    # bloom join: the probe-side filter contains the bit-test BEFORE
+    # the equi join (the pre-exchange prune), and the final join is a
+    # hash join on the order key
+    bl = plans["q_join_bloom"]
+    assert "shiftleft" in bl and "element_at" in bl
+    # overlap: the self-join is an equi hash join on user_id with the
+    # type inequality as a riding condition — no nested loop
+    assert "BroadcastNestedLoopJoin" not in plans["q_user_overlap"]
+    # interpolation: both carry directions share one exchange+sort
+    ri = plans["q_resample_interpolate"]
+    assert ri.count("Exchange (") <= 2  # user_id + (possibly AQE final)
