@@ -673,3 +673,95 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").cast("long").alias("total_cents"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, epoch_us(ts) AS us, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, round(value, 2) AS last_value,
+           CAST(us AS BIGINT) AS last_us
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the production change-data pipeline: each
+    micro-batch folds into a VERSIONED snapshot via foreachBatch
+    (batch → latest-change-per-key reduce → merge with the previous
+    snapshot keeping the newer (ts, event_id) per key → write snapshot
+    v{batch_id}); 'error' events are tombstones that persist in the
+    snapshot (so they shield the key against stragglers from earlier
+    offsets) and drop only in the final read. The drained table equals
+    the batch latest-state-per-key oracle.
+
+    Scale shape: per batch ONE hash reduce of the batch (max_by over
+    the order struct) + ONE keyed merge against the previous snapshot
+    — never a rescan of history rows older than the snapshot; snapshot
+    writes are whole-version (the swap-pointer pattern of a lakehouse
+    commit log, with the version dir as the atomic unit). At cluster
+    scale the same foreachBatch body targets Delta/Iceberg MERGE.
+    """
+    src = _stage(sf_dir, "plain")
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = f"{_TMP}/{tag}/cdc_{uuid.uuid4().hex[:8]}"
+    os.makedirs(base, exist_ok=True)
+    ordk = F.struct(F.col("us"), F.col("event_id"))
+    state = {"v": None}
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("value", "us", "event_id", "event_type"), ordk
+            ).alias("s")
+        ).select(
+            "user_id",
+            F.col("s.value").alias("value"),
+            F.col("s.us").alias("us"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+        )
+
+    def _apply(batch: DataFrame, bid: int) -> None:
+        b = _latest(
+            batch.select(
+                "user_id", "value", F.unix_micros("ts").alias("us"), "event_id",
+                "event_type",
+            )
+        )
+        if state["v"] is not None:
+            prev = batch.sparkSession.read.parquet(f"{base}/v{state['v']}")
+            b = _latest(prev.unionByName(b))
+        b.write.mode("overwrite").parquet(f"{base}/v{bid}")
+        state["v"] = bid
+
+    name = f"cdc_{uuid.uuid4().hex[:10]}"
+    ckpt = f"/root/repo/.tmp/ckpt/{name}"
+    q = (
+        _read_stream(spark, src)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # state["v"] is set synchronously: foreachBatch bodies run on the
+    # driver before processAllAvailable returns
+    final = spark.read.parquet(f"{base}/v{state['v']}")
+    return (
+        final.filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.round("value", 2).alias("last_value"),
+            F.col("us").cast("long").alias("last_us"),
+        )
+        .orderBy("user_id")
+    )
