@@ -471,3 +471,41 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         props.rlike('"k":\\s*[0-9]{2,}').cast("int").alias("k_multi_digit"),
         F.regexp_replace(props, "[0-9]", "#").alias("masked"),
     )
+
+
+@register(
+    "q_fn_try",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(event_type AS BIGINT) AS type_as_num,
+           CASE WHEN CAST(event_id % 10 AS BIGINT) = 0 THEN NULL
+                ELSE floor(value / (event_id % 10) * 10000) / 10000.0
+                END AS safe_div,
+           TRY_CAST(substring(event_type, 1, 1) AS INT) AS first_char_num
+    FROM events
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: ``try_cast`` / ``try_divide`` — the
+    ANSI-mode-friendly functions an ingestion layer uses so one
+    malformed record NULLs out instead of failing a 100 TB job.
+    Numeric-string JSON payloads cast, alphabetic strings -> NULL,
+    division by a zero-able denominator -> NULL (DuckDB spells the
+    divide CASE/NULLIF since try_divide is Spark-side).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999999999")
+        ).cast("long").alias("k_num"),
+        F.col("event_type").try_cast("long").alias("type_as_num"),
+        # floor-truncate, not round: a 2-decimal value divided by a
+        # small integer lands on .xxxx5 half-boundaries where the
+        # engines' round() implementations disagree (3/1000 fixture
+        # rows); floor of the identical double is stable
+        (F.floor(F.try_divide(F.col("value"), (F.col("event_id") % 10)) * 10000)
+         / 10000.0).alias("safe_div"),
+        F.substring("event_type", 1, 1).try_cast("int").alias("first_char_num"),
+    )

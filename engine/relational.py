@@ -2048,3 +2048,78 @@ def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parts", "8")
         .load()
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT event_id, next_view_id, next_view_value, wait_s FROM (
+        SELECT a.event_id,
+               b.event_id AS next_view_id,
+               b.value AS next_view_value,
+               CAST(floor((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0)
+                    AS BIGINT) AS wait_s,
+               row_number() OVER (PARTITION BY a.event_id
+                                  ORDER BY b.ts ASC, b.event_id ASC) AS rn
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id AND b.event_type = 'view' AND b.ts > a.ts
+        WHERE a.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: the first 'view' strictly after each
+    purchase, per user (the re-engagement / next-quote direction;
+    completes the as-of family: backward, tolerance, point-in-time,
+    forward).
+
+    Same linear-state plan as q_join_asof, mirrored: UNION both
+    streams, ONE (user_id) window, and carry the NEXT view backward
+    with ``first(..., ignorenulls=True)`` over the [1, +∞) FOLLOWING
+    frame — same Exchange, same sort direction (no descending re-sort:
+    the forward carry is just the opposite frame on the identical
+    ordering, exactly like q_resample_interpolate's next-carry).
+    Strictly-after semantics: at equal ts the purchase sorts BEFORE
+    same-ts views in frame terms — but `b.ts > a.ts` excludes them, so
+    same-ts views are pushed before purchases in the sort and the
+    [1, +∞) frame naturally skips them. Purchases with no later view
+    drop (inner semantics).
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    is_view = F.col("event_type") == "view"
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (~is_view).cast("int").alias("is_purchase"),
+        F.when(is_view, F.col("event_id")).alias("v_id"),
+        F.when(is_view, F.col("value")).alias("v_val"),
+        F.when(is_view, F.unix_micros("ts")).alias("v_us"),
+    )
+    # same-ts views sort BEFORE purchases (is_purchase ASC) so the
+    # strictly-following frame of a purchase contains only later-ts
+    # views — matching the b.ts > a.ts oracle exactly
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_purchase"), F.asc("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("next_view_id", F.first("v_id", ignorenulls=True).over(w))
+        .withColumn("next_view_value", F.first("v_val", ignorenulls=True).over(w))
+        .withColumn("next_view_us", F.first("v_us", ignorenulls=True).over(w))
+        .filter((F.col("is_purchase") == 1) & F.col("next_view_id").isNotNull())
+        .select(
+            "event_id",
+            "next_view_id",
+            "next_view_value",
+            # floor, not cast: DuckDB CAST(double AS BIGINT) rounds
+            # while Spark's cast truncates — floor agrees everywhere
+            F.floor((F.col("next_view_us") - F.unix_micros("ts")) / 1_000_000.0)
+            .cast("long")
+            .alias("wait_s"),
+        )
+    )
