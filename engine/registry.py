@@ -64,11 +64,12 @@ def _ensure_loaded() -> None:
 # row in ANY round (all registered past r03's slot-50 boundary), then
 # the 18 new r4 operators, then the 2 operators whose PLAN changed
 # this round (a prior green row no longer certifies the new plan —
-# mirrored in tests/test_registry.py::_RECERT). The TPC-H completion
-# set (9 keys) landed after the seal, so the backlog now overflows the
-# window: 30 + 18 + 9 first-row keys + 2 recerts = 59; the first 50
-# get r04 rows, the last 7 TPC-H keys + the 2 recerts queue at slots
-# 50-58 for r5 (all verified this round by tools/check.py at 3 SFs).
+# mirrored in tests/test_registry.py::_RECERT). The post-seal session
+# added 36 more keys (TPC-H completion + the late operator blocks), so
+# the backlog now overflows the window: 30 + 18 + 36 first-row keys +
+# 2 recerts = 86; the first 50 get r04 rows, the remaining 34 late
+# keys + the 2 recerts queue at slots 50-85 for r5 (every one verified
+# this round by tools/check.py full sweeps + per-key 3-SF checks).
 # Keys displaced past the window keep their r01/r02/r03 rows and
 # tools/check.py full-sweep coverage; the tail is ordered by row
 # staleness so the r5 window is a straight prefix rotation.
@@ -105,10 +106,11 @@ _PRIORITY: list[str] = [
     # both run the rewritten cached-gate path in _jaccard_set_pairs --
     "q_dedup_jaccard", "q_dedup_ngram",
     # ---- slot-50 boundary falls inside the TPC-H completion block
-    # above (30 backlog + 18 r4 + first 2 TPC-H keys = 50); the last 7
-    # TPC-H keys and the 2 recerts queue just past it for r5. Every
-    # anchor keeps its r01 row and leads the r5 refresh backlog below;
-    # tail order = staleness, so r5's window is the next prefix ----
+    # above (30 backlog + 18 r4 + first 2 TPC-H keys = 50); the later
+    # TPC-H keys, the whole late-operator block, and the 2 recerts
+    # queue just past it for r5. Every anchor keeps its r01 row and
+    # leads the r5 refresh backlog below; tail order = staleness, so
+    # r5's window is the next prefix ----
     # r01-only remainder (r5 refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",
