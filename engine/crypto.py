@@ -1479,3 +1479,102 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "q_market_beta",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    mkt AS (
+      SELECT day, CAST(sum(cents) AS BIGINT) AS mcents FROM daily GROUP BY day
+    ),
+    rets AS (
+      SELECT d.event_type, d.day,
+             CAST(round(ln(CAST(d.cents AS DOUBLE)
+                           / lag(d.cents) OVER (PARTITION BY d.event_type
+                                                ORDER BY d.day))
+                        * 1000000) AS BIGINT) AS qx,
+             CAST(round(ln(CAST(m.mcents AS DOUBLE)
+                           / lag(m.mcents) OVER (PARTITION BY d.event_type
+                                                 ORDER BY d.day))
+                        * 1000000) AS BIGINT) AS qm
+      FROM daily d JOIN mkt m ON d.day = m.day
+    ),
+    mom AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qm) AS BIGINT) AS sm,
+             CAST(sum(qx * qm) AS BIGINT) AS sxm,
+             CAST(sum(qm * qm) AS BIGINT) AS smm
+      FROM rets WHERE qx IS NOT NULL AND qm IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * sm)
+                 / (n * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm),
+                 4) + 0.0 AS beta
+    FROM mom WHERE n > 1
+    ORDER BY event_type
+    """,
+)
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market beta per event_type: cov(asset, market)/var(market) over
+    daily revenue returns, the CAPM systematic-risk measure (which
+    series amplify market-wide swings).
+
+    Ticks collapse once to |types|x|days| exact cents; the market
+    series is the per-day total of that bounded table. Daily returns
+    QUANTIZE to 1e-9-grid bigints before the moment sums — raw double
+    covariance sums are partial-order dependent, but quantized
+    integers (and their /1e9-rescaled products, computed identically
+    on both engines via bigint division) sum exactly in any order.
+    Beta is the closed-form ratio of those exact moments. Lag windows
+    run per type over the bounded daily table; one tick exchange
+    total.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    mkt = daily.groupBy(F.col("day").alias("mday")).agg(
+        F.sum("cents").cast("long").alias("mcents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    joined = daily.join(F.broadcast(mkt), F.col("day") == F.col("mday"))
+    qx = F.round(
+        F.log(F.col("cents").cast("double") / F.lag("cents").over(w))
+        * 1_000_000
+    ).cast("long")
+    qm = F.round(
+        F.log(F.col("mcents").cast("double") / F.lag("mcents").over(w))
+        * 1_000_000
+    ).cast("long")
+    rets = joined.select(
+        "event_type", qx.alias("qx"), qm.alias("qm")
+    ).filter(F.col("qx").isNotNull() & F.col("qm").isNotNull())
+    mom = rets.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qm").cast("long").alias("sm"),
+        F.sum(F.col("qx") * F.col("qm")).cast("long").alias("sxm"),
+        F.sum(F.col("qm") * F.col("qm")).cast("long").alias("smm"),
+    ).filter(F.col("n") > 1)
+    beta = (
+        F.col("n") * F.col("sxm").cast("double")
+        - F.col("sx").cast("double") * F.col("sm")
+    ) / (
+        F.col("n") * F.col("smm").cast("double")
+        - F.col("sm").cast("double") * F.col("sm")
+    )
+    return mom.select(
+        "event_type", "n", (F.round(beta, 4) + 0.0).alias("beta")
+    ).orderBy("event_type")

@@ -2686,3 +2686,69 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_ratio"),
         F.sum("n").alias("corpus_tokens"),
     )
+
+
+@register(
+    "q_text_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+    scored AS (
+      SELECT doc_id,
+             CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000000) AS BIGINT)
+               AS qlogp
+      FROM toks JOIN freq USING (w), tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(-CAST(sum(qlogp) AS DOUBLE) / 1000000000 / count(*), 4)
+             AS nll_per_token
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM negative log-likelihood per token, per document —
+    the language-model quality-scoring proxy (a doc of rare tokens
+    scores high NLL; boilerplate scores low): the filtering signal a
+    pretraining pipeline computes when a real LM is too expensive.
+
+    Corpus unigram probabilities come from ONE vocabulary-bounded
+    hash aggregate; each token joins its probability back (broadcast —
+    the frequency table is vocabulary-sized) and per-doc NLL sums
+    QUANTIZED log-probs (round(ln p × 1e9) as bigint): summing raw
+    double logs per doc is partial-aggregation-order dependent, but
+    the quantized integers sum exactly in any order — the
+    engine-portable fold trick (registry float policy). One full-data
+    exchange (doc_id agg); everything else is bounded.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("w"),
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("long").alias("n"))
+    qlogp = F.round(
+        F.log(F.col("c").cast("double") / F.col("n")) * 1_000_000_000
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", qlogp.alias("qlogp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.sum("qlogp").cast("double") / 1_000_000_000 / F.count("*"), 4
+            ).alias("nll_per_token"),
+        )
+        .orderBy("doc_id")
+    )

@@ -67,6 +67,7 @@ _SINGLE_PARTITION_OK = {
                           # + the 1-row Mann-Whitney reduce
     "q_rolling_active_users",  # 1-row max-day bound clipping the explode
     "q_benford",          # 1-row total over the 9-digit count table
+    "q_text_perplexity",  # 1-row corpus-token total scaling the log-probs
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -99,6 +100,9 @@ _CROSS_OK = {
     "q_rolling_active_users",
     # Benford: the 1-row total folds into the 9-row digit table.
     "q_benford",
+    # perplexity: the 1-row corpus-token total folds into each token's
+    # probability (vocabulary table itself broadcasts hash-side).
+    "q_text_perplexity",
 }
 
 
