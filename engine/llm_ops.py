@@ -2752,3 +2752,112 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lower(text) AS t,
+             CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 5 AS b
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, b,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(string_split(t, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split(t, ' ')[i:i+3], ' ')
+               )
+             ) AS grams
+      FROM tagged
+    ),
+    posting AS (SELECT doc_id, b, unnest(grams) AS g, len(grams) AS sz FROM sh),
+    pairs AS (
+      SELECT i.doc_id AS incoming_id, e.doc_id AS existing_id,
+             count(*) AS shared, any_value(i.sz) AS sz_i, any_value(e.sz) AS sz_e
+      FROM posting i JOIN posting e ON i.g = e.g
+      WHERE i.b = 0 AND e.b <> 0
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT incoming_id, existing_id,
+             round(CAST(shared AS DOUBLE) / (sz_i + sz_e - shared), 4) AS jaccard
+      FROM pairs WHERE CAST(shared AS DOUBLE) / (sz_i + sz_e - shared) >= 0.5
+    )
+    SELECT incoming_id, existing_id, jaccard FROM (
+      SELECT *, row_number() OVER (PARTITION BY incoming_id
+                                   ORDER BY jaccard DESC, existing_id) AS rn
+      FROM jac
+    ) WHERE rn = 1 ORDER BY incoming_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the daily-ingest production shape: a new
+    batch (md5 bucket 0, ~20 % of docs) probes the EXISTING corpus's
+    shingle index for word-4-gram Jaccard ≥ 0.5 matches, reporting
+    each incoming doc's best existing match. Unlike the all-pairs
+    dedup family, the candidate join is ASYMMETRIC: only
+    incoming×existing pairs generate (incoming-incoming and
+    existing-existing pairs never materialize), so daily cost scales
+    with |batch| × collision rate, not |corpus|² — and at 100 TB the
+    existing side's posting index is the persisted asset batches
+    re-probe.
+
+    One shingle explode per side from ONE scan (the bucket tag is a
+    map-side projection), an inverted-index equi-join on the gram,
+    exact integer shared/size counts, and a per-incoming top-1 window
+    over the (already small) qualifying pairs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.lower("text").alias("t"),
+        (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 5
+        ).alias("b"),
+    )
+    words = F.split(F.col("t"), " ")
+    n4 = F.greatest(F.size(words) - 3, F.lit(0))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n4),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 4)),
+        )
+    )
+    sh = tagged.select("doc_id", "b", grams.alias("grams")).withColumn(
+        "sz", F.size("grams")
+    )
+    posting = sh.select("doc_id", "b", "sz", F.explode("grams").alias("g"))
+    inc = posting.filter(F.col("b") == 0).select(
+        F.col("doc_id").alias("incoming_id"), F.col("sz").alias("sz_i"), "g"
+    )
+    ex = posting.filter(F.col("b") != 0).select(
+        F.col("doc_id").alias("existing_id"), F.col("sz").alias("sz_e"), "g"
+    )
+    pairs = (
+        inc.join(ex, "g")
+        .groupBy("incoming_id", "existing_id")
+        .agg(
+            F.count("*").alias("shared"),
+            F.any_value("sz_i").alias("sz_i"),
+            F.any_value("sz_e").alias("sz_e"),
+        )
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("sz_i") + F.col("sz_e") - F.col("shared")
+    )
+    qual = pairs.filter(jac >= 0.5).select(
+        "incoming_id", "existing_id", F.round(jac, 4).alias("jaccard")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("incoming_id").orderBy(
+        F.desc("jaccard"), F.asc("existing_id")
+    )
+    return (
+        qual.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("incoming_id")
+    )

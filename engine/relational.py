@@ -2123,3 +2123,88 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wait_s"),
         )
     )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+             p_size
+      FROM part
+    ),
+    gm AS (SELECT cents, min(p_size) AS msize FROM pts GROUP BY cents),
+    run AS (
+      SELECT cents, msize,
+             min(msize) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_min
+      FROM gm
+    )
+    SELECT p_partkey, cents / 100.0 AS price, p_size
+    FROM pts JOIN run USING (cents)
+    WHERE p_size = msize AND (prev_min IS NULL OR msize < prev_min)
+    ORDER BY price, p_partkey
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (price ↓,
+    size ↓) — the preference-query operator (dominated = some part is
+    ≤ on both dimensions and strictly better on one; exact duplicates
+    survive together since domination requires one strict inequality).
+
+    The quadratic NOT-EXISTS dominance test decorrelates into the
+    plane-sweep: per-price minimum size, then "survives iff its
+    price-group min beats every strictly-cheaper group's min" — a
+    prefix-min over the price-group table, which runs DISTRIBUTED via
+    the banded two-level scheme ($1000 cents-bands as the outer key:
+    within-band running min in parallel + a ≤bands-row carry-in
+    broadcast), never a single-partition pass over the group table.
+    Exact floor-cents prices make group boundaries and the strict <
+    comparisons cross-engine stable.
+    """
+    from pyspark.sql import Window
+
+    pts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        "p_size",
+    )
+    gm = pts.groupBy("cents").agg(F.min("p_size").alias("msize")).withColumn(
+        "band", F.expr("cents div 100000")
+    )
+    w_in = Window.partitionBy("band").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = gm.withColumn("prev_in_band", F.min("msize").over(w_in))
+    band_min = (
+        gm.groupBy("band")
+        .agg(F.min("msize").alias("bmin"))
+        .withColumn(
+            "carry_min",
+            F.min("bmin").over(
+                Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select(F.col("band").alias("b2"), "carry_min")
+    )
+    run = within.join(F.broadcast(band_min), F.col("band") == F.col("b2")).select(
+        F.col("cents").alias("rcents"),
+        "msize",
+        F.least(
+            F.coalesce(F.col("prev_in_band"), F.lit(2_147_483_647)),
+            F.coalesce(F.col("carry_min"), F.lit(2_147_483_647)),
+        ).alias("prev_min_raw"),
+    )
+    return (
+        pts.join(run, F.col("cents") == F.col("rcents"))
+        .filter(
+            (F.col("p_size") == F.col("msize"))
+            & (
+                (F.col("prev_min_raw") == 2_147_483_647)
+                | (F.col("msize") < F.col("prev_min_raw"))
+            )
+        )
+        .select("p_partkey", (F.col("cents") / 100.0).alias("price"), "p_size")
+        .orderBy("price", "p_partkey")
+    )

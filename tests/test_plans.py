@@ -68,6 +68,7 @@ _SINGLE_PARTITION_OK = {
     "q_rolling_active_users",  # 1-row max-day bound clipping the explode
     "q_benford",          # 1-row total over the 9-digit count table
     "q_text_perplexity",  # 1-row corpus-token total scaling the log-probs
+    "q_skyline",          # carry-in window over the <=bands price-band table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
