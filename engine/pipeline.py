@@ -1654,3 +1654,76 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path"))
         .limit(20)
     )
+
+
+@register(
+    "q_funnel_windowed",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(ts) AS t1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE event_type = 'click' AND ts > t0
+        AND ts <= t0 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      JOIN s ON e.user_id = s.user_id
+      WHERE event_type = 'purchase' AND ts > t1
+        AND ts <= t0 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT count(*) FROM s) AS n_level1,
+      (SELECT count(*) FROM c) AS n_level2,
+      (SELECT count(*) FROM p) AS n_level3
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED funnel (ClickHouse-windowFunnel parity): users
+    completing signup → later click → later purchase with the WHOLE
+    chain inside 24 hours of the signup anchor — q_funnel's shape plus
+    the conversion-window constraint every growth team actually uses.
+
+    Same chained min-join plan as q_funnel (each stage: pushed
+    event-type filter + user_id equi-join on the previous stage's
+    first-hit + min agg — all shuffles land on user_id so the exchange
+    layout is reused), with the window bound riding each join as a
+    residual on already-matched keys. Three tiny count aggregates fold
+    into one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t0"))
+            & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.any_value("t0").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    n1 = s.agg(F.count("*").alias("n_level1"))
+    n2 = c.agg(F.count("*").alias("n_level2"))
+    n3 = p.agg(F.count("*").alias("n_level3"))
+    return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))

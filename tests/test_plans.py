@@ -69,6 +69,7 @@ _SINGLE_PARTITION_OK = {
     "q_benford",          # 1-row total over the 9-digit count table
     "q_text_perplexity",  # 1-row corpus-token total scaling the log-probs
     "q_skyline",          # carry-in window over the <=bands price-band table
+    "q_funnel_windowed",  # three 1-row stage counts fold into one row
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -104,6 +105,8 @@ _CROSS_OK = {
     # perplexity: the 1-row corpus-token total folds into each token's
     # probability (vocabulary table itself broadcasts hash-side).
     "q_text_perplexity",
+    # windowed funnel: three 1-row stage counts fold into one row.
+    "q_funnel_windowed",
 }
 
 
