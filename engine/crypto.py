@@ -1578,3 +1578,92 @@ def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "event_type", "n", (F.round(beta, 4) + 0.0).alias("beta")
     ).orderBy("event_type")
+
+
+@register(
+    "q_anomaly_seasonal",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    dow AS (
+      SELECT event_type, CAST(dayofweek(day) + 1 AS INT) AS dw,
+             count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents // 100) AS BIGINT) AS ss
+      FROM daily GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.event_type, day, cents, n, s, ss
+      FROM daily d JOIN dow w
+        ON d.event_type = w.event_type
+       AND CAST(dayofweek(day) + 1 AS INT) = w.dw
+      WHERE n > 1
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           cents / 100.0 AS revenue,
+           round((cents - CAST(s AS DOUBLE) / n)
+                 / sqrt(greatest((ss * 100.0 - CAST(s AS DOUBLE) * s / n)
+                                 / (n - 1), 1.0)), 4) + 0.0 AS seasonal_z
+    FROM scored
+    ORDER BY event_type, day
+    """,
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly score: each day's revenue z-scored
+    against ITS OWN day-of-week population per type (a quiet Sunday is
+    normal; a quiet Tuesday is the anomaly plain z-scores miss —
+    q_anomaly_zscore's seasonal-aware complement).
+
+    Ticks collapse once to daily cents; the day-of-week moment table
+    (|types|×7 rows of exact n, Σ, Σ²÷100) broadcasts back onto the
+    daily table. The squared sums pre-scale by INTEGER division
+    (Spark ``div`` == DuckDB ``//`` — both exact; DuckDB's ``/`` on
+    bigints yields an inexact double at this magnitude) to stay inside
+    bigint range (daily cents reach ~3e8 at sf0.1, so c² ~ 9e16 and a
+    30-day sum would overflow without the ÷100), and the ×100.0
+    rescale restores the variance scale with at most a 100-unit
+    truncation error per term — invisible at the z's 4-decimal round.
+    greatest(var, 1) floors the degenerate zero-variance cell on both
+    engines.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    dow_col = F.dayofweek("day").cast("int")
+    dw = daily.groupBy(
+        F.col("event_type").alias("et"), dow_col.alias("dw")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.expr("cents * cents div 100")).cast("long").alias("ss"),
+    ).filter(F.col("n") > 1)
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.greatest(
+        (F.col("ss") * 100.0 - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1),
+        F.lit(1.0),
+    )
+    return (
+        daily.join(
+            F.broadcast(dw),
+            (F.col("event_type") == F.col("et")) & (dow_col == F.col("dw")),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("cents") / 100.0).alias("revenue"),
+            (F.round((F.col("cents") - mean) / F.sqrt(var), 4) + 0.0).alias(
+                "seasonal_z"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -196,3 +196,87 @@ def q_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(slope / 100.0, 4) + 0.0).alias("slope_per_day"),
         (F.round(intercept / 100.0, 4) + 0.0).alias("intercept"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_did",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             {_SQL_BUCKET} AS arm,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, arm, post, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM g GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT event_type,
+             max(CASE WHEN arm = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS a_pre,
+             max(CASE WHEN arm = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS a_post,
+             max(CASE WHEN arm = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS b_pre,
+             max(CASE WHEN arm = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS b_post,
+             CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells GROUP BY event_type
+    )
+    SELECT event_type, n_total,
+           round(((a_post - a_pre) - (b_post - b_pre)) / 100.0, 4) + 0.0 AS did
+    FROM wide
+    WHERE a_pre IS NOT NULL AND a_post IS NOT NULL
+      AND b_pre IS NOT NULL AND b_post IS NOT NULL
+    ORDER BY event_type
+    """,
+)
+def q_stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences per event_type: treatment (md5 arm A)
+    vs control (arm B), before vs after a cutover date — the causal-
+    inference readout for a launch without a randomized holdback
+    (parallel-trends estimator). On a hash split with no real
+    treatment the DiD ≈ 0, which is the placebo test run before
+    trusting the estimator on real data.
+
+    ONE hash aggregate builds the 4 (arm × period) cells per type from
+    exact integer (n, Σcents); the 2×2 pivot and the DiD contrast are
+    codegen arithmetic on those exact cell means — no joins, no
+    windows, deterministic doubles.
+    """
+    cutover = F.lit("2024-01-16").cast("timestamp")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            _spark_bucket().alias("arm"),
+            F.when(F.col("ts") >= cutover, 1).otherwise(0).alias("post"),
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "arm", "post")
+        .agg(F.count("*").alias("n"), F.sum("cents").cast("long").alias("s"))
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    cell = lambda a, p: F.max(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("post") == p), mean)
+    )
+    wide = cells.groupBy("event_type").agg(
+        cell(0, 0).alias("a_pre"),
+        cell(0, 1).alias("a_post"),
+        cell(1, 0).alias("b_pre"),
+        cell(1, 1).alias("b_post"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    did = (
+        (F.col("a_post") - F.col("a_pre")) - (F.col("b_post") - F.col("b_pre"))
+    ) / 100.0
+    return (
+        wide.filter(
+            F.col("a_pre").isNotNull()
+            & F.col("a_post").isNotNull()
+            & F.col("b_pre").isNotNull()
+            & F.col("b_post").isNotNull()
+        )
+        .select("event_type", "n_total", (F.round(did, 4) + 0.0).alias("did"))
+        .orderBy("event_type")
+    )
