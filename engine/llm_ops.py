@@ -2717,8 +2717,9 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining pipeline computes when a real LM is too expensive.
 
     Corpus unigram probabilities come from ONE vocabulary-bounded
-    hash aggregate; each token joins its probability back (broadcast —
-    the frequency table is vocabulary-sized) and per-doc NLL sums
+    hash aggregate; each token joins its probability back (AQE picks
+    broadcast for small vocabularies, a token-keyed shuffle join for
+    web-scale ones) and per-doc NLL sums
     QUANTIZED log-probs (round(ln p × 1e9) as bigint): summing raw
     double logs per doc is partial-aggregation-order dependent, but
     the quantized integers sum exactly in any order — the
@@ -2737,8 +2738,13 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlogp = F.round(
         F.log(F.col("c").cast("double") / F.col("n")) * 1_000_000_000
     ).cast("long")
+    # NO forced broadcast on the frequency table: a web-scale corpus
+    # vocabulary is GBs (1e8+ types), where a hint would OOM the
+    # build side — AQE broadcasts when runtime stats allow and
+    # shuffle-joins on the token key otherwise. The 1-row total is
+    # always a broadcast.
     scored = (
-        toks.join(F.broadcast(freq), "w")
+        toks.join(freq, "w")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", qlogp.alias("qlogp"))
     )
