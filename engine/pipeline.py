@@ -1727,3 +1727,92 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = c.agg(F.count("*").alias("n_level2"))
     n3 = p.agg(F.count("*").alias("n_level3"))
     return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+
+
+@register(
+    "q_survival_km",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
+             CAST(max(date_trunc('day', ts)) AS DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT max(last_day) AS max_day FROM span),
+    durs AS (
+      SELECT datediff('day', first_day, last_day) AS t,
+             CASE WHEN last_day >= max_day - 6 THEN 0 ELSE 1 END AS churned
+      FROM span, mx
+    ),
+    hist AS (
+      SELECT t, count(*) AS n_ending,
+             CAST(sum(churned) AS BIGINT) AS d
+      FROM durs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(sum(n_ending) OVER (ORDER BY t DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM hist
+    )
+    SELECT t, n_risk, d,
+           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+                     OVER (ORDER BY t ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 4) + 0.0 AS survival
+    FROM risk WHERE d < n_risk
+    ORDER BY t
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for user churn: S(t) = Π(1 − dᵢ/nᵢ)
+    over activity-span durations, with users still active in the final
+    week treated as CENSORED (they leave the risk set without counting
+    as churn) — the right-censoring estimator a naive churn-rate
+    report gets wrong.
+
+    One per-user span aggregate (the only full-data exchange) reduces
+    to a duration histogram bounded by the day domain; the risk set is
+    a descending running sum and the product a running Σln — both
+    windows over the ≤|days| histogram, where the frame order is
+    identical on both engines so the double fold is deterministic.
+    Rows where every at-risk user churns (S hits 0, ln(0)) cannot
+    occur while censored users exist at max t; the d < n_risk guard
+    drops the degenerate final row if censoring were removed.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("first_day"),
+        F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("last_day"),
+    )
+    mx = span.agg(F.max("last_day").alias("max_day"))
+    durs = span.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_day", "first_day").alias("t"),
+        F.when(
+            F.col("last_day") >= F.date_sub(F.col("max_day"), 6), 0
+        ).otherwise(1).alias("churned"),
+    )
+    hist = durs.groupBy("t").agg(
+        F.count("*").alias("n_ending"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.withColumn("n_risk", F.sum("n_ending").over(w_desc).cast("long"))
+    w_asc = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.exp(
+        F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))).over(w_asc)
+    )
+    return (
+        risk.filter(F.col("d") < F.col("n_risk"))
+        .select(
+            "t", "n_risk", "d", (F.round(surv, 4) + 0.0).alias("survival")
+        )
+        .orderBy("t")
+    )

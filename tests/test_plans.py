@@ -70,6 +70,7 @@ _SINGLE_PARTITION_OK = {
     "q_text_perplexity",  # 1-row corpus-token total scaling the log-probs
     "q_skyline",          # carry-in window over the <=bands price-band table
     "q_funnel_windowed",  # three 1-row stage counts fold into one row
+    "q_survival_km",      # KM windows over the <=|days| duration histogram
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -107,6 +108,8 @@ _CROSS_OK = {
     "q_text_perplexity",
     # windowed funnel: three 1-row stage counts fold into one row.
     "q_funnel_windowed",
+    # KM: the 1-row max-day bound tags censoring.
+    "q_survival_km",
 }
 
 
