@@ -2867,3 +2867,73 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("incoming_id")
     )
+
+
+@register(
+    "q_text_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, w,
+             CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000)
+                  AS BIGINT) AS qscore
+      FROM tf JOIN df USING (w), n
+    )
+    SELECT doc_id, w AS keyword, qscore / 1000000.0 AS tfidf FROM (
+      SELECT doc_id, w, qscore,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY qscore DESC, w) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, keyword
+    """,
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 TF-IDF terms per doc —
+    the tagging/routing composite built on the same statistics as
+    q_text_tfidf but cut per document (WindowGroupLimit pushes the
+    top-3 below the sort, so no doc's full term list ever ranks
+    globally).
+
+    Scores QUANTIZE to 1e-6-grid bigints before ranking: tf·ln(N/df)
+    is a double, and rank-by-double with the engines' ulp-level
+    differences in ln() would make tie order flap — the quantized
+    integer ranks identically everywhere (and serves as the output
+    value, exact by construction). df join stays unhinted for the
+    same web-scale-vocabulary reason as q_text_perplexity.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    qscore = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * 1_000_000
+    ).cast("long")
+    scored = tf.join(df, "w").crossJoin(F.broadcast(n)).select(
+        "doc_id", "w", qscore.alias("qscore")
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("qscore"), F.asc("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("keyword"),
+            (F.col("qscore") / 1_000_000.0).alias("tfidf"),
+        )
+        .orderBy("doc_id", F.col("tfidf").desc(), "keyword")
+    )

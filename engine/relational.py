@@ -2208,3 +2208,92 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", (F.col("cents") / 100.0).alias("price"), "p_size")
         .orderBy("price", "p_partkey")
     )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, c_custkey) AS i
+      FROM cust
+    ),
+    agg AS (
+      SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total,
+             CAST(sum(i * cents) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT n AS n_customers, total / 100.0 AS total_revenue,
+           round(2.0 * weighted / (n * CAST(total AS DOUBLE))
+                 - (n + 1.0) / n, 4) AS gini
+    FROM agg
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the whale-concentration
+    measure (0 = equal spend, →1 = one customer is the business):
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted spend.
+
+    The global rank i over |customers| runs DISTRIBUTED via the banded
+    scheme (q_eval_auc's): per-customer cents aggregate once, band =
+    floor(log2(cents+1.5)) (order-consistent with cents ASC — the
+    q_abc_pareto property), within-band row_number + a ≤64-row
+    carry-count broadcast; Σ(i·xᵢ) then sums exact bigints (i ≤ n,
+    cents ≤ ~1e9 → products ≤ ~1e15·SF, inside bigint at any fixture
+    SF; at true 100 TB scale the product pre-scales like
+    q_anomaly_seasonal's Σc²). The ties-broken (cents, custkey) order
+    matches the oracle's row_number exactly.
+    """
+    from pyspark.sql import Window
+
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+        )
+        .withColumn("band", F.floor(F.log2(F.col("cents").cast("double") + 1.5)))
+    )
+    w_in = Window.partitionBy("band").orderBy("cents", "c_custkey")
+    within = cust.withColumn("rn_in", F.row_number().over(w_in))
+    band_cnt = (
+        cust.groupBy("band")
+        .agg(F.count("*").alias("bn"))
+        .withColumn(
+            "carry",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("band").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(F.col("band").alias("b2"), "carry")
+    )
+    ranked = within.join(F.broadcast(band_cnt), F.col("band") == F.col("b2")).select(
+        "cents", (F.col("rn_in") + F.col("carry")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("weighted"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        (F.col("total") / 100.0).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+    )

@@ -71,6 +71,8 @@ _SINGLE_PARTITION_OK = {
     "q_skyline",          # carry-in window over the <=bands price-band table
     "q_funnel_windowed",  # three 1-row stage counts fold into one row
     "q_survival_km",      # KM windows over the <=|days| duration histogram
+    "q_text_keywords",    # 1-row corpus-size fold into the IDF
+    "q_agg_gini",         # <=64-row band carry window + 1-row Gini reduce
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -110,6 +112,8 @@ _CROSS_OK = {
     "q_funnel_windowed",
     # KM: the 1-row max-day bound tags censoring.
     "q_survival_km",
+    # keywords: the 1-row corpus size folds into each term's IDF.
+    "q_text_keywords",
 }
 
 
