@@ -1667,3 +1667,94 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_win_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT event_type, day,
+             CAST(round(ln(CAST(cents AS DOUBLE)
+                           / lag(cents) OVER w) * 1000000) AS BIGINT) AS q
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    pairs AS (
+      SELECT event_type, q AS x, lag(q) OVER w2 AS y
+      FROM rets WINDOW w2 AS (PARTITION BY event_type ORDER BY day)
+    ),
+    mom AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 4) + 0.0 AS autocorr_lag1
+    FROM mom WHERE n > 2
+    ORDER BY event_type
+    """,
+)
+def q_win_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily log returns per event_type — the
+    momentum / mean-reversion screen (positive: trends persist;
+    negative: overreaction reverts).
+
+    Same exact-arithmetic discipline as q_market_beta: ticks collapse
+    once, log returns quantize to the 1e-6 grid, the (x, lag x) pairs
+    come from a second lag on the SAME bounded per-type window
+    ordering (one exchange), and Pearson r evaluates closed-form from
+    exact bigint moments.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    q = F.round(
+        F.log(F.col("cents").cast("double") / F.lag("cents").over(w)) * 1_000_000
+    ).cast("long")
+    rets = daily.select("event_type", "day", q.alias("q"))
+    pairs = rets.select(
+        "event_type", F.col("q").alias("x"), F.lag("q").over(w).alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    mom = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    ).filter(F.col("n") > 2)
+    r = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return mom.select(
+        "event_type", "n", (F.round(r, 4) + 0.0).alias("autocorr_lag1")
+    ).orderBy("event_type")
