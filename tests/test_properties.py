@@ -276,3 +276,33 @@ def test_abc_band_decomposition_equals_global_prefix(cents):
         for idx, c, expected_run in items:
             in_band += c
             assert in_band + carry == expected_run
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=150)
+)
+def test_gini_banded_rank_equals_global_rank(cents):
+    """q_agg_gini's banded ascending rank (log2 band + within-band
+    row_number + carry count) must reproduce the global row_number
+    for ANY spend multiset, so Σ(i·xᵢ) is exact."""
+    import math
+
+    rows = list(enumerate(cents))  # idx = custkey tiebreak
+    global_rank = {
+        rc: i + 1
+        for i, rc in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    band = lambda c: math.floor(math.log2(c + 1.5))  # noqa: E731
+    by_band: dict[int, list] = {}
+    for idx, c in rows:
+        by_band.setdefault(band(c), []).append((idx, c))
+    carry_before = {}
+    seen = 0
+    for b in sorted(by_band):
+        carry_before[b] = seen
+        seen += len(by_band[b])
+    for b, items in by_band.items():
+        for rn_in, (idx, c) in enumerate(
+            sorted(items, key=lambda r: (r[1], r[0])), start=1
+        ):
+            assert rn_in + carry_before[b] == global_rank[(idx, c)]

@@ -107,3 +107,41 @@ def test_auc_tie_handling_is_exact():
     # = 5; ties = 2x2 = 4 -> AUC = (5 + 0.5*4)/9
     assert (n_pos, n_neg) == (3, 3)
     assert abs(auc - round((5 + 0.5 * 4) / 9, 6)) < 1e-9
+
+
+def test_km_matches_manual_estimator():
+    """The KM oracle must equal a direct pure-Python Kaplan-Meier
+    computation over the same spans (censoring included)."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    spans = con.execute("""
+        SELECT datediff('day',
+                        CAST(min(date_trunc('day', ts)) AS DATE),
+                        CAST(max(date_trunc('day', ts)) AS DATE)) AS t,
+               CAST(max(date_trunc('day', ts)) AS DATE) AS last_day
+        FROM events GROUP BY user_id
+    """).fetchall()
+    max_day = max(r[1] for r in spans)
+    durs = [
+        (t, 0 if (max_day - last).days <= 6 else 1) for t, last in spans
+    ]
+    from collections import Counter
+
+    ending = Counter(t for t, _ in durs)
+    churns = Counter(t for t, c in durs if c == 1)
+    at_risk = len(durs)
+    s = 1.0
+    expected = {}
+    for t in sorted(ending):
+        d = churns.get(t, 0)
+        if d < at_risk:
+            s *= 1.0 - d / at_risk
+            expected[t] = (at_risk, d, round(s, 4) + 0.0)
+        at_risk -= ending[t]
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(all_oracles()["q_survival_km"]).fetchall()
+    }
+    assert got == expected
