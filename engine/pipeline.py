@@ -1816,3 +1816,68 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@register(
+    "q_user_entropy",
+    oracle="""
+    WITH tc AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    ent AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * CAST(round(log2(c) * 1000000000) AS BIGINT))
+                  AS BIGINT) AS qclogc
+      FROM tc GROUP BY user_id
+    ),
+    h AS (
+      SELECT user_id,
+             round(log2(n) - CAST(qclogc AS DOUBLE) / 1000000000 / n, 2) + 0.0
+               AS entropy
+      FROM ent
+    )
+    SELECT entropy, count(*) AS n_users
+    FROM h GROUP BY entropy
+    ORDER BY entropy
+    """,
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity screen: Shannon entropy (bits) of each
+    user's event-type distribution, bucketed to a 0.01-bit histogram —
+    bots cluster at 0 (one action repeated), engaged humans near
+    log2(|types|); the segmentation signal fraud and engagement teams
+    both read.
+
+    H = log2(n) − Σc·log2(c)/n from per-(user, type) exact counts; the
+    Σc·log2(c) term sums c × QUANTIZED log2(c) as bigints (≤|types|
+    terms per user, but partial-aggregation order still varies — the
+    quantized integers sum exactly in any order). Two hash aggregates
+    (user×type, then user) + a histogram reduce over the bounded
+    entropy-bucket domain.
+    """
+    tc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    qlog = F.round(F.log2(F.col("c").cast("double")) * 1_000_000_000).cast("long")
+    ent = tc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * qlog).cast("long").alias("qclogc"),
+    )
+    entropy = (
+        F.round(
+            F.log2(F.col("n").cast("double"))
+            - F.col("qclogc").cast("double") / 1_000_000_000 / F.col("n"),
+            2,
+        )
+        + 0.0
+    )
+    return (
+        ent.select(entropy.alias("entropy"))
+        .groupBy("entropy")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("entropy")
+    )

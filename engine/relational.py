@@ -2297,3 +2297,70 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    grp AS (
+      SELECT flag, price_cents, CAST(sum(wt) AS BIGINT) AS w
+      FROM pts GROUP BY flag, price_cents
+    ),
+    cum AS (
+      SELECT flag, price_cents, w,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY price_cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS total
+      FROM grp
+    )
+    SELECT flag, min(price_cents) / 100.0 AS weighted_median,
+           CAST(any_value(total) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= total
+    GROUP BY flag ORDER BY flag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median price per return flag (quantity-weighted — the
+    robust 'typical traded price' the plain median misrepresents when
+    big lots cluster at one end).
+
+    Price points collapse to exact (flag, cents) → weight groups; the
+    cumulative weight runs per flag (parallel across the 3 flags —
+    within a flag the group table is |distinct prices|-bounded, and at
+    a scale where that itself is too big the banded scheme of
+    q_abc_pareto slots in unchanged), and the median is the first
+    group where 2·cumweight ≥ total (lower weighted median — exact
+    integer comparison, no interpolation ambiguity cross-engine).
+    """
+    from pyspark.sql import Window
+
+    pts = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    grp = pts.groupBy("flag", "price_cents").agg(
+        F.sum("wt").cast("long").alias("w")
+    )
+    w_cum = Window.partitionBy("flag").orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.withColumn("cw", F.sum("w").over(w_cum).cast("long")).withColumn(
+        "total", F.sum("w").over(Window.partitionBy("flag")).cast("long")
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            (F.min("price_cents") / 100.0).alias("weighted_median"),
+            F.any_value("total").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
