@@ -1758,3 +1758,43 @@ def q_win_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "event_type", "n", (F.round(r, 4) + 0.0).alias("autocorr_lag1")
     ).orderBy("event_type")
+
+
+@register(
+    "q_events_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS volume
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hour
+    """,
+)
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event count and volume per (day-of-week,
+    hour-of-day) cell — the 7x24 ops-dashboard matrix (when does the
+    market breathe; when do the bots run).
+
+    ONE map-side-combined hash aggregate straight to the 168-cell
+    output — the map-side combine means each of the 100 TB's tasks
+    emits at most 168 partial rows regardless of input size. Same
+    dayofweek convention shift as q_seasonality (Spark 1-7, DuckDB
+    0-6).
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "volume"
+            ),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -1881,3 +1881,67 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("entropy")
     )
+
+
+@register(
+    "q_dataset_card",
+    oracle="""
+    WITH doc_stats AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT source) AS n_sources,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
+               AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    dup AS (
+      SELECT count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+      FROM documents
+    ),
+    empty AS (
+      SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_empty
+      FROM documents
+    )
+    SELECT n_docs, n_langs, n_sources, n_tokens, n_chars,
+           (SELECT n_exact_dups FROM dup) AS n_exact_dups,
+           (SELECT n_empty FROM empty) AS n_empty,
+           round(CAST(n_tokens AS DOUBLE) / n_docs, 2) AS avg_tokens_per_doc
+    FROM doc_stats
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-row corpus summary a training run records
+    before it starts — sizes, language/source diversity, exact-dup and
+    empty-doc counts, tokens per doc (the numbers that go in the model
+    card's data section).
+
+    All scalar facts ride ONE documents scan: the count-distincts and
+    conditional sums share a single aggregate (two-phase for the
+    distincts), and the md5-based dup count folds in as
+    count − count(DISTINCT hash). The row is the cheap always-run
+    health gate in front of the deep screens (q_text_quality,
+    q_dedup_*, q_text_hapax).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+    )
+    card = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+        F.sum(
+            F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0)
+        ).cast("long").alias("n_empty"),
+    )
+    return card.select(
+        "*",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 2).alias(
+            "avg_tokens_per_doc"
+        ),
+    )

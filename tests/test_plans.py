@@ -73,6 +73,7 @@ _SINGLE_PARTITION_OK = {
     "q_survival_km",      # KM windows over the <=|days| duration histogram
     "q_text_keywords",    # 1-row corpus-size fold into the IDF
     "q_agg_gini",         # <=64-row band carry window + 1-row Gini reduce
+    "q_dataset_card",     # whole-corpus summary reduces to one wide row
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
