@@ -1798,3 +1798,63 @@ def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@register(
+    "q_topk_movers",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    chg AS (
+      SELECT event_type, day, cents,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM daily
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           cents / 100.0 AS revenue,
+           round((cents - prev) * 100.0 / prev, 4) AS pct_change
+    FROM chg WHERE prev IS NOT NULL AND prev > 0
+    ORDER BY abs(round((cents - prev) * 100.0 / prev, 4)) DESC,
+             event_type, day
+    LIMIT 10
+    """,
+)
+def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top movers: the 10 biggest absolute day-over-day revenue swings
+    across all (type, day) cells — the screener view every market
+    dashboard opens with.
+
+    Daily collapse once; lag per type over the bounded daily table;
+    the global top-10 on |pct| lowers to TakeOrderedAndProject
+    (per-partition heaps, no global sort). pct ranks on the SAME
+    rounded value both engines emit, with (type, day) tiebreaks, so
+    the cut line is deterministic.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    chg = daily.withColumn("prev", F.lag("cents").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") > 0)
+    )
+    pct = F.round((F.col("cents") - F.col("prev")) * 100.0 / F.col("prev"), 4)
+    return (
+        chg.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("cents") / 100.0).alias("revenue"),
+            pct.alias("pct_change"),
+        )
+        .orderBy(F.abs(F.col("pct_change")).desc(), "event_type", "day")
+        .limit(10)
+    )

@@ -1945,3 +1945,46 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_tokens_per_doc"
         ),
     )
+
+
+@register(
+    "q_order_cadence",
+    oracle="""
+    WITH gaps AS (
+      SELECT datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT gap_days, count(*) AS n_intervals
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY gap_days
+    ORDER BY gap_days
+    """,
+)
+def q_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence distribution: the histogram of days between a
+    customer's consecutive orders (the replenishment-cycle signal that
+    feeds churn-risk windows and send-time optimization).
+
+    One custkey exchange drives the lag; the histogram reduce is
+    bounded by the day-gap domain. Integer day arithmetic end to end.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days")
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.groupBy("gap_days")
+        .agg(F.count("*").alias("n_intervals"))
+        .orderBy("gap_days")
+    )

@@ -104,7 +104,7 @@ _PRIORITY: list[str] = [
     "q_session_paths", "q_stream_cdc_apply", "q_join_asof_forward", "q_fn_try",
     "q_text_perplexity", "q_market_beta", "q_dedup_incremental", "q_skyline",
     "q_funnel_windowed", "q_stats_did", "q_anomaly_seasonal", "q_survival_km", "q_text_keywords", "q_agg_gini",
-    "q_win_autocorr", "q_user_entropy", "q_agg_weighted_median", "q_events_heatmap", "q_dataset_card",
+    "q_win_autocorr", "q_user_entropy", "q_agg_weighted_median", "q_events_heatmap", "q_dataset_card", "q_topk_movers", "q_order_cadence",
     # -- plans rewritten in round 4 (re-certify; test_registry._RECERT):
     # both run the rewritten cached-gate path in _jaccard_set_pairs --
     "q_dedup_jaccard", "q_dedup_ngram",
