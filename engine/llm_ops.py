@@ -1785,9 +1785,9 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_quantize",
     oracle="""
     SELECT vec_id, label,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0)
-                             * 127 + 0.5) AS INTEGER)) AS q
+                             * 127 + 0.5) AS INTEGER)), ',') AS q
     FROM embeddings
     """,
 )
@@ -1798,7 +1798,11 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Map-only higher-order ``transform``: stays in codegen, no
     shuffle, exact integer output so the oracle hash is float-free.
     Half-up is spelled ``floor(x*127 + 0.5)`` because Spark and DuckDB
-    disagree on ``round()`` tie semantics (banker's vs half-up)."""
+    disagree on ``round()`` tie semantics (banker's vs half-up).
+    Output is the comma-joined code string, not a raw ``array<int>``:
+    the driver's pandas canonicalizer cannot hash ndarray cells (the
+    r04 ERR row; same fix as q_agg_collect in r02 —
+    engine/relational.py ``concat_ws`` / ``array_to_string``)."""
     e = _t(spark, sf_dir, "embeddings")
     q = F.transform(
         F.col("embedding"),
@@ -1806,7 +1810,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) * 127 + 0.5
         ).cast("int"),
     )
-    return e.select("vec_id", "label", q.alias("q"))
+    return e.select("vec_id", "label", F.concat_ws(",", q).alias("q"))
 
 
 @register(

@@ -1729,15 +1729,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic customer-analytics composite; output is the segment
     grid (≤125 cells) with sizes and average monetary value.
 
-    One customer⋈orders aggregate builds the per-customer RFM triple;
-    the three ntile windows run over THAT table (|customers| rows, not
-    |orders|), each with a custkey tiebreak so the quintile boundaries
-    are a deterministic total order on both engines; the final cell
-    aggregate is constant-size. ntile's global window is the known
-    scale ceiling here — at 100 TB the quintiles come from
-    approx-quantile cut points broadcast as a 4-value filter instead
-    (the q_win_ntile two-pass pattern); the exact form is kept because
-    the oracle must be exact.
+    One customer⋈orders aggregate builds the per-customer RFM triple.
+    The oracle writes three global ``ntile(5)`` windows over that
+    table; the Spark plan computes the IDENTICAL assignment fully
+    distributed via the house banded global-rank scheme (the
+    q_abc_pareto / q_agg_gini two-level prefix pattern): per dimension,
+    band the rows on a key consistent with the sort order (recency and
+    frequency band on their own small-integer value; monetary on
+    floor(log2(cents)) — ≤64 bands whose order refines cents DESC),
+    take ``row_number`` WITHIN each band (window partitioned by band —
+    parallel), and add the carry-in count of all earlier bands (a
+    band-sized aggregate, windowed small and broadcast back). The
+    global rank rn then maps to its quintile in closed form — with
+    n rows, base = n div 5, rem = n mod 5, the first rem tiles hold
+    base+1 rows — so no single-partition pass ever touches the
+    |customers|-sized table; the only global windows are over the
+    band-count tables and the only cross join is the 1-row n fold.
+    A custkey tiebreak makes each total order deterministic on both
+    engines; exact integer cents keep the cell averages float-free.
     """
     from pyspark.sql import Window
 
@@ -1754,19 +1763,73 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "monetary_cents"
             ),
         )
+        .persist()
     )
-    scored = cust.select(
+
+    def _rank(df: DataFrame, band, within_order, band_desc: bool, name: str):
+        """Global row_number over (band order, within_order) as
+        within-band row_number + broadcast carry-in of earlier bands."""
+        b = df.withColumn("_band", band)
+        within = b.withColumn(
+            "_rn_in",
+            F.row_number().over(Window.partitionBy("_band").orderBy(*within_order)),
+        )
+        border = F.desc("_band") if band_desc else F.asc("_band")
+        bt = (
+            b.groupBy("_band")
+            .agg(F.count("*").alias("_bc"))
+            .withColumn(
+                "_carry",
+                F.coalesce(
+                    F.sum("_bc").over(
+                        Window.orderBy(border).rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select(F.col("_band").alias("_b"), "_carry")
+        )
+        return (
+            within.join(F.broadcast(bt), F.col("_band") == F.col("_b"))
+            .withColumn(name, (F.col("_carry") + F.col("_rn_in")).cast("long"))
+            .drop("_band", "_b", "_rn_in", "_carry", "_bc")
+        )
+
+    ranked = _rank(cust, F.col("recency"), [F.asc("c_custkey")], False, "rn_r")
+    ranked = _rank(ranked, F.col("frequency"), [F.asc("c_custkey")], True, "rn_f")
+    ranked = _rank(
+        ranked,
+        F.floor(F.log2(F.col("monetary_cents").cast("double") + 1.5)),
+        [F.desc("monetary_cents"), F.asc("c_custkey")],
+        True,
+        "rn_m",
+    )
+    ranked = ranked.crossJoin(
+        F.broadcast(cust.agg(F.count("*").cast("long").alias("_n")))
+    )
+
+    def _tile(rn: str):
+        # ntile(5) in closed form from the exact global rank: the first
+        # (n mod 5) tiles hold (n div 5)+1 rows, the rest (n div 5).
+        n = F.col("_n")
+        base = F.floor(n / F.lit(5)).cast("long")
+        rem = (n % 5).cast("long")
+        cut = rem * (base + 1)
+        r = F.col(rn)
+        return (
+            F.when(r <= cut, F.floor((r - 1) / (base + 1)))
+            .otherwise(rem + F.floor((r - cut - 1) / base))
+            + 1
+        ).cast("int")
+
+    scored = ranked.select(
         "c_custkey",
         "monetary_cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("recency"), F.asc("c_custkey")))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("c_custkey")))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("c_custkey")))
-        .alias("m"),
+        _tile("rn_r").alias("r"),
+        _tile("rn_f").alias("f"),
+        _tile("rn_m").alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")

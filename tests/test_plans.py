@@ -59,8 +59,10 @@ _SINGLE_PARTITION_OK = {
     "q_tpch_q11",         # 1-row (total, n_parts) scalar of the post-agg table
     "q_text_hapax",       # 1-row global reduce of the vocab-bounded count table
     "q_join_bloom",       # 1-row dense-bitmap fold of the 1024-word table
-    "q_rfm_segments",     # exact global ntile (oracle needs exactness; the
-                          # scale path is approx-quantile cut points — docstring)
+    "q_rfm_segments",     # carry-in windows over the three band-count
+                          # tables (recency/frequency values + <=64 log2
+                          # monetary bands) — the customer table itself is
+                          # never single-partitioned (r5 rewrite)
     "q_abc_pareto",       # carry-in window over the <=64-row band totals table
     "q_quality_rules",    # whole-table DQ summary reduces to one wide row
     "q_eval_auc",         # carry-in window over the ~score-band count table
@@ -115,6 +117,8 @@ _CROSS_OK = {
     "q_survival_km",
     # keywords: the 1-row corpus size folds into each term's IDF.
     "q_text_keywords",
+    # RFM: the 1-row customer count folds into the closed-form ntile.
+    "q_rfm_segments",
 }
 
 
@@ -464,3 +468,14 @@ def test_late_r4_operator_plan_shapes(plans):
     # interpolation: both carry directions share one exchange+sort
     ri = plans["q_resample_interpolate"]
     assert ri.count("Exchange (") <= 2  # user_id + (possibly AQE final)
+
+
+def test_r5_operator_plan_shapes(plans):
+    """Scale-critical plan pins for the round-5 rewrites."""
+    # RFM: the r5 rewrite removed every global ntile — the customer
+    # table sees only band-partitioned windows (the banded global-rank
+    # scheme); the carry tables come back as broadcasts
+    rfm = plans["q_rfm_segments"]
+    assert "ntile" not in rfm, "RFM regressed to global ntile windows"
+    assert "hashpartitioning(_band" in rfm
+    assert "BroadcastHashJoin" in rfm

@@ -28,9 +28,17 @@ def test_priority_has_no_duplicates():
 # set — q_join_asof etc. — got green r03 rows and dropped out).
 # q_dedup_jaccard AND q_dedup_ngram both run _jaccard_set_pairs'
 # rewritten cached-gate path (n_prefix now derived from cached stats).
+# Round-5 additions: q_embed_quantize (r04 ERR row; output re-shaped
+# to a joined string), q_rfm_segments (ntile windows → banded
+# distributed rank), q_sim_pairwise (norm-band blocking key),
+# q_embed_pca (mapInArrow co-moment partials).
 _RECERT = {
     "q_dedup_jaccard",
     "q_dedup_ngram",
+    "q_embed_quantize",
+    "q_rfm_segments",
+    "q_sim_pairwise",
+    "q_embed_pca",
 }
 
 
@@ -72,3 +80,29 @@ def test_oracle_keys_subset_and_aliased():
     # every oracle is non-trivial SQL
     for k, sql in os_.items():
         assert "SELECT" in sql.upper(), k
+
+
+def test_no_complex_output_on_oracle_keys(spark):
+    """Driver canonicalizer contract: oracle-checked keys must not emit
+    Array/Map/Struct columns. The driver pandas-lexsorts raw cells and
+    crashes on unhashable ndarray cells (q_embed_quantize's r04 ERR —
+    the ONLY non-green driver row ever); our normalize tuple-izes them,
+    so without this guard the local 242/242 sweep passes outputs the
+    driver rejects. Checked on the SCHEMA (analysis only, no execution)
+    so the whole surface sweeps in seconds. Streaming keys execute
+    their micro-batches on invocation, so they are covered by the
+    tools/check.py complex_cols gate instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from tests.conftest import SF_SMOKE
+
+    qs, os_ = all_queries(), all_oracles()
+    bad = []
+    for k in os_:
+        if k.startswith("q_stream"):
+            continue
+        schema = qs[k](spark, SF_SMOKE).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((k, f.name, f.dataType.simpleString()))
+    assert not bad, f"oracle-checked keys with driver-unhashable columns: {bad}"

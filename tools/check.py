@@ -105,12 +105,42 @@ def rows_equal(a: tuple, b: tuple) -> bool:
     return True
 
 
+def complex_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells the DRIVER's canonicalizer cannot hash.
+
+    The driver pandas-lexsorts raw cells; ndarray/list/dict cells raise
+    ``TypeError: unhashable type`` there (q_embed_quantize's r04 ERR).
+    Our own ``normalize`` tuple-izes them, which made the local sweep a
+    WEAKER gate than the driver — so oracle-checked keys must not emit
+    complex columns at all (string-join arrays: q_agg_collect pattern).
+    """
+    import numpy as np
+
+    out = []
+    for c in df.columns:
+        if df[c].dtype.kind != "O":
+            continue
+        for v in df[c]:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+                out.append(c)
+            break
+    return out
+
+
 def check_one(spark, con, key: str, fn, sql: str | None, sf_dir: str) -> tuple[bool, str]:
     t0 = time.time()
     sdf = fn(spark, sf_dir).toPandas()
     t_spark = time.time() - t0
     if sql is None:
         return True, f"rows-only: {len(sdf)} rows ({t_spark:.1f}s)"
+    cc = complex_cols(sdf)
+    if cc:
+        return False, (
+            f"COMPLEX OUTPUT {cc}: driver canonicalizer crashes on "
+            "unhashable array/map/struct cells — string-join instead"
+        )
     odf = con.execute(sql).fetchdf()
     if len(sdf) != len(odf):
         return False, f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"

@@ -1,13 +1,45 @@
 """Simulate the driver harness: vanilla SparkSession (no engine configs),
-import __spark_entry__, smoke entry(), then differential-check a sample."""
-import sys, importlib.util
-import duckdb, pandas as pd
+import __spark_entry__, smoke entry(), then differential-check a sample.
+
+The sample = a fixed cross-family anchor set + ROUND_CHANGED (every key
+added or plan-rewritten in the current round — the r4 exit-seal blind
+spot was sampling only the fixed set, which let a driver-red output
+shape ship despite a "242/242" local sweep) + any extra keys passed on
+the command line. Oracle-checked keys also run the complex-output gate
+(driver's canonicalizer crashes on array/map/struct cells).
+
+Usage: python tools/driver_sim.py [extra_key ...]
+"""
+import importlib.util
+import sys
+
+import duckdb
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 # Same row normalization as the hardened checker: floats rounded before
 # keying the sort, so cross-engine rounding noise can't misalign rows.
-from tools.check import normalize, rows_equal
+from tools.check import complex_cols, normalize, rows_equal  # noqa: E402
+
+# Keys added or plan-rewritten THIS round — every one must pass the
+# vanilla-session differential before the exit seal. Maintained by the
+# round builder; reset at round start.
+ROUND_CHANGED = [
+    "q_embed_quantize",   # r5: array<int> -> joined string (r04 ERR fix)
+    "q_rfm_segments",     # r5: global ntile -> banded distributed rank
+    "q_sim_pairwise",     # r5: norm-band second blocking key
+    "q_embed_pca",        # r5: exploded co-moments -> mapInArrow partials
+    "q_eval_ndcg",        # r5: new
+    "q_eval_pr_at_k",     # r5: new
+    "q_join_interval_overlap",  # r5: new
+    "q_agg_tdigest",      # r5: new
+    "q_win_holt",         # r5: new
+    "q_doc_pack_greedy",  # r5: new
+    "q_text_contamination_ngram",  # r5: new
+    "q_agg_bitmap_distinct",  # r5: new
+    "q_sample_importance",  # r5: new
+    "q_graph_degree",     # r5: new
+]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec)
@@ -27,7 +59,7 @@ print(f"queries={len(qs)} oracles={len(os_)}")
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
-# sample spans every family in the driver's graded 50-key window:
+# fixed sample spans every family in the driver's graded window:
 # relational/window anchors, scalar-fn tail, UDF surface, LLM ops,
 # domain composites, and (rows-only) streaming + UDTF on the vanilla
 # session — exactly where missing engine confs would surface.
@@ -38,12 +70,26 @@ sample = [
     "q_dedup_jaccard", "q_tokenize", "q_bars_ohlcv",
 ]
 rows_only_sample = ["q_udtf", "q_dedup_minhash", "q_stream_tumbling", "q_stream_stateful"]
+for k in ROUND_CHANGED + sys.argv[1:]:
+    if k not in qs:
+        print(f"{k}: not registered yet — skipping")
+        continue
+    (sample if k in os_ else rows_only_sample).append(k)
+seen = set()
 for k in rows_only_sample:
+    if k in seen:
+        continue
+    seen.add(k)
     n = qs[k](spark, "/root/testdata/sf0.01").count()
     assert n >= 0
     print(f"{k}: ran on vanilla session ({n} rows)")
 for k in sample:
+    if k in seen:
+        continue
+    seen.add(k)
     sdf = qs[k](spark, "/root/testdata/sf0.01").toPandas()
+    cc = complex_cols(sdf)
+    assert not cc, (k, f"driver-unhashable output columns {cc}")
     odf = con.execute(os_[k]).fetchdf()
     assert len(sdf) == len(odf), (k, len(sdf), len(odf))
     assert sorted(sdf.columns) == sorted(odf.columns), k
