@@ -690,28 +690,62 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs similarity above threshold, blocked by label: the
-    blocking key turns the quadratic pair space into per-block joins
-    (equi-join on label), the standard scale pattern for pairwise
-    similarity."""
+    """All-pairs similarity above threshold, blocked by label and
+    SALT-FLATTENED within each label (r5 rewrite).
+
+    Blocking by label alone leaves a quadratic single task on a hot
+    label at 100 TB (the r4 scale finding). The exact pair work is
+    irreducible — the cure is spreading it: side A takes a
+    deterministic salt ``hash(vec_id) mod 8``, side B explodes to all
+    8 salts, and the join key becomes (label, salt), so a hot label's
+    pair space lands on 8 tasks instead of 1 (the q_join_skew_salted
+    pattern applied to a self-join; every ordered pair still meets
+    exactly once because A carries one salt and B carries each salt
+    once). A cheap LOSSLESS prune rides the join before the d-wide
+    dot product: for unit vectors, cos(a,b) > t implies
+    ||â−b̂|| < sqrt(2−2t), so any fixed projection (the first
+    normalized component) differs by less than sqrt(2−2·0.35) ≈
+    1.140176 — pairs outside the bound skip the zip_with fold
+    entirely. Cosine itself is norm-invariant, so a raw-norm band
+    would NOT be lossless; the projection bound is the correct
+    length-filter analog."""
+    n_salts = 8
     e = _t(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e2 = e.select("vec_id", "label", as_double.alias("emb"))
-    a = e2.alias("a")
-    b = e2.alias("b")
+    norm_of = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("emb"), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x
+        )
+    )
+    e2 = (
+        e.select("vec_id", "label", as_double.alias("emb"))
+        .withColumn("nrm", norm_of)
+        .withColumn("u1", F.element_at("emb", 1) / F.col("nrm"))
+    )
+    a = e2.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
+    ).alias("a")
+    b = e2.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(f"{side}.emb"), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x
-        )
-    )
-    cos = dot / (norm("a") * norm("b"))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.salt") == F.col("b.salt")),
+        )
+        .filter(
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            # lossless projection prune: skip the d-wide fold for pairs
+            # provably below the 0.35 threshold
+            & (F.abs(F.col("a.u1") - F.col("b.u1")) <= F.lit(1.140176))
+        )
         .filter(cos > 0.35)
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -2221,21 +2255,26 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the driver only ever holds dim- and dim²-sized state,
     never row-count-sized state.
-    1. Mean vector: one aggregate -> 64 doubles.
-    2. Covariance: posexplode each vector twice (map-side; the 64×64
-       pair blowup never shuffles raw rows because partial hash
-       aggregation collapses every partition to <= 4096 (i, j) cells
-       before the exchange) -> 4096-row co-moment table -> driver.
-    3. ``numpy.linalg.eigh`` on the 64×64 matrix (driver, O(dim³),
+    1. Moments: ONE map-only ``mapInArrow`` pass emits a single
+       (n, Σx, Σxxᵀ) partial per PARTITION — d + d² doubles each,
+       computed as a vectorized ``m.T @ m`` over every Arrow batch.
+       No shuffle at all, and the collect is |partitions| rows (~1 MB
+       at 32 partitions, d=64), bounded by cluster size, not data.
+       (The r4 form double-posexploded to N·d² rows before the
+       map-side combine — 4096× the vector count of executor-side
+       explode volume for the same ≤4096-cell result; the r5 verdict
+       flagged exactly this waste.)
+    2. ``numpy.linalg.eigh`` on the 64×64 matrix (driver, O(dim³),
        data-independent) -> top-8 components, sign-canonicalized
        (largest-|coordinate| positive) so output is deterministic.
-    4. Projection: components broadcast back as literal arrays; the
+    3. Projection: components broadcast back as literal arrays; the
        per-row dot products are codegen ``aggregate``/``zip_with`` —
        map-only, no shuffle, no Python at runtime.
 
     Correctness is pinned by tests/test_llm_ops.py: projection
-    variances match the eigenvalue order and the components are
-    orthonormal (rows-only at the driver; no cross-engine float
+    variances match the eigenvalue order, the components are
+    orthonormal, and the moment partials reproduce the exact numpy
+    covariance (rows-only at the driver; no cross-engine float
     contract can survive eigensolver differences)."""
     import numpy as np
 
@@ -2244,32 +2283,39 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     ed = e.select("vec_id", as_double.alias("emb"))
 
-    # -- driver state: dim + dim² aggregates only ---------------------
-    n, mean = (
-        ed.select(F.posexplode("emb").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.count("*").alias("cnt"), F.sum("x").alias("sx"))
-        .orderBy("i")
-        .groupBy()
-        .agg(
-            F.first("cnt").alias("n"),
-            F.collect_list(F.struct("i", "sx")).alias("sums"),
-        )
-        .select("n", F.transform(F.array_sort("sums"), lambda s: s["sx"]).alias("sums"))
-        .head()
-    )
-    mu = np.array(mean) / n
-    co = (
-        ed.select(F.posexplode("emb").alias("i", "x"), F.col("emb"))
-        .select("i", "x", F.posexplode("emb").alias("j", "y"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("x") * F.col("y")).alias("sxy"))
-        .collect()
-    )
+    # -- per-partition (n, Σx, Σxxᵀ) partials: map-only, no shuffle ---
+    def _moment_partials(batches):
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pyarrow as pa  # noqa: PLC0415
+
+        tot, s, ss = 0, None, None
+        for b in batches:
+            col = b.column(0)
+            if len(col) == 0:
+                continue
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            m = flat.reshape(len(col), len(flat) // len(col))
+            tot += m.shape[0]
+            s = m.sum(0) if s is None else s + m.sum(0)
+            g = m.T @ m
+            ss = g if ss is None else ss + g
+        if tot:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([tot], pa.int64()),
+                    pa.array([s.tolist()], pa.list_(pa.float64())),
+                    pa.array([ss.reshape(-1).tolist()], pa.list_(pa.float64())),
+                ],
+                names=["n", "s", "ss"],
+            )
+
+    parts = ed.select("emb").mapInArrow(
+        _moment_partials, "n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    mu = sum(np.array(r["s"]) for r in parts) / n
     dim = len(mu)
-    cov = np.zeros((dim, dim))
-    for r in co:
-        cov[r["i"], r["j"]] = r["sxy"]
+    cov = sum(np.array(r["ss"]).reshape(dim, dim) for r in parts)
     cov = cov / n - np.outer(mu, mu)
 
     w, v = np.linalg.eigh(cov)  # ascending eigenvalues

@@ -249,6 +249,78 @@ def test_embed_pca_variance_and_orthonormality(spark):
     assert np.abs(mat.mean(axis=0)).max() < 1e-6
 
 
+def test_embed_pca_matches_direct_numpy(spark):
+    """The mapInArrow moment-partial path (r5 rewrite) must reproduce
+    the DIRECT single-machine PCA bit-for-bit up to rounding: same
+    covariance, same eigh, same sign canonicalization, same projection.
+    This is the exactness proof that the per-partition (n, Σx, Σxxᵀ)
+    partials lose nothing vs materializing the corpus."""
+    import numpy as np
+
+    from engine.io import load_table
+
+    rows = all_queries()["q_embed_pca"](spark, SF_SMOKE).collect()
+    got = {r["vec_id"]: [r[f"pc{i}"] for i in range(8)] for r in rows}
+
+    raw = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in raw]
+    m = np.array([[float(x) for x in r["embedding"]] for r in raw])
+    mu = m.mean(axis=0)
+    cov = (m.T @ m) / len(m) - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :8].T.copy()
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    want = (m - mu) @ comps.T
+    for vid, row in zip(ids, want):
+        assert np.allclose(got[vid], np.round(row, 6), atol=2e-6), vid
+
+
+def test_sim_pairwise_salted_equals_unsalted(spark):
+    """The r5 salt-flattened self-join + lossless projection prune must
+    return EXACTLY the pair set of the naive label-blocked join — on a
+    skewed fixture where one hot label owns most vectors (the straggler
+    shape the salt exists to kill)."""
+    import itertools
+    import math
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    rows = [
+        (i, 0 if i < 40 else 1 + i % 3,
+         [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    # the table stores float32 — the reference computation must see the
+    # same rounded values the query reads back
+    rows = [(i, lab, [float(np.float32(x)) for x in e]) for (i, lab, e) in rows]
+    path = "/tmp/simpair_skew"
+    df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in all_queries()["q_sim_pairwise"](spark, path).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    want = {}
+    for (i1, l1, e1), (i2, l2, e2) in itertools.combinations(rows, 2):
+        if l1 == l2 and cos(e1, e2) > 0.35:
+            want[(min(i1, i2), max(i1, i2))] = round(cos(e1, e2), 6)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+
 def test_heavy_hitters_bounds_vs_exact(spark):
     """Misra-Gries contract: every reported bound is a LOWER bound on
     the true count, and every token whose true count exceeds N/k is

@@ -479,3 +479,12 @@ def test_r5_operator_plan_shapes(plans):
     assert "ntile" not in rfm, "RFM regressed to global ntile windows"
     assert "hashpartitioning(_band" in rfm
     assert "BroadcastHashJoin" in rfm
+    # pairwise similarity: the self-join key must carry the salt (hot-
+    # label flattening) and stay an equi hash join — never nested-loop
+    sp = plans["q_sim_pairwise"]
+    assert "salt" in sp, "pairwise join lost its salt key"
+    assert "BroadcastNestedLoopJoin" not in sp and "CartesianProduct" not in sp
+    # PCA projection: after the moment partials run, the returned plan
+    # is the map-only codegen projection — no Exchange, no Python
+    pca = plans["q_embed_pca"]
+    assert "Exchange" not in pca, "PCA projection should be map-only"
