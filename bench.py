@@ -47,6 +47,14 @@ HEADLINE = [
     # r4 TPC-H completion: the two heaviest classic shapes added late
     "q_tpch_q9",            # 5-table profit snowflake with LIKE-pruned part
     "q_tpch_q21",           # decorrelated EXISTS pair (agg + order window)
+    # r5 additions: the slowest keys the r4 audit found unbenched, plus
+    # the r5 rewrites whose cost story changed this round
+    "q_source_python",      # python datasource scan boundary
+    "q_stream_anomaly",     # stateful streaming replay (micro-batches)
+    "q_abc_pareto",         # banded global prefix-sum (distributed rank)
+    "q_rfm_segments",       # 3x banded rank + closed-form ntile (r5)
+    "q_sim_pairwise",       # salted all-pairs cosine (r5)
+    "q_embed_pca",          # mapInArrow moment partials + projection (r5)
 ]
 
 
