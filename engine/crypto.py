@@ -1858,3 +1858,105 @@ def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("pct_change")).desc(), "event_type", "day")
         .limit(10)
     )
+
+
+@register(
+    "q_win_holt",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    ),
+    h(user_id, i, n, vs, l, b) AS (
+      SELECT user_id, 1, len(vs), vs, vs[1], CAST(0.0 AS DOUBLE) FROM s
+      UNION ALL
+      SELECT user_id, i + 1, n, vs,
+             CAST(0.3 * vs[i+1] + 0.7 * (l + b) AS DOUBLE),
+             CAST(0.1 * (0.3 * vs[i+1] + 0.7 * (l + b) - l) + 0.9 * b AS DOUBLE)
+      FROM h WHERE i < n
+    )
+    SELECT user_id, round(l, 4) AS level, round(b, 4) AS trend,
+           CAST(n AS BIGINT) AS n_ticks
+    FROM h WHERE i = n
+    """,
+)
+def q_win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend; α=0.3, β=0.1)
+    per user — the trend-aware forecaster a price pipeline runs beside
+    the plain EWMA. Recursion: l_t = αx + (1−α)(l+b);
+    b_t = β(l_t − l) + (1−β)b, seeded (l₁, b₁) = (x₁, 0).
+
+    This is q_win_ewma's segmented-scan plan generalized to VECTOR
+    state: each tick is the affine map s → L·s + c·x on (l, b) with a
+    CONSTANT 2×2 L = [[1−α, 1−α], [−αβ, 1−αβ]] (substitute l_t into
+    b_t to see the linear form), and affine maps compose
+    associatively, so a (user, day) segment folds into one (M, v)
+    pair — 6 doubles — plus the segment's own seeded fold (fl, fb)
+    used when it is the user's first. The per-user pass folds ONE ROW
+    PER SEGMENT in day order (s → M·s + v), identical task-state
+    bounds to q_win_ewma: one key-day of ticks, one key's segment
+    count. All codegen, zero Python. The oracle runs the sequential
+    recursion as a DuckDB recursive CTE; within segments the op order
+    is identical, across boundaries the re-association drifts O(ulp),
+    far below the round(4) contract."""
+    A, B = 0.3, 0.1
+    ab = A * B
+    ev = _t(spark, sf_dir, "events")
+
+    zero = F.lit(0.0)
+    one = F.lit(1.0)
+    aff0 = F.struct(
+        one.alias("m11"), zero.alias("m12"), zero.alias("m21"), one.alias("m22"),
+        zero.alias("v1"), zero.alias("v2"),
+    )
+    comp = F.aggregate(
+        F.col("vs"),
+        aff0,
+        lambda s, x: F.struct(
+            ((1 - A) * (s["m11"] + s["m21"])).alias("m11"),
+            ((1 - A) * (s["m12"] + s["m22"])).alias("m12"),
+            (-ab * s["m11"] + (1 - ab) * s["m21"]).alias("m21"),
+            (-ab * s["m12"] + (1 - ab) * s["m22"]).alias("m22"),
+            ((1 - A) * (s["v1"] + s["v2"]) + A * x).alias("v1"),
+            (-ab * s["v1"] + (1 - ab) * s["v2"] + ab * x).alias("v2"),
+        ),
+    )
+    seeded = F.aggregate(
+        _tail("vs"),
+        F.struct(F.element_at(F.col("vs"), 1).alias("l"), zero.alias("b")),
+        lambda s, x: F.struct(
+            (A * x + (1 - A) * (s["l"] + s["b"])).alias("l"),
+            (-ab * s["l"] + (1 - ab) * s["b"] + ab * x).alias("b"),
+        ),
+    )
+    segs = _seg_ticks(ev).select(
+        "user_id",
+        F.struct(
+            F.col("seg"),
+            comp.alias("aff"),
+            seeded.alias("fb"),
+            F.size("vs").cast("long").alias("n"),
+        ).alias("s"),
+    )
+    per_user = segs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    state = F.aggregate(
+        _tail("ss"),
+        F.element_at(F.col("ss"), 1)["fb"],
+        lambda st, s: F.struct(
+            (
+                s["aff"]["m11"] * st["l"] + s["aff"]["m12"] * st["b"] + s["aff"]["v1"]
+            ).alias("l"),
+            (
+                s["aff"]["m21"] * st["l"] + s["aff"]["m22"] * st["b"] + s["aff"]["v2"]
+            ).alias("b"),
+        ),
+    )
+    n = F.aggregate(F.col("ss"), F.lit(0).cast("long"), lambda acc, s: acc + s["n"])
+    return per_user.select(
+        "user_id",
+        F.round(state["l"], 4).alias("level"),
+        F.round(state["b"], 4).alias("trend"),
+        n.alias("n_ticks"),
+    )

@@ -2987,3 +2987,52 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", F.col("tfidf").desc(), "keyword")
     )
+
+
+@register(
+    "q_sim_range",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    pairs AS (SELECT e.vec_id, e.label,
+                     CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                     CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y
+              FROM embeddings e),
+    s AS (SELECT vec_id, any_value(label) AS label,
+                 sum(x*y) AS dot, sqrt(sum(x*x)) AS na
+          FROM pairs GROUP BY vec_id),
+    qn AS (SELECT sqrt(sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nq
+           FROM (SELECT unnest(qe) AS u FROM q))
+    SELECT vec_id, label, round(dot / (na * (SELECT nq FROM qn)), 6) AS cosine
+    FROM s
+    WHERE vec_id != 0 AND dot / (na * (SELECT nq FROM qn)) >= 0.3
+    """,
+)
+def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: every vector within a similarity radius
+    (cos ≥ 0.3) of the query — the radius-query companion to
+    q_sim_topk (top-k wants the k best; range wants ALL above a
+    floor, the dedup/recall primitive). Broadcast query vector,
+    codegen zip_with/aggregate dot product, map-only filter: no
+    shuffle, no gather, output size is data-dependent rather than k.
+    At 100 TB this is the exact post-verify step behind the LSH/IVF
+    candidate generators (q_sim_topk_lsh / q_sim_topk_ivf prune, this
+    verifies)."""
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", "label", as_double.alias("emb"))
+    q = ed.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    self_norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = dot / (self_norm("emb") * self_norm("qe"))
+    return (
+        ed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .filter(cos >= 0.3)
+        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+    )

@@ -1988,3 +1988,216 @@ def q_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_intervals"))
         .orderBy("gap_days")
     )
+
+
+@register(
+    "q_eval_ndcg",
+    oracle="""
+    WITH s AS (
+      SELECT label AS qid, vec_id,
+             CAST(embedding[2] AS DOUBLE) AS score,
+             CAST(least(greatest(floor((CAST(embedding[3] AS DOUBLE) + 1) * 2),
+                                 0), 3) AS INTEGER) AS rel
+      FROM embeddings),
+    r AS (
+      SELECT qid, rel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS pos_s,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rel DESC, vec_id) AS pos_r
+      FROM s),
+    g AS (
+      SELECT qid,
+             sum(CASE WHEN pos_s <= 10 THEN
+                 CAST(floor(((CAST(1 AS BIGINT) << rel) - 1) * 1000000000.0
+                            / ln(pos_s + 1)) AS BIGINT) ELSE 0 END) AS dcg,
+             sum(CASE WHEN pos_r <= 10 THEN
+                 CAST(floor(((CAST(1 AS BIGINT) << rel) - 1) * 1000000000.0
+                            / ln(pos_r + 1)) AS BIGINT) ELSE 0 END) AS idcg
+      FROM r GROUP BY qid)
+    SELECT qid AS label,
+           CASE WHEN idcg = 0 THEN 0.0
+                ELSE round(CAST(dcg AS DOUBLE) / idcg, 6) END AS ndcg_10
+    FROM g
+    """,
+)
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query group — the ranking-evaluation operator of a
+    retrieval / reranker training pipeline (label = query group,
+    second embedding component = model score, third quantized to a
+    0-3 graded relevance).
+
+    One label-partitioned exchange carries BOTH row_number orderings
+    (actual ranking by score, ideal ranking by relevance), so the
+    whole metric is a single shuffle + one hash aggregate per query.
+    Discount uses ln instead of log2: NDCG is invariant under constant
+    scaling of the discount (numerator and denominator scale
+    together), and ln is the cross-engine-stable primitive (the
+    q_text_perplexity precedent). Each term is quantized to a bigint
+    (floor(gain·1e9/ln(pos+1))) before summation so the per-group sum
+    is order-independent and the final ratio of exact integers is
+    deterministic (engine/registry.py float policy)."""
+    e = _t(spark, sf_dir, "embeddings")
+    s = e.select(
+        F.col("label").alias("qid"),
+        "vec_id",
+        F.element_at("embedding", 2).cast("double").alias("score"),
+        F.least(
+            F.greatest(
+                F.floor((F.element_at("embedding", 3).cast("double") + 1) * 2),
+                F.lit(0),
+            ),
+            F.lit(3),
+        )
+        .cast("int")
+        .alias("rel"),
+    )
+    w = Window.partitionBy("qid")
+    r = s.select(
+        "qid",
+        "rel",
+        F.row_number().over(w.orderBy(F.desc("score"), F.asc("vec_id"))).alias("pos_s"),
+        F.row_number().over(w.orderBy(F.desc("rel"), F.asc("vec_id"))).alias("pos_r"),
+    )
+    # 2^rel − 1 for rel ∈ {0..3}: pow is exact on these values
+    gain = F.pow(F.lit(2.0), F.col("rel")).cast("long") - 1
+
+    def _qterm(pos):
+        return F.floor(gain * 1e9 / F.log(pos + 1)).cast("long")
+
+    g = r.groupBy("qid").agg(
+        F.sum(F.when(F.col("pos_s") <= 10, _qterm(F.col("pos_s"))).otherwise(0)).alias(
+            "dcg"
+        ),
+        F.sum(F.when(F.col("pos_r") <= 10, _qterm(F.col("pos_r"))).otherwise(0)).alias(
+            "idcg"
+        ),
+    )
+    return g.select(
+        F.col("qid").alias("label"),
+        F.when(F.col("idcg") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("dcg").cast("double") / F.col("idcg"), 6))
+        .alias("ndcg_10"),
+    )
+
+
+@register(
+    "q_eval_pr_at_k",
+    oracle="""
+    WITH s AS (
+      SELECT label AS qid, vec_id,
+             CAST(embedding[2] AS DOUBLE) AS score,
+             CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 1 ELSE 0 END AS rel
+      FROM embeddings),
+    r AS (
+      SELECT qid, rel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS pos
+      FROM s),
+    g AS (
+      SELECT qid,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(sum(CASE WHEN pos <= 10 THEN rel ELSE 0 END) AS BIGINT) AS hits
+      FROM r GROUP BY qid)
+    SELECT qid AS label, n_rel, hits,
+           round(hits / 10.0, 6) AS precision_10,
+           CASE WHEN n_rel = 0 THEN 0.0
+                ELSE round(CAST(hits AS DOUBLE) / n_rel, 6) END AS recall_10
+    FROM g
+    """,
+)
+def q_eval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 / Recall@10 per query group — the binary-relevance
+    companion to q_eval_ndcg (relevant = positive third component).
+    Same single-exchange shape: one label-partitioned row_number, one
+    hash aggregate; both metrics are ratios of exact integers so no
+    float-order noise can reach the rounded output."""
+    e = _t(spark, sf_dir, "embeddings")
+    s = e.select(
+        F.col("label").alias("qid"),
+        "vec_id",
+        F.element_at("embedding", 2).cast("double").alias("score"),
+        F.when(F.element_at("embedding", 3).cast("double") > 0, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    r = s.select(
+        "qid",
+        "rel",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id")))
+        .alias("pos"),
+    )
+    g = r.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(F.when(F.col("pos") <= 10, F.col("rel")).otherwise(0))
+        .cast("long")
+        .alias("hits"),
+    )
+    return g.select(
+        F.col("qid").alias("label"),
+        "n_rel",
+        "hits",
+        F.round(F.col("hits") / 10.0, 6).alias("precision_10"),
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("hits").cast("double") / F.col("n_rel"), 6))
+        .alias("recall_10"),
+    )
+
+
+@register(
+    "q_graph_degree",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    deg AS (SELECT l_partkey, count(*) AS degree FROM e GROUP BY l_partkey)
+    SELECT degree, count(*) AS n_parts
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part-supplier bipartite graph — the
+    first profiling read on any graph-shaped dataset (and the skew
+    report that decides whether q_graph_pagerank needs salting).
+    Three hash aggregates, each smaller than the last: distinct edges
+    (map-side combine on the raw scan), per-part degree, then the
+    degree histogram whose cardinality is bounded by the max degree.
+    No joins, no windows — this shape survives any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    deg = edges.groupBy("l_partkey").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree").agg(F.count("*").alias("n_parts")).orderBy("degree")
+    )
+
+
+@register(
+    "q_sample_importance",
+    oracle="""
+    WITH mx AS (SELECT max(n_chars) AS wmax FROM documents)
+    SELECT doc_id, source, n_chars
+    FROM documents, mx
+    WHERE (CAST('0x' || substring(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100) * wmax < 100 * n_chars
+    """,
+)
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling of the document corpus with acceptance
+    probability proportional to a per-row weight (document length
+    here, standing in for a quality score) — the weighted-mixture
+    primitive a pretraining pipeline uses to upsample high-value
+    sources without a global sort or RNG state.
+
+    The accept test is the content-addressed md5 bucket (house
+    pattern: reproducible, shard-stable, oracle-checkable) compared by
+    INTEGER cross-multiplication — bucket·wmax < 100·n_chars — so no
+    float division can disagree across engines. wmax is a 1-row
+    broadcast scalar fold (the documented crossJoin pattern); the
+    sample itself is a pure map over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    wmax = d.agg(F.max("n_chars").alias("wmax"))
+    b = _md5_bucket(F.col("doc_id").cast("string"), "imp:")
+    return (
+        d.crossJoin(F.broadcast(wmax))
+        .filter(b * F.col("wmax") < 100 * F.col("n_chars"))
+        .select("doc_id", "source", "n_chars")
+    )

@@ -103,6 +103,11 @@ _PRIORITY: list[str] = [
     #    sim_pairwise norm-band blocking + embed_pca mapInArrow
     #    partials (r5 rewrites) --
     "q_dedup_jaccard", "q_dedup_ngram", "q_sim_pairwise", "q_embed_pca",
+    # -- new in round 5 (first-row keys, inserted as created; they
+    #    queue behind the recerts for the r6 window) --
+    "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree", "q_sample_importance",
+    "q_join_interval_overlap", "q_agg_bitmap_distinct", "q_agg_tdigest",
+    "q_win_holt", "q_stats_chisq", "q_sim_range",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

@@ -2427,3 +2427,236 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderdate AS DATE) AS d0,
+             CAST(o_orderdate AS DATE) + 6 AS d1
+      FROM orders)
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+           CAST(datediff('day', greatest(a.d0, b.d0),
+                         least(a.d1, b.d1)) + 1 AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.d0 <= b.d1 AND b.d0 <= a.d1
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: every pair of orders from the SAME
+    customer whose 7-day fulfillment windows intersect, with the
+    overlap length — the interval×interval join semantic (both sides
+    are ranges), distinct from the point-probe range joins
+    (q_join_range_interval) and the as-of family.
+
+    The equi key (custkey) carries the join; the interval conditions
+    ride as residual predicates on pairs that already share a
+    customer, so the pair space is per-customer, never global. At
+    100 TB with no natural equi key the same query runs with an
+    epoch-week bucket key instead (each interval explodes to the
+    ≤2 week buckets it touches, pairs dedup on the lower bucket) —
+    the standard interval-bucketing rewrite; the fixture's customer
+    blocking keeps the oracle exact and the plan an equi hash join.
+    Day arithmetic is integer end-to-end."""
+    iv = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d0"),
+        F.date_add(F.to_date("o_orderdate"), 6).alias("d1"),
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.d0") <= F.col("b.d1"))
+        & (F.col("b.d0") <= F.col("a.d1")),
+    ).select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_orderkey").alias("a_key"),
+        F.col("b.o_orderkey").alias("b_key"),
+        (
+            F.datediff(
+                F.least(F.col("a.d1"), F.col("b.d1")),
+                F.greatest(F.col("a.d0"), F.col("b.d0")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_custkey // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 32 AS INTEGER)) AS bits
+      FROM orders GROUP BY o_orderpriority, word)
+    SELECT o_orderpriority, CAST(sum(bit_count(bits)) AS BIGINT) AS n_customers
+    FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-count per group via bitmap aggregation — the
+    roaring-bitmap pattern for a bounded integer domain: each 32-key
+    block of the custkey space collapses to one BIGINT word per group
+    (32, not 64: a signed-bigint left shift of bit 63 overflows in
+    DuckDB, and the half-width word keeps both engines in range)
+    (bit_or with map-side combine), and the distinct count is the sum
+    of popcounts. Unlike COUNT(DISTINCT) this never re-shuffles raw
+    (group, key) pairs — the shuffle is |groups| × |domain|/64 words
+    regardless of row count, and the words union losslessly across
+    any partitioning (the same merge a segmented bitmap index runs at
+    100 TB). Exact, unlike the HLL path (q_agg_approx_distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        o.select(
+            "o_orderpriority",
+            (F.col("o_custkey") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 32 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("o_orderpriority", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return (
+        w.groupBy("o_orderpriority")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("n_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _tdigest_merge(means, weights, delta: int = 100):
+    """One merging pass of the t-digest (Dunning's merging variant,
+    k1 scale function): centroids sorted by mean are greedily merged
+    while the k-size of the merged cluster stays ≤ 1, concentrating
+    resolution at the tails (asin scale). Deterministic for a fixed
+    input order; numpy-vectorized input, O(n log n) in centroids."""
+    import math
+
+    import numpy as np
+
+    means = np.asarray(means, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    idx = np.argsort(means, kind="stable")
+    m, w = means[idx], weights[idx]
+    tot = float(w.sum())
+
+    def k(q: float) -> float:
+        return delta / (2 * math.pi) * math.asin(max(-1.0, min(1.0, 2 * q - 1)))
+
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cm, cw = float(m[0]), float(w[0])
+    wsofar = 0.0
+    klim = k(0.0) + 1.0
+    for mi, wi in zip(m[1:], w[1:]):
+        if k((wsofar + cw + wi) / tot) <= klim:
+            cm = (cm * cw + float(mi) * float(wi)) / (cw + float(wi))
+            cw += float(wi)
+        else:
+            out_m.append(cm)
+            out_w.append(cw)
+            wsofar += cw
+            klim = k(wsofar / tot) + 1.0
+            cm, cw = float(mi), float(wi)
+    out_m.append(cm)
+    out_w.append(cw)
+    return out_m, out_w
+
+
+def _tdigest_quantile(means, weights, q: float) -> float:
+    """Quantile estimate from a merged digest: linear interpolation
+    between centroid midpoints (the standard t-digest read path)."""
+    import numpy as np
+
+    m = np.asarray(means, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    tot = w.sum()
+    target = q * tot
+    # midpoint ranks: cumulative weight up to the centroid's center
+    cum = np.cumsum(w) - w / 2.0
+    if target <= cum[0]:
+        return float(m[0])
+    if target >= cum[-1]:
+        return float(m[-1])
+    i = int(np.searchsorted(cum, target)) - 1
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(m[i] + frac * (m[i + 1] - m[i]))
+
+
+@register("q_agg_tdigest")  # rows-only: sketch estimates have no SQL oracle
+def q_agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles (p50/p95/p99 of extended price per return
+    flag) via a distributed t-digest — the mergeable quantile sketch
+    for data too large to sort: each PARTITION builds a ≤O(δ)-centroid
+    digest inside ``mapInPandas`` (Arrow batches, bounded state
+    regardless of partition size), the per-partition centroids — at
+    most δ rows each — shuffle by group, and one ``applyInPandas``
+    merge per group re-compresses and reads the quantiles. Shuffle
+    volume is |groups| × partitions × δ tiny rows, independent of row
+    count; the k1 (asin) scale function concentrates centroids at the
+    tails so p99 stays tight where a uniform-bin sketch blurs.
+
+    Rows-only by design (estimates; no cross-engine float contract) —
+    the accuracy contract vs exact quantiles is pinned in
+    tests/test_relational.py. Companions: q_agg_kll_quantiles (KLL),
+    q_agg_percentile (exact)."""
+    import pandas as pd
+
+    delta = 100
+
+    def partials(batches):
+        from collections import defaultdict
+
+        acc: dict[str, tuple[list, list]] = defaultdict(lambda: ([], []))
+        for pdf in batches:
+            for flag, grp in pdf.groupby("flag"):
+                ms, ws = acc[flag]
+                ms.extend(grp["price"].tolist())
+                ws.extend([1.0] * len(grp))
+                if len(ms) > 8 * delta:
+                    nm, nw = _tdigest_merge(ms, ws, delta)
+                    acc[flag] = (list(nm), list(nw))
+        rows = []
+        for flag, (ms, ws) in acc.items():
+            if not ms:
+                continue
+            nm, nw = _tdigest_merge(ms, ws, delta)
+            rows.extend(
+                {"flag": flag, "mean": float(a), "weight": float(b)}
+                for a, b in zip(nm, nw)
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    def merge(key, pdf):
+        nm, nw = _tdigest_merge(pdf["mean"].to_numpy(), pdf["weight"].to_numpy(), delta)
+        return pd.DataFrame(
+            {
+                "flag": [key[0]],
+                "n": [int(round(sum(nw)))],
+                "p50": [round(_tdigest_quantile(nm, nw, 0.50), 4)],
+                "p95": [round(_tdigest_quantile(nm, nw, 0.95), 4)],
+                "p99": [round(_tdigest_quantile(nm, nw, 0.99), 4)],
+            }
+        )
+
+    pts = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    cents = pts.mapInPandas(partials, "flag string, mean double, weight double")
+    return (
+        cents.groupBy("flag")
+        .applyInPandas(merge, "flag string, n long, p50 double, p95 double, p99 double")
+        .orderBy("flag")
+    )

@@ -280,3 +280,74 @@ def q_stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_total", (F.round(did, 4) + 0.0).alias("did"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stats_chisq",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY pri, st
+    ),
+    rt AS (SELECT pri, CAST(sum(o) AS BIGINT) AS row_tot FROM cell GROUP BY pri),
+    ct AS (SELECT st, CAST(sum(o) AS BIGINT) AS col_tot FROM cell GROUP BY st),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT pri) AS BIGINT) AS r,
+                   CAST(count(DISTINCT st) AS BIGINT) AS c
+            FROM cell),
+    q AS (
+      SELECT CAST(floor(
+               pow(cell.o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+               / (CAST(row_tot AS DOUBLE) * col_tot / n) * 1000000
+             ) AS BIGINT) AS qterm, n, r, c
+      FROM cell JOIN rt USING (pri) JOIN ct USING (st), tot
+    )
+    SELECT round(sum(qterm) / 1000000.0, 4) AS chi2,
+           any_value((r - 1) * (c - 1)) AS dof,
+           any_value(n) AS n
+    FROM q
+    """,
+)
+def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the order-priority ×
+    order-status contingency table — the categorical-association
+    companion to the Welch t-test (q_stats_ttest).
+
+    Scale shape: ONE hash aggregate collapses the fact table to the
+    r×c cell table (map-side combine; ≤15 rows here, ≤|domains|²
+    always); row totals, column totals, and the (n, r, c) scalar are
+    re-aggregates of THAT table, broadcast back — the fact table is
+    scanned once and nothing larger than the cell table ever joins.
+    Float policy: expected counts e = row·col/n evaluate on exact
+    bigints (deterministic double division on both engines), each
+    cell's (o−e)²/e is quantized to a bigint before the final sum so
+    the statistic is order-independent, and dof is pure integer
+    arithmetic."""
+    cell = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+        )
+        .agg(F.count("*").cast("long").alias("o"))
+        .persist()
+    )
+    rt = cell.groupBy("pri").agg(F.sum("o").cast("long").alias("row_tot"))
+    ct = cell.groupBy("st").agg(F.sum("o").cast("long").alias("col_tot"))
+    tot = cell.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("pri").cast("long").alias("r"),
+        F.countDistinct("st").cast("long").alias("c"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    qterm = F.floor(F.pow(F.col("o") - e, 2) / e * 1000000).cast("long")
+    joined = (
+        cell.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.agg(
+        F.round(F.sum(qterm) / 1000000.0, 4).alias("chi2"),
+        F.any_value((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.any_value(F.col("n")).alias("n"),
+    )

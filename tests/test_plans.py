@@ -76,6 +76,8 @@ _SINGLE_PARTITION_OK = {
     "q_text_keywords",    # 1-row corpus-size fold into the IDF
     "q_agg_gini",         # <=64-row band carry window + 1-row Gini reduce
     "q_dataset_card",     # whole-corpus summary reduces to one wide row
+    "q_sample_importance",  # 1-row max-weight aggregate sizes the accept test
+    "q_stats_chisq",      # 1-row (n, r, c) scalar of the cell table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -119,6 +121,14 @@ _CROSS_OK = {
     "q_text_keywords",
     # RFM: the 1-row customer count folds into the closed-form ntile.
     "q_rfm_segments",
+    # importance sampler: the 1-row max-weight bound folds into the
+    # integer accept test.
+    "q_sample_importance",
+    # chi-square: the 1-row (n, r, c) scalar of the <=|domains|² cell
+    # table folds into expected counts and dof.
+    "q_stats_chisq",
+    # cosine range search inherits q_sim_topk's 1-row query-vector fold.
+    "q_sim_range",
 }
 
 

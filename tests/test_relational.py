@@ -266,3 +266,32 @@ def test_bloom_join_prunes_probe_without_false_negatives(spark):
     fp_bound = (3 * n_build / (1 << 16)) ** 3
     assert fp_bound < 0.05
     assert true_matches < 0.2 * n_probe  # the scenario is genuinely selective
+
+
+def test_tdigest_quantile_accuracy(spark):
+    """t-digest contract: per-flag p50/p95/p99 estimates land within
+    2% RANK error of the exact distribution (delta=100 gives ~1%
+    worst-case at the median, tighter at the tails under the k1
+    scale), and the sketch's n is exactly the group count."""
+    import bisect
+
+    from engine.registry import all_queries
+
+    est = {r["flag"]: r for r in all_queries()["q_agg_tdigest"](spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    for flag in est:
+        vals = sorted(
+            r["p"]
+            for r in li.filter(F.col("l_returnflag") == flag)
+            .select(F.col("l_extendedprice").cast("double").alias("p"))
+            .collect()
+        )
+        n = len(vals)
+        assert est[flag]["n"] == n
+        for q, col in ((0.50, "p50"), (0.95, "p95"), (0.99, "p99")):
+            v = est[flag][col]
+            # rank of the estimate within the exact sorted values
+            lo = bisect.bisect_left(vals, v) / n
+            hi = bisect.bisect_right(vals, v) / n
+            err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+            assert err <= 0.02, (flag, col, v, err)

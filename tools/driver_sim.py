@@ -34,8 +34,8 @@ ROUND_CHANGED = [
     "q_join_interval_overlap",  # r5: new
     "q_agg_tdigest",      # r5: new
     "q_win_holt",         # r5: new
-    "q_doc_pack_greedy",  # r5: new
-    "q_text_contamination_ngram",  # r5: new
+    "q_stats_chisq",      # r5: new
+    "q_sim_range",        # r5: new
     "q_agg_bitmap_distinct",  # r5: new
     "q_sample_importance",  # r5: new
     "q_graph_degree",     # r5: new
