@@ -509,3 +509,46 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
          / 10000.0).alias("safe_div"),
         F.substring("event_type", 1, 1).try_cast("int").alias("first_char_num"),
     )
+
+
+@register(
+    "q_fn_datetime_extra",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(date_trunc('quarter', o_orderdate) AS DATE),
+                    '%Y-%m-%d') AS qtr_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(week(o_orderdate) AS INTEGER) AS iso_week,
+           CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate)
+                AS INTEGER) AS months_since_1995,
+           strftime(CAST(o_orderdate AS DATE)
+             + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                         ELSE (8 - isodow(o_orderdate)) % 7 END
+                    AS INTEGER), '%Y-%m-%d') AS next_monday
+    FROM orders
+    """,
+)
+def q_fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-intelligence scalar surface beyond q_fn_date: quarter
+    truncation, month-end, day-of-year, ISO week, month index, and
+    next-Monday — the date dimensions a BI layer derives inline. All
+    map-only codegen. Cross-engine notes baked into the oracle: ISO
+    week (Spark weekofyear == DuckDB week), month index spelled as
+    explicit year/month arithmetic (months_between semantics differ),
+    and next_day('Mon') expanded to isodow arithmetic (DuckDB has no
+    next_day). Date outputs are ISO strings (registry float/date
+    policy: pandas widens DATE to Timestamp and breaks the compare)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "qtr_start"
+        ),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        ((F.year(d) - 1995) * 12 + F.month(d)).cast("int").alias("months_since_1995"),
+        F.date_format(F.next_day(d, "Mon"), "yyyy-MM-dd").alias("next_monday"),
+    )

@@ -3036,3 +3036,123 @@ def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.3)
         .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
     )
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS sentences,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS syllables
+      FROM documents WHERE len(text) > 0
+    )
+    SELECT doc_id, lang, CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                         - 84.6 * (CAST(syllables AS DOUBLE) / words), 3)
+             AS flesch
+    FROM s
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document (words/sentence +
+    syllables/word, vowel-group syllable proxy) — the readability
+    feature a pretraining quality-filter stack computes beside
+    q_text_quality's surface stats. Pure map stage: three regexp/split
+    counts per row, no shuffle, no Python; the score is a double
+    computed from exact integers (ratio determinism per the registry
+    float policy). Sentence/syllable floors of 1 keep the formula
+    total on punctuation-free synthetic docs."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.size(F.split(F.col("text"), " "))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0)), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
+        F.round(
+            206.835
+            - 1.015 * (words.cast("double") / sentences)
+            - 84.6 * (syllables.cast("double") / words),
+            3,
+        ).alias("flesch"),
+    )
+
+
+@register(
+    "q_doc_quality_model",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS words,
+             len(text) AS chars,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('the','a','an','and','of','to','in','is','it','for')))
+               AS stops,
+             len(regexp_extract_all(text, '[0-9]')) AS digits
+      FROM documents WHERE len(text) > 0
+    ),
+    z AS (
+      SELECT doc_id, source, words,
+             (words - 40) / 40.0
+             + 2.0 * (CAST(stops AS DOUBLE) / words)
+             - 4.0 * (CAST(digits AS DOUBLE) / chars) AS zval
+      FROM f
+    )
+    SELECT doc_id, source, CAST(words AS BIGINT) AS words,
+           round(1.0 / (1.0 + exp(-zval)), 4) AS quality,
+           CAST(CASE WHEN 1.0 / (1.0 + exp(-zval)) > 0.5
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM z
+    """,
+)
+def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over cheap surface features (the
+    fastText-style keep/drop gate of a pretraining filter stack):
+    logistic score from word count, stopword ratio, and digit ratio
+    with FIXED published weights — a stand-in for trained weights
+    that keeps the operator deterministic and oracle-checkable.
+
+    Pure map stage: three counts per row (split + list filter +
+    regexp), a closed-form sigmoid, no shuffle, no Python. Every
+    feature is a ratio of exact integers, so z is a deterministic
+    double on both engines; exp parity follows the q_text_perplexity
+    ln precedent. The keep flag thresholds at 0.5 — the actual gate a
+    pipeline would filter on (kept as a column so the oracle checks
+    both sides of the boundary)."""
+    stops = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.size(F.split(F.col("text"), " "))
+    chars = F.length("text")
+    stops_n = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda x: x.isin(*stops),
+        )
+    )
+    digits = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), 0))
+    z = (
+        (words - 40) / 40.0
+        + 2.0 * (stops_n.cast("double") / words)
+        - 4.0 * (digits.cast("double") / chars)
+    )
+    quality = 1.0 / (1.0 + F.exp(-z))
+    return d.select(
+        "doc_id",
+        "source",
+        words.cast("long").alias("words"),
+        F.round(quality, 4).alias("quality"),
+        F.when(quality > 0.5, 1).otherwise(0).cast("int").alias("keep"),
+    )

@@ -108,6 +108,8 @@ _PRIORITY: list[str] = [
     "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree", "q_sample_importance",
     "q_join_interval_overlap", "q_agg_bitmap_distinct", "q_agg_tdigest",
     "q_win_holt", "q_stats_chisq", "q_sim_range",
+    "q_agg_skew_kurt", "q_join_asof_nearest", "q_text_readability",
+    "q_fn_datetime_extra", "q_doc_quality_model", "q_stream_topk",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

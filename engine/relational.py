@@ -2660,3 +2660,174 @@ def q_agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(merge, "flag string, n long, p50 double, p95 double, p99 double")
         .orderBy("flag")
     )
+
+
+@register(
+    "q_agg_skew_kurt",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice / 100) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    m AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x*x) AS BIGINT) AS s2,
+             CAST(sum(x*x*x) AS BIGINT) AS s3,
+             CAST(sum(x*x*x*x) AS BIGINT) AS s4
+      FROM v GROUP BY flag
+    ),
+    c AS (
+      SELECT flag, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM m
+    )
+    SELECT flag, n,
+           round((r3 - 3*mu*r2 + 2*mu*mu*mu)
+                 / ((r2 - mu*mu) * sqrt(r2 - mu*mu)), 4) + 0.0 AS skewness,
+           round((r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu)
+                 / ((r2 - mu*mu) * (r2 - mu*mu)) - 3, 4) + 0.0 AS kurtosis_excess
+    FROM c ORDER BY flag
+    """,
+)
+def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of price per return
+    flag from RAW MOMENTS — the higher-moment profiling aggregate.
+    Built from closed-form raw-moment identities rather than
+    F.skewness/F.kurtosis because the builtin sample-correction
+    conventions differ between engines (Spark population g1/g2 vs
+    DuckDB sample-corrected) — raw moments have exactly one
+    definition.
+
+    Float policy: values land on a 100-dollar grid (bigint) so the
+    four power sums are EXACT bigints (Σx⁴ ≤ 1.5e12·n stays in range;
+    at a scale where it would not, the sums widen to decimal(38) /
+    HUGEINT — both exact) and every double in the closed form is
+    computed from identical integers on both engines. One hash
+    aggregate with map-side combine; no window, no join."""
+    v = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") / 100).cast("long").alias("x"),
+    )
+    x = F.col("x")
+    m = v.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x * x * x).cast("long").alias("s3"),
+        F.sum(x * x * x * x).cast("long").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    return m.select(
+        "flag",
+        "n",
+        (F.round(m3 / (m2 * F.sqrt(m2)), 4) + 0.0).alias("skewness"),
+        (F.round(m4 / (m2 * m2) - 3, 4) + 0.0).alias("kurtosis_excess"),
+    ).orderBy("flag")
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS is_purchase,
+             CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+             CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS v_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+             last_value(v_id IGNORE NULLS) OVER win_prev AS prev_id,
+             last_value(v_us IGNORE NULLS) OVER win_prev AS prev_us,
+             first_value(v_id IGNORE NULLS) OVER win_next AS next_id,
+             first_value(v_us IGNORE NULLS) OVER win_next AS next_us
+      FROM tagged
+      WINDOW
+        win_prev AS (PARTITION BY user_id
+                     ORDER BY ts, is_purchase, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        win_next AS (PARTITION BY user_id
+                     ORDER BY ts, is_purchase, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id,
+           CASE WHEN next_id IS NULL THEN prev_id
+                WHEN prev_id IS NULL THEN next_id
+                WHEN abs(next_us - epoch_us(ts)) < abs(prev_us - epoch_us(ts))
+                  THEN next_id ELSE prev_id END AS view_id,
+           CAST(floor(least(
+                  coalesce(abs(prev_us - epoch_us(ts)), 9223372036854775807),
+                  coalesce(abs(next_us - epoch_us(ts)), 9223372036854775807)
+                ) / 1000000.0) AS BIGINT) AS gap_s
+    FROM w
+    WHERE is_purchase = 1 AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: for each purchase, the view event closest
+    in time in EITHER direction (tie → the earlier view) — completes
+    the as-of family (backward, forward, tolerance, point-in-time,
+    nearest; the Pandas ``merge_asof(direction='nearest')``
+    semantic).
+
+    Single-Exchange plan: both candidate carries share ONE
+    (user_id, ts, is_purchase, event_id) sort — the backward carry is
+    ``last(..., ignorenulls)`` over (−∞, −1], the forward carry
+    ``first(..., ignorenulls)`` over [1, +∞) — exactly the
+    q_join_asof / q_join_asof_forward frames fused into one window
+    pass, then a codegen CASE picks the smaller |Δt|. Same-ts views
+    sort before the purchase, landing in the backward frame with
+    gap 0, which wins every comparison — consistent on both engines.
+    No join operator anywhere; purchases with no view at all drop."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    is_view = F.col("event_type") == "view"
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (~is_view).cast("int").alias("is_purchase"),
+        F.when(is_view, F.col("event_id")).alias("v_id"),
+        F.when(is_view, F.unix_micros("ts")).alias("v_us"),
+    )
+    base = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("is_purchase"), F.asc("event_id")
+    )
+    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    us = F.unix_micros("ts")
+    big = F.lit(9223372036854775807).cast("long")
+    out = (
+        tagged.withColumn("prev_id", F.last("v_id", ignorenulls=True).over(w_prev))
+        .withColumn("prev_us", F.last("v_us", ignorenulls=True).over(w_prev))
+        .withColumn("next_id", F.first("v_id", ignorenulls=True).over(w_next))
+        .withColumn("next_us", F.first("v_us", ignorenulls=True).over(w_next))
+        .filter(
+            (F.col("is_purchase") == 1)
+            & (F.col("prev_id").isNotNull() | F.col("next_id").isNotNull())
+        )
+    )
+    prev_gap = F.coalesce(F.abs(F.col("prev_us") - us), big)
+    next_gap = F.coalesce(F.abs(F.col("next_us") - us), big)
+    return out.select(
+        "event_id",
+        F.when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(next_gap < prev_gap, F.col("next_id"))
+        .otherwise(F.col("prev_id"))
+        .alias("view_id"),
+        F.floor(F.least(prev_gap, next_gap) / 1_000_000.0).cast("long").alias("gap_s"),
+    )

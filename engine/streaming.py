@@ -765,3 +765,55 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_stream_topk",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT win_start, event_type, n,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT win_start, event_type, n, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 3 busiest event types per tumbling hour —
+    the 'trending now' leaderboard shape. Structured Streaming cannot
+    rank inside a stateful aggregation (no window functions over
+    unbounded state), so the plan is the canonical two-layer split:
+    the STREAM maintains the additive (window, type) counts —
+    watermarked tumbling aggregation, mergeable state, complete-mode
+    final parity with the batch agg — and the RANK is a bounded
+    post-pass over the materialized leaderboard table (≤ |windows| ×
+    |types| rows, window-partitioned row_number). At scale the rank
+    layer runs per refresh on the serving store, never inside the
+    stream's state machine; the count layer is the only thing that
+    scales with traffic. Deterministic tiebreak on event_type."""
+    from pyspark.sql import Window
+
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    counts = _run_to_memory(agg, "complete")
+    rk = F.row_number().over(
+        Window.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return counts.withColumn("rk", rk.cast("int")).filter(F.col("rk") <= 3)

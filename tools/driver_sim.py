@@ -39,6 +39,12 @@ ROUND_CHANGED = [
     "q_agg_bitmap_distinct",  # r5: new
     "q_sample_importance",  # r5: new
     "q_graph_degree",     # r5: new
+    "q_agg_skew_kurt",    # r5: new
+    "q_join_asof_nearest",  # r5: new
+    "q_text_readability",  # r5: new
+    "q_fn_datetime_extra",  # r5: new
+    "q_doc_quality_model",  # r5: new
+    "q_stream_topk",      # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
