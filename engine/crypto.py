@@ -1960,3 +1960,80 @@ def q_win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(state["b"], 4).alias("trend"),
         n.alias("n_ticks"),
     )
+
+
+@register(
+    "q_win_rolling_ols",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, di,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(di) OVER win AS BIGINT) AS sx,
+             CAST(sum(cents) OVER win AS BIGINT) AS sy,
+             CAST(sum(di * cents) OVER win AS BIGINT) AS sxy,
+             CAST(sum(di * di) OVER win AS BIGINT) AS sxx
+      FROM d
+      WINDOW win AS (PARTITION BY event_type ORDER BY di
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, di, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) + 0.0 AS slope_cents_per_day
+    FROM w WHERE n >= 2
+    """,
+)
+def q_win_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day OLS revenue slope per event type — the
+    trailing-trend screener (q_stats_trend is the single global fit;
+    this is its windowed form). The five regression moments (n, Σx,
+    Σy, Σxy, Σx²) accumulate as EXACT BIGINTS inside one 30-row frame
+    — integer addition commutes, so the frame sums are
+    order-independent, and the closed-form slope divides two exact
+    integers. That exactness is load-bearing here: n·Σx² and (Σx)²
+    agree to ~5 significant digits on epoch-day x values, so a float
+    accumulation would catastrophically cancel in the denominator.
+    One exchange (event_type), all five sums share the frame; ticks
+    collapse to the |types|×|days| daily table first."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "di",
+        F.count("*").over(win).cast("long").alias("n"),
+        F.sum("di").over(win).cast("long").alias("sx"),
+        F.sum("cents").over(win).cast("long").alias("sy"),
+        F.sum(F.col("di") * F.col("cents")).over(win).cast("long").alias("sxy"),
+        F.sum(F.col("di") * F.col("di")).over(win).cast("long").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return w.filter(n >= 2).select(
+        "event_type",
+        "di",
+        "n",
+        (
+            F.round((n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx), 6) + 0.0
+        ).alias("slope_cents_per_day"),
+    )

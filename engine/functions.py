@@ -552,3 +552,47 @@ def q_fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.year(d) - 1995) * 12 + F.month(d)).cast("int").alias("months_since_1995"),
         F.date_format(F.next_day(d, "Mon"), "yyyy-MM-dd").alias("next_monday"),
     )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(k := o_orderkey, st := o_orderstatus,
+                               pri := o_orderpriority)) AS order_json,
+           struct_pack(k := o_orderkey, st := o_orderstatus).st AS st_field,
+           CAST(struct_pack(a := o_orderstatus)
+                  = struct_pack(a := 'F') AS INTEGER) AS is_f
+    FROM orders
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct scalar surface: named-struct construction, field access,
+    struct equality, and to_json serialization in one map-only pass —
+    the nested-record API a semi-structured pipeline leans on
+    (q_fn_json covers the parse direction; this is the build
+    direction). JSON field order is construction order on both
+    engines, and the struct holds only ints/strings so the
+    serialization is byte-identical; the struct itself never reaches
+    the output schema (driver canonicalizer contract) — only its
+    serialized/extracted scalars do."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_orderpriority").alias("pri"),
+            )
+        ).alias("order_json"),
+        F.struct(
+            F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")
+        )["st"].alias("st_field"),
+        (
+            F.struct(F.col("o_orderstatus").alias("a"))
+            == F.struct(F.lit("F").alias("a"))
+        )
+        .cast("int")
+        .alias("is_f"),
+    )

@@ -2831,3 +2831,93 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("view_id"),
         F.floor(F.least(prev_gap, next_gap) / 1_000_000.0).cast("long").alias("gap_s"),
     )
+
+
+@register(
+    "q_agg_argmax",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT event_type,
+             max(struct_pack(c := cents, nd := -di,
+                             ds := strftime(day, '%Y-%m-%d'))) AS mx
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, mx.ds AS peak_day,
+           mx.c / 100.0 AS peak_revenue
+    FROM m ORDER BY event_type
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX aggregate: the day each event type took its highest
+    revenue (max_by / arg_max semantics) — with a DETERMINISTIC
+    tiebreak, which the engines' native max_by/arg_max do not
+    guarantee: the aggregate is a plain lexicographic MAX over a
+    (cents, −day, day_string) struct, so equal-revenue ties resolve
+    to the earliest day identically everywhere (struct comparison is
+    the portable argmax). Two hash aggregates (ticks → daily → peak),
+    both map-side combined; no window, no join."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day", "di")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    mx = daily.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("cents").alias("c"),
+                (-F.col("di")).alias("nd"),
+                F.date_format("day", "yyyy-MM-dd").alias("ds"),
+            )
+        ).alias("mx")
+    )
+    return mx.select(
+        "event_type",
+        F.col("mx.ds").alias("peak_day"),
+        (F.col("mx.c") / 100.0).alias("peak_revenue"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the distinct
+    statuses seen per priority as one sorted CSV cell — the report
+    column every BI export wants. Spelled collect_set → array_sort →
+    array_join so the cell is deterministic under Spark's
+    nondeterministic aggregation order (a bare string_agg is not) and
+    lands as a flat STRING the driver canonicalizer can hash. One
+    hash aggregate; set size bounded by the status domain."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

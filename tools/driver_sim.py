@@ -45,6 +45,10 @@ ROUND_CHANGED = [
     "q_fn_datetime_extra",  # r5: new
     "q_doc_quality_model",  # r5: new
     "q_stream_topk",      # r5: new
+    "q_agg_argmax",       # r5: new
+    "q_agg_string_agg",   # r5: new
+    "q_win_rolling_ols",  # r5: new
+    "q_fn_struct",        # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
