@@ -306,3 +306,30 @@ def test_gini_banded_rank_equals_global_rank(cents):
             sorted(items, key=lambda r: (r[1], r[0])), start=1
         ):
             assert rn_in + carry_before[b] == global_rank[(idx, c)]
+
+
+@given(n=st.integers(min_value=1, max_value=2000))
+@settings(max_examples=60, deadline=None)
+def test_ntile_closed_form_matches_definition(n):
+    """The RFM rewrite's closed-form quintile (engine/relational.py
+    q_rfm_segments._tile) must reproduce SQL ntile(5) for every n:
+    with base = n div 5 and rem = n mod 5, the first rem tiles hold
+    base+1 rows, the rest base — pure-python mirror of the Spark
+    expression, checked against the bucket boundaries directly."""
+    base, rem = divmod(n, 5)
+    cut = rem * (base + 1)
+
+    def tile(rn: int) -> int:
+        if rn <= cut:
+            return (rn - 1) // (base + 1) + 1
+        return rem + (rn - cut - 1) // base + 1
+
+    # reference ntile: assign rows 1..n to buckets of size base+1
+    # (first rem buckets) then base
+    sizes = [base + 1] * rem + [base] * (5 - rem)
+    sizes = [s for s in sizes if s > 0]
+    want = []
+    for b, s in enumerate(sizes, start=1):
+        want.extend([b] * s)
+    got = [tile(rn) for rn in range(1, n + 1)]
+    assert got == want
