@@ -3156,3 +3156,147 @@ def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality, 4).alias("quality"),
         F.when(quality > 0.5, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+@register(
+    "q_text_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    bi AS (
+      SELECT a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+           FROM bi GROUP BY w1, w2),
+    cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                   (SELECT CAST(sum(cxy) AS BIGINT) FROM cb) AS b
+            FROM cu)
+    SELECT w1, w2, cxy,
+           round(ln(CAST(cxy AS DOUBLE) * t * t
+                    / (CAST(b AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+    FROM cb
+    JOIN cu u1 ON cb.w1 = u1.tok
+    JOIN cu u2 ON cb.w2 = u2.tok, tot
+    WHERE cxy >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocations (top bigram phrases): pointwise mutual
+    information ln(p(xy)/(p(x)p(y))) over adjacent word pairs — the
+    phrase-mining signal a tokenizer/vocab builder runs over a corpus
+    (q_text_ngram_top counts; this normalizes by unigram frequency so
+    'of the' loses to real phrases).
+
+    Bigrams form map-side from each doc's token array (no self-join —
+    the oracle's positional join is the relational spelling of the
+    same pairs); counts are three hash aggregates (bigram, unigram,
+    1-row totals); the unigram table re-joins broadcast
+    (vocab-bounded). PMI evaluates on exact integers with a single ln
+    (cross-engine per the perplexity precedent), and the top-20 ranks
+    on the rounded value with a lexicographic tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    toks = d.select("doc_id", F.explode(w).alias("tok"))
+    bi = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2), "
+                "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i+1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cb = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cxy"))
+    cu = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    tot = cu.agg(F.sum("c").cast("long").alias("t")).crossJoin(
+        cb.agg(F.sum("cxy").cast("long").alias("b"))
+    )
+    u1 = cu.select(F.col("tok").alias("u1_tok"), F.col("c").alias("c1"))
+    u2 = cu.select(F.col("tok").alias("u2_tok"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            F.col("cxy").cast("double") * F.col("t") * F.col("t")
+            / (F.col("b").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        4,
+    )
+    return (
+        cb.filter(F.col("cxy") >= 5)
+        .join(F.broadcast(u1), F.col("w1") == F.col("u1_tok"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2_tok"))
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "cxy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_text_zipf",
+    oracle="""
+    WITH cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY tok),
+    top AS (SELECT tok, c FROM cu ORDER BY c DESC, tok LIMIT 100),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM top),
+    q AS (SELECT CAST(floor(ln(r) * 1000000) AS BIGINT) AS qx,
+                 CAST(floor(ln(c) * 1000000) AS BIGINT) AS qy
+          FROM rk),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+                 CAST(sum((qx * qy) // 1000000) AS BIGINT) AS sxy,
+                 CAST(sum((qx * qx) // 1000000) AS BIGINT) AS sxx
+          FROM q)
+    SELECT n,
+           round(CAST(n * sxy - (sx * sy) // 1000000 AS DOUBLE)
+                 / (n * sxx - (sx * sx) // 1000000), 4) AS zipf_slope
+    FROM m
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(count) vs ln(rank)
+    over the top-100 tokens — the rank-frequency diagnostic that flags
+    template-heavy or deduplicated-to-death corpora (natural text ≈
+    −1). Token counts are one vocab-bounded hash agg; the top-100
+    gathers via TakeOrderedAndProject (k rows, the q_sim_hybrid_rrf
+    precedent) and the rank window runs over those 100 rows only.
+    ln values quantize to a 1e-6 grid so every moment — including the
+    cross-terms, integer-divided back onto the grid — stays EXACT
+    bigint arithmetic end to end (the q_win_autocorr discipline;
+    DuckDB's float `/` on bigints is the documented latent flake, so
+    only `//` appears in the oracle)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    cu = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = cu.orderBy(F.desc("c"), F.asc("tok")).limit(100)
+    rk = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    )
+    qx = F.floor(F.log(F.col("r").cast("double")) * 1e6).cast("long")
+    qy = F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+    q = rk.select(qx.alias("qx"), qy.alias("qy"))
+    m = q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum(F.expr("(qx * qy) div 1000000")).cast("long").alias("sxy"),
+        F.sum(F.expr("(qx * qx) div 1000000")).cast("long").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    num = n * sxy - F.expr("(sx * sy) div 1000000")
+    den = n * sxx - F.expr("(sx * sx) div 1000000")
+    return m.select(
+        "n", F.round(num.cast("double") / den, 4).alias("zipf_slope")
+    )

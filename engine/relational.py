@@ -2921,3 +2921,36 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_pivot_dynamic",
+    oracle="""
+    WITH p AS (
+      SELECT * FROM (PIVOT (SELECT user_id, event_type, value FROM events)
+                     ON event_type USING sum(value))
+    )
+    SELECT user_id,
+           round("click", 2) AS click, round("error", 2) AS error,
+           round("purchase", 2) AS purchase, round("signup", 2) AS signup,
+           round("view", 2) AS view
+    FROM p
+    """,
+)
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC pivot: the column set is DISCOVERED from the data
+    (distinct event_type, sorted) before the single-pass pivot —
+    DuckDB's bare `PIVOT ... ON col` semantics. The discovery job
+    collects only the |domain| distinct values (bounded by the
+    category domain, never row count), exactly the two-pass shape a
+    BI layer runs when the category list is not known at authoring
+    time. q_agg_pivot is the one-pass static form; this key pins the
+    discovery pass stays domain-sized."""
+    ev = _t(spark, sf_dir, "events")
+    values = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    piv = ev.groupBy("user_id").pivot("event_type", values).sum("value")
+    return piv.select(
+        "user_id", *[F.round(F.col(t), 2).alias(t) for t in values]
+    )

@@ -78,6 +78,7 @@ _SINGLE_PARTITION_OK = {
     "q_dataset_card",     # whole-corpus summary reduces to one wide row
     "q_sample_importance",  # 1-row max-weight aggregate sizes the accept test
     "q_stats_chisq",      # 1-row (n, r, c) scalar of the cell table
+    "q_text_collocations",  # 1-row (T, B) totals + global top-20 gather
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -129,6 +130,8 @@ _CROSS_OK = {
     "q_stats_chisq",
     # cosine range search inherits q_sim_topk's 1-row query-vector fold.
     "q_sim_range",
+    # collocations: the 1-row (T, B) token/bigram totals fold into PMI.
+    "q_text_collocations",
 }
 
 

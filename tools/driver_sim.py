@@ -49,6 +49,9 @@ ROUND_CHANGED = [
     "q_agg_string_agg",   # r5: new
     "q_win_rolling_ols",  # r5: new
     "q_fn_struct",        # r5: new
+    "q_pivot_dynamic",    # r5: new
+    "q_text_collocations",  # r5: new
+    "q_text_zipf",        # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
