@@ -755,9 +755,9 @@ def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_embed_knn",
-    oracle="""
+# kNN-graph oracle, shared with q_graph_pagerank's oracle (which
+# rebuilds the same edge set as its first CTE block).
+KNN_ORACLE = """
     WITH pr AS (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                CAST(unnest(a.embedding) AS DOUBLE) AS x,
@@ -774,8 +774,10 @@ def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
         FROM cos)
     SELECT vec_id, neighbor_id, cosine, rank FROM rk WHERE rank <= 3
-    """,
-)
+    """
+
+
+@register("q_embed_knn", oracle=KNN_ORACLE)
 def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph construction (k=3 cosine neighbours per vector,
     blocked by label) — the neighbourhood graph behind semantic dedup

@@ -999,51 +999,114 @@ def pagerank(
     stays constant-size. No driver-side state at all (the loop is a
     fixed round count, not a convergence collect). Dangling nodes are
     the caller's concern (a kNN edge set has uniform out-degree k, so
-    none exist)."""
+    none exist).
+
+    Ranks are carried as EXACT BIGINT pico-units (rank × 10¹²) with
+    integer division everywhere (contribution = qr div outdeg; damping
+    = (dn·in_sum) div 100 with dn = 100d), so every round is
+    order-independent and bit-identical on any engine — this is what
+    makes the 5-round fixpoint ORACLE-CHECKABLE (r5; previously
+    rows-only: a float power iteration sums contributions in
+    nondeterministic order). Truncation error vs the float recursion
+    is ≤ indeg·rounds pico-units (~1e-10), far inside the float test
+    tolerance and the round(4) output contract."""
+    scale = 10**12
+    dn = int(round(d * 100))
+    teleport = (100 - dn) * (scale // 100)
     e = edges.select(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
     ).localCheckpoint()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
-    ranks = nodes.select(F.col(id_col).alias("node"), F.lit(1.0).alias("rank"))
+    ranks = nodes.select(
+        F.col(id_col).alias("node"), F.lit(scale).cast("long").alias("qr")
+    )
     for _ in range(rounds):
         contrib = (
             e.join(deg, "src")
-            .join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
-            )
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .join(ranks.select(F.col("node").alias("src"), "qr"), "src")
+            .select("dst", F.expr("qr div outdeg").alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
+            .agg(F.sum("c").cast("long").alias("in_sum"))
         )
         ranks = (
             nodes.select(F.col(id_col).alias("node"))
             .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
-                (F.lit(1 - d) + d * F.coalesce("in_sum", F.lit(0.0))).alias("rank"),
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(f"({dn} * coalesce(in_sum, CAST(0 AS BIGINT))) div 100")
+                ).alias("qr"),
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("node", (F.col("qr") / scale).alias("rank"), "qr")
 
 
-@register("q_graph_pagerank")  # rows-only: iterative float fixpoint (no SQL oracle)
+def _pagerank_oracle() -> str:
+    """Unrolled 5-round quantized PageRank as a single DuckDB
+    statement: the kNN-edge CTEs (verbatim from KNN_ORACLE) feed five
+    chained round CTEs running the EXACT integer recurrence the Spark
+    loop runs (qr // outdeg contributions, (85·Σ) // 100 damping) —
+    a fixed round count needs no recursion, so the 'iterative
+    fixpoint has no SQL oracle' excuse died with the float
+    arithmetic."""
+    from engine.llm_ops import KNN_ORACLE
+
+    knn_body = KNN_ORACLE.strip().removeprefix("WITH").rsplit("SELECT", 1)[0]
+    rounds = "".join(
+        f"""
+    r{i} AS (
+      SELECT n.node,
+             CAST(150000000000 + (85 * COALESCE(s.in_sum, 0)) // 100
+                  AS BIGINT) AS qr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, CAST(sum(r.qr // dg.outdeg) AS BIGINT) AS in_sum
+        FROM gedges e JOIN gdeg dg ON e.src = dg.src
+        JOIN r{i - 1} r ON r.node = e.src
+        GROUP BY e.dst) s ON s.dst = n.node),"""
+        for i in range(1, 6)
+    )
+    return f"""
+    WITH {knn_body.strip()},
+    gedges AS (SELECT vec_id AS src, neighbor_id AS dst
+               FROM rk WHERE rank <= 3),
+    nodes AS (SELECT vec_id AS node FROM embeddings),
+    gdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+             FROM gedges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS qr FROM nodes),{rounds}
+    final AS (SELECT node, qr FROM r5)
+    SELECT node AS vec_id,
+           round(CAST(qr AS DOUBLE) / 1000000000000, 4) AS rank
+    FROM final ORDER BY qr DESC, node ASC LIMIT 20
+    """
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle())
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 rounds, d=0.85) over the label-blocked k=3 cosine
     kNN graph of the embeddings table — document-authority scoring on
     the semantic neighbourhood graph. Exactness vs a single-process
     numpy power iteration is asserted in tests/test_pipeline.py (same
-    rounds, same damping, 1e-6 tolerance); the driver records the
-    rows-only check since a multi-round float fixpoint has no
-    practical single-statement SQL oracle."""
+    rounds, same damping, 1e-6 tolerance) AND, since r5, against a
+    full DuckDB oracle: the quantized-integer recurrence (see
+    :func:`pagerank`) is order-independent, so the 5 rounds unroll
+    into five chained CTEs and hash-match exactly — this key was
+    rows-only in r4 purely because float contribution sums are
+    order-nondeterministic."""
     from engine.llm_ops import q_embed_knn
 
     e = _t(spark, sf_dir, "embeddings")
     edges = q_embed_knn(spark, sf_dir).select("vec_id", "neighbor_id")
     ranks = pagerank(e.select("vec_id"), edges, "vec_id", rounds=5)
-    return ranks.select(
-        F.col("node").alias("vec_id"), F.round("rank", 4).alias("rank")
-    ).orderBy(F.desc("rank"), F.asc("vec_id")).limit(20)
+    return (
+        ranks.select(
+            F.col("node").alias("vec_id"), F.round("rank", 4).alias("rank"), "qr"
+        )
+        .orderBy(F.desc("qr"), F.asc("vec_id"))
+        .limit(20)
+        .drop("qr")
+    )
 
 
 @register(

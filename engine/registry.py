@@ -101,8 +101,10 @@ _PRIORITY: list[str] = [
     # -- plans rewritten after their last green row (re-certify;
     #    test_registry._RECERT): jaccard/ngram r4 cached-gate path,
     #    sim_pairwise norm-band blocking + embed_pca mapInArrow
-    #    partials (r5 rewrites) --
+    #    partials + graph_pagerank quantized-integer recurrence (now
+    #    oracle-checked; was rows-only) (r5 rewrites) --
     "q_dedup_jaccard", "q_dedup_ngram", "q_sim_pairwise", "q_embed_pca",
+    "q_graph_pagerank",
     # -- new in round 5 (first-row keys, inserted as created; they
     #    queue behind the recerts for the r6 window) --
     "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree", "q_sample_importance",
@@ -169,7 +171,7 @@ _PRIORITY: list[str] = [
     "q_multimodal_decode", "q_text_boilerplate", "q_embed_knn",
     "q_agg_count_min", "q_shuffle_shard", "q_fn_regexp", "q_event_paths",
     "q_basket_pairs", "q_win_rolling_median", "q_concurrency",
-    "q_join_range_banded", "q_graph_pagerank", "q_corr_matrix",
+    "q_join_range_banded", "q_corr_matrix",
     "q_agg_grouping_id", "q_rollup_incremental", "q_sample_negative",
     "q_win_cusum", "q_time_to_event", "q_tpch_q2", "q_tpch_q8",
 ]

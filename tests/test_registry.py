@@ -39,6 +39,7 @@ _RECERT = {
     "q_rfm_segments",
     "q_sim_pairwise",
     "q_embed_pca",
+    "q_graph_pagerank",
 }
 
 

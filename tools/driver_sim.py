@@ -29,6 +29,7 @@ ROUND_CHANGED = [
     "q_rfm_segments",     # r5: global ntile -> banded distributed rank
     "q_sim_pairwise",     # r5: norm-band second blocking key
     "q_embed_pca",        # r5: exploded co-moments -> mapInArrow partials
+    "q_graph_pagerank",   # r5: quantized-integer recurrence, now oracle-checked
     "q_eval_ndcg",        # r5: new
     "q_eval_pr_at_k",     # r5: new
     "q_join_interval_overlap",  # r5: new
