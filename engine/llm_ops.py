@@ -554,15 +554,51 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFr
     return same.unionByName(_expand_set_pairs(groups, scored, "jaccard_est", n_groups))
 
 
-@register("q_dedup_simhash")  # rows-only: xxhash64-based, Spark-specific
+def _simhash_oracle() -> str:
+    """48 sign-sum bit columns + reassembly, generated once — the
+    md5-derived token hash (first 12 hex chars = 48 bits) is byte-
+    identical in DuckDB, which is what upgraded this key from
+    rows-only (its r2 xxhash64 form had no cross-engine twin)."""
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(48)
+    )
+    reasm = " + ".join(
+        f"(CASE WHEN b{i} >= 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(48)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h
+      FROM tok),
+    s AS (SELECT doc_id,
+             {bit_sums}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, {reasm} AS simhash FROM s
+    """
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """48-bit SimHash per document from xxhash64 token hashes: explode
-    tokens, sign-sum each bit, reassemble. Constant output per doc;
-    near-dups then join on hamming buckets (tested in test_llm_ops).
-    48 bits keeps the reassembled value well inside a signed long."""
+    """48-bit SimHash per document from md5-derived token hashes:
+    explode tokens, sign-sum each bit, reassemble. Constant output per
+    doc; near-dups then join on hamming buckets (tested in
+    test_llm_ops). 48 bits keeps the reassembled value well inside a
+    signed long. r5: the token hash moved from xxhash64 to the first
+    12 md5 hex chars — same uniformity for SimHash purposes, but
+    reproducible in ANSI SQL, which upgrades this key from rows-only
+    to a full hash-checked differential (the house content-addressing
+    rule: prefer the portable hash unless the hot path can't afford
+    it; one md5 per token occurrence is map-side and vanishes next to
+    the explode)."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    tok = tok.withColumn("h", F.xxhash64("tok"))
+    tok = tok.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -2410,7 +2446,28 @@ def _mg_summary(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 
 
 _CM_DEPTH = 4   # independent hash rows
-_CM_WIDTH = 64  # counters per row
+_CM_WIDTH = 256  # counters per row (eps = 1/256; depth x width = 1024 cells)
+
+
+def _cm_hash(i: int):
+    """Seeded CM row hash: first 15 md5 hex chars (60 bits) of
+    'cm{i}:'||tok mod width — portable to ANSI SQL bit-for-bit (r5;
+    the xxhash64 seeding it replaces had no cross-engine twin)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{i}:"), F.col("tok"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_CM_WIDTH),
+    )
+
+
+def _cm_hash_sql(i: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5('cm{i}:' || tok), 1, 15) AS BIGINT)"
+        f" % {_CM_WIDTH}"
+    )
 
 
 def _cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2421,19 +2478,39 @@ def _cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
     cells = toks.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64("tok", F.lit(i)), F.lit(_CM_WIDTH))
-                    for i in range(_CM_DEPTH)
-                ]
-            )
-        ).alias("seed", "bucket")
+        F.posexplode(F.array(*[_cm_hash(i) for i in range(_CM_DEPTH)])).alias(
+            "seed", "bucket"
+        )
     )
     return cells.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
 
 
-@register("q_agg_count_min")  # rows-only: xxhash64 seeding is Spark-specific
+def _count_min_oracle() -> str:
+    cells = "\n      UNION ALL ".join(
+        f"SELECT {i} AS seed, {_cm_hash_sql(i)} AS bucket FROM toks"
+        for i in range(_CM_DEPTH)
+    )
+    pcells = "\n      UNION ALL ".join(
+        f"SELECT tok, {i} AS seed, {_cm_hash_sql(i)} AS bucket FROM probes"
+        for i in range(_CM_DEPTH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    cells AS (
+      {cells}),
+    sk AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY seed, bucket),
+    probes AS (SELECT DISTINCT tok FROM toks),
+    pcells AS (
+      {pcells}),
+    est AS (SELECT tok, min(cnt) AS est
+            FROM pcells JOIN sk USING (seed, bucket) GROUP BY tok)
+    SELECT tok, est FROM est ORDER BY est DESC, tok LIMIT 10
+    """
+
+
+@register("q_agg_count_min", oracle=_count_min_oracle())
 def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min point-frequency estimates for every distinct token:
     est(t) = min over hash rows of the token's bucket counter — the
@@ -2441,13 +2518,16 @@ def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact hash aggregate (the CM complement to Misra-Gries presence,
     q_agg_heavy_hitters).
 
-    Scale shape: the sketch is depth x width = 256 rows built by one
+    Scale shape: the sketch is depth x width = 1024 rows built by one
     hash aggregate (it BROADCASTS to the probe join at any corpus
     size); probes explode to depth rows each, join on (seed, bucket),
     and take a min-groupBy. CM guarantees est >= true and
     est <= true + eps*N w.h.p. — both contract-tested against the exact
     aggregate in tests/test_llm_ops.py. Top-10 by estimate, token
-    tiebreak, for a stable driver row."""
+    tiebreak, for a stable driver row. r5: md5-seeded row hashes
+    (_cm_hash) replaced xxhash64 seeding, upgrading the key from
+    rows-only to a full hash-checked differential — the sketch, the
+    probes, and the min-fold all reproduce in ANSI SQL."""
     sketch = _cm_sketch(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
     probes = (
@@ -2455,14 +2535,9 @@ def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "tok",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.pmod(F.xxhash64("tok", F.lit(i)), F.lit(_CM_WIDTH))
-                        for i in range(_CM_DEPTH)
-                    ]
-                )
-            ).alias("seed", "bucket"),
+            F.posexplode(F.array(*[_cm_hash(i) for i in range(_CM_DEPTH)])).alias(
+                "seed", "bucket"
+            ),
         )
     )
     est = (

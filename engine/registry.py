@@ -104,7 +104,7 @@ _PRIORITY: list[str] = [
     #    partials + graph_pagerank quantized-integer recurrence (now
     #    oracle-checked; was rows-only) (r5 rewrites) --
     "q_dedup_jaccard", "q_dedup_ngram", "q_sim_pairwise", "q_embed_pca",
-    "q_graph_pagerank",
+    "q_graph_pagerank", "q_dedup_simhash", "q_agg_count_min",
     # -- new in round 5 (first-row keys, inserted as created; they
     #    queue behind the recerts for the r6 window) --
     "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree", "q_sample_importance",
@@ -129,7 +129,7 @@ _PRIORITY: list[str] = [
     "q_fn_array", "q_fn_map", "q_fn_explode", "q_agg_approx_distinct",
     # r02 rows
     "q_agg_collect",
-    "q_dedup_exact", "q_dedup_simhash", "q_dedup_embedding",
+    "q_dedup_exact", "q_dedup_embedding",
     "q_sim_topk_lsh", "q_sim_join",
     "q_text_stats", "q_text_tfidf", "q_text_quality", "q_text_langid",
     "q_text_fingerprint", "q_tokenize",
@@ -169,7 +169,7 @@ _PRIORITY: list[str] = [
     "q_agg_heavy_hitters", "q_tokenize_bpe",
     "q_sample_temperature", "q_sample_reservoir", "q_snapshot_diff",
     "q_multimodal_decode", "q_text_boilerplate", "q_embed_knn",
-    "q_agg_count_min", "q_shuffle_shard", "q_fn_regexp", "q_event_paths",
+    "q_shuffle_shard", "q_fn_regexp", "q_event_paths",
     "q_basket_pairs", "q_win_rolling_median", "q_concurrency",
     "q_join_range_banded", "q_corr_matrix",
     "q_agg_grouping_id", "q_rollup_incremental", "q_sample_negative",

@@ -413,7 +413,7 @@ def test_count_min_bounds(spark):
     OVERestimate (est >= true, the CM guarantee), and the classic
     accuracy bound est <= true + N/width holds for every probed token
     (deterministic here: hash collisions are fixed, not sampled)."""
-    from engine.llm_ops import _CM_WIDTH, _cm_sketch, _tokens
+    from engine.llm_ops import _CM_WIDTH, _cm_hash, _cm_sketch, _tokens
     from engine.io import load_table
 
     d = load_table(spark, SF_SMOKE, "documents")
@@ -429,11 +429,7 @@ def test_count_min_bounds(spark):
     sketch = {(r["seed"], r["bucket"]): r["cnt"] for r in _cm_sketch(spark, SF_SMOKE).collect()}
     probes = d.select(F.explode(_tokens(F.col("text"))).alias("tok")).distinct()
     pr = probes.select(
-        "tok",
-        *[
-            F.pmod(F.xxhash64("tok", F.lit(i)), F.lit(_CM_WIDTH)).alias(f"b{i}")
-            for i in range(4)
-        ],
+        "tok", *[_cm_hash(i).alias(f"b{i}") for i in range(4)]
     ).collect()
     assert pr, "no probe tokens"
     for r in pr:

@@ -40,6 +40,8 @@ _RECERT = {
     "q_sim_pairwise",
     "q_embed_pca",
     "q_graph_pagerank",
+    "q_dedup_simhash",
+    "q_agg_count_min",
 }
 
 

@@ -30,6 +30,8 @@ ROUND_CHANGED = [
     "q_sim_pairwise",     # r5: norm-band second blocking key
     "q_embed_pca",        # r5: exploded co-moments -> mapInArrow partials
     "q_graph_pagerank",   # r5: quantized-integer recurrence, now oracle-checked
+    "q_dedup_simhash",    # r5: md5 token hashes, now oracle-checked
+    "q_agg_count_min",    # r5: md5-seeded rows + width 256, now oracle-checked
     "q_eval_ndcg",        # r5: new
     "q_eval_pr_at_k",     # r5: new
     "q_join_interval_overlap",  # r5: new
