@@ -32,3 +32,4 @@ def load_all() -> None:
     from engine import streaming  # noqa: F401
     from engine import benchmarks  # noqa: F401
     from engine import stats  # noqa: F401
+    from engine import io_queries  # noqa: F401

@@ -1,0 +1,169 @@
+"""Registry keys for the §2.1 source/sink surface (added r5).
+
+engine/io.py's readers/writers were previously exercised only by
+tests/test_io.py; these keys put the FORMAT ROUNDTRIPS themselves
+under the driver's differential gate: each query writes a real file
+set through the engine's sink path, reads it back through the engine's
+source path, and computes an aggregate whose oracle runs directly on
+the original parquet — so a value-corrupting roundtrip (encoding,
+schema drift, partition mishandling) breaks the hash, not just a unit
+test.
+
+Sinks land under /root/repo/.tmp/io/<key>-<fingerprint>; the
+fingerprint is the sf_dir basename, so concurrent checks at different
+SFs never collide and re-runs overwrite deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from engine.io import load_table, read_csv, read_json
+from engine.registry import register
+
+_TMP = "/root/repo/.tmp/io"
+
+
+def _sink(key: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/{key}-{tag}"
+    os.makedirs(_TMP, exist_ok=True)
+    return path
+
+
+@register(
+    "q_source_csv_roundtrip",
+    oracle="""
+    SELECT r.r_name,
+           count(*) AS n_nations,
+           array_to_string(list_sort(list(n.n_name)), ',') AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink→source roundtrip under the differential gate: the
+    nation⋈region dimension join is written to CSV (header, explicit
+    quoting) and read back with an EXPLICIT schema (the production
+    rule — inferSchema is a second data pass AND a type lottery), and
+    the aggregate over the roundtripped rows must hash-match the
+    oracle computed on the original parquet. Catches delimiter/quote/
+    header/type drift that a row-count smoke test passes."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    path = _sink("csv", sf_dir)
+    joined.select("n_nationkey", "n_name", "r_name").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("r_name", StringType()),
+        ]
+    )
+    back = read_csv(spark, path, schema)
+    return (
+        back.groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q_source_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink→source roundtrip: an orders slice is written as
+    JSONL and read back with an explicit schema; the floor-cents sum
+    over the roundtripped doubles must hash-match the oracle on the
+    original parquet — JSON's shortest-round-trip double encoding is
+    exact, and this key keeps it pinned (a %.6f-style formatter in the
+    path would silently shave cents). The slice keeps the sink
+    data-bounded at any SF."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = _sink("json", sf_dir)
+    o.write.mode("overwrite").json(path)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    back = read_json(spark, path, schema)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_sink_partition_prune",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY day ORDER BY day
+    """,
+)
+def q_sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned source under
+    the differential gate: events are written partitioned by
+    event_type, and the read-back filters one partition — the filter
+    must resolve at PLANNING time (directory pruning, the mechanism
+    that turns a 100 TB scan into one partition's worth of IO;
+    tests/test_io.py asserts the pruned plan shape, this key asserts
+    the pruned VALUES). The daily aggregate hash-matches the oracle's
+    direct filter on the original table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    path = _sink("part", sf_dir)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        back.groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"),
+        )
+        .orderBy("day")
+    )

@@ -114,6 +114,8 @@ _PRIORITY: list[str] = [
     "q_fn_datetime_extra", "q_doc_quality_model", "q_stream_topk",
     "q_agg_argmax", "q_agg_string_agg", "q_win_rolling_ols", "q_fn_struct",
     "q_pivot_dynamic", "q_text_collocations", "q_text_zipf",
+    "q_source_csv_roundtrip", "q_source_json_roundtrip",
+    "q_sink_partition_prune",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",
