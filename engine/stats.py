@@ -351,3 +351,132 @@ def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
         F.any_value(F.col("n")).alias("n"),
     )
+
+
+@register(
+    "q_stats_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT event_type, di, day, y,
+             CAST(row_number() OVER win AS BIGINT) AS k,
+             CAST(sum(y) OVER win AS BIGINT) AS s1k,
+             CAST(sum(y * y) OVER win AS BIGINT) AS s2k,
+             CAST(count(*) OVER tot AS BIGINT) AS n,
+             CAST(sum(y) OVER tot AS BIGINT) AS s1,
+             CAST(sum(y * y) OVER tot AS BIGINT) AS s2
+      FROM d
+      WINDOW
+        win AS (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        tot AS (PARTITION BY event_type)
+    ),
+    c AS (
+      SELECT event_type, day, n, s1, s2,
+             CAST(floor(
+               (s2k - CAST(s1k AS DOUBLE) * s1k / k)
+               + ((s2 - s2k) - CAST(s1 - s1k AS DOUBLE) * (s1 - s1k) / (n - k))
+             ) AS BIGINT) AS qcost,
+             di
+      FROM w WHERE k < n
+    ),
+    m AS (
+      SELECT event_type,
+             min(struct_pack(qcost := qcost, di := di, day := day)) AS mx,
+             any_value(n) AS n_days,
+             any_value(CAST(floor(CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * s1 / n) AS BIGINT))
+               AS qsse_total
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, mx.day AS split_day, n_days,
+           round((qsse_total - mx.qcost) / 10000.0, 2) AS sse_drop
+    FROM m ORDER BY event_type
+    """,
+)
+def q_stats_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint per event type (binary segmentation, the
+    first split of PELT/BinSeg): the day index k minimizing
+    SSE(1..k) + SSE(k+1..n) of the daily-revenue series, with the
+    variance-reduction the split buys — the structural-break screen
+    behind regime detection and A/B cutover audits.
+
+    Fully windowed, no iteration: one hash agg to the |types|×|days|
+    daily table, then ONE event_type exchange carries the cumulative
+    (k, Σy, Σy²) prefix AND the per-type totals; every candidate
+    split's cost is closed-form from those exact bigints
+    (SSE = Σy² − (Σy)²/k), quantized to a bigint so the per-type
+    argmin is the portable lexicographic MIN over a (cost, day)
+    struct (the q_agg_argmax trick, tie → earliest day). Cents² units
+    divide back to dollars² only in the final rounded column."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    w = d.select(
+        "event_type",
+        "di",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("di"))
+        .cast("long")
+        .alias("k"),
+        F.sum("y").over(win).cast("long").alias("s1k"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("long").alias("s2k"),
+        F.count("*").over(tot).cast("long").alias("n"),
+        F.sum("y").over(tot).cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).over(tot).cast("long").alias("s2"),
+    )
+    k, s1k, s2k = F.col("k"), F.col("s1k"), F.col("s2k")
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    cost = (s2k - s1k.cast("double") * s1k / k) + (
+        (s2 - s2k) - (s1 - s1k).cast("double") * (s1 - s1k) / (n - k)
+    )
+    c = w.filter(k < n).select(
+        "event_type",
+        "day",
+        "di",
+        "n",
+        "s1",
+        "s2",
+        F.floor(cost).cast("long").alias("qcost"),
+    )
+    sse_total = F.floor(s2.cast("double") - s1.cast("double") * s1 / n).cast("long")
+    m = c.groupBy("event_type").agg(
+        F.min(
+            F.struct(F.col("qcost"), F.col("di"), F.col("day"))
+        ).alias("mx"),
+        F.any_value(n).alias("n_days"),
+        F.any_value(sse_total).alias("qsse_total"),
+    )
+    return m.select(
+        "event_type",
+        F.col("mx.day").alias("split_day"),
+        "n_days",
+        F.round((F.col("qsse_total") - F.col("mx.qcost")) / 10000.0, 2).alias(
+            "sse_drop"
+        ),
+    ).orderBy("event_type")
