@@ -229,3 +229,42 @@ def q_udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return ev.mapInArrow(uplift, "event_id long, user_id long, uplifted double")
+
+
+@register(
+    "q_udtf_arrow",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id < 20)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+    FROM t
+    """,
+)
+def q_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-optimized Python UDTF (Spark 4 ``useArrow=True``): the
+    same lateral table-function surface as q_udtf but with Arrow
+    serialization between the JVM and the Python worker — the tier a
+    UDTF should run at when its per-call output is wide or batchy
+    (plain-pickle UDTFs pay per-row serialization; Arrow amortizes it
+    per batch, the same 10-100× boundary as pandas vs row UDFs). This
+    one emits a per-doc token profile (count + distinct count), the
+    aggregate-shaped UDTF output pattern."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n_words: bigint, n_distinct: bigint", useArrow=True)
+    class TokenProfile:
+        def eval(self, text: str):
+            words = text.split(" ")
+            yield len(words), len(set(words))
+
+    spark.udtf.register("token_profile", TokenProfile)
+    d = _t(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") < 20).createOrReplaceTempView("_udtf_arrow_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.n_words, t.n_distinct
+        FROM _udtf_arrow_docs d, LATERAL token_profile(d.text) t
+        """
+    )

@@ -59,6 +59,7 @@ ROUND_CHANGED = [
     "q_source_json_roundtrip",  # r5: new
     "q_sink_partition_prune",  # r5: new
     "q_stats_changepoint",  # r5: new
+    "q_udtf_arrow",       # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
