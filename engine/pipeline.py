@@ -2264,3 +2264,69 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(b * F.col("wmax") < 100 * F.col("n_chars"))
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS ch
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+             last_value(ch IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      FROM tagged
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS attributed_cents
+    FROM w WHERE is_p = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits its value to the
+    most recent PRECEDING non-purchase event type (the marketing
+    channel), purchases with no prior touch fall to 'direct' — the
+    classic attribution rollup, and the revenue-credit complement to
+    q_funnel / q_session_paths.
+
+    Single-Exchange plan: the q_join_asof carry —
+    ``last(..., ignorenulls)`` over the (−∞, −1] frame on one
+    (user_id, ts, is_purchase, event_id) sort — tags each purchase
+    with its channel in the same pass that orders the stream; the
+    rollup is one |channels|-bounded hash agg on floor-cents
+    integers. Same-ts touches sort before the purchase, landing in
+    its frame deterministically on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        is_p.alias("is_p"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias("ch"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("is_p"), F.asc("event_id")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        tagged.withColumn("channel", F.last("ch", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     "q_pivot_dynamic", "q_text_collocations", "q_text_zipf",
     "q_source_csv_roundtrip", "q_source_json_roundtrip",
     "q_sink_partition_prune", "q_stats_changepoint", "q_udtf_arrow",
+    "q_basket_rules", "q_events_attribution",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

@@ -2954,3 +2954,82 @@ def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "user_id", *[F.round(F.col(t), 2).alias(t) for t in values]
     )
+
+
+@register(
+    "q_basket_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+    item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM b
+             GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM b a JOIN b b2
+        ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT part_a, part_b, c_ab,
+           round(CAST(c_ab AS DOUBLE) / ia.c, 6) AS confidence,
+           round(CAST(c_ab AS DOUBLE) * n_orders / (ia.c * ib.c), 6) AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b, n
+    ORDER BY lift DESC, part_a, part_b LIMIT 25
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchase pairs: support, confidence
+    P(b|a), and lift P(ab)/(P(a)P(b)) for part pairs in ≥3 common
+    orders — the metric layer of frequent-itemset mining on top of
+    q_basket_pairs' candidate generation (same map-side pair
+    construction; the oracle writes the naive self-join).
+
+    Scale shape: pair counts come from the per-order sorted-array
+    explode (pair volume linear in orders), item supports are one
+    hash agg bounded by |parts| (broadcast back), and the 1-row order
+    count folds in for lift; every metric is a ratio of exact
+    integers, ranked on the rounded value with a pair tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    n = baskets.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    parts = baskets.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    p = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            p,
+            lambda x, i: F.transform(
+                F.slice(p, i + 2, F.greatest(F.size(p) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        parts.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(F.col("c_ab").cast("double") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("c_ab").cast("double") * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
+    )

@@ -79,6 +79,7 @@ _SINGLE_PARTITION_OK = {
     "q_sample_importance",  # 1-row max-weight aggregate sizes the accept test
     "q_stats_chisq",      # 1-row (n, r, c) scalar of the cell table
     "q_text_collocations",  # 1-row (T, B) totals + global top-20 gather
+    "q_basket_rules",     # 1-row order-count fold + global top-25 gather
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -132,6 +133,8 @@ _CROSS_OK = {
     "q_sim_range",
     # collocations: the 1-row (T, B) token/bigram totals fold into PMI.
     "q_text_collocations",
+    # basket rules: the 1-row order count folds into lift.
+    "q_basket_rules",
 }
 
 

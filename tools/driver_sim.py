@@ -60,6 +60,8 @@ ROUND_CHANGED = [
     "q_sink_partition_prune",  # r5: new
     "q_stats_changepoint",  # r5: new
     "q_udtf_arrow",       # r5: new
+    "q_basket_rules",     # r5: new
+    "q_events_attribution",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
