@@ -2330,3 +2330,58 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q_graph_components",
+    oracle="""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+    reach(id, root) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id
+    ),
+    m AS (SELECT id, CAST(min(root) AS BIGINT) AS component FROM reach GROUP BY id)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_parts
+    FROM m GROUP BY component
+    ORDER BY n_parts DESC, component ASC
+    LIMIT 20
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph: every part
+    labeled with its component's min part id, reported as the top-20
+    "product families" by member count (parts not co-bought with
+    anything are singleton components) — the graph-clustering read of
+    the same edge set q_graph_triangles densifies and
+    q_graph_pagerank ranks.
+
+    Reuses :func:`connected_components` (min-label propagation to a
+    converged fixpoint, localCheckpoint-truncated lineage — scale
+    analysis on q_dedup_cluster); the edge list is q_basket_pairs'
+    (≥2 co-orders, a < b) symmetrized, and the node set is ALL
+    distinct parts so isolated parts keep their singleton label.
+    Convergence makes the result the true components, which is what
+    the oracle's exact recursive transitive closure computes — no
+    fixed-round compromise needed on either engine."""
+    from engine.relational import q_basket_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    pairs = q_basket_pairs(spark, sf_dir).select("part_a", "part_b")
+    labels = connected_components(nodes, pairs, "id")
+    return (
+        labels.groupBy(F.col("cluster_id").cast("long").alias("component"))
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .orderBy(F.desc("n_parts"), F.asc("component"))
+        .limit(20)
+    )

@@ -480,3 +480,453 @@ def q_stats_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sse_drop"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Distribution tests over the order-value distribution (added r5 late
+# batch): the nonparametric companions to the Welch t / chi-square pair
+# above — KS for "did the distribution shift", Mann-Whitney for "did
+# the location shift", ANOVA for ">2 groups", PSI for "monitor it".
+# All four follow the same scale shape: ONE hash aggregate collapses
+# the fact table to a bounded relation (distinct cent values, groups,
+# or bins), and every statistic is closed-form arithmetic over exact
+# integers from that relation.
+# ---------------------------------------------------------------------------
+
+
+def _banded_cum(df: DataFrame, order_col: str, sum_cols: list[str], band_width: int):
+    """Distributed inclusive prefix-sums of ``sum_cols`` in ``order_col``
+    order WITHOUT a single global window: rows band by
+    ``order_col div band_width``; each band cumulates internally
+    (parallel across bands), band totals cumulate in one tiny window
+    (|bands| rows, bounded by the value domain / band_width), and the
+    exclusive carry broadcasts back — the q_rfm_segments banded-rank
+    scheme generalized to sums. Adds ``cum_<c>`` (inclusive) per input
+    column."""
+    from pyspark.sql import Window
+
+    b = df.withColumn("_band", (F.col(order_col) / band_width).cast("long"))
+    win = (
+        Window.partitionBy("_band")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.select(
+        "*", *[F.sum(c).over(win).cast("long").alias(f"_in_{c}") for c in sum_cols]
+    )
+    carry_win = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    bt = (
+        b.groupBy("_band")
+        .agg(*[F.sum(c).cast("long").alias(f"_bt_{c}") for c in sum_cols])
+        .select(
+            F.col("_band").alias("_cb"),
+            *[
+                F.coalesce(F.sum(f"_bt_{c}").over(carry_win), F.lit(0))
+                .cast("long")
+                .alias(f"_carry_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    out = within.join(F.broadcast(bt), F.col("_band") == F.col("_cb"))
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_carry_{c}") + F.col(f"_in_{c}"))
+    return out.drop(
+        "_band", "_cb", *[f"_in_{c}" for c in sum_cols], *[f"_carry_{c}" for c in sum_cols]
+    )
+
+
+def _ks_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-cent-value counts of the two compared samples
+    (finished 'F' vs open 'O' orders) — the shared base relation of
+    the KS and Mann-Whitney tests."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(
+            cents.alias("cents"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ia"),
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("ia").cast("long").alias("na"), F.sum("ib").cast("long").alias("nb"))
+    )
+
+
+_KS_GROUPED_SQL = """
+    g AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS na,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS nb
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY cents
+    )
+"""
+
+
+@register(
+    "q_stats_ks",
+    oracle=f"""
+    WITH {_KS_GROUPED_SQL},
+    w AS (
+      SELECT cents,
+             CAST(sum(na) OVER cum AS BIGINT) AS cum_na,
+             CAST(sum(nb) OVER cum AS BIGINT) AS cum_nb,
+             CAST(sum(na) OVER () AS BIGINT) AS n_a,
+             CAST(sum(nb) OVER () AS BIGINT) AS n_b
+      FROM g
+      WINDOW cum AS (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             abs(CAST(cum_na AS HUGEINT) * n_b
+                 - CAST(cum_nb AS HUGEINT) * n_a) AS dn,
+             -cents AS nc
+      FROM w
+    ),
+    m AS (SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+                 max(struct_pack(dn := dn, nc := nc)) AS mx
+          FROM d)
+    SELECT n_a, n_b,
+           round(CAST(mx.dn AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6) + 0.0
+             AS ks_d,
+           round(-mx.nc / 100.0, 2) AS ks_at
+    FROM m
+    """,
+)
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the finished
+    ('F') and open ('O') order-value distributions — the exact
+    distribution-shift test behind drift monitors and A/B guardrails.
+
+    Exactness: D = max |ECDF_a - ECDF_b| evaluates as the integer
+    cross-product |cum_a·n_b - cum_b·n_a| (decimal/HUGEINT so the
+    product never overflows at any n), divided back only in the final
+    rounded column; the arg-max value reports WHERE the distributions
+    diverge most (tie -> smallest value, via the lexicographic
+    struct-max idiom of q_agg_argmax).
+
+    Scale shape: one hash aggregate collapses the fact table to
+    distinct cent values (domain-bounded); the cumulative pass is the
+    BANDED prefix-sum (:func:`_banded_cum`) — per-band windows in
+    parallel plus a |bands|-row carry — so no single-partition global
+    window touches the distinct-value relation; the final max is a
+    plain aggregate with map-side combine."""
+    g = _ks_grouped(spark, sf_dir)
+    w = _banded_cum(g, "cents", ["na", "nb"], 1 << 16)
+    tot = g.agg(
+        F.sum("na").cast("long").alias("n_a"), F.sum("nb").cast("long").alias("n_b")
+    )
+    d = w.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_na").cast("decimal(38,0)") * F.col("n_b")
+            - F.col("cum_nb").cast("decimal(38,0)") * F.col("n_a")
+        ).alias("dn"),
+        (-F.col("cents")).alias("nc"),
+    )
+    m = d.groupBy().agg(
+        F.any_value("n_a").alias("n_a"),
+        F.any_value("n_b").alias("n_b"),
+        F.max(F.struct(F.col("dn"), F.col("nc"))).alias("mx"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        (
+            F.round(
+                F.col("mx.dn").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            )
+            + 0.0
+        ).alias("ks_d"),
+        F.round(-F.col("mx.nc") / 100.0, 2).alias("ks_at"),
+    )
+
+
+@register(
+    "q_stats_mannwhitney",
+    oracle=f"""
+    WITH {_KS_GROUPED_SQL},
+    w AS (
+      SELECT na, nb, na + nb AS t,
+             coalesce(sum(na + nb) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before,
+             CAST(sum(na) OVER () AS BIGINT) AS n_a,
+             CAST(sum(nb) OVER () AS BIGINT) AS n_b
+      FROM g
+    ),
+    s AS (
+      SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+             CAST(sum(CAST(na AS HUGEINT) * (2 * before + t + 1)) AS HUGEINT)
+               AS r2a,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+      FROM w
+    )
+    SELECT n_a, n_b,
+           (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2.0 AS u_a,
+           round(
+             ((CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2.0
+              - CAST(n_a AS DOUBLE) * n_b / 2.0)
+             / sqrt(
+                 CAST(n_a AS DOUBLE) * n_b / 12.0
+                 * ((n_a + n_b + 1)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+               ), 4) + 0.0 AS z
+    FROM s
+    """,
+)
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between finished and open order
+    values — the nonparametric location-shift companion to
+    q_stats_ks's distribution test and q_stats_ttest's parametric one,
+    with the tie-corrected normal approximation real stat packages
+    report.
+
+    Exactness: average tie-ranks are carried DOUBLED so the rank sum
+    stays an exact integer (2·rank-sum contribution per distinct value
+    = na·(2·before + t + 1)); the tie term Σ(t³−t) is exact too; both
+    accumulate as decimal/HUGEINT so no n overflows. U and z evaluate
+    once, at the end, on those exact integers. Unlike the KS prefix
+    sums, the EXCLUSIVE combined-count prefix here feeds a plain SUM —
+    order-independent — so no cumulative pass survives to the plan:
+    everything after the distinct-value aggregate is one re-aggregate.
+    """
+    g = _ks_grouped(spark, sf_dir)
+    w = _banded_cum(
+        g.withColumn("t", F.col("na") + F.col("nb")), "cents", ["t"], 1 << 16
+    ).withColumn("before", F.col("cum_t") - F.col("t"))
+    tot = g.agg(
+        F.sum("na").cast("long").alias("n_a"), F.sum("nb").cast("long").alias("n_b")
+    )
+    t = F.col("t").cast("decimal(38,0)")
+    s = w.crossJoin(F.broadcast(tot)).agg(
+        F.any_value("n_a").alias("n_a"),
+        F.any_value("n_b").alias("n_b"),
+        F.sum(
+            F.col("na").cast("decimal(38,0)")
+            * (2 * F.col("before") + F.col("t") + 1)
+        ).alias("r2a"),
+        F.sum(t * t * t - t).alias("ties"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    u_a = (F.col("r2a").cast("double") - n_a * (F.col("n_a") + 1)) / 2.0
+    mu = n_a * F.col("n_b") / 2.0
+    nn = n_a + F.col("n_b")
+    sigma = F.sqrt(
+        n_a * F.col("n_b") / 12.0
+        * ((F.col("n_a") + F.col("n_b") + 1) - F.col("ties").cast("double") / (nn * (nn - 1)))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        (F.round((u_a - mu) / sigma, 4) + 0.0).alias("z"),
+    )
+
+
+@register(
+    "q_stats_anova",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS HUGEINT)
+                      * CAST(floor(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS ss
+      FROM orders GROUP BY pri
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(n) AS BIGINT) AS n_total,
+                   CAST(sum(s) AS HUGEINT) AS s_total
+            FROM g),
+    terms AS (
+      SELECT k, n_total,
+             CAST(floor(n * pow(CAST(s AS DOUBLE) / n
+                                - CAST(s_total AS DOUBLE) / n_total, 2))
+                  AS BIGINT) AS qssb,
+             CAST(floor(CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  AS BIGINT) AS qssw
+      FROM g, tot
+    ),
+    a AS (SELECT any_value(k) AS k, any_value(n_total) AS n,
+                 CAST(sum(qssb) AS BIGINT) AS ssb,
+                 CAST(sum(qssw) AS BIGINT) AS ssw
+          FROM terms)
+    SELECT k, n,
+           round((CAST(ssb AS DOUBLE) / (k - 1))
+                 / (CAST(ssw AS DOUBLE) / (n - k)), 4) + 0.0 AS f_stat,
+           round(CAST(ssb AS DOUBLE) / (ssb + ssw), 6) + 0.0 AS eta_sq
+    FROM a
+    """,
+)
+def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over order value by order priority — the >2-arm
+    generalization of q_stats_ttest (is ANY priority tier priced
+    differently?), with eta² as the effect size.
+
+    Float policy: each group's (n, Σcents, Σcents²) is exact (decimal/
+    HUGEINT sums — Σcents² overflows bigint beyond ~sf0.1); group and
+    grand means are deterministic double divisions of those integers;
+    each group's between/within term is quantized to a bigint cents²
+    unit BEFORE the k-row sum so SSB/SSW are order-independent.
+
+    Scale shape: ONE fact-table hash aggregate to |priorities| rows
+    (map-side combine), a 1-row broadcast total, and closed-form
+    arithmetic — no windows, no joins wider than the group table."""
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents.cast("decimal(38,0)")).alias("s"),
+            F.sum((cents * cents).cast("decimal(38,0)")).alias("ss"),
+        )
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s").alias("s_total"),
+    )
+    mean_g = F.col("s").cast("double") / F.col("n")
+    mean_all = F.col("s_total").cast("double") / F.col("n_total")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_total",
+        F.floor(F.col("n") * F.pow(mean_g - mean_all, 2)).cast("long").alias("qssb"),
+        F.floor(
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        .cast("long")
+        .alias("qssw"),
+    )
+    a = terms.agg(
+        F.any_value("k").alias("k"),
+        F.any_value("n_total").alias("n"),
+        F.sum("qssb").cast("long").alias("ssb"),
+        F.sum("qssw").cast("long").alias("ssw"),
+    )
+    return a.select(
+        "k",
+        "n",
+        (
+            F.round(
+                (F.col("ssb").cast("double") / (F.col("k") - 1))
+                / (F.col("ssw").cast("double") / (F.col("n") - F.col("k"))),
+                4,
+            )
+            + 0.0
+        ).alias("f_stat"),
+        (
+            F.round(F.col("ssb").cast("double") / (F.col("ssb") + F.col("ssw")), 6)
+            + 0.0
+        ).alias("eta_sq"),
+    )
+
+
+@register(
+    "q_quality_drift",
+    oracle="""
+    WITH b AS (
+      SELECT length(bin(CAST(floor(value * 100) AS BIGINT))) AS bin,
+             CAST(count(*) FILTER (WHERE date_part('day', ts) <= 15) AS BIGINT)
+               AS ref_n,
+             CAST(count(*) FILTER (WHERE date_part('day', ts) > 15) AS BIGINT)
+               AS cur_n
+      FROM events GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rn,
+                   CAST(sum(cur_n) AS BIGINT) AS cn,
+                   CAST(count(*) AS BIGINT) AS nb
+            FROM b),
+    t AS (
+      SELECT bin, ref_n, cur_n,
+             (CAST(cur_n + 1 AS DOUBLE) / (cn + nb)
+              - CAST(ref_n + 1 AS DOUBLE) / (rn + nb))
+             * ln((CAST(cur_n + 1 AS DOUBLE) / (cn + nb))
+                  / (CAST(ref_n + 1 AS DOUBLE) / (rn + nb))) AS term
+      FROM b, tot
+    ),
+    q AS (SELECT bin, ref_n, cur_n,
+                 CAST(floor(term * 100000000) AS BIGINT) AS qterm
+          FROM t)
+    SELECT bin, ref_n, cur_n,
+           round(qterm / 100000000.0, 6) + 0.0 AS psi_term,
+           round(sum(qterm) OVER () / 100000000.0, 6) + 0.0 AS psi_total
+    FROM q ORDER BY bin
+    """,
+)
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    first half of the month (reference) vs second half (current) — the
+    standing drift monitor a production pipeline runs on every score /
+    feature column.
+
+    Bins are EXACT power-of-two cent bands computed as the binary
+    digit count ``length(bin(cents))`` — no float log at the bin edge,
+    so a cent value can never land in different bins on different
+    engines. Laplace-smoothed shares ((n+1)/(N+|bins|)) keep one-sided
+    bins finite; each bin's PSI term evaluates on deterministic
+    doubles from exact counts and is quantized to a bigint before the
+    |bins|-row total, so psi_total is order-independent.
+
+    Scale shape: ONE conditional hash aggregate collapses the fact
+    table to ≤64 bins (the bigint digit-count domain); everything
+    after is arithmetic on that tiny relation — the monitor costs one
+    scan regardless of corpus size."""
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.length(F.bin(cents)).alias("bin"),
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("ir"),
+            F.when(F.dayofmonth("ts") > 15, 1).otherwise(0).alias("ic"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("ir").cast("long").alias("ref_n"),
+            F.sum("ic").cast("long").alias("cur_n"),
+        )
+    )
+    tot = b.agg(
+        F.sum("ref_n").cast("long").alias("rn"),
+        F.sum("cur_n").cast("long").alias("cn"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    p = (F.col("ref_n") + 1).cast("double") / (F.col("rn") + F.col("nb"))
+    q = (F.col("cur_n") + 1).cast("double") / (F.col("cn") + F.col("nb"))
+    t = b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.floor((q - p) * F.log(q / p) * 100000000).cast("long").alias("qterm"),
+    )
+    return t.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        (F.round(F.col("qterm") / 100000000.0, 6) + 0.0).alias("psi_term"),
+        (
+            F.round(
+                F.sum("qterm").over(
+                    Window.partitionBy()
+                    .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                )
+                / 100000000.0,
+                6,
+            )
+            + 0.0
+        ).alias("psi_total"),
+    ).orderBy("bin")

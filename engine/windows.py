@@ -302,3 +302,84 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.round(med, 4) + 0.0).alias("med10"),
     )
+
+
+@register(
+    "q_win_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY di
+    ),
+    p AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.di - a.di) AS slope
+      FROM d a JOIN d b ON b.di > a.di
+    ),
+    r AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS n_pairs
+      FROM p
+    ),
+    m AS (SELECT slope, n_pairs FROM r WHERE rn = (n_pairs + 1) // 2)
+    SELECT (SELECT count(*) FROM d) AS n_days,
+           n_pairs,
+           round(slope / 100.0, 6) + 0.0 AS ts_slope
+    FROM m
+    """,
+)
+def q_win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise slopes between day totals — the outlier-immune companion
+    to q_stats_trend's OLS slope (one wild flash-crash day moves OLS
+    arbitrarily; it moves the median slope not at all).
+
+    Exactness: each slope is one IEEE division of exact integers
+    (Δcents / Δdays — both far under 2⁵³), identical on any engine;
+    the LOWER median is selected by row_number, and because only the
+    slope VALUE is returned, ties need no ordering tie-break — every
+    row tied at the cut position carries the same value.
+
+    Scale shape: the O(n²) pair join runs on the AGGREGATED day
+    series, whose size is calendar-bounded (~2.4k days here, so ~3M
+    pairs) and INDEPENDENT of corpus size — the fact-table scan is one
+    hash aggregate, and the pair stage costs the same at sf0.001 and
+    100 TB. The median selection is one sort of those pairs; at much
+    longer horizons the standard refinements are the repeated-median
+    estimator or per-band medians (the q_rfm_segments banded-rank
+    scheme on the slope key)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("di"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("y"))
+        .persist()
+    )
+    a = d.select(F.col("di").alias("di1"), F.col("y").alias("y1"))
+    b = d.select(F.col("di").alias("di2"), F.col("y").alias("y2"))
+    p = a.join(b, F.col("di2") > F.col("di1")).select(
+        ((F.col("y2") - F.col("y1")).cast("double") / (F.col("di2") - F.col("di1"))).alias(
+            "slope"
+        )
+    )
+    w = Window.orderBy("slope")
+    r = p.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_pairs"),
+    )
+    m = r.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+    n_days = d.agg(F.count("*").cast("long").alias("n_days"))
+    return m.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (F.round(F.col("slope") / 100.0, 6) + 0.0).alias("ts_slope"),
+    )

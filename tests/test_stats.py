@@ -145,3 +145,147 @@ def test_km_matches_manual_estimator():
         for r in con.execute(all_oracles()["q_survival_km"]).fetchall()
     }
     assert got == expected
+
+
+def _oracle_orders(key: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(all_oracles()[key]).df()
+
+
+def _order_cents() -> pd.DataFrame:
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT o_orderstatus AS st, o_totalprice, o_orderdate, o_orderpriority "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    df["cents"] = np.floor(df["o_totalprice"] * 100).astype("int64")
+    return df
+
+
+def test_ks_matches_bruteforce_ecdf():
+    df = _order_cents()
+    a = np.sort(df.loc[df["st"] == "F", "cents"].to_numpy())
+    b = np.sort(df.loc[df["st"] == "O", "cents"].to_numpy())
+    xs = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, xs, side="right") / len(a)
+    fb = np.searchsorted(b, xs, side="right") / len(b)
+    d = np.abs(fa - fb)
+    row = _oracle_orders("q_stats_ks").iloc[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["ks_d"] - round(d.max(), 6)) < 1e-9
+    # argmax location (earliest value on ties)
+    at = xs[np.flatnonzero(np.isclose(d, d.max()))[0]]
+    assert abs(row["ks_at"] - round(at / 100.0, 2)) < 1e-9
+
+
+def test_mannwhitney_matches_rank_definition():
+    df = _order_cents()
+    sub = df[df["st"].isin(["F", "O"])].copy()
+    sub["rank"] = sub["cents"].rank(method="average")
+    a = sub[sub["st"] == "F"]
+    n_a, n_b = len(a), len(sub) - len(a)
+    r_a = a["rank"].sum()
+    u_a = r_a - n_a * (n_a + 1) / 2
+    _, t_counts = np.unique(sub["cents"].to_numpy(), return_counts=True)
+    ties = float((t_counts.astype(np.float64) ** 3 - t_counts).sum())
+    n = n_a + n_b
+    sigma = np.sqrt(n_a * n_b / 12.0 * ((n + 1) - ties / (n * (n - 1))))
+    z = (u_a - n_a * n_b / 2.0) / sigma
+    row = _oracle_orders("q_stats_mannwhitney").iloc[0]
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert abs(row["u_a"] - u_a) < 1e-6
+    assert abs(row["z"] - round(z, 4)) < 1e-6
+
+
+def test_anova_matches_numpy_oneway():
+    df = _order_cents()
+    groups = [g["cents"].to_numpy(dtype=np.float64) for _, g in df.groupby("o_orderpriority")]
+    k, n = len(groups), sum(len(g) for g in groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = _oracle_orders("q_stats_anova").iloc[0]
+    assert row["k"] == k and row["n"] == n
+    # bigint quantization floors each term: tolerance = k terms x 1 unit
+    assert abs(row["f_stat"] - round(f, 4)) < 1e-3
+    assert abs(row["eta_sq"] - round(ssb / (ssb + ssw), 6)) < 1e-5
+
+
+def test_psi_matches_manual_definition():
+    ev = _events()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["bin"] = ev["cents"].map(lambda c: len(bin(int(c))) - 2)
+    ev["period"] = np.where(pd.to_datetime(ev["ts"]).dt.day <= 15, "ref", "cur")
+    tab = ev.pivot_table(index="bin", columns="period", values="cents",
+                         aggfunc="count", fill_value=0)
+    nb = len(tab)
+    p = (tab.get("ref", 0) + 1) / (tab.get("ref", pd.Series(0)).sum() + nb)
+    q = (tab.get("cur", 0) + 1) / (tab.get("cur", pd.Series(0)).sum() + nb)
+    terms = (q - p) * np.log(q / p)
+    got = _oracle_orders("q_quality_drift").set_index("bin")
+    assert set(got.index) == set(tab.index)
+    for b in tab.index:
+        assert abs(got.loc[b, "psi_term"] - terms.loc[b]) < 1e-6, b
+    assert abs(got["psi_total"].iloc[0] - terms.sum()) < 1e-6
+    # PSI of a stable series should read as "no meaningful drift"
+    assert got["psi_total"].iloc[0] < 0.1
+
+
+def test_theil_sen_matches_bruteforce_median():
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS di, "
+        f"sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS y "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY di"
+    ).df()
+    di, y = d["di"].to_numpy(np.int64), d["y"].to_numpy(np.int64)
+    slopes = []
+    for i in range(len(d)):
+        dd = di[di > di[i]] - di[i]
+        dy = y[di > di[i]] - y[i]
+        slopes.extend((dy / dd).tolist())
+    slopes.sort()
+    lower_median = slopes[(len(slopes) + 1) // 2 - 1]
+    row = _oracle_orders("q_win_theil_sen").iloc[0]
+    assert row["n_days"] == len(d)
+    assert row["n_pairs"] == len(slopes)
+    assert abs(row["ts_slope"] - round(lower_median / 100.0, 6)) < 1e-9
+
+
+def test_components_match_union_find():
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('{SF}/lineitem.parquet')),
+        e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT a, b FROM e0
+    """).df()
+    nodes = con.execute(
+        f"SELECT DISTINCT l_partkey FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()["l_partkey"].tolist()
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges.itertuples(index=False):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict[int, int] = {}
+    for n in nodes:
+        sizes[find(n)] = sizes.get(find(n), 0) + 1
+    want = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = _oracle_orders("q_graph_components")
+    assert [(int(r["component"]), int(r["n_parts"])) for _, r in got.iterrows()] == want

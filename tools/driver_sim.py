@@ -62,6 +62,12 @@ ROUND_CHANGED = [
     "q_udtf_arrow",       # r5: new
     "q_basket_rules",     # r5: new
     "q_events_attribution",  # r5: new
+    "q_stats_ks",         # r5: new
+    "q_stats_mannwhitney",  # r5: new
+    "q_stats_anova",      # r5: new
+    "q_quality_drift",    # r5: new
+    "q_win_theil_sen",    # r5: new
+    "q_graph_components",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
