@@ -2037,3 +2037,214 @@ def q_win_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx), 6) + 0.0
         ).alias("slope_cents_per_day"),
     )
+
+
+@register(
+    "q_risk_metrics",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY di
+    ),
+    r AS (
+      SELECT CAST(floor(ln(CAST(y AS DOUBLE)
+                           / lag(y) OVER (ORDER BY di)) * 1000000)
+                  AS BIGINT) AS qr
+      FROM d
+    ),
+    rr AS (
+      SELECT qr,
+             row_number() OVER (ORDER BY qr) AS rk,
+             count(*) OVER () AS n
+      FROM r WHERE qr IS NOT NULL
+    ),
+    k AS (SELECT rr.*, greatest(1, CAST(floor(0.05 * n) AS BIGINT)) AS kk FROM rr),
+    a AS (
+      SELECT any_value(n) AS n_days,
+             CAST(sum(qr) AS BIGINT) AS s1,
+             CAST(sum(CAST(qr AS HUGEINT) * qr) AS HUGEINT) AS s2,
+             max(CASE WHEN rk = kk THEN qr END) AS var_q,
+             CAST(sum(CASE WHEN rk <= kk THEN qr END) AS BIGINT) AS tail_s,
+             CAST(sum(CASE WHEN rk <= kk THEN 1 END) AS BIGINT) AS tail_n
+      FROM k
+    )
+    SELECT n_days,
+           round(sqrt((CAST(s2 AS DOUBLE) / n_days
+                       - pow(CAST(s1 AS DOUBLE) / n_days, 2)) * 365)
+                 / 1000000, 6) + 0.0 AS vol_ann,
+           round((CAST(s1 AS DOUBLE) / n_days) * 365
+                 / (sqrt((CAST(s2 AS DOUBLE) / n_days
+                          - pow(CAST(s1 AS DOUBLE) / n_days, 2)) * 365)), 4)
+             + 0.0 AS sharpe_ann,
+           round(-var_q / 1000000.0, 6) + 0.0 AS var5,
+           round(-(CAST(tail_s AS DOUBLE) / tail_n) / 1000000.0, 6) + 0.0 AS cvar5
+    FROM a
+    """,
+)
+def q_risk_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue risk report: annualized volatility and Sharpe of
+    the log-return series plus historical 5% VaR and CVaR (expected
+    shortfall) — the standing risk page of any crypto trading desk.
+
+    Float policy: each day's log return is ONE deterministic double
+    (ln of a ratio of exact cent totals) quantized to a bigint 1e-6
+    grid (the q_text_zipf idiom), so every downstream moment, the
+    order-statistic VaR cut (k = max(1, floor(0.05n)) smallest) and
+    the tail mean are order-independent integer arithmetic; doubles
+    reappear only in the final rounded columns.
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    daily series in ONE hash aggregate; the lag and rank windows run
+    on those ~2.4k rows (constant at any corpus size); the report is
+    a single aggregate of that."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("di"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    wlag = Window.orderBy("di")
+    r = d.select(
+        F.floor(
+            F.log(F.col("y").cast("double") / F.lag("y").over(wlag)) * 1000000
+        )
+        .cast("long")
+        .alias("qr")
+    ).filter(F.col("qr").isNotNull())
+    rr = r.select(
+        "qr",
+        F.row_number().over(Window.orderBy("qr")).alias("rk"),
+        F.count("*")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    k = rr.withColumn(
+        "kk", F.greatest(F.lit(1), F.floor(0.05 * F.col("n")).cast("long"))
+    )
+    a = k.agg(
+        F.any_value("n").cast("long").alias("n_days"),
+        F.sum("qr").cast("long").alias("s1"),
+        F.sum((F.col("qr") * F.col("qr")).cast("decimal(38,0)")).alias("s2"),
+        F.max(F.when(F.col("rk") == F.col("kk"), F.col("qr"))).alias("var_q"),
+        F.sum(F.when(F.col("rk") <= F.col("kk"), F.col("qr")))
+        .cast("long")
+        .alias("tail_s"),
+        F.sum(F.when(F.col("rk") <= F.col("kk"), 1)).cast("long").alias("tail_n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = F.col("s2").cast("double") / F.col("n_days") - F.pow(mean, 2)
+    vol_ann = F.sqrt(var * 365)
+    return a.select(
+        "n_days",
+        (F.round(vol_ann / 1000000, 6) + 0.0).alias("vol_ann"),
+        (F.round(mean * 365 / vol_ann, 4) + 0.0).alias("sharpe_ann"),
+        (F.round(-F.col("var_q") / 1000000.0, 6) + 0.0).alias("var5"),
+        (
+            F.round(
+                -(F.col("tail_s").cast("double") / F.col("tail_n")) / 1000000.0, 6
+            )
+            + 0.0
+        ).alias("cvar5"),
+    )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY di, day
+    ),
+    w AS (
+      SELECT di, day, y, (di + 3) % 7 AS dow,
+             CAST(sum(y) OVER f AS BIGINT) AS s7,
+             CAST(count(*) OVER f AS BIGINT) AS c7
+      FROM d
+      WINDOW f AS (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    s AS (
+      SELECT dow,
+             CAST(sum(CASE WHEN c7 = 7 THEN 7 * y - s7 END) AS BIGINT) AS ssum,
+             CAST(count(CASE WHEN c7 = 7 THEN 1 END) AS BIGINT) AS scnt
+      FROM w GROUP BY dow
+    )
+    SELECT day,
+           round(y / 100.0, 2) AS revenue,
+           round(CASE WHEN c7 = 7 THEN s7 / 700.0 END, 4) + 0.0 AS trend,
+           round(CAST(ssum AS DOUBLE) / (700.0 * scnt), 4) + 0.0 AS seasonal,
+           round(CASE WHEN c7 = 7
+                      THEN y / 100.0 - s7 / 700.0
+                           - CAST(ssum AS DOUBLE) / (700.0 * scnt) END, 4) + 0.0
+             AS resid
+    FROM w JOIN s USING (dow)
+    ORDER BY day
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-observation moving average, seasonal = per
+    day-of-week mean of the detrended series, residual = the rest —
+    the decomposition q_seasonality's index view is a summary of.
+
+    Exactness: the detrended value is carried as the exact integer
+    7y − Σ₇ (no division before aggregation), so the day-of-week means
+    are ratios of exact integers; day-of-week itself is pure epoch-day
+    arithmetic ((di+3) % 7 — no engine calendar involved); doubles
+    appear only in the final rounded columns (trend/resid NULL at the
+    3-row series edges on both engines, +0.0 folds −0.0).
+
+    Scale shape: one fact-scan hash aggregate to the calendar-bounded
+    daily series; the centered window and the 7-row day-of-week
+    aggregate run on that (~2.4k rows, constant at any corpus size);
+    the seasonal table broadcasts back."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("di"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("di", "day")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    f = Window.orderBy("di").rowsBetween(-3, 3)
+    w = d.select(
+        "di",
+        "day",
+        "y",
+        ((F.col("di") + 3) % 7).alias("dow"),
+        F.sum("y").over(f).cast("long").alias("s7"),
+        F.count("*").over(f).cast("long").alias("c7"),
+    )
+    s = w.groupBy("dow").agg(
+        F.sum(F.when(F.col("c7") == 7, 7 * F.col("y") - F.col("s7")))
+        .cast("long")
+        .alias("ssum"),
+        F.count(F.when(F.col("c7") == 7, 1)).cast("long").alias("scnt"),
+    )
+    seasonal = F.col("ssum").cast("double") / (700.0 * F.col("scnt"))
+    trend = F.when(F.col("c7") == 7, F.col("s7") / 700.0)
+    resid = F.when(
+        F.col("c7") == 7, F.col("y") / 100.0 - F.col("s7") / 700.0 - seasonal
+    )
+    return (
+        w.join(F.broadcast(s), "dow")
+        .select(
+            "day",
+            F.round(F.col("y") / 100.0, 2).alias("revenue"),
+            (F.round(trend, 4) + 0.0).alias("trend"),
+            (F.round(seasonal, 4) + 0.0).alias("seasonal"),
+            (F.round(resid, 4) + 0.0).alias("resid"),
+        )
+        .orderBy("day")
+    )

@@ -2385,3 +2385,97 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_parts"), F.asc("component"))
         .limit(20)
     )
+
+
+@register(
+    "q_graph_link_predict",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM e GROUP BY src),
+    cn AS (
+      SELECT e1.src AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS common
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst
+      GROUP BY u, v
+    ),
+    sc AS (
+      SELECT cn.u, cn.v, cn.common,
+             EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
+               AS is_edge,
+             round(CAST(cn.common AS DOUBLE)
+                   / (du.deg + dv.deg - cn.common), 6) + 0.0 AS jaccard
+      FROM cn JOIN deg du ON du.node = cn.u JOIN deg dv ON dv.node = cn.v
+    )
+    SELECT u, v, common, is_edge, jaccard
+    FROM sc ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20
+    """,
+)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores on the co-purchase graph: common-neighbor
+    count and neighbor-set Jaccard for every part pair within two
+    hops, top-20 by Jaccard — the "parts that SHOULD be merchandised
+    together" recommender signal (high score + is_edge = false is the
+    prediction).
+
+    Scale shape: the wedge join e ⋈ e on the shared middle node is the
+    one quadratic-risk stage; its fan-out is Σ deg(w)² — bounded by
+    the same co-purchase-frequency HAVING that bounds q_graph_triangles
+    — and the common-neighbor count map-side-combines straight off it.
+    Degrees are a |V|-row broadcast; the edge-existence flag is one
+    more broadcast hash join against the oriented edge list; top-20 on
+    the ROUNDED score (both engines rank identical values) lowers to
+    TakeOrderedAndProject. All counts are exact integers; the only
+    double is the final rounded ratio."""
+    from engine.relational import q_basket_pairs
+
+    e0 = (
+        q_basket_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    e2 = e.select(F.col("src").alias("w2"), F.col("dst").alias("v"))
+    cn = (
+        e1.join(e2, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    flagged = cn.join(
+        e0.select(F.col("a").alias("u"), F.col("b").alias("v"), F.lit(True).alias("_e")),
+        ["u", "v"],
+        "left",
+    ).withColumn("is_edge", F.coalesce(F.col("_e"), F.lit(False)))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    sc = (
+        flagged.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            "is_edge",
+            (
+                F.round(
+                    F.col("common").cast("double")
+                    / (F.col("du") + F.col("dv") - F.col("common")),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+        )
+    )
+    return sc.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v")).limit(20)

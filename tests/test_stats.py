@@ -289,3 +289,69 @@ def test_components_match_union_find():
     want = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = _oracle_orders("q_graph_components")
     assert [(int(r["component"]), int(r["n_parts"])) for _, r in got.iterrows()] == want
+
+
+def test_risk_metrics_match_numpy():
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS di, "
+        f"sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS y "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY di ORDER BY di"
+    ).df()
+    y = d["y"].to_numpy(np.float64)
+    qr = np.floor(np.log(y[1:] / y[:-1]) * 1e6).astype(np.int64)
+    n = len(qr)
+    mean, var = qr.mean(), qr.mean() ** 2
+    var = (qr.astype(np.float64) ** 2).mean() - qr.mean() ** 2
+    vol = np.sqrt(var * 365)
+    k = max(1, int(np.floor(0.05 * n)))
+    srt = np.sort(qr)
+    row = _oracle_orders("q_risk_metrics").iloc[0]
+    assert row["n_days"] == n
+    assert abs(row["vol_ann"] - round(vol / 1e6, 6)) < 1e-6
+    assert abs(row["sharpe_ann"] - round(mean * 365 / vol, 4)) < 1e-6
+    assert abs(row["var5"] - round(-srt[k - 1] / 1e6, 6)) < 1e-9
+    assert abs(row["cvar5"] - round(-srt[:k].mean() / 1e6, 6)) < 1e-9
+
+
+def test_seasonal_decompose_identity_and_means():
+    got = _oracle_orders("q_seasonal_decompose")
+    # additive identity wherever trend is defined
+    inner = got.dropna(subset=["trend"])
+    err = (inner["revenue"] - inner["trend"] - inner["seasonal"] - inner["resid"]).abs()
+    assert err.max() < 1e-3  # 3 independently-rounded 4dp columns
+    # trend is the centered 7-row mean of revenue
+    rev = got["revenue"].to_numpy(np.float64)
+    i = 10
+    assert abs(got["trend"].iloc[i] - round(rev[i - 3:i + 4].mean(), 3)) < 2e-3
+    # edges have no trend
+    assert got["trend"].iloc[:3].isna().all() and got["trend"].iloc[-3:].isna().all()
+
+
+def test_link_predict_scores_match_bruteforce():
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('{SF}/lineitem.parquet')),
+        e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT a, b FROM e0
+    """).df()
+    nbrs: dict[int, set[int]] = {}
+    eset = set()
+    for a, b in edges.itertuples(index=False):
+        a, b = int(a), int(b)
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+        eset.add((a, b))
+    got = _oracle_orders("q_graph_link_predict")
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        u, v = int(r["u"]), int(r["v"])
+        common = nbrs[u] & nbrs[v]
+        assert int(r["common"]) == len(common)
+        assert bool(r["is_edge"]) == ((u, v) in eset)
+        jac = len(common) / (len(nbrs[u]) + len(nbrs[v]) - len(common))
+        assert abs(r["jaccard"] - round(jac, 6)) < 1e-9

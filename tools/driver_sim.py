@@ -68,6 +68,9 @@ ROUND_CHANGED = [
     "q_quality_drift",    # r5: new
     "q_win_theil_sen",    # r5: new
     "q_graph_components",  # r5: new
+    "q_risk_metrics",     # r5: new
+    "q_seasonal_decompose",  # r5: new
+    "q_graph_link_predict",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
