@@ -3385,3 +3385,182 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n", F.round(num.cast("double") / den, 4).alias("zipf_slope")
     )
+
+
+@register(
+    "q_text_heaps",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    fd AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd FROM tok GROUP BY tok),
+    nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv FROM fd GROUP BY fd),
+    nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok FROM tok GROUP BY doc_id),
+    c AS (
+      SELECT nt.doc_id,
+             CAST(sum(coalesce(nv.nv, 0)) OVER w AS BIGINT) AS v,
+             CAST(sum(nt.ntok) OVER w AS BIGINT) AS n
+      FROM nt LEFT JOIN nv ON nv.doc_id = nt.doc_id
+      WINDOW w AS (ORDER BY nt.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    q AS (SELECT CAST(floor(ln(n) * 1000000) AS BIGINT) AS qx,
+                 CAST(floor(ln(v) * 1000000) AS BIGINT) AS qy
+          FROM c),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS np,
+                 CAST(sum(qx) AS HUGEINT) AS sx, CAST(sum(qy) AS HUGEINT) AS sy,
+                 CAST(sum((qx * qy) // 1000000) AS HUGEINT) AS sxy,
+                 CAST(sum((qx * qx) // 1000000) AS HUGEINT) AS sxx
+          FROM q)
+    SELECT CAST(np AS BIGINT) AS n_docs,
+           round(CAST(np * sxy - (sx * sy) // 1000000 AS DOUBLE)
+                 / CAST(np * sxx - (sx * sx) // 1000000 AS DOUBLE), 4)
+             AS heaps_beta,
+           round(exp((CAST(sy AS DOUBLE)
+                      - (CAST(np * sxy - (sx * sy) // 1000000 AS DOUBLE)
+                         / CAST(np * sxx - (sx * sx) // 1000000 AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(np AS DOUBLE) / 1000000.0), 4) AS heaps_k
+    FROM m
+    """,
+)
+def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β over the
+    corpus in doc_id order — the companion diagnostic to q_text_zipf
+    (β far from ~0.5 flags template spam or a vocabulary-capped
+    corpus; dedup pipelines watch it drop as near-dups are removed).
+
+    Exactness: V and N are exact integer prefix sums — each token
+    contributes its FIRST document (one vocab-bounded min-aggregate),
+    so V(d) needs no distinct-over-prefix; both lns quantize to the
+    1e-6 bigint grid and the OLS moments stay integer end to end (the
+    q_text_zipf discipline, `//` only).
+
+    Scale shape: two hash aggregates (token→first-doc on the vocab,
+    tokens-per-doc on the corpus) and the BANDED prefix-sum
+    (engine.stats._banded_cum — parallel per-band windows + a
+    |bands|-row carry) over the |docs| growth curve; at extreme doc
+    counts the curve would be sampled at log-spaced checkpoints before
+    the fit, which drops points, not exactness."""
+    from engine.stats import _banded_cum
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    nv = (
+        tok.groupBy("tok")
+        .agg(F.min("doc_id").cast("long").alias("fdoc"))
+        .groupBy(F.col("fdoc").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("nv"))
+    )
+    nt = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("ntok"))
+    base = nt.join(nv, "doc_id", "left").select(
+        "doc_id", F.coalesce("nv", F.lit(0)).alias("nv"), "ntok"
+    )
+    c = _banded_cum(base, "doc_id", ["nv", "ntok"], 1024)
+    q = c.select(
+        F.floor(F.log(F.col("cum_ntok").cast("double")) * 1000000)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.log(F.col("cum_nv").cast("double")) * 1000000)
+        .cast("long")
+        .alias("qy"),
+    )
+    m = q.agg(
+        F.count("*").cast("decimal(38,0)").alias("np"),
+        F.sum(F.col("qx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("qy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("(qx * qy) div 1000000").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.expr("(qx * qx) div 1000000").cast("decimal(38,0)")).alias("sxx"),
+    )
+    # all quantized lns are >= 0, so floor-division == DuckDB's `//`
+    a = F.col("np") * F.col("sxy") - F.floor(F.col("sx") * F.col("sy") / 1000000)
+    b = F.col("np") * F.col("sxx") - F.floor(F.col("sx") * F.col("sx") / 1000000)
+    slope = a.cast("double") / b.cast("double")
+    return m.select(
+        F.col("np").cast("long").alias("n_docs"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("np").cast("double")
+                / 1000000.0
+            ),
+            4,
+        ).alias("heaps_k"),
+    )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, encode(text) AS blob,
+             CAST(octet_length(encode(text)) AS BIGINT) AS len
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, blob, len,
+             (len + 63) // 64 AS nf,
+             greatest(1, ((len + 63) // 64 + 7) // 8) AS stride
+      FROM b
+    ),
+    f AS (
+      SELECT doc_id, len,
+             CAST(unnest(generate_series(0, nf - 1, stride)) AS BIGINT)
+               AS frame_idx,
+             lower(hex(blob)) AS hx
+      FROM s
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * 64 AS byte_offset,
+           CAST(least(64, len - frame_idx * 64) AS BIGINT) AS frame_len,
+           md5(substring(hx, CAST(frame_idx * 128 + 1 AS INT), 128)) AS frame_sig
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads: each blob is treated
+    as a fixed-64-byte-frame container and up to 8 evenly-strided
+    frames per item are emitted with their offset, length, and content
+    signature — the video-keyframe-extraction dataflow (SURVEY §2.11)
+    with the codec swapped for a deterministic byte-slice 'decode'
+    (media libraries are not in this container; the Arrow batch path,
+    per-item fan-out, and signature dedup plumbing are the real
+    thing).
+
+    Scale shape: ``mapInPandas`` streams Arrow batches; each row fans
+    out to ≤8 frame rows MAP-SIDE (no shuffle at all — the sampler is
+    embarrassingly parallel), and byte-budget repartitioning
+    (engine.multimodal.repartition_for_media) bounds batch memory when
+    payloads are real media sizes. Stride arithmetic is pure integer;
+    the signature is md5 over the lowercase hex of the exact slice, so
+    every engine agrees byte-for-byte."""
+    import hashlib
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "byte_offset": [],
+                   "frame_len": [], "frame_sig": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                n = len(raw)
+                nf = (n + 63) // 64
+                stride = max(1, (nf + 7) // 8)
+                for idx in range(0, nf, stride):
+                    chunk = raw[idx * 64 : idx * 64 + 64]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["byte_offset"].append(idx * 64)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_sig"].append(
+                        hashlib.md5(chunk.hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        sample,
+        "doc_id long, frame_idx long, byte_offset long, frame_len long, "
+        "frame_sig string",
+    )

@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     "q_stats_ks", "q_stats_mannwhitney", "q_stats_anova", "q_quality_drift",
     "q_win_theil_sen", "q_graph_components",
     "q_risk_metrics", "q_seasonal_decompose", "q_graph_link_predict",
+    "q_text_heaps", "q_multimodal_frames",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

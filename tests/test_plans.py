@@ -80,6 +80,14 @@ _SINGLE_PARTITION_OK = {
     "q_stats_chisq",      # 1-row (n, r, c) scalar of the cell table
     "q_text_collocations",  # 1-row (T, B) totals + global top-20 gather
     "q_basket_rules",     # 1-row order-count fold + global top-25 gather
+    "q_stats_ks",         # |bands|-row carry window + 1-row struct-max
+    "q_stats_mannwhitney",  # |bands|-row carry window + 1-row re-aggregate
+    "q_stats_anova",      # 1-row (k, N, S) total + 1-row output
+    "q_quality_drift",    # <=64-bin table: carry window + total window
+    "q_win_theil_sen",    # calendar-bounded day-pair series: rank + 1-row fold
+    "q_risk_metrics",     # calendar-bounded daily series: lag/rank + 1-row report
+    "q_seasonal_decompose",  # calendar-bounded daily series: centered MA window
+    "q_text_heaps",       # |bands|-row carry window + 1-row OLS fold
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -135,6 +143,16 @@ _CROSS_OK = {
     "q_text_collocations",
     # basket rules: the 1-row order count folds into lift.
     "q_basket_rules",
+    # KS / Mann-Whitney: the 1-row (n_a, n_b) totals fold into the
+    # banded-cum distinct-value table.
+    "q_stats_ks",
+    "q_stats_mannwhitney",
+    # ANOVA: the 1-row (k, N, S) totals fold into the |groups| terms.
+    "q_stats_anova",
+    # PSI: the 1-row (RN, CN, |bins|) totals fold into the <=64 bins.
+    "q_quality_drift",
+    # Theil-Sen: the 1-row day count folds into the 1-row median.
+    "q_win_theil_sen",
 }
 
 

@@ -149,7 +149,7 @@ def test_km_matches_manual_estimator():
 
 def _oracle_orders(key: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("orders", "lineitem", "events"):
+    for t in ("orders", "lineitem", "events", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -355,3 +355,58 @@ def test_link_predict_scores_match_bruteforce():
         assert bool(r["is_edge"]) == ((u, v) in eset)
         jac = len(common) / (len(nbrs[u]) + len(nbrs[v]) - len(common))
         assert abs(r["jaccard"] - round(jac, 6)) < 1e-9
+
+
+def test_heaps_matches_numpy_fit():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    seen: set[str] = set()
+    vs, ns = [], []
+    n_running = 0
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        n_running += len(toks)
+        seen.update(toks)
+        vs.append(len(seen))
+        ns.append(n_running)
+    qx = np.floor(np.log(np.array(ns, np.float64)) * 1e6).astype(np.int64)
+    qy = np.floor(np.log(np.array(vs, np.float64)) * 1e6).astype(np.int64)
+    npts = len(qx)
+    sx, sy = qx.sum(), qy.sum()
+    sxy = ((qx * qy) // 10**6).sum()
+    sxx = ((qx * qx) // 10**6).sum()
+    slope = (npts * sxy - (int(sx) * int(sy)) // 10**6) / (
+        npts * sxx - (int(sx) * int(sx)) // 10**6
+    )
+    k = np.exp((sy - slope * sx) / npts / 1e6)
+    row = _oracle_orders("q_text_heaps").iloc[0]
+    assert row["n_docs"] == npts
+    assert abs(row["heaps_beta"] - round(slope, 4)) < 1e-9
+    assert abs(row["heaps_k"] - round(k, 4)) < 1e-9
+    # sublinear vocabulary growth
+    assert 0.0 < row["heaps_beta"] < 1.0
+
+
+def test_frame_sampler_covers_and_signs_correctly():
+    import hashlib
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    got = _oracle_orders("q_multimodal_frames")
+    by_doc = dict(tuple(got.groupby("doc_id")))
+    for _, r in docs.iterrows():
+        raw = r["text"].encode()
+        nf = (len(raw) + 63) // 64
+        stride = max(1, (nf + 7) // 8)
+        want_idx = list(range(0, nf, stride))
+        g = by_doc[r["doc_id"]].sort_values("frame_idx")
+        assert list(g["frame_idx"]) == want_idx
+        assert len(g) <= 8
+        for _, fr in g.iterrows():
+            chunk = raw[int(fr["byte_offset"]) : int(fr["byte_offset"]) + 64]
+            assert fr["frame_len"] == len(chunk)
+            assert fr["frame_sig"] == hashlib.md5(chunk.hex().encode()).hexdigest()

@@ -71,6 +71,8 @@ ROUND_CHANGED = [
     "q_risk_metrics",     # r5: new
     "q_seasonal_decompose",  # r5: new
     "q_graph_link_predict",  # r5: new
+    "q_text_heaps",       # r5: new
+    "q_multimodal_frames",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
