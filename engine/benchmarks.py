@@ -1273,3 +1273,74 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )
+
+
+@register(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           round(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_base_price,
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                * 100) AS BIGINT)) / 100.0, 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / count(*), 4) AS avg_qty,
+           round(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                 / 100.0 / count(*), 4) AS avg_price,
+           round(sum(CAST(floor(l_discount * 10000) AS BIGINT))
+                 / 10000.0 / count(*), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report), verbatim shape: per
+    (returnflag, linestatus) the full eight-aggregate summary over
+    lines shipped on or before 1998-09-02. q_agg_group is the Q1-style
+    smoke query; this is the complete report, closing the 22/22 TPC-H
+    analog set.
+
+    ONE hash aggregate with map-side combine over a ~4-group domain —
+    the canonical whole-stage-codegen scan→agg plan; the ship-date
+    predicate pushes to the parquet scan. Float policy: every money
+    sum floors to integer cents (discount to 1e-4) BEFORE aggregation
+    so the sums are order-independent; averages divide exact integers
+    by exact counts at the end (registry docstring discipline)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    cents = lambda c: F.sum(F.floor(c * 100).cast("long")).cast("long")  # noqa: E731
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        cents(F.col("l_extendedprice")).alias("_bp"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_dp"),
+        cents(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("_ch"),
+        F.sum(F.floor(F.col("l_discount") * 10000).cast("long"))
+        .cast("long")
+        .alias("_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        F.round(F.col("_bp") / 100.0, 2).alias("sum_base_price"),
+        F.round(F.col("_dp") / 100.0, 2).alias("sum_disc_price"),
+        F.round(F.col("_ch") / 100.0, 2).alias("sum_charge"),
+        F.round(
+            F.col("sum_qty").cast("double") / F.col("count_order"), 4
+        ).alias("avg_qty"),
+        F.round(F.col("_bp") / 100.0 / F.col("count_order"), 4).alias("avg_price"),
+        F.round(F.col("_disc") / 10000.0 / F.col("count_order"), 6).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")

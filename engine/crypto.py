@@ -2248,3 +2248,497 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_drawdown_duration",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, value, ts, event_id,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, CASE WHEN value < peak THEN 1 ELSE 0 END AS uw,
+             sum(CASE WHEN value < peak THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+            FROM w)
+    ),
+    s AS (
+      SELECT user_id, grp, CAST(sum(uw) AS BIGINT) AS streak
+      FROM f WHERE uw = 1 GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(streak) AS BIGINT) AS max_streak,
+           CAST(sum(streak) AS BIGINT) AS n_underwater
+    FROM s GROUP BY user_id
+    ORDER BY max_streak DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+def q_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown duration: each user's longest unbroken run of events
+    below their running peak value (plus total underwater events),
+    top-20 — the time-in-drawdown readout that complements
+    q_drawdown's depth ratio (how LONG underwater, not how deep).
+
+    Gaps-islands on the running-max flag: the island id is the running
+    count of at-peak rows, so one (user_id) exchange and ONE sort
+    serve the peak window, the flag, and the island id; streak sizing
+    and the per-user max are hash aggregates with map-side combine,
+    and the top-20 lowers to TakeOrderedAndProject. Every decision is
+    an integer count or a comparison of identical doubles — nothing to
+    quantize."""
+    ev = _t(spark, sf_dir, "events")
+    wpk = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.max("value").over(wpk).alias("peak"),
+    )
+    uw = F.when(F.col("value") < F.col("peak"), 1).otherwise(0)
+    grpw = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = w.select(
+        "user_id",
+        uw.alias("uw"),
+        F.sum(1 - uw).over(grpw).alias("grp"),
+    )
+    s = (
+        f.filter(F.col("uw") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.sum("uw").cast("long").alias("streak"))
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("streak").cast("long").alias("max_streak"),
+            F.sum("streak").cast("long").alias("n_underwater"),
+        )
+        .orderBy(F.desc("max_streak"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_variance_ratio",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY di
+    ),
+    r AS (
+      SELECT di,
+             CAST(floor(ln(CAST(y AS DOUBLE)
+                           / lag(y) OVER (ORDER BY di)) * 1000000)
+                  AS BIGINT) AS qr
+      FROM d
+    ),
+    rr AS (SELECT di, qr, row_number() OVER (ORDER BY di) AS rn
+           FROM r WHERE qr IS NOT NULL),
+    ks AS (SELECT unnest([2, 4, 8]) AS k),
+    sums AS (
+      SELECT ks.k, rr.rn,
+             CAST(sum(rr2.qr) AS BIGINT) AS sk,
+             CAST(count(rr2.qr) AS BIGINT) AS cnt
+      FROM ks, rr JOIN rr rr2 ON rr2.rn BETWEEN rr.rn - ks.k + 1 AND rr.rn
+      GROUP BY ks.k, rr.rn
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(qr) AS BIGINT) AS s1,
+             CAST(sum(CAST(qr AS HUGEINT) * qr) AS HUGEINT) AS ss1
+      FROM rr
+    ),
+    agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(sk) AS BIGINT) AS sks,
+             CAST(sum(CAST(sk AS HUGEINT) * sk) AS HUGEINT) AS ssk
+      FROM sums WHERE cnt = k GROUP BY k
+    )
+    SELECT k, nk AS n_obs,
+           round(
+             ((CAST(ssk AS DOUBLE) / nk) - pow(CAST(sks AS DOUBLE) / nk, 2))
+             / (k * ((CAST(ss1 AS DOUBLE) / n1)
+                     - pow(CAST(s1 AS DOUBLE) / n1, 2))), 4) + 0.0 AS vr
+    FROM agg, base ORDER BY k
+    """,
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-ratio test (Lo-MacKinlay shape, overlapping sums, no
+    bias correction) of the daily log-return series at horizons
+    k = 2, 4, 8: VR(k) = Var(k-period return) / (k · Var(1-period)) —
+    the random-walk / mean-reversion diagnostic a quant desk runs
+    before trusting any momentum signal (VR < 1 → mean-reverting).
+
+    Exactness: returns live on the 1e-6 ln bigint grid; every
+    k-period return is an exact integer WINDOW SUM of those, so both
+    variances come from exact (Σ, Σ²) integer moments (HUGEINT /
+    decimal — squares of summed grid values overflow bigint at long
+    horizons) and the ratio is one deterministic double, rounded.
+
+    Scale shape: fact table → calendar-bounded daily series in one
+    hash aggregate; three bounded-frame window passes (or one join
+    against a 3-row horizon table) over ~2.4k rows; constant work at
+    any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("di"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    wlag = Window.orderBy("di")
+    rr = (
+        d.select(
+            "di",
+            F.floor(
+                F.log(F.col("y").cast("double") / F.lag("y").over(wlag)) * 1000000
+            )
+            .cast("long")
+            .alias("qr"),
+        )
+        .filter(F.col("qr").isNotNull())
+        .persist()
+    )
+    base = rr.agg(
+        F.count("*").cast("long").alias("n1"),
+        F.sum("qr").cast("long").alias("s1"),
+        F.sum((F.col("qr") * F.col("qr")).cast("decimal(38,0)")).alias("ss1"),
+    )
+    parts = []
+    for k in (2, 4, 8):
+        wk = Window.orderBy("di").rowsBetween(-(k - 1), 0)
+        sums = rr.select(
+            F.sum("qr").over(wk).cast("long").alias("sk"),
+            F.count("qr").over(wk).cast("long").alias("cnt"),
+        ).filter(F.col("cnt") == k)
+        parts.append(
+            sums.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count("*").cast("long").alias("nk"),
+                F.sum("sk").cast("long").alias("sks"),
+                F.sum((F.col("sk") * F.col("sk")).cast("decimal(38,0)")).alias("ssk"),
+            )
+        )
+    agg = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    var_k = F.col("ssk").cast("double") / F.col("nk") - F.pow(
+        F.col("sks").cast("double") / F.col("nk"), 2
+    )
+    var_1 = F.col("ss1").cast("double") / F.col("n1") - F.pow(
+        F.col("s1").cast("double") / F.col("n1"), 2
+    )
+    return (
+        agg.crossJoin(F.broadcast(base))
+        .select(
+            "k",
+            F.col("nk").alias("n_obs"),
+            (F.round(var_k / (F.col("k") * var_1), 4) + 0.0).alias("vr"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di
+      FROM events
+    ),
+    mx AS (SELECT max(di) AS max_di FROM ud),
+    c AS (
+      SELECT user_id, di,
+             lag(di) OVER (PARTITION BY user_id ORDER BY di) AS prev,
+             lead(di) OVER (PARTITION BY user_id ORDER BY di) AS next
+      FROM ud
+    ),
+    act AS (
+      SELECT di,
+             CAST(count(*) FILTER (WHERE prev IS NULL) AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (WHERE prev = di - 1) AS BIGINT) AS n_retained,
+             CAST(count(*) FILTER (WHERE prev < di - 1) AS BIGINT) AS n_resurrected
+      FROM c GROUP BY di
+    ),
+    ch AS (
+      SELECT c.di + 1 AS di, CAST(count(*) AS BIGINT) AS n_churned
+      FROM c, mx
+      WHERE (c.next IS NULL OR c.next > c.di + 1) AND c.di + 1 <= mx.max_di
+      GROUP BY c.di + 1
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(coalesce(act.di, ch.di) AS INT),
+                    '%Y-%m-%d') AS day,
+           coalesce(n_new, 0) AS n_new,
+           coalesce(n_retained, 0) AS n_retained,
+           coalesce(n_resurrected, 0) AS n_resurrected,
+           coalesce(n_churned, 0) AS n_churned
+    FROM act FULL OUTER JOIN ch ON act.di = ch.di
+    ORDER BY day
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, how many active users are NEW
+    (first-ever day), RETAINED (also active yesterday), RESURRECTED
+    (returning after a gap), and how many CHURNED that day (active
+    yesterday or earlier, next activity not today) — the
+    new/retained/resurrected/churned ledger every growth team reports.
+
+    One (user_id) exchange serves both the lag and lead; day
+    classification is pure epoch-day integer arithmetic; the active
+    and churn sides are |days|-bounded aggregates full-outer-joined on
+    the day; the 1-row max-day bound stops churn attribution past the
+    series end. Identity new+retained+resurrected = DAU holds by
+    construction and is pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("di")
+    c = ud.select(
+        "user_id",
+        "di",
+        F.lag("di").over(w).alias("prev"),
+        F.lead("di").over(w).alias("next"),
+    ).persist()
+    act = c.groupBy("di").agg(
+        F.count(F.when(F.col("prev").isNull(), 1)).cast("long").alias("n_new"),
+        F.count(F.when(F.col("prev") == F.col("di") - 1, 1))
+        .cast("long")
+        .alias("n_retained"),
+        F.count(F.when(F.col("prev") < F.col("di") - 1, 1))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    mx = c.agg(F.max("di").alias("max_di"))
+    ch = (
+        c.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next").isNull() | (F.col("next") > F.col("di") + 1))
+            & (F.col("di") + 1 <= F.col("max_di"))
+        )
+        .select((F.col("di") + 1).alias("di"))
+        .groupBy("di")
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    j = act.join(ch, "di", "full_outer")
+    return j.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("di").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0)).cast("long").alias("n_resurrected"),
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+    ).orderBy("day")
+
+
+@register(
+    "q_win_hurst",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY di
+    ),
+    r AS (
+      SELECT di, CAST(floor(ln(CAST(y AS DOUBLE)
+                               / lag(y) OVER (ORDER BY di)) * 1000000)
+                      AS BIGINT) AS qr
+      FROM d
+    ),
+    rr AS (SELECT qr, row_number() OVER (ORDER BY di) AS rn
+           FROM r WHERE qr IS NOT NULL),
+    ks AS (SELECT unnest([8, 16, 32]) AS m),
+    blk AS (
+      SELECT m, qr, rn, (rn - 1) // m AS b,
+             row_number() OVER (PARTITION BY m, (rn - 1) // m ORDER BY rn) AS k,
+             sum(qr) OVER (PARTITION BY m, (rn - 1) // m ORDER BY rn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             CAST(sum(qr) OVER (PARTITION BY m, (rn - 1) // m) AS BIGINT) AS sb,
+             CAST(sum(CAST(qr AS HUGEINT) * qr)
+                  OVER (PARTITION BY m, (rn - 1) // m) AS HUGEINT) AS ssb,
+             CAST(count(*) OVER (PARTITION BY m, (rn - 1) // m) AS BIGINT) AS cb
+      FROM ks, rr
+    ),
+    pb AS (
+      SELECT m, b,
+             CAST(max(m * cum - k * sb) - min(m * cum - k * sb) AS BIGINT)
+               AS r_scaled,
+             any_value(sb) AS sb, any_value(ssb) AS ssb
+      FROM blk WHERE cb = m GROUP BY m, b
+    ),
+    rs AS (
+      SELECT m,
+             CAST(floor(
+               (CAST(r_scaled AS DOUBLE) / m)
+               / sqrt(CAST(ssb AS DOUBLE) / m
+                      - pow(CAST(sb AS DOUBLE) / m, 2))
+               * 1000000) AS BIGINT) AS qrs
+      FROM pb
+    ),
+    pm AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS nb, CAST(sum(qrs) AS BIGINT) AS s
+      FROM rs GROUP BY m
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(m) * 1000000) AS BIGINT) AS qx,
+             CAST(floor(ln(CAST(s AS DOUBLE) / nb / 1000000.0) * 1000000)
+                  AS BIGINT) AS qy,
+             m, nb, s
+      FROM pm
+    ),
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+             CAST(sum((qx * qy) // 1000000) AS BIGINT) AS sxy,
+             CAST(sum((qx * qx) // 1000000) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT round(CAST(np * sxy - (sx * sy) // 1000000 AS DOUBLE)
+                 / (np * sxx - (sx * sx) // 1000000), 4) + 0.0 AS hurst,
+           (SELECT round(CAST(s AS DOUBLE) / nb / 1000000.0, 4)
+            FROM pm WHERE m = 8) AS rs_8,
+           (SELECT round(CAST(s AS DOUBLE) / nb / 1000000.0, 4)
+            FROM pm WHERE m = 16) AS rs_16,
+           (SELECT round(CAST(s AS DOUBLE) / nb / 1000000.0, 4)
+            FROM pm WHERE m = 32) AS rs_32
+    FROM ols
+    """,
+)
+def q_win_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    log-return series at block sizes 8/16/32 — the long-memory
+    diagnostic (H≈0.5 random walk, >0.5 trending, <0.5 mean-reverting)
+    that complements q_variance_ratio's fixed-horizon test.
+
+    Exactness: within each block the mean-adjusted cumulative
+    deviation is carried SCALED BY m (D_k = m·Σ₁..k − k·Σ_block — no
+    division), so R is an exact integer; S comes from exact block
+    moments; each block's R/S quantizes to the 1e-6 grid before the
+    per-size mean, and the final ln-ln OLS runs on grid integers (the
+    q_text_zipf discipline).
+
+    Scale shape: the block partitioning key (m, ⌊rn/m⌋) makes every
+    window frame ≤32 rows; one exchange serves the within-block
+    cumsum, the block totals, and the per-block reduce; everything
+    downstream is ≤|blocks| rows. The base series is calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("di"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    rr = (
+        d.select(
+            "di",
+            F.floor(
+                F.log(F.col("y").cast("double") / F.lag("y").over(Window.orderBy("di")))
+                * 1000000
+            )
+            .cast("long")
+            .alias("qr"),
+        )
+        .filter(F.col("qr").isNotNull())
+        .select("qr", F.row_number().over(Window.orderBy("di")).alias("rn"))
+    )
+    blk = rr.select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("m"), "qr", "rn"
+    ).select("*", F.expr("(rn - 1) div m").alias("b"))
+    wcum = (
+        Window.partitionBy("m", "b")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("m", "b")
+    w = blk.select(
+        "m",
+        "b",
+        F.row_number().over(Window.partitionBy("m", "b").orderBy("rn")).alias("k"),
+        F.sum("qr").over(wcum).cast("long").alias("cum"),
+        F.sum("qr").over(wall).cast("long").alias("sb"),
+        F.sum((F.col("qr") * F.col("qr")).cast("decimal(38,0)")).over(wall).alias(
+            "ssb"
+        ),
+        F.count("*").over(wall).cast("long").alias("cb"),
+    )
+    dk = F.col("m") * F.col("cum") - F.col("k") * F.col("sb")
+    pb = (
+        w.filter(F.col("cb") == F.col("m"))
+        .groupBy("m", "b")
+        .agg(
+            (F.max(dk) - F.min(dk)).cast("long").alias("r_scaled"),
+            F.any_value("sb").alias("sb"),
+            F.any_value("ssb").alias("ssb"),
+        )
+    )
+    s_dev = F.sqrt(
+        F.col("ssb").cast("double") / F.col("m")
+        - F.pow(F.col("sb").cast("double") / F.col("m"), 2)
+    )
+    rs = pb.select(
+        "m",
+        F.floor((F.col("r_scaled").cast("double") / F.col("m")) / s_dev * 1000000)
+        .cast("long")
+        .alias("qrs"),
+    )
+    pm = rs.groupBy("m").agg(
+        F.count("*").cast("long").alias("nb"), F.sum("qrs").cast("long").alias("s")
+    )
+    pts = pm.select(
+        "m",
+        "nb",
+        "s",
+        F.floor(F.log(F.col("m").cast("double")) * 1000000).cast("long").alias("qx"),
+        F.floor(
+            F.log(F.col("s").cast("double") / F.col("nb") / 1000000.0) * 1000000
+        )
+        .cast("long")
+        .alias("qy"),
+    ).persist()
+    ols = pts.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum(F.expr("(qx * qy) div 1000000")).cast("long").alias("sxy"),
+        F.sum(F.expr("(qx * qx) div 1000000")).cast("long").alias("sxx"),
+    )
+    h = (
+        F.col("np") * F.col("sxy") - F.expr("(sx * sy) div 1000000")
+    ).cast("double") / (F.col("np") * F.col("sxx") - F.expr("(sx * sx) div 1000000"))
+    rs_col = lambda mm: F.any_value(  # noqa: E731
+        F.when(F.col("m") == mm, F.round(F.col("s") / F.col("nb") / 1000000.0, 4))
+        , True
+    )
+    wide = pts.agg(
+        rs_col(8).alias("rs_8"), rs_col(16).alias("rs_16"), rs_col(32).alias("rs_32")
+    )
+    return ols.select((F.round(h, 4) + 0.0).alias("hurst")).crossJoin(
+        F.broadcast(wide)
+    )

@@ -596,3 +596,56 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_f"),
     )
+
+
+@register(
+    "q_fn_lambda",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT vec_id, dim,
+           round(list_sum(list_transform(generate_series(1, dim),
+                                         i -> emb[i] * emb[dim + 1 - i])), 4)
+             + 0.0 AS dot_rev,
+           len(list_filter(emb, x -> x > 0.3)) > 0 AS any_big,
+           len(list_filter(emb, x -> NOT (abs(x) < 1.0))) = 0 AS all_small,
+           CAST(dim * (dim + 1) // 2 AS BIGINT) AS idx_sum
+    FROM e
+    """,
+)
+def q_fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda surface beyond q_fn_array's
+    transform/filter/aggregate: ``zip_with`` (self-reversed dot
+    product), ``exists`` / ``forall`` predicates, and ``sequence``
+    folded to an exact integer — the SQL-lambda toolkit for
+    array-valued feature columns.
+
+    All map-side codegen expressions, no shuffle at all. The zip_with
+    fold is a fixed left-to-right sequence over identically-widened
+    doubles (float32 → double on both engines), so the rounded dot is
+    cross-engine-stable; exists/forall compare identical doubles; the
+    sequence fold is pure integer arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = e.select("vec_id", emb.alias("emb"), F.size("embedding").alias("dim"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.reverse(F.col("emb")), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "vec_id",
+        "dim",
+        (F.round(dot, 4) + 0.0).alias("dot_rev"),
+        F.exists("emb", lambda x: x > 0.3).alias("any_big"),
+        F.forall("emb", lambda x: F.abs(x) < 1.0).alias("all_small"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("dim")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("idx_sum"),
+    )

@@ -167,3 +167,60 @@ def q_sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_source_schema_evolution",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_custkey, c_acctbal,
+             CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT coalesce(c_mktsegment, 'PRE_SCHEMA') AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM tagged GROUP BY segment ORDER BY segment
+    """,
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution under the differential gate: an 'old'
+    batch (even custkeys, 3 columns) and a 'new' batch (odd custkeys,
+    + c_mktsegment) land in the same dataset directory; the read uses
+    ``mergeSchema`` so old rows surface the added column as NULL — the
+    additive-evolution contract every long-lived lakehouse table
+    depends on. The aggregate over the merged read must hash-match an
+    oracle computed on the ORIGINAL parquet with the same even/odd
+    masking — a dropped column, type clash, or row loss in the merge
+    breaks the hash.
+
+    Scale note: mergeSchema reconciles FOOTERS (a driver-side
+    metadata pass over file schemas, accelerated by summary files /
+    catalog schemas at real table sizes) — the data pages are still
+    read once, column-pruned and filter-pushed as usual."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _sink("evolve", sf_dir)
+    old = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_acctbal")
+    new = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    old.write.mode("overwrite").parquet(f"{path}/batch=1")
+    new.write.mode("overwrite").parquet(f"{path}/batch=2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        f"{path}/batch=1", f"{path}/batch=2"
+    )
+    return (
+        back.select(
+            F.coalesce("c_mktsegment", F.lit("PRE_SCHEMA")).alias("segment"),
+            "c_acctbal",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -3564,3 +3564,44 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_idx long, byte_offset long, frame_len long, "
         "frame_sig string",
     )
+
+
+def _knn_body() -> str:
+    return KNN_ORACLE.strip().removeprefix("WITH").rsplit("SELECT", 1)[0].strip()
+
+
+@register(
+    "q_embed_outliers",
+    oracle=f"""
+    WITH {_knn_body()}
+    SELECT vec_id,
+           round(1.0 - avg(cosine), 4) + 0.0 AS outlier_score,
+           CAST(count(*) AS BIGINT) AS k_used
+    FROM (SELECT vec_id, cosine FROM rk WHERE rank <= 3)
+    GROUP BY vec_id
+    ORDER BY outlier_score DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-neighbourhood outlier scores: 1 − mean cosine to the
+    k=3 nearest neighbours, top-20 most isolated vectors — the
+    embedding-space anomaly screen (mislabeled points, corrupt encodes,
+    novel content) run before any similarity-driven sampling.
+
+    Reuses q_embed_knn's graph; the score is arithmetic on the already
+    cross-engine-stable ROUNDED cosines (identical inputs → identical
+    mean), one |V|-row hash aggregate, and the top-20 lowers to
+    TakeOrderedAndProject. At 100 TB the same two stages ride on the
+    IVF kNN variant instead of the label-blocked one."""
+    knn = q_embed_knn(spark, sf_dir)
+    return (
+        knn.groupBy("vec_id")
+        .agg(
+            (F.round(1.0 - F.avg("cosine"), 4) + 0.0).alias("outlier_score"),
+            F.count("*").cast("long").alias("k_used"),
+        )
+        .orderBy(F.desc("outlier_score"), F.asc("vec_id"))
+        .limit(20)
+    )
+

@@ -121,6 +121,11 @@ _PRIORITY: list[str] = [
     "q_win_theil_sen", "q_graph_components",
     "q_risk_metrics", "q_seasonal_decompose", "q_graph_link_predict",
     "q_text_heaps", "q_multimodal_frames",
+    "q_join_spatial", "q_quality_freshness",
+    "q_embed_outliers", "q_drawdown_duration",
+    "q_variance_ratio", "q_growth_accounting",
+    "q_win_hurst", "q_source_schema_evolution",
+    "q_tpch_q1", "q_fn_lambda",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

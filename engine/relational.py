@@ -3033,3 +3033,173 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(25)
     )
+
+
+@register(
+    "q_join_spatial",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.02) AS BIGINT) AS cx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.02) AS BIGINT) AS cy
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) + 0.0 AS dist
+    FROM p a JOIN p b
+      ON a.vec_id < b.vec_id
+     AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.0004
+    """,
+)
+def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join: all point pairs within L2 distance
+    0.02 in the plane spanned by the first two embedding dimensions —
+    the grid-blocked proximity-join pattern (geo joins, collision
+    detection, spatial dedup) that replaces the quadratic cross join.
+
+    Blocking: each point lands in ONE grid cell of side r; the probe
+    side explodes to its 3×3 cell neighbourhood, so the equi-join on
+    the cell key finds every true pair EXACTLY once (cell side = r
+    guarantees any pair within r spans at most one cell boundary per
+    axis, and the 9 exploded cells are distinct). Candidate volume is
+    Σ|cell|·|neighbourhood| — local density, never corpus-quadratic —
+    and Catalyst runs it as a plain shuffled hash join on the cell.
+    The exact distance refine happens post-join in codegen.
+    Determinism: float32 coords widen to double identically on both
+    engines, the refine compares identically-computed doubles, and
+    only the final reported distance is rounded."""
+    r = 0.02
+    e = _t(spark, sf_dir, "embeddings")
+    p = e.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    ).select(
+        "*",
+        F.floor(F.col("x") / r).cast("long").alias("cx"),
+        F.floor(F.col("y") / r).cast("long").alias("cy"),
+    )
+    a = p.select(
+        F.col("vec_id").alias("vec_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), "cx", "cy",
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    b = (
+        p.select(
+            F.col("vec_id").alias("vec_b"), F.col("x").alias("xb"),
+            F.col("y").alias("yb"), "cx", "cy",
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "vec_b", "xb", "yb",
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("vec_a") < F.col("vec_b")) & (d2 <= r * r))
+        .select(
+            "vec_a", "vec_b", (F.round(F.sqrt(d2), 6) + 0.0).alias("dist")
+        )
+    )
+
+
+@register(
+    "q_quality_freshness",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT event_type, di, day, n,
+             CAST(coalesce(sum(n) OVER t, 0) AS BIGINT) AS sum_w,
+             CAST(count(*) OVER t AS BIGINT) AS cnt_w,
+             lag(di) OVER (PARTITION BY event_type ORDER BY di) AS prev_di
+      FROM d
+      WINDOW t AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n,
+           CASE WHEN cnt_w > 0
+                THEN round(CAST(n * cnt_w AS DOUBLE) / sum_w, 4) END AS ratio,
+           CAST(coalesce(di - prev_di - 1, 0) AS BIGINT) AS gap_before,
+           cnt_w > 0 AND 2 * n * cnt_w < sum_w AS is_stale
+    FROM w ORDER BY event_type, day
+    """,
+)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness / completeness monitor: each (type, day) ingest
+    count vs its trailing-7-day average, plus calendar gaps — the
+    pipeline-health check that pages before a silent upstream stall
+    poisons downstream aggregates (q_quality_rules' temporal
+    companion).
+
+    Exactness: the staleness flag is the INTEGER cross-multiplication
+    2·n·cnt < Σ (n below half the trailing mean) — no float division
+    decides anything; the reported ratio is the only double and is
+    rounded. Gap detection is pure epoch-day lag arithmetic.
+
+    Scale shape: one fact-scan hash aggregate to |types|×|days| rows;
+    both windows share ONE (event_type) exchange and sort. Bounded
+    frames, no joins."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = Window.partitionBy("event_type").orderBy("di").rowsBetween(-7, -1)
+    lagw = Window.partitionBy("event_type").orderBy("di")
+    w = d.select(
+        "event_type",
+        "di",
+        "day",
+        "n",
+        F.coalesce(F.sum("n").over(t), F.lit(0)).cast("long").alias("sum_w"),
+        F.count("*").over(t).cast("long").alias("cnt_w"),
+        F.lag("di").over(lagw).alias("prev_di"),
+    )
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(
+            F.col("cnt_w") > 0,
+            F.round(
+                (F.col("n") * F.col("cnt_w")).cast("double") / F.col("sum_w"), 4
+            ),
+        ).alias("ratio"),
+        F.coalesce(F.col("di") - F.col("prev_di") - 1, F.lit(0))
+        .cast("long")
+        .alias("gap_before"),
+        ((F.col("cnt_w") > 0) & (2 * F.col("n") * F.col("cnt_w") < F.col("sum_w"))).alias(
+            "is_stale"
+        ),
+    ).orderBy("event_type", "day")

@@ -231,3 +231,32 @@ def test_interpolation_matches_numpy_interp():
                 continue
             expect = round(float(np.interp(t, xs, ys)), 4) + 0.0
             assert abs(price - expect) < 1e-9, (uid, bar, price, expect)
+
+
+def test_q1_matches_pandas_report():
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    li = con.execute(
+        "SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, "
+        "l_discount, l_tax FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+        "WHERE l_shipdate <= DATE '1998-09-02'"
+    ).df()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    from engine.registry import all_oracles
+
+    got = con.execute(all_oracles()["q_tpch_q1"]).df()
+    for (rf, ls), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        row = got[(got["l_returnflag"] == rf) & (got["l_linestatus"] == ls)].iloc[0]
+        assert row["count_order"] == len(g)
+        assert row["sum_qty"] == g["l_quantity"].astype("int64").sum()
+        bp = np.floor(g["l_extendedprice"] * 100).astype("int64").sum()
+        assert abs(row["sum_base_price"] - round(bp / 100, 2)) < 1e-9
+        dp = np.floor(g["l_extendedprice"] * (1 - g["l_discount"]) * 100).astype("int64").sum()
+        assert abs(row["sum_disc_price"] - round(dp / 100, 2)) < 1e-9
+        assert abs(row["avg_qty"] - round(g["l_quantity"].astype("int64").sum() / len(g), 4)) < 1e-9
+        disc = np.floor(g["l_discount"] * 10000).astype("int64").sum()
+        assert abs(row["avg_disc"] - round(disc / 10000 / len(g), 6)) < 1e-9

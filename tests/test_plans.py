@@ -88,6 +88,9 @@ _SINGLE_PARTITION_OK = {
     "q_risk_metrics",     # calendar-bounded daily series: lag/rank + 1-row report
     "q_seasonal_decompose",  # calendar-bounded daily series: centered MA window
     "q_text_heaps",       # |bands|-row carry window + 1-row OLS fold
+    "q_variance_ratio",   # calendar-bounded daily series: lag + k-sum windows
+    "q_win_hurst",        # calendar-bounded daily series: lag + block windows
+    "q_growth_accounting",  # 1-row max-day aggregate bounds churn attribution
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -153,6 +156,12 @@ _CROSS_OK = {
     "q_quality_drift",
     # Theil-Sen: the 1-row day count folds into the 1-row median.
     "q_win_theil_sen",
+    # variance ratio: the 1-row base-variance moments fold into 3 rows.
+    "q_variance_ratio",
+    # growth accounting: the 1-row max-day bound stops churn attribution.
+    "q_growth_accounting",
+    # Hurst: the 1-row OLS fold joins the 1-row wide R/S means.
+    "q_win_hurst",
 }
 
 

@@ -410,3 +410,178 @@ def test_frame_sampler_covers_and_signs_correctly():
             chunk = raw[int(fr["byte_offset"]) : int(fr["byte_offset"]) + 64]
             assert fr["frame_len"] == len(chunk)
             assert fr["frame_sig"] == hashlib.md5(chunk.hex().encode()).hexdigest()
+
+
+def test_spatial_blocking_is_lossless_vs_bruteforce():
+    con = duckdb.connect()
+    pts = con.execute(
+        f"SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, "
+        f"CAST(embedding[2] AS DOUBLE) AS y "
+        f"FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    ids = pts["vec_id"].to_numpy()
+    x, y = pts["x"].to_numpy(), pts["y"].to_numpy()
+    want = set()
+    r2 = 0.02 * 0.02
+    for i in range(len(pts)):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        for j in np.flatnonzero((d2 <= r2) & (ids > ids[i])):
+            want.add((int(ids[i]), int(ids[j])))
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    got = con2.execute(all_oracles()["q_join_spatial"]).df()
+    got_pairs = {(int(r["vec_a"]), int(r["vec_b"])) for _, r in got.iterrows()}
+    assert got_pairs == want
+    for _, r in got.iterrows():
+        i = pts.index[pts["vec_id"] == r["vec_a"]][0]
+        j = pts.index[pts["vec_id"] == r["vec_b"]][0]
+        d = np.sqrt((x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2)
+        assert abs(r["dist"] - round(d, 6)) < 1e-9
+
+
+def test_freshness_flags_match_pandas():
+    got = _oracle_orders("q_quality_freshness")
+    for et, g in got.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        for i in range(len(g)):
+            lo = max(0, i - 7)
+            window = g["n"].iloc[lo:i]
+            if len(window) == 0:
+                assert pd.isna(g["ratio"].iloc[i])
+                assert not g["is_stale"].iloc[i]
+            else:
+                mean = window.mean()
+                assert abs(g["ratio"].iloc[i] - round(g["n"].iloc[i] / mean, 4)) < 1e-9
+                assert bool(g["is_stale"].iloc[i]) == (g["n"].iloc[i] < 0.5 * mean)
+    # a healthy synthetic feed should be mostly fresh
+    assert got["is_stale"].mean() < 0.2
+
+
+def test_drawdown_duration_matches_pandas_streaks():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, value, ts, event_id FROM read_parquet('{SF}/events.parquet') "
+        f"ORDER BY user_id, ts, event_id"
+    ).df()
+    want: dict[int, tuple[int, int]] = {}
+    for uid, g in ev.groupby("user_id"):
+        peak = g["value"].cummax()
+        uw = (g["value"] < peak).to_numpy()
+        best = cur = total = 0
+        for flag in uw:
+            cur = cur + 1 if flag else 0
+            best = max(best, cur)
+            total += int(flag)
+        if total:
+            want[int(uid)] = (best, total)
+    top = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    got = _oracle_orders("q_drawdown_duration")
+    assert [
+        (int(r["user_id"]), (int(r["max_streak"]), int(r["n_underwater"])))
+        for _, r in got.iterrows()
+    ] == top
+
+
+def test_embed_outliers_is_one_minus_knn_mean():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    knn = con.execute(all_oracles()["q_embed_knn"]).df()
+    scores = (
+        knn.groupby("vec_id")["cosine"]
+        .agg(["mean", "count"])
+        .assign(score=lambda d: (1 - d["mean"]).round(4))
+    )
+    got = con.execute(all_oracles()["q_embed_outliers"]).df()
+    want = scores.sort_values(["score"], ascending=False)
+    want = want.reset_index().sort_values(["score", "vec_id"], ascending=[False, True]).head(20)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert np.allclose(got["outlier_score"], want["score"], atol=1e-9)
+    assert (got["k_used"] == want["count"].to_numpy()).all()
+
+
+def test_variance_ratio_matches_numpy():
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS di, "
+        f"sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS y "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY di ORDER BY di"
+    ).df()
+    y = d["y"].to_numpy(np.float64)
+    qr = np.floor(np.log(y[1:] / y[:-1]) * 1e6).astype(np.int64)
+    got = _oracle_orders("q_variance_ratio").set_index("k")
+    var1 = qr.var()
+    for k in (2, 4, 8):
+        sums = np.convolve(qr, np.ones(k, dtype=np.int64), mode="valid")
+        vr = sums.var() / (k * var1)
+        row = got.loc[k]
+        assert row["n_obs"] == len(sums)
+        assert abs(row["vr"] - round(vr, 4)) < 1e-3
+    # overlapping-sum VR of a noisy series stays in a sane band
+    assert ((got["vr"] > 0) & (got["vr"] < 3)).all()
+
+
+def test_growth_accounting_identities():
+    ev = _events()
+    ev["di"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // (86400 * 10**9)
+    ).astype(int)
+    ud = ev[["user_id", "di"]].drop_duplicates()
+    dau = ud.groupby("di")["user_id"].nunique()
+    got = _oracle_orders("q_growth_accounting")
+    got["di"] = (pd.to_datetime(got["day"]).astype("int64") // (86400 * 10**9)).astype(int)
+    g = got.set_index("di")
+    # identity: new + retained + resurrected == DAU for every day
+    for di, n in dau.items():
+        row = g.loc[di]
+        assert row["n_new"] + row["n_retained"] + row["n_resurrected"] == n
+    # total new across days == total distinct users
+    assert g["n_new"].sum() == ud["user_id"].nunique()
+    # churn ledger: sum(churned) == sum(new + resurrected) - active_on_last_day...
+    # simpler conservation: every churn is a prior active who wasn't active next day
+    act_by_day = {di: set(x["user_id"]) for di, x in ud.groupby("di")}
+    days = sorted(act_by_day)
+    for prev_d, next_d in zip(days[:-1], days[1:]):
+        if next_d == prev_d + 1:
+            churn = len(act_by_day[prev_d] - act_by_day[next_d])
+            assert g.loc[next_d]["n_churned"] == churn
+
+
+def test_hurst_matches_numpy_rs():
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS di, "
+        f"sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS y "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY di ORDER BY di"
+    ).df()
+    y = d["y"].to_numpy(np.float64)
+    qr = np.floor(np.log(y[1:] / y[:-1]) * 1e6).astype(np.int64)
+    means = {}
+    for m in (8, 16, 32):
+        qrs = []
+        for b in range(len(qr) // m):
+            blk = qr[b * m : (b + 1) * m]
+            cum = np.cumsum(blk)
+            k = np.arange(1, m + 1)
+            dkk = m * cum - k * blk.sum()
+            r = (dkk.max() - dkk.min()) / m
+            s = blk.std()
+            qrs.append(np.floor(r / s * 1e6))
+        means[m] = np.mean(qrs) / 1e6
+    qx = np.floor(np.log(np.array([8, 16, 32], np.float64)) * 1e6).astype(np.int64)
+    qy = np.floor(np.log(np.array([means[8], means[16], means[32]])) * 1e6).astype(np.int64)
+    npts = 3
+    slope = (npts * ((qx * qy) // 10**6).sum() - (int(qx.sum()) * int(qy.sum())) // 10**6) / (
+        npts * ((qx * qx) // 10**6).sum() - (int(qx.sum()) * int(qx.sum())) // 10**6
+    )
+    row = _oracle_orders("q_win_hurst").iloc[0]
+    assert abs(row["hurst"] - round(slope, 4)) < 1e-9
+    for m in (8, 16, 32):
+        assert abs(row[f"rs_{m}"] - round(means[m], 4)) < 1e-9
+    # R/S grows with block size; exponent in the plausible band
+    assert row["rs_8"] < row["rs_16"] < row["rs_32"]
+    assert 0.0 < row["hurst"] < 1.0

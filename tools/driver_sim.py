@@ -73,6 +73,16 @@ ROUND_CHANGED = [
     "q_graph_link_predict",  # r5: new
     "q_text_heaps",       # r5: new
     "q_multimodal_frames",  # r5: new
+    "q_join_spatial",     # r5: new
+    "q_quality_freshness",  # r5: new
+    "q_embed_outliers",   # r5: new
+    "q_drawdown_duration",  # r5: new
+    "q_variance_ratio",   # r5: new
+    "q_growth_accounting",  # r5: new
+    "q_win_hurst",        # r5: new
+    "q_source_schema_evolution",  # r5: new
+    "q_tpch_q1",          # r5: new (verbatim Q1 report)
+    "q_fn_lambda",        # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
