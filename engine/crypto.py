@@ -2742,3 +2742,95 @@ def q_win_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols.select((F.round(h, 4) + 0.0).alias("hurst")).crossJoin(
         F.broadcast(wide)
     )
+
+
+@register(
+    "q_win_ichimoku",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo
+      FROM events GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT event_type, di, day,
+             (max(hi) OVER w9 + min(lo) OVER w9) / 200.0 AS tenkan,
+             (max(hi) OVER w26 + min(lo) OVER w26) / 200.0 AS kijun,
+             CAST(count(*) OVER w9 AS BIGINT) AS c9,
+             CAST(count(*) OVER w26 AS BIGINT) AS c26
+      FROM d
+      WINDOW
+        w9 AS (PARTITION BY event_type ORDER BY di
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        w26 AS (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT event_type, di, day,
+             CASE WHEN c9 = 9 THEN tenkan END AS tenkan,
+             CASE WHEN c26 = 26 THEN kijun END AS kijun,
+             CASE WHEN c9 = 9 AND c26 = 26
+                  THEN (tenkan + kijun) / 2.0 END AS senkou_a_now
+      FROM w
+    )
+    SELECT event_type, day,
+           round(tenkan, 4) + 0.0 AS tenkan,
+           round(kijun, 4) + 0.0 AS kijun,
+           round(lag(senkou_a_now, 26) OVER
+                   (PARTITION BY event_type ORDER BY di), 4) + 0.0 AS senkou_a
+    FROM s ORDER BY event_type, day
+    """,
+)
+def q_win_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku baseline set per event type's daily bars: Tenkan-sen
+    (9-day channel midpoint), Kijun-sen (26-day), and Senkou span A
+    (their mean projected 26 days forward) — completing the
+    technical-analysis family beside ATR/Bollinger/RSI/MACD/
+    stochastic/OBV.
+
+    Midpoints are (max+min)/2 over integer cent extremes — exact
+    halves, no accumulation — so rounding is safe without
+    quantization; warm-up rows (incomplete 9/26 frames) are NULL on
+    both engines, and the forward projection is a plain lag(…, 26) on
+    the same exchange. One hash agg to |types|×|days| bars, then ALL
+    windows (9, 26, and the lag) share ONE (event_type, di)
+    exchange+sort; frames are ≤26 rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(F.max("c").alias("hi"), F.min("c").alias("lo"))
+    )
+    w9 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-8, 0)
+    w26 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-25, 0)
+    wl = Window.partitionBy("event_type").orderBy("di")
+    tenkan = (F.max("hi").over(w9) + F.min("lo").over(w9)) / 200.0
+    kijun = (F.max("hi").over(w26) + F.min("lo").over(w26)) / 200.0
+    s = d.select(
+        "event_type",
+        "di",
+        "day",
+        F.when(F.count("*").over(w9) == 9, tenkan).alias("tenkan"),
+        F.when(F.count("*").over(w26) == 26, kijun).alias("kijun"),
+        F.when(
+            (F.count("*").over(w9) == 9) & (F.count("*").over(w26) == 26),
+            (tenkan + kijun) / 2.0,
+        ).alias("senkou_a_now"),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        (F.round("tenkan", 4) + 0.0).alias("tenkan"),
+        (F.round("kijun", 4) + 0.0).alias("kijun"),
+        (F.round(F.lag("senkou_a_now", 26).over(wl), 4) + 0.0).alias("senkou_a"),
+    ).orderBy("event_type", "day")

@@ -3203,3 +3203,70 @@ def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_stale"
         ),
     ).orderBy("event_type", "day")
+
+
+_SQL_RECURSIVE_TEXT = """
+    WITH RECURSIVE b AS (
+      SELECT CAST(floor(epoch(min(o_orderdate)) / 86400) AS BIGINT) AS lo
+      FROM orders
+    ),
+    d AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY di
+    ),
+    cal(di, k) AS (
+        SELECT lo, CAST(0 AS BIGINT) FROM b
+        UNION ALL
+        SELECT di + 1, k + 1 FROM cal WHERE k < 89
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(cal.di AS INT), '%Y-%m-%d') AS day,
+           CAST(coalesce(d.cents, 0) AS BIGINT) AS cents,
+           d.di IS NULL AS is_gap
+    FROM cal LEFT JOIN d ON d.di = cal.di
+    ORDER BY day
+"""
+
+
+@register("q_sql_recursive", oracle=_SQL_RECURSIVE_TEXT)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4 ``WITH RECURSIVE``): a 90-day
+    calendar spine generated by recursion from the first order date,
+    left-joined to daily revenue so zero-activity days surface as
+    explicit gap rows — the gap-filling date-spine every reporting
+    stack needs (a GROUP BY alone silently drops empty days).
+
+    The recursion is 90 levels of one row each (under Spark's default
+    100-level vanilla-session limit — longer spines chunk the
+    recursion or use ``sequence()``; the recursive form is the point
+    here), and the spine joins the |days|-bounded aggregate hash-side.
+    The SAME SQL text runs on Spark and DuckDB except the final date
+    rendering (strftime vs date_format) — epoch-day arithmetic keeps
+    the recursion engine-neutral."""
+    d = _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqlrec")
+    return spark.sql(
+        """
+        WITH RECURSIVE b AS (
+          SELECT CAST(floor(unix_timestamp(min(o_orderdate)) / 86400) AS BIGINT)
+            AS lo
+          FROM orders_sqlrec
+        ),
+        d AS (
+          SELECT CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT) AS di,
+                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders_sqlrec GROUP BY di
+        ),
+        cal AS (
+            SELECT lo AS di, CAST(0 AS BIGINT) AS k FROM b
+            UNION ALL
+            SELECT di + 1, k + 1 FROM cal WHERE k < 89
+        )
+        SELECT date_format(date_add(DATE '1970-01-01', CAST(cal.di AS INT)),
+                           'yyyy-MM-dd') AS day,
+               CAST(coalesce(d.cents, 0) AS BIGINT) AS cents,
+               d.di IS NULL AS is_gap
+        FROM cal LEFT JOIN d ON d.di = cal.di
+        ORDER BY day
+        """
+    )

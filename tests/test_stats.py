@@ -585,3 +585,45 @@ def test_hurst_matches_numpy_rs():
     # R/S grows with block size; exponent in the plausible band
     assert row["rs_8"] < row["rs_16"] < row["rs_32"]
     assert 0.0 < row["hurst"] < 1.0
+
+
+def test_sql_recursive_spine_covers_gaps():
+    got = _oracle_orders("q_sql_recursive")
+    assert len(got) == 90
+    days = pd.to_datetime(got["day"])
+    # contiguous daily spine from the first order date
+    assert (days.diff().dropna() == pd.Timedelta(days=1)).all()
+    con = duckdb.connect()
+    daily = con.execute(
+        f"SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, "
+        f"sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS cents "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY day"
+    ).df().set_index("day")
+    assert got["day"].iloc[0] == daily.index.min()
+    for _, r in got.iterrows():
+        if r["day"] in daily.index:
+            assert not r["is_gap"] and r["cents"] == daily.loc[r["day"], "cents"]
+        else:
+            assert r["is_gap"] and r["cents"] == 0
+    # the sparse early-history fixture must actually exercise gap rows
+    assert got["is_gap"].any()
+
+
+def test_ichimoku_matches_pandas_rolling():
+    got = _oracle_orders("q_win_ichimoku")
+    ev = _events()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.strftime("%Y-%m-%d")
+    bars = ev.groupby(["event_type", "day"])["cents"].agg(["max", "min"]).reset_index()
+    for et, g in bars.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        t9 = (g["max"].rolling(9).max() + g["min"].rolling(9).min()) / 200.0
+        k26 = (g["max"].rolling(26).max() + g["min"].rolling(26).min()) / 200.0
+        sa = ((t9 + k26) / 2.0).shift(26)
+        sub = got[got["event_type"] == et].sort_values("day").reset_index(drop=True)
+        for i in range(len(g)):
+            for col, ref in (("tenkan", t9), ("kijun", k26), ("senkou_a", sa)):
+                if pd.isna(ref.iloc[i]):
+                    assert pd.isna(sub[col].iloc[i]), (et, i, col)
+                else:
+                    assert abs(sub[col].iloc[i] - round(ref.iloc[i], 4)) < 1e-9

@@ -83,6 +83,8 @@ ROUND_CHANGED = [
     "q_source_schema_evolution",  # r5: new
     "q_tpch_q1",          # r5: new (verbatim Q1 report)
     "q_fn_lambda",        # r5: new
+    "q_sql_recursive",    # r5: new (Spark 4 WITH RECURSIVE)
+    "q_win_ichimoku",     # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
