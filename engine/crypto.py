@@ -2834,3 +2834,121 @@ def q_win_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("kijun", 4) + 0.0).alias("kijun"),
         (F.round(F.lag("senkou_a_now", 26).over(wl), 4) + 0.0).alias("senkou_a"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_liquidity_metrics",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vol,
+             CAST(count(*) AS BIGINT) AS n_ticks
+      FROM events WHERE value > 0 GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, di, hi, lo, vol, n_ticks,
+             CAST(floor(abs(ln(CAST(vol AS DOUBLE)
+                               / lag(vol) OVER (PARTITION BY event_type
+                                                ORDER BY di))) * 1000000)
+                  AS BIGINT) AS qaret,
+             CAST(floor(pow(ln(CAST(hi AS DOUBLE) / lo), 2) * 1000000000)
+                  AS BIGINT) AS qhl2
+      FROM b
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(qaret AS HUGEINT) * 1000000 // vol) AS BIGINT)
+               AS amihud_q,
+             CAST(count(qaret) AS BIGINT) AS n_ret,
+             CAST(sum(qhl2) AS BIGINT) AS hl2_q
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           round(CAST(amihud_q AS DOUBLE) / n_ret, 4) + 0.0 AS amihud,
+           round(sqrt(CAST(hl2_q AS DOUBLE) / 1000000000
+                      / (4 * ln(2) * n_days)), 6) + 0.0 AS parkinson_vol
+    FROM m ORDER BY event_type
+    """,
+)
+def q_liquidity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market liquidity/efficiency metrics per event type from daily
+    bars: Amihud illiquidity (mean |return| per unit volume, scaled)
+    and Parkinson high-low range volatility — the microstructure
+    screen beside q_win_volatility's close-to-close estimate.
+
+    Exactness: |log return| and ln(hi/lo)² each quantize to a bigint
+    grid immediately after their ONE deterministic double evaluation
+    (inputs are exact cent integers); the Amihud per-day ratio divides
+    the grid integer by exact volume with integer division before the
+    sum, so both aggregates are order-independent.
+
+    Scale shape: ticks → |types|×|days| bars in one hash aggregate;
+    one lag window on that bounded table; one re-aggregate to |types|
+    rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "di")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.sum("c").cast("long").alias("vol"),
+            F.count("*").cast("long").alias("n_ticks"),
+        )
+    )
+    wlag = Window.partitionBy("event_type").orderBy("di")
+    r = b.select(
+        "event_type",
+        "di",
+        "vol",
+        F.floor(
+            F.abs(F.log(F.col("vol").cast("double") / F.lag("vol").over(wlag)))
+            * 1000000
+        )
+        .cast("long")
+        .alias("qaret"),
+        F.floor(
+            F.pow(F.log(F.col("hi").cast("double") / F.col("lo")), 2) * 1000000000
+        )
+        .cast("long")
+        .alias("qhl2"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.expr("(CAST(qaret AS DECIMAL(38,0)) * 1000000) div vol"))
+        .cast("long")
+        .alias("amihud_q"),
+        F.count("qaret").cast("long").alias("n_ret"),
+        F.sum("qhl2").cast("long").alias("hl2_q"),
+    )
+    import math
+
+    return m.select(
+        "event_type",
+        "n_days",
+        (F.round(F.col("amihud_q").cast("double") / F.col("n_ret"), 4) + 0.0).alias(
+            "amihud"
+        ),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("hl2_q").cast("double")
+                    / 1000000000
+                    / (4 * math.log(2) * F.col("n_days"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("parkinson_vol"),
+    ).orderBy("event_type")

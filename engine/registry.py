@@ -127,6 +127,8 @@ _PRIORITY: list[str] = [
     "q_win_hurst", "q_source_schema_evolution",
     "q_tpch_q1", "q_fn_lambda",
     "q_sql_recursive", "q_win_ichimoku",
+    "q_stats_spearman", "q_stats_kendall",
+    "q_liquidity_metrics", "q_stats_regression_multi",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

@@ -930,3 +930,326 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("psi_total"),
     ).orderBy("bin")
+
+
+def _rank2_map(df: DataFrame, col: str, band_width: int) -> DataFrame:
+    """Value → DOUBLED average tie-rank map for ``col``: one hash
+    aggregate to distinct values, banded prefix sum of the counts
+    (:func:`_banded_cum`), and r2 = 2·before + t + 1 — an exact
+    integer for any tie pattern. Returns (col, r2)."""
+    g = df.groupBy(col).agg(F.count("*").cast("long").alias("t"))
+    c = _banded_cum(g, col, ["t"], band_width)
+    return c.select(
+        col, (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias("r2")
+    )
+
+
+@register(
+    "q_stats_spearman",
+    oracle="""
+    WITH gx AS (
+      SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS t FROM lineitem
+      GROUP BY v
+    ),
+    rx AS (
+      SELECT v, 2 * (sum(t) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+               + t + 1 AS r2
+      FROM gx
+    ),
+    gy AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS t
+      FROM lineitem GROUP BY v
+    ),
+    ry AS (
+      SELECT v, 2 * (sum(t) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+               + t + 1 AS r2
+      FROM gy
+    ),
+    j AS (
+      SELECT CAST(rx.r2 AS HUGEINT) AS x, CAST(ry.r2 AS HUGEINT) AS y
+      FROM lineitem
+      JOIN rx ON rx.v = l_quantity
+      JOIN ry ON ry.v = CAST(floor(l_extendedprice * 100) AS BIGINT)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
+             AS spearman_rho
+    FROM m
+    """,
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line quantity and extended
+    price — the monotonic-association companion to q_corr_matrix's
+    Pearson (robust to the price distribution's heavy tail).
+
+    Exactness: average tie-ranks are carried DOUBLED (r2 = 2·before +
+    t + 1 — integer for any tie pattern), so Pearson-on-ranks runs on
+    exact decimal/HUGEINT moments (doubling cancels in ρ); the only
+    double is the final rounded ratio.
+
+    Scale shape: each variable's rank map is one distinct-value hash
+    aggregate + the banded prefix sum (value-domain-bounded); the maps
+    hash-join back to the fact rows (the quantity map is tiny and
+    broadcasts; the price map is domain-bounded); one moment aggregate
+    ends it. No global window, no sort of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    rx = _rank2_map(li, "l_quantity", 16)
+    ry = _rank2_map(
+        li.withColumn(
+            "l_extendedprice_c",
+            F.floor(F.col("l_extendedprice") * 100).cast("long"),
+        ).select(F.col("l_extendedprice_c").alias("l_extendedprice")),
+        "l_extendedprice",
+        1 << 16,
+    )
+    # explicit aliases: both rank maps expose a column named r2
+    rxa = rx.select(F.col("l_quantity"), F.col("r2").alias("x"))
+    rya = ry.select(F.col("l_extendedprice").alias("pc"), F.col("r2").alias("y"))
+    j = (
+        li.select(
+            "l_quantity",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        )
+        .join(F.broadcast(rxa), "l_quantity")
+        .join(rya, "pc")
+        .select(F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)"))
+    )
+    m = j.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(num / den, 6) + 0.0).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q_stats_kendall",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY di
+    ),
+    p AS (
+      SELECT CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS conc,
+             CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS disc,
+             CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS tie_y
+      FROM d a JOIN d b ON b.di > a.di
+    ),
+    m AS (
+      SELECT CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS dk,
+             CAST(sum(tie_y) AS BIGINT) AS ty, CAST(count(*) AS BIGINT) AS n0,
+             (SELECT CAST(count(*) AS BIGINT) FROM d) AS n
+      FROM p
+    )
+    SELECT n, c AS concordant, dk AS discordant,
+           round((c - dk) / sqrt(CAST(n0 AS DOUBLE) * (n0 - ty)), 6) + 0.0
+             AS kendall_tau
+    FROM m
+    """,
+)
+def q_stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between day index and daily revenue — the
+    pair-concordance trend test (the exact test behind the
+    Mann-Kendall trend screen), third leg beside q_stats_trend's OLS
+    and q_win_theil_sen's median slope.
+
+    Day indexes are strictly increasing, so every pair's concordance
+    is one integer comparison of exact cent totals; tau-b's tie
+    correction applies on the y side only (x has no ties). Counting is
+    exact integers; the only double is the final rounded ratio.
+
+    Scale shape: like q_win_theil_sen, the O(days²) pair join runs on
+    the calendar-bounded AGGREGATED series — constant ~3M pairs at any
+    corpus size — and the concordance counts map-side-combine."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("di"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("y"))
+        .persist()
+    )
+    a = d.select(F.col("di").alias("di1"), F.col("y").alias("y1"))
+    b = d.select(F.col("di").alias("di2"), F.col("y").alias("y2"))
+    p = a.join(b, F.col("di2") > F.col("di1")).select(
+        F.when(F.col("y2") > F.col("y1"), 1).otherwise(0).alias("conc"),
+        F.when(F.col("y2") < F.col("y1"), 1).otherwise(0).alias("disc"),
+        F.when(F.col("y2") == F.col("y1"), 1).otherwise(0).alias("tie_y"),
+    )
+    n = d.agg(F.count("*").cast("long").alias("n"))
+    m = p.agg(
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("dk"),
+        F.sum("tie_y").cast("long").alias("ty"),
+        F.count("*").cast("long").alias("n0"),
+    )
+    return (
+        m.crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            F.col("c").alias("concordant"),
+            F.col("dk").alias("discordant"),
+            (
+                F.round(
+                    (F.col("c") - F.col("dk"))
+                    / F.sqrt(
+                        F.col("n0").cast("double") * (F.col("n0") - F.col("ty"))
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("kendall_tau"),
+        )
+    )
+
+
+@register(
+    "q_stats_regression_multi",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400)
+                  - (SELECT min(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))
+                     FROM orders) AS BIGINT) AS x,
+             CAST(CASE WHEN (CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 3)
+                            % 7 >= 5 THEN 1 ELSE 0 END AS BIGINT) AS w,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(w) AS HUGEINT) AS sw,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * w) AS HUGEINT) AS sxw,
+             CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(w AS HUGEINT) * y) AS HUGEINT) AS swy
+      FROM d
+    ),
+    det AS (
+      SELECT n, sy, sxy, swy, sx, sw, sxx, sxw, sww,
+             CAST(n * (sxx * sww - sxw * sxw)
+                  - sx * (sx * sww - sxw * sw)
+                  + sw * (sx * sxw - sxx * sw) AS DOUBLE) AS dd,
+             CAST(sy * (sxx * sww - sxw * sxw)
+                  - sx * (sxy * sww - sxw * swy)
+                  + sw * (sxy * sxw - sxx * swy) AS DOUBLE) AS d0,
+             CAST(n * (sxy * sww - swy * sxw)
+                  - sy * (sx * sww - sxw * sw)
+                  + sw * (sx * swy - sxy * sw) AS DOUBLE) AS d1,
+             CAST(n * (sxx * swy - sxw * sxy)
+                  - sx * (sx * swy - sxy * sw)
+                  + sy * (sx * sxw - sxx * sw) AS DOUBLE) AS d2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(d0 / dd / 100.0, 4) + 0.0 AS intercept,
+           round(d1 / dd / 100.0, 6) + 0.0 AS slope_per_day,
+           round(d2 / dd / 100.0, 4) + 0.0 AS weekend_effect
+    FROM det
+    """,
+)
+def q_stats_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS by exact normal equations: daily revenue ~
+    intercept + slope·day + weekend effect — the multi-regressor step
+    past q_stats_trend's simple slope, solved in closed form via
+    Cramer's rule (no iterative solver, no MLlib RNG).
+
+    Exactness: the design matrix holds only exact integers (day index
+    re-based to the series start, weekend flag from pure (di+3)%7
+    epoch arithmetic, floor-cent revenue); ALL NINE moments and every
+    3×3 determinant accumulate in HUGEINT/decimal — the determinant
+    products reach ~1e25, far past bigint — and doubles appear only in
+    the four final divisions, which are deterministic on identical
+    integer inputs.
+
+    Scale shape: one fact-scan hash aggregate to the calendar-bounded
+    daily table, one moment aggregate, and scalar arithmetic — the
+    same two-stage collapse as q_stats_trend regardless of corpus
+    size."""
+    o = load_table(spark, sf_dir, "orders")
+    d0 = o.select(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("di"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    dmin = d0.agg(F.min("di").alias("di0"))
+    d = (
+        d0.crossJoin(F.broadcast(dmin))
+        .select(
+            (F.col("di") - F.col("di0")).alias("x"),
+            F.when((F.col("di") + 3) % 7 >= 5, 1).otherwise(0).cast("long").alias("w"),
+            F.col("c"),
+            F.col("di"),
+        )
+        .groupBy("x", "w")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = d.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("w")).alias("sw"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("w")).alias("sxw"),
+        F.sum(dec("w") * F.col("w")).alias("sww"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("w") * F.col("y")).alias("swy"),
+    )
+    n, sx, sw = F.col("n"), F.col("sx"), F.col("sw")
+    sxx, sxw, sww = F.col("sxx"), F.col("sxw"), F.col("sww")
+    sy, sxy, swy = F.col("sy"), F.col("sxy"), F.col("swy")
+    dd = (
+        n * (sxx * sww - sxw * sxw)
+        - sx * (sx * sww - sxw * sw)
+        + sw * (sx * sxw - sxx * sw)
+    ).cast("double")
+    d0_ = (
+        sy * (sxx * sww - sxw * sxw)
+        - sx * (sxy * sww - sxw * swy)
+        + sw * (sxy * sxw - sxx * swy)
+    ).cast("double")
+    d1 = (
+        n * (sxy * sww - swy * sxw)
+        - sy * (sx * sww - sxw * sw)
+        + sw * (sx * swy - sxy * sw)
+    ).cast("double")
+    d2 = (
+        n * (sxx * swy - sxw * sxy)
+        - sx * (sx * swy - sxy * sw)
+        + sy * (sx * sxw - sxx * sw)
+    ).cast("double")
+    return m.select(
+        n.cast("long").alias("n_days"),
+        (F.round(d0_ / dd / 100.0, 4) + 0.0).alias("intercept"),
+        (F.round(d1 / dd / 100.0, 6) + 0.0).alias("slope_per_day"),
+        (F.round(d2 / dd / 100.0, 4) + 0.0).alias("weekend_effect"),
+    )

@@ -91,6 +91,9 @@ _SINGLE_PARTITION_OK = {
     "q_variance_ratio",   # calendar-bounded daily series: lag + k-sum windows
     "q_win_hurst",        # calendar-bounded daily series: lag + block windows
     "q_growth_accounting",  # 1-row max-day aggregate bounds churn attribution
+    "q_stats_spearman",   # |bands|-row carry window + 1-row moment fold
+    "q_stats_kendall",    # calendar-bounded day series + 1-row fold
+    "q_stats_regression_multi",  # 1-row min-day re-base + 1-row moment fold
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -162,6 +165,10 @@ _CROSS_OK = {
     "q_growth_accounting",
     # Hurst: the 1-row OLS fold joins the 1-row wide R/S means.
     "q_win_hurst",
+    # Kendall: the 1-row day count folds into the 1-row tau report.
+    "q_stats_kendall",
+    # multi OLS: the 1-row series-start minimum re-bases the day index.
+    "q_stats_regression_multi",
 }
 
 

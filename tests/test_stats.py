@@ -627,3 +627,91 @@ def test_ichimoku_matches_pandas_rolling():
                     assert pd.isna(sub[col].iloc[i]), (et, i, col)
                 else:
                     assert abs(sub[col].iloc[i] - round(ref.iloc[i], 4)) < 1e-9
+
+
+def test_spearman_matches_pandas_rank_corr():
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_quantity, l_extendedprice FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    rho = li["l_quantity"].rank(method="average").corr(
+        np.floor(li["l_extendedprice"] * 100).rank(method="average")
+    )
+    row = _oracle_orders("q_stats_spearman").iloc[0]
+    assert row["n"] == len(li)
+    assert abs(row["spearman_rho"] - round(rho, 6)) < 1e-6
+    # the synthetic fixture draws quantity and price independently, so
+    # the exact rank correlation must sit near zero (and inside [-1, 1])
+    assert abs(row["spearman_rho"]) < 0.1
+
+
+def test_kendall_matches_bruteforce_pairs():
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS di, "
+        f"sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS y "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY di ORDER BY di"
+    ).df()
+    y = d["y"].to_numpy(np.int64)
+    n = len(y)
+    c = dk = ty = 0
+    for i in range(n):
+        diff = y[i + 1 :] - y[i]
+        c += int((diff > 0).sum())
+        dk += int((diff < 0).sum())
+        ty += int((diff == 0).sum())
+    n0 = n * (n - 1) // 2
+    tau = (c - dk) / np.sqrt(n0 * (n0 - ty))
+    row = _oracle_orders("q_stats_kendall").iloc[0]
+    assert row["n"] == n and row["concordant"] == c and row["discordant"] == dk
+    assert abs(row["kendall_tau"] - round(tau, 6)) < 1e-9
+
+
+def test_regression_multi_matches_numpy_lstsq():
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS di, "
+        f"sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS y "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY di ORDER BY di"
+    ).df()
+    di = d["di"].to_numpy(np.int64)
+    x = (di - di.min()).astype(np.float64)
+    w = (((di + 3) % 7) >= 5).astype(np.float64)
+    y = d["y"].to_numpy(np.float64)
+    X = np.column_stack([np.ones_like(x), x, w])
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    row = _oracle_orders("q_stats_regression_multi").iloc[0]
+    assert row["n_days"] == len(d)
+    assert abs(row["intercept"] - round(coef[0] / 100, 4)) < 1e-2
+    assert abs(row["slope_per_day"] - round(coef[1] / 100, 6)) < 1e-4
+    assert abs(row["weekend_effect"] - round(coef[2] / 100, 4)) < 1e-2
+
+
+def test_liquidity_metrics_match_pandas():
+    import math
+
+    ev = _events()
+    ev = ev[ev["value"] > 0].copy()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["di"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // (86400 * 10**9)
+    )
+    bars = (
+        ev.groupby(["event_type", "di"])["cents"]
+        .agg(hi="max", lo="min", vol="sum")
+        .reset_index()
+        .sort_values(["event_type", "di"])
+    )
+    got = _oracle_orders("q_liquidity_metrics").set_index("event_type")
+    for et, g in bars.groupby("event_type"):
+        vol = g["vol"].to_numpy(np.float64)
+        qaret = np.floor(np.abs(np.log(vol[1:] / vol[:-1])) * 1e6).astype(np.int64)
+        ami_q = ((qaret * 10**6) // g["vol"].to_numpy(np.int64)[1:]).sum()
+        ami = ami_q / len(qaret)
+        qhl2 = np.floor(np.log(g["hi"] / g["lo"]) ** 2 * 1e9).astype(np.int64)
+        park = np.sqrt(qhl2.sum() / 1e9 / (4 * math.log(2) * len(g)))
+        row = got.loc[et]
+        assert row["n_days"] == len(g)
+        assert abs(row["amihud"] - round(ami, 4)) < 1e-9
+        assert abs(row["parkinson_vol"] - round(park, 6)) < 1e-9

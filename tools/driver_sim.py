@@ -85,6 +85,10 @@ ROUND_CHANGED = [
     "q_fn_lambda",        # r5: new
     "q_sql_recursive",    # r5: new (Spark 4 WITH RECURSIVE)
     "q_win_ichimoku",     # r5: new
+    "q_stats_spearman",   # r5: new
+    "q_stats_kendall",    # r5: new
+    "q_liquidity_metrics",  # r5: new
+    "q_stats_regression_multi",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
