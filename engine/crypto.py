@@ -2952,3 +2952,64 @@ def q_liquidity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("parkinson_vol"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_orderflow_imbalance",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS c,
+             lag(CAST(floor(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE c > prev) AS BIGINT) AS n_up,
+           CAST(count(*) FILTER (WHERE c < prev) AS BIGINT) AS n_down,
+           CAST(sum(c) FILTER (WHERE c > prev) AS BIGINT) AS buy_cents,
+           CAST(sum(c) FILTER (WHERE c < prev) AS BIGINT) AS sell_cents,
+           round(CAST(sum(c) FILTER (WHERE c > prev)
+                      - sum(c) FILTER (WHERE c < prev) AS DOUBLE)
+                 / (sum(c) FILTER (WHERE c > prev)
+                    + sum(c) FILTER (WHERE c < prev)), 6) + 0.0 AS imbalance
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_orderflow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule order-flow imbalance per event type: upticks classify
+    as buys, downticks as sells (the simplified tick test), and the
+    signed volume imbalance (b−s)/(b+s) summarizes flow direction —
+    the microstructure pressure gauge beside q_liquidity_metrics.
+
+    One (event_type) exchange+sort for the lag; classification and
+    the conditional integer sums collapse in the same hash aggregate
+    with map-side combine; the only double is the final rounded
+    ratio of exact integers. Zero-change ticks are unclassified
+    (excluded from both sides) on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    c = F.floor(F.col("value") * 100).cast("long")
+    t = ev.select("event_type", c.alias("c"), F.lag(c).over(w).alias("prev"))
+    up, dn = F.col("c") > F.col("prev"), F.col("c") < F.col("prev")
+    g = t.groupBy("event_type").agg(
+        F.count(F.when(up, 1)).cast("long").alias("n_up"),
+        F.count(F.when(dn, 1)).cast("long").alias("n_down"),
+        F.sum(F.when(up, F.col("c"))).cast("long").alias("buy_cents"),
+        F.sum(F.when(dn, F.col("c"))).cast("long").alias("sell_cents"),
+    )
+    return g.select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "buy_cents",
+        "sell_cents",
+        (
+            F.round(
+                (F.col("buy_cents") - F.col("sell_cents")).cast("double")
+                / (F.col("buy_cents") + F.col("sell_cents")),
+                6,
+            )
+            + 0.0
+        ).alias("imbalance"),
+    ).orderBy("event_type")

@@ -2479,3 +2479,81 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sc.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v")).limit(20)
+
+
+@register(
+    "q_gdpr_erasure",
+    oracle="""
+    WITH erase AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST(('0x' || substring(md5('erase:' || CAST(c_custkey AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 100 < 5
+    ),
+    o AS (SELECT o_orderkey, o_custkey FROM orders),
+    eo AS (SELECT o_orderkey FROM o JOIN erase ON o_custkey = c_custkey),
+    audit AS (
+      SELECT 'customer' AS table_name,
+             (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_before,
+             (SELECT CAST(count(*) AS BIGINT) FROM erase) AS rows_erased
+      UNION ALL
+      SELECT 'orders',
+             (SELECT CAST(count(*) AS BIGINT) FROM o),
+             (SELECT CAST(count(*) AS BIGINT) FROM eo)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM eo))
+    )
+    SELECT table_name, rows_before, rows_erased,
+           rows_before - rows_erased AS rows_after
+    FROM audit ORDER BY table_name
+    """,
+)
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: a deterministic md5-chosen 5% of
+    customers is marked for deletion and the cascade is sized across
+    customer → orders → lineitem — the compliance dry-run every
+    lakehouse needs before an actual DELETE/MERGE wave (the write side
+    is q_merge_upsert's machinery).
+
+    The erase set derives map-side from the customer scan (the
+    engine's content-addressed md5 convention — reproducible across
+    runs and engines); orders resolve by LEFT SEMI join against it and
+    lineitems by LEFT SEMI against the doomed orders. At fixture scale
+    both semi joins broadcast; at 100 TB AQE picks shuffled semi joins
+    on the same plan, and the three audit rows are 1-row aggregates
+    unioned — nothing wide ever collects."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    erase = c.filter(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("erase:"), F.col("c_custkey").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 5
+    ).select("c_custkey")
+    eo = o.join(erase, o["o_custkey"] == erase["c_custkey"], "left_semi").select(
+        "o_orderkey"
+    )
+    el = li.join(eo, li["l_orderkey"] == eo["o_orderkey"], "left_semi")
+
+    def audit(name: str, full: DataFrame, gone: DataFrame) -> DataFrame:
+        return full.agg(F.count("*").cast("long").alias("rows_before")).crossJoin(
+            F.broadcast(gone.agg(F.count("*").cast("long").alias("rows_erased")))
+        ).select(F.lit(name).alias("table_name"), "rows_before", "rows_erased")
+
+    rows = (
+        audit("customer", c, erase)
+        .unionByName(audit("orders", o, eo))
+        .unionByName(audit("lineitem", li, el))
+    )
+    return rows.select(
+        "table_name",
+        "rows_before",
+        "rows_erased",
+        (F.col("rows_before") - F.col("rows_erased")).alias("rows_after"),
+    ).orderBy("table_name")

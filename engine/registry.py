@@ -129,6 +129,7 @@ _PRIORITY: list[str] = [
     "q_sql_recursive", "q_win_ichimoku",
     "q_stats_spearman", "q_stats_kendall",
     "q_liquidity_metrics", "q_stats_regression_multi",
+    "q_gdpr_erasure", "q_orderflow_imbalance",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

@@ -94,6 +94,7 @@ _SINGLE_PARTITION_OK = {
     "q_stats_spearman",   # |bands|-row carry window + 1-row moment fold
     "q_stats_kendall",    # calendar-bounded day series + 1-row fold
     "q_stats_regression_multi",  # 1-row min-day re-base + 1-row moment fold
+    "q_gdpr_erasure",     # three 1-row audit aggregates
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -169,6 +170,8 @@ _CROSS_OK = {
     "q_stats_kendall",
     # multi OLS: the 1-row series-start minimum re-bases the day index.
     "q_stats_regression_multi",
+    # erasure audit: three 1-row before×erased count folds.
+    "q_gdpr_erasure",
 }
 
 

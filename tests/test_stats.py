@@ -149,7 +149,7 @@ def test_km_matches_manual_estimator():
 
 def _oracle_orders(key: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("orders", "lineitem", "events", "documents"):
+    for t in ("orders", "lineitem", "events", "documents", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -715,3 +715,50 @@ def test_liquidity_metrics_match_pandas():
         assert row["n_days"] == len(g)
         assert abs(row["amihud"] - round(ami, 4)) < 1e-9
         assert abs(row["parkinson_vol"] - round(park, 6)) < 1e-9
+
+
+def test_gdpr_erasure_cascade_is_consistent():
+    got = _oracle_orders("q_gdpr_erasure").set_index("table_name")
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_custkey FROM read_parquet('{SF}/customer.parquet')"
+    ).df()["c_custkey"].tolist()
+    erase = {
+        k for k in cust
+        if int(hashlib.md5(f"erase:{k}".encode()).hexdigest()[:8], 16) % 100 < 5
+    }
+    orders = con.execute(
+        f"SELECT o_orderkey, o_custkey FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    eo = set(orders[orders["o_custkey"].isin(erase)]["o_orderkey"])
+    li = con.execute(
+        f"SELECT l_orderkey FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    el = int(li["l_orderkey"].isin(eo).sum())
+    assert got.loc["customer", "rows_erased"] == len(erase)
+    assert got.loc["orders", "rows_erased"] == len(eo)
+    assert got.loc["lineitem", "rows_erased"] == el
+    for t in ("customer", "orders", "lineitem"):
+        assert got.loc[t, "rows_after"] == got.loc[t, "rows_before"] - got.loc[t, "rows_erased"]
+
+
+def test_orderflow_imbalance_matches_pandas():
+    ev = _events().sort_values(["event_type", "ts"]).copy()
+    # tie-break exactly as the operator does
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, event_id, ts, value "
+        f"FROM read_parquet('{SF}/events.parquet') ORDER BY event_type, ts, event_id"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    got = _oracle_orders("q_orderflow_imbalance").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        c = g["c"].to_numpy()
+        prev = np.roll(c, 1).astype("float64")
+        prev[0] = np.nan
+        up, dn = c > prev, c < prev
+        b, s = int(c[up].sum()), int(c[dn].sum())
+        row = got.loc[et]
+        assert row["n_up"] == int(up.sum()) and row["n_down"] == int(dn.sum())
+        assert row["buy_cents"] == b and row["sell_cents"] == s
+        assert abs(row["imbalance"] - round((b - s) / (b + s), 6)) < 1e-9

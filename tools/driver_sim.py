@@ -89,6 +89,8 @@ ROUND_CHANGED = [
     "q_stats_kendall",    # r5: new
     "q_liquidity_metrics",  # r5: new
     "q_stats_regression_multi",  # r5: new
+    "q_gdpr_erasure",     # r5: new
+    "q_orderflow_imbalance",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
