@@ -3013,3 +3013,285 @@ def q_orderflow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("imbalance"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_win_pivot_points",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    p AS (
+      SELECT event_type, di, day,
+             lag(hi) OVER w AS ph, lag(lo) OVER w AS pl, lag(cl) OVER w AS pc
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY di)
+    )
+    SELECT event_type, day,
+           round((ph + pl + pc) / 300.0, 4) AS pivot,
+           round((2 * (ph + pl + pc) / 3.0 - pl) / 100.0, 4) AS r1,
+           round((2 * (ph + pl + pc) / 3.0 - ph) / 100.0, 4) AS s1,
+           round(((ph + pl + pc) / 3.0 + (ph - pl)) / 100.0, 4) AS r2,
+           round(((ph + pl + pc) / 3.0 - (ph - pl)) / 100.0, 4) AS s2
+    FROM p WHERE ph IS NOT NULL ORDER BY event_type, day
+    """,
+)
+def q_win_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot points per type and day: pivot,
+    R1/S1, R2/S2 derived from the PREVIOUS day's high/low/close —
+    the support/resistance levels published before each session.
+
+    The previous-day carry is one lag window on the |types|×|days|
+    bar table (the close is a deterministic max_by on (ts, event_id));
+    every level is arithmetic on three exact integers divided once
+    for display — no accumulation, no quantization needed. Warm-up
+    (first day per type) is excluded on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"),
+                           F.col("c").alias("v")))["v"].alias("cl"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("di")
+    p = b.select(
+        "event_type",
+        "day",
+        F.lag("hi").over(w).alias("ph"),
+        F.lag("lo").over(w).alias("pl"),
+        F.lag("cl").over(w).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    piv3 = (F.col("ph") + F.col("pl") + F.col("pc")) / 3.0
+    return p.select(
+        "event_type",
+        "day",
+        F.round((F.col("ph") + F.col("pl") + F.col("pc")) / 300.0, 4).alias("pivot"),
+        F.round((2 * piv3 - F.col("pl")) / 100.0, 4).alias("r1"),
+        F.round((2 * piv3 - F.col("ph")) / 100.0, 4).alias("s1"),
+        F.round((piv3 + (F.col("ph") - F.col("pl"))) / 100.0, 4).alias("r2"),
+        F.round((piv3 - (F.col("ph") - F.col("pl"))) / 100.0, 4).alias("s2"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "q_roll_spread",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT)
+             - lag(CAST(floor(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS d
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, d AS cur,
+             lag(d) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+      FROM t WHERE d IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(prev) AS HUGEINT) AS s1,
+             CAST(sum(cur) AS HUGEINT) AS s2,
+             CAST(sum(CAST(prev AS HUGEINT) * cur) AS HUGEINT) AS s12
+      FROM p WHERE prev IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           round(CAST(n_pairs * s12 - s1 * s2 AS DOUBLE)
+                 / n_pairs / n_pairs / 10000.0, 6) + 0.0 AS serial_cov,
+           CASE WHEN n_pairs * s12 - s1 * s2 < 0
+                THEN round(2 * sqrt(-CAST(n_pairs * s12 - s1 * s2 AS DOUBLE)
+                                    / n_pairs / n_pairs) / 100.0, 4) + 0.0
+                END AS roll_spread
+    FROM m ORDER BY event_type
+    """,
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) effective-spread estimator per event type: the
+    bid-ask bounce makes consecutive price CHANGES negatively serially
+    correlated, and spread = 2·sqrt(−Cov(Δp_t, Δp_{t−1})) recovers the
+    effective spread from trade prices alone — the microstructure
+    companion to q_liquidity_metrics' Amihud measure (positive serial
+    covariance → NULL, the estimator's documented undefined case, on
+    both engines).
+
+    The WRONG plan is a self-join of the tick series on adjacent
+    rows; here the (type)-partitioned (ts, event_id) sort order is
+    REUSED by both lag passes (Spark plans one exchange+sort — the
+    diff filter preserves the ordering), and the covariance folds
+    from four exact decimal(38,0) moments per type —
+    order-independent, divided once; sqrt on a deterministic double
+    is IEEE-exact on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = F.floor(F.col("value") * 100).cast("long")
+    t = ev.select(
+        "event_type", "ts", "event_id", (c - F.lag(c).over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    p = t.select(
+        "event_type",
+        F.col("d").alias("cur"),
+        F.lag("d").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    m = p.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(dec("prev")).alias("s1"),
+        F.sum(dec("cur")).alias("s2"),
+        F.sum(dec("prev") * dec("cur")).alias("s12"),
+    )
+    num = (dec("n_pairs") * F.col("s12") - F.col("s1") * F.col("s2"))
+    return m.select(
+        "event_type",
+        "n_pairs",
+        (
+            F.round(
+                num.cast("double") / F.col("n_pairs") / F.col("n_pairs") / 10000.0,
+                6,
+            )
+            + 0.0
+        ).alias("serial_cov"),
+        F.when(
+            num < 0,
+            F.round(
+                2
+                * F.sqrt(
+                    -num.cast("double") / F.col("n_pairs") / F.col("n_pairs")
+                )
+                / 100.0,
+                4,
+            )
+            + 0.0,
+        ).alias("roll_spread"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_vol_estimators",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(min(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS op,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events WHERE value >= 0.01 GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(floor(ln(CAST(hi AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(lo AS DOUBLE)) * 1000000) AS BIGINT) AS hl,
+             CAST(floor(ln(CAST(cl AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(op AS DOUBLE)) * 1000000) AS BIGINT) AS co
+      FROM b
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(hl AS HUGEINT) * hl) AS HUGEINT) AS shl2,
+             CAST(sum(CAST(co AS HUGEINT) * co) AS HUGEINT) AS sco2
+      FROM g GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           round(sqrt(CAST(shl2 AS DOUBLE) / n_days / (4 * ln(2))) / 1000000,
+                 6) + 0.0 AS parkinson_vol,
+           CASE WHEN 0.5 * CAST(shl2 AS DOUBLE) / n_days
+                     - (2 * ln(2) - 1) * CAST(sco2 AS DOUBLE) / n_days > 0
+                THEN round(sqrt(0.5 * CAST(shl2 AS DOUBLE) / n_days
+                                - (2 * ln(2) - 1) * CAST(sco2 AS DOUBLE)
+                                  / n_days) / 1000000, 6) + 0.0
+                END AS gk_vol
+    FROM m ORDER BY event_type
+    """,
+)
+def q_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based daily volatility estimators per event type:
+    Parkinson (high/low range, ~5× more efficient than close-to-close)
+    and Garman-Klass (adds the open→close term) — the estimators a
+    market-data platform publishes next to realized vol
+    (q_win_volatility) because they need only the daily bar, not the
+    tick stream.
+
+    The daily (O, H, L, C) bar collapses in ONE map-side-combined
+    aggregate (open/close are deterministic struct-min/max on
+    (ts, event_id)); ln(H/L) and ln(C/O) land on the house 1e-6
+    bigint ln grid as DIFFERENCES of per-price grid values (exact
+    ints), their squares sum exactly in decimal, and each estimator
+    takes sqrt ONCE on the per-type mean — a negative Garman-Klass
+    mean (possible by construction) is NULL on both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 0.01)
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.min(
+                F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"),
+                         F.col("c").alias("v"))
+            )["v"].alias("op"),
+            F.max(
+                F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"),
+                         F.col("c").alias("v"))
+            )["v"].alias("cl"),
+        )
+    )
+    grid = lambda col: F.floor(F.log(F.col(col).cast("double")) * 1000000).cast(  # noqa: E731
+        "long"
+    )
+    g = b.select(
+        "event_type",
+        (grid("hi") - grid("lo")).alias("hl"),
+        (grid("cl") - grid("op")).alias("co"),
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    m = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(dec("hl") * dec("hl")).alias("shl2"),
+        F.sum(dec("co") * dec("co")).alias("sco2"),
+    )
+    ln2 = 0.6931471805599453
+    mhl = F.col("shl2").cast("double") / F.col("n_days")
+    mco = F.col("sco2").cast("double") / F.col("n_days")
+    gk = 0.5 * mhl - (2 * ln2 - 1) * mco
+    return m.select(
+        "event_type",
+        "n_days",
+        (F.round(F.sqrt(mhl / (4 * ln2)) / 1000000, 6) + 0.0).alias(
+            "parkinson_vol"
+        ),
+        F.when(gk > 0, F.round(F.sqrt(gk) / 1000000, 6) + 0.0).alias("gk_vol"),
+    ).orderBy("event_type")

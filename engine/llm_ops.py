@@ -3605,3 +3605,146 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+
+
+@register(
+    "q_embed_matryoshka",
+    oracle="""
+    WITH prf AS (
+        SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS neighbor_id,
+               CAST(unnest(a.embedding) AS DOUBLE) AS x,
+               CAST(unnest(b.embedding) AS DOUBLE) AS y
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    cosf AS (
+        SELECT vec_id, any_value(label) AS label, neighbor_id,
+               round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) + 0.0
+                 AS cosine
+        FROM prf GROUP BY vec_id, neighbor_id),
+    rkf AS (
+        SELECT vec_id, label, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM cosf),
+    full_k AS (SELECT vec_id, label, neighbor_id FROM rkf WHERE rank <= 10),
+    prp AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               CAST(unnest(a.embedding[1:16]) AS DOUBLE) AS x,
+               CAST(unnest(b.embedding[1:16]) AS DOUBLE) AS y
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    cosp AS (
+        SELECT vec_id, neighbor_id,
+               round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) + 0.0
+                 AS cosine
+        FROM prp GROUP BY vec_id, neighbor_id),
+    rkp AS (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM cosp),
+    pref_k AS (SELECT vec_id, neighbor_id FROM rkp WHERE rank <= 10),
+    hit AS (
+        SELECT f.vec_id, f.label,
+               CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(*) AS BIGINT) AS n_true
+        FROM full_k f LEFT JOIN pref_k p
+          ON p.vec_id = f.vec_id AND p.neighbor_id = f.neighbor_id
+        GROUP BY f.vec_id, f.label)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum(n_hit) AS DOUBLE) / sum(n_true), 4) + 0.0
+             AS recall_at_10
+    FROM hit GROUP BY label ORDER BY label
+    """,
+)
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: recall@10 of a PREFIX-16-dim
+    cosine kNN against the full-64-dim kNN, per label — the
+    measurement that decides whether truncated embeddings are good
+    enough to cut index cost 4× (the dimension-vs-recall trade every
+    embedding pipeline tunes).
+
+    Both retrieval runs use the house kNN discipline (label-blocked
+    candidate join, norms precomputed per vector, ROUNDED cosine +
+    neighbor_id tiebreak so the top-10 sets are cross-engine-exact);
+    recall is a ratio of exact integer hit counts, never of floats.
+    Scale shape: two label-blocked O(B²·d) candidate joins (the
+    IVF/LSH keys are the unblocked scale path), two WindowGroupLimit
+    rank cuts, one hash join of the two ≤10-row-per-vector sets."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def knn(dims: int | None, k: int) -> DataFrame:
+        emb = F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
+        as_double = F.transform(emb, lambda x: x.cast("double"))
+        base = e.select("vec_id", "label", as_double.alias("emb"))
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("emb"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a_, x: a_ + x,
+            )
+        )
+        v = base.withColumn("nrm", norm)
+        a = v.select(
+            F.col("vec_id").alias("vec_id"),
+            F.col("label").alias("label"),
+            F.col("emb").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = v.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("lb"),
+            F.col("emb").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a_, x: a_ + x,
+        )
+        cos = (
+            a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("neighbor_id")))
+            .select(
+                "vec_id",
+                "label",
+                "neighbor_id",
+                (F.round(dot / (F.col("na") * F.col("nb")), 4) + 0.0).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        return cos.select(
+            "vec_id", "label", "neighbor_id", F.row_number().over(w).alias("rank")
+        ).filter(F.col("rank") <= k)
+
+    full_k = knn(None, 10)
+    pref_k = knn(16, 10).select(
+        F.col("vec_id").alias("pv"), F.col("neighbor_id").alias("pn"),
+        F.lit(1).alias("hit"),
+    )
+    hit = (
+        full_k.join(
+            pref_k,
+            (full_k["vec_id"] == pref_k["pv"])
+            & (full_k["neighbor_id"] == pref_k["pn"]),
+            "left",
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.count("*").cast("long").alias("n_true"),
+        )
+    )
+    return (
+        hit.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            (
+                F.round(
+                    F.sum("n_hit").cast("double") / F.sum("n_true"), 4
+                )
+                + 0.0
+            ).alias("recall_at_10"),
+        )
+        .orderBy("label")
+    )

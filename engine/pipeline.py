@@ -2557,3 +2557,130 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_erased",
         (F.col("rows_before") - F.col("rows_erased")).alias("rows_after"),
     ).orderBy("table_name")
+
+
+@register(
+    "q_sample_class_balance",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             md5('bal:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM d
+    ),
+    kk AS (SELECT CAST(min(cnt) AS BIGINT) AS k
+           FROM (SELECT count(*) AS cnt FROM d GROUP BY lang)),
+    kept AS (SELECT lang, doc_id FROM r, kk WHERE rn <= k)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(count(kept.doc_id) AS BIGINT) AS n_after,
+           CAST(coalesce(sum(kept.doc_id), 0) AS BIGINT) AS kept_checksum
+    FROM d LEFT JOIN kept ON kept.lang = d.lang AND kept.doc_id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language class thins to the
+    minority-class size by keeping the k docs with the smallest
+    content-addressed md5 rank — the deterministic rebalancing step
+    before training on a skewed corpus (no RNG, reproducible across
+    runs, engines, and shards). The kept-set doc_id checksum in the
+    audit proves the EXACT selection matched, not just the counts.
+
+    Scale shape: one hash per row map-side, one per-class rank window
+    (each class sorts only its own partition), a 1-row minority-size
+    bound broadcast back, and a |classes|-row audit. The md5 order is
+    a total order (ties broken by doc_id), so the kept set is unique."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    r = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("h", "doc_id"))
+        .alias("rn"),
+    )
+    kk = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").cast("long").alias("k"))
+    )
+    kept = (
+        r.crossJoin(F.broadcast(kk))
+        .filter(F.col("rn") <= F.col("k"))
+        .select(F.col("lang").alias("klang"), F.col("doc_id").alias("kept_id"))
+    )
+    return (
+        d.join(
+            kept,
+            (d["lang"] == kept["klang"]) & (d["doc_id"] == kept["kept_id"]),
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_before"),
+            F.count("kept_id").cast("long").alias("n_after"),
+            F.coalesce(F.sum("kept_id"), F.lit(0)).cast("long").alias("kept_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _cluster_oracle() -> str:
+    from engine.registry import _ORACLES
+
+    return _ORACLES["q_dedup_cluster"]
+
+
+@register(
+    "q_dedup_soft_weights",
+    oracle=f"""
+    WITH base AS ({_cluster_oracle()})
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN base.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_clusters,
+           round(sum(1000000000 // base.cluster_size) / 1000000000.0, 4) + 0.0
+             AS effective_docs
+    FROM base JOIN documents d USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup reweighting: instead of dropping near-duplicates,
+    every document gets weight 1/cluster_size (a cluster of 4
+    near-identical docs contributes one document's worth of gradient)
+    — the soft alternative to q_dedup_cluster's keep/drop decision,
+    reported per language as effective corpus size.
+
+    Weights quantize to integer nano-units (10⁹ div size) BEFORE the
+    per-language sum so the effective-size aggregate is
+    order-independent; cluster labels come from the same converged
+    components pass as q_dedup_cluster (shared plan, shared oracle
+    CTE chain)."""
+    labels = q_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_size")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = d.join(labels, "doc_id").select(
+        "lang",
+        "cluster_size",
+        F.expr("1000000000 div cluster_size").cast("long").alias("wq"),
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_clusters"),
+            (F.round(F.sum("wq") / 1000000000.0, 4) + 0.0).alias("effective_docs"),
+        )
+        .orderBy("lang")
+    )
+

@@ -130,6 +130,11 @@ _PRIORITY: list[str] = [
     "q_stats_spearman", "q_stats_kendall",
     "q_liquidity_metrics", "q_stats_regression_multi",
     "q_gdpr_erasure", "q_orderflow_imbalance",
+    "q_sample_class_balance", "q_embed_matryoshka",
+    "q_win_pivot_points", "q_stats_srm",
+    "q_dedup_soft_weights", "q_user_lorenz",
+    "q_stats_cuped", "q_stats_proportions",
+    "q_roll_spread", "q_vol_estimators",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

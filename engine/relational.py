@@ -3270,3 +3270,117 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day
         """
     )
+
+
+@register(
+    "q_user_lorenz",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT m,
+             row_number() OVER (ORDER BY m, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             CAST(sum(m) OVER () AS BIGINT) AS total
+      FROM u
+    ),
+    d AS (
+      SELECT ((rn - 1) * 10) // n + 1 AS decile, m, n, total
+      FROM r
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(m) AS DOUBLE) / any_value(total), 6) + 0.0
+             AS revenue_share,
+           round(CAST(sum(sum(m)) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / any_value(any_value(total)) OVER (), 6) + 0.0 AS cum_share
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+)
+def q_user_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration: decile revenue
+    shares and the cumulative curve (the picture behind q_agg_gini's
+    single number — 'the top decile carries X% of revenue').
+
+    Deciles come CLOSED-FORM from the exact global rank
+    (((rn−1)·10) div n); the rank itself is the q_rfm_segments /
+    q_abc_pareto banded scheme — band customers on floor(log2(cents))
+    (≤64 bands whose ascending order refines (m, custkey)), take
+    row_number WITHIN each band (parallel window), and add the
+    broadcast carry-in of earlier bands' counts, so the
+    |customers|-sized relation is never globally sorted on one
+    partition. The only single-partition stages are the ≤64-row band
+    carry window and the 10-row cumulative decile window; the only
+    cross join is the 1-row (n, total) fold. Shares are ratios of
+    exact integer cent sums rounded once for display."""
+    from pyspark.sql import Window
+
+    u = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("m"))
+    )
+    b = u.withColumn(
+        "_band", F.floor(F.log2(F.col("m").cast("double") + 1.5))
+    )
+    within = b.withColumn(
+        "_rn_in",
+        F.row_number().over(
+            Window.partitionBy("_band").orderBy(F.asc("m"), F.asc("o_custkey"))
+        ),
+    )
+    bt = (
+        b.groupBy("_band")
+        .agg(F.count("*").alias("_bc"))
+        .withColumn(
+            "_carry",
+            F.coalesce(
+                F.sum("_bc").over(
+                    Window.orderBy(F.asc("_band")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(F.col("_band").alias("_b"), "_carry")
+    )
+    tot = F.broadcast(
+        u.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("m").cast("long").alias("total"),
+        )
+    )
+    r = (
+        within.join(F.broadcast(bt), F.col("_band") == F.col("_b"))
+        .withColumn("rn", (F.col("_carry") + F.col("_rn_in")).cast("long"))
+        .crossJoin(tot)
+    )
+    d = r.select(
+        (F.expr("((rn - 1) * 10) div n") + 1).cast("long").alias("decile"),
+        "m",
+        "total",
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("m").cast("long").alias("dm"),
+        F.any_value("total").alias("total"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return g.select(
+        "decile",
+        "n_customers",
+        (F.round(F.col("dm").cast("double") / F.col("total"), 6) + 0.0).alias(
+            "revenue_share"
+        ),
+        (
+            F.round(
+                F.sum("dm").over(wcum).cast("double") / F.col("total"), 6
+            )
+            + 0.0
+        ).alias("cum_share"),
+    ).orderBy("decile")

@@ -1253,3 +1253,246 @@ def q_stats_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(d1 / dd / 100.0, 6) + 0.0).alias("slope_per_day"),
         (F.round(d2 / dd / 100.0, 4) + 0.0).alias("weekend_effect"),
     )
+
+
+@register(
+    "q_stats_srm",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE {_SQL_BUCKET} = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE {_SQL_BUCKET} = 1) AS BIGINT) AS n_b
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 4)
+             + 0.0 AS srm_chi2,
+           CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b) > 3.841
+             AS srm_flag
+    FROM g ORDER BY event_type
+    """,
+)
+def q_stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check per event type: 1-dof chi-square of
+    the md5 A/B arm counts against the designed 50/50 split, flagged
+    at the 5% critical value (3.841) — the guardrail every experiment
+    platform runs BEFORE reading any metric (a flagged SRM invalidates
+    the experiment regardless of lift).
+
+    ONE conditional hash aggregate; the statistic is exact-integer
+    arithmetic divided once at the end; the flag compares that
+    deterministic double to a constant. A hash split SHOULD pass —
+    the expected all-false flags are the A/A sanity check."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(_spark_bucket() == 0, 1)).cast("long").alias("n_a"),
+            F.count(F.when(_spark_bucket() == 1, 1)).cast("long").alias("n_b"),
+        )
+    )
+    chi = (
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.round(chi, 4) + 0.0).alias("srm_chi2"),
+        (chi > 3.841).alias("srm_flag"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_stats_cuped",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, {_SQL_BUCKET} AS arm,
+             CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                   THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pool AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM u
+    ),
+    arm AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS HUGEINT) AS ax, CAST(sum(y) AS HUGEINT) AS ay
+      FROM u GROUP BY arm
+    )
+    SELECT arm, n_users,
+           round(CAST(ay AS DOUBLE) / n_users / 100.0, 4) + 0.0 AS mean_post,
+           round(CAST(ax AS DOUBLE) / n_users / 100.0, 4) + 0.0 AS mean_pre,
+           round((CAST(ay AS DOUBLE) / n_users
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(ax AS DOUBLE) / n_users
+                       - CAST(sx AS DOUBLE) / n)) / 100.0, 4) + 0.0
+             AS mean_adjusted,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS theta,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 / CAST(n * syy - sy * sy AS DOUBLE), 6) + 0.0
+             AS var_reduction
+    FROM arm, pool ORDER BY arm
+    """,
+)
+def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, public method): the
+    experiment readout every platform ships — per-user PRE-period
+    spend (first half of the event window) is the covariate, the
+    post-period mean per md5 arm is adjusted by theta·(x̄_arm − x̄),
+    with theta = cov(x,y)/var(x) pooled across arms, and the achieved
+    variance-reduction fraction (=ρ²) reported alongside.
+
+    Scale shape: ONE conditional hash aggregate builds the per-user
+    (x, y) table — no self-join of pre vs post; the five pooled
+    moments are exact decimal(38,0) sums folded in ONE 1-row
+    aggregate broadcast to the 2-row arm table. Every division
+    happens once, on exact moments, so the doubles are
+    order-independent (the q_stats_regression_multi discipline)."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    split = F.lit("2024-01-16").cast("timestamp")
+    u = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("arm", _spark_bucket())
+        .groupBy("user_id", "arm")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < split, cents)), F.lit(0)
+            ).cast("long").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= split, cents)), F.lit(0)
+            ).cast("long").alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pool = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    arm = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(dec("x")).alias("ax"),
+        F.sum(dec("y")).alias("ay"),
+    )
+    j = arm.crossJoin(F.broadcast(pool))
+    num = (dec("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (dec("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (dec("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = num / den
+    mean_x = F.col("sx").cast("double") / F.col("n")
+    ax_mean = F.col("ax").cast("double") / F.col("n_users")
+    ay_mean = F.col("ay").cast("double") / F.col("n_users")
+    return j.select(
+        "arm",
+        "n_users",
+        (F.round(ay_mean / 100.0, 4) + 0.0).alias("mean_post"),
+        (F.round(ax_mean / 100.0, 4) + 0.0).alias("mean_pre"),
+        (F.round((ay_mean - theta * (ax_mean - mean_x)) / 100.0, 4) + 0.0).alias(
+            "mean_adjusted"
+        ),
+        (F.round(theta, 6) + 0.0).alias("theta"),
+        (F.round(num * num / den / deny, 6) + 0.0).alias("var_reduction"),
+    ).orderBy("arm")
+
+
+@register(
+    "q_stats_proportions",
+    oracle=f"""
+    WITH arms AS (
+      SELECT DISTINCT user_id, {_SQL_BUCKET} AS arm FROM events
+    ),
+    tot AS (
+      SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+      FROM arms
+    ),
+    conv AS (
+      SELECT event_type,
+             CAST(count(DISTINCT CASE WHEN {_SQL_BUCKET} = 0
+                                      AND value >= 195 THEN user_id END)
+                  AS BIGINT) AS x_a,
+             CAST(count(DISTINCT CASE WHEN {_SQL_BUCKET} = 1
+                                      AND value >= 195 THEN user_id END)
+                  AS BIGINT) AS x_b
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, x_a, x_b,
+           round(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b, 6)
+             + 0.0 AS rate_diff,
+           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 * (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)
+                    * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) + 0.0 AS z_sq
+    FROM conv, tot ORDER BY event_type
+    """,
+)
+def q_stats_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type: does the md5 A arm reach a
+    high-value event (value ≥ 195, ~p20 user-level) of each type at a
+    different rate than the B arm — the conversion-rate readout (z² against the pooled-variance
+    denominator; z² > 3.841 is the 5% call, left to the reader since
+    an A/A split should not systematically flag).
+
+    Scale shape: the distinct (user, type) reach relation is one
+    hash-distinct aggregate of the fact table (count(DISTINCT CASE)
+    lowers to a partial-distinct expand, never a self-join); the
+    2-arm user totals are a 1-row fold broadcast to the |types| rows.
+    z² is computed ONCE from five exact integers — order-independent
+    by construction."""
+    ev = load_table(spark, sf_dir, "events").withColumn("arm", _spark_bucket())
+    tot = (
+        ev.select("user_id", "arm")
+        .distinct()
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
+            F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
+        )
+    )
+    conv = ev.groupBy("event_type").agg(
+        F.count_distinct(
+            F.when((F.col("arm") == 0) & (F.col("value") >= 195), F.col("user_id"))
+        ).cast("long").alias("x_a"),
+        F.count_distinct(
+            F.when((F.col("arm") == 1) & (F.col("value") >= 195), F.col("user_id"))
+        ).cast("long").alias("x_b"),
+    )
+    j = conv.crossJoin(F.broadcast(tot))
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        (F.round(pa - pb, 6) + 0.0).alias("rate_diff"),
+        (
+            F.round(
+                (pa - pb) * (pa - pb)
+                / (pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+                4,
+            )
+            + 0.0
+        ).alias("z_sq"),
+    ).orderBy("event_type")

@@ -95,6 +95,11 @@ _SINGLE_PARTITION_OK = {
     "q_stats_kendall",    # calendar-bounded day series + 1-row fold
     "q_stats_regression_multi",  # 1-row min-day re-base + 1-row moment fold
     "q_gdpr_erasure",     # three 1-row audit aggregates
+    "q_sample_class_balance",  # 1-row minority-size bound
+    "q_user_lorenz",      # <=64-row band carry window + 10-row decile
+                          # cum window — customers never single-partitioned
+    "q_stats_cuped",      # 1-row pooled-moment fold broadcast to 2 arms
+    "q_stats_proportions",  # 1-row arm-total fold broadcast to |types|
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -172,6 +177,14 @@ _CROSS_OK = {
     "q_stats_regression_multi",
     # erasure audit: three 1-row before×erased count folds.
     "q_gdpr_erasure",
+    # class balance: the 1-row minority-size bound clips every class.
+    "q_sample_class_balance",
+    # Lorenz: the 1-row (n, total) fold maps ranks to deciles.
+    "q_user_lorenz",
+    # CUPED: the 1-row pooled-moment fold adjusts the 2-row arm table.
+    "q_stats_cuped",
+    # proportions: the 1-row arm-total fold joins the |types| rows.
+    "q_stats_proportions",
 }
 
 

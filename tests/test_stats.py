@@ -149,7 +149,7 @@ def test_km_matches_manual_estimator():
 
 def _oracle_orders(key: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("orders", "lineitem", "events", "documents", "customer"):
+    for t in ("orders", "lineitem", "events", "documents", "customer", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -762,3 +762,268 @@ def test_orderflow_imbalance_matches_pandas():
         assert row["n_up"] == int(up.sum()) and row["n_down"] == int(dn.sum())
         assert row["buy_cents"] == b and row["sell_cents"] == s
         assert abs(row["imbalance"] - round((b - s) / (b + s), 6)) < 1e-9
+
+
+def test_class_balance_selection_is_exact():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lang FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    docs["h"] = docs["doc_id"].map(lambda i: hashlib.md5(f"bal:{i}".encode()).hexdigest())
+    k = docs.groupby("lang").size().min()
+    got = _oracle_orders("q_sample_class_balance").set_index("lang")
+    for lang, g in docs.groupby("lang"):
+        kept = g.sort_values(["h", "doc_id"]).head(k)
+        row = got.loc[lang]
+        assert row["n_before"] == len(g)
+        assert row["n_after"] == k
+        assert row["kept_checksum"] == kept["doc_id"].sum()
+
+
+def test_matryoshka_recall_matches_numpy():
+    con = duckdb.connect()
+    em = con.execute(
+        f"SELECT vec_id, embedding, label FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    vecs = np.stack(em["embedding"].map(np.asarray)).astype(np.float64)
+    ids = em["vec_id"].to_numpy()
+    labels = em["label"].to_numpy()
+
+    def topk(dim):
+        out = {}
+        v = vecs[:, :dim]
+        for lab in np.unique(labels):
+            idx = np.flatnonzero(labels == lab)
+            sub, sid = v[idx], ids[idx]
+            norms = np.linalg.norm(sub, axis=1)
+            cos = np.round((sub @ sub.T) / np.outer(norms, norms), 4)
+            for i in range(len(idx)):
+                order = sorted(
+                    [(float(-cos[i, j]), int(sid[j])) for j in range(len(idx)) if j != i]
+                )[:10]
+                out[int(sid[i])] = {nid for _, nid in order}
+        return out
+
+    full, pref = topk(64), topk(16)
+    got = _oracle_orders("q_embed_matryoshka").set_index("label")
+    per_label_hit: dict[int, list[int]] = {}
+    for vid, fset in full.items():
+        lab = int(labels[ids == vid][0])
+        per_label_hit.setdefault(lab, []).append(
+            (len(fset & pref[vid]), len(fset))
+        )
+    for lab, pairs in per_label_hit.items():
+        hits = sum(h for h, _ in pairs)
+        tot = sum(t for _, t in pairs)
+        row = got.loc[lab]
+        assert row["n_vectors"] == len(pairs)
+        assert abs(row["recall_at_10"] - round(hits / tot, 4)) < 1e-9
+    # truncation must lose SOME recall but stay useful on this fixture
+    assert 0.2 < got["recall_at_10"].mean() < 1.0
+
+
+def test_pivot_points_match_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    bars = (
+        ev.sort_values(["ts", "event_id"])
+        .groupby(["event_type", "day"])
+        .agg(hi=("c", "max"), lo=("c", "min"), cl=("c", "last"))
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    g = bars.groupby("event_type")
+    for col in ("hi", "lo", "cl"):
+        bars["p" + col[0] if col != "cl" else "pc"] = g[col].shift(1)
+    bars = bars.dropna(subset=["ph"])
+    got = _oracle_orders("q_win_pivot_points")
+    assert len(got) == len(bars)
+    m = got.set_index(["event_type", "day"])
+    for _, r in bars.iterrows():
+        row = m.loc[(r["event_type"], r["day"].strftime("%Y-%m-%d"))]
+        ph, pl, pc = r["ph"], r["pl"], r["pc"]
+        piv3 = (ph + pl + pc) / 3.0
+        assert abs(row["pivot"] - round((ph + pl + pc) / 300.0, 4)) < 1e-9
+        assert abs(row["r1"] - round((2 * piv3 - pl) / 100.0, 4)) < 1e-9
+        assert abs(row["s1"] - round((2 * piv3 - ph) / 100.0, 4)) < 1e-9
+        assert abs(row["r2"] - round((piv3 + (ph - pl)) / 100.0, 4)) < 1e-9
+        assert abs(row["s2"] - round((piv3 - (ph - pl)) / 100.0, 4)) < 1e-9
+
+
+def test_srm_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, user_id FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["arm"] = ev["user_id"].map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+    )
+    got = _oracle_orders("q_stats_srm").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        na, nb = int((g["arm"] == 0).sum()), int((g["arm"] == 1).sum())
+        chi = (na - nb) ** 2 / (na + nb)
+        row = got.loc[et]
+        assert row["n_a"] == na and row["n_b"] == nb
+        assert abs(row["srm_chi2"] - round(chi, 4)) < 1e-9
+        assert bool(row["srm_flag"]) == (chi > 3.841)
+    # a healthy md5 split flags each type with p=0.05 — all five
+    # flagging at once would mean the bucket hash is broken
+    assert not got["srm_flag"].all()
+
+
+def test_soft_weights_recompute_from_cluster_labels():
+    from engine.pipeline import _cluster_oracle
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    base = con.execute(
+        f"WITH base AS ({_cluster_oracle()}) "
+        "SELECT base.doc_id, base.cluster_size, d.lang "
+        "FROM base JOIN documents d USING (doc_id)"
+    ).df()
+    got = _oracle_orders("q_dedup_soft_weights").set_index("lang")
+    for lang, g in base.groupby("lang"):
+        wq = (10**9 // g["cluster_size"].astype("int64")).sum()
+        row = got.loc[lang]
+        assert row["n_docs"] == len(g)
+        assert row["n_in_clusters"] == int((g["cluster_size"] > 1).sum())
+        assert abs(row["effective_docs"] - round(wq / 1e9, 4)) < 1e-9
+    # soft weights never exceed the raw count, and equal it iff no dups
+    assert (got["effective_docs"] <= got["n_docs"]).all()
+
+
+def test_lorenz_matches_pandas():
+    con = duckdb.connect()
+    od = con.execute(
+        f"SELECT o_custkey, o_totalprice FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    od["cents"] = np.floor(od["o_totalprice"] * 100).astype("int64")
+    u = od.groupby("o_custkey")["cents"].sum().reset_index(name="m")
+    u = u.sort_values(["m", "o_custkey"]).reset_index(drop=True)
+    n, total = len(u), int(u["m"].sum())
+    u["decile"] = ((np.arange(n) * 10) // n) + 1
+    got = _oracle_orders("q_user_lorenz").set_index("decile")
+    cum = 0
+    for dec, g in u.groupby("decile"):
+        dm = int(g["m"].sum())
+        cum += dm
+        row = got.loc[dec]
+        assert row["n_customers"] == len(g)
+        assert abs(row["revenue_share"] - round(dm / total, 6)) < 1e-9
+        assert abs(row["cum_share"] - round(cum / total, 6)) < 1e-9
+    assert abs(got.loc[10, "cum_share"] - 1.0) < 1e-9
+
+
+def _arm(u) -> int:
+    return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+
+def test_cuped_matches_numpy():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    split = pd.Timestamp("2024-01-16")
+    u = (
+        ev.assign(
+            x=np.where(ev["ts"] < split, ev["cents"], 0),
+            y=np.where(ev["ts"] >= split, ev["cents"], 0),
+        )
+        .groupby("user_id")[["x", "y"]]
+        .sum()
+        .reset_index()
+    )
+    u["arm"] = u["user_id"].map(_arm)
+    x, y = u["x"].to_numpy(float), u["y"].to_numpy(float)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    got = _oracle_orders("q_stats_cuped").set_index("arm")
+    for arm, g in u.groupby("arm"):
+        row = got.loc[arm]
+        assert row["n_users"] == len(g)
+        assert abs(row["mean_post"] - round(g["y"].mean() / 100.0, 4)) < 1e-6
+        adj = g["y"].mean() - theta * (g["x"].mean() - x.mean())
+        assert abs(row["mean_adjusted"] - round(adj / 100.0, 4)) < 1e-6
+    assert abs(got["theta"].iloc[0] - round(theta, 6)) < 1e-5
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(got["var_reduction"].iloc[0] - round(rho2, 6)) < 1e-5
+
+
+def test_proportions_matches_scipy_free_formula():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, user_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["arm"] = ev["user_id"].map(_arm)
+    users = ev[["user_id", "arm"]].drop_duplicates()
+    na = int((users["arm"] == 0).sum())
+    nb = int((users["arm"] == 1).sum())
+    got = _oracle_orders("q_stats_proportions").set_index("event_type")
+    hi = ev[ev["value"] >= 195]
+    for et in got.index:
+        g = hi[hi["event_type"] == et]
+        xa = g[g["arm"] == 0]["user_id"].nunique()
+        xb = g[g["arm"] == 1]["user_id"].nunique()
+        row = got.loc[et]
+        assert (row["n_a"], row["n_b"], row["x_a"], row["x_b"]) == (na, nb, xa, xb)
+        pa, pb, pp = xa / na, xb / nb, (xa + xb) / (na + nb)
+        z2 = (pa - pb) ** 2 / (pp * (1 - pp) * (1 / na + 1 / nb))
+        assert abs(row["z_sq"] - round(z2, 4)) < 1e-6
+
+
+def test_roll_spread_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    got = _oracle_orders("q_roll_spread").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        d = g["c"].diff().dropna().to_numpy(float)
+        prev, cur = d[:-1], d[1:]
+        m = len(cur)
+        cov = (m * (prev * cur).sum() - prev.sum() * cur.sum()) / m / m
+        row = got.loc[et]
+        assert row["n_pairs"] == m
+        assert abs(row["serial_cov"] - round(cov / 1e4, 6)) < 1e-6
+        if cov < 0:
+            assert abs(row["roll_spread"] - round(2 * np.sqrt(-cov) / 100, 4)) < 1e-6
+        else:
+            assert pd.isna(row["roll_spread"])
+
+
+def test_vol_estimators_match_numpy():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value FROM read_parquet('{SF}/events.parquet') "
+        f"WHERE value >= 0.01"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    grid = lambda s: np.floor(np.log(s.astype(float)) * 1e6).astype("int64")  # noqa: E731
+    got = _oracle_orders("q_vol_estimators").set_index("event_type")
+    ln2 = np.log(2)
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        bars = g.groupby("day")["c"].agg(["max", "min", "first", "last"])
+        hl = grid(bars["max"]) - grid(bars["min"])
+        co = grid(bars["last"]) - grid(bars["first"])
+        mhl = (hl.astype(float) ** 2).mean()
+        mco = (co.astype(float) ** 2).mean()
+        row = got.loc[et]
+        assert row["n_days"] == len(bars)
+        assert abs(row["parkinson_vol"] - round(np.sqrt(mhl / (4 * ln2)) / 1e6, 6)) < 1e-6
+        gk = 0.5 * mhl - (2 * ln2 - 1) * mco
+        if gk > 0:
+            assert abs(row["gk_vol"] - round(np.sqrt(gk) / 1e6, 6)) < 1e-6
+        else:
+            assert pd.isna(row["gk_vol"])

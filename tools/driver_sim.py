@@ -91,6 +91,16 @@ ROUND_CHANGED = [
     "q_stats_regression_multi",  # r5: new
     "q_gdpr_erasure",     # r5: new
     "q_orderflow_imbalance",  # r5: new
+    "q_sample_class_balance",  # r5: new
+    "q_embed_matryoshka",  # r5: new
+    "q_win_pivot_points",  # r5: new
+    "q_stats_srm",        # r5: new
+    "q_dedup_soft_weights",  # r5: new
+    "q_user_lorenz",      # r5: new
+    "q_stats_cuped",      # r5: new
+    "q_stats_proportions",  # r5: new
+    "q_roll_spread",      # r5: new
+    "q_vol_estimators",   # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
