@@ -3748,3 +3748,236 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_multimodal_phash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(length(hex(encode(text))) / 2 AS BIGINT) AS n
+      FROM documents
+      WHERE length(hex(encode(text))) >= 128
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(generate_series(0,63),
+               i -> CAST(('0x' || substring(hx, CAST(i*(n//64)*2+1 AS INT), 2))
+                         AS BIGINT)) AS bytes
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(0,3), k ->
+               list_sum(list_transform(generate_series(0,15), j ->
+                 CASE WHEN bytes[16*k+j+1]*64 > list_sum(bytes)
+                      THEN (1<<j) ELSE 0 END))) AS bands
+      FROM b
+    ),
+    e AS (
+      SELECT doc_id, bands, k, bands[k+1] AS bv
+      FROM h, (SELECT unnest(generate_series(0,3)) AS k)
+    ),
+    p AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             bit_count(xor(a.bands[1], b.bands[1]))
+             + bit_count(xor(a.bands[2], b.bands[2]))
+             + bit_count(xor(a.bands[3], b.bands[3]))
+             + bit_count(xor(a.bands[4], b.bands[4])) AS ham
+      FROM e a JOIN e b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(ham AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(da + db) AS BIGINT) AS pair_checksum
+    FROM p WHERE ham <= 3 GROUP BY ham ORDER BY ham
+    """,
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over opaque media
+    payloads: a 64-bit average-hash (aHash) built from 64 bytes
+    STRIDED across each blob (the image-thumbnail discipline with the
+    pixel decode swapped for a deterministic byte sample — media libs
+    aren't in this container; the hashing, banding, and join plumbing
+    are the real thing), then all pairs within hamming distance ≤ 3,
+    reported as pair counts + an identity checksum per distance.
+
+    Scale shape: the hash is pure map-side codegen (hex slicing +
+    integer threshold against the 64·byte vs sum cross-multiplication
+    — no float mean); the pair search NEVER self-joins the corpus:
+    each item emits its 4 16-bit bands and candidates meet on exact
+    band equality — the pigeonhole guarantee (4 bands, ≤3 differing
+    bits → ≥1 band identical) makes the blocking LOSSLESS for d ≤ 3,
+    the same family of argument as q_dedup_minhash's LSH bands but
+    exact, not probabilistic. Verification happens on the ≤3-band
+    collision set only."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+        )
+        .filter(F.length("hx") >= 128)
+        .withColumn("n", (F.length("hx") / 2).cast("long"))
+    )
+    # The bytes array is LET-BOUND as a lambda variable (the
+    # transform-over-a-1-element-array idiom): naming it as a column
+    # instead lets ProjectCollapse substitute the 64-term
+    # conv/substring expression into every one of the 64 per-bit
+    # CASE branches — ~4096 inlined copies whose whole-stage codegen
+    # takes Janino ~30 s to compile (measured at sf0.001; runtime was
+    # never the problem, compilation was). Bound once, the tree stays
+    # small wherever Catalyst inlines it. The integer
+    # byte·64 > Σbytes cross-multiplication replaces the float mean.
+    h = d.select(
+        "doc_id",
+        F.expr(
+            "element_at(transform(array("
+            "transform(sequence(0, 63), i -> "
+            "CAST(conv(substring(hx, CAST(i*(n div 64)*2+1 AS INT), 2), 16, 10)"
+            " AS BIGINT))), bs -> "
+            "transform(sequence(0, 3), k -> "
+            "aggregate(sequence(0, 15), 0L, (acc, j) -> acc + "
+            "CASE WHEN element_at(bs, CAST(16*k+j+1 AS INT)) * 64 > "
+            "aggregate(bs, 0L, (a2, x) -> a2 + x) "
+            "THEN CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT) ELSE 0L END))"
+            "), 1)"
+        ).alias("bands"),
+    )
+    # Exchange barrier: the self-join branches then share one
+    # Exchange + ReusedExchange instead of hashing the corpus twice.
+    h = h.repartition("doc_id")
+    e = h.select(
+        "doc_id", "bands", F.posexplode("bands").alias("k", "bv")
+    )
+    a = e.select(
+        F.col("doc_id").alias("da"), F.col("bands").alias("ba"),
+        "k", "bv",
+    )
+    bb = e.select(
+        F.col("doc_id").alias("db"), F.col("bands").alias("bbs"),
+        F.col("k").alias("k2"), F.col("bv").alias("bv2"),
+    )
+    ham = sum(
+        F.expr(f"bit_count(element_at(ba, {i}) ^ element_at(bbs, {i}))")
+        for i in (1, 2, 3, 4)
+    )
+    p = (
+        a.join(
+            bb,
+            (F.col("k") == F.col("k2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col("da") < F.col("db")),
+        )
+        .select("da", "db", ham.alias("ham"))
+        .distinct()
+        .filter(F.col("ham") <= 3)
+    )
+    return (
+        p.groupBy(F.col("ham").cast("long").alias("hamming"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("da") + F.col("db")).cast("long").alias("pair_checksum"),
+        )
+        .orderBy("hamming")
+    )
+
+
+@register(
+    "q_text_bigram_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT d.lang, string_split(d.text, ' ') AS ts
+      FROM documents d WHERE length(string_split(d.text, ' ')) >= 2
+    ),
+    bi AS (
+      SELECT lang, u.big.w1 AS w1, u.big.w2 AS w2
+      FROM t, unnest(list_transform(generate_series(1, length(ts) - 1),
+                 i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS u(big)
+    ),
+    cb AS (
+      SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM bi GROUP BY lang, w1, w2
+    ),
+    cu AS (
+      SELECT lang, w1, CAST(sum(c) AS BIGINT) AS fc
+      FROM cb GROUP BY lang, w1
+    ),
+    tt AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(DISTINCT w1) AS BIGINT) AS vocab_prefixes
+      FROM cb GROUP BY lang
+    ),
+    s AS (
+      SELECT cb.lang,
+             CAST(sum(CAST(cb.c AS HUGEINT)
+                  * (CAST(floor(ln(CAST(cu.fc AS DOUBLE)) * 1000000) AS BIGINT)
+                     - CAST(floor(ln(CAST(cb.c AS DOUBLE)) * 1000000) AS BIGINT)))
+                  AS HUGEINT) AS num
+      FROM cb JOIN cu ON cb.lang = cu.lang AND cb.w1 = cu.w1
+      GROUP BY cb.lang
+    )
+    SELECT tt.lang, tt.total AS n_bigrams, tt.vocab_prefixes,
+           round(CAST(s.num AS DOUBLE) / tt.total / 1000000, 4) + 0.0
+             AS cond_entropy_nats
+    FROM s JOIN tt ON s.lang = tt.lang ORDER BY tt.lang
+    """,
+)
+def q_text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(next-word | word) per language —
+    the corpus predictability number that sits between q_text_entropy
+    (unigram) and q_text_perplexity (model-based): low conditional
+    entropy means formulaic, template-heavy text; the metric LLM data
+    curation uses to down-weight boilerplate-rich sources.
+
+    H(N|C) = Σ f_cw·(ln f_c − ln f_cw) / T via the identity
+    H(N|C) = H(C,N) − H(C), so the whole computation runs on exact
+    integer counts: bigrams generate MAP-SIDE (arrays_zip of the
+    shifted token array — never the collocations position self-join),
+    collapse in one (lang, w1, w2) hash agg, prefix totals re-aggregate
+    from the already-collapsed counts, and each ln lands on the house
+    1e-6 bigint grid so the weighted sum is exact decimal, divided
+    once per language."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.split("text", " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    bi = d.select(
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ts, 1, size(ts) - 1)").alias("w1"),
+                F.expr("slice(ts, 2, size(ts) - 1)").alias("w2"),
+            )
+        ).alias("big"),
+    ).select("lang", F.col("big.w1").alias("w1"), F.col("big.w2").alias("w2"))
+    cb = bi.groupBy("lang", "w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    cu = cb.groupBy("lang", "w1").agg(F.sum("c").cast("long").alias("fc"))
+    tt = cb.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count_distinct("w1").cast("long").alias("vocab_prefixes"),
+    )
+    grid = lambda c_: F.floor(F.log(F.col(c_).cast("double")) * 1000000).cast(  # noqa: E731
+        "long"
+    )
+    s = (
+        cb.join(cu, ["lang", "w1"])
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * (grid("fc") - grid("c")).cast("decimal(38,0)")
+            ).alias("num")
+        )
+    )
+    return (
+        s.join(tt, "lang")
+        .select(
+            "lang",
+            F.col("total").alias("n_bigrams"),
+            "vocab_prefixes",
+            (
+                F.round(F.col("num").cast("double") / F.col("total") / 1000000, 4)
+                + 0.0
+            ).alias("cond_entropy_nats"),
+        )
+        .orderBy("lang")
+    )

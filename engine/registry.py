@@ -135,6 +135,8 @@ _PRIORITY: list[str] = [
     "q_dedup_soft_weights", "q_user_lorenz",
     "q_stats_cuped", "q_stats_proportions",
     "q_roll_spread", "q_vol_estimators",
+    "q_stats_jackknife", "q_stats_granger",
+    "q_multimodal_phash", "q_text_bigram_entropy",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

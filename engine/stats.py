@@ -1496,3 +1496,300 @@ def q_stats_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("z_sq"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_jackknife",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substring(md5('jk:' || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 50 AS bkt,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(cents) AS BIGINT) AS s_i
+      FROM u GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS bb,
+             CAST(sum(n_i) AS BIGINT) AS nn, CAST(sum(s_i) AS BIGINT) AS ss
+      FROM b
+    ),
+    q AS (
+      SELECT CAST(floor(CAST(ss - s_i AS DOUBLE) / (nn - n_i) * 1000000)
+                  AS BIGINT) AS qi, bb, nn, ss
+      FROM b, tot
+    ),
+    agg AS (
+      SELECT any_value(bb) AS bb, any_value(nn) AS nn, any_value(ss) AS ss,
+             CAST(sum(CAST(qi AS HUGEINT) * qi) AS HUGEINT) AS sq2,
+             CAST(sum(qi) AS HUGEINT) AS sq
+      FROM q
+    )
+    SELECT nn AS n_users, bb AS n_buckets,
+           round(CAST(ss AS DOUBLE) / nn / 100.0, 4) + 0.0 AS theta,
+           round(sqrt(CAST(bb - 1 AS DOUBLE) / bb
+                      * CAST(bb * sq2 - sq * sq AS DOUBLE)
+                      / bb / 1e12) / 100.0, 4) + 0.0 AS se_jackknife,
+           round((CAST(ss AS DOUBLE) / nn
+                  - 1.96 * sqrt(CAST(bb - 1 AS DOUBLE) / bb
+                                * CAST(bb * sq2 - sq * sq AS DOUBLE)
+                                / bb / 1e12)) / 100.0, 4) + 0.0 AS ci_lo,
+           round((CAST(ss AS DOUBLE) / nn
+                  + 1.96 * sqrt(CAST(bb - 1 AS DOUBLE) / bb
+                                * CAST(bb * sq2 - sq * sq AS DOUBLE)
+                                / bb / 1e12)) / 100.0, 4) + 0.0 AS ci_hi
+    FROM agg
+    """,
+)
+def q_stats_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for a RATIO metric
+    (revenue per user) — the way experiment platforms get correct
+    CIs for ratio metrics, where the naive per-user variance is wrong
+    because both numerator and denominator are random.
+
+    Scale shape: per-user totals (one hash agg) fold into 50 md5
+    buckets (a second tiny agg); each leave-one-out estimate
+    θ_i = (S−s_i)/(N−n_i) is ONE deterministic double from exact
+    integer partials, quantized to a 1e-6 bigint grid so the
+    across-bucket sum of squares B·Σq²−(Σq)² is EXACT decimal — the
+    order-nondeterministic float Σ(θ_i−θ̄)² never happens. sqrt and
+    the 1.96 CI evaluate once on the 1-row fold."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    u = (
+        load_table(spark, sf_dir, "events")
+        .withColumn(
+            "bkt",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("jk:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 50,
+        )
+        .groupBy("user_id", "bkt")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    b = u.groupBy("bkt").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum("cents").cast("long").alias("s_i"),
+    )
+    tot = b.agg(
+        F.count("*").cast("long").alias("bb"),
+        F.sum("n_i").cast("long").alias("nn"),
+        F.sum("s_i").cast("long").alias("ss"),
+    )
+    q = b.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("ss") - F.col("s_i")).cast("double")
+            / (F.col("nn") - F.col("n_i"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("qi"),
+        "bb",
+        "nn",
+        "ss",
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    agg = q.agg(
+        F.any_value("bb").alias("bb"),
+        F.any_value("nn").alias("nn"),
+        F.any_value("ss").alias("ss"),
+        F.sum(dec("qi") * dec("qi")).alias("sq2"),
+        F.sum(dec("qi")).alias("sq"),
+    )
+    se = F.sqrt(
+        (F.col("bb") - 1).cast("double")
+        / F.col("bb")
+        * (dec("bb") * F.col("sq2") - F.col("sq") * F.col("sq")).cast("double")
+        / F.col("bb")
+        / 1e12
+    )
+    theta = F.col("ss").cast("double") / F.col("nn")
+    return agg.select(
+        F.col("nn").alias("n_users"),
+        F.col("bb").alias("n_buckets"),
+        (F.round(theta / 100.0, 4) + 0.0).alias("theta"),
+        (F.round(se / 100.0, 4) + 0.0).alias("se_jackknife"),
+        (F.round((theta - 1.96 * se) / 100.0, 4) + 0.0).alias("ci_lo"),
+        (F.round((theta + 1.96 * se) / 100.0, 4) + 0.0).alias("ci_hi"),
+    )
+
+
+@register(
+    "q_stats_granger",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT) END) // 10000
+                  AS BIGINT) AS y,
+             CAST(sum(CASE WHEN event_type = 'error'
+                  THEN CAST(floor(value * 100) AS BIGINT) END) // 10000
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT di, y AS w,
+             lag(y) OVER (ORDER BY di) AS u,
+             lag(x) OVER (ORDER BY di) AS v,
+             lag(di) OVER (ORDER BY di) AS pdi
+      FROM d
+    ),
+    r AS (SELECT w, u, v FROM t WHERE pdi = di - 1),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(u) AS HUGEINT) AS su, CAST(sum(v) AS HUGEINT) AS sv,
+             CAST(sum(w) AS HUGEINT) AS sw,
+             CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS suu,
+             CAST(sum(CAST(u AS HUGEINT) * v) AS HUGEINT) AS suv,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv,
+             CAST(sum(CAST(u AS HUGEINT) * w) AS HUGEINT) AS suw,
+             CAST(sum(CAST(v AS HUGEINT) * w) AS HUGEINT) AS svw,
+             CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+      FROM r
+    ),
+    s AS (
+      SELECT n, sww, sw, suw, svw, su, suu,
+        CAST(n*(suu*svv - suv*suv) - su*(su*svv - suv*sv)
+             + sv*(su*suv - suu*sv) AS DOUBLE) AS det,
+        CAST(sw*(suu*svv - suv*suv) - su*(suw*svv - suv*svw)
+             + sv*(suw*suv - suu*svw) AS DOUBLE) AS d_a,
+        CAST(n*(suw*svv - suv*svw) - sw*(su*svv - suv*sv)
+             + sv*(su*svw - suw*sv) AS DOUBLE) AS d_b,
+        CAST(n*(suu*svw - suw*suv) - su*(su*svw - suw*sv)
+             + sw*(su*suv - suu*sv) AS DOUBLE) AS d_c
+      FROM m
+    ),
+    f AS (
+      SELECT CAST(n AS BIGINT) AS n_days,
+             d_b / det AS beta_ylag, d_c / det AS beta_xlag,
+             CAST(sww AS DOUBLE)
+               - (d_a / det) * CAST(sw AS DOUBLE)
+               - (d_b / det) * CAST(suw AS DOUBLE)
+               - (d_c / det) * CAST(svw AS DOUBLE) AS rss_u,
+             CAST(sww AS DOUBLE)
+               - ((CAST(sw AS DOUBLE) - CAST(n*suw - su*sw AS DOUBLE)
+                   / CAST(n*suu - su*su AS DOUBLE) * CAST(su AS DOUBLE))
+                  / CAST(n AS DOUBLE)) * CAST(sw AS DOUBLE)
+               - CAST(n*suw - su*sw AS DOUBLE) / CAST(n*suu - su*su AS DOUBLE)
+                 * CAST(suw AS DOUBLE) AS rss_r
+      FROM s
+    )
+    SELECT n_days,
+           round(beta_ylag, 6) + 0.0 AS beta_ylag,
+           round(beta_xlag, 6) + 0.0 AS beta_xlag,
+           round((rss_r - rss_u) * (n_days - 3) / rss_u, 4) + 0.0 AS f_stat
+    FROM f
+    """,
+)
+def q_stats_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lead-lag test: does yesterday's ERROR revenue
+    help predict today's PURCHASE revenue beyond purchase's own lag —
+    F-test of the lag-1 unrestricted regression
+    y_t = a + b·y_{t−1} + c·x_{t−1} against the restricted AR(1)
+    (the incident-impact question asked of every ops metric pair).
+
+    Exactness: the daily series quantizes to integer 1e4-cent units
+    (keeps every 3×3 Cramer determinant product inside decimal(38)
+    at any SF); all ten regression moments and all four determinants
+    are EXACT decimal; the two RSS values and the F-statistic are a
+    fixed sequence of double ops on those exact numbers — identical
+    parenthesization on both engines (the q_stats_regression_multi
+    discipline). Consecutive-day pairs only (pdi = di−1), so a
+    missing day drops the pair, not the alignment. The ~30-row daily
+    series is calendar-bounded: the single-partition lag window never
+    sees more rows than days in the fixture's range."""
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("value") * 100).cast("long")
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN event_type = 'purchase' "
+                "THEN CAST(floor(value * 100) AS BIGINT) END) div 10000 AS BIGINT)"
+            ).alias("y"),
+            F.expr(
+                "CAST(sum(CASE WHEN event_type = 'error' "
+                "THEN CAST(floor(value * 100) AS BIGINT) END) div 10000 AS BIGINT)"
+            ).alias("x"),
+        )
+    )
+    w = Window.orderBy("di")
+    t = d.select(
+        "di",
+        F.col("y").alias("w"),
+        F.lag("y").over(w).alias("u"),
+        F.lag("x").over(w).alias("v"),
+        F.lag("di").over(w).alias("pdi"),
+    ).filter(F.col("pdi") == F.col("di") - 1)
+    dc = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    m = t.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dc("u")).alias("su"),
+        F.sum(dc("v")).alias("sv"),
+        F.sum(dc("w")).alias("sw"),
+        F.sum(dc("u") * dc("u")).alias("suu"),
+        F.sum(dc("u") * dc("v")).alias("suv"),
+        F.sum(dc("v") * dc("v")).alias("svv"),
+        F.sum(dc("u") * dc("w")).alias("suw"),
+        F.sum(dc("v") * dc("w")).alias("svw"),
+        F.sum(dc("w") * dc("w")).alias("sww"),
+    )
+    n, su, sv, sw = F.col("n"), F.col("su"), F.col("sv"), F.col("sw")
+    suu, suv, svv = F.col("suu"), F.col("suv"), F.col("svv")
+    suw, svw, sww = F.col("suw"), F.col("svw"), F.col("sww")
+    det = (
+        n * (suu * svv - suv * suv)
+        - su * (su * svv - suv * sv)
+        + sv * (su * suv - suu * sv)
+    ).cast("double")
+    d_a = (
+        sw * (suu * svv - suv * suv)
+        - su * (suw * svv - suv * svw)
+        + sv * (suw * suv - suu * svw)
+    ).cast("double")
+    d_b = (
+        n * (suw * svv - suv * svw)
+        - sw * (su * svv - suv * sv)
+        + sv * (su * svw - suw * sv)
+    ).cast("double")
+    d_c = (
+        n * (suu * svw - suw * suv)
+        - su * (su * svw - suw * sv)
+        + sw * (su * suv - suu * sv)
+    ).cast("double")
+    rss_u = (
+        sww.cast("double")
+        - (d_a / det) * sw.cast("double")
+        - (d_b / det) * suw.cast("double")
+        - (d_c / det) * svw.cast("double")
+    )
+    br = (n * suw - su * sw).cast("double") / (n * suu - su * su).cast("double")
+    rss_r = (
+        sww.cast("double")
+        - ((sw.cast("double") - br * su.cast("double")) / n.cast("double"))
+        * sw.cast("double")
+        - br * suw.cast("double")
+    )
+    nb = n.cast("long")
+    return m.select(
+        nb.alias("n_days"),
+        (F.round(d_b / det, 6) + 0.0).alias("beta_ylag"),
+        (F.round(d_c / det, 6) + 0.0).alias("beta_xlag"),
+        (F.round((rss_r - rss_u) * (nb - 3) / rss_u, 4) + 0.0).alias("f_stat"),
+    )

@@ -100,6 +100,8 @@ _SINGLE_PARTITION_OK = {
                           # cum window — customers never single-partitioned
     "q_stats_cuped",      # 1-row pooled-moment fold broadcast to 2 arms
     "q_stats_proportions",  # 1-row arm-total fold broadcast to |types|
+    "q_stats_jackknife",  # 50-bucket table + two 1-row folds
+    "q_stats_granger",    # calendar-bounded daily series lag + 1-row fold
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -185,6 +187,8 @@ _CROSS_OK = {
     "q_stats_cuped",
     # proportions: the 1-row arm-total fold joins the |types| rows.
     "q_stats_proportions",
+    # jackknife: the 1-row (B, N, S) total fold joins the 50 buckets.
+    "q_stats_jackknife",
 }
 
 

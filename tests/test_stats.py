@@ -1027,3 +1027,119 @@ def test_vol_estimators_match_numpy():
             assert abs(row["gk_vol"] - round(np.sqrt(gk) / 1e6, 6)) < 1e-6
         else:
             assert pd.isna(row["gk_vol"])
+
+
+def test_jackknife_matches_numpy():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    u = ev.groupby("user_id")["cents"].sum().reset_index()
+    u["bkt"] = u["user_id"].map(
+        lambda i: int(hashlib.md5(f"jk:{i}".encode()).hexdigest()[:8], 16) % 50
+    )
+    b = u.groupby("bkt").agg(n_i=("cents", "size"), s_i=("cents", "sum"))
+    N, S, B = len(u), int(u["cents"].sum()), len(b)
+    # theta_i on the same 1e-6 grid the engines use
+    qi = np.floor((S - b["s_i"]) / (N - b["n_i"]) * 1e6).astype("int64")
+    ss = (B * (qi.astype(object) ** 2).sum() - int(qi.sum()) ** 2)
+    se = np.sqrt((B - 1) / B * float(ss) / B / 1e12)
+    row = _oracle_orders("q_stats_jackknife").iloc[0]
+    assert row["n_users"] == N and row["n_buckets"] == B
+    assert abs(row["theta"] - round(S / N / 100, 4)) < 1e-6
+    assert abs(row["se_jackknife"] - round(se / 100, 4)) < 1e-6
+    assert abs(row["ci_lo"] - round((S / N - 1.96 * se) / 100, 4)) < 1e-6
+    assert abs(row["ci_hi"] - round((S / N + 1.96 * se) / 100, 4)) < 1e-6
+
+
+def test_granger_matches_numpy_ols():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["di"] = (ev["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    day = (
+        ev.pivot_table(
+            index="di", columns="event_type", values="cents", aggfunc="sum"
+        )[["purchase", "error"]]
+        .rename(columns={"purchase": "y", "error": "x"})
+    )
+    day = (day // 10000).astype("int64").sort_index()
+    assert (np.diff(day.index) == 1).all()
+    w = day["y"].to_numpy(float)[1:]
+    u = day["y"].to_numpy(float)[:-1]
+    v = day["x"].to_numpy(float)[:-1]
+    Xu = np.column_stack([np.ones_like(u), u, v])
+    cu_, ru, *_ = np.linalg.lstsq(Xu, w, rcond=None)
+    Xr = np.column_stack([np.ones_like(u), u])
+    cr_, rr, *_ = np.linalg.lstsq(Xr, w, rcond=None)
+    n = len(w)
+    f = (rr[0] - ru[0]) / (ru[0] / (n - 3))
+    row = _oracle_orders("q_stats_granger").iloc[0]
+    assert row["n_days"] == n
+    assert abs(row["beta_ylag"] - round(cu_[1], 6)) < 1e-4
+    assert abs(row["beta_xlag"] - round(cu_[2], 6)) < 1e-4
+    assert abs(row["f_stat"] - round(f, 4)) < 1e-2
+
+
+def test_phash_blocking_is_lossless_vs_bruteforce():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    hashes = {}
+    for _, r in docs.iterrows():
+        raw = r["text"].encode("utf-8")
+        if len(raw) < 64:
+            continue
+        stride = len(raw) // 64
+        sample = [raw[i * stride] for i in range(64)]
+        s = sum(sample)
+        bits = [1 if sample[i] * 64 > s else 0 for i in range(64)]
+        bands = tuple(
+            sum(bits[16 * k + j] << j for j in range(16)) for k in range(4)
+        )
+        hashes[int(r["doc_id"])] = bands
+    # brute-force all pairs (fixture-sized corpus only)
+    expected: dict[int, int] = {}
+    checksum: dict[int, int] = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(
+                bin(hashes[a][k] ^ hashes[b][k]).count("1") for k in range(4)
+            )
+            if ham <= 3:
+                expected[ham] = expected.get(ham, 0) + 1
+                checksum[ham] = checksum.get(ham, 0) + a + b
+    got = _oracle_orders("q_multimodal_phash").set_index("hamming")
+    assert {int(k): int(v) for k, v in got["n_pairs"].items()} == expected
+    assert {int(k): int(v) for k, v in got["pair_checksum"].items()} == checksum
+
+
+def test_bigram_entropy_matches_collections():
+    from collections import Counter
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    got = _oracle_orders("q_text_bigram_entropy").set_index("lang")
+    for lang, g in docs.groupby("lang"):
+        cb: Counter = Counter()
+        for t in g["text"]:
+            ts = t.split(" ")
+            for i in range(len(ts) - 1):
+                cb[(ts[i], ts[i + 1])] += 1
+        cu: Counter = Counter()
+        for (w1, _), c in cb.items():
+            cu[w1] += c
+        T = sum(cb.values())
+        grid = lambda x: int(np.floor(np.log(x) * 1e6))  # noqa: E731
+        num = sum(c * (grid(cu[w1]) - grid(c)) for (w1, _), c in cb.items())
+        row = got.loc[lang]
+        assert row["n_bigrams"] == T
+        assert row["vocab_prefixes"] == len(cu)
+        assert abs(row["cond_entropy_nats"] - round(num / T / 1e6, 4)) < 1e-9

@@ -101,6 +101,10 @@ ROUND_CHANGED = [
     "q_stats_proportions",  # r5: new
     "q_roll_spread",      # r5: new
     "q_vol_estimators",   # r5: new
+    "q_stats_jackknife",  # r5: new
+    "q_stats_granger",    # r5: new
+    "q_multimodal_phash",  # r5: new
+    "q_text_bigram_entropy",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
