@@ -3295,3 +3295,115 @@ def q_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(gk > 0, F.round(F.sqrt(gk) / 1000000, 6) + 0.0).alias("gk_vol"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_win_vpin",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, ts, event_id,
+             CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS vol,
+             CAST(floor(value * 100) AS BIGINT)
+             - lag(CAST(floor(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS d
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, ts, event_id, vol,
+             last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END
+                        IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sgn
+      FROM t
+    ),
+    c AS (
+      SELECT event_type, vol, sgn,
+             sum(vol) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cumvol
+      FROM s WHERE sgn IS NOT NULL AND vol > 0
+    ),
+    b AS (
+      SELECT event_type, (cumvol - 1) // 5000 AS bkt,
+             CAST(sum(CASE WHEN sgn = 1 THEN vol ELSE 0 END) AS BIGINT) AS buy,
+             CAST(sum(CASE WHEN sgn = -1 THEN vol ELSE 0 END) AS BIGINT) AS sell
+      FROM c GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT event_type,
+             (abs(buy - sell) * 1000000000) // (buy + sell) AS qi
+      FROM b
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+           round(CAST(sum(qi) AS DOUBLE) / count(*) / 1000000000, 6) + 0.0
+             AS vpin
+    FROM q GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_win_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN (volume-synchronized probability of informed trading,
+    Easley/López de Prado/O'Hara): ticks classify buy/sell by the
+    tick rule WITH sign carry-forward on zero-change ticks, volume
+    accumulates into fixed 5000-unit buckets, and VPIN is the mean
+    |buy−sell|/(buy+sell) across buckets — the flow-toxicity monitor
+    that flagged the 2010 flash crash.
+
+    Scale shape: one (type)-partitioned sort carries all three
+    sequential passes (price diff, ignore-nulls sign carry, running
+    volume) — no self-join anywhere; buckets collapse in one hash
+    agg. Each bucket's imbalance ratio quantizes by INTEGER division
+    to 1e-9 units, so the cross-bucket mean is a sum of exact
+    bigints — bucket arrival order can never wiggle the float (the
+    house quantize-then-average discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    c100 = F.floor(F.col("value") * 100).cast("long")
+    t = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("long").alias("vol"),
+        (c100 - F.lag(c100).over(w)).alias("d"),
+    )
+    s = t.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "vol",
+        F.last(
+            F.when(F.col("d") > 0, 1).when(F.col("d") < 0, -1), ignorenulls=True
+        )
+        .over(wrun)
+        .alias("sgn"),
+    )
+    c = (
+        s.filter(F.col("sgn").isNotNull() & (F.col("vol") > 0))
+        .withColumn("cumvol", F.sum("vol").over(wrun))
+    )
+    b = c.groupBy(
+        "event_type", F.expr("(cumvol - 1) div 5000").alias("bkt")
+    ).agg(
+        F.sum(F.when(F.col("sgn") == 1, F.col("vol")).otherwise(0))
+        .cast("long")
+        .alias("buy"),
+        F.sum(F.when(F.col("sgn") == -1, F.col("vol")).otherwise(0))
+        .cast("long")
+        .alias("sell"),
+    )
+    q = b.select(
+        "event_type",
+        F.expr("(abs(buy - sell) * 1000000000) div (buy + sell)").alias("qi"),
+    )
+    return (
+        q.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            (
+                F.round(
+                    F.sum("qi").cast("double") / F.count("*") / 1000000000, 6
+                )
+                + 0.0
+            ).alias("vpin"),
+        )
+        .orderBy("event_type")
+    )

@@ -2684,3 +2684,251 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
 
+
+
+# ---- Markov removal-effect attribution (q_attribution_markov) ----
+# The 5-state transient system (START + 4 channels) is solved EXACTLY
+# by Cramer's rule: every determinant is a Leibniz sum over integer
+# transition counts, generated ONCE here and pasted into both the
+# Spark expression and the DuckDB oracle, so the two engines run the
+# bit-identical polynomial. 128-bit arithmetic (decimal(38,0) /
+# HUGEINT) holds the 5-entry products at any realistic SF
+# ((2e7)^5 ~ 3e36 < 1e38).
+
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _mk_det(m: list[list[str]]) -> str:
+    """Leibniz determinant of a matrix of SQL expression strings."""
+    from itertools import permutations
+
+    n = len(m)
+    terms = []
+    for perm in permutations(range(n)):
+        inv = sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, n)
+            if perm[i] > perm[j]
+        )
+        prod = " * ".join(m[i][perm[i]] for i in range(n))
+        terms.append(("(" if inv % 2 == 0 else "(0 - ") + prod + ")")
+
+    # balanced parenthesization: DuckDB's binder recurses per binary
+    # op, and a 120-term linear chain exceeds its 128-depth limit.
+    def _bal(ts: list[str]) -> str:
+        if len(ts) == 1:
+            return ts[0]
+        mid = len(ts) // 2
+        return "(" + _bal(ts[:mid]) + " + " + _bal(ts[mid:]) + ")"
+
+    return _bal(terms)
+
+
+def _mk_matrix(states: list[str], cast: str) -> tuple[list[list[str]], list[str]]:
+    """(M, b) for transient `states` (index 0 is START): M[i][j] =
+    δ_ij·tot_i − t_i_j with nothing ever entering START, b[i] = t_i_P."""
+
+    def t(i: str, j: str) -> str:
+        if j == "S":
+            return f"CAST(0 AS {cast})"
+        return f"CAST(t_{i}_{j} AS {cast})"
+
+    m = []
+    for i in states:
+        row = []
+        for j in states:
+            if i == j:
+                row.append(f"(CAST(tot_{i} AS {cast}) - {t(i, j)})")
+            else:
+                row.append(f"(CAST(0 AS {cast}) - {t(i, j)})")
+        m.append(row)
+    b = [f"CAST(t_{i}_P AS {cast})" for i in states]
+    return m, b
+
+
+def _mk_exprs(cast: str) -> dict[str, str]:
+    """All ten determinant expressions keyed by output column name."""
+    out: dict[str, str] = {}
+    all_states = ["S"] + [f"c{i}" for i in range(len(_MK_CHANNELS))]
+    m, b = _mk_matrix(all_states, cast)
+    num = [list(r) for r in m]
+    for i in range(len(all_states)):
+        num[i][0] = b[i]
+    out["full_den"] = _mk_det(m)
+    out["full_num"] = _mk_det(num)
+    for r in range(len(_MK_CHANNELS)):
+        states = ["S"] + [f"c{i}" for i in range(len(_MK_CHANNELS)) if i != r]
+        m_r, b_r = _mk_matrix(states, cast)
+        num_r = [list(row) for row in m_r]
+        for i in range(len(states)):
+            num_r[i][0] = b_r[i]
+        out[f"rm{r}_den"] = _mk_det(m_r)
+        out[f"rm{r}_num"] = _mk_det(num_r)
+    return out
+
+
+def _mk_count_sql() -> str:
+    """Conditional-count column list for the one-row transition pivot."""
+    cols = []
+    srcs = [("S", "__start")] + [
+        (f"c{i}", ch) for i, ch in enumerate(_MK_CHANNELS)
+    ]
+    dsts = [(f"c{i}", ch) for i, ch in enumerate(_MK_CHANNELS)] + [
+        ("P", "purchase"),
+        ("N", "__null"),
+    ]
+    for sa, sv in srcs:
+        cols.append(
+            f"count(*) FILTER (WHERE src = '{sv}') AS tot_{sa}"
+        )
+        for da, dv in dsts:
+            cols.append(
+                f"count(*) FILTER (WHERE src = '{sv}' AND dst = '{dv}')"
+                f" AS t_{sa}_{da}"
+            )
+    return ",\n             ".join(cols)
+
+
+def _mk_oracle() -> str:
+    e = _mk_exprs("HUGEINT")
+    selects = []
+    for r, ch in enumerate(_MK_CHANNELS):
+        selects.append(
+            f"""SELECT '{ch}' AS channel,
+           round(CAST({e['full_num']} AS DOUBLE)
+                 / CAST({e['full_den']} AS DOUBLE), 6) + 0.0 AS conv_full,
+           round(CAST({e[f'rm{r}_num']} AS DOUBLE)
+                 / CAST({e[f'rm{r}_den']} AS DOUBLE), 6) + 0.0 AS conv_removed,
+           round(1 - (CAST({e[f'rm{r}_num']} AS DOUBLE)
+                      / CAST({e[f'rm{r}_den']} AS DOUBLE))
+                     / (CAST({e['full_num']} AS DOUBLE)
+                        / CAST({e['full_den']} AS DOUBLE)), 6) + 0.0
+             AS removal_effect
+    FROM w"""
+        )
+    body = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type AS et,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior_p
+      FROM events
+    ),
+    j AS (SELECT * FROM e WHERE prior_p = 0),
+    tr AS (
+      SELECT user_id, et AS src,
+             coalesce(lead(et) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), '__null') AS dst,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM j
+    ),
+    trans AS (
+      SELECT src, dst FROM tr WHERE src <> 'purchase'
+      UNION ALL
+      SELECT '__start' AS src, src AS dst FROM tr WHERE rn = 1
+    ),
+    w AS (
+      SELECT {_mk_count_sql()}
+      FROM trans
+    )
+    {body}
+    ORDER BY channel
+    """
+
+
+@register("q_attribution_markov", oracle=_mk_oracle())
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution: user journeys up to
+    their first purchase define a first-order Markov chain over
+    channels; each channel's credit is how much the start→purchase
+    absorption probability DROPS when that channel is removed
+    (transitions into it become lost mass) — the data-driven
+    alternative to last-touch (q_events_attribution) that the
+    marketing-analytics stacks publish.
+
+    The absorption probabilities are solved EXACTLY: the ≤5×5
+    transient system (I−Q)a = b is cleared of denominators (row i
+    scaled by tot_i, keeping every matrix entry an integer transition
+    count) and Cramer's rule evaluates as Leibniz sums over 128-bit
+    integers (decimal(38,0) / HUGEINT — generated once in
+    _mk_det and shared verbatim by both engines), so there is NO
+    iterative solve, no convergence threshold, and no float until the
+    final division. Scale shape: journeys need ONE (user)-partitioned
+    sort for the three sequential passes (prior-purchase flag, lead,
+    first-row flag); the transition relation collapses map-side into
+    ONE wide count row; the determinant algebra runs on that single
+    row. A removal_effect can be negative only if the chain is
+    degenerate; the oracle and Spark agree bit-for-bit either way."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("et"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prior_p"),
+    )
+    j = e.filter(F.col("prior_p") == 0)
+    tr = j.select(
+        F.col("et").alias("src"),
+        F.coalesce(F.lead("et").over(w), F.lit("__null")).alias("dst"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans = tr.filter(F.col("src") != "purchase").select("src", "dst").unionAll(
+        tr.filter(F.col("rn") == 1).select(
+            F.lit("__start").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    srcs = [("S", "__start")] + [(f"c{i}", ch) for i, ch in enumerate(_MK_CHANNELS)]
+    dsts = [(f"c{i}", ch) for i, ch in enumerate(_MK_CHANNELS)] + [
+        ("P", "purchase"),
+        ("N", "__null"),
+    ]
+    aggs = []
+    for sa, sv in srcs:
+        aggs.append(
+            F.count(F.when(F.col("src") == sv, 1)).cast("long").alias(f"tot_{sa}")
+        )
+        for da, dv in dsts:
+            aggs.append(
+                F.count(F.when((F.col("src") == sv) & (F.col("dst") == dv), 1))
+                .cast("long")
+                .alias(f"t_{sa}_{da}")
+            )
+    wide = trans.agg(*aggs)
+    ex = _mk_exprs("DECIMAL(38,0)")
+    dets = wide.select(
+        *[
+            F.expr(f"CAST({ex[k]} AS DOUBLE)").alias(k)
+            for k in ex
+        ]
+    )
+    rows = []
+    for r, ch in enumerate(_MK_CHANNELS):
+        conv_full = F.col("full_num") / F.col("full_den")
+        conv_rm = F.col(f"rm{r}_num") / F.col(f"rm{r}_den")
+        rows.append(
+            dets.select(
+                F.lit(ch).alias("channel"),
+                (F.round(conv_full, 6) + 0.0).alias("conv_full"),
+                (F.round(conv_rm, 6) + 0.0).alias("conv_removed"),
+                (F.round(1 - conv_rm / conv_full, 6) + 0.0).alias(
+                    "removal_effect"
+                ),
+            )
+        )
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionAll(r_)
+    return out.orderBy("channel")

@@ -1793,3 +1793,72 @@ def q_stats_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(d_c / det, 6) + 0.0).alias("beta_xlag"),
         (F.round((rss_r - rss_u) * (nb - 3) / rss_u, 4) + 0.0).alias("f_stat"),
     )
+
+
+@register(
+    "q_stats_power",
+    oracle=f"""
+    WITH arms AS (
+      SELECT DISTINCT user_id, {_SQL_BUCKET} AS arm FROM events
+    ),
+    tot AS (
+      SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+      FROM arms
+    ),
+    conv AS (
+      SELECT event_type,
+             CAST(count(DISTINCT CASE WHEN value >= 195
+                                      THEN user_id END) AS BIGINT) AS x
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(CAST(x AS DOUBLE) / (n_a + n_b), 6) + 0.0 AS p_pooled,
+           round(2.8016 * sqrt(CAST(x AS DOUBLE) / (n_a + n_b)
+                               * (1 - CAST(x AS DOUBLE) / (n_a + n_b))
+                               * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0 AS mde_abs,
+           round(2.8016 * sqrt(CAST(x AS DOUBLE) / (n_a + n_b)
+                               * (1 - CAST(x AS DOUBLE) / (n_a + n_b))
+                               * (1.0 / n_a + 1.0 / n_b))
+                 / (CAST(x AS DOUBLE) / (n_a + n_b)), 4) + 0.0 AS mde_rel
+    FROM conv, tot ORDER BY event_type
+    """,
+)
+def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at current traffic, per event type:
+    MDE = (z_{α/2} + z_β)·sqrt(p(1−p)(1/n_a+1/n_b)) with the standard
+    80%-power / 5%-two-sided constants (1.96 + 0.8416 = 2.8016) on
+    the pooled high-value conversion rate — the pre-experiment
+    readout ('how long must this test run') every platform pairs with
+    q_stats_proportions' post-readout.
+
+    One distinct-user fold (1 row) + one conditional distinct per
+    type; the MDE is a single fixed double expression over three
+    exact integers, so cross-engine equality is structural."""
+    ev = load_table(spark, sf_dir, "events").withColumn("arm", _spark_bucket())
+    tot = (
+        ev.select("user_id", "arm")
+        .distinct()
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
+            F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
+        )
+    )
+    conv = ev.groupBy("event_type").agg(
+        F.count_distinct(F.when(F.col("value") >= 195, F.col("user_id")))
+        .cast("long")
+        .alias("x")
+    )
+    j = conv.crossJoin(F.broadcast(tot))
+    p = F.col("x").cast("double") / (F.col("n_a") + F.col("n_b"))
+    mde = 2.8016 * F.sqrt(
+        p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.round(p, 6) + 0.0).alias("p_pooled"),
+        (F.round(mde, 6) + 0.0).alias("mde_abs"),
+        (F.round(mde / p, 4) + 0.0).alias("mde_rel"),
+    ).orderBy("event_type")

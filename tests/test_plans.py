@@ -102,6 +102,8 @@ _SINGLE_PARTITION_OK = {
     "q_stats_proportions",  # 1-row arm-total fold broadcast to |types|
     "q_stats_jackknife",  # 50-bucket table + two 1-row folds
     "q_stats_granger",    # calendar-bounded daily series lag + 1-row fold
+    "q_stats_power",      # 1-row arm-total fold broadcast to |types|
+    "q_attribution_markov",  # 1-row wide transition pivot + Cramer algebra
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -189,6 +191,8 @@ _CROSS_OK = {
     "q_stats_proportions",
     # jackknife: the 1-row (B, N, S) total fold joins the 50 buckets.
     "q_stats_jackknife",
+    # power/MDE: the 1-row arm-total fold joins the |types| rows.
+    "q_stats_power",
 }
 
 

@@ -1143,3 +1143,96 @@ def test_bigram_entropy_matches_collections():
         assert row["n_bigrams"] == T
         assert row["vocab_prefixes"] == len(cu)
         assert abs(row["cond_entropy_nats"] - round(num / T / 1e6, 4)) < 1e-9
+
+
+def test_power_matches_closed_form():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, user_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["arm"] = ev["user_id"].map(_arm)
+    users = ev[["user_id", "arm"]].drop_duplicates()
+    na, nb = int((users["arm"] == 0).sum()), int((users["arm"] == 1).sum())
+    got = _oracle_orders("q_stats_power").set_index("event_type")
+    for et in got.index:
+        x = ev[(ev["event_type"] == et) & (ev["value"] >= 195)]["user_id"].nunique()
+        p = x / (na + nb)
+        mde = 2.8016 * np.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+        row = got.loc[et]
+        assert abs(row["p_pooled"] - round(p, 6)) < 1e-9
+        assert abs(row["mde_abs"] - round(mde, 6)) < 1e-9
+        assert abs(row["mde_rel"] - round(mde / p, 4)) < 1e-9
+    # the MDE must shrink as traffic grows: relative MDE is positive
+    assert (got["mde_rel"] > 0).all()
+
+
+def test_vpin_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value, "
+        f"CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1) AS BIGINT) AS vol "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    got = _oracle_orders("q_win_vpin").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        d = g["c"].diff()
+        sgn = pd.Series(np.where(d > 0, 1.0, np.where(d < 0, -1.0, np.nan)))
+        sgn = sgn.ffill()
+        keep = sgn.notna() & (g["vol"] > 0)
+        vol = g.loc[keep, "vol"].to_numpy("int64")
+        s = sgn[keep].to_numpy("int64")
+        bkt = (np.cumsum(vol) - 1) // 5000
+        qis = []
+        for bk in np.unique(bkt):
+            m = bkt == bk
+            buy = int(vol[m & (s == 1)].sum())
+            sell = int(vol[m & (s == -1)].sum())
+            qis.append(abs(buy - sell) * 10**9 // (buy + sell))
+        row = got.loc[et]
+        assert row["n_buckets"] == len(qis)
+        assert abs(row["vpin"] - round(sum(qis) / len(qis) / 1e9, 6)) < 1e-9
+
+
+def test_markov_attribution_matches_numpy_solve():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts, event_id, event_type FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    channels = ["click", "error", "signup", "view"]
+
+    def conv_prob(removed=None):
+        from collections import Counter
+
+        trans: Counter = Counter()
+        for _, g in ev.groupby("user_id"):
+            seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+            if "purchase" in seq:
+                seq = seq[: seq.index("purchase") + 1]
+            trans[("__start", seq[0])] += 1
+            for a, b in zip(seq, seq[1:]):
+                trans[(a, b)] += 1
+            if seq[-1] != "purchase":
+                trans[(seq[-1], "__null")] += 1
+        states = ["__start"] + [c for c in channels if c != removed]
+        n = len(states)
+        M = np.zeros((n, n))
+        b = np.zeros(n)
+        for i, si in enumerate(states):
+            tot = sum(c for (a, _), c in trans.items() if a == si)
+            M[i, i] = tot
+            for jj, sj in enumerate(states):
+                M[i, jj] -= trans.get((si, sj), 0)
+            b[i] = trans.get((si, "purchase"), 0)
+        return float(np.linalg.solve(M, b)[0])
+
+    full = conv_prob()
+    got = _oracle_orders("q_attribution_markov").set_index("channel")
+    assert set(got.index) == set(channels)
+    for ch in channels:
+        rm = conv_prob(removed=ch)
+        row = got.loc[ch]
+        assert abs(row["conv_full"] - round(full, 6)) < 1e-5
+        assert abs(row["conv_removed"] - round(rm, 6)) < 1e-5
+        assert abs(row["removal_effect"] - round(1 - rm / full, 6)) < 1e-4

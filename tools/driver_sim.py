@@ -105,6 +105,9 @@ ROUND_CHANGED = [
     "q_stats_granger",    # r5: new
     "q_multimodal_phash",  # r5: new
     "q_text_bigram_entropy",  # r5: new
+    "q_stats_power",      # r5: new
+    "q_win_vpin",         # r5: new
+    "q_attribution_markov",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
