@@ -3407,3 +3407,115 @@ def q_win_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_win_rolling_beta",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    mkt AS (
+      SELECT day, CAST(sum(cents) AS BIGINT) AS mcents FROM daily GROUP BY day
+    ),
+    rets AS (
+      SELECT d.event_type, d.day,
+             CAST(round(ln(CAST(d.cents AS DOUBLE)
+                           / lag(d.cents) OVER (PARTITION BY d.event_type
+                                                ORDER BY d.day))
+                        * 1000000) AS BIGINT) AS qx,
+             CAST(round(ln(CAST(m.mcents AS DOUBLE)
+                           / lag(m.mcents) OVER (PARTITION BY d.event_type
+                                                 ORDER BY d.day))
+                        * 1000000) AS BIGINT) AS qm
+      FROM daily d JOIN mkt m ON d.day = m.day
+    ),
+    roll AS (
+      SELECT event_type, day,
+             count(*) OVER w AS n,
+             CAST(sum(qx) OVER w AS BIGINT) AS sx,
+             CAST(sum(qm) OVER w AS BIGINT) AS sm,
+             CAST(sum(qx * qm) OVER w AS BIGINT) AS sxm,
+             CAST(sum(qm * qm) OVER w AS BIGINT) AS smm
+      FROM rets WHERE qx IS NOT NULL AND qm IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round((n * CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * sm)
+                 / (n * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm),
+                 4) + 0.0 AS beta
+    FROM roll WHERE n = 14
+    ORDER BY event_type, day
+    """,
+)
+def q_win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day market beta per event type — q_market_beta's
+    single number resolved into the risk-monitoring TIME SERIES every
+    desk actually watches (is this series becoming more systematic?).
+
+    Same exactness discipline as q_market_beta: daily returns
+    quantize to the 1e-6 ln grid, so the five rolling-frame sums are
+    exact bigints (a float frame sum would make beta depend on the
+    fold order); beta divides once per row. The frame windows reuse
+    the SAME per-type exchange+sort as the lag pass, and only full
+    14-return windows emit (warm-up rows drop on both engines)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+    )
+    mkt = daily.groupBy("day").agg(F.sum("cents").cast("long").alias("mcents"))
+    wl = Window.partitionBy("event_type").orderBy("day")
+    rets = (
+        daily.join(mkt, "day")
+        .select(
+            "event_type",
+            "day",
+            F.round(
+                F.log(
+                    F.col("cents").cast("double") / F.lag("cents").over(wl)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("qx"),
+            F.round(
+                F.log(
+                    F.col("mcents").cast("double") / F.lag("mcents").over(wl)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("qm"),
+        )
+        .filter(F.col("qx").isNotNull() & F.col("qm").isNotNull())
+    )
+    wf = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    roll = rets.select(
+        "event_type",
+        "day",
+        F.count("*").over(wf).alias("n"),
+        F.sum("qx").over(wf).cast("long").alias("sx"),
+        F.sum("qm").over(wf).cast("long").alias("sm"),
+        F.sum(F.col("qx") * F.col("qm")).over(wf).cast("long").alias("sxm"),
+        F.sum(F.col("qm") * F.col("qm")).over(wf).cast("long").alias("smm"),
+    ).filter(F.col("n") == 14)
+    num = F.col("n") * F.col("sxm").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sm")
+    den = F.col("n") * F.col("smm").cast("double") - F.col("sm").cast(
+        "double"
+    ) * F.col("sm")
+    return roll.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round(num / den, 4) + 0.0).alias("beta"),
+    ).orderBy("event_type", "day")

@@ -3981,3 +3981,124 @@ def q_text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _sweep_oracle() -> str:
+    from engine.registry import _ORACLES
+
+    base = _ORACLES["q_sim_pairwise"]
+    rows = []
+    for t in ("0.4", "0.5", "0.6", "0.7", "0.8", "0.9"):
+        rows.append(
+            f"""SELECT {t} AS threshold,
+           CAST(count(*) FILTER (WHERE cosine >= {t}) AS BIGINT) AS n_pairs,
+           CAST((SELECT count(DISTINCT v) FROM mem WHERE c >= {t}) AS BIGINT)
+             AS n_docs
+    FROM pairs"""
+        )
+    body = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH pairs AS ({base}),
+    mem AS (
+      SELECT vec_a AS v, cosine AS c FROM pairs
+      UNION ALL
+      SELECT vec_b AS v, cosine AS c FROM pairs
+    )
+    {body}
+    ORDER BY threshold
+    """
+
+
+@register("q_dedup_threshold_sweep", oracle=_sweep_oracle())
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: how many near-duplicate pairs —
+    and how many distinct documents — a cosine cutoff of 0.4…0.9
+    would implicate, in ONE pass over the pair space. This is the
+    sweep every curation pipeline runs before committing to a
+    threshold (too low: real content dropped; too high: duplicates
+    survive), published as a 6-row curve instead of six re-runs.
+
+    Rides q_sim_pairwise's salt-flattened label-blocked join (shared
+    plan, shared oracle CTE — the expensive O(B²·d) work happens
+    once); the curve itself is conditional counts over the rounded
+    cosine, so every threshold's numbers are exact integers and the
+    monotone n_pairs(t) ≥ n_pairs(t') for t < t' is structural."""
+    pairs = q_sim_pairwise(spark, sf_dir).persist()
+    ts = ["0.4", "0.5", "0.6", "0.7", "0.8", "0.9"]
+    p_aggs = [
+        F.sum(F.when(F.col("cosine") >= float(t), 1).otherwise(0))
+        .cast("long")
+        .alias(f"p_{i}")
+        for i, t in enumerate(ts)
+    ]
+    mem = pairs.select(F.col("vec_a").alias("v"), F.col("cosine").alias("c")).unionAll(
+        pairs.select(F.col("vec_b").alias("v"), F.col("cosine").alias("c"))
+    )
+    d_aggs = [
+        F.count_distinct(F.when(F.col("c") >= float(t), F.col("v")))
+        .cast("long")
+        .alias(f"d_{i}")
+        for i, t in enumerate(ts)
+    ]
+    wide = pairs.agg(*p_aggs).crossJoin(F.broadcast(mem.agg(*d_aggs)))
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), p_{i}, d_{i}" for i, t in enumerate(ts)
+    )
+    return wide.select(
+        F.expr(f"stack(6, {stack_args}) AS (threshold, n_pairs, n_docs)")
+    ).orderBy("threshold")
+
+
+@register(
+    "q_tokenize_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '{_TOKENIZE_RE}', 1)) AS BIGINT)
+               AS n_sub,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+           round(CAST(sum(n_sub) AS DOUBLE) / sum(n_ws), 4) + 0.0
+             AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_sub), 4) + 0.0
+             AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def q_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subtokens-per-whitespace-word
+    and characters-per-token under the house BPE-ish pre-tokenizer —
+    the number that decides how much of a token budget each language
+    burns (high-fertility languages cost more per word; the standard
+    multilingual-tokenizer evaluation metric).
+
+    Pure map-side regexp counting (whole-stage codegen, the
+    q_tokenize splitter) collapsing into one |langs|-row agg of exact
+    integer counts; both ratios divide once per language."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKENIZE_RE), 1)
+    t = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_sub"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_sub").cast("long").alias("n_subtokens"),
+            (F.round(F.sum("n_sub").cast("double") / F.sum("n_ws"), 4) + 0.0).alias(
+                "fertility"
+            ),
+            (
+                F.round(F.sum("n_chars").cast("double") / F.sum("n_sub"), 4) + 0.0
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

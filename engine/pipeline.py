@@ -2932,3 +2932,95 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_ in rows[1:]:
         out = out.unionAll(r_)
     return out.orderBy("channel")
+
+
+@register(
+    "q_sequence_ngrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type AS et,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 7200
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts, event_id, et,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s
+    ),
+    tri AS (
+      SELECT user_id,
+             et || '>' || lead(et) OVER w || '>' || lead(et, 2) OVER w
+               AS trigram,
+             lead(et, 2) OVER w AS t3
+      FROM g WINDOW w AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+    )
+    SELECT trigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tri WHERE t3 IS NOT NULL
+    GROUP BY trigram
+    ORDER BY n_occurrences DESC, trigram
+    LIMIT 15
+    """,
+)
+def q_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral trigrams: the top-15 three-event sequences
+    occurring INSIDE a session (2-hour inactivity gap — measured: the
+    sparse fixture's median inter-event gap makes 30-minute sessions
+    ~1 event at every SF, while 2 h yields a rich trigram
+    distribution at all three), with how
+    many distinct users exhibit each — the sequence-mining summary
+    behind 'what do users actually do' product questions, and the
+    n-gram generalization of q_event_paths' full-path histogram.
+
+    One (user)-partitioned sort carries the gap flag + running
+    session id; the two leads re-sort only because the partition key
+    tightens to (user, sess) — same exchange, Spark plans one
+    shuffle. Trigrams emit map-side (≤1 per event), collapse in one
+    hash agg with a partial distinct for users, and the global top-15
+    lowers to TakeOrderedAndProject (count desc, trigram tiebreak —
+    deterministic on both engines)."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("et"),
+        F.when(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w1))
+                > 7200
+            )
+            | F.lag("ts").over(w1).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    g = s.withColumn(
+        "sess",
+        F.sum("new_sess").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    tri = g.select(
+        "user_id",
+        F.concat_ws(
+            ">", F.col("et"), F.lead("et").over(w2), F.lead("et", 2).over(w2)
+        ).alias("trigram"),
+        F.lead("et", 2).over(w2).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        tri.groupBy("trigram")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("trigram"))
+        .limit(15)
+    )

@@ -104,6 +104,8 @@ _SINGLE_PARTITION_OK = {
     "q_stats_granger",    # calendar-bounded daily series lag + 1-row fold
     "q_stats_power",      # 1-row arm-total fold broadcast to |types|
     "q_attribution_markov",  # 1-row wide transition pivot + Cramer algebra
+    "q_dedup_threshold_sweep",  # two 1-row conditional-count folds of the
+                          # pair table -> 6-row stack
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -193,6 +195,9 @@ _CROSS_OK = {
     "q_stats_jackknife",
     # power/MDE: the 1-row arm-total fold joins the |types| rows.
     "q_stats_power",
+    # threshold sweep: the two 1-row count folds cross-join before the
+    # 6-row stack (scalar-subquery pattern, size-independent).
+    "q_dedup_threshold_sweep",
 }
 
 

@@ -1236,3 +1236,117 @@ def test_markov_attribution_matches_numpy_solve():
         assert abs(row["conv_full"] - round(full, 6)) < 1e-5
         assert abs(row["conv_removed"] - round(rm, 6)) < 1e-5
         assert abs(row["removal_effect"] - round(1 - rm / full, 6)) < 1e-4
+
+
+def test_threshold_sweep_matches_bruteforce_cosine():
+    con = duckdb.connect()
+    em = con.execute(
+        f"SELECT vec_id, embedding, label FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    vecs = np.stack(em["embedding"].map(np.asarray)).astype(np.float64)
+    ids = em["vec_id"].to_numpy()
+    labels = em["label"].to_numpy()
+    pairs = []
+    for lab in np.unique(labels):
+        idx = np.flatnonzero(labels == lab)
+        sub, sid = vecs[idx], ids[idx]
+        norms = np.linalg.norm(sub, axis=1)
+        cos = np.round((sub @ sub.T) / np.outer(norms, norms), 6)
+        for i in range(len(idx)):
+            for j_ in range(i + 1, len(idx)):
+                a, b = int(sid[i]), int(sid[j_])
+                c = cos[i, j_] if a < b else cos[j_, i]
+                if c > 0.35:
+                    pairs.append((min(a, b), max(a, b), c))
+    got = _oracle_orders("q_dedup_threshold_sweep").set_index("threshold")
+    for t in (0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+        sel = [(a, b) for a, b, c in pairs if c >= t]
+        docs = {v for p in sel for v in p}
+        row = got.loc[t]
+        assert row["n_pairs"] == len(sel), t
+        assert row["n_docs"] == len(docs), t
+    # monotone curve
+    assert got["n_pairs"].is_monotonic_decreasing
+
+
+def test_rolling_beta_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    daily = ev.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    mkt = daily.groupby("day")["cents"].sum().rename("mcents")
+    got = _oracle_orders("q_win_rolling_beta")
+    got = got.set_index(["event_type", "day"])
+    n_checked = 0
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").join(mkt, on="day")
+        qx = np.round(np.log(g["cents"] / g["cents"].shift(1)) * 1e6)
+        qm = np.round(np.log(g["mcents"] / g["mcents"].shift(1)) * 1e6)
+        df = pd.DataFrame({"day": g["day"], "qx": qx, "qm": qm}).dropna()
+        for i in range(13, len(df)):
+            w = df.iloc[i - 13 : i + 1]
+            n = 14
+            sx, sm = w["qx"].sum(), w["qm"].sum()
+            sxm = (w["qx"] * w["qm"]).sum()
+            smm = (w["qm"] * w["qm"]).sum()
+            beta = (n * sxm - sx * sm) / (n * smm - sm * sm)
+            key = (et, w["day"].iloc[-1].strftime("%Y-%m-%d"))
+            assert abs(got.loc[key, "beta"] - round(beta, 4)) < 1e-6
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_sequence_ngrams_matches_python():
+    from collections import Counter
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts, event_id, event_type FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    occ: Counter = Counter()
+    users: dict[str, set] = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        sessions = []
+        cur = []
+        prev = None
+        for _, r in g.iterrows():
+            if prev is not None and (r["ts"] - prev).total_seconds() > 7200:
+                sessions.append(cur)
+                cur = []
+            cur.append(r["event_type"])
+            prev = r["ts"]
+        sessions.append(cur)
+        for s in sessions:
+            for i in range(len(s) - 2):
+                tg = f"{s[i]}>{s[i+1]}>{s[i+2]}"
+                occ[tg] += 1
+                users.setdefault(tg, set()).add(uid)
+    top = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = _oracle_orders("q_sequence_ngrams")
+    assert len(got) == len(top)
+    for (tg, n), (_, row) in zip(top, got.iterrows()):
+        assert row["trigram"] == tg and row["n_occurrences"] == n
+        assert row["n_users"] == len(users[tg])
+
+
+def test_tokenize_fertility_matches_python():
+    import re
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    pat = re.compile(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])")
+    got = _oracle_orders("q_tokenize_fertility").set_index("lang")
+    for lang, g in docs.groupby("lang"):
+        n_sub = sum(len(pat.findall(t)) for t in g["text"])
+        n_ws = sum(len(t.split(" ")) for t in g["text"])
+        n_chars = sum(len(t) for t in g["text"])
+        row = got.loc[lang]
+        assert row["n_docs"] == len(g) and row["n_subtokens"] == n_sub
+        assert abs(row["fertility"] - round(n_sub / n_ws, 4)) < 1e-9
+        assert abs(row["chars_per_token"] - round(n_chars / n_sub, 4)) < 1e-9

@@ -108,6 +108,10 @@ ROUND_CHANGED = [
     "q_stats_power",      # r5: new
     "q_win_vpin",         # r5: new
     "q_attribution_markov",  # r5: new
+    "q_dedup_threshold_sweep",  # r5: new
+    "q_win_rolling_beta",  # r5: new
+    "q_sequence_ngrams",  # r5: new
+    "q_tokenize_fertility",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
