@@ -4102,3 +4102,91 @@ def q_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT d.lang, u.tok AS tok
+      FROM documents d, unnest(string_split(d.text, ' ')) AS u(tok)
+    ),
+    tc AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c,
+             CAST(('0x' || substring(md5('fh:' || tok), 1, 8)) AS BIGINT)
+               % 4096 AS bucket
+      FROM tok GROUP BY lang, tok
+    ),
+    bk AS (
+      SELECT lang, bucket,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(c) AS BIGINT) AS occ
+      FROM tc GROUP BY lang, bucket
+    )
+    SELECT lang,
+           CAST(sum(occ) AS BIGINT) AS n_tokens,
+           CAST(sum(n_toks) AS BIGINT) AS n_distinct_tokens,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           CAST(max(n_toks) AS BIGINT) AS max_bucket_tokens,
+           CAST(sum(CASE WHEN n_toks > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+             AS n_colliding_tokens,
+           round(CAST(sum(CASE WHEN n_toks > 1 THEN n_toks ELSE 0 END)
+                      AS DOUBLE) / sum(n_toks), 4) + 0.0 AS collision_rate
+    FROM bk GROUP BY lang ORDER BY lang
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer audit per language: tokens map to 4096
+    buckets by content-addressed md5, and the audit reports bucket
+    occupancy and the token collision rate — the number that decides
+    whether a hashed feature space is big enough before training a
+    linear model on it (the Vowpal-Wabbit-style featurization step of
+    a training pipeline).
+
+    The vocabulary collapses FIRST ((lang, token) hash agg with
+    map-side combine — the token stream is never shuffled raw), the
+    bucket relation is vocabulary-bounded, and every statistic is an
+    exact integer until the one collision-rate division."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tc = (
+        tok.groupBy("lang", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 4096,
+        )
+    )
+    bk = tc.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_toks"),
+        F.sum("c").cast("long").alias("occ"),
+    )
+    return (
+        bk.groupBy("lang")
+        .agg(
+            F.sum("occ").cast("long").alias("n_tokens"),
+            F.sum("n_toks").cast("long").alias("n_distinct_tokens"),
+            F.count("*").cast("long").alias("n_buckets_used"),
+            F.max("n_toks").cast("long").alias("max_bucket_tokens"),
+            F.sum(F.when(F.col("n_toks") > 1, F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias("n_colliding_tokens"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("n_toks") > 1, F.col("n_toks")).otherwise(0)
+                    ).cast("double")
+                    / F.sum("n_toks"),
+                    4,
+                )
+                + 0.0
+            ).alias("collision_rate"),
+        )
+        .orderBy("lang")
+    )

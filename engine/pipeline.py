@@ -3024,3 +3024,99 @@ def q_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("trigram"))
         .limit(15)
     )
+
+
+@register(
+    "q_privacy_kanonymity",
+    oracle="""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM q GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n_customers,
+                   CAST(count(*) AS BIGINT) AS n_classes FROM cls)
+    SELECT k, n_classes,
+           CAST(n_small AS BIGINT) AS n_small_classes,
+           CAST(at_risk AS BIGINT) AS n_customers_at_risk,
+           round(CAST(at_risk AS DOUBLE) / n_customers, 4) + 0.0 AS risk_pct
+    FROM (
+      SELECT CAST(2 AS BIGINT) AS k,
+             count(*) FILTER (WHERE sz < 2) AS n_small,
+             coalesce(sum(sz) FILTER (WHERE sz < 2), 0) AS at_risk
+      FROM cls
+      UNION ALL
+      SELECT 5, count(*) FILTER (WHERE sz < 5),
+             coalesce(sum(sz) FILTER (WHERE sz < 5), 0) FROM cls
+      UNION ALL
+      SELECT 10, count(*) FILTER (WHERE sz < 10),
+             coalesce(sum(sz) FILTER (WHERE sz < 10), 0) FROM cls
+    ) s, tot
+    ORDER BY k
+    """,
+)
+def q_privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over the customer quasi-identifier
+    (nation, market segment, account-balance-in-thousands band): how
+    many equivalence classes fall below k ∈ {2, 5, 10} and what
+    fraction of customers is re-identifiable at each k — the
+    privacy-risk readout that gates a dataset release, next to
+    q_gdpr_erasure's deletion cascade.
+
+    One hash aggregate builds the class-size relation; the three
+    thresholds are conditional counts over that bounded table plus a
+    1-row total fold — the fact table is scanned ONCE regardless of
+    how many k values the audit reports."""
+    q = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    cls = q.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    tot = cls.agg(
+        F.sum("sz").cast("long").alias("n_customers"),
+        F.count("*").cast("long").alias("n_classes"),
+    )
+    ks = cls.agg(
+        *[
+            a
+            for k in (2, 5, 10)
+            for a in (
+                F.count(F.when(F.col("sz") < k, 1))
+                .cast("long")
+                .alias(f"small_{k}"),
+                F.coalesce(F.sum(F.when(F.col("sz") < k, F.col("sz"))), F.lit(0))
+                .cast("long")
+                .alias(f"risk_{k}"),
+            )
+        ]
+    )
+    wide = ks.crossJoin(F.broadcast(tot))
+    stack = ", ".join(
+        f"CAST({k} AS BIGINT), small_{k}, risk_{k}" for k in (2, 5, 10)
+    )
+    return wide.select(
+        F.expr(f"stack(3, {stack}) AS (k, n_small_classes, n_customers_at_risk)"),
+        "n_classes",
+        "n_customers",
+    ).select(
+        "k",
+        "n_classes",
+        "n_small_classes",
+        "n_customers_at_risk",
+        (
+            F.round(
+                F.col("n_customers_at_risk").cast("double") / F.col("n_customers"),
+                4,
+            )
+            + 0.0
+        ).alias("risk_pct"),
+    ).orderBy("k")

@@ -1862,3 +1862,148 @@ def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(mde, 6) + 0.0).alias("mde_abs"),
         (F.round(mde / p, 4) + 0.0).alias("mde_rel"),
     ).orderBy("event_type")
+
+
+def _esd_oracle(rounds: int = 3) -> str:
+    parts = ["""
+    WITH daily AS (
+      SELECT event_type AS et,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    m1 AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+      FROM daily GROUP BY et
+    ),
+    r1 AS (
+      SELECT d.et, d.di, d.day, d.c, m.n, m.s, m.ss,
+             row_number() OVER (PARTITION BY d.et
+               ORDER BY abs(m.n * CAST(d.c AS HUGEINT) - m.s) DESC, d.di ASC)
+               AS rk
+      FROM daily d JOIN m1 m ON d.et = m.et
+    ),
+    p1 AS (SELECT * FROM r1 WHERE rk = 1)"""]
+    for r in range(2, rounds + 1):
+        parts.append(f""",
+    m{r} AS (
+      SELECT et, n - 1 AS n, s - c AS s, ss - CAST(c AS HUGEINT) * c AS ss
+      FROM p{r-1}
+    ),
+    r{r} AS (
+      SELECT d.et, d.di, d.day, d.c, m.n, m.s, m.ss,
+             row_number() OVER (PARTITION BY d.et
+               ORDER BY abs(m.n * CAST(d.c AS HUGEINT) - m.s) DESC, d.di ASC)
+               AS rk
+      FROM daily d JOIN m{r} m ON d.et = m.et
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ({' UNION ALL '.join(f'SELECT et, di FROM p{i}' for i in range(1, r))}) x
+        WHERE x.et = d.et AND x.di = d.di)
+    ),
+    p{r} AS (SELECT * FROM r{r} WHERE rk = 1)""")
+    sel = " UNION ALL ".join(
+        f"SELECT et AS event_type, CAST({r} AS BIGINT) AS round, day, "
+        f"round(c / 100.0, 2) AS revenue, "
+        f"round(abs(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)"
+        f" / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)),"
+        f" 4) + 0.0 AS z FROM p{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n    {sel}\n    ORDER BY event_type, round")
+    return "".join(parts)
+
+
+@register("q_anomaly_esd", oracle=_esd_oracle())
+def q_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD-style iterative outlier extraction: per event
+    type, the 3 most extreme daily-revenue points are peeled off ONE
+    AT A TIME, each round re-scoring against the moments of the
+    REMAINING points (the masking-resistant property plain z-scores
+    lack — one huge spike inflates the std and hides the second
+    spike; q_anomaly_zscore/mad are the single-pass companions).
+
+    Exactness: the per-round argmax maximizes |n·c − S| — an EXACT
+    128-bit integer comparison equivalent to the z argmax (sd is
+    constant within a round), with a day tiebreak; each round's
+    moments derive from the previous round's by SUBTRACTING the
+    removed point (n−1, S−c, SS−c²), so the bounded daily table is
+    never re-aggregated and the z reported per pick is one double
+    expression over exact moments."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("c"))
+        .persist()
+    )
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    m = daily.groupBy("et").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("c"))).alias("s"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("ss"),
+    )
+    picks = []
+    excluded = None
+    for r in range(1, 4):
+        d = daily
+        if excluded is not None:
+            d = d.join(excluded, ["et", "di"], "left_anti")
+        scored = d.join(F.broadcast(m), "et")
+        w = Window.partitionBy("et").orderBy(
+            F.abs(dec(F.col("n")) * dec(F.col("c")) - F.col("s")).desc(),
+            F.asc("di"),
+        )
+        p = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+            .persist()
+        )
+        picks.append(p.withColumn("round", F.lit(r).cast("long")))
+        excluded = (
+            p.select("et", "di")
+            if excluded is None
+            else excluded.unionAll(p.select("et", "di"))
+        )
+        m = p.select(
+            "et",
+            (F.col("n") - 1).alias("n"),
+            (F.col("s") - dec(F.col("c"))).alias("s"),
+            (F.col("ss") - dec(F.col("c")) * dec(F.col("c"))).alias("ss"),
+        )
+    allp = picks[0]
+    for p_ in picks[1:]:
+        allp = allp.unionAll(p_)
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    return allp.select(
+        F.col("et").alias("event_type"),
+        "round",
+        "day",
+        F.round(F.col("c") / 100.0, 2).alias("revenue"),
+        (
+            F.round(
+                F.abs(
+                    F.col("c").cast("double")
+                    - F.col("s").cast("double") / F.col("n")
+                )
+                / sd,
+                4,
+            )
+            + 0.0
+        ).alias("z"),
+    ).orderBy("event_type", "round")

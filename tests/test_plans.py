@@ -106,6 +106,8 @@ _SINGLE_PARTITION_OK = {
     "q_attribution_markov",  # 1-row wide transition pivot + Cramer algebra
     "q_dedup_threshold_sweep",  # two 1-row conditional-count folds of the
                           # pair table -> 6-row stack
+    "q_privacy_kanonymity",  # two 1-row folds of the bounded class table
+                          # -> 3-row stack
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -198,6 +200,8 @@ _CROSS_OK = {
     # threshold sweep: the two 1-row count folds cross-join before the
     # 6-row stack (scalar-subquery pattern, size-independent).
     "q_dedup_threshold_sweep",
+    # k-anonymity: the 1-row total fold joins the 3-row threshold stack.
+    "q_privacy_kanonymity",
 }
 
 

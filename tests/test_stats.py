@@ -1350,3 +1350,74 @@ def test_tokenize_fertility_matches_python():
         assert row["n_docs"] == len(g) and row["n_subtokens"] == n_sub
         assert abs(row["fertility"] - round(n_sub / n_ws, 4)) < 1e-9
         assert abs(row["chars_per_token"] - round(n_chars / n_sub, 4)) < 1e-9
+
+
+def test_kanonymity_matches_pandas():
+    con = duckdb.connect()
+    c = con.execute(
+        f"SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal "
+        f"FROM read_parquet('{SF}/customer.parquet')"
+    ).df()
+    c["band"] = np.floor(c["c_acctbal"] / 1000).astype("int64")
+    sizes = c.groupby(["c_nationkey", "c_mktsegment", "band"]).size()
+    got = _oracle_orders("q_privacy_kanonymity").set_index("k")
+    for k in (2, 5, 10):
+        row = got.loc[k]
+        assert row["n_classes"] == len(sizes)
+        assert row["n_small_classes"] == int((sizes < k).sum())
+        at_risk = int(sizes[sizes < k].sum())
+        assert row["n_customers_at_risk"] == at_risk
+        assert abs(row["risk_pct"] - round(at_risk / len(c), 4)) < 1e-9
+    # risk can only grow with k
+    assert got["n_customers_at_risk"].is_monotonic_increasing
+
+
+def test_feature_hashing_matches_python():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    got = _oracle_orders("q_feature_hashing").set_index("lang")
+    for lang, g in docs.groupby("lang"):
+        from collections import Counter
+
+        tc: Counter = Counter()
+        for t in g["text"]:
+            tc.update(t.split(" "))
+        buckets: dict[int, list[int]] = {}
+        for tok, cnt in tc.items():
+            b = int(hashlib.md5(f"fh:{tok}".encode()).hexdigest()[:8], 16) % 4096
+            buckets.setdefault(b, []).append(cnt)
+        colliding = sum(len(v) for v in buckets.values() if len(v) > 1)
+        row = got.loc[lang]
+        assert row["n_tokens"] == sum(tc.values())
+        assert row["n_distinct_tokens"] == len(tc)
+        assert row["n_buckets_used"] == len(buckets)
+        assert row["max_bucket_tokens"] == max(len(v) for v in buckets.values())
+        assert row["n_colliding_tokens"] == colliding
+        assert abs(row["collision_rate"] - round(colliding / len(tc), 4)) < 1e-9
+
+
+def test_anomaly_esd_matches_iterative_numpy():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = _oracle_orders("q_anomaly_esd").set_index(["event_type", "round"])
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["cents"].sum().sort_index()
+        remaining = daily.copy()
+        for r in (1, 2, 3):
+            n = len(remaining)
+            mean, sd = remaining.mean(), remaining.std(ddof=1)
+            # argmax of |n*c - S| with earliest-day tiebreak
+            score = (n * remaining - remaining.sum()).abs()
+            pick = score[score == score.max()].index.min()
+            row = got.loc[(et, r)]
+            assert row["day"] == pick.strftime("%Y-%m-%d"), (et, r)
+            assert abs(row["revenue"] - round(remaining[pick] / 100, 2)) < 1e-9
+            z = abs(remaining[pick] - mean) / sd
+            assert abs(row["z"] - round(z, 4)) < 1e-6
+            remaining = remaining.drop(pick)

@@ -112,6 +112,9 @@ ROUND_CHANGED = [
     "q_win_rolling_beta",  # r5: new
     "q_sequence_ngrams",  # r5: new
     "q_tokenize_fertility",  # r5: new
+    "q_privacy_kanonymity",  # r5: new
+    "q_feature_hashing",  # r5: new
+    "q_anomaly_esd",      # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
