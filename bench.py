@@ -55,6 +55,12 @@ HEADLINE = [
     "q_rfm_segments",       # 3x banded rank + closed-form ntile (r5)
     "q_sim_pairwise",       # salted all-pairs cosine (r5)
     "q_embed_pca",          # mapInArrow moment partials + projection (r5)
+    # r5 continuation additions: the new flagship composites (the
+    # 28-key prefix above is unchanged for cross-round comparability)
+    "q_attribution_markov",  # journey sort + exact Cramer solve
+    "q_multimodal_phash",    # band-blocked aHash near-dup join
+    "q_stats_cuped",         # experiment covariate adjustment
+    "q_dedup_threshold_sweep",  # pairwise cosine + 6-threshold curve
 ]
 
 

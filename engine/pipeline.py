@@ -2699,49 +2699,47 @@ _MK_CHANNELS = ["click", "error", "signup", "view"]
 
 
 def _mk_det(m: list[list[str]]) -> str:
-    """Leibniz determinant of a matrix of SQL expression strings."""
-    from itertools import permutations
-
+    """Determinant of a matrix of SQL expression strings by recursive
+    first-column cofactor expansion, skipping structural zeros (the
+    START column is zero below the diagonal, so the denominator
+    determinants collapse to tot_S times a channel minor). The nested
+    product-of-sums form is both far smaller than the flat 120-term
+    Leibniz sum (which made Spark broadcast a 5.5 MiB task binary)
+    and shallow enough for DuckDB's 128-deep binder recursion. The
+    value is the same exact 128-bit integer either way."""
     n = len(m)
+    if n == 1:
+        return m[0][0]
     terms = []
-    for perm in permutations(range(n)):
-        inv = sum(
-            1
-            for i in range(n)
-            for j in range(i + 1, n)
-            if perm[i] > perm[j]
-        )
-        prod = " * ".join(m[i][perm[i]] for i in range(n))
-        terms.append(("(" if inv % 2 == 0 else "(0 - ") + prod + ")")
-
-    # balanced parenthesization: DuckDB's binder recurses per binary
-    # op, and a 120-term linear chain exceeds its 128-depth limit.
-    def _bal(ts: list[str]) -> str:
-        if len(ts) == 1:
-            return ts[0]
-        mid = len(ts) // 2
-        return "(" + _bal(ts[:mid]) + " + " + _bal(ts[mid:]) + ")"
-
-    return _bal(terms)
+    for i in range(n):
+        if m[i][0] == "0":
+            continue
+        minor = [row[1:] for k, row in enumerate(m) if k != i]
+        sign = "" if i % 2 == 0 else "0 - "
+        terms.append(f"({sign}{m[i][0]} * {_mk_det(minor)})")
+    if not terms:
+        return "0"
+    return "(" + " + ".join(terms) + ")"
 
 
 def _mk_matrix(states: list[str], cast: str) -> tuple[list[list[str]], list[str]]:
     """(M, b) for transient `states` (index 0 is START): M[i][j] =
     δ_ij·tot_i − t_i_j with nothing ever entering START, b[i] = t_i_P."""
 
-    def t(i: str, j: str) -> str:
-        if j == "S":
-            return f"CAST(0 AS {cast})"
-        return f"CAST(t_{i}_{j} AS {cast})"
-
     m = []
     for i in states:
         row = []
         for j in states:
-            if i == j:
-                row.append(f"(CAST(tot_{i} AS {cast}) - {t(i, j)})")
+            if i == j and j == "S":
+                row.append(f"CAST(tot_{i} AS {cast})")
+            elif j == "S":
+                row.append("0")  # nothing ever enters START
+            elif i == j:
+                row.append(
+                    f"(CAST(tot_{i} AS {cast}) - CAST(t_{i}_{j} AS {cast}))"
+                )
             else:
-                row.append(f"(CAST(0 AS {cast}) - {t(i, j)})")
+                row.append(f"(0 - CAST(t_{i}_{j} AS {cast}))")
         m.append(row)
     b = [f"CAST(t_{i}_P AS {cast})" for i in states]
     return m, b
