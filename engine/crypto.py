@@ -3519,3 +3519,102 @@ def q_win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         (F.round(num / den, 4) + 0.0).alias("beta"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_renko",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) // 500 AS lev
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, ts, event_id, lev,
+             lev - lag(lev) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS dlev
+      FROM t
+    ),
+    c AS (
+      SELECT event_type, ts, event_id, dlev, dlev > 0 AS up,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn1,
+             row_number() OVER (PARTITION BY event_type, dlev > 0
+                                ORDER BY ts, event_id) AS rn2
+      FROM d WHERE dlev IS NOT NULL AND dlev <> 0
+    ),
+    runs AS (
+      SELECT event_type, up, rn1 - rn2 AS island,
+             CAST(count(*) AS BIGINT) AS run_len,
+             CAST(sum(abs(dlev)) AS BIGINT) AS run_bricks
+      FROM c GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN up THEN run_bricks ELSE 0 END) AS BIGINT)
+               AS bricks_up,
+             CAST(sum(CASE WHEN NOT up THEN run_bricks ELSE 0 END) AS BIGINT)
+               AS bricks_down,
+             CAST(sum(run_len) AS BIGINT) AS n_moves,
+             CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(max(run_len) AS BIGINT) AS max_run_moves,
+             CAST(max(run_bricks) AS BIGINT) AS max_run_bricks
+      FROM runs GROUP BY event_type
+    )
+    SELECT * FROM agg ORDER BY event_type
+    """,
+)
+def q_win_renko(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renko-style level-crossing summary per event type: prices
+    quantize to $5 brick levels, every level change is a directed
+    move, and consecutive same-direction moves form runs — brick
+    totals, reversal count, and the longest run (in moves and in
+    bricks) are the trend/chop diagnostics renko charts read off.
+
+    One (type)-partitioned sort feeds the level lag; runs are the
+    classic gaps-islands rn−rn trick (the second row_number partitions
+    by direction but orders identically, so Spark reuses the same
+    exchange); everything downstream is exact integer aggregation on
+    the bounded runs table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT) div 500").alias("lev"),
+    )
+    d = t.withColumn("dlev", F.col("lev") - F.lag("lev").over(w))
+    c = (
+        d.filter(F.col("dlev").isNotNull() & (F.col("dlev") != 0))
+        .withColumn("up", F.col("dlev") > 0)
+        .withColumn("rn1", F.row_number().over(w))
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("event_type", "up").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    runs = c.groupBy(
+        "event_type", "up", (F.col("rn1") - F.col("rn2")).alias("island")
+    ).agg(
+        F.count("*").cast("long").alias("run_len"),
+        F.sum(F.abs("dlev")).cast("long").alias("run_bricks"),
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("up"), F.col("run_bricks")).otherwise(0))
+            .cast("long")
+            .alias("bricks_up"),
+            F.sum(F.when(~F.col("up"), F.col("run_bricks")).otherwise(0))
+            .cast("long")
+            .alias("bricks_down"),
+            F.sum("run_len").cast("long").alias("n_moves"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_run_moves"),
+            F.max("run_bricks").cast("long").alias("max_run_bricks"),
+        )
+        .orderBy("event_type")
+    )

@@ -3384,3 +3384,127 @@ def q_user_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+@register(
+    "q_supplier_scorecard",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS n_returned,
+             CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS BIGINT)
+               AS disc_bp,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_name, n.n_name AS nation,
+           m.n_lines, round(m.rev_cents / 100.0, 2) AS revenue,
+           round(CAST(m.n_returned AS DOUBLE) / m.n_lines, 4) + 0.0
+             AS return_rate,
+           round(CAST(m.disc_bp AS DOUBLE) / m.n_lines / 10000, 4) + 0.0
+             AS avg_discount,
+           m.n_parts
+    FROM m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY m.rev_cents DESC, s.s_name LIMIT 20
+    """,
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: the top-20 suppliers by net revenue with
+    their return rate, average discount given, and part breadth — the
+    procurement BI composite (one row per supplier a category manager
+    reviews).
+
+    One fact-table hash aggregate (map-side combined; the distinct
+    part count is a partial-distinct expand, not a self-join) joins
+    TWO broadcast dims; discounts accumulate as exact basis-point
+    integers and the return rate is a ratio of exact counts. The
+    top-20 lowers to TakeOrderedAndProject on (revenue, name)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        )
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("long")
+        .alias("n_returned"),
+        F.sum(F.floor(F.col("l_discount") * 10000)).cast("long").alias("disc_bp"),
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        m.join(F.broadcast(s), m["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_lines",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            (
+                F.round(F.col("n_returned").cast("double") / F.col("n_lines"), 4)
+                + 0.0
+            ).alias("return_rate"),
+            (
+                F.round(
+                    F.col("disc_bp").cast("double") / F.col("n_lines") / 10000, 4
+                )
+                + 0.0
+            ).alias("avg_discount"),
+            "n_parts",
+            F.col("rev_cents").alias("_rc"),
+        )
+        .orderBy(F.desc("_rc"), F.asc("s_name"))
+        .limit(20)
+        .drop("_rc")
+    )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(count(*) FILTER (
+             WHERE json_extract_string(props, '$.missing') IS NOT NULL)
+                AS BIGINT) AS n_with_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT ingestion (Spark 4 `parse_json` +
+    `try_variant_get`): the props JSON column parses ONCE into the
+    binary VARIANT encoding and typed paths extract from it — the
+    modern lakehouse path for schema-on-read JSON (vs
+    q_fn_json's per-path string re-parsing), including the
+    missing-path NULL semantics that try_variant_get guarantees.
+
+    The oracle reads the same paths with DuckDB's JSON extractor —
+    the differential proves the VARIANT path extraction agrees with
+    a plain JSON reader on values, types, and missing-path NULLs."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    k = F.expr("try_variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(v, '$.missing', 'string')")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(k).cast("long").alias("k_sum"),
+            F.max(k).cast("long").alias("k_max"),
+            F.count(missing).cast("long").alias("n_with_missing"),
+        )
+        .orderBy("event_type")
+    )

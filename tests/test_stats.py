@@ -149,7 +149,8 @@ def test_km_matches_manual_estimator():
 
 def _oracle_orders(key: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("orders", "lineitem", "events", "documents", "customer", "embeddings"):
+    for t in ("orders", "lineitem", "events", "documents", "customer",
+              "embeddings", "supplier", "nation"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -1421,3 +1422,86 @@ def test_anomaly_esd_matches_iterative_numpy():
             z = abs(remaining[pick] - mean) / sd
             assert abs(row["z"] - round(z, 4)) < 1e-6
             remaining = remaining.drop(pick)
+
+
+def test_supplier_scorecard_matches_pandas():
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_suppkey, l_partkey, l_extendedprice, l_discount, l_returnflag "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    sup = con.execute(
+        f"SELECT s_suppkey, s_name, s_nationkey FROM read_parquet('{SF}/supplier.parquet')"
+    ).df()
+    nat = con.execute(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF}/nation.parquet')"
+    ).df()
+    li["rev"] = np.floor(li["l_extendedprice"] * (1 - li["l_discount"]) * 100).astype(
+        "int64"
+    )
+    li["disc_bp"] = np.floor(li["l_discount"] * 10000).astype("int64")
+    m = li.groupby("l_suppkey").agg(
+        n_lines=("rev", "size"),
+        rev_cents=("rev", "sum"),
+        n_returned=("l_returnflag", lambda s: int((s == "R").sum())),
+        disc_bp=("disc_bp", "sum"),
+        n_parts=("l_partkey", "nunique"),
+    )
+    m = m.join(sup.set_index("s_suppkey")).merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    m = m.sort_values(["rev_cents", "s_name"], ascending=[False, True]).head(20)
+    got = _oracle_orders("q_supplier_scorecard")
+    assert len(got) == len(m)
+    for (_, e), (_, g) in zip(m.iterrows(), got.iterrows()):
+        assert g["s_name"] == e["s_name"] and g["nation"] == e["n_name"]
+        assert g["n_lines"] == e["n_lines"] and g["n_parts"] == e["n_parts"]
+        assert abs(g["revenue"] - round(e["rev_cents"] / 100, 2)) < 1e-9
+        assert abs(g["return_rate"] - round(e["n_returned"] / e["n_lines"], 4)) < 1e-9
+        assert (
+            abs(g["avg_discount"] - round(e["disc_bp"] / e["n_lines"] / 1e4, 4))
+            < 1e-9
+        )
+
+
+def test_renko_matches_python_runs():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["lev"] = np.floor(ev["value"] * 100).astype("int64") // 500
+    got = _oracle_orders("q_win_renko").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        levs = g.sort_values(["ts", "event_id"])["lev"].to_numpy()
+        dlev = np.diff(levs)
+        moves = dlev[dlev != 0]
+        runs = []
+        for m in moves:
+            if runs and (runs[-1][0] == (m > 0)):
+                runs[-1][1] += 1
+                runs[-1][2] += abs(int(m))
+            else:
+                runs.append([m > 0, 1, abs(int(m))])
+        row = got.loc[et]
+        assert row["bricks_up"] == sum(r[2] for r in runs if r[0])
+        assert row["bricks_down"] == sum(r[2] for r in runs if not r[0])
+        assert row["n_moves"] == len(moves)
+        assert row["n_runs"] == len(runs)
+        assert row["max_run_moves"] == max(r[1] for r in runs)
+        assert row["max_run_bricks"] == max(r[2] for r in runs)
+
+
+def test_variant_matches_json_recompute():
+    import json as _json
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, props FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    got = _oracle_orders("q_fn_variant").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        ks = [int(_json.loads(p)["k"]) for p in g["props"]]
+        row = got.loc[et]
+        assert row["n_events"] == len(ks)
+        assert row["k_sum"] == sum(ks) and row["k_max"] == max(ks)
+        assert row["n_with_missing"] == 0

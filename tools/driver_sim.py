@@ -115,6 +115,9 @@ ROUND_CHANGED = [
     "q_privacy_kanonymity",  # r5: new
     "q_feature_hashing",  # r5: new
     "q_anomaly_esd",      # r5: new
+    "q_supplier_scorecard",  # r5: new
+    "q_win_renko",        # r5: new
+    "q_fn_variant",       # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
