@@ -3508,3 +3508,157 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_abc_xyz",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_cents,
+             sum(cents) OVER () AS total_cents
+      FROM rev
+    ),
+    abc AS (
+      SELECT l_partkey, cents,
+             CASE WHEN CAST(run_cents AS DOUBLE) / total_cents <= 0.8 THEN 'A'
+                  WHEN CAST(run_cents AS DOUBLE) / total_cents <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    ),
+    wk AS (
+      SELECT l_partkey,
+             CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS week,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    horizon AS (
+      SELECT CAST(max(week) - min(week) + 1 AS BIGINT) AS w FROM wk
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN w * sq2 - sq * sq <= 14 * sq * sq THEN 'X'
+                  WHEN w * sq2 - sq * sq <= 18 * sq * sq THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM (SELECT l_partkey, CAST(sum(q) AS HUGEINT) AS sq,
+                   CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sq2
+            FROM wk GROUP BY l_partkey) p, horizon
+    )
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(abc.cents) AS DOUBLE)
+                 / (SELECT sum(cents) FROM rev), 4) + 0.0 AS revenue_share
+    FROM abc JOIN xyz ON abc.l_partkey = xyz.l_partkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: revenue importance (the q_abc_pareto
+    cumulative-share classes) crossed with demand variability (weekly
+    demand coefficient of variation; the textbook cv cutoffs 1/2 are
+    degenerate on this fixture's sparse demand — measured cv² spans
+    12–21 at every SF, so the class bounds are calibrated to
+    cv² ≤ 14 / ≤ 18, which split the parts roughly in thirds) — the
+    9-cell
+    planning grid (AX = automate, CZ = review manually) that
+    operations teams actually run.
+
+    The ABC rank reuses the banded distributed prefix-sum (≤64 log2
+    bands, within-band running sum + broadcast carry — the oracle
+    writes the naive global window, the plan never single-partitions
+    the parts table). The XYZ class counts ZERO-DEMAND weeks via the
+    global horizon W (a 1-row fold): cv² = (W·Σq²−(Σq)²)/(Σq)², and
+    the class test cross-multiplies (varn ≤ k·(Σq)²) so it is an
+    EXACT 128-bit integer comparison — no float cv ever computed."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("band", F.floor(F.log2(F.col("cents").cast("double") + 1.5)))
+    )
+    w_in = Window.partitionBy("band").orderBy(
+        F.desc("cents"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = rev.withColumn("run_in_band", F.sum("cents").over(w_in))
+    band_tot = (
+        rev.groupBy("band")
+        .agg(F.sum("cents").alias("band_cents"))
+        .withColumn(
+            "carry_in",
+            F.coalesce(
+                F.sum("band_cents").over(
+                    Window.orderBy(F.desc("band")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("total_cents", F.sum("band_cents").over(Window.partitionBy()))
+        .select(F.col("band").alias("b"), "carry_in", "total_cents")
+    )
+    share = (F.col("run_in_band") + F.col("carry_in")).cast("double") / F.col(
+        "total_cents"
+    )
+    abc = within.join(F.broadcast(band_tot), F.col("band") == F.col("b")).select(
+        "l_partkey",
+        "cents",
+        "total_cents",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    wk = li.groupBy(
+        "l_partkey",
+        F.floor(F.unix_timestamp("l_shipdate") / 604800).cast("long").alias("week"),
+    ).agg(F.sum(F.floor("l_quantity")).cast("long").alias("q"))
+    horizon = F.broadcast(
+        wk.agg((F.max("week") - F.min("week") + 1).cast("long").alias("w"))
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    p = (
+        wk.groupBy("l_partkey")
+        .agg(
+            F.sum(dec("q")).alias("sq"),
+            F.sum(dec("q") * dec("q")).alias("sq2"),
+        )
+        .crossJoin(horizon)
+    )
+    varn = dec("w") * F.col("sq2") - F.col("sq") * F.col("sq")
+    xyz = p.select(
+        "l_partkey",
+        F.when(varn <= 14 * F.col("sq") * F.col("sq"), "X")
+        .when(varn <= 18 * F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            (
+                F.round(
+                    F.sum("cents").cast("double") / F.any_value("total_cents"), 4
+                )
+                + 0.0
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

@@ -2007,3 +2007,260 @@ def q_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("z"),
     ).orderBy("event_type", "round")
+
+
+@register(
+    "q_stats_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT et, di,
+             CAST(round(ln(CAST(cents AS DOUBLE)
+                           / lag(cents) OVER (PARTITION BY et ORDER BY di))
+                        * 1000000) AS BIGINT) AS x
+      FROM daily
+    ),
+    base AS (
+      SELECT et, di, x,
+             CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY et) AS BIGINT) AS s
+      FROM r WHERE x IS NOT NULL
+    ),
+    lagged AS (
+      SELECT et, lag, n, s, x,
+             lag(x, lag) OVER (PARTITION BY et, lag ORDER BY di) AS xl
+      FROM base, (SELECT unnest(generate_series(1, 5)) AS lag)
+    ),
+    ck AS (
+      SELECT et, lag, any_value(n) AS n,
+             CAST(sum((n * CAST(x AS HUGEINT) - s)
+                      * (n * CAST(xl AS HUGEINT) - s)) AS HUGEINT) AS num
+      FROM lagged WHERE xl IS NOT NULL GROUP BY et, lag
+    ),
+    c0 AS (
+      SELECT et, any_value(n) AS n,
+             CAST(sum((n * CAST(x AS HUGEINT) - s)
+                      * (n * CAST(x AS HUGEINT) - s)) AS HUGEINT) AS den
+      FROM base GROUP BY et
+    ),
+    rho AS (
+      SELECT ck.et, ck.lag, ck.n,
+             CAST(ck.num AS DOUBLE) / CAST(c0.den AS DOUBLE) AS rho
+      FROM ck JOIN c0 ON ck.et = c0.et
+    )
+    SELECT et AS event_type, CAST(lag AS BIGINT) AS lag,
+           round(rho, 4) + 0.0 AS rho,
+           round(sum(n * (n + 2) * rho * rho / (n - lag))
+                   OVER (PARTITION BY et ORDER BY lag
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) + 0.0 AS ljung_box_q
+    FROM rho ORDER BY event_type, lag
+    """,
+)
+def q_stats_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1–5) of daily log returns per
+    event type, with the cumulative Ljung-Box portmanteau statistic —
+    the white-noise diagnostic run on residuals before trusting any
+    forecasting model (Q above the χ² critical value means structure
+    remains; q_win_autocorr is the single-lag companion).
+
+    Exactness: returns live on the 1e-6 ln grid; each autocovariance
+    clears the rational mean by the n²-scaling identity
+    n²·c_k = Σ(n·x_t − S)(n·x_{t−k} − S) — every term an exact
+    128-bit integer, so ρ_k is one division of exact sums. The five
+    lags share ONE exchange: the lag spine cross-joins the bounded
+    daily series (5× ~30 rows) and each (et, lag) partition sorts
+    within the same shuffle. Ljung-Box accumulates over the 5-row
+    per-type frame — trivially bounded."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+    )
+    wl = Window.partitionBy("et").orderBy("di")
+    r = daily.select(
+        "et",
+        "di",
+        F.round(
+            F.log(F.col("cents").cast("double") / F.lag("cents").over(wl))
+            * 1000000
+        )
+        .cast("long")
+        .alias("x"),
+    ).filter(F.col("x").isNotNull())
+    wp = Window.partitionBy("et")
+    base = r.select(
+        "et",
+        "di",
+        "x",
+        F.count("*").over(wp).cast("long").alias("n"),
+        F.sum("x").over(wp).cast("long").alias("s"),
+    )
+    lags = spark.range(1, 6).select(F.col("id").cast("int").alias("lag"))
+    # Spark's F.lag needs a literal offset — emit one lagged column per
+    # k over the (et, lag) spine and pick by the spine value.
+    wk = Window.partitionBy("et", "lag").orderBy("di")
+    lagged = base.crossJoin(F.broadcast(lags)).withColumn(
+        "xl", F.when(F.col("lag") == 1, F.lag("x", 1).over(wk)).otherwise(F.lit(None))
+    )
+    for k in range(2, 6):
+        lagged = lagged.withColumn(
+            "xl",
+            F.when(F.col("lag") == k, F.lag("x", k).over(wk)).otherwise(
+                F.col("xl")
+            ),
+        )
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    ck = (
+        lagged.filter(F.col("xl").isNotNull())
+        .groupBy("et", "lag")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.sum(
+                (dec(F.col("n")) * dec(F.col("x")) - F.col("s").cast("decimal(38,0)"))
+                * (dec(F.col("n")) * dec(F.col("xl")) - F.col("s").cast("decimal(38,0)"))
+            ).alias("num"),
+        )
+    )
+    c0 = base.groupBy("et").agg(
+        F.sum(
+            (dec(F.col("n")) * dec(F.col("x")) - F.col("s").cast("decimal(38,0)"))
+            * (dec(F.col("n")) * dec(F.col("x")) - F.col("s").cast("decimal(38,0)"))
+        ).alias("den")
+    )
+    rho = ck.join(c0, "et").select(
+        "et",
+        "lag",
+        "n",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("rho_raw"),
+    )
+    wq = Window.partitionBy("et").orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return rho.select(
+        F.col("et").alias("event_type"),
+        F.col("lag").cast("long").alias("lag"),
+        (F.round(F.col("rho_raw"), 4) + 0.0).alias("rho"),
+        (
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * (F.col("n") + 2)
+                    * F.col("rho_raw")
+                    * F.col("rho_raw")
+                    / (F.col("n") - F.col("lag"))
+                ).over(wq),
+                4,
+            )
+            + 0.0
+        ).alias("ljung_box_q"),
+    ).orderBy("event_type", "lag")
+
+
+@register(
+    "q_stats_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT et, di,
+             cents - lag(cents) OVER (PARTITION BY et ORDER BY di) AS diff
+      FROM daily
+    ),
+    s AS (
+      SELECT et, di, diff > 0 AS up,
+             CASE WHEN (diff > 0) <> lag(diff > 0) OVER
+                    (PARTITION BY et ORDER BY di)
+                  OR lag(diff) OVER (PARTITION BY et ORDER BY di) IS NULL
+                  THEN 1 ELSE 0 END AS new_run
+      FROM d WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    m AS (
+      SELECT et,
+             CAST(count(*) FILTER (WHERE up) AS BIGINT) AS n_up,
+             CAST(count(*) FILTER (WHERE NOT up) AS BIGINT) AS n_down,
+             CAST(sum(new_run) AS BIGINT) AS n_runs
+      FROM s GROUP BY et
+    )
+    SELECT et AS event_type, n_up, n_down, n_runs,
+           round(1 + 2.0 * n_up * n_down / (n_up + n_down), 4) + 0.0
+             AS expected_runs,
+           round((n_runs - (1 + 2.0 * n_up * n_down / (n_up + n_down)))
+                 / sqrt(2.0 * n_up * n_down
+                        * (2.0 * n_up * n_down - n_up - n_down)
+                        / ((n_up + n_down) * (n_up + n_down)
+                           * (n_up + n_down - 1))), 4) + 0.0 AS z
+    FROM m ORDER BY event_type
+    """,
+)
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue direction per event
+    type: too FEW runs of consecutive up/down days means trending,
+    too many means mean-reversion — the nonparametric randomness
+    check that needs no distributional assumption (the companion to
+    q_variance_ratio's parametric version).
+
+    One (type) sort carries the diff and the run-boundary flag
+    (zero-change days drop, as the classic test prescribes); the
+    closed-form mean and variance of the run count evaluate once per
+    type from three exact integers."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("et").orderBy("di")
+    d = daily.select(
+        "et", "di", (F.col("cents") - F.lag("cents").over(w)).alias("diff")
+    ).filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+    s = d.select(
+        "et",
+        (F.col("diff") > 0).alias("up"),
+        F.when(
+            ((F.col("diff") > 0) != F.lag(F.col("diff") > 0).over(w))
+            | F.lag("diff").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    m = s.groupBy("et").agg(
+        F.count(F.when(F.col("up"), 1)).cast("long").alias("n_up"),
+        F.count(F.when(~F.col("up"), 1)).cast("long").alias("n_down"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    nu, nd = F.col("n_up"), F.col("n_down")
+    n = nu + nd
+    exp = 1 + 2.0 * nu * nd / n
+    var = 2.0 * nu * nd * (2.0 * nu * nd - nu - nd) / (n * n * (n - 1))
+    return m.select(
+        F.col("et").alias("event_type"),
+        "n_up",
+        "n_down",
+        "n_runs",
+        (F.round(exp, 4) + 0.0).alias("expected_runs"),
+        (F.round((F.col("n_runs") - exp) / F.sqrt(var), 4) + 0.0).alias("z"),
+    ).orderBy("event_type")

@@ -108,6 +108,8 @@ _SINGLE_PARTITION_OK = {
                           # pair table -> 6-row stack
     "q_privacy_kanonymity",  # two 1-row folds of the bounded class table
                           # -> 3-row stack
+    "q_abc_xyz",          # <=64-row band carry windows (abc_pareto
+                          # scheme) + 1-row horizon fold
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -202,6 +204,11 @@ _CROSS_OK = {
     "q_dedup_threshold_sweep",
     # k-anonymity: the 1-row total fold joins the 3-row threshold stack.
     "q_privacy_kanonymity",
+    # ACF: the CONSTANT 5-row lag spine broadcasts onto the bounded
+    # daily series (size-independent, like the scalar-subquery folds).
+    "q_stats_acf",
+    # ABC-XYZ: the 1-row weekly-horizon fold classifies every part.
+    "q_abc_xyz",
 }
 
 

@@ -1505,3 +1505,97 @@ def test_variant_matches_json_recompute():
         assert row["n_events"] == len(ks)
         assert row["k_sum"] == sum(ks) and row["k_max"] == max(ks)
         assert row["n_with_missing"] == 0
+
+
+def test_acf_matches_numpy():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["di"] = (ev["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    got = _oracle_orders("q_stats_acf").set_index(["event_type", "lag"])
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("di")["cents"].sum().sort_index()
+        x = np.round(np.log(daily / daily.shift(1)) * 1e6).dropna().to_numpy("int64")
+        n = len(x)
+        dev = n * x.astype(object) - int(x.sum())
+        den = sum(d * d for d in dev)
+        q = 0.0
+        for k in range(1, 6):
+            num = sum(dev[k:][i] * dev[:-k][i] for i in range(n - k))
+            rho = float(num) / float(den)
+            q += n * (n + 2) * rho * rho / (n - k)
+            row = got.loc[(et, k)]
+            assert abs(row["rho"] - round(rho, 4)) < 1e-6
+            assert abs(row["ljung_box_q"] - round(q, 4)) < 1e-3
+
+
+def test_runs_test_matches_python():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["di"] = (ev["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    got = _oracle_orders("q_stats_runs_test").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("di")["cents"].sum().sort_index()
+        diffs = daily.diff().dropna()
+        signs = [d > 0 for d in diffs if d != 0]
+        n_up = sum(signs)
+        n_down = len(signs) - n_up
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        row = got.loc[et]
+        assert (row["n_up"], row["n_down"], row["n_runs"]) == (n_up, n_down, runs)
+        exp = 1 + 2 * n_up * n_down / (n_up + n_down)
+        var = (
+            2 * n_up * n_down * (2 * n_up * n_down - n_up - n_down)
+            / ((n_up + n_down) ** 2 * (n_up + n_down - 1))
+        )
+        assert abs(row["expected_runs"] - round(exp, 4)) < 1e-6
+        assert abs(row["z"] - round((runs - exp) / np.sqrt(var), 4)) < 1e-6
+
+
+def test_abc_xyz_matches_pandas():
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_partkey, l_extendedprice, l_discount, l_quantity, l_shipdate "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    li["cents"] = np.floor(li["l_extendedprice"] * (1 - li["l_discount"]) * 100).astype(
+        "int64"
+    )
+    rev = li.groupby("l_partkey")["cents"].sum().reset_index()
+    rev = rev.sort_values(["cents", "l_partkey"], ascending=[False, True])
+    total = rev["cents"].sum()
+    rev["share"] = rev["cents"].cumsum() / total
+    rev["abc"] = np.where(
+        rev["share"] <= 0.8, "A", np.where(rev["share"] <= 0.95, "B", "C")
+    )
+    # parquet dates land as datetime64[us] — normalize to ns first
+    # (the MICROS-unit trap recorded in ROUND5_NOTES)
+    li["week"] = (
+        li["l_shipdate"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 604800
+    li["q"] = np.floor(li["l_quantity"]).astype("int64")
+    wk = li.groupby(["l_partkey", "week"])["q"].sum().reset_index()
+    W = int(wk["week"].max() - wk["week"].min() + 1)
+    p = wk.groupby("l_partkey")["q"].agg(sq="sum", sq2=lambda s: int((s**2).sum()))
+    varn = W * p["sq2"] - p["sq"] ** 2
+    p["xyz"] = np.where(
+        varn <= 14 * p["sq"] ** 2, "X", np.where(varn <= 18 * p["sq"] ** 2, "Y", "Z")
+    )
+    m = rev.set_index("l_partkey").join(p["xyz"])
+    exp = (
+        m.groupby(["abc", "xyz"])
+        .agg(n_parts=("cents", "size"), cents=("cents", "sum"))
+        .reset_index()
+    )
+    got = _oracle_orders("q_abc_xyz")
+    assert len(got) == len(exp)
+    gm = got.set_index(["abc_class", "xyz_class"])
+    for _, e in exp.iterrows():
+        row = gm.loc[(e["abc"], e["xyz"])]
+        assert row["n_parts"] == e["n_parts"]
+        assert abs(row["revenue_share"] - round(e["cents"] / total, 4)) < 1e-9

@@ -118,6 +118,9 @@ ROUND_CHANGED = [
     "q_supplier_scorecard",  # r5: new
     "q_win_renko",        # r5: new
     "q_fn_variant",       # r5: new
+    "q_stats_acf",        # r5: new
+    "q_stats_runs_test",  # r5: new
+    "q_abc_xyz",          # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
