@@ -3662,3 +3662,190 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@register(
+    "q_price_elasticity",
+    oracle="""
+    WITH lines AS (
+      SELECT p.p_type,
+             CAST(round(ln(CAST(floor(l_extendedprice * (1 - l_discount)
+                                      / l_quantity * 100) AS BIGINT))
+                        * 1000000) AS BIGINT) AS lp,
+             CAST(round(ln(CAST(floor(l_quantity) AS BIGINT)) * 1000000)
+                  AS BIGINT) AS lq
+      FROM lineitem JOIN part p ON l_partkey = p_partkey
+      WHERE l_quantity >= 1
+        AND l_extendedprice * (1 - l_discount) / l_quantity >= 0.01
+    ),
+    m AS (
+      SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lp) AS HUGEINT) AS sx, CAST(sum(lq) AS HUGEINT) AS sy,
+             CAST(sum(CAST(lp AS HUGEINT) * lp) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(lp AS HUGEINT) * lq) AS HUGEINT) AS sxy
+      FROM lines GROUP BY p_type
+    )
+    SELECT p_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0 AS elasticity
+    FROM m ORDER BY p_type
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity of demand per part type: the OLS slope of
+    ln(quantity) on ln(unit price) across order lines — the pricing
+    econometric every revenue team estimates (elasticity < −1 means
+    cutting price grows revenue).
+
+    Unit price floors to exact cents; both logs land on the house
+    1e-6 bigint grid, so the four regression moments accumulate as
+    exact 128-bit integers per type (one map-side-combined agg after
+    one broadcast dim join) and the slope divides once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    unit_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.col("l_quantity") * 100
+    ).cast("long")
+    lines = (
+        li.filter(
+            (F.col("l_quantity") >= 1)
+            & (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                / F.col("l_quantity")
+                >= 0.01
+            )
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_type",
+            F.round(F.log(unit_cents.cast("double")) * 1000000)
+            .cast("long")
+            .alias("lp"),
+            F.round(F.log(F.floor("l_quantity").cast("double")) * 1000000)
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    m = lines.groupBy("p_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("lp")).alias("sx"),
+        F.sum(dec("lq")).alias("sy"),
+        F.sum(dec("lp") * dec("lp")).alias("sxx"),
+        F.sum(dec("lp") * dec("lq")).alias("sxy"),
+    )
+    num = (dec("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (dec("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "p_type", "n", (F.round(num / den, 4) + 0.0).alias("elasticity")
+    ).orderBy("p_type")
+
+
+@register(
+    "q_basket_sequential",
+    oracle="""
+    WITH ord AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS seq
+      FROM orders
+    ),
+    ob AS (
+      SELECT DISTINCT o.o_custkey, o.seq, p.p_brand
+      FROM ord o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                 JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_from, b.p_brand AS brand_to
+      FROM ob a JOIN ob b
+        ON a.o_custkey = b.o_custkey AND b.seq = a.seq + 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pairs),
+    f AS (SELECT brand_from, CAST(count(*) AS BIGINT) AS nf
+          FROM pairs GROUP BY brand_from),
+    t AS (SELECT brand_to, CAST(count(*) AS BIGINT) AS nt
+          FROM pairs GROUP BY brand_to)
+    SELECT p.brand_from, p.brand_to,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(count(*) AS DOUBLE) * tot.n_total / (f.nf * t.nt), 4)
+             + 0.0 AS lift
+    FROM pairs p, tot
+    JOIN f ON p.brand_from = f.brand_from
+    JOIN t ON p.brand_to = t.brand_to
+    GROUP BY p.brand_from, p.brand_to, tot.n_total, f.nf, t.nt
+    ORDER BY n_pairs DESC, p.brand_from, p.brand_to LIMIT 15
+    """,
+)
+def q_basket_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential market-basket mining: which part BRAND follows which
+    in a customer's NEXT order — the top-15 (brand_from, brand_to)
+    next-purchase transitions with their lift vs independence, the
+    cross-sell/replenishment signal q_basket_rules (same-basket) does
+    not see.
+
+    One (customer) sort sequences orders; the basket relation
+    dedupes to (customer, seq, brand); the adjacent-order pair join
+    is an equi-join on (custkey, seq+1) — never a time-range join;
+    lift folds the two marginal tables back by equi-join; top-15
+    lowers to TakeOrderedAndProject with a full tiebreak."""
+    from pyspark.sql import Window
+
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        )
+        .alias("seq"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        ords.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("o_custkey", "seq", "p_brand")
+        .distinct()
+    )
+    a = ob.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("seq").alias("sa"),
+        F.col("p_brand").alias("brand_from"),
+    )
+    b = ob.select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("seq").alias("sb"),
+        F.col("p_brand").alias("brand_to"),
+    )
+    pairs = a.join(
+        b, (F.col("ck") == F.col("ck2")) & (F.col("sb") == F.col("sa") + 1)
+    ).select("brand_from", "brand_to")
+    tot = F.broadcast(pairs.agg(F.count("*").cast("long").alias("n_total")))
+    f = pairs.groupBy("brand_from").agg(F.count("*").cast("long").alias("nf"))
+    t = pairs.groupBy("brand_to").agg(F.count("*").cast("long").alias("nt"))
+    g = (
+        pairs.groupBy("brand_from", "brand_to")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .join(F.broadcast(f), "brand_from")
+        .join(F.broadcast(t), "brand_to")
+        .crossJoin(tot)
+    )
+    return (
+        g.select(
+            "brand_from",
+            "brand_to",
+            "n_pairs",
+            (
+                F.round(
+                    F.col("n_pairs").cast("double")
+                    * F.col("n_total")
+                    / (F.col("nf") * F.col("nt")),
+                    4,
+                )
+                + 0.0
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("brand_from"), F.asc("brand_to"))
+        .limit(15)
+    )

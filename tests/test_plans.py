@@ -110,6 +110,7 @@ _SINGLE_PARTITION_OK = {
                           # -> 3-row stack
     "q_abc_xyz",          # <=64-row band carry windows (abc_pareto
                           # scheme) + 1-row horizon fold
+    "q_basket_sequential",  # 1-row pair-total fold into the lift
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -209,6 +210,8 @@ _CROSS_OK = {
     "q_stats_acf",
     # ABC-XYZ: the 1-row weekly-horizon fold classifies every part.
     "q_abc_xyz",
+    # sequential basket: the 1-row pair-total fold scales the lift.
+    "q_basket_sequential",
 }
 
 

@@ -150,7 +150,7 @@ def test_km_matches_manual_estimator():
 def _oracle_orders(key: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in ("orders", "lineitem", "events", "documents", "customer",
-              "embeddings", "supplier", "nation"):
+              "embeddings", "supplier", "nation", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -1599,3 +1599,74 @@ def test_abc_xyz_matches_pandas():
         row = gm.loc[(e["abc"], e["xyz"])]
         assert row["n_parts"] == e["n_parts"]
         assert abs(row["revenue_share"] - round(e["cents"] / total, 4)) < 1e-9
+
+
+def test_price_elasticity_matches_numpy():
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l.l_partkey, l.l_quantity, l.l_extendedprice, l.l_discount, p.p_type "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/part.parquet') p ON l.l_partkey = p.p_partkey"
+    ).df()
+    up = li["l_extendedprice"] * (1 - li["l_discount"]) / li["l_quantity"]
+    li = li[(li["l_quantity"] >= 1) & (up >= 0.01)].copy()
+    li["lp"] = np.round(
+        np.log(np.floor(up[li.index] * 100).astype("int64")) * 1e6
+    ).astype("int64")
+    li["lq"] = np.round(
+        np.log(np.floor(li["l_quantity"]).astype("int64")) * 1e6
+    ).astype("int64")
+    got = _oracle_orders("q_price_elasticity").set_index("p_type")
+    for pt, g in li.groupby("p_type"):
+        n = len(g)
+        sx, sy = int(g["lp"].sum()), int(g["lq"].sum())
+        sxx = int((g["lp"].astype(object) ** 2).sum())
+        sxy = int((g["lp"].astype(object) * g["lq"]).sum())
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        row = got.loc[pt]
+        assert row["n"] == n
+        assert abs(row["elasticity"] - round(slope, 4)) < 1e-6
+    # demand curves slope down: every type's elasticity is negative
+    assert (got["elasticity"] < 0).all()
+
+
+def test_basket_sequential_matches_python():
+    from collections import Counter
+
+    con = duckdb.connect()
+    ob = con.execute(
+        f"""
+        WITH ord AS (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS seq
+          FROM read_parquet('{SF}/orders.parquet'))
+        SELECT DISTINCT o.o_custkey AS ck, o.seq, p.p_brand AS b
+        FROM ord o JOIN read_parquet('{SF}/lineitem.parquet') l
+                     ON o.o_orderkey = l.l_orderkey
+                   JOIN read_parquet('{SF}/part.parquet') p
+                     ON l.l_partkey = p.p_partkey
+        """
+    ).df()
+    pairs: Counter = Counter()
+    for (ck,), g in ob.groupby(["ck"]):
+        by_seq = g.groupby("seq")["b"].apply(set).sort_index()
+        seqs = by_seq.index.tolist()
+        for s1, s2 in zip(seqs, seqs[1:]):
+            if s2 == s1 + 1:
+                for x in by_seq[s1]:
+                    for y in by_seq[s2]:
+                        pairs[(x, y)] += 1
+    total = sum(pairs.values())
+    nf: Counter = Counter()
+    nt: Counter = Counter()
+    for (x, y), c in pairs.items():
+        nf[x] += c
+        nt[y] += c
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = _oracle_orders("q_basket_sequential")
+    assert len(got) == len(top)
+    for ((bf, bt), c), (_, row) in zip(top, got.iterrows()):
+        assert (row["brand_from"], row["brand_to"], row["n_pairs"]) == (bf, bt, c)
+        lift = c * total / (nf[bf] * nt[bt])
+        assert abs(row["lift"] - round(lift, 4)) < 1e-6

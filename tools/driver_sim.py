@@ -121,6 +121,8 @@ ROUND_CHANGED = [
     "q_stats_acf",        # r5: new
     "q_stats_runs_test",  # r5: new
     "q_abc_xyz",          # r5: new
+    "q_price_elasticity",  # r5: new
+    "q_basket_sequential",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
