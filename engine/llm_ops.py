@@ -4190,3 +4190,50 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register("q_text_compression")
+def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal per language: the
+    zlib-compressed-size / raw-size ratio of each document, averaged
+    per language — the classic repetition/boilerplate filter from the
+    public Gopher / C4-style curation recipes (very low ratio =
+    highly repetitive text, very high = random noise; both get
+    dropped before training).
+
+    No oracle: DuckDB has no zlib surface, so this key is rows-only
+    at the driver (structural reason recorded in SURVEY §2), with an
+    exact-equality contract test vs direct python zlib in
+    tests/test_stats.py. Spark shape: `mapInPandas` streams Arrow
+    batches through stdlib zlib level 6 (deterministic bytes for a
+    fixed level + library version), each doc's ratio quantizes to
+    1e-4 integer units MAP-SIDE, and the per-language fold is an
+    exact integer sum — the UDF boundary carries |docs| ints, never
+    floats."""
+    import zlib
+
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+
+    def ratio(batches):
+        for pdf in batches:
+            out = {"lang": [], "rq": []}
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                raw = text.encode("utf-8")
+                rq = len(zlib.compress(raw, 6)) * 10000 // len(raw) if raw else 0
+                out["lang"].append(lang)
+                out["rq"].append(rq)
+            yield pd.DataFrame(out)
+
+    r = d.mapInPandas(ratio, "lang string, rq long")
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.round(F.sum("rq") / F.count("*") / 10000.0, 4) + 0.0).alias(
+                "mean_ratio"
+            ),
+            (F.min("rq") / 10000.0).alias("min_ratio"),
+            (F.max("rq") / 10000.0).alias("max_ratio"),
+        )
+        .orderBy("lang")
+    )

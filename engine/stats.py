@@ -2264,3 +2264,158 @@ def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(exp, 4) + 0.0).alias("expected_runs"),
         (F.round((F.col("n_runs") - exp) / F.sqrt(var), 4) + 0.0).alias("z"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_events_burstiness",
+    oracle="""
+    WITH h AS (
+      SELECT event_type AS et,
+             CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(max(hi) - min(hi) + 1 AS BIGINT) AS w FROM h
+    ),
+    m AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+      FROM h GROUP BY et
+    )
+    SELECT et AS event_type, n_active, s AS n_events,
+           round(CAST(w * ss - s * s AS DOUBLE) / (w * CAST(s AS DOUBLE)), 4)
+             + 0.0 AS fano,
+           CAST(w * ss - s * s > w * CAST(s AS HUGEINT) AS BOOLEAN)
+             AS overdispersed
+    FROM m, span ORDER BY event_type
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor / index of dispersion) of hourly event
+    arrivals per type: variance-to-mean ratio of hourly counts over
+    the FULL hour grid — 1 means Poisson-like arrivals, above 1 means
+    bursty traffic (the alerting-threshold design input next to
+    q_stream_anomaly's online flagging).
+
+    Zero-count hours enter via the global hour-span W (1-row fold):
+    population variance·W = W·Σc²−(Σc)² — exact 128-bit; the
+    overdispersion FLAG is the integer cross-multiplication
+    W·Σc²−S² > W·S, so the boolean can never disagree across
+    engines even when the double rounds."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("long")
+            .alias("hi"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    span = F.broadcast(
+        h.agg((F.max("hi") - F.min("hi") + 1).cast("long").alias("w"))
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    m = h.groupBy("et").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(dec("c") * dec("c")).alias("ss"),
+    )
+    j = m.crossJoin(span)
+    varn = dec("w") * F.col("ss") - dec("s") * dec("s")
+    return j.select(
+        F.col("et").alias("event_type"),
+        "n_active",
+        F.col("s").alias("n_events"),
+        (
+            F.round(
+                varn.cast("double") / (F.col("w") * F.col("s").cast("double")), 4
+            )
+            + 0.0
+        ).alias("fano"),
+        (varn > dec("w") * dec("s")).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_forecast_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT et, di, c,
+             abs(c - lag(c, 1) OVER w) AS ae_naive,
+             abs(c - lag(c, 7) OVER w) AS ae_seasonal
+      FROM daily WINDOW w AS (PARTITION BY et ORDER BY di)
+    ),
+    m AS (
+      SELECT et,
+             CAST(count(ae_seasonal) AS BIGINT) AS n,
+             CAST(sum(ae_naive) FILTER (WHERE ae_seasonal IS NOT NULL)
+                  AS BIGINT) AS sum_naive,
+             CAST(sum(ae_seasonal) AS BIGINT) AS sum_seasonal
+      FROM e GROUP BY et
+    )
+    SELECT et AS event_type, n,
+           round(sum_naive / 100.0 / n, 2) AS mae_naive,
+           round(sum_seasonal / 100.0 / n, 2) AS mae_seasonal,
+           round(CAST(sum_seasonal AS DOUBLE) / sum_naive, 4) + 0.0 AS mase
+    FROM m ORDER BY event_type
+    """,
+)
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline scorecard per event type: MAE of the
+    seasonal-naive forecast (ŷ_t = y_{t−7}) against the one-step
+    naive (ŷ_t = y_{t−1}), and their ratio — the MASE-style scaled
+    error every forecasting bake-off reports first (below 1 means
+    weekly seasonality is real signal a model should use).
+
+    ONE (type) sort carries both lags; both absolute-error sums are
+    exact integer cents restricted to the common evaluable window
+    (days where the 7-lag exists), so the ratio divides exact sums
+    once."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("et").orderBy("di")
+    e = daily.select(
+        "et",
+        F.abs(F.col("c") - F.lag("c", 1).over(w)).alias("ae_naive"),
+        F.abs(F.col("c") - F.lag("c", 7).over(w)).alias("ae_seasonal"),
+    )
+    m = e.groupBy("et").agg(
+        F.count("ae_seasonal").cast("long").alias("n"),
+        F.sum(F.when(F.col("ae_seasonal").isNotNull(), F.col("ae_naive")))
+        .cast("long")
+        .alias("sum_naive"),
+        F.sum("ae_seasonal").cast("long").alias("sum_seasonal"),
+    )
+    return m.select(
+        F.col("et").alias("event_type"),
+        "n",
+        F.round(F.col("sum_naive") / 100.0 / F.col("n"), 2).alias("mae_naive"),
+        F.round(F.col("sum_seasonal") / 100.0 / F.col("n"), 2).alias(
+            "mae_seasonal"
+        ),
+        (
+            F.round(
+                F.col("sum_seasonal").cast("double") / F.col("sum_naive"), 4
+            )
+            + 0.0
+        ).alias("mase"),
+    ).orderBy("event_type")

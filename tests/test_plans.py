@@ -111,6 +111,7 @@ _SINGLE_PARTITION_OK = {
     "q_abc_xyz",          # <=64-row band carry windows (abc_pareto
                           # scheme) + 1-row horizon fold
     "q_basket_sequential",  # 1-row pair-total fold into the lift
+    "q_events_burstiness",  # 1-row hour-span fold into the Fano ratio
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -212,6 +213,8 @@ _CROSS_OK = {
     "q_abc_xyz",
     # sequential basket: the 1-row pair-total fold scales the lift.
     "q_basket_sequential",
+    # burstiness: the 1-row hour-span fold scales every type's Fano.
+    "q_events_burstiness",
 }
 
 

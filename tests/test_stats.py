@@ -1670,3 +1670,77 @@ def test_basket_sequential_matches_python():
         assert (row["brand_from"], row["brand_to"], row["n_pairs"]) == (bf, bt, c)
         lift = c * total / (nf[bf] * nt[bt])
         assert abs(row["lift"] - round(lift, 4)) < 1e-6
+
+
+def test_burstiness_matches_numpy():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["hi"] = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 3600
+    W = int(ev["hi"].max() - ev["hi"].min() + 1)
+    got = _oracle_orders("q_events_burstiness").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        counts = g.groupby("hi").size()
+        s = int(counts.sum())
+        ss = int((counts.astype(object) ** 2).sum())
+        fano = (W * ss - s * s) / (W * s)
+        row = got.loc[et]
+        assert row["n_active"] == len(counts) and row["n_events"] == s
+        assert abs(row["fano"] - round(fano, 4)) < 1e-6
+        assert bool(row["overdispersed"]) == (W * ss - s * s > W * s)
+
+
+def test_mase_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["di"] = (ev["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    got = _oracle_orders("q_forecast_mase").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("di")["cents"].sum().sort_index()
+        ae1 = (daily - daily.shift(1)).abs()
+        ae7 = (daily - daily.shift(7)).abs()
+        mask = ae7.notna()
+        n = int(mask.sum())
+        sn, ss = int(ae1[mask].sum()), int(ae7[mask].sum())
+        row = got.loc[et]
+        assert row["n"] == n
+        assert abs(row["mae_naive"] - round(sn / 100 / n, 2)) < 1e-9
+        assert abs(row["mae_seasonal"] - round(ss / 100 / n, 2)) < 1e-9
+        assert abs(row["mase"] - round(ss / sn, 4)) < 1e-6
+
+
+def test_compression_ratio_matches_zlib_exactly():
+    import zlib
+
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from engine.registry import all_queries
+    from engine.session import get_spark
+
+    spark = get_spark()
+    got = (
+        all_queries()["q_text_compression"](spark, SF)
+        .toPandas()
+        .set_index("lang")
+    )
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    for lang, g in docs.groupby("lang"):
+        rqs = [
+            len(zlib.compress(t.encode("utf-8"), 6)) * 10000 // len(t.encode("utf-8"))
+            for t in g["text"]
+        ]
+        row = got.loc[lang]
+        assert row["n_docs"] == len(rqs)
+        assert abs(row["mean_ratio"] - round(sum(rqs) / len(rqs) / 1e4, 4)) < 1e-9
+        assert row["min_ratio"] == min(rqs) / 1e4
+        assert row["max_ratio"] == max(rqs) / 1e4

@@ -123,6 +123,9 @@ ROUND_CHANGED = [
     "q_abc_xyz",          # r5: new
     "q_price_elasticity",  # r5: new
     "q_basket_sequential",  # r5: new
+    "q_events_burstiness",  # r5: new
+    "q_forecast_mase",    # r5: new
+    "q_text_compression",  # r5: new (rows-only)
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
