@@ -3618,3 +3618,127 @@ def q_win_renko(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_seasonality_strength",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY di
+    ),
+    w AS (
+      SELECT di, y, (di + 3) % 7 AS dow,
+             CAST(sum(y) OVER f AS BIGINT) AS s7,
+             CAST(count(*) OVER f AS BIGINT) AS c7
+      FROM d
+      WINDOW f AS (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT dow, CAST(7 * y - s7 AS HUGEINT) AS det
+      FROM w WHERE c7 = 7
+    ),
+    per_dow AS (
+      SELECT dow, CAST(count(*) AS HUGEINT) AS n_d,
+             CAST(sum(det) AS HUGEINT) AS sd,
+             CAST(sum(det * det) AS HUGEINT) AS sdd
+      FROM det GROUP BY dow
+    ),
+    vr AS (
+      SELECT CAST(sum(CAST(
+               CAST(n_d * sdd - sd * sd AS DOUBLE) / CAST(n_d AS DOUBLE)
+               - fmod(CAST(n_d * sdd - sd * sd AS DOUBLE)
+                      / CAST(n_d AS DOUBLE), 1) AS HUGEINT))
+                  AS HUGEINT) AS vr_q,
+             CAST(sum(n_d) AS HUGEINT) AS n,
+             CAST(sum(sd) AS HUGEINT) AS sall,
+             CAST(sum(sdd) AS HUGEINT) AS sddall
+      FROM per_dow
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(CAST(vr_q AS DOUBLE)
+                 / CAST(n * sddall - sall * sall AS DOUBLE) * CAST(n AS DOUBLE),
+                 4) + 0.0 AS var_ratio,
+           round(greatest(0, 1 - CAST(vr_q AS DOUBLE)
+                 / CAST(n * sddall - sall * sall AS DOUBLE)
+                 * CAST(n AS DOUBLE)), 4) + 0.0 AS seasonal_strength
+    FROM vr
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal strength of daily revenue: F_s = max(0,
+    1 − Var(remainder)/Var(detrended)) under the classical additive
+    decomposition — the single number (0 = no weekly pattern, →1 =
+    pure seasonality) that decides whether q_seasonal_decompose's
+    seasonal component is worth modeling.
+
+    The key identity keeps everything exact: within a day-of-week
+    group the seasonal term IS the group mean of the detrended
+    series, so Σremainder² = Σ_dow [n_d·Σdet² − (Σdet)²]/n_d — each
+    dow's numerator is one exact 128-bit integer, its division
+    floor-quantizes in the DOUBLE domain as q − (q % 1) before the
+    128-bit cast (identical IEEE result on both engines; two traps
+    found the hard way: Spark's decimal `div` silently casts to long
+    and wraps at this magnitude, and Spark's floor(double) ALSO
+    returns long — the Cauchy-Schwarz-nonnegative numerator makes
+    the fmod form a true floor), the 7 quantized terms sum exactly
+    as decimals, and
+    Var(detrended) is the usual n·Σx²−(Σx)² on the exact ×7-scaled
+    integers. ONE double division at the very end. The series is
+    calendar-bounded (the centered window runs on the daily table)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400)
+            .cast("long")
+            .alias("di"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("di")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    f = Window.orderBy("di").rowsBetween(-3, 3)
+    w = d.select(
+        "di",
+        "y",
+        ((F.col("di") + 3) % 7).alias("dow"),
+        F.sum("y").over(f).cast("long").alias("s7"),
+        F.count("*").over(f).cast("long").alias("c7"),
+    )
+    det = w.filter(F.col("c7") == 7).select(
+        "dow", (7 * F.col("y") - F.col("s7")).cast("decimal(38,0)").alias("det")
+    )
+    per_dow = det.groupBy("dow").agg(
+        F.count("*").cast("decimal(38,0)").alias("n_d"),
+        F.sum("det").alias("sd"),
+        F.sum(F.col("det") * F.col("det")).alias("sdd"),
+    )
+    vr = per_dow.agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(n_d * sdd - sd * sd AS DOUBLE) / CAST(n_d AS DOUBLE)"
+                " - (CAST(n_d * sdd - sd * sd AS DOUBLE) / CAST(n_d AS DOUBLE)) % 1"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("vr_q"),
+        F.sum("n_d").alias("n"),
+        F.sum("sd").alias("sall"),
+        F.sum("sdd").alias("sddall"),
+    )
+    ratio = (
+        F.col("vr_q").cast("double")
+        / (
+            F.col("n") * F.col("sddall") - F.col("sall") * F.col("sall")
+        ).cast("double")
+        * F.col("n").cast("double")
+    )
+    return vr.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.round(ratio, 4) + 0.0).alias("var_ratio"),
+        (F.round(F.greatest(F.lit(0.0), 1 - ratio), 4) + 0.0).alias(
+            "seasonal_strength"
+        ),
+    )

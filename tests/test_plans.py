@@ -112,6 +112,8 @@ _SINGLE_PARTITION_OK = {
                           # scheme) + 1-row horizon fold
     "q_basket_sequential",  # 1-row pair-total fold into the lift
     "q_events_burstiness",  # 1-row hour-span fold into the Fano ratio
+    "q_seasonality_strength",  # calendar-bounded daily series: centered
+                          # MA window + 7-row dow fold + 1-row output
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the

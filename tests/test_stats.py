@@ -1744,3 +1744,32 @@ def test_compression_ratio_matches_zlib_exactly():
         assert abs(row["mean_ratio"] - round(sum(rqs) / len(rqs) / 1e4, 4)) < 1e-9
         assert row["min_ratio"] == min(rqs) / 1e4
         assert row["max_ratio"] == max(rqs) / 1e4
+
+
+def test_seasonality_strength_matches_numpy():
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT o_orderdate, o_totalprice FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    o["di"] = (
+        o["o_orderdate"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 86400
+    o["c"] = np.floor(o["o_totalprice"] * 100).astype("int64")
+    daily = o.groupby("di")["c"].sum().sort_index()
+    y = daily.to_numpy("int64")
+    s7 = pd.Series(y).rolling(7, center=True).sum().to_numpy()
+    mask = ~np.isnan(s7)
+    det = (7 * y[mask] - s7[mask]).astype("int64")
+    dow = (daily.index.to_numpy()[mask] + 3) % 7
+    ssr = 0.0
+    for d in np.unique(dow):
+        g = det[dow == d].astype(float)
+        ssr += ((g - g.mean()) ** 2).sum()
+    n = len(det)
+    var_det = n * (det.astype(object) ** 2).sum() - int(det.sum()) ** 2
+    ratio = ssr * n / float(var_det)
+    row = _oracle_orders("q_seasonality_strength").iloc[0]
+    assert row["n_days"] == n
+    # the engines' quantization differs from float numpy by <1e-6 rel
+    assert abs(row["var_ratio"] - round(ratio, 4)) < 1e-3
+    assert abs(row["seasonal_strength"] - round(max(0, 1 - ratio), 4)) < 1e-3

@@ -126,6 +126,7 @@ ROUND_CHANGED = [
     "q_events_burstiness",  # r5: new
     "q_forecast_mase",    # r5: new
     "q_text_compression",  # r5: new (rows-only)
+    "q_seasonality_strength",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
