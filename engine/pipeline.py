@@ -3118,3 +3118,103 @@ def q_privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("risk_pct"),
     ).orderBy("k")
+
+
+@register(
+    "q_eval_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    mm AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+    p AS (
+      SELECT least(CAST(floor((score - lo) / (hi - lo) * 10) AS BIGINT), 9)
+               AS bin,
+             CAST(floor((score - lo) / (hi - lo) * 1000000) AS BIGINT) AS pq,
+             y
+      FROM scored, mm
+    ),
+    b AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pq) AS BIGINT) AS spq,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM p GROUP BY bin
+    ),
+    e AS (
+      SELECT CAST(sum(abs(spq - pos * 1000000)) AS BIGINT) AS num,
+             CAST(sum(n) AS BIGINT) AS nn
+      FROM b
+    )
+    SELECT bin, n,
+           round(CAST(spq AS DOUBLE) / n / 1000000, 4) + 0.0 AS mean_pred,
+           round(CAST(pos AS DOUBLE) / n, 4) + 0.0 AS pos_rate,
+           round(CAST(e.num AS DOUBLE) / e.nn / 1000000, 4) + 0.0 AS ece
+    FROM b, e ORDER BY bin
+    """,
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability diagram for a scalar score (the
+    q_eval_auc score column min-max-normalized to a [0,1]
+    pseudo-probability): 10 equal-width bins with mean predicted vs
+    empirical positive rate, plus the expected calibration error —
+    the model-eval readout that says WHERE a well-ranked score is
+    over/under-confident (AUC alone cannot).
+
+    Exactness: the normalization uses a 1-row min/max fold, every
+    predicted probability quantizes to a 1e-6 integer from ONE
+    deterministic double expression, and each bin's ECE contribution
+    is the exact integer |Σp_q − pos·10⁶| — the weighted-mean folds
+    are divisions of exact sums, never float accumulations. (No
+    logistic: exp() is not correctly-rounded and could disagree
+    across engines; min-max is monotone and engine-exact.)"""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    mm = F.broadcast(e.agg(F.min("score").alias("lo"), F.max("score").alias("hi")))
+    p = e.crossJoin(mm).select(
+        F.least(
+            F.floor((F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.floor(
+            (F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 1000000
+        )
+        .cast("long")
+        .alias("pq"),
+        "y",
+    )
+    b = p.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pq").cast("long").alias("spq"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    ece = F.broadcast(
+        b.agg(
+            F.sum(F.abs(F.col("spq") - F.col("pos") * 1000000))
+            .cast("long")
+            .alias("num"),
+            F.sum("n").cast("long").alias("nn"),
+        )
+    )
+    return (
+        b.crossJoin(ece)
+        .select(
+            "bin",
+            "n",
+            (F.round(F.col("spq").cast("double") / F.col("n") / 1000000, 4) + 0.0)
+            .alias("mean_pred"),
+            (F.round(F.col("pos").cast("double") / F.col("n"), 4) + 0.0).alias(
+                "pos_rate"
+            ),
+            (
+                F.round(F.col("num").cast("double") / F.col("nn") / 1000000, 4)
+                + 0.0
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )

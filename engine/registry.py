@@ -146,6 +146,7 @@ _PRIORITY: list[str] = [
     "q_price_elasticity", "q_basket_sequential",
     "q_events_burstiness", "q_forecast_mase", "q_text_compression",
     "q_seasonality_strength",
+    "q_eval_calibration", "q_stats_qte",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

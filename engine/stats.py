@@ -2419,3 +2419,102 @@ def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("mase"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_qte",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, {_SQL_BUCKET} AS arm,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(0.25 AS DOUBLE) AS quantile,
+           round(quantile_cont(cents, 0.25) FILTER (WHERE arm = 0) / 100.0, 4)
+             + 0.0 AS q_a,
+           round(quantile_cont(cents, 0.25) FILTER (WHERE arm = 1) / 100.0, 4)
+             + 0.0 AS q_b,
+           round((quantile_cont(cents, 0.25) FILTER (WHERE arm = 0)
+                  - quantile_cont(cents, 0.25) FILTER (WHERE arm = 1)) / 100.0, 4)
+             + 0.0 AS qte
+    FROM u
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE) AS quantile,
+           round(quantile_cont(cents, 0.5) FILTER (WHERE arm = 0) / 100.0, 4)
+             + 0.0 AS q_a,
+           round(quantile_cont(cents, 0.5) FILTER (WHERE arm = 1) / 100.0, 4)
+             + 0.0 AS q_b,
+           round((quantile_cont(cents, 0.5) FILTER (WHERE arm = 0)
+                  - quantile_cont(cents, 0.5) FILTER (WHERE arm = 1)) / 100.0, 4)
+             + 0.0 AS qte
+    FROM u
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE) AS quantile,
+           round(quantile_cont(cents, 0.75) FILTER (WHERE arm = 0) / 100.0, 4)
+             + 0.0 AS q_a,
+           round(quantile_cont(cents, 0.75) FILTER (WHERE arm = 1) / 100.0, 4)
+             + 0.0 AS q_b,
+           round((quantile_cont(cents, 0.75) FILTER (WHERE arm = 0)
+                  - quantile_cont(cents, 0.75) FILTER (WHERE arm = 1)) / 100.0, 4)
+             + 0.0 AS qte
+    FROM u
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE) AS quantile,
+           round(quantile_cont(cents, 0.9) FILTER (WHERE arm = 0) / 100.0, 4)
+             + 0.0 AS q_a,
+           round(quantile_cont(cents, 0.9) FILTER (WHERE arm = 1) / 100.0, 4)
+             + 0.0 AS q_b,
+           round((quantile_cont(cents, 0.9) FILTER (WHERE arm = 0)
+                  - quantile_cont(cents, 0.9) FILTER (WHERE arm = 1)) / 100.0, 4)
+             + 0.0 AS qte
+    FROM u
+    ORDER BY quantile
+    """,
+)
+def q_stats_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the md5 A−B difference of per-user
+    spend at the 25/50/75/90th percentiles — the distributional
+    experiment readout that catches effects a mean comparison hides
+    (an A/A split should show ~0 at every quantile; heavy-tail
+    movement shows up at p90 first).
+
+    Per-user totals are exact cents from one conditional hash agg;
+    both engines compute the SAME linear-interpolated quantile
+    (Spark `percentile` == DuckDB `quantile_cont`) on those exact
+    integers, so the interpolation arithmetic is a deterministic
+    double on each side; the quantile spine is a constant 4-row
+    broadcast."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("arm", _spark_bucket())
+        .groupBy("user_id", "arm")
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+    )
+    qs = [0.25, 0.5, 0.75, 0.9]
+    agg = u.agg(
+        *[
+            a
+            for i, q in enumerate(qs)
+            for a in (
+                F.expr(f"percentile(CASE WHEN arm = 0 THEN cents END, {q})").alias(
+                    f"qa_{i}"
+                ),
+                F.expr(f"percentile(CASE WHEN arm = 1 THEN cents END, {q})").alias(
+                    f"qb_{i}"
+                ),
+            )
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({q} AS DOUBLE), qa_{i}, qb_{i}" for i, q in enumerate(qs)
+    )
+    return (
+        agg.select(F.expr(f"stack(4, {stack}) AS (quantile, qa, qb)"))
+        .select(
+            "quantile",
+            (F.round(F.col("qa") / 100.0, 4) + 0.0).alias("q_a"),
+            (F.round(F.col("qb") / 100.0, 4) + 0.0).alias("q_b"),
+            (F.round((F.col("qa") - F.col("qb")) / 100.0, 4) + 0.0).alias("qte"),
+        )
+        .orderBy("quantile")
+    )

@@ -114,6 +114,8 @@ _SINGLE_PARTITION_OK = {
     "q_events_burstiness",  # 1-row hour-span fold into the Fano ratio
     "q_seasonality_strength",  # calendar-bounded daily series: centered
                           # MA window + 7-row dow fold + 1-row output
+    "q_eval_calibration",  # 1-row min/max fold + 1-row ECE fold
+    "q_stats_qte",        # 1-row 8-percentile fold -> 4-row stack
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -217,6 +219,9 @@ _CROSS_OK = {
     "q_basket_sequential",
     # burstiness: the 1-row hour-span fold scales every type's Fano.
     "q_events_burstiness",
+    # calibration: the 1-row min/max fold normalizes every score and
+    # the 1-row ECE fold joins the 10 bins.
+    "q_eval_calibration",
 }
 
 

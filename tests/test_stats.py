@@ -1773,3 +1773,52 @@ def test_seasonality_strength_matches_numpy():
     # the engines' quantization differs from float numpy by <1e-6 rel
     assert abs(row["var_ratio"] - round(ratio, 4)) < 1e-3
     assert abs(row["seasonal_strength"] - round(max(0, 1 - ratio), 4)) < 1e-3
+
+
+def test_calibration_matches_numpy():
+    con = duckdb.connect()
+    em = con.execute(
+        f"SELECT CAST(embedding[1] AS DOUBLE) AS s, label % 2 AS y "
+        f"FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    lo, hi = em["s"].min(), em["s"].max()
+    p = (em["s"] - lo) / (hi - lo)
+    bins = np.minimum(np.floor(p * 10).astype(int), 9)
+    pq = np.floor(p * 1e6).astype("int64")
+    got = _oracle_orders("q_eval_calibration").set_index("bin")
+    num = 0
+    for b_ in np.unique(bins):
+        m = bins == b_
+        n = int(m.sum())
+        spq = int(pq[m].sum())
+        pos = int(em["y"][m].sum())
+        num += abs(spq - pos * 10**6)
+        row = got.loc[b_]
+        assert row["n"] == n
+        assert abs(row["mean_pred"] - round(spq / n / 1e6, 4)) < 1e-9
+        assert abs(row["pos_rate"] - round(pos / n, 4)) < 1e-9
+    ece = num / len(em) / 1e6
+    assert (np.abs(got["ece"] - round(ece, 4)) < 1e-9).all()
+    # sanity: a random-ish score should be poorly separated but the
+    # diagram must still be monotone in mean_pred
+    assert got["mean_pred"].is_monotonic_increasing
+
+
+def test_qte_matches_numpy_interpolated():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    u = ev.groupby("user_id")["cents"].sum().reset_index()
+    u["arm"] = u["user_id"].map(_arm)
+    a = np.sort(u[u["arm"] == 0]["cents"].to_numpy(float))
+    b = np.sort(u[u["arm"] == 1]["cents"].to_numpy(float))
+    got = _oracle_orders("q_stats_qte").set_index("quantile")
+    for q in (0.25, 0.5, 0.75, 0.9):
+        qa = np.quantile(a, q, method="linear")
+        qb = np.quantile(b, q, method="linear")
+        row = got.loc[q]
+        assert abs(row["q_a"] - round(qa / 100, 4)) < 1e-6
+        assert abs(row["q_b"] - round(qb / 100, 4)) < 1e-6
+        assert abs(row["qte"] - round((qa - qb) / 100, 4)) < 1e-6

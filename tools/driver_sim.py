@@ -127,6 +127,8 @@ ROUND_CHANGED = [
     "q_forecast_mase",    # r5: new
     "q_text_compression",  # r5: new (rows-only)
     "q_seasonality_strength",  # r5: new
+    "q_eval_calibration",  # r5: new
+    "q_stats_qte",        # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
