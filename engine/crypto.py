@@ -3742,3 +3742,126 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+@register(
+    "q_win_mfi",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT)
+             + CAST(min(floor(value * 100)) AS BIGINT)
+             + CAST(max(struct_pack(t := ts, e := event_id,
+                                    v := CAST(floor(value * 100) AS BIGINT))).v
+                    AS BIGINT) AS tp3,
+             CAST(sum(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1)
+                           AS BIGINT)) AS BIGINT) AS vol
+      FROM events GROUP BY 1, 2, 3
+    ),
+    f AS (
+      SELECT event_type, di, day,
+             CASE WHEN tp3 > lag(tp3) OVER w THEN tp3 * vol ELSE 0 END AS pos,
+             CASE WHEN tp3 < lag(tp3) OVER w THEN tp3 * vol ELSE 0 END AS neg,
+             CASE WHEN lag(tp3) OVER w IS NULL THEN NULL ELSE 1 END AS ok
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY di)
+    ),
+    r AS (
+      SELECT event_type, day,
+             CAST(sum(pos) OVER v AS HUGEINT) AS p14,
+             CAST(sum(neg) OVER v AS HUGEINT) AS n14,
+             count(ok) OVER v AS c14
+      FROM f
+      WINDOW v AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(100.0 * CAST(p14 AS DOUBLE) / CAST(p14 + n14 AS DOUBLE), 4)
+             + 0.0 AS mfi
+    FROM r WHERE c14 = 14 AND p14 + n14 > 0
+    ORDER BY event_type, day
+    """,
+)
+def q_win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money Flow Index (volume-weighted RSI) per event type: daily
+    typical price × volume classifies as positive or negative flow by
+    the typical-price direction, and MFI = 100·posMF₁₄/(posMF₁₄ +
+    negMF₁₄) over a 14-day window — the overbought/oversold gauge
+    that extends q_win_rsi with volume.
+
+    The typical price is carried ×3 (hi+lo+close exact cent sum — no
+    /3 before the comparison, which is scale-invariant); flows are
+    exact integer products; the rolling sums ride the SAME per-type
+    sort as the direction lag; ONE division per emitted row. Warm-up
+    (first 14 rows) and zero-flow windows drop on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            F.regexp_extract("props", r'"k":\s*([0-9]+)', 1)
+            .cast("long")
+            .alias("k"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            (
+                F.max("c")
+                + F.min("c")
+                + F.max(
+                    F.struct(
+                        F.col("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("c").alias("v"),
+                    )
+                )["v"]
+            ).alias("tp3"),
+            F.sum("k").cast("long").alias("vol"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("di")
+    f = b.select(
+        "event_type",
+        "di",
+        "day",
+        F.when(
+            F.col("tp3") > F.lag("tp3").over(w), F.col("tp3") * F.col("vol")
+        )
+        .otherwise(0)
+        .alias("pos"),
+        F.when(
+            F.col("tp3") < F.lag("tp3").over(w), F.col("tp3") * F.col("vol")
+        )
+        .otherwise(0)
+        .alias("neg"),
+        F.when(F.lag("tp3").over(w).isNull(), None).otherwise(1).alias("ok"),
+    )
+    v = Window.partitionBy("event_type").orderBy("di").rowsBetween(-13, 0)
+    r = f.select(
+        "event_type",
+        "day",
+        F.sum("pos").over(v).cast("decimal(38,0)").alias("p14"),
+        F.sum("neg").over(v).cast("decimal(38,0)").alias("n14"),
+        F.count("ok").over(v).alias("c14"),
+    ).filter((F.col("c14") == 14) & (F.col("p14") + F.col("n14") > 0))
+    return r.select(
+        "event_type",
+        "day",
+        (
+            F.round(
+                100.0
+                * F.col("p14").cast("double")
+                / (F.col("p14") + F.col("n14")).cast("double"),
+                4,
+            )
+            + 0.0
+        ).alias("mfi"),
+    ).orderBy("event_type", "day")

@@ -3218,3 +3218,106 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "q_sample_kfold",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 5 AS fold
+      FROM documents
+    ),
+    cell AS (
+      SELECT fold, lang, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY fold, lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn FROM cell
+    ),
+    lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cell GROUP BY lang),
+    ft AS (SELECT fold, CAST(sum(n) AS BIGINT) AS nf FROM cell GROUP BY fold),
+    chi AS (
+      SELECT CAST(sum(CAST((n * nn - nl * nf) AS HUGEINT)
+                      * (n * nn - nl * nf) * 1000000
+                      // (CAST(nl AS HUGEINT) * nf * nn)) AS HUGEINT) AS chi_q
+      FROM cell JOIN lt USING (lang) JOIN ft USING (fold), tot
+    )
+    SELECT fold, nf AS n_docs,
+           round(CAST(nf AS DOUBLE) / nn, 4) + 0.0 AS share,
+           round(CAST(chi_q AS DOUBLE) / 1000000 / nn, 4) + 0.0
+             AS balance_chi2
+    FROM ft, tot, chi ORDER BY fold
+    """,
+)
+def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with a fold
+    balance audit: docs shard by content-addressed md5 (reproducible
+    across runs, engines, and shards — the q_split_hash discipline
+    applied to CV), and the audit reports each fold's share plus the
+    fold×language independence chi² — a skewed chi² means the folds
+    are NOT exchangeable and CV estimates will be biased.
+
+    The chi² cell terms (n·N − n_l·n_f)²/(n_l·n_f·N) quantize to 1e-6
+    units by 128-bit integer floor-division, so the ≤|folds|·|langs|
+    cell sum is exact; marginals are two tiny re-aggregates of the
+    cell table; the fact table is scanned once."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+    )
+    cell = d.groupBy("fold", "lang").agg(F.count("*").cast("long").alias("n"))
+    lt = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    ft = cell.groupBy("fold").agg(F.sum("n").cast("long").alias("nf"))
+    tot = F.broadcast(cell.agg(F.sum("n").cast("long").alias("nn")))
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    chi = F.broadcast(
+        cell.join(F.broadcast(lt), "lang")
+        .join(F.broadcast(ft), "fold")
+        .crossJoin(tot)
+        .agg(
+            # per-cell EXACT integral division (Spark `div` on decimals
+            # truncates the exact quotient; the QUOTIENT ~1e8 fits
+            # long — unlike q_seasonality_strength's 1e24 case), so
+            # the cell quantization floors identically to DuckDB's //
+            F.sum(
+                F.expr(
+                    "CAST((CAST(n AS DECIMAL(38,0)) * nn - CAST(nl AS DECIMAL(38,0)) * nf)"
+                    " * (CAST(n AS DECIMAL(38,0)) * nn - CAST(nl AS DECIMAL(38,0)) * nf)"
+                    " * 1000000 AS DECIMAL(38,0))"
+                    " div (CAST(nl AS DECIMAL(38,0)) * nf * nn)"
+                )
+            ).cast("long").alias("chi_q")
+        )
+    )
+    return (
+        ft.crossJoin(tot)
+        .crossJoin(chi)
+        .select(
+            "fold",
+            F.col("nf").alias("n_docs"),
+            (F.round(F.col("nf").cast("double") / F.col("nn"), 4) + 0.0).alias(
+                "share"
+            ),
+            (
+                F.round(
+                    F.col("chi_q").cast("double") / 1000000 / F.col("nn"), 4
+                )
+                + 0.0
+            ).alias("balance_chi2"),
+        )
+        .orderBy("fold")
+    )

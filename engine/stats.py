@@ -2518,3 +2518,106 @@ def q_stats_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+
+
+@register(
+    "q_stats_winsorized",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS et, CAST(floor(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    b AS (
+      SELECT et, quantile_cont(c, 0.05) AS lo, quantile_cont(c, 0.95) AS hi
+      FROM t GROUP BY et
+    ),
+    w AS (
+      SELECT t.et,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c > lo AND c < hi THEN c ELSE 0 END)
+                  AS BIGINT) AS mid_sum,
+             CAST(count(*) FILTER (WHERE c <= lo) AS BIGINT) AS n_lo,
+             CAST(count(*) FILTER (WHERE c >= hi) AS BIGINT) AS n_hi,
+             any_value(lo) AS lo, any_value(hi) AS hi
+      FROM t JOIN b ON t.et = b.et GROUP BY t.et
+    )
+    SELECT et AS event_type, n, n_lo, n_hi,
+           round((mid_sum + n_lo * lo + n_hi * hi) / n / 100.0, 4) + 0.0
+             AS winsorized_mean,
+           round(CAST(mid_sum AS DOUBLE) / (n - n_lo - n_hi) / 100.0, 4) + 0.0
+             AS trimmed_mean
+    FROM w ORDER BY et
+    """,
+)
+def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means per event type: the 5/95% winsorized mean (tail
+    values clamp to the percentile) and the trimmed mean (tails
+    drop) — the outlier-robust metric pair experiment platforms
+    report next to the raw mean, because one whale user can move a
+    plain average.
+
+    The percentile bounds compute once per type (Spark percentile ≡
+    DuckDB quantile_cont on exact cents) and broadcast back; the
+    winsorized sum decomposes as Σ(interior ints) + n_lo·lo + n_hi·hi
+    — an exact integer sum plus exactly TWO products of deterministic
+    doubles, so no float accumulates across rows. Boundary ties clamp
+    on both engines identically (c ≤ lo clamps low, c ≥ hi high)."""
+    t = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    b = t.groupBy("et").agg(
+        F.expr("percentile(c, 0.05)").alias("lo"),
+        F.expr("percentile(c, 0.95)").alias("hi"),
+    )
+    w = (
+        t.join(F.broadcast(b), "et")
+        .groupBy("et")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("c") > F.col("lo")) & (F.col("c") < F.col("hi")),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("mid_sum"),
+            F.count(F.when(F.col("c") <= F.col("lo"), 1))
+            .cast("long")
+            .alias("n_lo"),
+            F.count(F.when(F.col("c") >= F.col("hi"), 1))
+            .cast("long")
+            .alias("n_hi"),
+            F.any_value("lo").alias("lo"),
+            F.any_value("hi").alias("hi"),
+        )
+    )
+    return w.select(
+        F.col("et").alias("event_type"),
+        "n",
+        "n_lo",
+        "n_hi",
+        (
+            F.round(
+                (
+                    F.col("mid_sum")
+                    + F.col("n_lo") * F.col("lo")
+                    + F.col("n_hi") * F.col("hi")
+                )
+                / F.col("n")
+                / 100.0,
+                4,
+            )
+            + 0.0
+        ).alias("winsorized_mean"),
+        (
+            F.round(
+                F.col("mid_sum").cast("double")
+                / (F.col("n") - F.col("n_lo") - F.col("n_hi"))
+                / 100.0,
+                4,
+            )
+            + 0.0
+        ).alias("trimmed_mean"),
+    ).orderBy("event_type")

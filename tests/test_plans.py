@@ -116,6 +116,8 @@ _SINGLE_PARTITION_OK = {
                           # MA window + 7-row dow fold + 1-row output
     "q_eval_calibration",  # 1-row min/max fold + 1-row ECE fold
     "q_stats_qte",        # 1-row 8-percentile fold -> 4-row stack
+    "q_sample_kfold",     # 1-row total + 1-row chi2 folds of the
+                          # <=|folds|x|langs| cell table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -222,6 +224,8 @@ _CROSS_OK = {
     # calibration: the 1-row min/max fold normalizes every score and
     # the 1-row ECE fold joins the 10 bins.
     "q_eval_calibration",
+    # k-fold: the 1-row total and chi2 folds join the 5-row fold table.
+    "q_sample_kfold",
 }
 
 

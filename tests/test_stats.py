@@ -1822,3 +1822,89 @@ def test_qte_matches_numpy_interpolated():
         assert abs(row["q_a"] - round(qa / 100, 4)) < 1e-6
         assert abs(row["q_b"] - round(qb / 100, 4)) < 1e-6
         assert abs(row["qte"] - round((qa - qb) / 100, 4)) < 1e-6
+
+
+def test_winsorized_matches_numpy():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    got = _oracle_orders("q_stats_winsorized").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        c = g["c"].to_numpy(float)
+        lo = np.quantile(c, 0.05, method="linear")
+        hi = np.quantile(c, 0.95, method="linear")
+        wins = np.clip(c, lo, hi)
+        trim = c[(c > lo) & (c < hi)]
+        row = got.loc[et]
+        assert row["n"] == len(c)
+        assert row["n_lo"] == int((c <= lo).sum())
+        assert row["n_hi"] == int((c >= hi).sum())
+        assert abs(row["winsorized_mean"] - round(wins.mean() / 100, 4)) < 1e-6
+        assert abs(row["trimmed_mean"] - round(trim.mean() / 100, 4)) < 1e-6
+    # robust means sit inside the raw range
+    assert (got["trimmed_mean"] > 0).all()
+
+
+def test_kfold_matches_python():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lang FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    docs["fold"] = docs["doc_id"].map(
+        lambda i: int(hashlib.md5(f"fold:{i}".encode()).hexdigest()[:8], 16) % 5
+    )
+    N = len(docs)
+    cell = docs.groupby(["fold", "lang"]).size()
+    nl = docs.groupby("lang").size()
+    nf = docs.groupby("fold").size()
+    chi_q = 0
+    for (f_, l_), n in cell.items():
+        num = (n * N - nl[l_] * nf[f_]) ** 2 * 10**6
+        chi_q += num // (nl[l_] * nf[f_] * N)
+    got = _oracle_orders("q_sample_kfold").set_index("fold")
+    for f_ in range(5):
+        row = got.loc[f_]
+        assert row["n_docs"] == nf[f_]
+        assert abs(row["share"] - round(nf[f_] / N, 4)) < 1e-9
+        assert abs(row["balance_chi2"] - round(chi_q / 10**6 / N, 4)) < 1e-9
+    # an md5 split should be roughly balanced
+    assert got["share"].between(0.1, 0.3).all()
+
+
+def test_mfi_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value, "
+        f"CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1) AS BIGINT) AS k "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = _oracle_orders("q_win_mfi").set_index(["event_type", "day"])
+    checked = 0
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        bars = g.groupby("day").agg(
+            hi=("c", "max"), lo=("c", "min"), cl=("c", "last"), vol=("k", "sum")
+        )
+        tp3 = bars["hi"] + bars["lo"] + bars["cl"]
+        prev = tp3.shift(1)
+        mf = tp3 * bars["vol"]
+        pos = np.where(tp3 > prev, mf, 0)
+        neg = np.where(tp3 < prev, mf, 0)
+        ok = prev.notna().astype(int)
+        for i in range(13, len(bars)):
+            if ok.iloc[i - 13 : i + 1].sum() != 14:
+                continue
+            p14 = int(pos[i - 13 : i + 1].sum())
+            n14 = int(neg[i - 13 : i + 1].sum())
+            if p14 + n14 == 0:
+                continue
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            assert abs(
+                got.loc[key, "mfi"] - round(100 * p14 / (p14 + n14), 4)
+            ) < 1e-6
+            checked += 1
+    assert checked == len(got)

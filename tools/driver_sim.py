@@ -129,6 +129,9 @@ ROUND_CHANGED = [
     "q_seasonality_strength",  # r5: new
     "q_eval_calibration",  # r5: new
     "q_stats_qte",        # r5: new
+    "q_stats_winsorized",  # r5: new
+    "q_sample_kfold",     # r5: new
+    "q_win_mfi",          # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
