@@ -4237,3 +4237,103 @@ def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_doc_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE length(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM t, unnest(generate_series(1, length(ts) - 2)) AS u(i)
+    ),
+    first_seen AS (
+      SELECT shingle, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(*) FILTER (WHERE f.first_doc = sh.doc_id) AS BIGINT)
+               AS n_novel
+      FROM sh JOIN first_seen f ON sh.shingle = f.shingle
+      GROUP BY sh.doc_id
+    ),
+    d AS (
+      SELECT p.doc_id, doc.lang, p.n_shingles, p.n_novel
+      FROM per_doc p JOIN documents doc ON p.doc_id = doc.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+           round(CAST(sum(n_novel) AS DOUBLE) / sum(n_shingles), 4) + 0.0
+             AS novelty_rate,
+           CAST(count(*) FILTER (
+             WHERE n_novel * 10 < n_shingles) AS BIGINT) AS n_stale_docs
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty scoring: the fraction of a doc's word
+    trigrams FIRST seen in that doc (by doc_id ingestion order) —
+    the diversity/redundancy signal curation pipelines use to
+    down-rank documents that mostly restate earlier corpus content
+    (q_text_heaps is the corpus-level curve; this is the per-doc
+    attribution), reported per language with a count of 'stale' docs
+    (<10% novel trigrams, flagged by integer cross-multiplication).
+
+    Scale shape: shingles emit map-side from the token array (never
+    a position self-join); first-seen is ONE min-agg over the
+    shingle relation; the membership join back is shuffle-partitioned
+    on the shingle hash both sides (one exchange each); per-doc and
+    per-language folds are exact integer counts with one division."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    ).filter(F.size("ts") >= 3)
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 2), i -> "
+                "concat_ws(' ', element_at(ts, i), element_at(ts, i+1),"
+                " element_at(ts, i+2)))"
+            )
+        ).alias("shingle"),
+    )
+    first_seen = sh.groupBy("shingle").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    per_doc = (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    d = per_doc.join(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_shingles").cast("long").alias("n_shingles"),
+            (
+                F.round(
+                    F.sum("n_novel").cast("double") / F.sum("n_shingles"), 4
+                )
+                + 0.0
+            ).alias("novelty_rate"),
+            F.count(F.when(F.col("n_novel") * 10 < F.col("n_shingles"), 1))
+            .cast("long")
+            .alias("n_stale_docs"),
+        )
+        .orderBy("lang")
+    )

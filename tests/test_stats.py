@@ -1908,3 +1908,36 @@ def test_mfi_matches_pandas():
             ) < 1e-6
             checked += 1
     assert checked == len(got)
+
+
+def test_doc_novelty_matches_python():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lang, text FROM read_parquet('{SF}/documents.parquet') "
+        f"ORDER BY doc_id"
+    ).df()
+    first: dict[str, int] = {}
+    per_doc = {}
+    for _, r in docs.iterrows():
+        ts = r["text"].split(" ")
+        if len(ts) < 3:
+            continue
+        sh = [" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)]
+        for s in sh:
+            first.setdefault(s, int(r["doc_id"]))
+        per_doc[int(r["doc_id"])] = sh
+    got = _oracle_orders("q_doc_novelty").set_index("lang")
+    langs = docs.set_index("doc_id")["lang"]
+    agg: dict[str, list[int]] = {}
+    for did, sh in per_doc.items():
+        novel = sum(1 for s in sh if first[s] == did)
+        agg.setdefault(langs[did], []).append((len(sh), novel))
+    for lang, pairs in agg.items():
+        n_sh = sum(a for a, _ in pairs)
+        n_nov = sum(b for _, b in pairs)
+        stale = sum(1 for a, b in pairs if b * 10 < a)
+        row = got.loc[lang]
+        assert row["n_docs"] == len(pairs)
+        assert row["n_shingles"] == n_sh
+        assert abs(row["novelty_rate"] - round(n_nov / n_sh, 4)) < 1e-9
+        assert row["n_stale_docs"] == stale

@@ -132,6 +132,7 @@ ROUND_CHANGED = [
     "q_stats_winsorized",  # r5: new
     "q_sample_kfold",     # r5: new
     "q_win_mfi",          # r5: new
+    "q_doc_novelty",      # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
