@@ -3865,3 +3865,102 @@ def q_win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("mfi"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_pairs_spread",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(round(ln(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                                AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.et AS type_a, b.et AS type_b, a.di,
+             a.lp - b.lp AS spread
+      FROM daily a JOIN daily b ON a.di = b.di AND a.et < b.et
+    ),
+    m AS (
+      SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(spread) AS HUGEINT) AS s,
+             CAST(sum(CAST(spread AS HUGEINT) * spread) AS HUGEINT) AS ss,
+             CAST(max(struct_pack(d := di, v := spread)).v AS BIGINT) AS last_s
+      FROM p GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_days,
+           round((CAST(last_s AS DOUBLE) - CAST(s AS DOUBLE) / n_days)
+                 / sqrt((CAST(n_days * ss - s * s AS DOUBLE))
+                        / n_days / (n_days - 1)) , 4) + 0.0 AS z_last,
+           abs(CAST(last_s AS DOUBLE) - CAST(s AS DOUBLE) / n_days)
+             > 2 * sqrt((CAST(n_days * ss - s * s AS DOUBLE))
+                        / n_days / (n_days - 1)) AS diverged
+    FROM m ORDER BY type_a, type_b
+    """,
+)
+def q_win_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading spread monitor over all type pairs: the
+    log-revenue spread lnA − lnB per day, and where TODAY'S spread
+    sits (z-score) against the pair's own history — the
+    mean-reversion entry signal (|z| > 2 = the legs have diverged),
+    the statarb companion to q_market_beta/q_win_rolling_beta.
+
+    The daily log prices land on the 1e-6 grid once, so every
+    spread is an exact integer difference; the pair relation is an
+    equi-join on the day key of the |types|×|days| bounded table
+    (never on the tick stream); mean/sd come from exact 128-bit
+    moments and the last spread is a deterministic struct-argmax on
+    the day index; z evaluates once per pair."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+        .select(
+            "et",
+            "di",
+            F.round(F.log(F.col("cents").cast("double")) * 1000000)
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    a = daily.select(
+        F.col("et").alias("type_a"), "di", F.col("lp").alias("lpa")
+    )
+    b = daily.select(
+        F.col("et").alias("type_b"),
+        F.col("di").alias("di2"),
+        F.col("lp").alias("lpb"),
+    )
+    p = a.join(
+        b, (F.col("di") == F.col("di2")) & (F.col("type_a") < F.col("type_b"))
+    ).select("type_a", "type_b", "di", (F.col("lpa") - F.col("lpb")).alias("spread"))
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    m = p.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(dec("spread")).alias("s"),
+        F.sum(dec("spread") * dec("spread")).alias("ss"),
+        F.max(F.struct(F.col("di").alias("d"), F.col("spread").alias("v")))["v"]
+        .cast("long")
+        .alias("last_s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    sd = F.sqrt(
+        (dec("n_days") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / F.col("n_days")
+        / (F.col("n_days") - 1)
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        (F.round((F.col("last_s") - mean) / sd, 4) + 0.0).alias("z_last"),
+        (F.abs(F.col("last_s") - mean) > 2 * sd).alias("diverged"),
+    ).orderBy("type_a", "type_b")

@@ -4337,3 +4337,137 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_embed_silhouette",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i,
+             CAST(floor((CAST(embedding[i] AS DOUBLE) + 2) * 10000000)
+                  AS BIGINT) AS xq
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    cent AS (
+      SELECT label AS clabel, i,
+             CAST(sum(xq) // (count(*) * 10) AS BIGINT) AS cvq
+      FROM ex GROUP BY 1, 2
+    ),
+    term AS (
+      SELECT ex.vec_id, ex.label, c.clabel,
+             CAST(floor((CAST(ex.xq AS DOUBLE) / 10000000
+                         - CAST(c.cvq AS DOUBLE) / 1000000)
+                        * (CAST(ex.xq AS DOUBLE) / 10000000
+                           - CAST(c.cvq AS DOUBLE) / 1000000)
+                        * 1000000000000) AS BIGINT) AS tq
+      FROM ex JOIN cent c ON ex.i = c.i
+    ),
+    dist AS (
+      SELECT vec_id, label, clabel,
+             CAST(floor(sqrt(CAST(sum(tq) AS DOUBLE) / 1000000000000)
+                        * 1000000) AS BIGINT) AS dq
+      FROM term GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             CAST(min(CASE WHEN clabel = label THEN dq END) AS BIGINT) AS a_q,
+             CAST(min(CASE WHEN clabel <> label THEN dq END) AS BIGINT) AS b_q
+      FROM dist GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+             CAST(floor(CAST(b_q - a_q AS DOUBLE)
+                        / greatest(a_q, b_q) * 1000000) AS BIGINT) AS sq
+      FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000, 4) + 0.0
+             AS silhouette
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = distance to its own label's centroid, b = distance to
+    the nearest OTHER centroid, s = (b−a)/max(a,b) — the clustering
+    quality number that says whether the label structure is real in
+    embedding space (→1 tight and separated, ≤0 overlapping); the
+    medoid-free variant large-scale evals use because the full
+    silhouette is O(n²).
+
+    Exactness ladder (every aggregate sees only exact integers):
+    coordinates shift by +2 (making them positive, so integer
+    division floors identically — DuckDB // floors while Spark div
+    truncates toward zero) and quantize to 1e-7 ints; each centroid
+    coordinate is ONE exact integer division Σxq div (n·10) onto the
+    1e-6 grid; squared-difference terms quantize to 1e-12 ints per
+    dimension BEFORE the distance sum (a raw float Σ over dims would
+    be fold-order-dependent); distances and silhouettes floor to
+    1e-6 ints before their means. Scale shape: the |labels|×64
+    centroid table is the K-means assignment-step broadcast — the
+    vector table is scanned twice (centroid pass + distance pass)
+    with NO pairwise work."""
+    ex = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor((x.cast("double") + 2) * 10000000).cast(
+                        "long"
+                    ),
+                )
+            ).alias("i0", "xq"),
+        )
+        .withColumn("i", F.col("i0") + 1)
+        .drop("i0")
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.expr("CAST(sum(xq) div (count(*) * 10) AS BIGINT)").alias("cvq")
+    )
+    xs = F.col("xq").cast("double") / 10000000
+    cvs = F.col("cvq").cast("double") / 1000000
+    term = ex.join(F.broadcast(cent), "i").select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.floor((xs - cvs) * (xs - cvs) * 1000000000000).cast("long").alias("tq"),
+    )
+    dist = term.groupBy("vec_id", "label", "clabel").agg(
+        F.floor(
+            F.sqrt(F.sum("tq").cast("double") / 1000000000000) * 1000000
+        )
+        .cast("long")
+        .alias("dq")
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dq")))
+        .cast("long")
+        .alias("a_q"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dq")))
+        .cast("long")
+        .alias("b_q"),
+    )
+    s = ab.select(
+        "label",
+        F.floor(
+            (F.col("b_q") - F.col("a_q")).cast("double")
+            / F.greatest("a_q", "b_q")
+            * 1000000
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            (
+                F.round(F.sum("sq").cast("double") / F.count("*") / 1000000, 4)
+                + 0.0
+            ).alias("silhouette"),
+        )
+        .orderBy("label")
+    )

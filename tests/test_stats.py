@@ -1941,3 +1941,62 @@ def test_doc_novelty_matches_python():
         assert row["n_shingles"] == n_sh
         assert abs(row["novelty_rate"] - round(n_nov / n_sh, 4)) < 1e-9
         assert row["n_stale_docs"] == stale
+
+
+def test_silhouette_matches_numpy():
+    con = duckdb.connect()
+    em = con.execute(
+        f"SELECT vec_id, embedding, label FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    vecs = np.stack(em["embedding"].map(np.asarray)).astype(np.float64)
+    labels = em["label"].to_numpy()
+    # replicate the quantization ladder exactly
+    xq = np.floor((vecs + 2) * 1e7).astype("int64")
+    cents = {}
+    for lab in np.unique(labels):
+        g = xq[labels == lab]
+        cents[lab] = (g.sum(axis=0, dtype=object) // (len(g) * 10)).astype("int64")
+    got = _oracle_orders("q_embed_silhouette").set_index("label")
+    per_label: dict[int, list[int]] = {}
+    for i in range(len(vecs)):
+        dqs = {}
+        for lab, cv in cents.items():
+            diff = xq[i] / 1e7 - cv / 1e6
+            tq = np.floor(diff * diff * 1e12).astype("int64")
+            dqs[lab] = int(np.floor(np.sqrt(tq.sum() / 1e12) * 1e6))
+        own = labels[i]
+        a = dqs[own]
+        b_ = min(v for k, v in dqs.items() if k != own)
+        sq = int(np.floor((b_ - a) / max(a, b_) * 1e6))
+        per_label.setdefault(int(own), []).append(sq)
+    for lab, sqs in per_label.items():
+        row = got.loc[lab]
+        assert row["n_vectors"] == len(sqs)
+        assert abs(row["silhouette"] - round(sum(sqs) / len(sqs) / 1e6, 4)) < 1e-9
+
+
+def test_pairs_spread_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["di"] = (ev["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    daily = ev.groupby(["event_type", "di"])["cents"].sum().reset_index()
+    daily["lp"] = np.round(np.log(daily["cents"]) * 1e6).astype("int64")
+    piv = daily.pivot(index="di", columns="event_type", values="lp")
+    got = _oracle_orders("q_win_pairs_spread").set_index(["type_a", "type_b"])
+    types = sorted(piv.columns)
+    n_pairs = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            sp = (piv[ta] - piv[tb]).dropna()
+            n = len(sp)
+            mean, sd = sp.mean(), sp.std(ddof=1)
+            last = sp.loc[sp.index.max()]
+            row = got.loc[(ta, tb)]
+            assert row["n_days"] == n
+            assert abs(row["z_last"] - round((last - mean) / sd, 4)) < 1e-6
+            assert bool(row["diverged"]) == (abs(last - mean) > 2 * sd)
+            n_pairs += 1
+    assert n_pairs == len(got)

@@ -133,6 +133,8 @@ ROUND_CHANGED = [
     "q_sample_kfold",     # r5: new
     "q_win_mfi",          # r5: new
     "q_doc_novelty",      # r5: new
+    "q_embed_silhouette",  # r5: new
+    "q_win_pairs_spread",  # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
