@@ -3964,3 +3964,93 @@ def q_win_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((F.col("last_s") - mean) / sd, 4) + 0.0).alias("z_last"),
         (F.abs(F.col("last_s") - mean) > 2 * sd).alias("diverged"),
     ).orderBy("type_a", "type_b")
+
+
+@register(
+    "q_win_donchian",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT event_type, di, day, cl,
+             max(hi) OVER w AS ch, min(lo) OVER w AS clow,
+             count(*) OVER w AS cn
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day,
+           round(ch / 100.0, 2) AS channel_high,
+           round(clow / 100.0, 2) AS channel_low,
+           CASE WHEN cl > ch THEN 1 WHEN cl < clow THEN -1 ELSE 0 END
+             AS breakout
+    FROM d WHERE cn = 20
+    ORDER BY event_type, day
+    """,
+)
+def q_win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian 20-day channel per event type: the trailing-window
+    high/low band (EXCLUDING today) and a breakout flag when today's
+    close escapes it — the turtle-trader breakout system's signal,
+    completing the channel family next to Bollinger (stddev band)
+    and Keltner-style ranges.
+
+    Everything is exact-integer: daily bars collapse once (close =
+    deterministic struct-max), the 20-row trailing frame takes
+    max/min of exact cents on the SAME per-type sort, and the
+    breakout flag is an integer comparison — no float ever enters
+    the signal path."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-20, -1)
+    d = b.select(
+        "event_type",
+        "day",
+        "cl",
+        F.max("hi").over(w).alias("ch"),
+        F.min("lo").over(w).alias("clow"),
+        F.count("*").over(w).alias("cn"),
+    ).filter(F.col("cn") == 20)
+    return d.select(
+        "event_type",
+        "day",
+        F.round(F.col("ch") / 100.0, 2).alias("channel_high"),
+        F.round(F.col("clow") / 100.0, 2).alias("channel_low"),
+        F.when(F.col("cl") > F.col("ch"), 1)
+        .when(F.col("cl") < F.col("clow"), -1)
+        .otherwise(0)
+        .alias("breakout"),
+    ).orderBy("event_type", "day")

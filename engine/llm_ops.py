@@ -4471,3 +4471,72 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_text_script_mix",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  AS BIGINT) AS n_latin,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  AS BIGINT) AS n_digit,
+             CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                  AS BIGINT) AS n_cjk
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(n_latin) AS DOUBLE) / sum(n_chars), 4) + 0.0
+             AS latin_ratio,
+           round(CAST(sum(n_cjk) AS DOUBLE) / sum(n_chars), 4) + 0.0
+             AS cjk_ratio,
+           round(CAST(sum(n_digit) AS DOUBLE) / sum(n_chars), 4) + 0.0
+             AS digit_ratio,
+           CAST(count(*) FILTER (WHERE n_cjk * 2 > n_chars) AS BIGINT)
+             AS n_cjk_majority
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix profile per language tag: latin / CJK /
+    digit character ratios and the count of CJK-majority docs — the
+    script-vs-tag consistency check multilingual curation runs to
+    catch mislabeled documents (a 'zh'-tagged corpus that is 90%
+    latin is a labeling bug; complements q_text_langid's n-gram
+    classifier with a character-class signal).
+
+    Pure map-side regexp_replace length counting in whole-stage
+    codegen (both engines count CODEPOINTS after the same character
+    class deletion); ratios divide exact sums once; the majority
+    flag cross-multiplies."""
+    t = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+        .cast("long")
+        .alias("n_latin"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+        .cast("long")
+        .alias("n_digit"),
+        F.length(F.regexp_replace("text", "[^一-鿿]", ""))
+        .cast("long")
+        .alias("n_cjk"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.round(F.sum("n_latin").cast("double") / F.sum("n_chars"), 4) + 0.0)
+            .alias("latin_ratio"),
+            (F.round(F.sum("n_cjk").cast("double") / F.sum("n_chars"), 4) + 0.0)
+            .alias("cjk_ratio"),
+            (F.round(F.sum("n_digit").cast("double") / F.sum("n_chars"), 4) + 0.0)
+            .alias("digit_ratio"),
+            F.count(F.when(F.col("n_cjk") * 2 > F.col("n_chars"), 1))
+            .cast("long")
+            .alias("n_cjk_majority"),
+        )
+        .orderBy("lang")
+    )

@@ -3849,3 +3849,59 @@ def q_basket_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), F.asc("brand_from"), F.asc("brand_to"))
         .limit(15)
     )
+
+
+@register(
+    "q_agg_geomean",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CAST(round(ln(CAST(floor(value * 100) AS BIGINT)) * 1000000)
+                  AS BIGINT) AS lq
+      FROM events WHERE value >= 0.01
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(exp(CAST(sum(lq) AS DOUBLE) / count(*) / 1000000) / 100.0,
+                 4) + 0.0 AS geomean,
+           round(CAST(sum(lq) AS DOUBLE) / count(*) / 1000000, 6) + 0.0
+             AS mean_ln_cents
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of event values per type — the multiplicative
+    average (the right mean for ratios/growth factors, and the
+    log-domain companion to q_agg_global's arithmetic mean).
+
+    Each ln lands on the 1e-6 bigint grid MAP-SIDE, so the per-type
+    sum is exact and order-independent; exp evaluates ONCE per group
+    on the exact mean. exp() is not correctly-rounded in general,
+    but its argument here is bit-identical on both engines and both
+    use the same libm-class implementation on this fixture — the
+    mean_ln_cents column is the fully-exact invariant, geomean the
+    display form."""
+    t = _t(spark, sf_dir, "events").filter(F.col("value") >= 0.01).select(
+        "event_type",
+        F.round(F.log(F.floor(F.col("value") * 100).cast("double")) * 1000000)
+        .cast("long")
+        .alias("lq"),
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (
+                F.round(
+                    F.exp(F.sum("lq").cast("double") / F.count("*") / 1000000)
+                    / 100.0,
+                    4,
+                )
+                + 0.0
+            ).alias("geomean"),
+            (
+                F.round(F.sum("lq").cast("double") / F.count("*") / 1000000, 6)
+                + 0.0
+            ).alias("mean_ln_cents"),
+        )
+        .orderBy("event_type")
+    )

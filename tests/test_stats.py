@@ -2000,3 +2000,69 @@ def test_pairs_spread_matches_pandas():
             assert bool(row["diverged"]) == (abs(last - mean) > 2 * sd)
             n_pairs += 1
     assert n_pairs == len(got)
+
+
+def test_geomean_matches_numpy():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, value FROM read_parquet('{SF}/events.parquet') "
+        f"WHERE value >= 0.01"
+    ).df()
+    ev["lq"] = np.round(
+        np.log(np.floor(ev["value"] * 100).astype("int64")) * 1e6
+    ).astype("int64")
+    got = _oracle_orders("q_agg_geomean").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        ml = g["lq"].sum() / len(g) / 1e6
+        row = got.loc[et]
+        assert row["n"] == len(g)
+        assert abs(row["mean_ln_cents"] - round(ml, 6)) < 1e-9
+        assert abs(row["geomean"] - round(np.exp(ml) / 100, 4)) < 1e-6
+    # geometric <= arithmetic mean (AM-GM)
+    am = ev.groupby("event_type")["value"].mean()
+    assert (got["geomean"] <= am.loc[got.index] + 1e-9).all()
+
+
+def test_script_mix_matches_python():
+    import re
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    got = _oracle_orders("q_text_script_mix").set_index("lang")
+    for lang, g in docs.groupby("lang"):
+        nc = sum(len(t) for t in g["text"])
+        nl = sum(len(re.sub(r"[^a-zA-Z]", "", t)) for t in g["text"])
+        nd = sum(len(re.sub(r"[^0-9]", "", t)) for t in g["text"])
+        nk = sum(len(re.sub(r"[^一-鿿]", "", t)) for t in g["text"])
+        row = got.loc[lang]
+        assert row["n_docs"] == len(g)
+        assert abs(row["latin_ratio"] - round(nl / nc, 4)) < 1e-9
+        assert abs(row["digit_ratio"] - round(nd / nc, 4)) < 1e-9
+        assert abs(row["cjk_ratio"] - round(nk / nc, 4)) < 1e-9
+
+
+def test_donchian_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = _oracle_orders("q_win_donchian").set_index(["event_type", "day"])
+    checked = 0
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        bars = g.groupby("day").agg(hi=("c", "max"), lo=("c", "min"), cl=("c", "last"))
+        for i in range(20, len(bars)):
+            w = bars.iloc[i - 20 : i]
+            ch, clow = int(w["hi"].max()), int(w["lo"].min())
+            cl = int(bars["cl"].iloc[i])
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert row["channel_high"] == round(ch / 100, 2)
+            assert row["channel_low"] == round(clow / 100, 2)
+            assert row["breakout"] == (1 if cl > ch else (-1 if cl < clow else 0))
+            checked += 1
+    assert checked == len(got)

@@ -135,6 +135,9 @@ ROUND_CHANGED = [
     "q_doc_novelty",      # r5: new
     "q_embed_silhouette",  # r5: new
     "q_win_pairs_spread",  # r5: new
+    "q_agg_geomean",      # r5: new
+    "q_text_script_mix",  # r5: new
+    "q_win_donchian",     # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
