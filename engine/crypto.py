@@ -4054,3 +4054,105 @@ def q_win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("breakout"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_keltner",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    k AS (
+      SELECT event_type, di, day, cl,
+             CAST(sum(hi + lo + cl) OVER w AS BIGINT) AS tp3_sum,
+             CAST(sum(hi - lo) OVER w AS BIGINT) AS rng_sum,
+             count(*) OVER w AS cn
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(tp3_sum / 3000.0, 2) AS mid,
+           round(tp3_sum / 3000.0 + rng_sum / 1000.0, 2) AS upper_band,
+           round(tp3_sum / 3000.0 - rng_sum / 1000.0, 2) AS lower_band,
+           CASE WHEN cl * 30 > tp3_sum + 3 * rng_sum THEN 1
+                WHEN cl * 30 < tp3_sum - 3 * rng_sum THEN -1
+                ELSE 0 END AS band_break
+    FROM k WHERE cn = 10
+    ORDER BY event_type, day
+    """,
+)
+def q_win_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channel (original SMA form) per event type: 10-day SMA
+    of the typical price ± the 10-day SMA of the daily range — the
+    volatility-scaled band that completes the channel trio next to
+    Bollinger (stddev band) and Donchian (extreme band).
+
+    The mid and band are ratios of exact integer window sums (typical
+    price carried ×3, range exact cents — divisions happen once per
+    emitted row for display), and the band-break flag
+    cross-multiplies cl·30 against tp3_sum ± 3·rng_sum so the SIGNAL
+    never touches a float. Both window frames ride one per-type
+    sort."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-9, 0)
+    k = b.select(
+        "event_type",
+        "day",
+        "cl",
+        F.sum(F.col("hi") + F.col("lo") + F.col("cl")).over(w).cast("long").alias(
+            "tp3_sum"
+        ),
+        F.sum(F.col("hi") - F.col("lo")).over(w).cast("long").alias("rng_sum"),
+        F.count("*").over(w).alias("cn"),
+    ).filter(F.col("cn") == 10)
+    return k.select(
+        "event_type",
+        "day",
+        F.round(F.col("tp3_sum") / 3000.0, 2).alias("mid"),
+        F.round(F.col("tp3_sum") / 3000.0 + F.col("rng_sum") / 1000.0, 2).alias(
+            "upper_band"
+        ),
+        F.round(F.col("tp3_sum") / 3000.0 - F.col("rng_sum") / 1000.0, 2).alias(
+            "lower_band"
+        ),
+        F.when(
+            F.col("cl") * 30 > F.col("tp3_sum") + 3 * F.col("rng_sum"), 1
+        )
+        .when(F.col("cl") * 30 < F.col("tp3_sum") - 3 * F.col("rng_sum"), -1)
+        .otherwise(0)
+        .alias("band_break"),
+    ).orderBy("event_type", "day")

@@ -151,6 +151,7 @@ _PRIORITY: list[str] = [
     "q_doc_novelty",
     "q_embed_silhouette", "q_win_pairs_spread",
     "q_agg_geomean", "q_text_script_mix", "q_win_donchian",
+    "q_win_keltner", "q_stats_levene",
     # r01-only remainder (refresh backlog, stalest first)
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_sim_topk",

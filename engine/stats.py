@@ -2621,3 +2621,100 @@ def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("trimmed_mean"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_levene",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS et, CAST(floor(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    med AS (
+      SELECT et, median(c) AS m FROM t GROUP BY et
+    ),
+    z AS (
+      SELECT t.et,
+             CAST(floor(abs(CAST(c AS DOUBLE) - m) * 10000) AS BIGINT) AS zq
+      FROM t JOIN med ON t.et = med.et
+    ),
+    g AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(zq) AS HUGEINT) AS s,
+             CAST(sum(CAST(zq AS HUGEINT) * zq) AS HUGEINT) AS ss
+      FROM z GROUP BY et
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS HUGEINT) AS sall
+      FROM g
+    ),
+    parts AS (
+      SELECT CAST(sum(CAST(floor((CAST(s AS DOUBLE) * s / n)
+                                 - fmod(CAST(s AS DOUBLE) * s / n, 1))
+                           AS HUGEINT)) AS HUGEINT) AS between_q,
+             CAST(sum(ss) AS HUGEINT) AS ss_all
+      FROM g
+    )
+    SELECT k AS n_groups, nn AS n_obs,
+           round(((CAST(between_q AS DOUBLE) - CAST(sall AS DOUBLE) * sall / nn)
+                  / (k - 1))
+                 / ((CAST(ss_all AS DOUBLE) - CAST(between_q AS DOUBLE))
+                    / (nn - k)), 4) + 0.0 AS w_stat
+    FROM tot, parts
+    """,
+)
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with the median center) for
+    EQUALITY OF VARIANCES across event types: a one-way ANOVA on the
+    absolute deviations from each group's median — the
+    heteroscedasticity check that should pass before trusting
+    q_stats_anova's equal-variance assumption (and is robust to the
+    heavy tails that break classic Levene-with-mean).
+
+    Group medians broadcast back (deterministic interpolated doubles
+    on exact cents); each |c − median| quantizes to a 1e-4 integer
+    map-side, so all ANOVA moments are exact 128-bit sums; the one
+    non-integer intermediate (Σz)²/n per group floors in the double
+    domain via q−(q%1) (the floor(double)→long wrap lesson) before
+    the cross-group fold. The W statistic evaluates once."""
+    t = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    med = t.groupBy("et").agg(F.expr("percentile(c, 0.5)").alias("m"))
+    z = t.join(F.broadcast(med), "et").select(
+        "et",
+        F.floor(F.abs(F.col("c").cast("double") - F.col("m")) * 10000)
+        .cast("long")
+        .alias("zq"),
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    g = z.groupBy("et").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("zq")).alias("s"),
+        F.sum(dec("zq") * dec("zq")).alias("ss"),
+    )
+    parts = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").alias("sall"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(s AS DOUBLE) * s / n"
+                " - (CAST(s AS DOUBLE) * s / n) % 1 AS DECIMAL(38,0))"
+            )
+        ).alias("between_q"),
+        F.sum("ss").alias("ss_all"),
+    )
+    between = F.col("between_q").cast("double")
+    sall = F.col("sall").cast("double")
+    ss_all = F.col("ss_all").cast("double")
+    w = (
+        (between - sall * sall / F.col("nn")) / (F.col("k") - 1)
+    ) / ((ss_all - between) / (F.col("nn") - F.col("k")))
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_obs"),
+        (F.round(w, 4) + 0.0).alias("w_stat"),
+    )

@@ -118,6 +118,7 @@ _SINGLE_PARTITION_OK = {
     "q_stats_qte",        # 1-row 8-percentile fold -> 4-row stack
     "q_sample_kfold",     # 1-row total + 1-row chi2 folds of the
                           # <=|folds|x|langs| cell table
+    "q_stats_levene",     # 1-row W-statistic fold of the |types| table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the

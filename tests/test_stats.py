@@ -2066,3 +2066,61 @@ def test_donchian_matches_pandas():
             assert row["breakout"] == (1 if cl > ch else (-1 if cl < clow else 0))
             checked += 1
     assert checked == len(got)
+
+
+def test_keltner_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = _oracle_orders("q_win_keltner").set_index(["event_type", "day"])
+    checked = 0
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        bars = g.groupby("day").agg(hi=("c", "max"), lo=("c", "min"), cl=("c", "last"))
+        tp3 = (bars["hi"] + bars["lo"] + bars["cl"]).rolling(10).sum()
+        rng = (bars["hi"] - bars["lo"]).rolling(10).sum()
+        for i in range(9, len(bars)):
+            ts_, rs = int(tp3.iloc[i]), int(rng.iloc[i])
+            cl = int(bars["cl"].iloc[i])
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+
+            # SQL round() is HALF_UP; python round() is banker's —
+            # quantize the expectation the SQL way
+            def r2(x):
+                from decimal import Decimal, ROUND_HALF_UP
+
+                return float(Decimal(repr(x)).quantize(Decimal("0.01"),
+                                                       ROUND_HALF_UP))
+
+            assert row["mid"] == r2(ts_ / 3000)
+            assert row["upper_band"] == r2(ts_ / 3000 + rs / 1000)
+            assert row["lower_band"] == r2(ts_ / 3000 - rs / 1000)
+            exp = 1 if cl * 30 > ts_ + 3 * rs else (-1 if cl * 30 < ts_ - 3 * rs else 0)
+            assert row["band_break"] == exp
+            checked += 1
+    assert checked == len(got)
+
+
+def test_levene_matches_scipy_free_recompute():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    groups = []
+    for _, g in ev.groupby("event_type"):
+        c = g["c"].to_numpy(float)
+        m = np.quantile(c, 0.5, method="linear")
+        groups.append(np.floor(np.abs(c - m) * 10000).astype("int64"))
+    k = len(groups)
+    nn = sum(len(z) for z in groups)
+    grand = sum(int(z.sum()) for z in groups) / nn
+    between = sum(len(z) * (z.mean() - grand) ** 2 for z in groups) / (k - 1)
+    within = sum(((z - z.mean()) ** 2).sum() for z in groups) / (nn - k)
+    row = _oracle_orders("q_stats_levene").iloc[0]
+    assert row["n_groups"] == k and row["n_obs"] == nn
+    assert abs(row["w_stat"] - round(between / within, 4)) < 1e-3

@@ -138,6 +138,8 @@ ROUND_CHANGED = [
     "q_agg_geomean",      # r5: new
     "q_text_script_mix",  # r5: new
     "q_win_donchian",     # r5: new
+    "q_win_keltner",      # r5: new
+    "q_stats_levene",     # r5: new
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
