@@ -3801,15 +3801,27 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the real thing), then all pairs within hamming distance ≤ 3,
     reported as pair counts + an identity checksum per distance.
 
-    Scale shape: the hash is pure map-side codegen (hex slicing +
-    integer threshold against the 64·byte vs sum cross-multiplication
-    — no float mean); the pair search NEVER self-joins the corpus:
-    each item emits its 4 16-bit bands and candidates meet on exact
-    band equality — the pigeonhole guarantee (4 bands, ≤3 differing
-    bits → ≥1 band identical) makes the blocking LOSSLESS for d ≤ 3,
-    the same family of argument as q_dedup_minhash's LSH bands but
-    exact, not probabilistic. Verification happens on the ≤3-band
-    collision set only."""
+    Scale shape (r6 rewrite): the hash is pure map-side codegen (hex
+    slicing + integer threshold against the 64·byte vs sum
+    cross-multiplication — no float mean). The pair search then runs
+    in two regimes, neither of which self-joins the corpus:
+
+    1. identical hashes collapse FIRST (one hash agg → cluster size c
+       + Σdoc_id), and every hamming-0 pair is computed in closed form
+       — c·(c−1)/2 pairs, (c−1)·Σid checksum — so exact-dup clusters
+       contribute ZERO join rows (under 4×16-bit banding a dup
+       cluster's every band collides; that was the r5 density driver);
+    2. distinct hashes meet by multi-index hamming-ball enumeration
+       (Norouzi et al., Fast Search in Hamming Space with Multi-Index
+       Hashing): two 32-bit halves, and each hash emits its half value
+       plus all 32 single-bit flips (66 keys). For d ≤ 3 one half
+       carries ≤ ⌊3/2⌋ = 1 differing bit (generalized pigeonhole), so
+       a radius-1 ball per half is LOSSLESS — and the 2^32 key space
+       keeps bucket occupancy flat where r5's 2^16 bands saturated
+       (measured sf0.1: 32k collision rows, max bucket 9, vs 58k
+       candidates and growing quadratically before). Pair stats then
+       expand arithmetically: c_a·c_b pairs, c_b·Σid_a + c_a·Σid_b
+       checksum — never materializing doc-level pairs at all."""
     d = (
         _t(spark, sf_dir, "documents")
         .select(
@@ -3828,58 +3840,112 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never the problem, compilation was). Bound once, the tree stays
     # small wherever Catalyst inlines it. The integer
     # byte·64 > Σbytes cross-multiplication replaces the float mean.
-    h = d.select(
-        "doc_id",
+    # Byte sampling as 64 FLAT codegen columns, not a lambda array:
+    # higher-order-function lambdas evaluate INTERPRETED per row
+    # (~0.4 ms/doc measured — the r5 wall-clock driver), while 64
+    # substring+conv expressions compile into whole-stage codegen.
+    # The repartition between sampling and bit logic is load-bearing
+    # twice over: it is the CollapseProject barrier that stops the 64
+    # conv expressions being re-inlined into every per-bit CASE
+    # (4096 copies → ~30 s Janino compile, the r4 lesson), and it
+    # spreads the corpus across all cores (the fixture is one small
+    # parquet file → one scan partition; at cluster scale the scan is
+    # already wide and the exchange carries 66 longs/doc, not text).
+    bcols = [
         F.expr(
-            "element_at(transform(array("
-            "transform(sequence(0, 63), i -> "
-            "CAST(conv(substring(hx, CAST(i*(n div 64)*2+1 AS INT), 2), 16, 10)"
-            " AS BIGINT))), bs -> "
-            "transform(sequence(0, 3), k -> "
-            "aggregate(sequence(0, 15), 0L, (acc, j) -> acc + "
-            "CASE WHEN element_at(bs, CAST(16*k+j+1 AS INT)) * 64 > "
-            "aggregate(bs, 0L, (a2, x) -> a2 + x) "
-            "THEN CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT) ELSE 0L END))"
-            "), 1)"
-        ).alias("bands"),
+            f"CAST(conv(substring(hx, CAST({i}*(n div 64)*2+1 AS INT), 2), "
+            "16, 10) AS BIGINT)"
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    hb = d.select("doc_id", *bcols).withColumn(
+        "s", sum(F.col(f"b{i}") for i in range(64))
     )
-    # Exchange barrier: the self-join branches then share one
-    # Exchange + ReusedExchange instead of hashing the corpus twice.
-    h = h.repartition("doc_id")
-    e = h.select(
-        "doc_id", "bands", F.posexplode("bands").alias("k", "bv")
+    hb = hb.repartition("doc_id")
+    bit = lambda i: F.when(  # noqa: E731
+        F.col(f"b{i}") * 64 > F.col("s"), F.lit(1 << (i % 16)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    band = lambda k: sum(bit(16 * k + j) for j in range(16))  # noqa: E731
+    h = hb.select(
+        "doc_id",
+        (band(0) * 65536 + band(1)).alias("h0"),
+        (band(2) * 65536 + band(3)).alias("h1"),
     )
-    a = e.select(
-        F.col("doc_id").alias("da"), F.col("bands").alias("ba"),
-        "k", "bv",
+    # Regime 1: collapse identical hashes; hamming-0 pairs in closed
+    # form (no join rows for exact-dup clusters).
+    g = h.groupBy("h0", "h1").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("doc_id").cast("long").alias("sid"),
     )
-    bb = e.select(
-        F.col("doc_id").alias("db"), F.col("bands").alias("bbs"),
-        F.col("k").alias("k2"), F.col("bv").alias("bv2"),
+    zero = (
+        g.filter(F.col("c") >= 2)
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_pairs"),
+            F.sum((F.col("c") - 1) * F.col("sid")).cast("long").alias("pair_checksum"),
+        )
+        .filter(F.col("n_pairs").isNotNull())
+        .select(F.lit(0).cast("long").alias("hamming"), "n_pairs", "pair_checksum")
     )
-    ham = sum(
-        F.expr(f"bit_count(element_at(ba, {i}) ^ element_at(bbs, {i}))")
-        for i in (1, 2, 3, 4)
+    # Regime 2: multi-index hamming-ball join over DISTINCT hashes,
+    # ASYMMETRIC: the probe side enumerates each half's radius-1 ball
+    # (identity + 32 single-bit flips = 66 keys/hash), the build side
+    # indexes only the 2 identity keys/hash. d_half(x,y) ≤ 1 ⟺
+    # y's identity ∈ ball(x) — symmetric, so checking one direction
+    # under the (h0,h1) ordering predicate finds every pair, and a
+    # pair collides at most twice (vs 33× for an equal-half pair
+    # under ball×ball). Expansion is a 66-row broadcast nested-loop
+    # (spark.range crossJoin), not an interpreted-lambda explode, so
+    # the whole probe stays in whole-stage codegen; the tiny identity
+    # side broadcasts — the pair search never shuffles the ball side.
+    hh = g.select("c", "sid", "h0", "h1")
+    ball_idx = spark.range(66).select(
+        (F.col("id") < 33).cast("boolean").alias("first_half"),
+        (F.col("id") % 33 - 1).cast("int").alias("j"),
     )
+    a = hh.crossJoin(F.broadcast(ball_idx)).select(
+        F.col("c").alias("ca"),
+        F.col("sid").alias("sa"),
+        F.col("h0").alias("h0a"),
+        F.col("h1").alias("h1a"),
+        F.col("first_half").alias("half"),
+        F.expr(
+            "CASE WHEN j = -1 THEN IF(first_half, h0, h1) "
+            "ELSE IF(first_half, h0, h1) ^ shiftleft(1L, j) END"
+        ).alias("key"),
+    )
+    bb = hh.select(
+        F.col("c").alias("cb"),
+        F.col("sid").alias("sb"),
+        F.col("h0").alias("h0b"),
+        F.col("h1").alias("h1b"),
+        F.explode(F.array(F.lit(True), F.lit(False))).alias("half2"),
+    ).withColumn("key2", F.expr("IF(half2, h0b, h1b)"))
+    # No broadcast hint on the identity side: it scales with distinct
+    # hashes, so AQE's runtime-size conversion decides (locally it
+    # broadcasts; at corpus scale it degrades to a shuffle join
+    # instead of OOMing the driver on a forced hint).
+    ham = F.expr("bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b)")
     p = (
         a.join(
             bb,
-            (F.col("k") == F.col("k2"))
-            & (F.col("bv") == F.col("bv2"))
-            & (F.col("da") < F.col("db")),
+            (F.col("half") == F.col("half2"))
+            & (F.col("key") == F.col("key2"))
+            & (
+                (F.col("h0a") < F.col("h0b"))
+                | ((F.col("h0a") == F.col("h0b")) & (F.col("h1a") < F.col("h1b")))
+            ),
         )
-        .select("da", "db", ham.alias("ham"))
-        .distinct()
+        .select("h0a", "h1a", "h0b", "h1b", "ca", "sa", "cb", "sb", ham.alias("ham"))
         .filter(F.col("ham") <= 3)
+        .distinct()
     )
-    return (
-        p.groupBy(F.col("ham").cast("long").alias("hamming"))
-        .agg(
-            F.count("*").cast("long").alias("n_pairs"),
-            F.sum(F.col("da") + F.col("db")).cast("long").alias("pair_checksum"),
-        )
-        .orderBy("hamming")
+    cross = p.groupBy(F.col("ham").cast("long").alias("hamming")).agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("n_pairs"),
+        F.sum(F.col("cb") * F.col("sa") + F.col("ca") * F.col("sb"))
+        .cast("long")
+        .alias("pair_checksum"),
     )
+    return zero.unionByName(cross).orderBy("hamming")
 
 
 @register(

@@ -2059,7 +2059,7 @@ _SQL_API_TEXT = """
                                 ORDER BY cents DESC, l_partkey) AS rn
       FROM rev
     )
-    SELECT n_name, l_partkey, cents / 100.0 AS revenue
+    SELECT n_name, l_partkey, CAST(cents AS DOUBLE) / 100.0 AS revenue
     FROM rnk WHERE rn <= 3
     ORDER BY n_name, revenue DESC, l_partkey
 """

@@ -64,6 +64,8 @@ _SINGLE_PARTITION_OK = {
                           # monetary bands) — the customer table itself is
                           # never single-partitioned (r5 rewrite)
     "q_abc_pareto",       # carry-in window over the <=64-row band totals table
+    "q_multimodal_phash",  # 1-row hamming-0 closed-form reduce (partial
+                           # aggs map-side over the post-agg cluster table)
     "q_quality_rules",    # whole-table DQ summary reduces to one wide row
     "q_eval_auc",         # carry-in window over the ~score-band count table
                           # + the 1-row Mann-Whitney reduce
@@ -147,6 +149,10 @@ _CROSS_OK = {
     "q_join_bloom",
     # DQ summary: the 1-row orphan count folds into the 1-row rules row.
     "q_quality_rules",
+    # phash multi-index: the 66-row LITERAL (half, flip-bit) ball
+    # index broadcast-nested-loops against the distinct-hash table —
+    # a bounded row-generator (66× expansion), never data×data.
+    "q_multimodal_phash",
     # DAU/WAU: the 1-row max-day bound clips contribution days.
     "q_rolling_active_users",
     # Benford: the 1-row total folds into the 9-row digit table.

@@ -22,21 +22,19 @@ def test_priority_has_no_duplicates():
     assert len(_PRIORITY) == len(set(_PRIORITY))
 
 
-# Keys whose PLAN was rewritten after their last green driver row —
-# a prior row no longer certifies them, so they legitimately occupy
-# window slots ahead of refresh-only keys (round-4 rewrites; the r3
-# set — q_join_asof etc. — got green r03 rows and dropped out).
-# q_dedup_jaccard AND q_dedup_ngram both run _jaccard_set_pairs'
-# rewritten cached-gate path (n_prefix now derived from cached stats).
-# Round-5 additions: q_embed_quantize (r04 ERR row; output re-shaped
-# to a joined string), q_rfm_segments (ntile windows → banded
-# distributed rank), q_sim_pairwise (norm-band blocking key),
-# q_embed_pca (mapInArrow co-moment partials).
+# Keys whose PLAN (or output) was rewritten after their last driver
+# row — a prior row no longer certifies them, so they legitimately
+# occupy window slots ahead of refresh-only keys. The r5 in-window
+# re-certs (q_embed_quantize, q_rfm_segments) got green r05 rows and
+# dropped out. q_dedup_jaccard AND q_dedup_ngram both run
+# _jaccard_set_pairs' rewritten cached-gate path; sim_pairwise /
+# embed_pca / pagerank / simhash / count_min are r5 rewrites awaiting
+# their first post-rewrite row. Round-6 addition: q_sql_api — the r05
+# hash-FAIL (decimal-literal division), fixed via CAST AS DOUBLE.
 _RECERT = {
+    "q_sql_api",
     "q_dedup_jaccard",
     "q_dedup_ngram",
-    "q_embed_quantize",
-    "q_rfm_segments",
     "q_sim_pairwise",
     "q_embed_pca",
     "q_graph_pagerank",
@@ -109,3 +107,41 @@ def test_no_complex_output_on_oracle_keys(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append((k, f.name, f.dataType.simpleString()))
     assert not bad, f"oracle-checked keys with driver-unhashable columns: {bad}"
+
+
+def test_no_decimal_output_on_oracle_keys(spark):
+    """Driver canonicalizer contract #2 (q_sql_api's r05 hash-FAIL):
+    Spark parses every exact-numeric literal as DECIMAL, so a shared
+    SQL text with ``x / 100.0`` returns Decimal cells on the Spark
+    side while DuckDB returns float64 — equal to a 1e-9-tolerant
+    compare, UNEQUAL to the driver's exact hash. Guard at the schema
+    level: no oracle-checked key may declare a DecimalType output
+    column; cast to DOUBLE (one IEEE op, bit-equal across engines) or
+    emit BIGINT cents. tools/check.py's decimal_cols gate is the
+    dynamic mirror (covers streaming keys + DuckDB-side decimals)."""
+    from pyspark.sql.types import DecimalType
+
+    from tests.conftest import SF_SMOKE
+
+    qs, os_ = all_queries(), all_oracles()
+    bad = []
+    for k in os_:
+        if k.startswith("q_stream"):
+            continue
+        schema = qs[k](spark, SF_SMOKE).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                bad.append((k, f.name, f.dataType.simpleString()))
+    assert not bad, f"oracle-checked keys with Decimal output columns: {bad}"
+
+
+def test_sql_lint_no_decimal_literal_division():
+    """Authoring-time lint: every spark.sql text in engine/ must CAST
+    before dividing by a decimal literal (lint selftest proves it fires
+    on the seeded pre-fix q_sql_api shape)."""
+    from tools.lint_sql import ENGINE, flag_text, lint_file
+
+    assert flag_text("SELECT cents / 100.0 AS r FROM t"), "lint must fire"
+    assert not flag_text("SELECT CAST(cents AS DOUBLE) / 100.0 AS r FROM t")
+    problems = [p for f in sorted(ENGINE.glob("*.py")) for p in lint_file(f)]
+    assert not problems, problems

@@ -120,12 +120,42 @@ def complex_cols(df: pd.DataFrame) -> list[str]:
     for c in df.columns:
         if df[c].dtype.kind != "O":
             continue
+        # scan EVERY cell, not just the first non-null: a column whose
+        # first value is scalar but later cells are lists must not slip
+        # through (the schema-level guard catches declared array types,
+        # but object columns from Python sources carry no declaration)
         for v in df[c]:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
             if isinstance(v, (list, tuple, dict, set, np.ndarray)):
                 out.append(c)
-            break
+                break
+    return out
+
+
+def decimal_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding ``decimal.Decimal`` cells — forbidden on
+    oracle-checked keys.
+
+    The driver hashes EXACT values: a Spark column that parses
+    ``x / 100.0`` as DECIMAL yields ``Decimal('293321.580000')`` cells
+    while DuckDB's division yields float64 ``293321.58`` — different
+    values to an exact canonicalizer even though our float-tolerant
+    compare (and a ``float()`` coercion) sees them as equal. That
+    parity hole shipped q_sql_api's r05 hash-FAIL. Any Decimal output
+    means a missing explicit cast: ``CAST(... AS DOUBLE)`` (one IEEE
+    op, bit-equal across engines) or BIGINT cents.
+    """
+    import decimal
+
+    out = []
+    for c in df.columns:
+        if df[c].dtype.kind != "O":
+            continue
+        for v in df[c]:
+            if isinstance(v, decimal.Decimal):
+                out.append(c)
+                break
     return out
 
 
@@ -142,6 +172,13 @@ def check_one(spark, con, key: str, fn, sql: str | None, sf_dir: str) -> tuple[b
             "unhashable array/map/struct cells — string-join instead"
         )
     odf = con.execute(sql).fetchdf()
+    dc = decimal_cols(sdf) + [c + " (oracle)" for c in decimal_cols(odf)]
+    if dc:
+        return False, (
+            f"DECIMAL OUTPUT {dc}: exact-value driver hash sees "
+            "Decimal != float64 (q_sql_api r05) — CAST(... AS DOUBLE) "
+            "or emit BIGINT cents"
+        )
     if len(sdf) != len(odf):
         return False, f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"
     if sorted(sdf.columns) != sorted(odf.columns):
