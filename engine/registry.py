@@ -105,6 +105,10 @@ _PRIORITY: list[str] = [
     "q_seasonal_decompose", "q_graph_link_predict", "q_text_heaps",
     "q_multimodal_frames",
     # ---- slot-50 boundary: r7 window starts here ----
+    # r6 perf-rewrite re-certs lead r7 (tests/test_registry._RECERT):
+    # minhash signature collapse, cluster gid-level components +
+    # pointer-jumping, containment's refactored shared core
+    "q_dedup_minhash", "q_dedup_cluster", "q_dedup_containment",
     # remaining 67 never-driver-graded r5-continuation keys; the r7
     # rotation fronts these (67 > 50, so full first-row coverage
     # completes in r8) — encoded now so no future slot is wasted
@@ -155,7 +159,7 @@ _PRIORITY: list[str] = [
     "q_multimodal_struct", "q_multimodal_binary", "q_multimodal_features",
     "q_bars_ohlcv", "q_vwap", "q_win_volatility", "q_split_hash",
     "q_sample_stratified", "q_sessionize", "q_pack_sequences",
-    "q_merge_upsert", "q_dedup_cluster", "q_fn_json", "q_fn_cond_null",
+    "q_merge_upsert", "q_fn_json", "q_fn_cond_null",
     "q_fn_hash", "q_fn_hash_native", "q_fn_cast", "q_udf_scalar",
     "q_udf_pandas_scalar", "q_udf_pandas_agg", "q_udf_grouped_map",
     "q_udf_map_batches", "q_udtf", "q_stream_tumbling", "q_stream_sliding",
@@ -164,7 +168,7 @@ _PRIORITY: list[str] = [
     # r03 rows
 
     "q_join_skew_salted", "q_profile_table", "q_funnel", "q_sim_topk_ivf",
-    "q_join_asof", "q_win_ntile", "q_dedup_minhash", "q_dedup_embedding_ann",
+    "q_join_asof", "q_win_ntile", "q_dedup_embedding_ann",
     "q_unpivot", "q_agg_hll_sketch", "q_sample_quota",
     "q_split_contamination", "q_retention", "q_anomaly_zscore", "q_win_corr",
     "q_text_pii", "q_text_repetition", "q_join_asof_tolerance", "q_agg_mode",
@@ -182,7 +186,7 @@ _PRIORITY: list[str] = [
     "q_tpch_q19", "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q22",
     "q_win_bollinger", "q_win_rsi", "q_win_ewma", "q_win_macd",
     "q_anomaly_mad", "q_win_obv", "q_win_stochastic", "q_dedup_edit",
-    "q_dedup_containment", "q_dedup_url", "q_text_bm25", "q_sim_hybrid_rrf",
+    "q_dedup_url", "q_text_bm25", "q_sim_hybrid_rrf",
     "q_embed_centroids", "q_agg_heavy_hitters", "q_tokenize_bpe",
     "q_sample_temperature", "q_sample_reservoir", "q_snapshot_diff",
     "q_multimodal_decode", "q_text_boilerplate", "q_embed_knn",

@@ -40,6 +40,13 @@ _RECERT = {
     "q_graph_pagerank",
     "q_dedup_simhash",
     "q_agg_count_min",
+    # r6 perf rewrites awaiting a post-rewrite row (lead the r7
+    # window): minhash signature collapse; cluster gid-level CC +
+    # pointer-jumping; containment shares the refactored
+    # _jaccard_group_pairs core.
+    "q_dedup_minhash",
+    "q_dedup_cluster",
+    "q_dedup_containment",
 }
 
 

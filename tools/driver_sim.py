@@ -30,6 +30,13 @@ ROUND_CHANGED = [
                   # literal division as DECIMAL, DuckDB as float64)
     "q_multimodal_phash",  # r6: exact-dup collapse + asymmetric
                   # multi-index hamming-ball join (flat codegen hash)
+    "q_dedup_minhash",   # r6: signature collapse before the band join
+    "q_dedup_cluster",   # r6: gid-level components + pointer jumping
+    "q_dedup_soft_weights",  # r6: inherits the cluster rewrite
+    "q_dedup_jaccard",   # r6: shared core refactored (_jaccard_group_pairs)
+    "q_dedup_ngram",     # r6: same shared core
+    "q_dedup_containment",  # r6: same shared core
+    "q_graph_components",   # r6: pointer-jumping propagation loop
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
