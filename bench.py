@@ -58,9 +58,13 @@ HEADLINE = [
     # r5 continuation additions: the new flagship composites (the
     # 28-key prefix above is unchanged for cross-round comparability)
     "q_attribution_markov",  # journey sort + exact Cramer solve
-    "q_multimodal_phash",    # band-blocked aHash near-dup join
+    "q_multimodal_phash",    # multi-index aHash near-dup join (r6)
     "q_stats_cuped",         # experiment covariate adjustment
     "q_dedup_threshold_sweep",  # pairwise cosine + 6-threshold curve
+    # r6 additions: the two heaviest keys the r5 audit found unbenched
+    # (the 32-key prefix above is unchanged for comparability)
+    "q_dedup_soft_weights",  # components + 1/cluster_size reweighting (r6)
+    "q_graph_components",    # pointer-jumping label propagation (r6)
 ]
 
 
