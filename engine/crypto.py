@@ -4156,3 +4156,469 @@ def q_win_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("band_break"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_williams_r",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT event_type, day, cl,
+             max(hi) OVER w AS hh, min(lo) OVER w AS ll,
+             count(*) OVER w AS cn
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(-100.0 * (hh - cl) / (hh - ll), 4) + 0.0 AS williams_r,
+           CASE WHEN 5 * (hh - cl) < (hh - ll) THEN 1
+                WHEN 5 * (hh - cl) > 4 * (hh - ll) THEN -1
+                ELSE 0 END AS zone
+    FROM d WHERE cn = 14 AND hh > ll
+    ORDER BY event_type, day
+    """,
+)
+def q_win_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R (14-day) per event type: where today's close sits
+    inside the trailing high-low range, scaled to [-100, 0] — the
+    overbought/oversold oscillator that complements the stochastic
+    (same range, different anchor) in the momentum family.
+
+    Exact-integer signal path: the zone flag cross-multiplies
+    5·(hh−cl) against (hh−ll) so the −20/−80 thresholds never touch a
+    float; the display value is ONE IEEE division of exact cents
+    (identical on both engines). Daily bars collapse in one hash agg;
+    the 14-row frame runs on the per-type day sort — flat scaling,
+    same as the channel trio."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-13, 0)
+    d = b.select(
+        "event_type",
+        "day",
+        "cl",
+        F.max("hi").over(w).alias("hh"),
+        F.min("lo").over(w).alias("ll"),
+        F.count("*").over(w).alias("cn"),
+    ).filter((F.col("cn") == 14) & (F.col("hh") > F.col("ll")))
+    return d.select(
+        "event_type",
+        "day",
+        (
+            F.round(
+                -100.0 * (F.col("hh") - F.col("cl")) / (F.col("hh") - F.col("ll")), 4
+            )
+            + 0.0
+        ).alias("williams_r"),
+        F.when(5 * (F.col("hh") - F.col("cl")) < (F.col("hh") - F.col("ll")), 1)
+        .when(5 * (F.col("hh") - F.col("cl")) > 4 * (F.col("hh") - F.col("ll")), -1)
+        .otherwise(0)
+        .alias("zone"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_aroon",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo
+      FROM events GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT event_type, di, day, hi, lo,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY di)
+                  AS BIGINT) AS rn
+      FROM b
+    ),
+    d AS (
+      SELECT event_type, day, rn,
+             CAST(max(struct_pack(h := hi, r := rn)) OVER w AS
+                  STRUCT(h BIGINT, r BIGINT)).r AS hh_rn,
+             CAST(max(struct_pack(nl := 0 - lo, r := rn)) OVER w AS
+                  STRUCT(nl BIGINT, r BIGINT)).r AS ll_rn,
+             count(*) OVER w AS cn
+      FROM r
+      WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           10 * (10 - (rn - hh_rn)) AS aroon_up,
+           10 * (10 - (rn - ll_rn)) AS aroon_down,
+           CASE WHEN hh_rn > ll_rn THEN 1
+                WHEN ll_rn > hh_rn THEN -1 ELSE 0 END AS trend
+    FROM d WHERE cn = 10
+    ORDER BY event_type, day
+    """,
+)
+def q_win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon indicator (10-row window) per event type: how recently
+    the trailing-window extreme high/low printed, scaled to [10, 100]
+    — the trend-freshness oscillator (a recent high keeps aroon-up
+    pinned at 100; a stale one decays toward the floor).
+
+    Fully integer end to end — the most-recent argmax/argmin inside
+    the frame is a struct max ((value, row-number) lexicographic
+    compare breaks price ties toward the NEWER bar, identically in
+    both engines), and the aroon values are 10·(10−Δrows). No float
+    exists anywhere in this operator."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(F.max("c").alias("hi"), F.min("c").alias("lo"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("di")
+    r = b.select(
+        "event_type",
+        "day",
+        "hi",
+        "lo",
+        F.row_number().over(wr).cast("long").alias("rn"),
+    )
+    w = Window.partitionBy("event_type").orderBy("rn").rowsBetween(-9, 0)
+    d = r.select(
+        "event_type",
+        "day",
+        "rn",
+        F.max(F.struct(F.col("hi").alias("h"), F.col("rn").alias("r")))
+        .over(w)["r"]
+        .alias("hh_rn"),
+        F.max(F.struct((-F.col("lo")).alias("nl"), F.col("rn").alias("r")))
+        .over(w)["r"]
+        .alias("ll_rn"),
+        F.count("*").over(w).alias("cn"),
+    ).filter(F.col("cn") == 10)
+    return d.select(
+        "event_type",
+        "day",
+        (10 * (10 - (F.col("rn") - F.col("hh_rn")))).alias("aroon_up"),
+        (10 * (10 - (F.col("rn") - F.col("ll_rn")))).alias("aroon_down"),
+        F.when(F.col("hh_rn") > F.col("ll_rn"), 1)
+        .when(F.col("ll_rn") > F.col("hh_rn"), -1)
+        .otherwise(0)
+        .alias("trend"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_cci",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    t AS (SELECT event_type, di, day, hi + lo + cl AS tp3 FROM b),
+    d AS (
+      SELECT event_type, day, tp3,
+             list(tp3) OVER w AS arr,
+             CAST(sum(tp3) OVER w AS BIGINT) AS ssum,
+             count(*) OVER w AS cn
+      FROM t
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT event_type, day, tp3, ssum,
+             CAST(list_sum(list_transform(arr,
+                    x -> abs(14 * x - ssum))) AS BIGINT) AS md
+      FROM d WHERE cn = 14
+    )
+    SELECT event_type, day,
+           round(tp3 / 300.0, 2) AS typical_price,
+           round((14 * tp3 - ssum) * 14000.0 / (15.0 * md), 4) + 0.0 AS cci,
+           CASE WHEN 28 * (14 * tp3 - ssum) > 3 * md THEN 1
+                WHEN 28 * (14 * tp3 - ssum) < -3 * md THEN -1
+                ELSE 0 END AS signal
+    FROM m WHERE md > 0
+    ORDER BY event_type, day
+    """,
+)
+def q_win_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity Channel Index (14-day) per event type: today's
+    typical price vs the window mean, scaled by the window's own MEAN
+    ABSOLUTE DEVIATION — the Lambert oscillator whose defining quirk
+    is that every window member's deviation is taken from the window's
+    OWN mean (a window-over-window shape plain frames cannot express).
+
+    The frame's values ride along as a ``collect_list`` array (frame
+    order = the per-type day sort, identical in both engines), so the
+    MAD evaluates as an exact-integer fold over 14 elements: with
+    D = 14·tp3 − Σtp3 and M = Σ|14·x − Σtp3|, cci = D·4000·14/
+    (0.015·…) reduces to D·14000/(15·M) — ONE float division of exact
+    integers, and the ±100 signal cross-multiplies 28·D vs 3·M so the
+    decision never touches a float. Typical price stays on the ×3
+    cent grid (q_win_mfi precedent: /3 never happens)."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+        )
+    )
+    t = b.select(
+        "event_type", "di", "day", (F.col("hi") + F.col("lo") + F.col("cl")).alias("tp3")
+    )
+    w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-13, 0)
+    d = t.select(
+        "event_type",
+        "day",
+        "tp3",
+        F.collect_list("tp3").over(w).alias("arr"),
+        F.sum("tp3").over(w).cast("long").alias("ssum"),
+        F.count("*").over(w).alias("cn"),
+    ).filter(F.col("cn") == 14)
+    m = d.select(
+        "event_type",
+        "day",
+        "tp3",
+        "ssum",
+        F.aggregate(
+            F.transform(F.col("arr"), lambda x: F.abs(14 * x - F.col("ssum"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("md"),
+    ).filter(F.col("md") > 0)
+    dd = 14 * F.col("tp3") - F.col("ssum")
+    return m.select(
+        "event_type",
+        "day",
+        F.round(F.col("tp3") / 300.0, 2).alias("typical_price"),
+        (F.round(dd * 14000.0 / (15.0 * F.col("md")), 4) + 0.0).alias("cci"),
+        F.when(28 * dd > 3 * F.col("md"), 1)
+        .when(28 * dd < -3 * F.col("md"), -1)
+        .otherwise(0)
+        .alias("signal"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_adx",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    l AS (
+      SELECT event_type, di, day, hi, lo,
+             lag(hi) OVER s AS hip, lag(lo) OVER s AS lop,
+             lag(cl) OVER s AS clp
+      FROM b WINDOW s AS (PARTITION BY event_type ORDER BY di)
+    ),
+    dm AS (
+      SELECT event_type, di, day,
+             CASE WHEN hi - hip > lop - lo AND hi - hip > 0
+                  THEN hi - hip ELSE 0 END AS pdm,
+             CASE WHEN lop - lo > hi - hip AND lop - lo > 0
+                  THEN lop - lo ELSE 0 END AS mdm,
+             greatest(hi - lo, abs(hi - clp), abs(lo - clp)) AS tr
+      FROM l WHERE hip IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, di, day,
+             CAST(sum(pdm) OVER w AS BIGINT) AS sp,
+             CAST(sum(mdm) OVER w AS BIGINT) AS sm,
+             CAST(sum(tr) OVER w AS BIGINT) AS st,
+             count(*) OVER w AS cn
+      FROM dm
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    x AS (
+      SELECT event_type, di, day, sp, sm, st,
+             (100000000 * abs(sp - sm)) // (sp + sm) AS dxq
+      FROM s WHERE cn = 7 AND st > 0 AND sp + sm > 0
+    ),
+    a AS (
+      SELECT event_type, day, sp, sm, st,
+             CAST(sum(dxq) OVER w2 AS BIGINT) AS dxsum,
+             count(*) OVER w2 AS cn2
+      FROM x
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY di
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(100.0 * sp / st, 4) + 0.0 AS di_plus,
+           round(100.0 * sm / st, 4) + 0.0 AS di_minus,
+           round(dxsum / 7000000.0, 4) + 0.0 AS adx
+    FROM a WHERE cn2 = 7
+    ORDER BY event_type, day
+    """,
+)
+def q_win_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Directional Index (7-day, SMA form) per event type —
+    Wilder's trend-STRENGTH gauge: directional movement (+DM/−DM)
+    normalized by true range gives DI+/DI−, their normalized spread is
+    DX, and ADX is the DX average. SMA-form smoothing (like the
+    engine's Keltner/RSI variants) replaces Wilder's recursive EWMA so
+    every intermediate stays exact: +DM/−DM/TR are integer cents, the
+    7-day sums are exact, DX floors onto a 1e-6 grid via integer
+    division ((10^8·|S+−S−|) // (S++S−) — quotient bounded by 10^10,
+    far inside BIGINT), and ADX is one division of the exact DX-grid
+    sum. DI± are single IEEE divisions of exact integers. Two stacked
+    7-row frames on the same per-type sort — one window exchange."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+        )
+    )
+    s0 = Window.partitionBy("event_type").orderBy("di")
+    lagged = b.select(
+        "event_type",
+        "di",
+        "day",
+        "hi",
+        "lo",
+        F.lag("hi").over(s0).alias("hip"),
+        F.lag("lo").over(s0).alias("lop"),
+        F.lag("cl").over(s0).alias("clp"),
+    ).filter(F.col("hip").isNotNull())
+    up, dn = F.col("hi") - F.col("hip"), F.col("lop") - F.col("lo")
+    dm = lagged.select(
+        "event_type",
+        "di",
+        "day",
+        F.when((up > dn) & (up > 0), up).otherwise(F.lit(0)).alias("pdm"),
+        F.when((dn > up) & (dn > 0), dn).otherwise(F.lit(0)).alias("mdm"),
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - F.col("clp")),
+            F.abs(F.col("lo") - F.col("clp")),
+        ).alias("tr"),
+    )
+    w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-6, 0)
+    s = dm.select(
+        "event_type",
+        "di",
+        "day",
+        F.sum("pdm").over(w).cast("long").alias("sp"),
+        F.sum("mdm").over(w).cast("long").alias("sm"),
+        F.sum("tr").over(w).cast("long").alias("st"),
+        F.count("*").over(w).alias("cn"),
+    ).filter((F.col("cn") == 7) & (F.col("st") > 0) & (F.col("sp") + F.col("sm") > 0))
+    x = s.select(
+        "event_type",
+        "di",
+        "day",
+        "sp",
+        "sm",
+        "st",
+        F.expr("(100000000 * abs(sp - sm)) div (sp + sm)").alias("dxq"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-6, 0)
+    a = x.select(
+        "event_type",
+        "day",
+        "sp",
+        "sm",
+        "st",
+        F.sum("dxq").over(w2).cast("long").alias("dxsum"),
+        F.count("*").over(w2).alias("cn2"),
+    ).filter(F.col("cn2") == 7)
+    return a.select(
+        "event_type",
+        "day",
+        (F.round(100.0 * F.col("sp") / F.col("st"), 4) + 0.0).alias("di_plus"),
+        (F.round(100.0 * F.col("sm") / F.col("st"), 4) + 0.0).alias("di_minus"),
+        (F.round(F.col("dxsum") / 7000000.0, 4) + 0.0).alias("adx"),
+    ).orderBy("event_type", "day")

@@ -64,7 +64,7 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     joined = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-    path = _sink("csv", sf_dir)
+    path = _sink("q_source_csv_roundtrip", sf_dir)
     joined.select("n_nationkey", "n_name", "r_name").write.mode("overwrite").option(
         "header", True
     ).csv(path)
@@ -112,7 +112,7 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 7 == 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
-    path = _sink("json", sf_dir)
+    path = _sink("q_source_json_roundtrip", sf_dir)
     o.write.mode("overwrite").json(path)
     schema = StructType(
         [
@@ -155,7 +155,7 @@ def q_sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    path = _sink("part", sf_dir)
+    path = _sink("q_sink_partition_prune", sf_dir)
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
     day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
@@ -200,7 +200,7 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog schemas at real table sizes) — the data pages are still
     read once, column-pruned and filter-pushed as usual."""
     c = load_table(spark, sf_dir, "customer")
-    path = _sink("evolve", sf_dir)
+    path = _sink("q_source_schema_evolution", sf_dir)
     old = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_acctbal")
     new = c.filter(F.col("c_custkey") % 2 == 1).select(
         "c_custkey", "c_acctbal", "c_mktsegment"

@@ -4662,3 +4662,134 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_dedup_span",
+    oracle="""
+    WITH reps AS (
+      SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM documents GROUP BY text
+    ),
+    tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM reps
+      WHERE length(string_split(text, ' ')) >= 8
+    ),
+    sh AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.sh AS sh
+      FROM tok, unnest(list_transform(generate_series(1, length(ts) - 7),
+               i -> struct_pack(pos := CAST(i AS BIGINT),
+                                sh := md5(array_to_string(ts[i:i+7], ' '))))) AS u(s)
+    ),
+    dfc AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+    anch AS (SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN dfc USING (sh)
+             WHERE dfc.c <= 16),
+    hits AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM anch a JOIN anch b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa)
+               AS grp
+      FROM hits
+    ),
+    spans AS (
+      SELECT da, db, CAST(count(*) + 7 AS BIGINT) AS span,
+             CAST(min(pa) AS BIGINT) AS sa, CAST(min(pb) AS BIGINT) AS sb
+      FROM runs GROUP BY da, db, diag, grp
+    ),
+    best AS (
+      SELECT da, db,
+             min(struct_pack(ns := 0 - span, sa := sa, sb := sb)) AS st
+      FROM spans WHERE span >= 16 GROUP BY da, db
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(0 - st.ns AS BIGINT) AS span_tokens,
+           st.sa AS start_a, st.sb AS start_b
+    FROM best ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-substring-run detection: for every doc pair, the longest
+    contiguous TOKEN SPAN (≥ 16 tokens) appearing verbatim in both —
+    the substring-level duplication that set-Jaccard misses entirely
+    (two different articles quoting the same 40-token paragraph score
+    near-zero Jaccard but are exactly the span-dedup target; cf. Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better", which does this with suffix arrays — here re-expressed
+    relationally so it shards).
+
+    Pipeline, all codegen + hash aggs: identical texts collapse to
+    one representative first (their spans are trivially the whole
+    doc); each distinct text emits positional word-8-gram md5
+    shingles map-side; shingles occurring more than 16 times are
+    dropped (rare-shingle anchoring — by q_text_boilerplate's df
+    logic a wider-spread 8-gram is chrome, and the cap bounds every
+    join bucket at 16 so the candidate join is never quadratic in the
+    corpus); matching shingles join into (pair, diagonal) hits; and a
+    shared span of L tokens is exactly a run of L−7 consecutive
+    shingle hits on one diagonal — recovered with the gaps-islands
+    row_number trick, grouped, and reduced to each pair's best span
+    by struct-min (span desc, then start asc — deterministic in both
+    engines). Two docs sharing no 16-token span produce nothing."""
+    d = _t(spark, sf_dir, "documents")
+    reps = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 8)
+    )
+    sh = reps.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 7), i -> "
+                "struct(CAST(i AS BIGINT) AS pos, "
+                "md5(concat_ws(' ', slice(ts, i, 8))) AS sh))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("c"))
+    anch = sh.join(dfc, "sh").filter(F.col("c") <= 16).select("doc_id", "pos", "sh")
+    a = anch.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "sh"
+    )
+    b = anch.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), F.col("sh").alias("sh2")
+    )
+    hits = (
+        a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("da") < F.col("db")))
+        .select("da", "db", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wruns = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = hits.select(
+        "da", "db", "diag", "pa", "pb",
+        (F.col("pa") - F.row_number().over(wruns)).alias("grp"),
+    )
+    spans = (
+        runs.groupBy("da", "db", "diag", "grp")
+        .agg(
+            (F.count("*") + 7).cast("long").alias("span"),
+            F.min("pa").cast("long").alias("sa"),
+            F.min("pb").cast("long").alias("sb"),
+        )
+        .filter(F.col("span") >= 16)
+    )
+    best = spans.groupBy("da", "db").agg(
+        F.min(
+            F.struct(
+                (-F.col("span")).alias("ns"),
+                F.col("sa").alias("sa"),
+                F.col("sb").alias("sb"),
+            )
+        ).alias("st")
+    )
+    return best.select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        (-F.col("st.ns")).cast("long").alias("span_tokens"),
+        F.col("st.sa").alias("start_a"),
+        F.col("st.sb").alias("start_b"),
+    ).orderBy("doc_a", "doc_b")

@@ -134,6 +134,10 @@ _PRIORITY: list[str] = [
     "q_stats_winsorized", "q_sample_kfold", "q_win_mfi", "q_doc_novelty",
     "q_embed_silhouette", "q_win_pairs_spread", "q_agg_geomean",
     "q_text_script_mix", "q_win_donchian", "q_win_keltner", "q_stats_levene",
+    # -- new in round 6 (first-row keys; queue behind the r5
+    #    continuation backlog, ahead of every refreshed key) --
+    "q_dedup_span", "q_win_adx", "q_win_cci", "q_win_aroon",
+    "q_win_williams_r", "q_stats_cramers_v",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r05) so every future window is a prefix rotation
 

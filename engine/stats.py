@@ -2718,3 +2718,110 @@ def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n_obs"),
         (F.round(w, 4) + 0.0).alias("w_stat"),
     )
+
+
+@register(
+    "q_stats_cramers_v",
+    oracle="""
+    WITH cell AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS row_tot FROM cell GROUP BY lang),
+    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS col_tot FROM cell GROUP BY source),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS r,
+                   CAST(count(DISTINCT source) AS BIGINT) AS c
+            FROM cell),
+    grid AS (
+      SELECT rt.lang, ct.source, rt.row_tot, ct.col_tot,
+             COALESCE(cell.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cell ON cell.lang = rt.lang AND cell.source = ct.source
+    ),
+    q AS (
+      SELECT CAST(floor(
+               pow(grid.o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+               / (CAST(row_tot AS DOUBLE) * col_tot / n) * 1000000
+             ) AS BIGINT) AS qterm, n, r, c
+      FROM grid, tot
+    ),
+    f AS (
+      SELECT CAST(sum(qterm) AS BIGINT) AS chi2q,
+             any_value(n) AS n, any_value(r) AS r, any_value(c) AS c
+      FROM q
+    )
+    SELECT round(chi2q / 1000000.0, 4) AS chi2,
+           n,
+           (r - 1) * (c - 1) AS dof,
+           round(sqrt(chi2q / 1000000.0
+                      / (n * least(r - 1, c - 1))), 4) + 0.0 AS cramers_v,
+           CASE WHEN chi2q * 1 >= 250000 * CAST(n * least(r - 1, c - 1) AS BIGINT)
+                THEN 'large'
+                WHEN chi2q * 9 >= 810000 * CAST(n * least(r - 1, c - 1) AS BIGINT)
+                THEN 'medium'
+                WHEN chi2q * 100 >= 1000000 * CAST(n * least(r - 1, c - 1) AS BIGINT)
+                THEN 'small'
+                ELSE 'negligible' END AS effect
+    FROM f
+    """,
+)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the documents lang × source
+    contingency — the "is this association MATERIAL" companion to the
+    chi-square test (q_stats_chisq answers "is it significant", which
+    at corpus scale everything is): V = sqrt(chi²/(n·min(r−1,c−1))),
+    bucketed by the conventional 0.1/0.3/0.5 thresholds.
+
+    Same scale shape as q_stats_chisq: ONE hash agg collapses the
+    corpus to the r×c cell table; totals re-aggregate from it —
+    but unlike the chisq fixture the lang×source table HAS empty
+    cells, whose (0−e)²/e = e terms a groupBy-only cell table would
+    silently drop, so the full r×c grid materializes as rt × ct
+    (bounded: |langs|·|sources|) left-joined with the observed cells.
+    Each cell's (o−e)²/e lands on the 1e-6 bigint grid before summing
+    (the house order-independence idiom), and the effect bucket
+    cross-multiplies the EXACT chi² grid value against V² thresholds
+    (V ≥ t ⟺ chi2q ≥ t²·10⁶·n·k) so the label never depends on a
+    float comparison; only the two display values divide."""
+    cell = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("o"))
+        .persist()
+    )
+    rt = cell.groupBy("lang").agg(F.sum("o").cast("long").alias("row_tot"))
+    ct = cell.groupBy("source").agg(F.sum("o").cast("long").alias("col_tot"))
+    tot = cell.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    qterm = F.floor(F.pow(F.col("o") - e, 2) / e * 1000000).cast("long")
+    grid = (
+        rt.crossJoin(ct)
+        .join(cell, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("long")))
+    )
+    f = (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(qterm).cast("long").alias("chi2q"),
+            F.any_value(F.col("n")).alias("n"),
+            F.any_value(F.col("r")).alias("r"),
+            F.any_value(F.col("c")).alias("c"),
+        )
+    )
+    nk = F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1)
+    return f.select(
+        F.round(F.col("chi2q") / 1000000.0, 4).alias("chi2"),
+        "n",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        (F.round(F.sqrt(F.col("chi2q") / 1000000.0 / nk), 4) + 0.0).alias("cramers_v"),
+        F.when(F.col("chi2q") * 1 >= 250000 * nk, "large")
+        .when(F.col("chi2q") * 9 >= 810000 * nk, "medium")
+        .when(F.col("chi2q") * 100 >= 1000000 * nk, "small")
+        .otherwise("negligible")
+        .alias("effect"),
+    )

@@ -121,6 +121,7 @@ _SINGLE_PARTITION_OK = {
     "q_sample_kfold",     # 1-row total + 1-row chi2 folds of the
                           # <=|folds|x|langs| cell table
     "q_stats_levene",     # 1-row W-statistic fold of the |types| table
+    "q_stats_cramers_v",  # 1-row (n, r, c) scalar + 1-row chi²/V output
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -233,6 +234,10 @@ _CROSS_OK = {
     "q_eval_calibration",
     # k-fold: the 1-row total and chi2 folds join the 5-row fold table.
     "q_sample_kfold",
+    # Cramér's V: the |langs|×|sources| grid materializes as the
+    # bounded row-totals × col-totals cross (domain-sized, never
+    # data×data) and the 1-row (n, r, c) scalar folds into each cell.
+    "q_stats_cramers_v",
 }
 
 

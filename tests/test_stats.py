@@ -2124,3 +2124,223 @@ def test_levene_matches_scipy_free_recompute():
     row = _oracle_orders("q_stats_levene").iloc[0]
     assert row["n_groups"] == k and row["n_obs"] == nn
     assert abs(row["w_stat"] - round(between / within, 4)) < 1e-3
+
+
+def _daily_bars(ev: pd.DataFrame, et: str) -> pd.DataFrame:
+    g = ev[ev["event_type"] == et].sort_values(["ts", "event_id"])
+    return g.groupby("day").agg(hi=("c", "max"), lo=("c", "min"), cl=("c", "last"))
+
+
+def test_williams_r_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = _oracle_orders("q_win_williams_r").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        for i in range(13, len(bars)):
+            w = bars.iloc[i - 13 : i + 1]
+            hh, ll = int(w["hi"].max()), int(w["lo"].min())
+            cl = int(bars["cl"].iloc[i])
+            if hh <= ll:
+                continue
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert abs(row["williams_r"] - round(-100 * (hh - cl) / (hh - ll), 4)) < 1e-9
+            exp = 1 if 5 * (hh - cl) < (hh - ll) else (
+                -1 if 5 * (hh - cl) > 4 * (hh - ll) else 0)
+            assert row["zone"] == exp
+            checked += 1
+    assert checked == len(got)
+
+
+def test_aroon_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = _oracle_orders("q_win_aroon").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        for i in range(9, len(bars)):
+            w = bars.iloc[i - 9 : i + 1]
+            # most-recent argmax/argmin (ties -> newest bar)
+            hs = w["hi"].to_numpy()
+            ls = w["lo"].to_numpy()
+            d_up = len(hs) - 1 - max(j for j in range(len(hs)) if hs[j] == hs.max())
+            d_dn = len(ls) - 1 - max(j for j in range(len(ls)) if ls[j] == ls.min())
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert row["aroon_up"] == 10 * (10 - d_up)
+            assert row["aroon_down"] == 10 * (10 - d_dn)
+            assert row["trend"] == (1 if d_up < d_dn else (-1 if d_dn < d_up else 0))
+            checked += 1
+    assert checked == len(got)
+
+
+def test_cci_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = _oracle_orders("q_win_cci").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        tp3 = (bars["hi"] + bars["lo"] + bars["cl"]).astype("int64")
+        for i in range(13, len(bars)):
+            w = tp3.iloc[i - 13 : i + 1].to_numpy()
+            ssum, t = int(w.sum()), int(tp3.iloc[i])
+            md = int(np.abs(14 * w - ssum).sum())
+            if md == 0:
+                continue
+            d_ = 14 * t - ssum
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            # classic CCI: (tp - sma) / (0.015 * mad)
+            classic = (t / 3 - ssum / 42) / (0.015 * np.abs(w / 3 - ssum / 42).mean())
+            assert abs(row["cci"] - round(d_ * 14000 / (15 * md), 4)) < 1e-9
+            assert abs(row["cci"] - classic) < 0.01 * max(1.0, abs(classic))
+            exp = 1 if 28 * d_ > 3 * md else (-1 if 28 * d_ < -3 * md else 0)
+            assert row["signal"] == exp
+            checked += 1
+    assert checked == len(got)
+
+
+def test_adx_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = _oracle_orders("q_win_adx").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        hi, lo, cl = (bars[k].to_numpy() for k in ("hi", "lo", "cl"))
+        up, dn = hi[1:] - hi[:-1], lo[:-1] - lo[1:]
+        pdm = np.where((up > dn) & (up > 0), up, 0)
+        mdm = np.where((dn > up) & (dn > 0), dn, 0)
+        tr = np.maximum(
+            hi[1:] - lo[1:],
+            np.maximum(np.abs(hi[1:] - cl[:-1]), np.abs(lo[1:] - cl[:-1])),
+        )
+        days = bars.index[1:]
+        dxq = {}
+        for i in range(6, len(pdm)):
+            sp = int(pdm[i - 6 : i + 1].sum())
+            sm = int(mdm[i - 6 : i + 1].sum())
+            st = int(tr[i - 6 : i + 1].sum())
+            if st <= 0 or sp + sm <= 0:
+                continue
+            dxq[i] = (sp, sm, st, (100000000 * abs(sp - sm)) // (sp + sm))
+        idxs = sorted(dxq)
+        for pos in range(6, len(idxs)):
+            run = idxs[pos - 6 : pos + 1]
+            if run[-1] - run[0] != 6:
+                continue  # oracle window is over surviving rows; rows
+                          # here are contiguous anyway (st>0 always)
+            i = idxs[pos]
+            sp, sm, st, _ = dxq[i]
+            dxsum = sum(dxq[j][3] for j in run)
+            key = (et, days[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert abs(row["di_plus"] - round(100 * sp / st, 4)) < 1e-9
+            assert abs(row["di_minus"] - round(100 * sm / st, 4)) < 1e-9
+            assert abs(row["adx"] - round(dxsum / 7000000.0, 4)) < 1e-9
+            checked += 1
+    assert checked == len(got)
+
+
+def test_cramers_v_matches_recompute():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, source FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    ct = pd.crosstab(docs["lang"], docs["source"])
+    o = ct.to_numpy().astype(float)
+    n = o.sum()
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+    chi2q = int(sum(int(np.floor((ov - ev) ** 2 / ev * 1e6))
+                    for ov, ev in zip(o.ravel(), e.ravel()) if ev > 0))
+    k = min(ct.shape[0] - 1, ct.shape[1] - 1)
+    row = _oracle_orders("q_stats_cramers_v").iloc[0]
+    assert row["n"] == n
+    assert row["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert abs(row["chi2"] - round(chi2q / 1e6, 4)) < 1e-9
+    v = np.sqrt(chi2q / 1e6 / (n * k))
+    assert abs(row["cramers_v"] - round(v, 4)) < 1e-9
+    exp = ("large" if v >= 0.5 else "medium" if v >= 0.3
+           else "small" if v >= 0.1 else "negligible")
+    assert row["effect"] == exp
+
+
+def test_dedup_span_matches_python_replay():
+    """Independent python replay of the span pipeline (rep collapse,
+    8-gram md5 shingles, occurrence-cap 16, diagonal runs) — same
+    definition, separate implementation."""
+    import hashlib as hl
+    from collections import defaultdict
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    reps = {}
+    for _, r in docs.iterrows():
+        t = r["text"]
+        reps[t] = min(reps.get(t, 10**18), int(r["doc_id"]))
+    sh = defaultdict(list)  # hash -> [(doc, pos)]
+    for t, did in reps.items():
+        ts = t.split(" ")
+        for i in range(len(ts) - 7):
+            h = hl.md5(" ".join(ts[i : i + 8]).encode()).hexdigest()
+            sh[h].append((did, i + 1))
+    hits = defaultdict(set)  # (da, db, diag) -> {pa}
+    for h, occ in sh.items():
+        if len(occ) > 16:
+            continue
+        for di, (da, pa) in enumerate(occ):
+            for db, pb in occ[di + 1 :]:
+                if da == db:
+                    continue
+                x, y = ((da, pa), (db, pb)) if da < db else ((db, pb), (da, pa))
+                hits[(x[0], y[0], x[1] - y[1])].add(x[1])
+    best = {}
+    for (da, db, diag), pas in hits.items():
+        pas = sorted(pas)
+        run = 1
+        for j in range(len(pas)):
+            start = pas[j] - (run - 1)
+            if j + 1 < len(pas) and pas[j + 1] == pas[j] + 1:
+                run += 1
+                continue
+            span = run + 7
+            if span >= 16:
+                sa = pas[j] - run + 1
+                cand = (span, sa, sa - diag)
+                cur = best.get((da, db))
+                if cur is None or (-cand[0], cand[1], cand[2]) < (
+                    -cur[0], cur[1], cur[2]
+                ):
+                    best[(da, db)] = cand
+            run = 1
+    got = _oracle_orders("q_dedup_span")
+    exp_keys = set(best)
+    got_keys = {(int(r["doc_a"]), int(r["doc_b"])) for _, r in got.iterrows()}
+    assert got_keys == exp_keys
+    for _, r in got.iterrows():
+        span, sa, sb = best[(int(r["doc_a"]), int(r["doc_b"]))]
+        assert (int(r["span_tokens"]), int(r["start_a"]), int(r["start_b"])) == (
+            span, sa, sb
+        )

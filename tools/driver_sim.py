@@ -37,6 +37,13 @@ ROUND_CHANGED = [
     "q_dedup_ngram",     # r6: same shared core
     "q_dedup_containment",  # r6: same shared core
     "q_graph_components",   # r6: pointer-jumping propagation loop
+    "q_agg_tdigest",     # r6: vectorized merge pass (no per-point loop)
+    "q_dedup_span",      # r6: new — shared-substring-run dedup
+    "q_win_adx",         # r6: new — directional index (SMA form)
+    "q_win_cci",         # r6: new — commodity channel index
+    "q_win_aroon",       # r6: new — trend-freshness oscillator
+    "q_win_williams_r",  # r6: new — %R oscillator
+    "q_stats_cramers_v",  # r6: new — contingency effect size
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
