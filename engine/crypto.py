@@ -4622,3 +4622,591 @@ def q_win_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(100.0 * F.col("sm") / F.col("st"), 4) + 0.0).alias("di_minus"),
         (F.round(F.col("dxsum") / 7000000.0, 4) + 0.0).alias("adx"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_vortex",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    l AS (
+      SELECT event_type, di, day, hi, lo,
+             lag(hi) OVER s AS hip, lag(lo) OVER s AS lop,
+             lag(cl) OVER s AS clp
+      FROM b WINDOW s AS (PARTITION BY event_type ORDER BY di)
+    ),
+    m AS (
+      SELECT event_type, di, day,
+             abs(hi - lop) AS vp, abs(lo - hip) AS vm,
+             greatest(hi - lo, abs(hi - clp), abs(lo - clp)) AS tr
+      FROM l WHERE hip IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, day,
+             CAST(sum(vp) OVER w AS BIGINT) AS svp,
+             CAST(sum(vm) OVER w AS BIGINT) AS svm,
+             CAST(sum(tr) OVER w AS BIGINT) AS str,
+             count(*) OVER w AS cn
+      FROM m
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(CAST(svp AS DOUBLE) / str, 4) + 0.0 AS vi_plus,
+           round(CAST(svm AS DOUBLE) / str, 4) + 0.0 AS vi_minus,
+           CASE WHEN svp > svm THEN 1 WHEN svm > svp THEN -1 ELSE 0 END
+             AS trend
+    FROM s WHERE cn = 14 AND str > 0
+    ORDER BY event_type, day
+    """,
+)
+def q_win_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex indicator (14-day) per event type: upward movement
+    |hi − prev_lo| and downward movement |lo − prev_hi| each
+    normalized by the true-range sum — the trend-reversal oscillator
+    whose VI+/VI− crossovers flag direction changes (Botes & Siepman).
+
+    Exactness: VM+/VM−/TR are integer cents; the three 14-day sums
+    share ONE frame on the per-type day sort; the trend flag compares
+    the two exact sums directly (same denominator cancels — no float
+    ever decides the signal); VI± are single IEEE divisions of exact
+    integers, identical in both engines. Daily bars collapse in one
+    hash agg first — the window runs over |types|×|days| rows, never
+    ticks, so the shape is flat at any corpus scale."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+        )
+    )
+    s0 = Window.partitionBy("event_type").orderBy("di")
+    l = b.select(
+        "event_type",
+        "di",
+        "day",
+        "hi",
+        "lo",
+        F.lag("hi").over(s0).alias("hip"),
+        F.lag("lo").over(s0).alias("lop"),
+        F.lag("cl").over(s0).alias("clp"),
+    ).filter(F.col("hip").isNotNull())
+    m = l.select(
+        "event_type",
+        "di",
+        "day",
+        F.abs(F.col("hi") - F.col("lop")).alias("vp"),
+        F.abs(F.col("lo") - F.col("hip")).alias("vm"),
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - F.col("clp")),
+            F.abs(F.col("lo") - F.col("clp")),
+        ).alias("tr"),
+    )
+    w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-13, 0)
+    s = m.select(
+        "event_type",
+        "day",
+        F.sum("vp").over(w).cast("long").alias("svp"),
+        F.sum("vm").over(w).cast("long").alias("svm"),
+        F.sum("tr").over(w).cast("long").alias("str"),
+        F.count("*").over(w).alias("cn"),
+    ).filter((F.col("cn") == 14) & (F.col("str") > 0))
+    return s.select(
+        "event_type",
+        "day",
+        (F.round(F.col("svp").cast("double") / F.col("str"), 4) + 0.0).alias(
+            "vi_plus"
+        ),
+        (F.round(F.col("svm").cast("double") / F.col("str"), 4) + 0.0).alias(
+            "vi_minus"
+        ),
+        F.when(F.col("svp") > F.col("svm"), 1)
+        .when(F.col("svm") > F.col("svp"), -1)
+        .otherwise(0)
+        .alias("trend"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_cmo",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    l AS (
+      SELECT event_type, di, day, cl,
+             cl - lag(cl) OVER (PARTITION BY event_type ORDER BY di) AS chg
+      FROM b
+    ),
+    s AS (
+      SELECT event_type, day,
+             CAST(sum(CASE WHEN chg > 0 THEN chg ELSE 0 END) OVER w
+                  AS BIGINT) AS su,
+             CAST(sum(CASE WHEN chg < 0 THEN -chg ELSE 0 END) OVER w
+                  AS BIGINT) AS sd,
+             count(chg) OVER w AS cn
+      FROM l
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(100.0 * (su - sd) / (su + sd), 4) + 0.0 AS cmo,
+           CASE WHEN su > 3 * sd THEN 1
+                WHEN sd > 3 * su THEN -1 ELSE 0 END AS zone
+    FROM s WHERE cn = 14 AND su + sd > 0
+    ORDER BY event_type, day
+    """,
+)
+def q_win_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chande Momentum Oscillator (14-day) per event type: net close-
+    to-close gain over gross movement, scaled to [−100, 100] — the
+    unsmoothed RSI relative (RSI = 50·(1 + CMO/100)) whose symmetric
+    range makes over-extension readable as a sign.
+
+    Exactness: daily changes are integer cents off the deterministic
+    close (struct-max tie break, q_win_cci precedent); up/down sums
+    share one 14-row frame; the ±50 zone flag reduces to su > 3·sd /
+    sd > 3·su (cross-multiplied — the label never touches a float);
+    CMO itself is ONE IEEE division of exact integers. The count(chg)
+    frame-warm-up drops the first 14 bars identically on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl")
+        )
+    )
+    s0 = Window.partitionBy("event_type").orderBy("di")
+    l = b.select(
+        "event_type",
+        "di",
+        "day",
+        (F.col("cl") - F.lag("cl").over(s0)).alias("chg"),
+    )
+    w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-13, 0)
+    s = l.select(
+        "event_type",
+        "day",
+        F.sum(F.when(F.col("chg") > 0, F.col("chg")).otherwise(F.lit(0)))
+        .over(w)
+        .cast("long")
+        .alias("su"),
+        F.sum(F.when(F.col("chg") < 0, -F.col("chg")).otherwise(F.lit(0)))
+        .over(w)
+        .cast("long")
+        .alias("sd"),
+        F.count("chg").over(w).alias("cn"),
+    ).filter((F.col("cn") == 14) & (F.col("su") + F.col("sd") > 0))
+    return s.select(
+        "event_type",
+        "day",
+        (
+            F.round(
+                100.0 * (F.col("su") - F.col("sd")) / (F.col("su") + F.col("sd")), 4
+            )
+            + 0.0
+        ).alias("cmo"),
+        F.when(F.col("su") > 3 * F.col("sd"), 1)
+        .when(F.col("sd") > 3 * F.col("su"), -1)
+        .otherwise(0)
+        .alias("zone"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_dpo",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT event_type, day,
+             lag(cl, 11) OVER (PARTITION BY event_type ORDER BY di) AS cls,
+             CAST(sum(cl) OVER w AS BIGINT) AS s20,
+             count(*) OVER w AS cn
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round((20 * cls - s20) / 2000.0, 4) + 0.0 AS dpo,
+           CASE WHEN 20 * cls > s20 THEN 1
+                WHEN 20 * cls < s20 THEN -1 ELSE 0 END AS phase
+    FROM s WHERE cn = 20 AND cls IS NOT NULL
+    ORDER BY event_type, day
+    """,
+)
+def q_win_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended Price Oscillator (20-day) per event type: the close
+    from n/2+1 = 11 bars back minus the current 20-day SMA — the
+    cycle-isolation transform that strips the longer trend so the
+    residual oscillation period is readable (the displaced close
+    aligns the SMA's group delay with the price it summarizes).
+
+    Exactness: DPO = (20·cl_{t−11} − Σ₂₀cl)/(20·100) — the displaced
+    close and the window sum are both exact cents on the same
+    per-type day sort (one window exchange carries the lag AND the
+    frame), the phase sign compares the two integers directly, and
+    the dollar-scale display value is ONE IEEE division."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl")
+        )
+    )
+    s0 = Window.partitionBy("event_type").orderBy("di")
+    w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-19, 0)
+    s = b.select(
+        "event_type",
+        "day",
+        F.lag("cl", 11).over(s0).alias("cls"),
+        F.sum("cl").over(w).cast("long").alias("s20"),
+        F.count("*").over(w).alias("cn"),
+    ).filter((F.col("cn") == 20) & F.col("cls").isNotNull())
+    d = 20 * F.col("cls") - F.col("s20")
+    return s.select(
+        "event_type",
+        "day",
+        (F.round(d / 2000.0, 4) + 0.0).alias("dpo"),
+        F.when(d > 0, 1).when(d < 0, -1).otherwise(0).alias("phase"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_ultimate",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    l AS (
+      SELECT event_type, di, day, hi, lo, cl,
+             lag(cl) OVER (PARTITION BY event_type ORDER BY di) AS clp
+      FROM b
+    ),
+    m AS (
+      SELECT event_type, di, day,
+             cl - least(lo, clp) AS bp,
+             greatest(hi, clp) - least(lo, clp) AS tr
+      FROM l WHERE clp IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, day,
+             CAST(sum(bp) OVER w7 AS BIGINT) AS s7,
+             CAST(sum(tr) OVER w7 AS BIGINT) AS t7,
+             CAST(sum(bp) OVER w14 AS BIGINT) AS s14,
+             CAST(sum(tr) OVER w14 AS BIGINT) AS t14,
+             CAST(sum(bp) OVER w28 AS BIGINT) AS s28,
+             CAST(sum(tr) OVER w28 AS BIGINT) AS t28,
+             count(*) OVER w28 AS cn
+      FROM m
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY di
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             w14 AS (PARTITION BY event_type ORDER BY di
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+             w28 AS (PARTITION BY event_type ORDER BY di
+                     ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    ),
+    u AS (
+      SELECT event_type, day,
+             CAST(100 AS HUGEINT)
+               * (4 * CAST(s7 AS HUGEINT) * t14 * t28
+                  + 2 * CAST(s14 AS HUGEINT) * t7 * t28
+                  + CAST(s28 AS HUGEINT) * t7 * t14) AS num,
+             7 * CAST(t7 AS HUGEINT) * t14 * t28 AS den
+      FROM s WHERE cn = 28 AND t7 > 0 AND t14 > 0 AND t28 > 0
+    )
+    SELECT event_type, day,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0.0 AS uo,
+           CASE WHEN num > 70 * den THEN 1
+                WHEN num < 30 * den THEN -1 ELSE 0 END AS zone
+    FROM u ORDER BY event_type, day
+    """,
+)
+def q_win_ultimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ultimate Oscillator (Williams, 7/14/28-day) per event type:
+    buying pressure over true range averaged across three horizons
+    with 4/2/1 weights — the multi-timeframe momentum gauge built to
+    dodge the single-window divergence traps of RSI-family
+    oscillators.
+
+    Exactness: BP/TR are integer cents; the three sums share ONE
+    window exchange (three frames on the same per-type sort); the
+    weighted average collapses over the common denominator to
+    num = 100·(4·S₇·T₁₄·T₂₈ + 2·S₁₄·T₇·T₂₈ + S₂₈·T₇·T₁₄) and
+    den = 7·T₇·T₁₄·T₂₈ — 128-bit exact products (decimal(38,0) /
+    HUGEINT, the q_stats_acf idiom; T-triples clear int64 once daily
+    dollar-volume passes ~$10⁵) — so UO is ONE division of two
+    exactly-computed integers and the 70/30 zone flag compares
+    num against 70·den / 30·den without ever touching a float."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+        )
+    )
+    s0 = Window.partitionBy("event_type").orderBy("di")
+    l = b.select(
+        "event_type", "di", "day", "hi", "lo", "cl",
+        F.lag("cl").over(s0).alias("clp"),
+    ).filter(F.col("clp").isNotNull())
+    m = l.select(
+        "event_type",
+        "di",
+        "day",
+        (F.col("cl") - F.least("lo", "clp")).alias("bp"),
+        (F.greatest("hi", "clp") - F.least("lo", "clp")).alias("tr"),
+    )
+    w7 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-6, 0)
+    w14 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-13, 0)
+    w28 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-27, 0)
+    s = m.select(
+        "event_type",
+        "day",
+        F.sum("bp").over(w7).cast("long").alias("s7"),
+        F.sum("tr").over(w7).cast("long").alias("t7"),
+        F.sum("bp").over(w14).cast("long").alias("s14"),
+        F.sum("tr").over(w14).cast("long").alias("t14"),
+        F.sum("bp").over(w28).cast("long").alias("s28"),
+        F.sum("tr").over(w28).cast("long").alias("t28"),
+        F.count("*").over(w28).alias("cn"),
+    ).filter(
+        (F.col("cn") == 28)
+        & (F.col("t7") > 0)
+        & (F.col("t14") > 0)
+        & (F.col("t28") > 0)
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    u = s.select(
+        "event_type",
+        "day",
+        (
+            F.lit(100).cast("decimal(38,0)")
+            * (
+                4 * dec("s7") * dec("t14") * dec("t28")
+                + 2 * dec("s14") * dec("t7") * dec("t28")
+                + dec("s28") * dec("t7") * dec("t14")
+            )
+        ).alias("num"),
+        (7 * dec("t7") * dec("t14") * dec("t28")).alias("den"),
+    )
+    return u.select(
+        "event_type",
+        "day",
+        (
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 4)
+            + 0.0
+        ).alias("uo"),
+        F.when(F.col("num") > 70 * F.col("den"), 1)
+        .when(F.col("num") < 30 * F.col("den"), -1)
+        .otherwise(0)
+        .alias("zone"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_force_index",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl,
+             CAST(sum(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1)
+                           AS BIGINT)) AS BIGINT) AS vol
+      FROM events GROUP BY 1, 2, 3
+    ),
+    f AS (
+      SELECT event_type, di, day,
+             (cl - lag(cl) OVER (PARTITION BY event_type ORDER BY di)) * vol
+               AS fi
+      FROM b
+    ),
+    s AS (
+      SELECT event_type, day,
+             CAST(sum(fi) OVER w AS BIGINT) AS s13,
+             count(fi) OVER w AS cn
+      FROM f
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(s13 / 1300.0, 4) + 0.0 AS force_13,
+           CASE WHEN s13 > 0 THEN 1 WHEN s13 < 0 THEN -1 ELSE 0 END
+             AS pressure
+    FROM s WHERE cn = 13
+    ORDER BY event_type, day
+    """,
+)
+def q_win_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Force Index (Elder, 13-day SMA form) per event type: daily
+    close-to-close change × volume, smoothed — the gauge that weighs a
+    price move by the participation behind it (a small move on huge
+    volume out-forces a big move on thin volume). Volume is the
+    engine's standard ``props.k`` integer (q_win_obv/q_win_mfi
+    convention); smoothing is the SMA form (q_win_adx precedent) so
+    every intermediate stays exact.
+
+    Exactness: each day's force is an exact integer product
+    (cents × volume); the 13-day sum rides the same per-type sort as
+    the close lag (one window exchange); the pressure sign compares
+    the exact sum to zero; the dollar-scale display is ONE IEEE
+    division. count(fi) drops both the lag warm-up row and short
+    windows identically on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+            F.regexp_extract("props", r'"k":\s*([0-9]+)', 1)
+            .cast("long")
+            .alias("k"),
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+            F.sum("k").cast("long").alias("vol"),
+        )
+    )
+    s0 = Window.partitionBy("event_type").orderBy("di")
+    f = b.select(
+        "event_type",
+        "di",
+        "day",
+        ((F.col("cl") - F.lag("cl").over(s0)) * F.col("vol")).alias("fi"),
+    )
+    w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-12, 0)
+    s = f.select(
+        "event_type",
+        "day",
+        F.sum("fi").over(w).cast("long").alias("s13"),
+        F.count("fi").over(w).alias("cn"),
+    ).filter(F.col("cn") == 13)
+    return s.select(
+        "event_type",
+        "day",
+        (F.round(F.col("s13") / 1300.0, 4) + 0.0).alias("force_13"),
+        F.when(F.col("s13") > 0, 1)
+        .when(F.col("s13") < 0, -1)
+        .otherwise(0)
+        .alias("pressure"),
+    ).orderBy("event_type", "day")

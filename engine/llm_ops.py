@@ -4793,3 +4793,204 @@ def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.sa").alias("start_a"),
         F.col("st.sb").alias("start_b"),
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_embed_dim_stats",
+    oracle="""
+    WITH q AS (
+      SELECT i.i AS dim,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS q
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+    ),
+    m AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss,
+             CAST(min(q) AS BIGINT) AS mn, CAST(max(q) AS BIGINT) AS mx
+      FROM q GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(s / (n * 1000000.0), 6) + 0.0 AS mean,
+           round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / (n - 1)) / 1000000.0, 6) + 0.0 AS std,
+           round(mn / 1000000.0, 6) + 0.0 AS vmin,
+           round(mx / 1000000.0, 6) + 0.0 AS vmax
+    FROM m ORDER BY dim
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment profile of the embedding column (mean,
+    std, min, max for each of the 64 coordinates) — the anisotropy
+    audit run before training an ANN index or whitening transform: a
+    dimension whose mean is far from 0 or whose variance dwarfs the
+    rest dominates every cosine, and the fix (recentering, PCA) is
+    chosen off exactly this table (cf. q_embed_pca's covariance path
+    — this is the cheap per-coordinate diagonal of it).
+
+    Shape: ``posexplode`` fans each vector into 64 (dim, value) rows
+    map-side and ONE hash aggregate (64 groups — partial aggs do all
+    the work) reduces moments; values land on the 1e-6 integer grid
+    first so Σq and Σq² are exact (q² sums clear int64 at ~10⁹ rows —
+    decimal(38,0)/HUGEINT, the house 128-bit idiom), making every
+    reported value one division of exact integers. No shuffle larger
+    than 64 rows ever exists; the scan is the only data-sized stage."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    m = q.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(dec(F.col("q")) * F.col("q")).alias("ss"),
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+    )
+    return m.select(
+        "dim",
+        (F.round(F.col("s") / (F.col("n") * 1000000.0), 6) + 0.0).alias("mean"),
+        (
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                )
+                / 1000000.0,
+                6,
+            )
+            + 0.0
+        ).alias("std"),
+        (F.round(F.col("mn") / 1000000.0, 6) + 0.0).alias("vmin"),
+        (F.round(F.col("mx") / 1000000.0, 6) + 0.0).alias("vmax"),
+    ).orderBy("dim")
+
+
+@register(
+    "q_vocab_coverage",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ts,
+             CAST('0x' || substring(md5('split:' || text), 1, 8) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    ),
+    train_tok AS (
+      SELECT DISTINCT doc_id, unnest(ts) AS tok FROM sp WHERE bucket < 80
+    ),
+    vocab AS (
+      SELECT tok FROM train_tok GROUP BY tok HAVING count(*) >= 2
+    ),
+    eval_tok AS (
+      SELECT lang, unnest(ts) AS tok FROM sp WHERE bucket >= 90
+    ),
+    f AS (
+      SELECT e.lang, e.tok, count(*) AS c,
+             CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM eval_tok e LEFT JOIN vocab v ON e.tok = v.tok
+      GROUP BY e.lang, e.tok, oov
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN oov = 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN oov = 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / sum(c), 4) + 0.0 AS oov_rate,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(oov) AS BIGINT) AS n_oov_types,
+           round(CAST(sum(oov) AS DOUBLE) / count(*), 4) + 0.0
+             AS type_oov_rate
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage of the held-out split against the train
+    split's vocabulary, per language: token-level and type-level OOV
+    rates — the tokenizer/corpus-fit audit run before committing a
+    vocab (a language whose OOV rate spikes is about to be shredded
+    into bytes by the tokenizer; cf. q_tokenize_fertility, which
+    measures the cost AFTER tokenization — this predicts it before).
+
+    Split is the engine's content-addressed md5 text bucket
+    (q_split_contamination's convention: <80 train, ≥90 eval) —
+    deterministic, engine-identical, leakage-free by construction.
+    The train vocabulary keeps tokens with document frequency ≥ 2
+    (one DISTINCT (doc, tok) explode + hash agg — hapax noise out,
+    q_text_hapax's threshold logic); eval occurrences reduce to a
+    per-(lang, token) count table BEFORE the vocab probe, so the
+    left join runs on |eval types|, not |eval tokens|, and the probe
+    is a broadcast-able dimension join at any corpus size (vocab is
+    vocabulary-bounded, not corpus-bounded). Every rate is one IEEE
+    division of exact counts."""
+    d = _t(spark, sf_dir, "documents")
+    sp = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("ts"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("split:"), F.col("text"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    )
+    train_tok = (
+        sp.filter(F.col("bucket") < 80)
+        .select("doc_id", F.explode("ts").alias("tok"))
+        .distinct()
+    )
+    vocab = (
+        train_tok.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("tok")
+    )
+    eval_tok = (
+        sp.filter(F.col("bucket") >= 90)
+        .select("lang", F.explode("ts").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    f = eval_tok.join(
+        vocab.withColumnRenamed("tok", "vtok"),
+        eval_tok["tok"] == F.col("vtok"),
+        "left",
+    ).select(
+        "lang",
+        "c",
+        F.when(F.col("vtok").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("oov") == 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("oov").cast("long").alias("n_oov_types"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            (F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4) + 0.0)
+            .alias("oov_rate"),
+            "n_types",
+            "n_oov_types",
+            (
+                F.round(F.col("n_oov_types").cast("double") / F.col("n_types"), 4)
+                + 0.0
+            ).alias("type_oov_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -3359,3 +3359,190 @@ def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "q_eval_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+               AS yhat,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(count(*) FILTER (WHERE yhat = 1 AND y = 1) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE yhat = 1 AND y = 0) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE yhat = 0 AND y = 1) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (WHERE yhat = 0 AND y = 0) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 4) + 0.0
+             AS accuracy,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 4) + 0.0 AS precision_,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 4) + 0.0 AS recall,
+           round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 4) + 0.0 AS f1
+    FROM c
+    """,
+)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + threshold metrics for the sign-of-score
+    classifier (score = first embedding component, label parity as
+    ground truth — q_eval_auc's fixture convention): the
+    model-evaluation table every training pipeline prints per
+    checkpoint. AUC ranks threshold-free; this is the committed-
+    threshold readout (accuracy/precision/recall/F1 at ŷ = [s ≥ 0]).
+
+    ONE conditional hash aggregate collapses the corpus to the four
+    exact cell counts (map-side combined — the same shape at 10⁹
+    rows); every metric is a single IEEE division of exact integers
+    (F1 via its 2tp/(2tp+fp+fn) closed form — never the
+    harmonic-mean-of-floats form, which would compound two rounded
+    divisions). The trailing underscore on precision_ dodges nothing
+    in Spark but keeps the column name engine-neutral (PRECISION is
+    reserved in some SQL dialects)."""
+    scored = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.element_at("embedding", 1).cast("double") >= 0, 1)
+        .otherwise(0)
+        .alias("yhat"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    c = scored.agg(
+        F.count(F.when((F.col("yhat") == 1) & (F.col("y") == 1), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when((F.col("yhat") == 1) & (F.col("y") == 0), 1))
+        .cast("long")
+        .alias("fp"),
+        F.count(F.when((F.col("yhat") == 0) & (F.col("y") == 1), 1))
+        .cast("long")
+        .alias("fn"),
+        F.count(F.when((F.col("yhat") == 0) & (F.col("y") == 0), 1))
+        .cast("long")
+        .alias("tn"),
+    )
+    tot = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.round((F.col("tp") + F.col("tn")).cast("double") / tot, 4) + 0.0).alias(
+            "accuracy"
+        ),
+        (
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 4)
+            + 0.0
+        ).alias("precision_"),
+        (
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 4)
+            + 0.0
+        ).alias("recall"),
+        (
+            F.round(
+                (2 * F.col("tp")).cast("double")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                4,
+            )
+            + 0.0
+        ).alias("f1"),
+    )
+
+
+@register(
+    "q_eval_brier",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(greatest(least(
+               0.5 + CAST(embedding[1] AS DOUBLE), 1.0), 0.0) * 1000000)
+             AS BIGINT) AS p6,
+             CASE WHEN label % 2 = 1 THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS y6
+      FROM embeddings
+    ),
+    f AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST((p6 - y6) * (p6 - y6) AS HUGEINT)) AS HUGEINT)
+               AS se,
+             CAST(sum(y6) AS HUGEINT) AS sy,
+             CAST(sum(CAST(y6 AS HUGEINT) * y6) AS HUGEINT) AS syy
+      FROM scored
+    )
+    SELECT n,
+           round(CAST(se AS DOUBLE) / (n * 1e12), 6) + 0.0 AS brier,
+           round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                 / (n * 1e12), 6) + 0.0 AS brier_ref,
+           round(1.0 - CAST(se AS DOUBLE) * n
+                 / (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy),
+                 6) + 0.0 AS skill
+    FROM f
+    """,
+)
+def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the calibrated-probability read p = clip(0.5 +
+    score, 0, 1) against the binary label (q_eval_auc's fixture
+    convention), plus the climatology reference (the Brier score of
+    always predicting the base rate) and the resulting skill score
+    1 − BS/BS_ref — the proper-scoring-rule companion to
+    q_eval_calibration's ECE: ECE localizes MIScalibration; Brier
+    skill says whether the probabilities beat the prior at all.
+
+    Exactness: probabilities land on a 1e-6 integer grid BEFORE the
+    squared-error sum (floats summed in shuffle order would drift;
+    quantized squares are exact 128-bit integers — decimal(38,0) /
+    HUGEINT), the reference expands to Σy² − (Σy)²/n on the same
+    grid, and each reported value is one division-and-round of
+    exactly-aggregated integers. ONE map-side-combined hash aggregate
+    total; no window, no join."""
+    p6 = F.floor(
+        F.greatest(
+            F.least(0.5 + F.element_at("embedding", 1).cast("double"), F.lit(1.0)),
+            F.lit(0.0),
+        )
+        * 1000000
+    ).cast("long")
+    y6 = (
+        F.when(F.col("label") % 2 == 1, F.lit(1000000)).otherwise(F.lit(0))
+    ).cast("long")
+    scored = load_table(spark, sf_dir, "embeddings").select(
+        p6.alias("p6"), y6.alias("y6")
+    )
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    f = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec((F.col("p6") - F.col("y6")) * (F.col("p6") - F.col("y6"))))
+        .alias("se"),
+        F.sum("y6").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("y6")) * F.col("y6")).alias("syy"),
+    )
+    return f.select(
+        "n",
+        (F.round(F.col("se").cast("double") / (F.col("n") * 1e12), 6) + 0.0).alias(
+            "brier"
+        ),
+        (
+            F.round(
+                (
+                    F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                )
+                / (F.col("n") * 1e12),
+                6,
+            )
+            + 0.0
+        ).alias("brier_ref"),
+        (
+            F.round(
+                1.0
+                - F.col("se").cast("double")
+                * F.col("n")
+                / (
+                    F.col("syy").cast("double") * F.col("n")
+                    - F.col("sy").cast("double") * F.col("sy")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("skill"),
+    )

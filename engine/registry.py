@@ -137,7 +137,11 @@ _PRIORITY: list[str] = [
     # -- new in round 6 (first-row keys; queue behind the r5
     #    continuation backlog, ahead of every refreshed key) --
     "q_dedup_span", "q_win_adx", "q_win_cci", "q_win_aroon",
-    "q_win_williams_r", "q_stats_cramers_v",
+    "q_win_williams_r", "q_stats_cramers_v", "q_win_vortex", "q_win_cmo",
+    "q_win_dpo", "q_win_ultimate", "q_win_force_index", "q_stats_cohens_d",
+    "q_stats_theil_u", "q_eval_confusion", "q_eval_brier",
+    "q_embed_dim_stats", "q_vocab_coverage", "q_stats_bootstrap",
+    "q_stats_permutation",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r05) so every future window is a prefix rotation
 

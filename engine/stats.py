@@ -2825,3 +2825,526 @@ def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("negligible")
         .alias("effect"),
     )
+
+
+@register(
+    "q_stats_cohens_d",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE {_SQL_BUCKET} = 0) AS n_a,
+             count(*) FILTER (WHERE {_SQL_BUCKET} = 1) AS n_b,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 0
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 1
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s_b,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 0
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                              * CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS ss_a,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 1
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                              * CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS ss_b
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                 / 100.0, 4) + 0.0 AS mean_diff,
+           round(sqrt(((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a)
+                       + (ss_b - CAST(s_b AS DOUBLE) * s_b / n_b))
+                      / (n_a + n_b - 2)) / 100.0, 4) + 0.0 AS pooled_sd,
+           round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                 / sqrt(((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a)
+                         + (ss_b - CAST(s_b AS DOUBLE) * s_b / n_b))
+                        / (n_a + n_b - 2)), 4) + 0.0 AS cohens_d
+    FROM g WHERE n_a > 1 AND n_b > 1
+          AND (ss_a - CAST(s_a AS DOUBLE) * s_a / n_a)
+            + (ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) > 0
+    """,
+)
+def q_stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size per event_type between the two md5 user
+    arms — the companion readout to q_stats_ttest's significance: the
+    mean difference in POOLED-standard-deviation units, which is what
+    a sample-size calculator or meta-analysis actually consumes (a
+    t-stat conflates effect with sample size; d does not).
+
+    Same shape and exactness discipline as q_stats_ttest: ONE
+    conditional hash aggregate collapses the fact table to per-type
+    (n, Σcents, Σcents²) pairs per arm; the pooled variance
+    ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2) expands to sums-of-squares
+    minus rational mean corrections — every operand an exact bigint,
+    the final doubles evaluated by the IDENTICAL expression tree on
+    both engines (the ttest/trend convention for single-division-free
+    formulas). Degenerate arms (n ≤ 1) and zero pooled variance drop
+    identically on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    arm = _spark_bucket()
+    g = (
+        ev.select(F.col("event_type"), cents.alias("c"), arm.alias("arm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("c"))).cast("long").alias("s_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c"))).cast("long").alias("s_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("c") * F.col("c")))
+            .cast("long")
+            .alias("ss_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c") * F.col("c")))
+            .cast("long")
+            .alias("ss_b"),
+        )
+    )
+    va = F.col("ss_a") - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+    vb = F.col("ss_b") - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+    diff = F.col("s_a").cast("double") / F.col("n_a") - F.col("s_b").cast(
+        "double"
+    ) / F.col("n_b")
+    sp = F.sqrt((va + vb) / (F.col("n_a") + F.col("n_b") - 2))
+    return g.filter(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (va + vb > 0)
+    ).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.round(diff / 100.0, 4) + 0.0).alias("mean_diff"),
+        (F.round(sp / 100.0, 4) + 0.0).alias("pooled_sd"),
+        (F.round(diff / sp, 4) + 0.0).alias("cohens_d"),
+    )
+
+
+@register(
+    "q_stats_theil_u",
+    oracle="""
+    WITH cell AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source
+    ),
+    terms AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+               AS q_ls
+      FROM cell
+    ),
+    lt AS (
+      SELECT CAST(sum(CAST(round(cl * ln(cl) * 1000000) AS BIGINT)) AS BIGINT)
+               AS q_l
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS cl FROM cell GROUP BY lang)
+    ),
+    st AS (
+      SELECT CAST(sum(CAST(round(cs * ln(cs) * 1000000) AS BIGINT)) AS BIGINT)
+               AS q_s
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS cs FROM cell GROUP BY source)
+    ),
+    f AS (
+      SELECT n, CAST(round(n * ln(n) * 1000000) AS BIGINT) AS q_n,
+             q_ls, q_l, q_s
+      FROM terms, lt, st
+    )
+    SELECT n,
+           round((q_n - q_l) / (n * 1000000.0), 4) + 0.0 AS h_lang,
+           round((q_n - q_s) / (n * 1000000.0), 4) + 0.0 AS h_source,
+           round(CAST(q_n - q_l - q_s + q_ls AS DOUBLE)
+                 / (q_n - q_l), 4) + 0.0 AS u_lang_given_source,
+           round(CAST(q_n - q_l - q_s + q_ls AS DOUBLE)
+                 / (q_n - q_s), 4) + 0.0 AS u_source_given_lang
+    FROM f
+    """,
+)
+def q_stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient for the documents lang × source
+    contingency — the ASYMMETRIC association measure the symmetric
+    Cramér's V cannot give: U(L|S) = I(L;S)/H(L) answers "what
+    fraction of language uncertainty does knowing the source remove"
+    (and U(S|L) the converse) — the feature-selection readout for
+    categorical columns.
+
+    Everything reduces to four Σc·ln(c) terms over the ONE hash-agg
+    cell table (mutual information I = (N·lnN − Σ_l c_l ln c_l − Σ_s
+    c_s ln c_s + Σ_ls c_ls ln c_ls)/N after expanding the logs of
+    rationals): each term lands on the 1e-6 bigint grid before
+    summing (the q_stats_acf ln-grid idiom — sums of quantized terms
+    are order-independent), marginals re-aggregate from the bounded
+    cell table (never a second corpus scan), and each output is one
+    division of exact integers. Empty cells contribute 0·ln0 = 0 by
+    construction (absent from the cell table — correct limit)."""
+    cell = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    qterm = lambda col: F.round(  # noqa: E731
+        col * F.log(col.cast("double")) * 1000000
+    ).cast("long")
+    terms = cell.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(qterm(F.col("c"))).cast("long").alias("q_ls"),
+    )
+    lt = (
+        cell.groupBy("lang")
+        .agg(F.sum("c").cast("long").alias("cl"))
+        .agg(F.sum(qterm(F.col("cl"))).cast("long").alias("q_l"))
+    )
+    st = (
+        cell.groupBy("source")
+        .agg(F.sum("c").cast("long").alias("cs"))
+        .agg(F.sum(qterm(F.col("cs"))).cast("long").alias("q_s"))
+    )
+    f = (
+        terms.crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(st))
+        .withColumn("q_n", qterm(F.col("n")))
+    )
+    mi = F.col("q_n") - F.col("q_l") - F.col("q_s") + F.col("q_ls")
+    return f.select(
+        "n",
+        (F.round((F.col("q_n") - F.col("q_l")) / (F.col("n") * 1000000.0), 4) + 0.0)
+        .alias("h_lang"),
+        (F.round((F.col("q_n") - F.col("q_s")) / (F.col("n") * 1000000.0), 4) + 0.0)
+        .alias("h_source"),
+        (F.round(mi.cast("double") / (F.col("q_n") - F.col("q_l")), 4) + 0.0).alias(
+            "u_lang_given_source"
+        ),
+        (F.round(mi.cast("double") / (F.col("q_n") - F.col("q_s")), 4) + 0.0).alias(
+            "u_source_given_lang"
+        ),
+    )
+
+
+# Poisson(1) inverse-CDF integer cutoffs on a 1e8 grid (floor(CDF(k)*1e8)
+# for k = 0..8; the residual mass above k=8 is 1.1e-6). Hardcoded exact
+# integers so BOTH engines branch on identical compares — the weights
+# are a pure function of the md5 stream, never of float arithmetic.
+_POIS_CUT = [36787944, 73575888, 91969860, 98101184, 99634015,
+             99940581, 99991675, 99998975, 99999887]
+
+
+def _pois_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUT)
+    )
+    return f"CASE {branches} ELSE 9 END"
+
+
+@register(
+    "q_stats_bootstrap",
+    oracle=f"""
+    WITH bs AS (SELECT unnest(generate_series(1, 50)) AS b),
+    w AS (
+      SELECT event_type, bs.b,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             {_pois_sql("CAST('0x' || substring(md5('boot:' || CAST(bs.b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 100000000")}
+               AS w
+      FROM events, bs
+    ),
+    rep AS (
+      SELECT event_type, b, CAST(sum(w * cents) AS BIGINT) AS s,
+             CAST(sum(w) AS BIGINT) AS m
+      FROM w GROUP BY event_type, b
+    ),
+    r AS (
+      SELECT event_type, b,
+             CAST(s AS DOUBLE) / m AS mean_b,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(s AS DOUBLE) / m, b) AS rn
+      FROM rep WHERE m > 0
+    ),
+    ci AS (
+      SELECT event_type,
+             min(CASE WHEN rn = 2 THEN mean_b END) AS lo,
+             min(CASE WHEN rn = 49 THEN mean_b END) AS hi,
+             count(*) AS n_boot
+      FROM r GROUP BY event_type
+    ),
+    pt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT pt.event_type, n_events,
+           round(CAST(pt.s AS DOUBLE) / n_events / 100.0, 4) + 0.0 AS mean,
+           round(lo / 100.0, 4) + 0.0 AS ci_lo,
+           round(hi / 100.0, 4) + 0.0 AS ci_hi,
+           CAST(n_boot AS BIGINT) AS n_boot
+    FROM pt JOIN ci USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean value
+    per event_type — THE bootstrap that works at 100 TB: classical
+    resampling needs n draws from n rows (a global shuffle per
+    replicate); the Poisson bootstrap gives each row an independent
+    Poisson(1) multiplicity, so all 50 replicates stream map-side in
+    ONE pass and reduce to |types|×50 partial sums (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", the
+    production-standard approximation whose replicate sizes
+    concentrate at n ± √n).
+
+    Determinism discipline: the multiplicity is a pure integer
+    function of md5('boot:' || b || ':' || event_id) against
+    hardcoded 1e-8-grid CDF cutoffs (no float RNG — identical weights
+    on both engines, shard-stable, reproducible); replicate means are
+    single divisions of exact integer sums; the percentile CI is
+    nearest-rank (2nd / 49th of 50) over the per-type replicate table
+    — a 50-row window per type, never a data-sized sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bspine = spark.range(1, 51).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100000000
+    )
+    w = F.lit(9)
+    for k in range(len(_POIS_CUT) - 1, -1, -1):
+        w = F.when(u < _POIS_CUT[k], k).otherwise(w)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    rep = (
+        ev.select("event_type", "event_id", cents.alias("cents"))
+        .crossJoin(F.broadcast(bspine))
+        .select("event_type", "b", "cents", w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+            F.sum("w").cast("long").alias("m"),
+        )
+        .filter(F.col("m") > 0)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        (F.col("s").cast("double") / F.col("m")).asc(), F.col("b").asc()
+    )
+    r = rep.select(
+        "event_type",
+        (F.col("s").cast("double") / F.col("m")).alias("mean_b"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    ci = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("lo"),
+        F.min(F.when(F.col("rn") == 49, F.col("mean_b"))).alias("hi"),
+        F.count("*").cast("long").alias("n_boot"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("s"),
+    )
+    return (
+        pt.join(ci, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            (F.round(F.col("s").cast("double") / F.col("n_events") / 100.0, 4) + 0.0)
+            .alias("mean"),
+            (F.round(F.col("lo") / 100.0, 4) + 0.0).alias("ci_lo"),
+            (F.round(F.col("hi") / 100.0, 4) + 0.0).alias("ci_hi"),
+            "n_boot",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_stats_permutation",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE {_SQL_BUCKET} = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE {_SQL_BUCKET} = 1) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 0
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 1
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s1
+      FROM events GROUP BY event_type
+    ),
+    bs AS (SELECT unnest(generate_series(1, 99)) AS b),
+    perm AS (
+      SELECT event_type, b,
+             CAST(count(*) FILTER (WHERE pa = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE pa = 1) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN pa = 0
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN pa = 1
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s1
+      FROM (
+        SELECT event_type, value, bs.b,
+               CAST('0x' || substring(md5('perm:' || CAST(bs.b AS VARCHAR)
+                    || ':' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+                 AS pa
+        FROM events, bs
+      ) GROUP BY event_type, b
+    ),
+    cmp AS (
+      SELECT p.event_type,
+             CASE WHEN p.n0 > 0 AND p.n1 > 0 THEN 1 ELSE 0 END AS valid,
+             CASE WHEN p.n0 > 0 AND p.n1 > 0
+                  AND abs(p.s0 * CAST(p.n1 AS HUGEINT) - p.s1 * CAST(p.n0 AS HUGEINT))
+                      * o.n0 * o.n1
+                   >= abs(o.s0 * CAST(o.n1 AS HUGEINT) - o.s1 * CAST(o.n0 AS HUGEINT))
+                      * p.n0 * p.n1
+                  THEN 1 ELSE 0 END AS exceed
+      FROM perm p JOIN obs o ON p.event_type = o.event_type
+      WHERE o.n0 > 0 AND o.n1 > 0
+    ),
+    f AS (
+      SELECT event_type, CAST(sum(valid) AS BIGINT) AS n_perm,
+             CAST(sum(exceed) AS BIGINT) AS n_exceed
+      FROM cmp GROUP BY event_type
+    )
+    SELECT o.event_type,
+           round((CAST(o.s0 AS DOUBLE) / o.n0 - CAST(o.s1 AS DOUBLE) / o.n1)
+                 / 100.0, 4) + 0.0 AS mean_diff,
+           n_perm, n_exceed,
+           round(CAST(1 + n_exceed AS DOUBLE) / (1 + n_perm), 4) + 0.0
+             AS p_value,
+           CASE WHEN 20 * (1 + n_exceed) <= (1 + n_perm) THEN 1 ELSE 0 END
+             AS significant
+    FROM f JOIN obs o USING (event_type)
+    WHERE o.n0 > 0 AND o.n1 > 0
+    ORDER BY event_type
+    """,
+)
+def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the arm mean difference per event_type
+    (the exact-inference companion to q_stats_ttest: no normality or
+    variance assumption — just exchangeability): 99 deterministic
+    re-randomizations of the USER-level assignment build the null
+    distribution, and p = (1 + #{|d_b| ≥ |d_obs|})/(1 + B) is the
+    standard add-one permutation p-value (Phipson & Smyth).
+
+    Scale/determinism discipline: each replicate's assignment is
+    md5('perm:' || b || ':' || user_id) % 2 — user-level (preserves
+    within-user correlation, mirrors the observed md5 arms),
+    shard-stable, engine-identical; all 99 replicates reduce
+    map-side in ONE conditional hash agg over the b-spine cross
+    (|types|×99 partials — the fan-out never shuffles); and the
+    exceedance test cross-multiplies the two rational mean diffs into
+    exact 128-bit integer products (decimal(38,0)/HUGEINT), so the
+    p-value's numerator is a count of exact comparisons — no float
+    ever decides significance (the flag itself is the integer
+    20·(1+exceed) ≤ (1+B) form of p ≤ 0.05)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    arm = _spark_bucket()
+    obs = (
+        ev.select("event_type", "cents", arm.alias("arm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n0"),
+            F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("cents"))).cast("long").alias("s0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("cents"))).cast("long").alias("s1"),
+        )
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    )
+    bspine = spark.range(1, 100).select(F.col("id").cast("int").alias("b"))
+    pa = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    perm = (
+        ev.crossJoin(F.broadcast(bspine))
+        .select("event_type", "b", "cents", pa.alias("pa"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.count(F.when(F.col("pa") == 0, 1)).cast("long").alias("pn0"),
+            F.count(F.when(F.col("pa") == 1, 1)).cast("long").alias("pn1"),
+            F.sum(F.when(F.col("pa") == 0, F.col("cents"))).cast("long").alias("ps0"),
+            F.sum(F.when(F.col("pa") == 1, F.col("cents"))).cast("long").alias("ps1"),
+        )
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    cmp_ = perm.join(F.broadcast(obs), "event_type").select(
+        "event_type",
+        F.when((F.col("pn0") > 0) & (F.col("pn1") > 0), 1).otherwise(0).alias("valid"),
+        F.when(
+            (F.col("pn0") > 0)
+            & (F.col("pn1") > 0)
+            & (
+                F.abs(dec("ps0") * dec("pn1") - dec("ps1") * dec("pn0"))
+                * dec("n0")
+                * dec("n1")
+                >= F.abs(dec("s0") * dec("n1") - dec("s1") * dec("n0"))
+                * dec("pn0")
+                * dec("pn1")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("exceed"),
+    )
+    f = cmp_.groupBy("event_type").agg(
+        F.sum("valid").cast("long").alias("n_perm"),
+        F.sum("exceed").cast("long").alias("n_exceed"),
+    )
+    return (
+        f.join(obs, "event_type")
+        .select(
+            "event_type",
+            (
+                F.round(
+                    (
+                        F.col("s0").cast("double") / F.col("n0")
+                        - F.col("s1").cast("double") / F.col("n1")
+                    )
+                    / 100.0,
+                    4,
+                )
+                + 0.0
+            ).alias("mean_diff"),
+            "n_perm",
+            "n_exceed",
+            (
+                F.round(
+                    (1 + F.col("n_exceed")).cast("double") / (1 + F.col("n_perm")), 4
+                )
+                + 0.0
+            ).alias("p_value"),
+            F.when(20 * (1 + F.col("n_exceed")) <= (1 + F.col("n_perm")), 1)
+            .otherwise(0)
+            .alias("significant"),
+        )
+        .orderBy("event_type")
+    )

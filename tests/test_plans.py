@@ -122,6 +122,9 @@ _SINGLE_PARTITION_OK = {
                           # <=|folds|x|langs| cell table
     "q_stats_levene",     # 1-row W-statistic fold of the |types| table
     "q_stats_cramers_v",  # 1-row (n, r, c) scalar + 1-row chi²/V output
+    "q_stats_theil_u",    # three 1-row entropy-term folds of the cell table
+    "q_eval_confusion",   # whole-corpus reduce to ONE confusion row
+    "q_eval_brier",       # 1-row exact-moment fold by definition
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -238,6 +241,15 @@ _CROSS_OK = {
     # bounded row-totals × col-totals cross (domain-sized, never
     # data×data) and the 1-row (n, r, c) scalar folds into each cell.
     "q_stats_cramers_v",
+    # Theil's U: three 1-row entropy-term folds (q_ls, q_l, q_s) of
+    # the bounded cell table cross-join into the single output row
+    # (scalar-subquery pattern, size-independent).
+    "q_stats_theil_u",
+    # Poisson bootstrap / permutation test: the CONSTANT 50/99-row
+    # replicate spine broadcasts onto the fact scan (the q_stats_acf
+    # lag-spine pattern — a bounded row generator, never data×data).
+    "q_stats_bootstrap",
+    "q_stats_permutation",
 }
 
 

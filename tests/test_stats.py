@@ -2344,3 +2344,337 @@ def test_dedup_span_matches_python_replay():
         assert (int(r["span_tokens"]), int(r["start_a"]), int(r["start_b"])) == (
             span, sa, sb
         )
+
+
+def _ev_bars() -> tuple[pd.DataFrame, pd.DataFrame]:
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value, props FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    return ev, ev
+
+
+def test_vortex_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_vortex").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        hi, lo, cl = (bars[k].to_numpy() for k in ("hi", "lo", "cl"))
+        vp = np.abs(hi[1:] - lo[:-1])
+        vm = np.abs(lo[1:] - hi[:-1])
+        tr = np.maximum(hi[1:] - lo[1:],
+                        np.maximum(np.abs(hi[1:] - cl[:-1]),
+                                   np.abs(lo[1:] - cl[:-1])))
+        for i in range(13, len(vp)):
+            svp, svm, st = (int(x[i - 13 : i + 1].sum()) for x in (vp, vm, tr))
+            if st <= 0:
+                continue
+            key = (et, bars.index[i + 1].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert abs(row["vi_plus"] - round(svp / st, 4)) < 1e-9
+            assert abs(row["vi_minus"] - round(svm / st, 4)) < 1e-9
+            assert row["trend"] == (1 if svp > svm else (-1 if svm > svp else 0))
+            checked += 1
+    assert checked == len(got) and checked > 0
+
+
+def test_cmo_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_cmo").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        chg = bars["cl"].diff().to_numpy()
+        for i in range(14, len(bars)):
+            w = chg[i - 13 : i + 1]
+            su = int(w[w > 0].sum())
+            sd = int(-w[w < 0].sum())
+            if su + sd == 0:
+                continue
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert abs(row["cmo"] - round(100 * (su - sd) / (su + sd), 4)) < 1e-9
+            assert row["zone"] == (1 if su > 3 * sd else (-1 if sd > 3 * su else 0))
+            checked += 1
+    assert checked == len(got) and checked > 0
+
+
+def test_dpo_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_dpo").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        cl = bars["cl"].to_numpy()
+        for i in range(19, len(cl)):
+            if i - 11 < 0:
+                continue
+            s20 = int(cl[i - 19 : i + 1].sum())
+            d = 20 * int(cl[i - 11]) - s20
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert abs(row["dpo"] - round(d / 2000.0, 4)) < 1e-9
+            assert row["phase"] == (1 if d > 0 else (-1 if d < 0 else 0))
+            checked += 1
+    assert checked == len(got) and checked > 0
+
+
+def test_ultimate_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_ultimate").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        hi, lo, cl = (bars[k].to_numpy() for k in ("hi", "lo", "cl"))
+        bp = cl[1:] - np.minimum(lo[1:], cl[:-1])
+        tr = np.maximum(hi[1:], cl[:-1]) - np.minimum(lo[1:], cl[:-1])
+        for i in range(27, len(bp)):
+            s7, t7 = int(bp[i - 6 : i + 1].sum()), int(tr[i - 6 : i + 1].sum())
+            s14, t14 = int(bp[i - 13 : i + 1].sum()), int(tr[i - 13 : i + 1].sum())
+            s28, t28 = int(bp[i - 27 : i + 1].sum()), int(tr[i - 27 : i + 1].sum())
+            if min(t7, t14, t28) <= 0:
+                continue
+            num = 100 * (4 * s7 * t14 * t28 + 2 * s14 * t7 * t28 + s28 * t7 * t14)
+            den = 7 * t7 * t14 * t28
+            key = (et, bars.index[i + 1].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert abs(row["uo"] - round(num / den, 4)) < 1e-9
+            assert row["zone"] == (
+                1 if num > 70 * den else (-1 if num < 30 * den else 0)
+            )
+            checked += 1
+    assert checked == len(got) and checked > 0
+
+
+def test_force_index_matches_pandas():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, ts, event_id, value, props FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["c"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["k"] = ev["props"].str.extract(r'"k":\s*([0-9]+)').astype("int64")
+    got = _oracle_orders("q_win_force_index").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        g = ev[ev["event_type"] == et].sort_values(["ts", "event_id"])
+        bars = g.groupby("day").agg(cl=("c", "last"), vol=("k", "sum"))
+        fi = (bars["cl"].diff() * bars["vol"]).to_numpy()
+        for i in range(13, len(fi)):
+            s13 = int(fi[i - 12 : i + 1].sum())
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert abs(row["force_13"] - round(s13 / 1300.0, 4)) < 1e-9
+            assert row["pressure"] == (1 if s13 > 0 else (-1 if s13 < 0 else 0))
+            checked += 1
+    assert checked == len(got) and checked > 0
+
+
+def test_cohens_d_matches_numpy():
+    ev = _events()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["arm"] = ev["user_id"].map(_bucket)
+    got = _oracle_orders("q_stats_cohens_d").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        a = g.loc[g["arm"] == 0, "cents"].to_numpy(dtype=np.float64)
+        b = g.loc[g["arm"] == 1, "cents"].to_numpy(dtype=np.float64)
+        if len(a) < 2 or len(b) < 2:
+            assert et not in got.index
+            continue
+        sp = np.sqrt(
+            ((len(a) - 1) * a.var(ddof=1) + (len(b) - 1) * b.var(ddof=1))
+            / (len(a) + len(b) - 2)
+        )
+        row = got.loc[et]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert abs(row["mean_diff"] - round((a.mean() - b.mean()) / 100, 4)) < 1e-3
+        assert abs(row["pooled_sd"] - round(sp / 100, 4)) < 1e-3
+        assert abs(row["cohens_d"] - round((a.mean() - b.mean()) / sp, 4)) < 1e-3
+
+
+def _docs() -> pd.DataFrame:
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text, lang, source FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+
+
+def test_theil_u_matches_entropy_recompute():
+    d = _docs()
+    n = len(d)
+    def H(series):
+        p = series.value_counts(normalize=True).to_numpy()
+        return float(-(p * np.log(p)).sum())
+    h_l, h_s = H(d["lang"]), H(d["source"])
+    h_ls = H(d["lang"] + "\x00" + d["source"])
+    mi = h_l + h_s - h_ls
+    row = _oracle_orders("q_stats_theil_u").iloc[0]
+    assert row["n"] == n
+    assert abs(row["h_lang"] - h_l) < 1e-3
+    assert abs(row["h_source"] - h_s) < 1e-3
+    assert abs(row["u_lang_given_source"] - mi / h_l) < 1e-3
+    assert abs(row["u_source_given_lang"] - mi / h_s) < 1e-3
+
+
+def _embeds() -> pd.DataFrame:
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT vec_id, embedding, label FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+
+
+def test_eval_confusion_matches_recompute():
+    e = _embeds()
+    score = e["embedding"].map(lambda v: float(v[0]))
+    y = (e["label"] % 2 == 1).astype(int)
+    yhat = (score >= 0).astype(int)
+    tp = int(((yhat == 1) & (y == 1)).sum())
+    fp = int(((yhat == 1) & (y == 0)).sum())
+    fn = int(((yhat == 0) & (y == 1)).sum())
+    tn = int(((yhat == 0) & (y == 0)).sum())
+    row = _oracle_orders("q_eval_confusion").iloc[0]
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert abs(row["accuracy"] - round((tp + tn) / len(e), 4)) < 1e-9
+    assert abs(row["precision_"] - round(tp / (tp + fp), 4)) < 1e-9
+    assert abs(row["recall"] - round(tp / (tp + fn), 4)) < 1e-9
+    assert abs(row["f1"] - round(2 * tp / (2 * tp + fp + fn), 4)) < 1e-9
+
+
+def test_eval_brier_matches_recompute():
+    e = _embeds()
+    p6 = np.floor(
+        np.clip(0.5 + e["embedding"].map(lambda v: float(v[0])).to_numpy(), 0, 1)
+        * 1e6
+    ).astype("int64")
+    y6 = np.where(e["label"] % 2 == 1, 1000000, 0).astype("int64")
+    n = len(e)
+    se = int(((p6 - y6) ** 2).sum())
+    sy, syy = int(y6.sum()), int((y6.astype(object) ** 2).sum())
+    row = _oracle_orders("q_eval_brier").iloc[0]
+    assert row["n"] == n
+    assert abs(row["brier"] - round(se / (n * 1e12), 6)) < 1e-9
+    assert abs(row["brier_ref"] - round((syy - sy * sy / n) / (n * 1e12), 6)) < 1e-9
+    assert abs(row["skill"] - round(1 - se * n / (syy * n - sy * sy), 6)) < 1e-9
+
+
+def test_embed_dim_stats_matches_numpy():
+    e = _embeds()
+    mat = np.stack(e["embedding"].to_numpy())
+    q = np.floor(mat.astype(np.float64) * 1e6).astype("int64")
+    got = _oracle_orders("q_embed_dim_stats").set_index("dim")
+    assert len(got) == mat.shape[1]
+    for dim in (1, 2, 32, 64):
+        col = q[:, dim - 1]
+        n, s = len(col), int(col.sum())
+        ss = int((col.astype(object) ** 2).sum())
+        row = got.loc[dim]
+        assert abs(row["mean"] - round(s / (n * 1e6), 6)) < 1e-9
+        std = np.sqrt((ss - s * s / n) / (n - 1)) / 1e6
+        assert abs(row["std"] - round(std, 6)) < 1e-6
+        assert abs(row["vmin"] - round(int(col.min()) / 1e6, 6)) < 1e-9
+        assert abs(row["vmax"] - round(int(col.max()) / 1e6, 6)) < 1e-9
+
+
+def test_vocab_coverage_matches_python():
+    d = _docs()
+    bucket = d["text"].map(
+        lambda t: int(hashlib.md5(("split:" + t).encode()).hexdigest()[:8], 16) % 100
+    )
+    from collections import Counter
+
+    df_count: Counter = Counter()
+    for t in d.loc[bucket < 80, "text"]:
+        df_count.update(set(t.split(" ")))
+    vocab = {w for w, c in df_count.items() if c >= 2}
+    got = _oracle_orders("q_vocab_coverage").set_index("lang")
+    ev = d.loc[bucket >= 90]
+    assert len(got) > 0
+    for lang, g in ev.groupby("lang"):
+        toks = [w for t in g["text"] for w in t.split(" ")]
+        types = Counter(toks)
+        n_oov = sum(c for w, c in types.items() if w not in vocab)
+        n_oov_types = sum(1 for w in types if w not in vocab)
+        row = got.loc[lang]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_oov"] == n_oov
+        assert row["n_types"] == len(types)
+        assert row["n_oov_types"] == n_oov_types
+        assert abs(row["oov_rate"] - round(n_oov / len(toks), 4)) < 1e-9
+        assert abs(row["type_oov_rate"] - round(n_oov_types / len(types), 4)) < 1e-9
+
+
+_POIS_CUT = [36787944, 73575888, 91969860, 98101184, 99634015,
+             99940581, 99991675, 99998975, 99999887]
+
+
+def _pois_w(u: int) -> int:
+    for k, c in enumerate(_POIS_CUT):
+        if u < c:
+            return k
+    return 9
+
+
+def test_bootstrap_matches_python_recompute():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, event_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    got = _oracle_orders("q_stats_bootstrap").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        means = []
+        for b in range(1, 51):
+            s = m = 0
+            for eid, c in zip(g["event_id"], g["cents"]):
+                u = int(hashlib.md5(f"boot:{b}:{eid}".encode()).hexdigest()[:8], 16) % 10**8
+                w = _pois_w(u)
+                s += w * int(c)
+                m += w
+            if m > 0:
+                means.append(s / m)
+        means.sort()
+        row = got.loc[et]
+        assert row["n_events"] == len(g)
+        assert abs(row["mean"] - round(g["cents"].mean() / 100, 4)) < 1e-3
+        assert row["n_boot"] == len(means)
+        # nearest-rank: 2nd and 49th of 50
+        assert abs(row["ci_lo"] - round(means[1] / 100, 4)) < 1e-9
+        assert abs(row["ci_hi"] - round(means[48] / 100, 4)) < 1e-9
+        assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
+
+
+def test_permutation_matches_python_recompute():
+    ev = _events()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["arm"] = ev["user_id"].map(_bucket)
+    got = _oracle_orders("q_stats_permutation").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        a = g.loc[g["arm"] == 0, "cents"]
+        b_ = g.loc[g["arm"] == 1, "cents"]
+        if len(a) == 0 or len(b_) == 0:
+            assert et not in got.index
+            continue
+        d_obs = abs(a.mean() - b_.mean())
+        n_exceed = n_perm = 0
+        for b in range(1, 100):
+            pa = g["user_id"].map(
+                lambda uid: int(
+                    hashlib.md5(f"perm:{b}:{uid}".encode()).hexdigest()[:8], 16
+                ) % 2
+            )
+            x = g.loc[pa == 0, "cents"]
+            y = g.loc[pa == 1, "cents"]
+            if len(x) == 0 or len(y) == 0:
+                continue
+            n_perm += 1
+            if abs(x.mean() - y.mean()) >= d_obs - 1e-12:
+                n_exceed += 1
+        row = got.loc[et]
+        assert row["n_perm"] == n_perm
+        assert row["n_exceed"] == n_exceed
+        assert abs(row["p_value"] - round((1 + n_exceed) / (1 + n_perm), 4)) < 1e-9
+        assert row["significant"] == (1 if 20 * (1 + n_exceed) <= 1 + n_perm else 0)
+        assert abs(row["mean_diff"] - round((a.mean() - b_.mean()) / 100, 4)) < 1e-3

@@ -44,6 +44,19 @@ ROUND_CHANGED = [
     "q_win_aroon",       # r6: new — trend-freshness oscillator
     "q_win_williams_r",  # r6: new — %R oscillator
     "q_stats_cramers_v",  # r6: new — contingency effect size
+    "q_win_vortex",      # r6: new — vortex trend-reversal indicator
+    "q_win_cmo",         # r6: new — Chande momentum oscillator
+    "q_win_dpo",         # r6: new — detrended price oscillator
+    "q_win_ultimate",    # r6: new — 7/14/28 ultimate oscillator
+    "q_win_force_index",  # r6: new — volume-weighted force index
+    "q_stats_cohens_d",  # r6: new — pooled-SD effect size
+    "q_stats_theil_u",   # r6: new — uncertainty coefficient
+    "q_eval_confusion",  # r6: new — threshold confusion metrics
+    "q_eval_brier",      # r6: new — Brier + skill score
+    "q_embed_dim_stats",  # r6: new — per-dimension moment profile
+    "q_vocab_coverage",  # r6: new — train-vocab OOV audit
+    "q_stats_bootstrap",  # r6: new — Poisson-bootstrap mean CI
+    "q_stats_permutation",  # r6: new — exact permutation test
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
