@@ -3906,3 +3906,105 @@ def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_price_index",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS pk,
+             strftime(date_trunc('month', l_shipdate), '%Y-%m') AS m,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT pk, s AS s0, q AS q0 FROM pm
+      WHERE m = (SELECT min(m) FROM pm)
+    ),
+    t AS (
+      SELECT pm.m, count(*) AS n_parts,
+             CAST(sum((pm.s * base.q0 * 10000) // pm.q) AS BIGINT) AS l_num,
+             CAST(sum((base.s0 * base.q0 * 10000) // base.q0) AS BIGINT)
+               AS l_den,
+             CAST(sum(pm.s * 10000) AS BIGINT) AS p_num,
+             CAST(sum((base.s0 * pm.q * 10000) // base.q0) AS BIGINT) AS p_den
+      FROM pm JOIN base ON pm.pk = base.pk
+      GROUP BY pm.m
+    )
+    SELECT m AS month, CAST(n_parts AS BIGINT) AS n_parts,
+           round(CAST(l_num AS DOUBLE) / l_den, 4) + 0.0 AS laspeyres,
+           round(CAST(p_num AS DOUBLE) / p_den, 4) + 0.0 AS paasche,
+           round(sqrt((CAST(l_num AS DOUBLE) / l_den)
+                      * (CAST(p_num AS DOUBLE) / p_den)), 4) + 0.0 AS fisher
+    FROM t ORDER BY month
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indexes per ship-month over
+    the matched part sample (parts traded in BOTH the base month and
+    the report month) — the canonical inflation-style aggregate an
+    analytics engine computes over transactional data: Laspeyres
+    weights today's unit prices by BASE-period quantities, Paasche by
+    current quantities, Fisher is their geometric mean.
+
+    Exactness without rational arithmetic: a part's unit price is the
+    rational s/q (cents spend over quantity), so each index term
+    lands on a 1e-4 cents grid by INTEGER division — Laspeyres terms
+    (s_t·q_0·10⁴) div q_t, Paasche denominator (s_0·q_t·10⁴) div q_0,
+    and the Paasche numerator collapses exactly to Σs_t·10⁴ (since
+    p_t·q_t = s_t identically) — every sum order-independent bigint,
+    ONE IEEE division per index. Scale shape: lineitem collapses once
+    to the (part, month) panel (map-side hash agg); the base-month
+    slice joins back and at cluster scale broadcasts (|parts| rows);
+    the per-month reduce is domain-bounded (|months| groups). The
+    1-row min-month scalar is the house scalar-subquery fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    pm = (
+        li.groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("m"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("s"),
+            F.sum(F.floor(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("q"),
+        )
+        .persist()
+    )
+    m0 = pm.agg(F.min("m").alias("m0"))
+    base = (
+        pm.join(F.broadcast(m0), pm["m"] == F.col("m0"))
+        .select(
+            F.col("pk").alias("bpk"),
+            F.col("s").alias("s0"),
+            F.col("q").alias("q0"),
+        )
+    )
+    j = pm.join(base, pm["pk"] == F.col("bpk"))
+    t = j.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(
+            F.expr("(s * q0 * 10000) div q")
+        ).cast("long").alias("l_num"),
+        F.sum(
+            F.expr("(s0 * q0 * 10000) div q0")
+        ).cast("long").alias("l_den"),
+        F.sum(F.col("s") * 10000).cast("long").alias("p_num"),
+        F.sum(
+            F.expr("(s0 * q * 10000) div q0")
+        ).cast("long").alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den")
+    paas = F.col("p_num").cast("double") / F.col("p_den")
+    return t.select(
+        F.col("m").alias("month"),
+        "n_parts",
+        (F.round(lasp, 4) + 0.0).alias("laspeyres"),
+        (F.round(paas, 4) + 0.0).alias("paasche"),
+        (F.round(F.sqrt(lasp * paas), 4) + 0.0).alias("fisher"),
+    ).orderBy("month")

@@ -3362,3 +3362,88 @@ def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stats_mcnemar",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+               AS pa,
+             CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+               AS pb,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(count(*) FILTER (WHERE pa = y AND pb = y) AS BIGINT)
+               AS both_right,
+             CAST(count(*) FILTER (WHERE pa = y AND pb <> y) AS BIGINT) AS b,
+             CAST(count(*) FILTER (WHERE pa <> y AND pb = y) AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE pa <> y AND pb <> y) AS BIGINT)
+               AS both_wrong
+      FROM s
+    )
+    SELECT both_right, b, c, both_wrong,
+           round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 4) + 0.0
+             AS mcnemar_chi2,
+           round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                 / (b + c), 4) + 0.0 AS mcnemar_corrected,
+           CASE WHEN (b - c) * (b - c) * 1000000 >= 3841459 * (b + c)
+                THEN 1 ELSE 0 END AS significant
+    FROM c WHERE b + c > 0
+    """,
+)
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED classifiers on the same examples —
+    the statistically correct way to compare two models evaluated on
+    one test set (two q_eval_confusion accuracies are correlated
+    through the shared examples; McNemar conditions on the
+    disagreements): classifier A = sign(dim 1), classifier B =
+    sign(dim 2), truth = label parity (the q_eval_auc fixture
+    conventions), χ² = (b−c)²/(b+c) over the discordant cells, with
+    Edwards' continuity-corrected variant alongside.
+
+    ONE conditional hash aggregate collapses the corpus to the four
+    exact paired-outcome cells; both statistics are single IEEE
+    divisions of exact integers; and the α = 0.05 significance flag
+    cross-multiplies (b−c)²·10⁶ against 3 841 459·(b+c) (the χ²₁
+    critical value on a 1e-6 grid) — the decision never touches a
+    float."""
+    s = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.element_at("embedding", 1).cast("double") >= 0, 1)
+        .otherwise(0)
+        .alias("pa"),
+        F.when(F.element_at("embedding", 2).cast("double") >= 0, 1)
+        .otherwise(0)
+        .alias("pb"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    c = s.agg(
+        F.count(F.when((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y")), 1))
+        .cast("long")
+        .alias("both_right"),
+        F.count(F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1))
+        .cast("long")
+        .alias("b"),
+        F.count(F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1))
+        .cast("long")
+        .alias("c"),
+        F.count(F.when((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y")), 1))
+        .cast("long")
+        .alias("both_wrong"),
+    )
+    d = F.col("b") - F.col("c")
+    n = F.col("b") + F.col("c")
+    ad1 = F.abs(d) - 1
+    return c.filter(n > 0).select(
+        "both_right",
+        "b",
+        "c",
+        "both_wrong",
+        (F.round((d * d).cast("double") / n, 4) + 0.0).alias("mcnemar_chi2"),
+        (F.round((ad1 * ad1).cast("double") / n, 4) + 0.0).alias(
+            "mcnemar_corrected"
+        ),
+        F.when(d * d * 1000000 >= 3841459 * n, 1).otherwise(0).alias("significant"),
+    )

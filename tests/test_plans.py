@@ -125,6 +125,9 @@ _SINGLE_PARTITION_OK = {
     "q_stats_theil_u",    # three 1-row entropy-term folds of the cell table
     "q_eval_confusion",   # whole-corpus reduce to ONE confusion row
     "q_eval_brier",       # 1-row exact-moment fold by definition
+    "q_stats_mcnemar",    # 1-row paired-cell fold by definition
+    "q_price_index",      # 1-row min-month scalar fold (house pattern)
+    "q_graph_kcore",      # cumulative window over the <=64-row histogram
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the

@@ -2678,3 +2678,118 @@ def test_permutation_matches_python_recompute():
         assert abs(row["p_value"] - round((1 + n_exceed) / (1 + n_perm), 4)) < 1e-9
         assert row["significant"] == (1 if 20 * (1 + n_exceed) <= 1 + n_perm else 0)
         assert abs(row["mean_diff"] - round((a.mean() - b_.mean()) / 100, 4)) < 1e-3
+
+
+def test_mcnemar_matches_recompute():
+    e = _embeds()
+    pa = e["embedding"].map(lambda v: 1 if float(v[0]) >= 0 else 0)
+    pb = e["embedding"].map(lambda v: 1 if float(v[1]) >= 0 else 0)
+    y = (e["label"] % 2 == 1).astype(int)
+    b = int(((pa == y) & (pb != y)).sum())
+    c = int(((pa != y) & (pb == y)).sum())
+    row = _oracle_orders("q_stats_mcnemar").iloc[0]
+    assert row["b"] == b and row["c"] == c
+    assert row["both_right"] == int(((pa == y) & (pb == y)).sum())
+    assert row["both_wrong"] == int(((pa != y) & (pb != y)).sum())
+    assert abs(row["mcnemar_chi2"] - round((b - c) ** 2 / (b + c), 4)) < 1e-9
+    assert abs(
+        row["mcnemar_corrected"] - round((abs(b - c) - 1) ** 2 / (b + c), 4)
+    ) < 1e-9
+    assert row["significant"] == (1 if (b - c) ** 2 / (b + c) >= 3.841459 else 0)
+
+
+def test_price_index_matches_recompute():
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_partkey, l_shipdate, l_extendedprice, l_quantity "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    li["m"] = li["l_shipdate"].dt.strftime("%Y-%m")
+    li["s"] = np.floor(li["l_extendedprice"] * 100).astype("int64")
+    li["q"] = np.floor(li["l_quantity"]).astype("int64")
+    pm = li.groupby(["l_partkey", "m"]).agg(s=("s", "sum"), q=("q", "sum"))
+    m0 = min(li["m"])
+    base = pm.xs(m0, level="m")
+    got = _oracle_orders("q_price_index").set_index("month")
+    for m in sorted(li["m"].unique()):
+        cur = pm.xs(m, level="m")
+        matched = cur.join(base, how="inner", lsuffix="", rsuffix="0")
+        if len(matched) == 0:
+            assert m not in got.index
+            continue
+        l_num = int(sum((s * q0 * 10000) // q
+                        for s, q, q0 in zip(matched["s"], matched["q"], matched["q0"])))
+        l_den = int(sum((s0 * q0 * 10000) // q0
+                        for s0, q0 in zip(matched["s0"], matched["q0"])))
+        p_num = int(matched["s"].sum()) * 10000
+        p_den = int(sum((s0 * q * 10000) // q0
+                        for s0, q, q0 in zip(matched["s0"], matched["q"], matched["q0"])))
+        row = got.loc[m]
+        assert row["n_parts"] == len(matched)
+        assert abs(row["laspeyres"] - round(l_num / l_den, 4)) < 1e-9
+        assert abs(row["paasche"] - round(p_num / p_den, 4)) < 1e-9
+        assert abs(row["fisher"] - round(((l_num / l_den) * (p_num / p_den)) ** 0.5, 4)) < 1e-9
+    # base month is the unit index by construction
+    assert abs(got.loc[m0, "laspeyres"] - 1.0) < 1e-9
+    assert abs(got.loc[m0, "paasche"] - 1.0) < 1e-9
+
+
+def _kcore_python(edges: set) -> dict:
+    """Exact coreness by textbook peeling (independent of the engine's
+    h-index fixpoint)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {}
+    alive = dict(adj)
+    k = 1
+    nodes = {n: set(v) for n, v in adj.items()}
+    while nodes:
+        while True:
+            low = [n for n, nb in nodes.items() if len(nb) < k]
+            if not low:
+                break
+            for n in low:
+                core[n] = k - 1
+                for m in nodes[n]:
+                    nodes[m].discard(n)
+                del nodes[n]
+        k += 1
+    return core
+
+
+def test_kcore_matches_python_peeling(spark):
+    from engine.registry import all_queries
+
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    from collections import Counter
+
+    pair_count: Counter = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_count[(int(ps[i]), int(ps[j]))] += 1
+    edges = {p for p, c in pair_count.items() if c >= 2}
+    core = _kcore_python(edges)
+    got = {
+        int(r["k"]): (int(r["n_coreness"]), int(r["core_size"]))
+        for r in all_queries()["q_graph_kcore"](spark, SF).collect()
+    }
+    from collections import Counter as C2
+
+    hist = C2(core.values())
+    hist.pop(0, None)  # nodes peeled before k=1 (none in a >=1-degree graph)
+    assert set(got) == set(hist)
+    for k in hist:
+        assert got[k][0] == hist[k], (k, got[k], hist[k])
+        assert got[k][1] == sum(v for kk, v in hist.items() if kk >= k)
+    # invariant: the k-core sizes are non-increasing in k
+    sizes = [got[k][1] for k in sorted(got)]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:]))

@@ -57,6 +57,9 @@ ROUND_CHANGED = [
     "q_vocab_coverage",  # r6: new — train-vocab OOV audit
     "q_stats_bootstrap",  # r6: new — Poisson-bootstrap mean CI
     "q_stats_permutation",  # r6: new — exact permutation test
+    "q_stats_mcnemar",   # r6: new — paired-classifier test
+    "q_price_index",     # r6: new — Laspeyres/Paasche/Fisher panel
+    "q_graph_kcore",     # r6: new — coreness via h-index fixpoint
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
