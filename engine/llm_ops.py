@@ -4994,3 +4994,201 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_tokenize_vocab_prune",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             CAST('0x' || substring(md5('split:' || text), 1, 8) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    ),
+    tr AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(ts) AS tok FROM sp WHERE bucket < 80)
+      GROUP BY tok
+    ),
+    rk AS (
+      SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM tr
+    ),
+    ev AS (
+      SELECT unnest(ts) AS tok FROM sp WHERE bucket >= 90
+    ),
+    et AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM et),
+    sizes AS (SELECT unnest([64, 128, 256, 512, 1024]) AS vocab_size),
+    f AS (
+      SELECT s.vocab_size,
+             CAST(sum(CASE WHEN rk.rk IS NOT NULL AND rk.rk <= s.vocab_size
+                           THEN et.c ELSE 0 END) AS BIGINT) AS covered
+      FROM et LEFT JOIN rk ON et.tok = rk.tok, sizes s
+      GROUP BY s.vocab_size
+    )
+    SELECT CAST(vocab_size AS BIGINT) AS vocab_size, covered,
+           total AS total_tokens,
+           round(CAST(covered AS DOUBLE) / total, 4) + 0.0 AS coverage
+    FROM f, tot ORDER BY vocab_size
+    """,
+)
+def q_tokenize_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size / coverage curve: eval-split token coverage for
+    frequency-ranked train vocabularies of size 64/128/256/512/1024 —
+    the tokenizer-budget trade-off read (q_vocab_coverage answers "does
+    THE vocab fit"; this answers "how small can it get before coverage
+    falls off the Zipf cliff", cf. q_text_zipf / q_text_heaps which fit
+    the underlying laws).
+
+    Shape: the train-split token counts collapse once
+    (vocabulary-bounded), get a deterministic global frequency rank
+    (count desc, token asc — a single window over the vocab table,
+    bounded by |vocab|, never the corpus), and eval-split occurrences
+    reduce to per-type counts BEFORE probing the rank — the probe is a
+    dimension join, the 5-size spine is a constant broadcast, and
+    coverage is one IEEE division of exact counts per size."""
+    d = _t(spark, sf_dir, "documents")
+    sp = d.select(
+        F.split("text", " ").alias("ts"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("split:"), F.col("text"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    )
+    tr = (
+        sp.filter(F.col("bucket") < 80)
+        .select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    wrk = Window.orderBy(F.desc("c"), F.asc("tok"))
+    rk = tr.select("tok", F.row_number().over(wrk).cast("long").alias("rk"))
+    et = (
+        sp.filter(F.col("bucket") >= 90)
+        .select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sizes = spark.createDataFrame(
+        [(64,), (128,), (256,), (512,), (1024,)], "vocab_size BIGINT"
+    )
+    probe = et.join(rk.withColumnRenamed("tok", "rtok"), et["tok"] == F.col("rtok"), "left")
+    f = (
+        probe.crossJoin(F.broadcast(sizes))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rk").isNotNull() & (F.col("rk") <= F.col("vocab_size")),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered")
+        )
+    )
+    tot = et.agg(F.sum("c").cast("long").alias("total_tokens"))
+    return (
+        f.crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "covered",
+            "total_tokens",
+            (F.round(F.col("covered").cast("double") / F.col("total_tokens"), 4) + 0.0)
+            .alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@register("q_sim_mmr")
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    from the exact cosine top-20 for query vec_id = 0 (the q_sim_topk
+    convention), greedily select 10 results maximizing
+    λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) with λ = 0.7 — the
+    diversity re-rank every retrieval stack runs after similarity
+    search (q_sim_topk finds the neighbors, q_sim_hybrid_rrf fuses
+    rankers, this de-duplicates the final page).
+
+    Scale split: the DISTRIBUTED part is the linear exact scan
+    (top-20 via TakeOrderedAndProject — q_sim_topk's plan) plus the
+    20×20 candidate-pair cosine table (a broadcast self-join of a
+    k-row relation — bounded by k², independent of corpus size); the
+    greedy selection is the k=20-row serving-layer post-pass and runs
+    driver-side on the collected candidate table (the house bounded-
+    collect pattern: |rows| = k + k² by construction). Determinism:
+    candidate cosines round to 1e-6 before selection and every argmax
+    tie-breaks on vec_id, so the selection is a pure function of the
+    rounded table on any engine.
+
+    No SQL oracle — the greedy recurrence is not ANSI-expressible
+    (rows-only contract, like pagerank's fixpoint);
+    tests/test_stats.py re-derives the full selection from raw
+    embeddings with numpy and demands exact rank-for-rank equality."""
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", as_double.alias("emb"))
+    q = ed.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    self_norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cosine = F.round(dot / (self_norm("emb") * self_norm("qe")), 6)
+    cand = (
+        ed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine.alias("rel"), "emb")
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pnorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    pairs = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(pair_dot / (pnorm("ea") * pnorm("eb")), 6).alias("sim"),
+        )
+    )
+    # bounded driver post-pass: k=20 relevance rows + k(k-1)/2 pair sims
+    rel = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    sim = {}
+    for r in pairs.collect():
+        sim[(r["va"], r["vb"])] = r["sim"]
+        sim[(r["vb"], r["va"])] = r["sim"]
+    lam = 0.7
+    selected: list = []
+    remaining = set(rel)
+    out = []
+    while remaining and len(selected) < 10:
+        best = None
+        for c in sorted(remaining):  # vec_id ascending = deterministic tiebreak
+            pen = max((sim[(c, s)] for s in selected), default=0.0)
+            score = lam * rel[c] - (1 - lam) * pen
+            if best is None or score > best[1] + 1e-12:
+                best = (c, score)
+        selected.append(best[0])
+        remaining.discard(best[0])
+        out.append((len(selected), best[0], rel[best[0]], round(best[1], 6)))
+    return spark.createDataFrame(
+        out, "rank BIGINT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    ).orderBy("rank")

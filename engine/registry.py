@@ -142,7 +142,8 @@ _PRIORITY: list[str] = [
     "q_stats_theil_u", "q_eval_confusion", "q_eval_brier",
     "q_embed_dim_stats", "q_vocab_coverage", "q_stats_bootstrap",
     "q_stats_permutation", "q_stats_mcnemar", "q_price_index",
-    "q_graph_kcore",
+    "q_graph_kcore", "q_tokenize_vocab_prune", "q_stream_median",
+    "q_sim_mmr",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r05) so every future window is a prefix rotation
 

@@ -817,3 +817,91 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
     )
     return counts.withColumn("rk", rk.cast("int")).filter(F.col("rk") <= 3)
+
+
+@register(
+    "q_stream_median",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+             event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT win_start, event_type, cents, k,
+             CAST(sum(k) OVER (PARTITION BY win_start, event_type
+                               ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(k) OVER (PARTITION BY win_start, event_type)
+                  AS BIGINT) AS n
+      FROM c
+    )
+    SELECT win_start, event_type, n,
+           round(min(CASE WHEN 2 * cum >= n THEN cents END) / 100.0, 2)
+             AS median_value
+    FROM r GROUP BY win_start, event_type, n
+    ORDER BY win_start, event_type
+    """,
+)
+def q_stream_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT median value per tumbling hour and event type —
+    the percentile problem that naive streaming cannot do (a median is
+    not additive) solved with the canonical two-layer split: the
+    STREAM maintains an exact value histogram — (window, type, cents)
+    counts, additive and mergeable state, complete-mode parity with
+    the batch histogram — and the median is a bounded post-pass
+    (cumulative weight vs half total: the q_agg_weighted_median lower-
+    median rule) over the materialized histogram, partitioned per
+    (window, type) so no data-sized sort exists. State size is
+    |windows|×|types|×|distinct cents| — bounded by the VALUE DOMAIN,
+    not traffic (at true scale the same layout coarsens cents into
+    fixed bins or a mergeable sketch: q_agg_kll_quantiles is that
+    operator); the post-pass is the serving-store refresh. The
+    watermark gates state eviction exactly as in q_stream_tumbling."""
+    from pyspark.sql import Window as W
+
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count("*").cast("long").alias("k"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "cents",
+            "k",
+        )
+    )
+    hist = _run_to_memory(agg, "complete")
+    wcum = (
+        W.partitionBy("win_start", "event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("win_start", "event_type")
+    r = hist.select(
+        "win_start",
+        "event_type",
+        "cents",
+        F.sum("k").over(wcum).cast("long").alias("cum"),
+        F.sum("k").over(wall).cast("long").alias("n"),
+    )
+    return (
+        r.groupBy("win_start", "event_type", "n")
+        .agg(
+            F.round(
+                F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("cents"))) / 100.0,
+                2,
+            ).alias("median_value")
+        )
+        .select("win_start", "event_type", "n", "median_value")
+        .orderBy("win_start", "event_type")
+    )

@@ -128,6 +128,8 @@ _SINGLE_PARTITION_OK = {
     "q_stats_mcnemar",    # 1-row paired-cell fold by definition
     "q_price_index",      # 1-row min-month scalar fold (house pattern)
     "q_graph_kcore",      # cumulative window over the <=64-row histogram
+    "q_tokenize_vocab_prune",  # frequency-rank window over the
+                          # vocabulary-bounded train count table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -253,6 +255,9 @@ _CROSS_OK = {
     # lag-spine pattern — a bounded row generator, never data×data).
     "q_stats_bootstrap",
     "q_stats_permutation",
+    # vocab prune: the CONSTANT 5-size spine + the 1-row eval-total
+    # fold broadcast onto the vocabulary-bounded type table.
+    "q_tokenize_vocab_prune",
 }
 
 

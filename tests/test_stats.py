@@ -2793,3 +2793,77 @@ def test_kcore_matches_python_peeling(spark):
     # invariant: the k-core sizes are non-increasing in k
     sizes = [got[k][1] for k in sorted(got)]
     assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+
+
+def test_vocab_prune_matches_python():
+    d = _docs()
+    bucket = d["text"].map(
+        lambda t: int(hashlib.md5(("split:" + t).encode()).hexdigest()[:8], 16) % 100
+    )
+    from collections import Counter
+
+    tc: Counter = Counter()
+    for t in d.loc[bucket < 80, "text"]:
+        tc.update(t.split(" "))
+    ranked = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))
+    ec: Counter = Counter()
+    for t in d.loc[bucket >= 90, "text"]:
+        ec.update(t.split(" "))
+    total = sum(ec.values())
+    got = _oracle_orders("q_tokenize_vocab_prune").set_index("vocab_size")
+    prev_cov = -1.0
+    for size in (64, 128, 256, 512, 1024):
+        vocab = {w for w, _ in ranked[:size]}
+        covered = sum(c for w, c in ec.items() if w in vocab)
+        row = got.loc[size]
+        assert row["covered"] == covered
+        assert row["total_tokens"] == total
+        assert abs(row["coverage"] - round(covered / total, 4)) < 1e-9
+        # coverage is monotone in vocab size
+        assert row["coverage"] >= prev_cov
+        prev_cov = row["coverage"]
+
+
+def test_sim_mmr_matches_numpy_greedy(spark):
+    from engine.registry import all_queries
+
+    e = _embeds()
+    mat = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    qv = mat[ids == 0][0]
+    nrm = np.sqrt((mat**2).sum(axis=1))
+    cos = mat @ qv / (nrm * np.sqrt(qv @ qv))
+    rel = {
+        int(i): round(float(c), 6)
+        for i, c in zip(ids, cos)
+        if i != 0
+    }
+    top20 = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+    idx = {int(i): n for n, i in enumerate(ids)}
+    sim = {}
+    for x in top20:
+        for y in top20:
+            if x < y:
+                s = round(
+                    float(mat[idx[x]] @ mat[idx[y]] / (nrm[idx[x]] * nrm[idx[y]])), 6
+                )
+                sim[(x, y)] = sim[(y, x)] = s
+    lam, selected, remaining, expect = 0.7, [], set(top20), []
+    while remaining and len(selected) < 10:
+        best = None
+        for c in sorted(remaining):
+            pen = max((sim[(c, s)] for s in selected), default=0.0)
+            score = lam * rel[c] - (1 - lam) * pen
+            if best is None or score > best[1] + 1e-12:
+                best = (c, score)
+        selected.append(best[0])
+        remaining.discard(best[0])
+        expect.append((len(selected), best[0]))
+    got = [
+        (int(r["rank"]), int(r["vec_id"]))
+        for r in all_queries()["q_sim_mmr"](spark, SF).collect()
+    ]
+    assert got == expect
+    # diversity property: MMR must not pick a pure-relevance prefix when
+    # a redundant candidate exists (weak invariant: ranks are 1..10)
+    assert [r for r, _ in got] == list(range(1, 11))

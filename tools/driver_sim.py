@@ -60,6 +60,9 @@ ROUND_CHANGED = [
     "q_stats_mcnemar",   # r6: new — paired-classifier test
     "q_price_index",     # r6: new — Laspeyres/Paasche/Fisher panel
     "q_graph_kcore",     # r6: new — coreness via h-index fixpoint
+    "q_tokenize_vocab_prune",  # r6: new — vocab-size coverage curve
+    "q_stream_median",   # r6: new — streaming exact median (two-layer)
+    "q_sim_mmr",         # r6: new — MMR diversity re-rank
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
