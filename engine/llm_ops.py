@@ -5192,3 +5192,85 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank BIGINT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
     ).orderBy("rank")
+
+
+@register("q_embed_ivf_recall")
+def q_embed_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe/recall curve: recall@10 of the inverted-file probe
+    against the exact cosine top-10 for nprobe ∈ {1, 2, 4, 8, 16} —
+    the index-tuning table an ANN deployment reads before fixing its
+    latency/recall trade (q_sim_topk_ivf runs ONE point of this curve;
+    this sweeps it; q_dedup_threshold_sweep is the same instrument for
+    the LSH dedup family).
+
+    One KMeans fit (k=16, fixed seed — the q_sim_topk_ivf quantizer)
+    and ONE pass computing every candidate's cosine + list assignment;
+    each nprobe slice is then a FILTER over the materialized scored
+    table (localCheckpoint — never k rescans), so the whole sweep
+    costs one scan + |nprobe values| metadata-sized top-10 reductions.
+    nprobe = k scans every list, so that row's recall is 1.0 by
+    construction — the self-validating anchor the contract test pins,
+    along with monotone recall in nprobe.
+
+    No SQL oracle: the coarse quantizer is MLlib KMeans (seeded RNG
+    init — the q_sim_topk_ivf/q_embed_pca rows-only reason); the
+    recall arithmetic is pinned by tests/test_stats.py against an
+    independently recomputed exact top-10."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k = 16
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", as_double.alias("emb"))
+    feat = ed.withColumn("features", array_to_vector(F.col("emb")))
+    model = KMeans(k=k, seed=7, maxIter=10).fit(feat)
+    qv = ed.filter(F.col("vec_id") == 0).head()["emb"]
+    d2 = [
+        sum((c - q) ** 2 for c, q in zip(center, qv))
+        for center in model.clusterCenters()
+    ]
+    order = sorted(range(k), key=lambda i: d2[i])
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), qcol, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = (
+        model.transform(feat)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.col("prediction").alias("list_id"),
+            F.round(dot / (norm(F.col("emb")) * norm(qcol)), 6).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact = {
+        r["vec_id"]
+        for r in scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10).collect()
+    }
+    rows = []
+    for nprobe in (1, 2, 4, 8, 16):
+        lists = [int(x) for x in order[:nprobe]]
+        cand = scored.filter(F.col("list_id").isin(lists))
+        got = {
+            r["vec_id"]
+            for r in cand.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10).collect()
+        }
+        n_cand = cand.count()
+        rows.append(
+            (
+                nprobe,
+                n_cand,
+                len(exact & got),
+                round(len(exact & got) / len(exact), 4),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "nprobe BIGINT, n_candidates BIGINT, hits BIGINT, recall_at_10 DOUBLE"
+    ).orderBy("nprobe")

@@ -143,7 +143,7 @@ _PRIORITY: list[str] = [
     "q_embed_dim_stats", "q_vocab_coverage", "q_stats_bootstrap",
     "q_stats_permutation", "q_stats_mcnemar", "q_price_index",
     "q_graph_kcore", "q_tokenize_vocab_prune", "q_stream_median",
-    "q_sim_mmr",
+    "q_sim_mmr", "q_market_concentration", "q_embed_ivf_recall",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r05) so every future window is a prefix rotation
 

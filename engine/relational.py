@@ -4008,3 +4008,127 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(paas, 4) + 0.0).alias("paasche"),
         (F.round(F.sqrt(lasp * paas), 4) + 0.0).alias("fisher"),
     ).orderBy("month")
+
+
+@register(
+    "q_market_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey AS ck, r.r_name AS region,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT region, CAST(sum(s) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS n
+      FROM rev GROUP BY region
+    ),
+    rk AS (
+      SELECT region, s,
+             row_number() OVER (PARTITION BY region
+                                ORDER BY s DESC, ck) AS rk
+      FROM rev
+    ),
+    h AS (
+      SELECT rk.region,
+             CAST(sum((CAST(rk.s AS HUGEINT) * rk.s * 100000000)
+                      // (CAST(tot.st AS HUGEINT) * tot.st)) AS BIGINT)
+               AS hhi8,
+             CAST(sum(CASE WHEN rk.rk <= 4 THEN rk.s ELSE 0 END) AS BIGINT)
+               AS top4
+      FROM rk JOIN tot USING (region)
+      GROUP BY rk.region
+    )
+    SELECT h.region, tot.n AS n_customers,
+           round(hhi8 / 100000000.0, 6) + 0.0 AS hhi,
+           round(100000000.0 / hhi8, 2) + 0.0 AS effective_n,
+           round(CAST(top4 AS DOUBLE) / tot.st, 4) + 0.0 AS cr4,
+           CASE WHEN hhi8 >= 25000000 THEN 'high'
+                WHEN hhi8 >= 15000000 THEN 'moderate'
+                ELSE 'low' END AS doj_band
+    FROM h JOIN tot USING (region)
+    ORDER BY region
+    """,
+)
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration panel per region over customer order
+    revenue: Herfindahl-Hirschman index, effective number of customers
+    (1/HHI), 4-firm concentration ratio, and the DOJ merger-guidelines
+    band (0.15/0.25) — the industrial-organization read that
+    complements q_agg_gini/q_user_lorenz inequality curves with the
+    antitrust-standard summary.
+
+    Exactness: each customer's squared revenue share lands on a 1e-8
+    grid by 128-bit integer division ((s²·10⁸) div S² — HUGEINT /
+    decimal(38,0), the house idiom; s² clears int64 once a customer
+    passes ~$10⁷ lifetime), so the HHI sum is order-independent and
+    the DOJ band compares the exact grid integer against 25·10⁶ /
+    15·10⁶ — no float in the label. CR4 ranks customers per region
+    (the q_topk_per_group window — partition-bounded by the region's
+    customer count) and divides once. Scale: orders collapse to the
+    (customer, region) panel in one hash agg; everything after is
+    dimension-sized."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("c_custkey").alias("ck"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+        .persist()
+    )
+    tot = rev.groupBy("region").agg(
+        F.sum("s").cast("long").alias("st"),
+        F.count("*").cast("long").alias("n_customers"),
+    )
+    from pyspark.sql import Window as W
+
+    wrk = W.partitionBy("region").orderBy(F.desc("s"), F.asc("ck"))
+    rk = rev.select("region", "s", F.row_number().over(wrk).alias("rk"))
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    h = (
+        rk.join(tot, "region")
+        .groupBy("region")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST((CAST(s AS DECIMAL(38,0)) * s * 100000000)"
+                    " div (CAST(st AS DECIMAL(38,0)) * st) AS LONG)"
+                )
+            )
+            .cast("long")
+            .alias("hhi8"),
+            F.sum(F.when(F.col("rk") <= 4, F.col("s")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("top4"),
+        )
+    )
+    return (
+        h.join(tot, "region")
+        .select(
+            "region",
+            "n_customers",
+            (F.round(F.col("hhi8") / 100000000.0, 6) + 0.0).alias("hhi"),
+            (F.round(100000000.0 / F.col("hhi8"), 2) + 0.0).alias("effective_n"),
+            (F.round(F.col("top4").cast("double") / F.col("st"), 4) + 0.0).alias(
+                "cr4"
+            ),
+            F.when(F.col("hhi8") >= 25000000, "high")
+            .when(F.col("hhi8") >= 15000000, "moderate")
+            .otherwise("low")
+            .alias("doj_band"),
+        )
+        .orderBy("region")
+    )

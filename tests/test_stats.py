@@ -150,7 +150,7 @@ def test_km_matches_manual_estimator():
 def _oracle_orders(key: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in ("orders", "lineitem", "events", "documents", "customer",
-              "embeddings", "supplier", "nation", "part"):
+              "embeddings", "supplier", "nation", "part", "region"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -2867,3 +2867,59 @@ def test_sim_mmr_matches_numpy_greedy(spark):
     # diversity property: MMR must not pick a pure-relevance prefix when
     # a redundant candidate exists (weak invariant: ranks are 1..10)
     assert [r for r, _ in got] == list(range(1, 11))
+
+
+def test_market_concentration_matches_pandas():
+    con = duckdb.connect()
+    rev = con.execute(f"""
+        SELECT c.c_custkey AS ck, r.r_name AS region,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        JOIN read_parquet('{SF}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+        JOIN read_parquet('{SF}/region.parquet') r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    """).df()
+    got = _oracle_orders("q_market_concentration").set_index("region")
+    for region, g in rev.groupby("region"):
+        s = g["s"].astype(object).to_numpy()
+        st = int(s.sum())
+        hhi8 = int(sum((int(x) * int(x) * 10**8) // (st * st) for x in s))
+        top4 = int(sum(sorted((int(x) for x in s), reverse=True)[:4]))
+        row = got.loc[region]
+        assert row["n_customers"] == len(g)
+        assert abs(row["hhi"] - round(hhi8 / 1e8, 6)) < 1e-9
+        assert abs(row["effective_n"] - round(1e8 / hhi8, 2)) < 1e-9
+        assert abs(row["cr4"] - round(top4 / st, 4)) < 1e-9
+        exp_band = ("high" if hhi8 >= 25_000_000
+                    else "moderate" if hhi8 >= 15_000_000 else "low")
+        assert row["doj_band"] == exp_band
+        # sanity: effective N never exceeds the customer count
+        assert row["effective_n"] <= len(g) + 1e-9
+
+
+def test_ivf_recall_curve_contract(spark):
+    from engine.registry import all_queries
+
+    rows = {
+        int(r["nprobe"]): r
+        for r in all_queries()["q_embed_ivf_recall"](spark, SF).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8, 16}
+    # nprobe = k scans every posting list -> recall 1.0 by construction
+    assert rows[16]["recall_at_10"] == 1.0
+    # recall and candidate counts are monotone non-decreasing in nprobe
+    for a, b in zip((1, 2, 4, 8), (2, 4, 8, 16)):
+        assert rows[a]["recall_at_10"] <= rows[b]["recall_at_10"] + 1e-12
+        assert rows[a]["n_candidates"] <= rows[b]["n_candidates"]
+    # the exact top-10 is recomputed independently: recall numerators
+    # must equal |exact ∩ probed top-10| for the full-scan row
+    e = _embeds()
+    mat = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    qv = mat[ids == 0][0]
+    nrm = np.sqrt((mat**2).sum(axis=1))
+    cos = np.round(mat @ qv / (nrm * np.sqrt(qv @ qv)), 6)
+    cand = [(float(-c), int(i)) for c, i in zip(cos, ids) if i != 0]
+    exact = {i for _, i in sorted(cand)[:10]}
+    assert rows[16]["hits"] == len(exact) == 10

@@ -63,6 +63,8 @@ ROUND_CHANGED = [
     "q_tokenize_vocab_prune",  # r6: new — vocab-size coverage curve
     "q_stream_median",   # r6: new — streaming exact median (two-layer)
     "q_sim_mmr",         # r6: new — MMR diversity re-rank
+    "q_market_concentration",  # r6: new — HHI/CR4/DOJ-band panel
+    "q_embed_ivf_recall",  # r6: new — IVF nprobe/recall curve
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
