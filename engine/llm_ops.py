@@ -5274,3 +5274,96 @@ def q_embed_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe BIGINT, n_candidates BIGINT, hits BIGINT, recall_at_10 DOUBLE"
     ).orderBy("nprobe")
+
+
+@register("q_embed_pq")
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): the 64-dim embedding splits into
+    M = 4 sub-vectors of 16 dims, each sub-space gets its own k = 16
+    KMeans codebook, and every vector compresses to 4 sub-space codes
+    (64× smaller than float32). Query vec_id = 0 searches by
+    ASYMMETRIC DISTANCE (ADC): a 4×16 query-to-centroid distance
+    table computed once, and each candidate's approximate L2 is the
+    sum of 4 TABLE LOOKUPS — no float vector math per candidate.
+    Completes the quantization ladder: int8 scalar
+    (q_embed_quantize) → matryoshka truncation (q_embed_matryoshka)
+    → PQ codebooks (this) → IVF posting lists (q_sim_topk_ivf, which
+    composes with PQ as IVF-PQ at cluster scale).
+
+    Scale shape: codebook training is 4 bounded KMeans fits
+    (sampled at scale); encoding is 4 map-side transforms; the ADC
+    table is driver-side O(M·k·d/M) scalar work; the scan evaluates
+    element_at(literal-array, code) sums in codegen and lowers top-10
+    to TakeOrderedAndProject — the candidate path never touches the
+    raw vectors. Output: the ADC top-10 with each hit flagged
+    against the EXACT L2 top-10 (computed in the same pass).
+
+    No SQL oracle — MLlib KMeans seeded RNG (the q_sim_topk_ivf /
+    q_embed_ivf_recall rows-only reason); tests/test_stats.py pins a
+    recall floor, determinism, and the exact-top-10 flags against an
+    independent numpy recompute."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    M, K, D = 4, 16, 64
+    sub = D // M
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", as_double.alias("emb")).localCheckpoint(eager=True)
+    qv = ed.filter(F.col("vec_id") == 0).head()["emb"]
+
+    coded = ed
+    tables = []
+    for m in range(M):
+        sl = F.slice(F.col("emb"), 1 + m * sub, sub)
+        feat = coded.withColumn("_f", array_to_vector(sl))
+        model = KMeans(k=K, seed=7 + m, maxIter=10, featuresCol="_f").fit(feat)
+        coded = (
+            model.transform(feat)
+            .withColumnRenamed("prediction", f"code_{m}")
+            .drop("_f")
+        )
+        qs = qv[m * sub : (m + 1) * sub]
+        tables.append(
+            [
+                float(sum((c - q) ** 2 for c, q in zip(center, qs)))
+                for center in model.clusterCenters()
+            ]
+        )
+    coded = coded.localCheckpoint(eager=True)
+    adc = None
+    for m in range(M):
+        look = F.element_at(
+            F.array(*[F.lit(v) for v in tables[m]]), F.col(f"code_{m}") + 1
+        )
+        adc = look if adc is None else adc + look
+    # exact L2 top-10 in the same pass (flags the ADC hits)
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    l2 = F.aggregate(
+        F.zip_with(F.col("emb"), qcol, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = {
+        r["vec_id"]
+        for r in ed.filter(F.col("vec_id") != 0)
+        .select("vec_id", l2.alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    top = (
+        coded.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    rows = [
+        (i + 1, r["vec_id"], r["adc_dist"], 1 if r["vec_id"] in exact else 0)
+        for i, r in enumerate(top)
+    ]
+    return spark.createDataFrame(
+        rows, "rank BIGINT, vec_id BIGINT, adc_dist DOUBLE, in_exact_top10 INT"
+    ).orderBy("rank")

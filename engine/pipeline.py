@@ -3619,3 +3619,128 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q_eval_gains",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    r AS (
+      SELECT y,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rn,
+             count(*) OVER () AS n,
+             CAST(sum(y) OVER () AS BIGINT) AS p
+      FROM s
+    ),
+    d AS (SELECT ((rn - 1) * 10) // n + 1 AS decile, y, n, p FROM r),
+    g AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             any_value(n) AS n, any_value(p) AS p
+      FROM d GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n_rows, n_pos, n, p,
+             CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+             CAST(sum(n_rows) OVER w AS BIGINT) AS cum_n
+      FROM g
+      WINDOW w AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile, n_rows, n_pos,
+           round(CAST(cum_pos AS DOUBLE) / p, 4) + 0.0 AS gain,
+           round(CAST(cum_pos * n AS DOUBLE) / (cum_n * p), 4) + 0.0 AS lift
+    FROM c ORDER BY decile
+    """,
+)
+def q_eval_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table by score decile (decile 1 = the
+    highest-scored tenth) — the campaign-targeting readout next to
+    q_eval_auc (AUC summarizes the whole curve; gains answers "if I
+    can only act on the top 20%, what fraction of positives do I
+    capture, and at what multiple of random?"). Scores and labels
+    follow the q_eval_auc fixture conventions.
+
+    The global DESC rank uses the q_user_lorenz banded scheme so the
+    data-sized relation is never single-partition-sorted: band on
+    floor(score·64) (bounded band count; descending band order
+    refines (score desc, vec_id)), row_number WITHIN each band, plus
+    the broadcast carry-in of higher bands' counts; deciles are
+    closed-form from the exact rank, and gain/lift are single IEEE
+    divisions of exact counts (lift via cum_pos·n / cum_n·p — one
+    division, never a ratio of two rounded ratios)."""
+    s = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    b = s.withColumn("_band", F.floor(F.col("score") * 64).cast("long"))
+    within = b.withColumn(
+        "_rn_in",
+        F.row_number().over(
+            Window.partitionBy("_band").orderBy(F.desc("score"), F.asc("vec_id"))
+        ),
+    )
+    bt = (
+        b.groupBy("_band")
+        .agg(F.count("*").alias("_bc"))
+        .withColumn(
+            "_carry",
+            F.coalesce(
+                F.sum("_bc").over(
+                    Window.orderBy(F.desc("_band")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(F.col("_band").alias("_b"), "_carry")
+    )
+    tot = F.broadcast(
+        s.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("p"),
+        )
+    )
+    r = (
+        within.join(F.broadcast(bt), F.col("_band") == F.col("_b"))
+        .withColumn("rn", (F.col("_carry") + F.col("_rn_in")).cast("long"))
+        .crossJoin(tot)
+    )
+    d = r.select(
+        (F.expr("((rn - 1) * 10) div n") + 1).cast("long").alias("decile"),
+        "y",
+        "n",
+        "p",
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.any_value("n").alias("n"),
+        F.any_value("p").alias("p"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        (
+            F.round(F.sum("n_pos").over(wcum).cast("double") / F.col("p"), 4) + 0.0
+        ).alias("gain"),
+        (
+            F.round(
+                (F.sum("n_pos").over(wcum) * F.col("n")).cast("double")
+                / (F.sum("n_rows").over(wcum) * F.col("p")),
+                4,
+            )
+            + 0.0
+        ).alias("lift"),
+    ).orderBy("decile")

@@ -130,6 +130,9 @@ _SINGLE_PARTITION_OK = {
     "q_graph_kcore",      # cumulative window over the <=64-row histogram
     "q_tokenize_vocab_prune",  # frequency-rank window over the
                           # vocabulary-bounded train count table
+    "q_eval_gains",       # <=|bands| carry window + 10-row decile
+                          # cum window (lorenz scheme) — the scored
+                          # relation is never single-partitioned
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -258,6 +261,9 @@ _CROSS_OK = {
     # vocab prune: the CONSTANT 5-size spine + the 1-row eval-total
     # fold broadcast onto the vocabulary-bounded type table.
     "q_tokenize_vocab_prune",
+    # gains table: the 1-row (n, p) totals fold maps ranks to deciles
+    # (the q_user_lorenz scalar-subquery pattern).
+    "q_eval_gains",
 }
 
 

@@ -65,6 +65,8 @@ ROUND_CHANGED = [
     "q_sim_mmr",         # r6: new — MMR diversity re-rank
     "q_market_concentration",  # r6: new — HHI/CR4/DOJ-band panel
     "q_embed_ivf_recall",  # r6: new — IVF nprobe/recall curve
+    "q_eval_gains",      # r6: new — cumulative gains/lift deciles
+    "q_embed_pq",        # r6: new — product quantization + ADC
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
