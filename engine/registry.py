@@ -144,7 +144,7 @@ _PRIORITY: list[str] = [
     "q_stats_permutation", "q_stats_mcnemar", "q_price_index",
     "q_graph_kcore", "q_tokenize_vocab_prune", "q_stream_median",
     "q_sim_mmr", "q_market_concentration", "q_embed_ivf_recall",
-    "q_eval_gains", "q_embed_pq",
+    "q_eval_gains", "q_embed_pq", "q_agg_ddsketch", "q_stream_pipeline",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r05) so every future window is a prefix rotation
 

@@ -4132,3 +4132,107 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@register(
+    "q_agg_ddsketch",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    b AS (
+      SELECT flag,
+             CAST(ceil(ln(CAST(cents AS DOUBLE)) / ln(1.02)) AS BIGINT) AS bk,
+             CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT flag, bk, c,
+             CAST(sum(c) OVER (PARTITION BY flag ORDER BY bk
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+      FROM b
+    ),
+    q AS (
+      SELECT flag, n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN bk END) AS b50,
+             min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bk END) AS b95,
+             min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bk END) AS b99
+      FROM r GROUP BY flag, n
+    )
+    SELECT flag, n,
+           round(2 * pow(1.02, b50) / 2.02 / 100.0, 2) AS p50,
+           round(2 * pow(1.02, b95) / 2.02 / 100.0, 2) AS p95,
+           round(2 * pow(1.02, b99) / 2.02 / 100.0, 2) AS p99,
+           round((1.02 - 1) / (1.02 + 1), 6) AS max_rel_err
+    FROM q ORDER BY flag
+    """,
+)
+def q_agg_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (Masson et al., VLDB'19) of extended price
+    per return flag: log-γ bucketed counts with γ = 1.02 give p50 /
+    p95 / p99 with a GUARANTEED ≤(γ−1)/(γ+1) ≈ 0.99% relative error —
+    the quantile sketch whose buckets are a pure deterministic
+    function of the value (unlike KLL/t-digest whose state depends on
+    arrival order / implementation), which is why this is the one
+    sketch key that carries a full DuckDB oracle.
+
+    Merge-friendly by construction: the (flag, bucket) count table is
+    an ordinary additive hash aggregate — map-side combined, mergeable
+    across shards/streams exactly like a histogram; the bucket domain
+    is log-bounded (ln(maxcents)/ln γ ≈ a few hundred rows per flag),
+    so the cumulative window runs on a domain-sized relation. Rank
+    selection is exact integer arithmetic (ceil(q·n) as
+    (q·100·n + 99) div 100); the only floats are the bucket transform
+    (one ln per row, identical libm expression both engines) and the
+    final γ^b display estimates."""
+    v = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 0)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    b = (
+        v.select(
+            "flag",
+            F.ceil(F.log(F.col("cents").cast("double")) / F.log(F.lit(1.02)))
+            .cast("long")
+            .alias("bk"),
+        )
+        .groupBy("flag", "bk")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wc = W.partitionBy("flag").orderBy("bk").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("flag")
+    r = b.select(
+        "flag",
+        "bk",
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    pick = lambda rank: F.min(  # noqa: E731
+        F.when(F.col("cum") >= rank, F.col("bk"))
+    )
+    q = r.groupBy("flag", "n").agg(
+        pick(F.expr("(n + 1) div 2")).alias("b50"),
+        pick(F.expr("(95 * n + 99) div 100")).alias("b95"),
+        pick(F.expr("(99 * n + 99) div 100")).alias("b99"),
+    )
+    est = lambda c_: F.round(  # noqa: E731
+        2 * F.pow(F.lit(1.02), F.col(c_)) / 2.02 / 100.0, 2
+    )
+    return q.select(
+        "flag",
+        "n",
+        est("b50").alias("p50"),
+        est("b95").alias("p95"),
+        est("b99").alias("p99"),
+        F.round(F.lit((1.02 - 1) / (1.02 + 1)), 6).alias("max_rel_err"),
+    ).orderBy("flag")

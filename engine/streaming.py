@@ -905,3 +905,84 @@ def q_stream_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win_start", "event_type", "n", "median_value")
         .orderBy("win_start", "event_type")
     )
+
+
+@register(
+    "q_stream_pipeline",
+    oracle="""
+    WITH share AS (
+      SELECT event_type, count(*) AS c FROM events GROUP BY event_type
+    ),
+    s2 AS (
+      SELECT event_type,
+             round(CAST(c AS DOUBLE) / (SELECT sum(c) FROM share), 6) + 0.0
+               AS type_share
+      FROM share
+    ),
+    dd AS (
+      SELECT DISTINCT user_id, event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events
+    )
+    SELECT dd.event_type, dd.day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           any_value(s2.type_share) AS type_share
+    FROM dd JOIN s2 ON dd.event_type = s2.event_type
+    GROUP BY dd.event_type, dd.day
+    ORDER BY dd.event_type, dd.day
+    """,
+)
+def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ETL composite — the shape a production
+    micro-batch pipeline actually runs, chained in ONE streaming
+    query plus the serving-layer rollup: (1) watermarked in-stream
+    DEDUPLICATION on (user, type, day) — each user counts once per
+    type-day no matter how often they fire; (2) a STREAM-STATIC
+    broadcast enrichment joining each surviving key against a
+    batch-computed dimension (the type's global traffic share — the
+    reference-data join every event pipeline does); (3) the
+    aggregation layer — per (type, day) distinct-user counts — as
+    the bounded post-pass over the emitted key set (the
+    q_stream_topk two-layer rule: ranking/rollup belongs in the
+    serving store, dedup + enrichment belong in the stream's state
+    machine).
+
+    Emitted keys equal batch DISTINCT regardless of arrival order
+    (q_stream_dedup's invariant), the static dim is deterministic, so
+    the full pipeline carries an exact batch oracle. State is the
+    dedup key set, watermark-evicted after 1 hour — bounded by ACTIVE
+    keys, not traffic."""
+    src = _stage(sf_dir, "plain")
+    ev = _read_stream(spark, src)
+    # static reference dim, computed batch-side from the same fixture
+    from engine.io import load_table
+
+    share = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = share.agg(F.sum("c").alias("t")).collect()[0]["t"]
+    dim = F.broadcast(
+        share.select(
+            F.col("event_type").alias("d_type"),
+            (F.round(F.col("c") / F.lit(float(tot)), 6) + 0.0).alias("type_share"),
+        )
+    )
+    dd = (
+        ev.withWatermark("ts", "1 hour")
+        .withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .join(dim, F.col("event_type") == F.col("d_type"))
+        .select("user_id", "event_type", "day", "type_share")
+    )
+    keys = _run_to_memory(dd, "append")
+    return (
+        keys.groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.any_value("type_share").alias("type_share"),
+        )
+        .select("event_type", "day", "n_users", "type_share")
+        .orderBy("event_type", "day")
+    )

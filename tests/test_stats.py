@@ -2974,3 +2974,30 @@ def test_embed_pq_contract(spark):
     # determinism: a second run returns the identical table
     again = all_queries()["q_embed_pq"](spark, SF).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_ddsketch_error_guarantee():
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_returnflag AS flag, l_extendedprice FROM read_parquet('{SF}/lineitem.parquet') WHERE l_extendedprice > 0"
+    ).df()
+    li["cents"] = np.floor(li["l_extendedprice"] * 100).astype("int64")
+    got = _oracle_orders("q_agg_ddsketch").set_index("flag")
+    gamma = 1.02
+    bound = (gamma - 1) / (gamma + 1)
+    for flag, g in li.groupby("flag"):
+        vals = np.sort(g["cents"].to_numpy())
+        n = len(vals)
+        row = got.loc[flag]
+        assert row["n"] == n
+        # the DDSketch guarantee: each estimate within bound of the
+        # EXACT rank-order statistic it targets
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            rank = max(int(np.ceil(q * n)), 1)
+            exact = vals[rank - 1] / 100.0
+            est = row[col]
+            assert abs(est - exact) <= bound * exact * 1.001 + 0.01, (
+                flag, col, est, exact)
+        assert abs(row["max_rel_err"] - round(bound, 6)) < 1e-9
+        # quantile estimates are monotone
+        assert row["p50"] <= row["p95"] <= row["p99"]

@@ -67,6 +67,8 @@ ROUND_CHANGED = [
     "q_embed_ivf_recall",  # r6: new — IVF nprobe/recall curve
     "q_eval_gains",      # r6: new — cumulative gains/lift deciles
     "q_embed_pq",        # r6: new — product quantization + ADC
+    "q_agg_ddsketch",    # r6: new — oracle-able DDSketch quantiles
+    "q_stream_pipeline",  # r6: new — dedup+enrich+rollup stream ETL
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
