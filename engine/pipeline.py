@@ -3744,3 +3744,82 @@ def q_eval_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("lift"),
     ).orderBy("decile")
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST('0x' || substring(md5('wsample:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 99999999
+              + 1) / 100000000.0 AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    k AS (
+      SELECT doc_id, lang, n_chars,
+             ln(u) / n_chars AS es_key
+      FROM u
+    ),
+    r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rn
+      FROM k
+    )
+    SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
+    FROM r WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 5 docs per language,
+    inclusion probability proportional to document length — the
+    Efraimidis-Spirakis one-pass reservoir (each item gets key
+    u^(1/w); the top-k keys ARE a weight-proportional sample, so a
+    distributed top-k replaces any sequential draw). This is the
+    length-weighted cousin of q_sample_quota (uniform per-domain) and
+    q_sample_importance (accept/reject): the right primitive when a
+    training mix should over-represent long documents without
+    replacement artifacts.
+
+    Determinism discipline: u is the md5 content hash mapped to
+    (0, 1] on a 1e-8 grid (never 0 — ln(0) guards itself out; no RNG,
+    shard-stable, engine-identical), and the rank key compares as
+    ln(u)/w — the same monotone transform of u^(1/w) evaluated by the
+    IDENTICAL expression on both engines, ties broken by doc_id. The
+    per-lang top-k is a partitioned window on the (doc, lang) scan —
+    at 100 TB the standard refinement is a per-partition pre-top-k
+    before the window (any K rows per map task can be cut to the
+    local top-5 per lang first — the q_sample_quota note), keeping
+    the shuffle at |langs|×5 per task."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 99999999
+            + 1
+        )
+        / 100000000.0
+    )
+    k = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        k.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", F.col("rn").cast("long").alias("rn"), "doc_id", "n_chars")
+        .orderBy("lang", "rn")
+    )

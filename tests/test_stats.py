@@ -3001,3 +3001,31 @@ def test_ddsketch_error_guarantee():
         assert abs(row["max_rel_err"] - round(bound, 6)) < 1e-9
         # quantile estimates are monotone
         assert row["p50"] <= row["p95"] <= row["p99"]
+
+
+def test_sample_weighted_matches_es_recompute():
+    d = _docs()
+    con = duckdb.connect()
+    nchars = con.execute(
+        f"SELECT doc_id, lang, n_chars FROM read_parquet('{SF}/documents.parquet') WHERE n_chars > 0"
+    ).df()
+    import math
+
+    def key(doc_id, w):
+        u = (int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:8], 16)
+             % 99999999 + 1) / 1e8
+        return math.log(u) / w
+
+    got = _oracle_orders("q_sample_weighted")
+    for lang, g in nchars.groupby("lang"):
+        ranked = sorted(
+            ((key(int(r.doc_id), int(r.n_chars)), int(r.doc_id), int(r.n_chars))
+             for r in g.itertuples()),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        sel = got[got["lang"] == lang].sort_values("rn")
+        assert list(sel["doc_id"]) == [d_ for _, d_, _ in ranked]
+        assert list(sel["rn"]) == [1, 2, 3, 4, 5]
+    # weighting sanity: the sampled docs skew long — their mean length
+    # exceeds the corpus mean (Efraimidis-Spirakis inclusion bias)
+    assert got["n_chars"].mean() > nchars["n_chars"].mean()

@@ -69,6 +69,7 @@ ROUND_CHANGED = [
     "q_embed_pq",        # r6: new — product quantization + ADC
     "q_agg_ddsketch",    # r6: new — oracle-able DDSketch quantiles
     "q_stream_pipeline",  # r6: new — dedup+enrich+rollup stream ETL
+    "q_sample_weighted",  # r6: new — E-S weighted sampling w/o repl.
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
