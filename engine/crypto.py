@@ -5210,3 +5210,186 @@ def q_win_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("pressure"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_backtest_sma",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, di, cl,
+             CAST(sum(cl) OVER w5 AS BIGINT) AS s5,
+             CAST(sum(cl) OVER w20 AS BIGINT) AS s20,
+             count(*) OVER w20 AS cn
+      FROM b
+      WINDOW w5 AS (PARTITION BY event_type ORDER BY di
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY event_type ORDER BY di
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    sig AS (
+      SELECT event_type, di, cl,
+             CASE WHEN cn = 20 THEN
+               CASE WHEN 4 * s5 > s20 THEN 1 ELSE 0 END END AS signal
+      FROM s
+    ),
+    p AS (
+      SELECT event_type, di, cl,
+             lag(signal) OVER w AS pos,
+             lag(cl) OVER w AS clp,
+             CASE WHEN signal IS NOT NULL
+                  AND signal <> lag(signal) OVER w THEN 1 ELSE 0 END AS flip
+      FROM sig WINDOW w AS (PARTITION BY event_type ORDER BY di)
+    ),
+    r AS (
+      SELECT event_type, flip, pos,
+             CAST(round(ln(CAST(cl AS DOUBLE) / clp) * 1000000) AS BIGINT)
+               AS lr
+      FROM p WHERE clp IS NOT NULL
+    ),
+    f AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE pos IS NOT NULL) AS BIGINT)
+               AS n_days,
+             CAST(sum(flip) AS BIGINT) AS n_trades,
+             CAST(sum(CASE WHEN pos = 1 THEN lr ELSE 0 END) AS BIGINT)
+               AS strat_q,
+             CAST(sum(CASE WHEN pos IS NOT NULL THEN lr ELSE 0 END)
+                  AS BIGINT) AS hold_q,
+             CAST(count(*) FILTER (WHERE pos = 1) AS BIGINT) AS n_held,
+             CAST(count(*) FILTER (WHERE pos = 1 AND lr > 0) AS BIGINT)
+               AS n_up
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_days, n_trades, n_held,
+           round(exp(strat_q / 1000000.0) - 1, 4) + 0.0 AS strat_return,
+           round(exp(hold_q / 1000000.0) - 1, 4) + 0.0 AS hold_return,
+           round(CAST(n_up AS DOUBLE) / n_held, 4) + 0.0 AS hit_rate
+    FROM f WHERE n_held > 0
+    ORDER BY event_type
+    """,
+)
+def q_backtest_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized SMA-crossover backtest per event type — the
+    quant-research loop expressed relationally, no per-bar iteration:
+    signal = [SMA5 > SMA20] (exact-integer cross-multiply 4·S₅ > S₂₀
+    — the sums are over 5 and 20 full bars, so the comparison clears
+    both denominators), position = YESTERDAY's signal (one lag — no
+    look-ahead bias, the classic backtest bug), strategy log-return =
+    position-gated daily log-returns on the 1e-6 ln grid, and total
+    return compounds as exp(Σ grid)/10⁶ — one transcendental at the
+    end, exact integer sums in between. Reports trades (signal
+    flips), strategy vs buy-and-hold total return, and the hit rate
+    (ONE division of exact counts).
+
+    Scale shape: ticks collapse to daily bars in one hash agg; both
+    SMAs, the signal lag, and the return lag ride ONE per-type day
+    sort (single window exchange); the final reduce is |types| rows.
+    At 100 TB (years × thousands of symbols) the same plan holds —
+    the window input is the calendar-bounded bar table, never
+    ticks."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl")
+        )
+    )
+    w5 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-4, 0)
+    w20 = Window.partitionBy("event_type").orderBy("di").rowsBetween(-19, 0)
+    s = b.select(
+        "event_type",
+        "di",
+        "cl",
+        F.sum("cl").over(w5).cast("long").alias("s5"),
+        F.sum("cl").over(w20).cast("long").alias("s20"),
+        F.count("*").over(w20).alias("cn"),
+    )
+    sig = s.select(
+        "event_type",
+        "di",
+        "cl",
+        F.when(
+            F.col("cn") == 20,
+            F.when(4 * F.col("s5") > F.col("s20"), 1).otherwise(0),
+        ).alias("signal"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("di")
+    p = sig.select(
+        "event_type",
+        "di",
+        "cl",
+        F.lag("signal").over(ws).alias("pos"),
+        F.lag("cl").over(ws).alias("clp"),
+        F.when(
+            F.col("signal").isNotNull()
+            & (F.col("signal") != F.lag("signal").over(ws)),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    ).filter(F.col("clp").isNotNull())
+    r = p.select(
+        "event_type",
+        "flip",
+        "pos",
+        F.round(F.log(F.col("cl").cast("double") / F.col("clp")) * 1000000)
+        .cast("long")
+        .alias("lr"),
+    )
+    f = r.groupBy("event_type").agg(
+        F.count(F.when(F.col("pos").isNotNull(), 1)).cast("long").alias("n_days"),
+        F.sum("flip").cast("long").alias("n_trades"),
+        F.sum(F.when(F.col("pos") == 1, F.col("lr")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("strat_q"),
+        F.sum(F.when(F.col("pos").isNotNull(), F.col("lr")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("hold_q"),
+        F.count(F.when(F.col("pos") == 1, 1)).cast("long").alias("n_held"),
+        F.count(F.when((F.col("pos") == 1) & (F.col("lr") > 0), 1))
+        .cast("long")
+        .alias("n_up"),
+    )
+    return (
+        f.filter(F.col("n_held") > 0)
+        .select(
+            "event_type",
+            "n_days",
+            "n_trades",
+            "n_held",
+            (F.round(F.exp(F.col("strat_q") / 1000000.0) - 1, 4) + 0.0).alias(
+                "strat_return"
+            ),
+            (F.round(F.exp(F.col("hold_q") / 1000000.0) - 1, 4) + 0.0).alias(
+                "hold_return"
+            ),
+            (F.round(F.col("n_up").cast("double") / F.col("n_held"), 4) + 0.0).alias(
+                "hit_rate"
+            ),
+        )
+        .orderBy("event_type")
+    )

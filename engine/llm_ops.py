@@ -5367,3 +5367,106 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank BIGINT, vec_id BIGINT, adc_dist DOUBLE, in_exact_top10 INT"
     ).orderBy("rank")
+
+
+@register(
+    "q_embed_drift",
+    oracle="""
+    WITH s AS (
+      SELECT CAST('0x' || substring(md5('drift:' || CAST(vec_id AS VARCHAR)),
+                  1, 8) AS BIGINT) % 2 AS grp,
+             i.i AS dim,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS q
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+    ),
+    m AS (
+      SELECT dim,
+             CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS na,
+             CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN grp = 0 THEN q END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN grp = 1 THEN q END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN grp = 0 THEN CAST(q AS HUGEINT) * q END)
+                  AS HUGEINT) AS ssa,
+             CAST(sum(CASE WHEN grp = 1 THEN CAST(q AS HUGEINT) * q END)
+                  AS HUGEINT) AS ssb
+      FROM s GROUP BY dim
+    ),
+    z AS (
+      SELECT CAST(dim AS BIGINT) AS dim, na, nb,
+             (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) AS dm,
+             ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+              / (na - 1)) / na
+             + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+                / (nb - 1)) / nb AS varsum
+      FROM m WHERE na > 1 AND nb > 1
+    )
+    SELECT dim,
+           round(dm / 1000000.0, 6) + 0.0 AS mean_shift,
+           round(dm / sqrt(varsum), 4) + 0.0 AS z_score,
+           CASE WHEN dm * dm >= 9 * varsum THEN 1 ELSE 0 END AS drifted
+    FROM z ORDER BY dim
+    """,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: a per-dimension
+    two-sample z-test between two deterministic md5 halves of the
+    corpus (the A/A layout — swap one half for "yesterday's
+    embeddings" in production and this is the model-rot alarm run
+    before an ANN index or classifier silently degrades; the
+    per-dimension view localizes WHICH coordinates moved, which a
+    whole-vector distance cannot).
+
+    Same exactness discipline as q_stats_ttest applied per dimension:
+    values land on the 1e-6 grid, ONE conditional hash aggregate per
+    (dim) computes both halves' exact (n, Σq, Σq²) (64 groups —
+    posexplode fans map-side, partial aggs do the work; Σq² in
+    128-bit), and z / the |z| ≥ 3 flag evaluate from identical
+    exact integers by the identical expression tree on both engines
+    (the flag compares Δm² against 9·Var — no sqrt in the
+    decision). The expected A/A read is no drifted dimensions."""
+    e = _t(spark, sf_dir, "embeddings")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("drift:"), F.col("vec_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    s = e.select(grp.alias("grp"), F.posexplode("embedding").alias("pos", "v")).select(
+        "grp",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    m = s.groupBy("dim").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("na"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("grp") == 0, F.col("q"))).cast("long").alias("sa"),
+        F.sum(F.when(F.col("grp") == 1, F.col("q"))).cast("long").alias("sb"),
+        F.sum(F.when(F.col("grp") == 0, dec(F.col("q")) * F.col("q"))).alias("ssa"),
+        F.sum(F.when(F.col("grp") == 1, dec(F.col("q")) * F.col("q"))).alias("ssb"),
+    )
+    dm = F.col("sa").cast("double") / F.col("na") - F.col("sb").cast("double") / F.col(
+        "nb"
+    )
+    varsum = (
+        (F.col("ssa").cast("double") - F.col("sa").cast("double") * F.col("sa") / F.col("na"))
+        / (F.col("na") - 1)
+    ) / F.col("na") + (
+        (F.col("ssb").cast("double") - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
+        / (F.col("nb") - 1)
+    ) / F.col("nb")
+    return (
+        m.filter((F.col("na") > 1) & (F.col("nb") > 1))
+        .select(
+            "dim",
+            (F.round(dm / 1000000.0, 6) + 0.0).alias("mean_shift"),
+            (F.round(dm / F.sqrt(varsum), 4) + 0.0).alias("z_score"),
+            F.when(dm * dm >= 9 * varsum, 1).otherwise(0).alias("drifted"),
+        )
+        .orderBy("dim")
+    )

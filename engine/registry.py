@@ -145,7 +145,8 @@ _PRIORITY: list[str] = [
     "q_graph_kcore", "q_tokenize_vocab_prune", "q_stream_median",
     "q_sim_mmr", "q_market_concentration", "q_embed_ivf_recall",
     "q_eval_gains", "q_embed_pq", "q_agg_ddsketch", "q_stream_pipeline",
-    "q_sample_weighted",
+    "q_sample_weighted", "q_backtest_sma", "q_audit_duplicates",
+    "q_embed_drift",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r05) so every future window is a prefix rotation
 

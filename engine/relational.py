@@ -4236,3 +4236,104 @@ def q_agg_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("b99").alias("p99"),
         F.round(F.lit((1.02 - 1) / (1.02 + 1)), 6).alias("max_rel_err"),
     ).orderBy("flag")
+
+
+@register(
+    "q_audit_duplicates",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS ok, o_custkey AS ck,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
+             CAST(ceil(ln(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       / ln(1.01)) AS BIGINT) AS band
+      FROM orders WHERE o_totalprice > 0
+    ),
+    probe AS (
+      SELECT ok, ck, cents, di, band + d.d AS band
+      FROM o, (SELECT unnest([-1, 0, 1]) AS d) d
+    ),
+    hits AS (
+      SELECT a.ok AS order_a, b.ok AS order_b, a.ck AS custkey,
+             abs(a.di - b.di) AS day_gap,
+             abs(a.cents - b.cents) AS cents_diff,
+             greatest(a.cents, b.cents) AS mx
+      FROM probe a JOIN o b ON a.ck = b.ck AND a.band = b.band
+      WHERE a.ok < b.ok
+    )
+    SELECT custkey, order_a, order_b,
+           CAST(day_gap AS BIGINT) AS day_gap,
+           CAST(cents_diff AS BIGINT) AS cents_diff
+    FROM hits
+    WHERE day_gap <= 7 AND 100 * cents_diff <= mx
+    ORDER BY custkey, order_a, order_b
+    """,
+)
+def q_audit_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the classic financial-audit
+    query: two orders by the SAME customer within 7 days whose
+    amounts differ by at most 1% are flagged as suspected duplicates
+    (fat-finger resubmissions, double billing). The relational shape
+    is the fuzzy self-join every audit/reconciliation system runs.
+
+    Sub-quadratic by banding (the q_dedup_edit / q_multimodal_phash
+    blocking discipline): amounts band on ceil(ln(cents)/ln 1.01) —
+    two amounts within 1% differ by AT MOST one 1.01-log band, so
+    probing each order against bands {b−1, b, b+1} (a 3× map-side
+    expansion + one equi join on (customer, band)) is LOSSLESS for
+    the 1% predicate, and every join bucket is bounded by a
+    customer's orders inside one price band — never all-pairs per
+    customer. The final predicates are exact integers: the 1% test
+    cross-multiplies 100·|Δcents| ≤ max(cents) and the recency test
+    compares day indexes; a pair can match through exactly one band
+    copy, so no dedup pass is needed."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").alias("ck"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.floor(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400)
+            .cast("long")
+            .alias("di"),
+        )
+        .withColumn(
+            "band",
+            F.ceil(F.log(F.col("cents").cast("double")) / F.log(F.lit(1.01)))
+            .cast("long"),
+        )
+    )
+    probe = o.select(
+        "ok",
+        "ck",
+        "cents",
+        "di",
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)).alias(
+            "band"
+        ),
+    )
+    b = o.select(
+        F.col("ok").alias("b_ok"),
+        F.col("ck").alias("b_ck"),
+        F.col("cents").alias("b_cents"),
+        F.col("di").alias("b_di"),
+        F.col("band").alias("b_band"),
+    )
+    hits = probe.join(
+        b, (F.col("ck") == F.col("b_ck")) & (F.col("band") == F.col("b_band"))
+    ).filter(F.col("ok") < F.col("b_ok"))
+    day_gap = F.abs(F.col("di") - F.col("b_di"))
+    cents_diff = F.abs(F.col("cents") - F.col("b_cents"))
+    mx = F.greatest("cents", "b_cents")
+    return (
+        hits.filter((day_gap <= 7) & (100 * cents_diff <= mx))
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("ok").alias("order_a"),
+            F.col("b_ok").alias("order_b"),
+            day_gap.cast("long").alias("day_gap"),
+            cents_diff.cast("long").alias("cents_diff"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )

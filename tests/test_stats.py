@@ -3029,3 +3029,94 @@ def test_sample_weighted_matches_es_recompute():
     # weighting sanity: the sampled docs skew long — their mean length
     # exceeds the corpus mean (Efraimidis-Spirakis inclusion bias)
     assert got["n_chars"].mean() > nchars["n_chars"].mean()
+
+
+def test_backtest_sma_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_backtest_sma").set_index("event_type")
+    import math
+
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        cl = bars["cl"].to_numpy()
+        n = len(cl)
+        sig = [None] * n
+        for i in range(n):
+            if i >= 19:
+                s5, s20 = int(cl[i - 4 : i + 1].sum()), int(cl[i - 19 : i + 1].sum())
+                sig[i] = 1 if 4 * s5 > s20 else 0
+        n_days = n_trades = n_held = n_up = strat_q = hold_q = 0
+        for i in range(1, n):
+            pos = sig[i - 1]
+            lr = round(math.log(int(cl[i]) / int(cl[i - 1])) * 1e6)
+            if (sig[i] is not None and sig[i - 1] is not None
+                    and sig[i] != sig[i - 1]):
+                n_trades += 1
+            if pos is not None:
+                n_days += 1
+                hold_q += lr
+                if pos == 1:
+                    n_held += 1
+                    strat_q += lr
+                    if lr > 0:
+                        n_up += 1
+        if n_held == 0:
+            assert et not in got.index
+            continue
+        row = got.loc[et]
+        assert row["n_days"] == n_days and row["n_trades"] == n_trades
+        assert row["n_held"] == n_held
+        assert abs(row["strat_return"] - round(math.exp(strat_q / 1e6) - 1, 4)) < 1e-9
+        assert abs(row["hold_return"] - round(math.exp(hold_q / 1e6) - 1, 4)) < 1e-9
+        assert abs(row["hit_rate"] - round(n_up / n_held, 4)) < 1e-9
+
+
+def test_audit_duplicates_matches_bruteforce():
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate "
+        f"FROM read_parquet('{SF}/orders.parquet') WHERE o_totalprice > 0"
+    ).df()
+    o["cents"] = np.floor(o["o_totalprice"] * 100).astype("int64")
+    o["di"] = (o["o_orderdate"].astype("datetime64[ns]").astype("int64")
+               // (86400 * 10**9))
+    expect = set()
+    for _, g in o.groupby("o_custkey"):
+        rows = list(g.itertuples())
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if a.o_orderkey > b.o_orderkey:
+                    a, b = b, a
+                if (abs(int(a.di) - int(b.di)) <= 7
+                        and 100 * abs(int(a.cents) - int(b.cents))
+                        <= max(int(a.cents), int(b.cents))):
+                    expect.add((int(a.o_custkey), int(a.o_orderkey),
+                                int(b.o_orderkey)))
+    got = _oracle_orders("q_audit_duplicates")
+    found = {(int(r["custkey"]), int(r["order_a"]), int(r["order_b"]))
+             for _, r in got.iterrows()}
+    # banding must be LOSSLESS for the 1% predicate
+    assert found == expect
+
+
+def test_embed_drift_matches_numpy():
+    e = _embeds()
+    grp = e["vec_id"].map(
+        lambda v: int(hashlib.md5(f"drift:{v}".encode()).hexdigest()[:8], 16) % 2
+    )
+    mat = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(mat * 1e6).astype("int64")
+    got = _oracle_orders("q_embed_drift").set_index("dim")
+    assert len(got) == 64
+    a, b = q[grp == 0], q[grp == 1]
+    for dim in (1, 7, 64):
+        xa, xb = a[:, dim - 1], b[:, dim - 1]
+        dm = xa.mean() - xb.mean()
+        varsum = xa.var(ddof=1) / len(xa) + xb.var(ddof=1) / len(xb)
+        row = got.loc[dim]
+        assert abs(row["mean_shift"] - round(dm / 1e6, 6)) < 1e-6
+        assert abs(row["z_score"] - round(dm / np.sqrt(varsum), 4)) < 1e-3
+        assert row["drifted"] == (1 if dm * dm >= 9 * varsum else 0)
+    # A/A read: the md5 split should show (almost) no drifted dims
+    assert got["drifted"].sum() <= 3

@@ -70,6 +70,9 @@ ROUND_CHANGED = [
     "q_agg_ddsketch",    # r6: new — oracle-able DDSketch quantiles
     "q_stream_pipeline",  # r6: new — dedup+enrich+rollup stream ETL
     "q_sample_weighted",  # r6: new — E-S weighted sampling w/o repl.
+    "q_backtest_sma",    # r6: new — vectorized SMA-crossover backtest
+    "q_audit_duplicates",  # r6: new — banded duplicate-payment join
+    "q_embed_drift",     # r6: new — per-dim two-sample drift monitor
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
