@@ -5393,3 +5393,168 @@ def q_backtest_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_regime_transitions",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, di,
+             abs(CAST(round(ln(CAST(cl AS DOUBLE)
+                            / lag(cl) OVER (PARTITION BY event_type
+                                            ORDER BY di)) * 1000000)
+                      AS BIGINT)) AS ar
+      FROM b
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(median(ar) AS DOUBLE) AS med
+      FROM r WHERE ar IS NOT NULL GROUP BY event_type
+    ),
+    st AS (
+      SELECT r.event_type, r.di,
+             CASE WHEN r.ar > med.med THEN 1 ELSE 0 END AS hi
+      FROM r JOIN med ON r.event_type = med.event_type
+      WHERE r.ar IS NOT NULL
+    ),
+    tr AS (
+      SELECT event_type, hi,
+             lag(hi) OVER (PARTITION BY event_type ORDER BY di) AS prev
+      FROM st
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE prev = 0 AND hi = 0) AS BIGINT) AS c00,
+             CAST(count(*) FILTER (WHERE prev = 0 AND hi = 1) AS BIGINT) AS c01,
+             CAST(count(*) FILTER (WHERE prev = 1 AND hi = 0) AS BIGINT) AS c10,
+             CAST(count(*) FILTER (WHERE prev = 1 AND hi = 1) AS BIGINT) AS c11
+      FROM tr WHERE prev IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, c00, c01, c10, c11,
+           round(CAST(c01 AS DOUBLE) / (c00 + c01), 4) + 0.0 AS p_calm_to_vol,
+           round(CAST(c10 AS DOUBLE) / (c10 + c11), 4) + 0.0 AS p_vol_to_calm,
+           round(CAST(c01 * (c10 + c11) AS DOUBLE)
+                 / (c01 * CAST(c10 + c11 AS BIGINT)
+                    + c10 * CAST(c00 + c01 AS BIGINT)), 4) + 0.0
+             AS stationary_vol
+    FROM c WHERE c00 + c01 > 0 AND c10 + c11 > 0
+    ORDER BY event_type
+    """,
+)
+def q_regime_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-state volatility-regime Markov chain per event type: days
+    classify as calm/volatile by whether |daily log return| exceeds
+    the type's own median, the 2×2 transition counts estimate the
+    chain, and the closed-form stationary distribution
+    π_vol = p01/(p01 + p10) says what fraction of time the process
+    LIVES in the volatile state (persistence read: p11 ≫ π_vol means
+    clustering — the phenomenon GARCH models; this is its
+    non-parametric screen).
+
+    Exactness: returns on the 1e-6 ln grid (house idiom); the median
+    threshold is the exact lower median of grid INTEGERS (both
+    engines agree on integer medians of the same multiset — the only
+    subtle cross-engine point, and q_agg_weighted_median's rule);
+    transitions are exact conditional counts off one lag on the
+    bounded daily series; p01/p10 are single divisions and the
+    stationary probability is ONE division after clearing both
+    denominators (c01(c10+c11) / (c01(c10+c11) + c10(c00+c01)) — no
+    ratio-of-ratios)."""
+    b = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl")
+        )
+    )
+    ws = Window.partitionBy("event_type").orderBy("di")
+    r = b.select(
+        "event_type",
+        "di",
+        F.abs(
+            F.round(
+                F.log(F.col("cl").cast("double") / F.lag("cl").over(ws)) * 1000000
+            ).cast("long")
+        ).alias("ar"),
+    ).filter(F.col("ar").isNotNull())
+    med = r.groupBy("event_type").agg(
+        F.expr("percentile(ar, 0.5)").alias("med_raw")
+    )
+    # DuckDB median() interpolates halfway between the two central
+    # values on even counts, exactly like Spark's percentile(0.5):
+    # both evaluate (a+b)/2 on the same exact grid integers.
+    st = r.join(med, "event_type").select(
+        "event_type",
+        "di",
+        F.when(F.col("ar") > F.col("med_raw"), 1).otherwise(0).alias("hi"),
+    )
+    tr = st.select(
+        "event_type", "hi", F.lag("hi").over(ws.orderBy("di")).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = tr.groupBy("event_type").agg(
+        F.count(F.when((F.col("prev") == 0) & (F.col("hi") == 0), 1))
+        .cast("long")
+        .alias("c00"),
+        F.count(F.when((F.col("prev") == 0) & (F.col("hi") == 1), 1))
+        .cast("long")
+        .alias("c01"),
+        F.count(F.when((F.col("prev") == 1) & (F.col("hi") == 0), 1))
+        .cast("long")
+        .alias("c10"),
+        F.count(F.when((F.col("prev") == 1) & (F.col("hi") == 1), 1))
+        .cast("long")
+        .alias("c11"),
+    )
+    return (
+        c.filter((F.col("c00") + F.col("c01") > 0) & (F.col("c10") + F.col("c11") > 0))
+        .select(
+            "event_type",
+            "c00",
+            "c01",
+            "c10",
+            "c11",
+            (
+                F.round(F.col("c01").cast("double") / (F.col("c00") + F.col("c01")), 4)
+                + 0.0
+            ).alias("p_calm_to_vol"),
+            (
+                F.round(F.col("c10").cast("double") / (F.col("c10") + F.col("c11")), 4)
+                + 0.0
+            ).alias("p_vol_to_calm"),
+            (
+                F.round(
+                    (F.col("c01") * (F.col("c10") + F.col("c11"))).cast("double")
+                    / (
+                        F.col("c01") * (F.col("c10") + F.col("c11"))
+                        + F.col("c10") * (F.col("c00") + F.col("c01"))
+                    ),
+                    4,
+                )
+                + 0.0
+            ).alias("stationary_vol"),
+        )
+        .orderBy("event_type")
+    )

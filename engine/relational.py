@@ -4337,3 +4337,85 @@ def q_audit_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "order_a", "order_b")
     )
+
+
+@register(
+    "q_revenue_waterfall",
+    oracle="""
+    WITH l AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS ec,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dpct,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tpct
+      FROM lineitem
+    ),
+    t AS (
+      SELECT month,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(ec) AS BIGINT) AS gross,
+             CAST(sum((ec * dpct) // 100) AS BIGINT) AS disc,
+             CAST(sum(((ec - (ec * dpct) // 100) * tpct) // 100) AS BIGINT)
+               AS tax
+      FROM l GROUP BY month
+    )
+    SELECT month, n_lines,
+           round(gross / 100.0, 2) AS gross,
+           round(disc / 100.0, 2) AS discount,
+           round((gross - disc) / 100.0, 2) AS net,
+           round(tax / 100.0, 2) AS tax,
+           round((gross - disc + tax) / 100.0, 2) AS billed,
+           round(CAST(disc AS DOUBLE) / gross, 4) + 0.0 AS discount_rate
+    FROM t WHERE gross > 0 ORDER BY month
+    """,
+)
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per ship-month: gross → discount → net →
+    tax → billed, plus the effective discount rate — the finance
+    bridge table that reconciles top-line to billed revenue and
+    surfaces discount leakage month over month (the decomposition
+    behind every margin review; TPC-H Q1 aggregates the same fields,
+    this restates them as the additive bridge).
+
+    Exactness: every waterfall step is an exact integer PER LINE
+    before summing — the discount percentage is the 2-dp integer
+    floor(l_discount·100 + 0.5) (the +0.5 floor absorbs the float
+    representation of 0.07·100), the line's discount amount is
+    (cents·pct) div 100, and tax applies to the already-discounted
+    integer — so the monthly sums are order-independent bigints, the
+    bridge identity gross − discount + tax = billed holds EXACTLY by
+    construction (pinned in tests), and the only IEEE ops are the
+    /100 displays and one discount-rate division. One map-side hash
+    agg; |months| output rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    l = li.select(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("ec"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("dpct"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("long").alias("tpct"),
+    )
+    t = l.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("ec").cast("long").alias("gross"),
+        F.sum(F.expr("(ec * dpct) div 100")).cast("long").alias("disc"),
+        F.sum(F.expr("((ec - (ec * dpct) div 100) * tpct) div 100"))
+        .cast("long")
+        .alias("tax"),
+    )
+    return (
+        t.filter(F.col("gross") > 0)
+        .select(
+            "month",
+            "n_lines",
+            F.round(F.col("gross") / 100.0, 2).alias("gross"),
+            F.round(F.col("disc") / 100.0, 2).alias("discount"),
+            F.round((F.col("gross") - F.col("disc")) / 100.0, 2).alias("net"),
+            F.round(F.col("tax") / 100.0, 2).alias("tax"),
+            F.round((F.col("gross") - F.col("disc") + F.col("tax")) / 100.0, 2).alias(
+                "billed"
+            ),
+            (F.round(F.col("disc").cast("double") / F.col("gross"), 4) + 0.0).alias(
+                "discount_rate"
+            ),
+        )
+        .orderBy("month")
+    )

@@ -3447,3 +3447,138 @@ def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(d * d * 1000000 >= 3841459 * n, 1).otherwise(0).alias("significant"),
     )
+
+
+@register(
+    "q_stats_shrinkage",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE value >= 100) AS BIGINT) AS k
+      FROM events GROUP BY event_type, user_id
+    ),
+    q AS (
+      SELECT event_type, user_id, n, k,
+             (k * 1000000000) // n AS rq
+      FROM u
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS nu,
+             CAST(sum(rq) AS BIGINT) AS s,
+             CAST(sum(CAST(rq AS HUGEINT) * rq) AS HUGEINT) AS ss
+      FROM q GROUP BY event_type
+    ),
+    p AS (
+      SELECT event_type, nu AS n_users,
+             CAST(s AS DOUBLE) / nu / 1e9 AS mu,
+             greatest(
+               (CAST(s AS DOUBLE) / nu / 1e9)
+               * (1 - CAST(s AS DOUBLE) / nu / 1e9)
+               / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nu)
+                  / (nu - 1) / 1e18) - 1, 1.0) AS m
+      FROM g
+      WHERE nu > 1 AND CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nu > 0
+            AND s > 0 AND s < nu * 1000000000
+    ),
+    s AS (
+      SELECT u.event_type, u.user_id, u.n, u.k, p.mu, p.m, p.n_users,
+             (u.k + p.m * p.mu) / (u.n + p.m) AS shrunk
+      FROM u JOIN p ON u.event_type = p.event_type
+    ),
+    r AS (
+      SELECT event_type, user_id, n, k, shrunk, n_users, mu, m,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY shrunk DESC, user_id) AS rn
+      FROM s
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS rn, user_id, n, k,
+           round(CAST(k AS DOUBLE) / n, 4) + 0.0 AS raw_rate,
+           round(shrunk, 4) + 0.0 AS shrunk_rate,
+           round(mu, 4) + 0.0 AS prior_mean,
+           round(m, 2) + 0.0 AS prior_strength
+    FROM r WHERE rn <= 5
+    ORDER BY event_type, rn
+    """,
+)
+def q_stats_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage leaderboard: each user's high-value
+    rate (share of events with value ≥ 100) shrunk toward the type's
+    prior by a beta-binomial method-of-moments fit — the technique
+    that stops a 2-for-2 user outranking a 950-for-1000 one on every
+    'top converters' leaderboard (Efron-Morris / the baseball-batting
+    classic). Prior strength m = μ(1−μ)/Var(rates) − 1 (floored at 1
+    so a degenerate variance cannot produce a negative prior), and
+    each user posts (k + m·μ)/(n + m).
+
+    Scale shape: ONE hash agg collapses events to per-(type, user)
+    (n, k); the per-type prior is a second agg over that bounded
+    panel; the shrunk leaderboard is the standard top-k-per-group
+    window. Rates are rationals of exact counts evaluated by the
+    IDENTICAL expression tree on both engines (var_samp over the same
+    exact ratios included — same shuffle-free shape as
+    q_stats_ttest's variance, here over the user panel, not raw
+    ticks); ranking ties break on user_id."""
+    from pyspark.sql import Window
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count(F.when(F.col("value") >= 100, 1)).cast("long").alias("k"),
+        )
+    )
+    # rates land on a 1e-9 integer grid BEFORE the moment sums — avg /
+    # var_samp over raw float ratios would be partial-merge-order-
+    # dependent (the registry's nondeterministic-float-agg rule); grid
+    # moments are exact bigints in any order, and the prior evaluates
+    # from them by the identical expression tree on both engines.
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    q = u.withColumn("rq", F.expr("(k * 1000000000) div n"))
+    g = q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("rq").cast("long").alias("s"),
+        F.sum(dec(F.col("rq")) * F.col("rq")).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("nu") / 1e9
+    vr = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("nu"))
+        / (F.col("nu") - 1)
+        / 1e18
+    )
+    p = g.filter(
+        (F.col("nu") > 1)
+        & (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("nu") > 0)
+        & (F.col("s") > 0)
+        & (F.col("s") < F.col("nu") * 1000000000)
+    ).select(
+        "event_type",
+        F.col("nu").alias("n_users"),
+        mu.alias("mu"),
+        F.greatest(mu * (1 - mu) / vr - 1, F.lit(1.0)).alias("m"),
+    )
+    s = u.join(F.broadcast(p), "event_type").withColumn(
+        "shrunk",
+        (F.col("k") + F.col("m") * F.col("mu")) / (F.col("n") + F.col("m")),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("shrunk"), F.asc("user_id"))
+    return (
+        s.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "event_type",
+            "rn",
+            "user_id",
+            "n",
+            "k",
+            (F.round(F.col("k").cast("double") / F.col("n"), 4) + 0.0).alias(
+                "raw_rate"
+            ),
+            (F.round(F.col("shrunk"), 4) + 0.0).alias("shrunk_rate"),
+            (F.round(F.col("mu"), 4) + 0.0).alias("prior_mean"),
+            (F.round(F.col("m"), 2) + 0.0).alias("prior_strength"),
+        )
+        .orderBy("event_type", "rn")
+    )

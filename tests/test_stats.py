@@ -3120,3 +3120,92 @@ def test_embed_drift_matches_numpy():
         assert row["drifted"] == (1 if dm * dm >= 9 * varsum else 0)
     # A/A read: the md5 split should show (almost) no drifted dims
     assert got["drifted"].sum() <= 3
+
+
+def test_shrinkage_matches_recompute():
+    ev = _events()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, user_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    got = _oracle_orders("q_stats_shrinkage")
+    for et, g in ev.groupby("event_type"):
+        u = g.groupby("user_id").agg(
+            n=("value", "size"), k=("value", lambda s: int((s >= 100).sum()))
+        )
+        rq = (u["k"] * 10**9 // u["n"]).astype("int64")
+        nu, s = len(u), int(rq.sum())
+        ss = int((rq.astype(object) ** 2).sum())
+        if nu <= 1 or s <= 0 or s >= nu * 10**9:
+            continue
+        var_num = ss - s * s / nu
+        if var_num <= 0:
+            continue
+        mu = s / nu / 1e9
+        m = max(mu * (1 - mu) / (var_num / (nu - 1) / 1e18) - 1, 1.0)
+        u["shrunk"] = (u["k"] + m * mu) / (u["n"] + m)
+        top = u.sort_values(["shrunk"], ascending=False, kind="stable")
+        top = sorted(u.itertuples(), key=lambda r: (-r.shrunk, r.Index))[:5]
+        sel = got[got["event_type"] == et].sort_values("rn")
+        assert list(sel["user_id"]) == [int(r.Index) for r in top]
+        for row, r in zip(sel.itertuples(), top):
+            assert abs(row.shrunk_rate - round(r.shrunk, 4)) < 1e-9
+            raw = r.k / r.n
+            # shrinkage pulls toward the prior: shrunk lies between
+            # the raw rate and the prior mean
+            lo, hi = min(raw, mu) - 1e-9, max(raw, mu) + 1e-9
+            assert lo <= r.shrunk <= hi
+
+
+def test_regime_transitions_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_regime_transitions").set_index("event_type")
+    import math
+
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        cl = bars["cl"].to_numpy()
+        ar = [abs(round(math.log(int(cl[i]) / int(cl[i - 1])) * 1e6))
+              for i in range(1, len(cl))]
+        med = float(np.median(ar))
+        hi = [1 if a > med else 0 for a in ar]
+        c = {"00": 0, "01": 0, "10": 0, "11": 0}
+        for a, b in zip(hi, hi[1:]):
+            c[f"{a}{b}"] += 1
+        if c["00"] + c["01"] == 0 or c["10"] + c["11"] == 0:
+            assert et not in got.index
+            continue
+        row = got.loc[et]
+        assert (row["c00"], row["c01"], row["c10"], row["c11"]) == (
+            c["00"], c["01"], c["10"], c["11"])
+        p01 = c["01"] / (c["00"] + c["01"])
+        p10 = c["10"] / (c["10"] + c["11"])
+        assert abs(row["p_calm_to_vol"] - round(p01, 4)) < 1e-9
+        assert abs(row["p_vol_to_calm"] - round(p10, 4)) < 1e-9
+        assert abs(row["stationary_vol"] - round(p01 / (p01 + p10), 4)) < 1e-3
+
+
+def test_revenue_waterfall_bridge_identity():
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_shipdate, l_extendedprice, l_discount, l_tax "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    li["month"] = li["l_shipdate"].dt.strftime("%Y-%m")
+    li["ec"] = np.floor(li["l_extendedprice"] * 100).astype("int64")
+    li["dpct"] = np.floor(li["l_discount"] * 100 + 0.5).astype("int64")
+    li["tpct"] = np.floor(li["l_tax"] * 100 + 0.5).astype("int64")
+    li["disc"] = (li["ec"] * li["dpct"]) // 100
+    li["tax"] = ((li["ec"] - li["disc"]) * li["tpct"]) // 100
+    got = _oracle_orders("q_revenue_waterfall").set_index("month")
+    for m, g in li.groupby("month"):
+        row = got.loc[m]
+        gross, disc, tax = int(g["ec"].sum()), int(g["disc"].sum()), int(g["tax"].sum())
+        assert row["n_lines"] == len(g)
+        assert abs(row["gross"] - round(gross / 100, 2)) < 1e-9
+        assert abs(row["discount"] - round(disc / 100, 2)) < 1e-9
+        assert abs(row["tax"] - round(tax / 100, 2)) < 1e-9
+        # the bridge identity holds exactly
+        assert abs(row["billed"] - round((gross - disc + tax) / 100, 2)) < 1e-9
+        assert abs(row["net"] - round((gross - disc) / 100, 2)) < 1e-9
+        assert abs(row["discount_rate"] - round(disc / gross, 4)) < 1e-9

@@ -73,6 +73,9 @@ ROUND_CHANGED = [
     "q_backtest_sma",    # r6: new — vectorized SMA-crossover backtest
     "q_audit_duplicates",  # r6: new — banded duplicate-payment join
     "q_embed_drift",     # r6: new — per-dim two-sample drift monitor
+    "q_stats_shrinkage",  # r6: new — empirical-Bayes rate shrinkage
+    "q_regime_transitions",  # r6: new — 2-state volatility Markov chain
+    "q_revenue_waterfall",  # r6: new — gross->billed bridge table
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
