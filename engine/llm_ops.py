@@ -5470,3 +5470,297 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "q_dedup_span_coverage",
+    oracle="""
+    WITH reps AS (
+      SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM documents GROUP BY text
+    ),
+    tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM reps
+      WHERE length(string_split(text, ' ')) >= 8
+    ),
+    sh AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.sh AS sh
+      FROM tok, unnest(list_transform(generate_series(1, length(ts) - 7),
+               i -> struct_pack(pos := CAST(i AS BIGINT),
+                                sh := md5(array_to_string(ts[i:i+7], ' '))))) AS u(s)
+    ),
+    dfc AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+    anch AS (SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN dfc USING (sh)
+             WHERE dfc.c <= 16),
+    hits AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM anch a JOIN anch b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa)
+               AS grp
+      FROM hits
+    ),
+    spans AS (
+      SELECT da, db, CAST(count(*) + 7 AS BIGINT) AS span,
+             CAST(min(pa) AS BIGINT) AS sa, CAST(min(pb) AS BIGINT) AS sb
+      FROM runs GROUP BY da, db, diag, grp
+      HAVING count(*) + 7 >= 16
+    ),
+    iv AS (
+      -- DISTINCT: duplicate intervals (same span found via different
+      -- partners) add nothing to a union, and removing them makes the
+      -- (s, e) window order TOTAL per doc — with duplicates, the flag
+      -- window and the island cumsum could see different tie orders
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT da AS doc_id, sa AS s, sa + span - 1 AS e FROM spans
+        UNION ALL
+        SELECT db AS doc_id, sb AS s, sb + span - 1 AS e FROM spans
+      )
+    ),
+    mx AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island
+      FROM mx
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(sum(mxe - mns + 1) AS BIGINT) AS covered
+      FROM (SELECT doc_id, island, min(s) AS mns, max(e) AS mxe
+            FROM isl GROUP BY doc_id, island)
+      GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(length(tok.ts) AS BIGINT) AS n_tokens,
+           cov.covered AS covered_tokens,
+           round(CAST(cov.covered AS DOUBLE) / length(tok.ts), 4) + 0.0
+             AS coverage
+    FROM cov JOIN tok ON cov.doc_id = tok.doc_id
+    ORDER BY tok.doc_id
+    """,
+)
+def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-duplication coverage per document: the fraction of each
+    doc's tokens lying inside ANY shared verbatim span (≥ 16 tokens)
+    found by q_dedup_span — the REMOVAL-DECISION metric of
+    substring-level dedup (Lee et al. excise the duplicated bytes;
+    the pipeline first needs to know how much of each doc that is —
+    a 90%-covered doc is a near-copy to drop, a 10%-covered one
+    keeps its unique remainder).
+
+    Reuses the span machinery (rare-anchored positional 8-gram
+    shingles → same-diagonal runs), then classic interval-union per
+    doc: both endpoints of every qualifying span emit (doc, start,
+    end) intervals, overlapping intervals merge with the running-max
+    gaps-islands trick (a window over each doc's OWN spans —
+    partition-bounded), and coverage is one division of exact token
+    counts. Identical-text duplicates collapse to their
+    representative first, so output rows are per distinct text."""
+    d = _t(spark, sf_dir, "documents")
+    reps = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 8)
+    )
+    sh = reps.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 7), i -> "
+                "struct(CAST(i AS BIGINT) AS pos, "
+                "md5(concat_ws(' ', slice(ts, i, 8))) AS sh))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("c"))
+    anch = sh.join(dfc, "sh").filter(F.col("c") <= 16).select("doc_id", "pos", "sh")
+    a = anch.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "sh")
+    b = anch.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), F.col("sh").alias("sh2")
+    )
+    hits = a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("da") < F.col("db"))).select(
+        "da", "db", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    wruns = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = hits.select(
+        "da", "db", "diag", "pa", "pb",
+        (F.col("pa") - F.row_number().over(wruns)).alias("grp"),
+    )
+    spans = (
+        runs.groupBy("da", "db", "diag", "grp")
+        .agg(
+            (F.count("*") + 7).cast("long").alias("span"),
+            F.min("pa").cast("long").alias("sa"),
+            F.min("pb").cast("long").alias("sb"),
+        )
+        .filter(F.col("span") >= 16)
+    )
+    iv = spans.select(
+        F.col("da").alias("doc_id"),
+        F.col("sa").alias("s"),
+        (F.col("sa") + F.col("span") - 1).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("db").alias("doc_id"),
+            F.col("sb").alias("s"),
+            (F.col("sb") + F.col("span") - 1).alias("e"),
+        )
+    ).distinct()
+    # distinct makes (s, e) unique per doc, so this ordering is TOTAL:
+    # the prev-max flag window and the island cumsum window (two
+    # separate evaluations) are guaranteed the same row order
+    wseq = Window.partitionBy("doc_id").orderBy("s", "e")
+    mx = iv.select(
+        "doc_id",
+        "s",
+        "e",
+        F.max("e").over(wseq.rowsBetween(Window.unboundedPreceding, -1)).alias(
+            "prev_max"
+        ),
+    )
+    isl = mx.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1)
+            .otherwise(0)
+        )
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("island"),
+    )
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("s").alias("mns"), F.max("e").alias("mxe"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mxe") - F.col("mns") + 1).cast("long").alias("covered"))
+    )
+    tok = reps.select("doc_id", F.size("ts").cast("long").alias("n_tokens"))
+    return (
+        cov.join(tok, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("covered").alias("covered_tokens"),
+            (F.round(F.col("covered").cast("double") / F.col("n_tokens"), 4) + 0.0)
+            .alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_text_fightin_words",
+    oracle="""
+    WITH sp AS (
+      SELECT string_split(text, ' ') AS ts,
+             CAST('0x' || substring(md5('fw:' || CAST(doc_id AS VARCHAR)),
+                  1, 8) AS BIGINT) % 2 AS grp
+      FROM documents
+    ),
+    t AS (SELECT grp, unnest(ts) AS tok FROM sp),
+    c AS (
+      SELECT tok,
+             CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS ya,
+             CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS yb
+      FROM t GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb,
+             CAST(sum(ya + yb) AS BIGINT) AS nc
+      FROM c
+    ),
+    z AS (
+      SELECT tok, ya, yb,
+             (ln((ya + aw) / (na + 1000.0 - ya - aw))
+              - ln((yb + aw) / (nb + 1000.0 - yb - aw)))
+             / sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)) AS zval
+      FROM (
+        SELECT tok, ya, yb, na, nb,
+               1000.0 * (ya + yb) / nc AS aw
+        FROM c, tot
+      )
+    )
+    SELECT CAST(row_number() OVER (ORDER BY abs(zval) DESC, tok) AS BIGINT)
+             AS rank,
+           tok AS token, ya AS count_a, yb AS count_b,
+           round(zval, 4) + 0.0 AS z_score,
+           CASE WHEN zval > 0 THEN 'A' ELSE 'B' END AS leans
+    FROM z ORDER BY abs(zval) DESC, tok LIMIT 10
+    """,
+)
+def q_text_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Fightin' Words' (Monroe, Colaresi & Quinn 2008): which tokens
+    most distinguish two corpora, by the log-odds-ratio with an
+    informative Dirichlet prior, z-scored — THE method for comparing
+    vocabularies without the hapax explosion raw log-odds or the
+    frequent-word bias raw TF-IDF deltas produce (the prior, sized
+    a0 = 1000 and shaped like the pooled corpus, shrinks rare-token
+    noise to zero). Split here is the deterministic md5 doc-id A/A
+    halves — swap one side for another source/date and this is the
+    corpus-comparison report.
+
+    Shape: ONE conditional hash agg builds the per-token (y_a, y_b)
+    table (vocabulary-bounded); the 1-row totals fold broadcasts
+    back; δ and its variance evaluate from exact counts by the
+    IDENTICAL expression tree on both engines (the prior α_w =
+    a0·(y_a+y_b)/N is the same rational both sides); the top-10 by
+    |z| lowers to TakeOrderedAndProject with a token tiebreak. The
+    A/A expectation — no significant words — is the contract test's
+    sanity read."""
+    d = _t(spark, sf_dir, "documents")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fw:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    t = d.select(grp.alias("grp"), F.explode(F.split("text", " ")).alias("tok"))
+    c = t.groupBy("tok").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("ya"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("yb"),
+    )
+    tot = c.agg(
+        F.sum("ya").cast("long").alias("na"),
+        F.sum("yb").cast("long").alias("nb"),
+        F.sum(F.col("ya") + F.col("yb")).cast("long").alias("nc"),
+    )
+    j = c.crossJoin(F.broadcast(tot)).withColumn(
+        "aw", 1000.0 * (F.col("ya") + F.col("yb")) / F.col("nc")
+    )
+    delta = F.log(
+        (F.col("ya") + F.col("aw")) / (F.col("na") + 1000.0 - F.col("ya") - F.col("aw"))
+    ) - F.log(
+        (F.col("yb") + F.col("aw")) / (F.col("nb") + 1000.0 - F.col("yb") - F.col("aw"))
+    )
+    sd = F.sqrt(1.0 / (F.col("ya") + F.col("aw")) + 1.0 / (F.col("yb") + F.col("aw")))
+    z = j.select("tok", "ya", "yb", (delta / sd).alias("zval"))
+    top = z.orderBy(F.abs(F.col("zval")).desc(), F.asc("tok")).limit(10)
+    w = Window.orderBy(F.abs(F.col("zval")).desc(), F.asc("tok"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("tok").alias("token"),
+        F.col("ya").alias("count_a"),
+        F.col("yb").alias("count_b"),
+        (F.round(F.col("zval"), 4) + 0.0).alias("z_score"),
+        F.when(F.col("zval") > 0, "A").otherwise("B").alias("leans"),
+    ).orderBy("rank")

@@ -133,6 +133,8 @@ _SINGLE_PARTITION_OK = {
     "q_eval_gains",       # <=|bands| carry window + 10-row decile
                           # cum window (lorenz scheme) — the scored
                           # relation is never single-partitioned
+    "q_text_fightin_words",  # rank window over the already-gathered
+                          # top-10 (TakeOrderedAndProject feeds it)
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -264,6 +266,9 @@ _CROSS_OK = {
     # gains table: the 1-row (n, p) totals fold maps ranks to deciles
     # (the q_user_lorenz scalar-subquery pattern).
     "q_eval_gains",
+    # fightin' words: the 1-row corpus-totals fold joins the
+    # vocabulary-bounded token table (scalar-subquery pattern).
+    "q_text_fightin_words",
 }
 
 

@@ -3209,3 +3209,86 @@ def test_revenue_waterfall_bridge_identity():
         assert abs(row["billed"] - round((gross - disc + tax) / 100, 2)) < 1e-9
         assert abs(row["net"] - round((gross - disc) / 100, 2)) < 1e-9
         assert abs(row["discount_rate"] - round(disc / gross, 4)) < 1e-9
+
+
+def test_span_coverage_matches_interval_recompute():
+    d = _docs()
+    reps = d.groupby("text")["doc_id"].min()
+    got = _oracle_orders("q_dedup_span_coverage").set_index("doc_id")
+    # recompute: for every rep pair, longest-common-run intervals via
+    # brute-force token matching, then interval union per doc
+    texts = {int(v): k.split(" ") for k, v in reps.items() if len(k.split(" ")) >= 8}
+    # collect shingle positions (mirror the rare-anchor cap)
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for did, ts in texts.items():
+        for i in range(len(ts) - 7):
+            occ[" ".join(ts[i : i + 8])].append((did, i + 1))
+    ivs = defaultdict(list)
+    hits = defaultdict(list)
+    for sh, lst in occ.items():
+        if len(lst) > 16:
+            continue
+        for x in range(len(lst)):
+            for y in range(len(lst)):
+                da, pa = lst[x]
+                db, pb = lst[y]
+                if da < db:
+                    hits[(da, db, pa - pb)].append((pa, pb))
+    for (da, db, diag), ps in hits.items():
+        ps.sort()
+        run = [ps[0]]
+        for p in ps[1:] + [(10**9, 0)]:
+            if p[0] == run[-1][0] + 1:
+                run.append(p)
+            else:
+                span = len(run) + 7
+                if span >= 16:
+                    ivs[da].append((run[0][0], run[0][0] + span - 1))
+                    ivs[db].append((run[0][1], run[0][1] + span - 1))
+                run = [p]
+    for did, intervals in ivs.items():
+        intervals.sort()
+        covered = 0
+        cs, ce = intervals[0]
+        for s, e in intervals[1:]:
+            if s > ce:
+                covered += ce - cs + 1
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        covered += ce - cs + 1
+        row = got.loc[did]
+        assert row["covered_tokens"] == covered, did
+        assert row["n_tokens"] == len(texts[did])
+        assert abs(row["coverage"] - round(covered / len(texts[did]), 4)) < 1e-9
+    assert set(got.index) == set(ivs)
+
+
+def test_fightin_words_matches_recompute():
+    d = _docs()
+    from collections import Counter
+    import math
+
+    ca, cb = Counter(), Counter()
+    for _, r in d.iterrows():
+        g = int(hashlib.md5(f"fw:{r.doc_id}".encode()).hexdigest()[:8], 16) % 2
+        (ca if g == 0 else cb).update(r.text.split(" "))
+    na, nb = sum(ca.values()), sum(cb.values())
+    nc = na + nb
+    zs = {}
+    for tok in set(ca) | set(cb):
+        ya, yb = ca.get(tok, 0), cb.get(tok, 0)
+        aw = 1000.0 * (ya + yb) / nc
+        delta = math.log((ya + aw) / (na + 1000.0 - ya - aw)) - math.log(
+            (yb + aw) / (nb + 1000.0 - yb - aw))
+        zs[tok] = delta / math.sqrt(1 / (ya + aw) + 1 / (yb + aw))
+    top = sorted(zs, key=lambda t: (-abs(zs[t]), t))[:10]
+    got = _oracle_orders("q_text_fightin_words").sort_values("rank")
+    assert list(got["token"]) == top
+    for _, row in got.iterrows():
+        assert abs(row["z_score"] - round(zs[row["token"]], 4)) < 1e-6
+        assert row["leans"] == ("A" if zs[row["token"]] > 0 else "B")
+    # A/A sanity: a random split should show no overwhelming signal
+    assert got["z_score"].abs().max() < 6

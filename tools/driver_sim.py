@@ -76,6 +76,8 @@ ROUND_CHANGED = [
     "q_stats_shrinkage",  # r6: new — empirical-Bayes rate shrinkage
     "q_regime_transitions",  # r6: new — 2-state volatility Markov chain
     "q_revenue_waterfall",  # r6: new — gross->billed bridge table
+    "q_dedup_span_coverage",  # r6: new — span-duplication removal metric
+    "q_text_fightin_words",  # r6: new — Monroe log-odds token drift
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
