@@ -4419,3 +4419,110 @@ def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "q_quality_referential",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem->orders' AS relationship,
+             (SELECT count(*) FROM lineitem) AS n_child,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'lineitem->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer->nation',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'nation->region',
+             (SELECT count(*) FROM nation),
+             (SELECT count(*) FROM nation n
+              WHERE NOT EXISTS (SELECT 1 FROM region r
+                                WHERE r.r_regionkey = n.n_regionkey))
+    )
+    SELECT relationship,
+           CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / n_child, 6) + 0.0
+             AS orphan_rate,
+           CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS intact
+    FROM checks ORDER BY relationship
+    """,
+)
+def q_quality_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit panel: orphan counts for every
+    foreign-key relationship of the star schema (lineitem→orders/
+    part/supplier, orders→customer, customer→nation, nation→region) —
+    the DQ check run before trusting ANY join-based metric, because a
+    broken FK silently drops rows from every inner join downstream
+    (q_quality_rules spot-checks one relationship inside its summary;
+    this is the dedicated full-schema panel).
+
+    Each check is a LEFT ANTI join (the relational NOT EXISTS) —
+    Spark lowers it to a broadcast-anti against the smaller parent or
+    a shuffled anti at scale, never a row-at-a-time probe; parents
+    prune to their key column before the join (ReadSchema shows only
+    the key). Counts are exact; the rate is one IEEE division; the
+    intact flag compares an integer to zero. Six bounded rows out."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+
+    def check(name, child, ckey, parent, pkey):
+        total = child.count()
+        orphans = (
+            child.select(F.col(ckey))
+            .join(parent.select(F.col(pkey)), F.col(ckey) == F.col(pkey), "left_anti")
+            .count()
+        )
+        return (name, total, orphans)
+
+    rows = [
+        check("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        check("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        check("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+        check("orders->customer", o, "o_custkey", c, "c_custkey"),
+        check("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        check("nation->region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    return (
+        li.sparkSession.createDataFrame(
+            rows, "relationship STRING, n_child BIGINT, n_orphans BIGINT"
+        )
+        .select(
+            "relationship",
+            "n_child",
+            "n_orphans",
+            (
+                F.round(F.col("n_orphans").cast("double") / F.col("n_child"), 6) + 0.0
+            ).alias("orphan_rate"),
+            F.when(F.col("n_orphans") == 0, 1).otherwise(0).alias("intact"),
+        )
+        .orderBy("relationship")
+    )

@@ -3178,9 +3178,7 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_stats_permutation",
-    oracle=f"""
+_PERM_SQL = f"""
     WITH obs AS (
       SELECT event_type,
              CAST(count(*) FILTER (WHERE {_SQL_BUCKET} = 0) AS BIGINT) AS n0,
@@ -3240,7 +3238,12 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f JOIN obs o USING (event_type)
     WHERE o.n0 > 0 AND o.n1 > 0
     ORDER BY event_type
-    """,
+    """
+
+
+@register(
+    "q_stats_permutation",
+    oracle=_PERM_SQL,
 )
 def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permutation test of the arm mean difference per event_type
@@ -3582,3 +3585,74 @@ def q_stats_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rn")
     )
+
+
+@register(
+    "q_stats_fdr_bh",
+    oracle=f"""
+    WITH base AS ({_PERM_SQL}),
+    r AS (
+      SELECT event_type, n_perm, n_exceed,
+             CAST(1 + n_exceed AS DOUBLE) / (1 + n_perm) AS p,
+             row_number() OVER (
+               ORDER BY CAST(1 + n_exceed AS DOUBLE) / (1 + n_perm),
+                        event_type) AS rk,
+             count(*) OVER () AS m
+      FROM base
+    ),
+    adj AS (
+      SELECT event_type, p, rk, m,
+             min(p * m / rk) OVER (ORDER BY rk DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS adj_p
+      FROM r
+    )
+    SELECT event_type, CAST(rk AS BIGINT) AS rank,
+           round(p, 4) + 0.0 AS p_value,
+           round(least(adj_p, 1.0), 4) + 0.0 AS adj_p,
+           CASE WHEN least(adj_p, 1.0) <= 0.10 THEN 1 ELSE 0 END
+             AS significant_fdr10
+    FROM adj ORDER BY rank
+    """,
+)
+def q_stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the per-type permutation
+    p-values — the multiple-testing layer every metrics platform runs
+    ABOVE its per-metric tests (five event types tested at α = 0.05
+    each means ~23% family-wise false-alarm odds; BH controls the
+    false-DISCOVERY rate instead): p-values rank ascending, raw BH
+    value is p·m/rank, and the adjusted p is the suffix running
+    minimum (the monotonicity step people forget), capped at 1.
+
+    Builds literally ON the q_stats_permutation machinery — the
+    oracle composes its full SQL as a CTE (shared module constant:
+    same-text-two-engines, the q_sql_api discipline) and the engine
+    side calls the registered function, so exactly ONE implementation
+    of the 99-replicate exceedance exists. The BH pass itself runs on
+    the |types|-row p-value table: a rank window, a suffix-min
+    window, single divisions of exact counts — metadata-sized by
+    construction."""
+    from pyspark.sql import Window
+
+    base = q_stats_permutation(spark, sf_dir).select(
+        "event_type", "n_perm", "n_exceed"
+    )
+    p = (1 + F.col("n_exceed")).cast("double") / (1 + F.col("n_perm"))
+    r = base.select("event_type", p.alias("p")).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.asc("p"), F.asc("event_type"))),
+    ).withColumn("m", F.count("*").over(Window.partitionBy()))
+    adj = r.withColumn(
+        "adj_p",
+        F.min(F.col("p") * F.col("m") / F.col("rk")).over(
+            Window.orderBy(F.desc("rk")).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    capped = F.least(F.col("adj_p"), F.lit(1.0))
+    return adj.select(
+        "event_type",
+        F.col("rk").cast("long").alias("rank"),
+        (F.round(F.col("p"), 4) + 0.0).alias("p_value"),
+        (F.round(capped, 4) + 0.0).alias("adj_p"),
+        F.when(capped <= 0.10, 1).otherwise(0).alias("significant_fdr10"),
+    ).orderBy("rank")

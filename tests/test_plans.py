@@ -135,6 +135,8 @@ _SINGLE_PARTITION_OK = {
                           # relation is never single-partitioned
     "q_text_fightin_words",  # rank window over the already-gathered
                           # top-10 (TakeOrderedAndProject feeds it)
+    "q_stats_fdr_bh",     # rank + suffix-min windows over the
+                          # |types|-row p-value table
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
@@ -269,6 +271,9 @@ _CROSS_OK = {
     # fightin' words: the 1-row corpus-totals fold joins the
     # vocabulary-bounded token table (scalar-subquery pattern).
     "q_text_fightin_words",
+    # BH correction inherits q_stats_permutation's constant 99-row
+    # replicate spine cross.
+    "q_stats_fdr_bh",
 }
 
 

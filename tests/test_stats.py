@@ -3292,3 +3292,76 @@ def test_fightin_words_matches_recompute():
         assert row["leans"] == ("A" if zs[row["token"]] > 0 else "B")
     # A/A sanity: a random split should show no overwhelming signal
     assert got["z_score"].abs().max() < 6
+
+
+def test_fdr_bh_matches_recompute():
+    # reuse the permutation test's exact machinery to derive p-values,
+    # then apply textbook BH independently
+    ev = _events()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["arm"] = ev["user_id"].map(_bucket)
+    ps = {}
+    for et, g in ev.groupby("event_type"):
+        a = g.loc[g["arm"] == 0, "cents"]
+        b_ = g.loc[g["arm"] == 1, "cents"]
+        if len(a) == 0 or len(b_) == 0:
+            continue
+        d_obs = abs(a.mean() - b_.mean())
+        n_exceed = n_perm = 0
+        for b in range(1, 100):
+            pa = g["user_id"].map(
+                lambda uid: int(
+                    hashlib.md5(f"perm:{b}:{uid}".encode()).hexdigest()[:8], 16
+                ) % 2
+            )
+            x, y = g.loc[pa == 0, "cents"], g.loc[pa == 1, "cents"]
+            if len(x) == 0 or len(y) == 0:
+                continue
+            n_perm += 1
+            if abs(x.mean() - y.mean()) >= d_obs - 1e-12:
+                n_exceed += 1
+        ps[et] = (1 + n_exceed) / (1 + n_perm)
+    m = len(ps)
+    order = sorted(ps, key=lambda t: (ps[t], t))
+    raw = [ps[t] * m / (i + 1) for i, t in enumerate(order)]
+    adj = raw[:]
+    for i in range(m - 2, -1, -1):
+        adj[i] = min(adj[i], adj[i + 1])
+    adj = [min(a, 1.0) for a in adj]
+    got = _oracle_orders("q_stats_fdr_bh").sort_values("rank")
+    assert list(got["event_type"]) == order
+    for row, t, a in zip(got.itertuples(), order, adj):
+        assert abs(row.p_value - round(ps[t], 4)) < 1e-9
+        assert abs(row.adj_p - round(a, 4)) < 1e-9
+        assert row.significant_fdr10 == (1 if a <= 0.10 else 0)
+    # adjusted p is monotone in rank
+    assert list(got["adj_p"]) == sorted(got["adj_p"])
+
+
+def test_quality_referential_matches_set_difference():
+    con = duckdb.connect()
+    t = {
+        name: con.execute(
+            f"SELECT * FROM read_parquet('{SF}/{name}.parquet')"
+        ).df()
+        for name in ("lineitem", "orders", "customer", "nation", "region",
+                     "part", "supplier")
+    }
+    rels = {
+        "lineitem->orders": ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        "lineitem->part": ("lineitem", "l_partkey", "part", "p_partkey"),
+        "lineitem->supplier": ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        "orders->customer": ("orders", "o_custkey", "customer", "c_custkey"),
+        "customer->nation": ("customer", "c_nationkey", "nation", "n_nationkey"),
+        "nation->region": ("nation", "n_regionkey", "region", "r_regionkey"),
+    }
+    got = _oracle_orders("q_quality_referential").set_index("relationship")
+    assert set(got.index) == set(rels)
+    for rel, (ct, ck, pt, pk) in rels.items():
+        child, parent = t[ct], t[pt]
+        orphans = int((~child[ck].isin(set(parent[pk]))).sum())
+        row = got.loc[rel]
+        assert row["n_child"] == len(child)
+        assert row["n_orphans"] == orphans
+        assert row["intact"] == (1 if orphans == 0 else 0)
+        assert abs(row["orphan_rate"] - round(orphans / len(child), 6)) < 1e-9

@@ -78,6 +78,8 @@ ROUND_CHANGED = [
     "q_revenue_waterfall",  # r6: new — gross->billed bridge table
     "q_dedup_span_coverage",  # r6: new — span-duplication removal metric
     "q_text_fightin_words",  # r6: new — Monroe log-odds token drift
+    "q_stats_fdr_bh",    # r6: new — BH correction over permutation p
+    "q_quality_referential",  # r6: new — full-schema FK orphan panel
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
