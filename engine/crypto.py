@@ -5558,3 +5558,102 @@ def q_regime_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_win_efficiency_ratio",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    l AS (
+      SELECT event_type, di, day, cl,
+             abs(cl - lag(cl) OVER w) AS ac,
+             lag(cl, 10) OVER w AS cl10
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY di)
+    ),
+    s AS (
+      SELECT event_type, day, cl, cl10,
+             CAST(sum(ac) OVER v AS BIGINT) AS vol,
+             count(ac) OVER v AS cn
+      FROM l
+      WINDOW v AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(CAST(abs(cl - cl10) AS DOUBLE) / vol, 4) + 0.0
+             AS efficiency_ratio,
+           CASE WHEN 2 * abs(cl - cl10) > vol THEN 1 ELSE 0 END AS trending
+    FROM s WHERE cn = 10 AND cl10 IS NOT NULL AND vol > 0
+    ORDER BY event_type, day
+    """,
+)
+def q_win_efficiency_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman Efficiency Ratio (10-day) per event type: net price
+    change over the sum of absolute daily changes — 1.0 is a straight
+    line, ~0 is pure chop; the regime input Kaufman's adaptive MA
+    smooths by, and the cheapest trendiness screen in the family
+    (q_regime_transitions classifies variance regimes; this measures
+    DIRECTIONAL efficiency).
+
+    Fully exact until display: |net| and the volatility sum are
+    integer cents off the deterministic close; the trending flag
+    cross-multiplies 2·|net| > Σ|Δ| (ER > 0.5) so no float decides
+    it; ER is ONE IEEE division. The 10-bar displaced close and the
+    rolling sum ride one per-type window exchange."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("di")
+    l = b.select(
+        "event_type",
+        "di",
+        "day",
+        "cl",
+        F.abs(F.col("cl") - F.lag("cl").over(w)).alias("ac"),
+        F.lag("cl", 10).over(w).alias("cl10"),
+    )
+    v = Window.partitionBy("event_type").orderBy("di").rowsBetween(-9, 0)
+    s = l.select(
+        "event_type",
+        "day",
+        "cl",
+        "cl10",
+        F.sum("ac").over(v).cast("long").alias("vol"),
+        F.count("ac").over(v).alias("cn"),
+    ).filter((F.col("cn") == 10) & F.col("cl10").isNotNull() & (F.col("vol") > 0))
+    net = F.abs(F.col("cl") - F.col("cl10"))
+    return s.select(
+        "event_type",
+        "day",
+        (F.round(net.cast("double") / F.col("vol"), 4) + 0.0).alias(
+            "efficiency_ratio"
+        ),
+        F.when(2 * net > F.col("vol"), 1).otherwise(0).alias("trending"),
+    ).orderBy("event_type", "day")

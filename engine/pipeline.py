@@ -3823,3 +3823,92 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("rn").cast("long").alias("rn"), "doc_id", "n_chars")
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM e GROUP BY src),
+    ed AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM ed
+    )
+    SELECT n // 2 AS n_edges,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * sx), 4) + 0.0 AS assortativity
+    FROM m
+    WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * sx > 0
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over all DIRECTED
+    edge copies — positive means hubs attach to hubs (social-network
+    shape), negative means hubs attach to leaves (hub-and-spoke /
+    technological shape). Completes the graph panel: degree,
+    components, triangles, pagerank, k-core, and now mixing
+    structure. On the symmetrized edge list both endpoints' marginals
+    coincide, so r = (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²) — the standard
+    undirected form.
+
+    Shape: one degree hash agg, two broadcast-able joins to attach
+    endpoint degrees, ONE moment fold — all integer sums (degrees
+    squared in 128-bit), the correlation is a single expression of
+    exact integers evaluated identically on both engines. Edge count
+    reported as undirected pairs (n/2)."""
+    from engine.relational import q_basket_pairs
+
+    e0 = q_basket_pairs(spark, sf_dir).select("part_a", "part_b")
+    e = (
+        e0.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionAll(
+            e0.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    ed = (
+        e.join(deg.select(F.col("src").alias("s1"), F.col("d").alias("x")),
+               F.col("src") == F.col("s1"))
+        .join(deg.select(F.col("src").alias("s2"), F.col("d").alias("y")),
+              F.col("dst") == F.col("s2"))
+        .select("x", "y")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    m = ed.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.filter(den > 0).select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        (F.round(num / den, 4) + 0.0).alias("assortativity"),
+    )

@@ -148,7 +148,8 @@ _PRIORITY: list[str] = [
     "q_sample_weighted", "q_backtest_sma", "q_audit_duplicates",
     "q_embed_drift", "q_stats_shrinkage", "q_regime_transitions",
     "q_revenue_waterfall", "q_dedup_span_coverage", "q_text_fightin_words",
-    "q_stats_fdr_bh", "q_quality_referential",
+    "q_stats_fdr_bh", "q_quality_referential", "q_win_efficiency_ratio",
+    "q_graph_assortativity", "q_stats_tost",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r05) so every future window is a prefix rotation
 

@@ -3656,3 +3656,120 @@ def q_stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(capped, 4) + 0.0).alias("adj_p"),
         F.when(capped <= 0.10, 1).otherwise(0).alias("significant_fdr10"),
     ).orderBy("rank")
+
+
+@register(
+    "q_stats_tost",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE {_SQL_BUCKET} = 0) AS n_a,
+             count(*) FILTER (WHERE {_SQL_BUCKET} = 1) AS n_b,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 0
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 1
+                           THEN CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS s_b,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 0
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                              * CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS ss_a,
+             CAST(sum(CASE WHEN {_SQL_BUCKET} = 1
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                              * CAST(floor(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS ss_b
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT event_type, n_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS diff,
+             0.02 * (CAST(s_a + s_b AS DOUBLE) / (n_a + n_b)) AS margin,
+             sqrt(((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
+                + ((ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b)
+               AS se
+      FROM g WHERE n_a > 1 AND n_b > 1
+    )
+    SELECT event_type, n_a, n_b,
+           round(diff / 100.0, 4) + 0.0 AS mean_diff,
+           round(margin / 100.0, 4) + 0.0 AS margin,
+           round((diff + margin) / se, 4) + 0.0 AS t_lower,
+           round((margin - diff) / se, 4) + 0.0 AS t_upper,
+           CASE WHEN (diff + margin) / se >= 1.6449
+                 AND (margin - diff) / se >= 1.6449
+                THEN 1 ELSE 0 END AS equivalent
+    FROM z WHERE se > 0
+    ORDER BY event_type
+    """,
+)
+def q_stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987)
+    per event_type between the md5 arms: is the mean difference
+    PROVABLY within ±2% of the pooled mean — the question
+    q_stats_ttest cannot answer (failing to reject ≠ equivalence;
+    every do-no-harm launch review and A/A pipeline check needs the
+    TOST form). Equivalence at α = 0.05 requires BOTH one-sided
+    statistics (diff+δ)/se and (δ−diff)/se to clear z₀.₉₅ = 1.6449
+    (the large-sample z form — arm sizes here make t ≈ z to 4 dp).
+
+    Same single conditional hash agg as q_stats_ttest: exact (n, Σ,
+    Σ²) per arm; Welch se, both statistics, and the flag evaluate by
+    the IDENTICAL expression tree from exact integers on both
+    engines; the data-derived margin (2% of pooled mean) keeps the
+    operator scale-free across SFs."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    arm = _spark_bucket()
+    g = (
+        ev.select(F.col("event_type"), cents.alias("c"), arm.alias("arm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("c"))).cast("long").alias("s_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c"))).cast("long").alias("s_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("c") * F.col("c")))
+            .cast("long")
+            .alias("ss_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c") * F.col("c")))
+            .cast("long")
+            .alias("ss_b"),
+        )
+        .filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+    )
+    diff = F.col("s_a").cast("double") / F.col("n_a") - F.col("s_b").cast(
+        "double"
+    ) / F.col("n_b")
+    margin = 0.02 * (
+        (F.col("s_a") + F.col("s_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    )
+    se = F.sqrt(
+        (
+            (F.col("ss_a") - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a"))
+            / (F.col("n_a") - 1)
+        )
+        / F.col("n_a")
+        + (
+            (F.col("ss_b") - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b"))
+            / (F.col("n_b") - 1)
+        )
+        / F.col("n_b")
+    )
+    return (
+        g.filter(se > 0)
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            (F.round(diff / 100.0, 4) + 0.0).alias("mean_diff"),
+            (F.round(margin / 100.0, 4) + 0.0).alias("margin"),
+            (F.round((diff + margin) / se, 4) + 0.0).alias("t_lower"),
+            (F.round((margin - diff) / se, 4) + 0.0).alias("t_upper"),
+            F.when(
+                ((diff + margin) / se >= 1.6449) & ((margin - diff) / se >= 1.6449), 1
+            )
+            .otherwise(0)
+            .alias("equivalent"),
+        )
+        .orderBy("event_type")
+    )

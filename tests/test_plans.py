@@ -137,6 +137,7 @@ _SINGLE_PARTITION_OK = {
                           # top-10 (TakeOrderedAndProject feeds it)
     "q_stats_fdr_bh",     # rank + suffix-min windows over the
                           # |types|-row p-value table
+    "q_graph_assortativity",  # 1-row degree-moment fold by definition
 }
 
 # Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the

@@ -3365,3 +3365,79 @@ def test_quality_referential_matches_set_difference():
         assert row["n_orphans"] == orphans
         assert row["intact"] == (1 if orphans == 0 else 0)
         assert abs(row["orphan_rate"] - round(orphans / len(child), 6)) < 1e-9
+
+
+def test_efficiency_ratio_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_efficiency_ratio").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        cl = bars["cl"].to_numpy()
+        ac = np.abs(np.diff(cl))
+        for i in range(10, len(cl)):
+            vol = int(ac[i - 10 : i].sum())
+            net = abs(int(cl[i]) - int(cl[i - 10]))
+            if vol <= 0:
+                continue
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert abs(row["efficiency_ratio"] - round(net / vol, 4)) < 1e-9
+            assert row["trending"] == (1 if 2 * net > vol else 0)
+            checked += 1
+    assert checked == len(got) and checked > 0
+
+
+def test_assortativity_matches_numpy():
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    from collections import Counter, defaultdict
+
+    pc: Counter = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pc[(int(ps[i]), int(ps[j]))] += 1
+    edges = [p for p, c in pc.items() if c >= 2]
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    x, y = np.array(xs, dtype=np.float64), np.array(ys, dtype=np.float64)
+    n = len(x)
+    r = (n * (x * y).sum() - x.sum() ** 2) / (n * (x * x).sum() - x.sum() ** 2)
+    row = _oracle_orders("q_graph_assortativity").iloc[0]
+    assert row["n_edges"] == len(edges)
+    assert abs(row["assortativity"] - round(r, 4)) < 1e-3
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_tost_matches_numpy():
+    ev = _events()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["arm"] = ev["user_id"].map(_bucket)
+    got = _oracle_orders("q_stats_tost").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        a = g.loc[g["arm"] == 0, "cents"].to_numpy(dtype=np.float64)
+        b = g.loc[g["arm"] == 1, "cents"].to_numpy(dtype=np.float64)
+        if len(a) < 2 or len(b) < 2:
+            assert et not in got.index
+            continue
+        diff = a.mean() - b.mean()
+        margin = 0.02 * np.concatenate([a, b]).mean()
+        se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        row = got.loc[et]
+        assert abs(row["mean_diff"] - round(diff / 100, 4)) < 1e-3
+        assert abs(row["margin"] - round(margin / 100, 4)) < 1e-3
+        assert abs(row["t_lower"] - round((diff + margin) / se, 4)) < 1e-3
+        assert abs(row["t_upper"] - round((margin - diff) / se, 4)) < 1e-3
+        exp = 1 if ((diff + margin) / se >= 1.6449
+                    and (margin - diff) / se >= 1.6449) else 0
+        assert row["equivalent"] == exp

@@ -80,6 +80,9 @@ ROUND_CHANGED = [
     "q_text_fightin_words",  # r6: new — Monroe log-odds token drift
     "q_stats_fdr_bh",    # r6: new — BH correction over permutation p
     "q_quality_referential",  # r6: new — full-schema FK orphan panel
+    "q_win_efficiency_ratio",  # r6: new — Kaufman trendiness screen
+    "q_graph_assortativity",  # r6: new — degree-mixing Pearson r
+    "q_stats_tost",      # r6: new — TOST equivalence test
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
