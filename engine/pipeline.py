@@ -3473,9 +3473,12 @@ def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(se AS DOUBLE) / (n * 1e12), 6) + 0.0 AS brier,
            round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
                  / (n * 1e12), 6) + 0.0 AS brier_ref,
-           round(1.0 - CAST(se AS DOUBLE) * n
-                 / (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy),
-                 6) + 0.0 AS skill
+           CASE WHEN syy * n - sy * sy > 0
+                THEN round(1.0 - CAST(se AS DOUBLE) * n
+                           / (CAST(syy AS DOUBLE) * n
+                              - CAST(sy AS DOUBLE) * sy),
+                           6) + 0.0
+                ELSE NULL END AS skill
     FROM f
     """,
 )
@@ -3533,17 +3536,26 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("brier_ref"),
         (
-            F.round(
-                1.0
-                - F.col("se").cast("double")
-                * F.col("n")
-                / (
-                    F.col("syy").cast("double") * F.col("n")
-                    - F.col("sy").cast("double") * F.col("sy")
-                ),
-                6,
-            )
-            + 0.0
+            # Degenerate-label guard (ADVICE r6): with constant labels
+            # (all 0 or all 1) the exact denominator syy·n − sy·sy is
+            # ZERO and the engines diverge (Spark double /0 → NULL,
+            # DuckDB → ±inf). Decide on the exact decimal integers and
+            # emit NULL skill explicitly on both sides — the
+            # q_graph_assortativity / q_stats_cohens_d idiom.
+            F.when(
+                F.col("syy") * F.col("n") - F.col("sy") * F.col("sy") > 0,
+                F.round(
+                    1.0
+                    - F.col("se").cast("double")
+                    * F.col("n")
+                    / (
+                        F.col("syy").cast("double") * F.col("n")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    ),
+                    6,
+                )
+                + 0.0,
+            ).otherwise(F.lit(None).cast("double"))
         ).alias("skill"),
     )
 

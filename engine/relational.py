@@ -2536,15 +2536,22 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tdigest_merge(means, weights, delta: int = 100):
     """One merging pass of the t-digest (Dunning's merging variant,
-    k1/asin scale function), FULLY numpy-vectorized (r6): each input
-    centroid's midpoint quantile maps through the scale function and
-    centroids sharing a floor(k) bucket merge — every bucket spans at
-    most one k-unit, so the cluster-size invariant holds and the
-    centroid count is bounded by the k range (≤ delta/2 + 1), same as
-    the greedy pass. The r5 greedy loop cost one interpreted-Python
-    iteration per input POINT amortized (the 2.7×-per-10× wall
-    driver); this is three numpy passes (argsort, cumsum/arcsin,
-    reduceat). Deterministic for a fixed input order."""
+    k1/asin scale function), FULLY numpy-vectorized (r6): sorted
+    centroids bucket by floor(k) of their RIGHT-EDGE quantile
+    (cumsum of weights, no midpoint shift), i.e. a cluster closes
+    whenever the cumulative k value crosses an integer — the
+    size invariant is defined on cluster EDGES, and edge bucketing
+    keeps every merged cluster's k-span ≤ 1 k-unit up to indivisible
+    inputs (a single input centroid whose own weight spans multiple
+    k-units cannot be split by ANY merge strategy; its bucket may
+    exceed one unit by less than one extra unit). Midpoint bucketing
+    (the first r6 cut) was up to ~2 k-units loose because edges
+    extend w/2 beyond midpoints — ADVICE r6. Centroid count stays
+    bounded by the k range (≤ delta/2 + 1). The r5 greedy loop cost
+    one interpreted-Python iteration per input POINT amortized (the
+    2.7×-per-10× wall driver); this is three numpy passes (argsort,
+    cumsum/arcsin, reduceat). Deterministic for a fixed input
+    order."""
     import numpy as np
 
     means = np.asarray(means, dtype=np.float64)
@@ -2552,7 +2559,7 @@ def _tdigest_merge(means, weights, delta: int = 100):
     idx = np.argsort(means, kind="stable")
     m, w = means[idx], weights[idx]
     tot = w.sum()
-    q = (np.cumsum(w) - w / 2.0) / tot
+    q = np.cumsum(w) / tot
     kv = np.floor(delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1.0, 1.0)))
     starts = np.empty(len(kv), dtype=bool)
     starts[0] = True
@@ -4246,7 +4253,7 @@ def q_agg_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
              CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS di,
              CAST(ceil(ln(CAST(floor(o_totalprice * 100) AS BIGINT))
-                       / ln(1.01)) AS BIGINT) AS band
+                       / ln(1.02)) AS BIGINT) AS band
       FROM orders WHERE o_totalprice > 0
     ),
     probe AS (
@@ -4277,16 +4284,23 @@ def q_audit_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the fuzzy self-join every audit/reconciliation system runs.
 
     Sub-quadratic by banding (the q_dedup_edit / q_multimodal_phash
-    blocking discipline): amounts band on ceil(ln(cents)/ln 1.01) —
-    two amounts within 1% differ by AT MOST one 1.01-log band, so
+    blocking discipline): amounts band on ceil(ln(cents)/ln 1.02).
+    A qualifying pair satisfies 100·(a−b) ≤ a, i.e. log-ratio
+    ln(a/b) ≤ ln(100/99) ≈ 0.01005 — barely HALF the band width
+    ln(1.02) ≈ 0.01980, so by pigeonhole (with ~2× headroom against
+    libm rounding) the pair's bands differ by at most one, and
     probing each order against bands {b−1, b, b+1} (a 3× map-side
     expansion + one equi join on (customer, band)) is LOSSLESS for
-    the 1% predicate, and every join bucket is bounded by a
-    customer's orders inside one price band — never all-pairs per
-    customer. The final predicates are exact integers: the 1% test
-    cross-multiplies 100·|Δcents| ≤ max(cents) and the recency test
-    compares day indexes; a pair can match through exactly one band
-    copy, so no dedup pass is needed."""
+    the 1% predicate. (A 1.01 band base would NOT be: ln(1.01) <
+    ln(100/99), so a qualifying pair could straddle two boundaries —
+    e.g. cents 2419 vs 2395, diff 24 ≤ 1% of 2419, lands in 1.01
+    bands 784 vs 782 and would be silently dropped; ADVICE r6.)
+    Every join bucket is bounded by a customer's orders inside one
+    2% price band — never all-pairs per customer. The final
+    predicates are exact integers: the 1% test cross-multiplies
+    100·|Δcents| ≤ max(cents) and the recency test compares day
+    indexes; a pair can match through exactly one band copy, so no
+    dedup pass is needed."""
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 0)
@@ -4300,7 +4314,7 @@ def q_audit_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "band",
-            F.ceil(F.log(F.col("cents").cast("double")) / F.log(F.lit(1.01)))
+            F.ceil(F.log(F.col("cents").cast("double")) / F.log(F.lit(1.02)))
             .cast("long"),
         )
     )

@@ -3392,7 +3392,8 @@ def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mcnemar_chi2,
            round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
                  / (b + c), 4) + 0.0 AS mcnemar_corrected,
-           CASE WHEN (b - c) * (b - c) * 1000000 >= 3841459 * (b + c)
+           CASE WHEN CAST(b - c AS HUGEINT) * (b - c) * 1000000
+                     >= CAST(3841459 AS HUGEINT) * (b + c)
                 THEN 1 ELSE 0 END AS significant
     FROM c WHERE b + c > 0
     """,
@@ -3412,7 +3413,10 @@ def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions of exact integers; and the α = 0.05 significance flag
     cross-multiplies (b−c)²·10⁶ against 3 841 459·(b+c) (the χ²₁
     critical value on a 1e-6 grid) — the decision never touches a
-    float."""
+    float. The cross-products accumulate as decimal(38,0)/HUGEINT
+    (the q_stats_permutation idiom): in int64, (b−c)²·10⁶ wraps once
+    |b−c| exceeds ~3.03M discordant rows — Spark would silently flip
+    the flag while DuckDB raises on BIGINT overflow (ADVICE r6)."""
     s = load_table(spark, sf_dir, "embeddings").select(
         F.when(F.element_at("embedding", 1).cast("double") >= 0, 1)
         .otherwise(0)
@@ -3448,7 +3452,13 @@ def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((ad1 * ad1).cast("double") / n, 4) + 0.0).alias(
             "mcnemar_corrected"
         ),
-        F.when(d * d * 1000000 >= 3841459 * n, 1).otherwise(0).alias("significant"),
+        F.when(
+            d.cast("decimal(38,0)") * d * 1000000
+            >= F.lit(3841459).cast("decimal(38,0)") * n,
+            1,
+        )
+        .otherwise(0)
+        .alias("significant"),
     )
 
 

@@ -10,7 +10,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-from engine.registry import all_oracles
+from engine.registry import all_oracles, all_queries
 
 SF = "/root/testdata/sf0.001"
 
@@ -2698,6 +2698,77 @@ def test_mcnemar_matches_recompute():
     assert row["significant"] == (1 if (b - c) ** 2 / (b + c) >= 3.841459 else 0)
 
 
+def test_mcnemar_significance_survives_int64_overflow(spark):
+    """ADVICE r6: (b−c)²·10⁶ exceeds int64 once |b−c| > ~3.03M —
+    under Spark's default ANSI mode the bigint product RAISES
+    (non-ANSI silently wraps; DuckDB raises) — a hard failure at the
+    corpus scales the module advertises. The operator now
+    cross-multiplies in decimal(38,0)/HUGEINT (q_stats_permutation
+    idiom); pin the exact decision at that scale on BOTH engines."""
+    import duckdb as _duck
+    from pyspark.sql import functions as F
+
+    b_, c_ = 4_000_000, 0  # (b−c)²·10⁶ = 1.6e19 > 2^63−1 ≈ 9.2e18
+    df = spark.createDataFrame([(b_, c_)], "b long, c long")
+    d = F.col("b") - F.col("c")
+    n = F.col("b") + F.col("c")
+    got = df.select(
+        F.when(
+            d.cast("decimal(38,0)") * d * 1000000
+            >= F.lit(3841459).cast("decimal(38,0)") * n,
+            1,
+        )
+        .otherwise(0)
+        .alias("sig"),
+        # int64 provably cannot hold the product (try_* returns NULL
+        # exactly where the ANSI expression would raise)
+        F.expr("try_multiply(try_multiply(b - c, b - c), 1000000L)").alias(
+            "int64_product"
+        ),
+    ).collect()[0]
+    assert got["sig"] == 1
+    assert got["int64_product"] is None  # the bug class this test pins
+    o = _duck.connect().execute(
+        f"SELECT CASE WHEN CAST({b_} - {c_} AS HUGEINT) * ({b_} - {c_})"
+        f" * 1000000 >= CAST(3841459 AS HUGEINT) * ({b_} + {c_})"
+        f" THEN 1 ELSE 0 END"
+    ).fetchone()[0]
+    assert o == 1
+
+
+def test_brier_skill_null_on_constant_labels(spark, tmp_path):
+    """ADVICE r6: with constant labels the skill denominator
+    syy·n − sy·sy is exactly 0 and the engines used to diverge
+    (Spark double /0 → NULL, DuckDB → ±inf). Both sides now decide
+    on the exact integers and emit NULL skill. End-to-end on a
+    degenerate fixture dir (all labels even → y ≡ 0)."""
+    import duckdb as _duck
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[0.1, 0.0], [-0.2, 0.0], [0.3, 0.0], [0.0, 0.0]],
+            "label": [0, 2, 4, 6],
+        }
+    )
+    con = _duck.connect()
+    con.execute(
+        "COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, "
+        "CAST(label AS INTEGER) AS label FROM pdf) TO "
+        f"'{tmp_path}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    row = all_queries()["q_eval_brier"](spark, str(tmp_path)).collect()[0]
+    assert row["n"] == 4
+    assert row["skill"] is None
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    orow = con.execute(all_oracles()["q_eval_brier"]).df().iloc[0]
+    assert pd.isna(orow["skill"])
+    assert orow["brier"] == row["brier"]
+
+
 def test_price_index_matches_recompute():
     con = duckdb.connect()
     li = con.execute(
@@ -3098,6 +3169,35 @@ def test_audit_duplicates_matches_bruteforce():
              for _, r in got.iterrows()}
     # banding must be LOSSLESS for the 1% predicate
     assert found == expect
+
+
+def test_audit_duplicates_band_is_lossless_for_one_percent():
+    """ADVICE r6 counterexample: a 1.01 band base drops qualifying
+    pairs that straddle two band boundaries (ln(1.01) < ln(100/99):
+    cents 2419 vs 2395 differ by 24 ≤ 1% of 2419 yet land in 1.01
+    bands 784 vs 782). The production 1.02 base gives band width
+    ln(1.02) ≈ 2× the max qualifying log-ratio ln(100/99), so ±1
+    probing is lossless. Sweep every boundary-ratio pair up to 10^7
+    cents analytically: for all a with b = ceil(0.99·a) (the extreme
+    qualifying partner), bands must differ by ≤ 1."""
+    import math
+
+    band = lambda c: math.ceil(math.log(c) / math.log(1.02))  # noqa: E731
+    # the recorded counterexample is 2 bands apart under 1.01 ...
+    old = lambda c: math.ceil(math.log(c) / math.log(1.01))  # noqa: E731
+    assert old(2419) - old(2395) == 2
+    # ... and ≤1 under 1.02
+    assert band(2419) - band(2395) <= 1
+    # extreme-ratio sweep: log-spaced + boundary-adjacent amounts
+    probes = {2419}
+    a = 101
+    while a < 10**7:
+        probes.update((a - 1, a, a + 1))
+        a = int(a * 1.013) + 1
+    for a in probes:
+        b = math.ceil(a * 99 / 100)  # worst qualifying partner
+        assert 100 * (a - b) <= a  # sanity: pair qualifies
+        assert 0 <= band(a) - band(b) <= 1, (a, b)
 
 
 def test_embed_drift_matches_numpy():

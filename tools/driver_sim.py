@@ -25,64 +25,14 @@ from tools.check import complex_cols, decimal_cols, normalize, rows_equal  # noq
 # vanilla-session differential before the exit seal. Maintained by the
 # round builder; reset at round start.
 ROUND_CHANGED = [
-    "q_sql_api",  # r6: shared SQL text CAST(cents AS DOUBLE) / 100.0
-                  # (r05 hash-FAIL: Spark parsed the bare decimal
-                  # literal division as DECIMAL, DuckDB as float64)
-    "q_multimodal_phash",  # r6: exact-dup collapse + asymmetric
-                  # multi-index hamming-ball join (flat codegen hash)
-    "q_dedup_minhash",   # r6: signature collapse before the band join
-    "q_dedup_cluster",   # r6: gid-level components + pointer jumping
-    "q_dedup_soft_weights",  # r6: inherits the cluster rewrite
-    "q_dedup_jaccard",   # r6: shared core refactored (_jaccard_group_pairs)
-    "q_dedup_ngram",     # r6: same shared core
-    "q_dedup_containment",  # r6: same shared core
-    "q_graph_components",   # r6: pointer-jumping propagation loop
-    "q_agg_tdigest",     # r6: vectorized merge pass (no per-point loop)
-    "q_dedup_span",      # r6: new — shared-substring-run dedup
-    "q_win_adx",         # r6: new — directional index (SMA form)
-    "q_win_cci",         # r6: new — commodity channel index
-    "q_win_aroon",       # r6: new — trend-freshness oscillator
-    "q_win_williams_r",  # r6: new — %R oscillator
-    "q_stats_cramers_v",  # r6: new — contingency effect size
-    "q_win_vortex",      # r6: new — vortex trend-reversal indicator
-    "q_win_cmo",         # r6: new — Chande momentum oscillator
-    "q_win_dpo",         # r6: new — detrended price oscillator
-    "q_win_ultimate",    # r6: new — 7/14/28 ultimate oscillator
-    "q_win_force_index",  # r6: new — volume-weighted force index
-    "q_stats_cohens_d",  # r6: new — pooled-SD effect size
-    "q_stats_theil_u",   # r6: new — uncertainty coefficient
-    "q_eval_confusion",  # r6: new — threshold confusion metrics
-    "q_eval_brier",      # r6: new — Brier + skill score
-    "q_embed_dim_stats",  # r6: new — per-dimension moment profile
-    "q_vocab_coverage",  # r6: new — train-vocab OOV audit
-    "q_stats_bootstrap",  # r6: new — Poisson-bootstrap mean CI
-    "q_stats_permutation",  # r6: new — exact permutation test
-    "q_stats_mcnemar",   # r6: new — paired-classifier test
-    "q_price_index",     # r6: new — Laspeyres/Paasche/Fisher panel
-    "q_graph_kcore",     # r6: new — coreness via h-index fixpoint
-    "q_tokenize_vocab_prune",  # r6: new — vocab-size coverage curve
-    "q_stream_median",   # r6: new — streaming exact median (two-layer)
-    "q_sim_mmr",         # r6: new — MMR diversity re-rank
-    "q_market_concentration",  # r6: new — HHI/CR4/DOJ-band panel
-    "q_embed_ivf_recall",  # r6: new — IVF nprobe/recall curve
-    "q_eval_gains",      # r6: new — cumulative gains/lift deciles
-    "q_embed_pq",        # r6: new — product quantization + ADC
-    "q_agg_ddsketch",    # r6: new — oracle-able DDSketch quantiles
-    "q_stream_pipeline",  # r6: new — dedup+enrich+rollup stream ETL
-    "q_sample_weighted",  # r6: new — E-S weighted sampling w/o repl.
-    "q_backtest_sma",    # r6: new — vectorized SMA-crossover backtest
-    "q_audit_duplicates",  # r6: new — banded duplicate-payment join
-    "q_embed_drift",     # r6: new — per-dim two-sample drift monitor
-    "q_stats_shrinkage",  # r6: new — empirical-Bayes rate shrinkage
-    "q_regime_transitions",  # r6: new — 2-state volatility Markov chain
-    "q_revenue_waterfall",  # r6: new — gross->billed bridge table
-    "q_dedup_span_coverage",  # r6: new — span-duplication removal metric
-    "q_text_fightin_words",  # r6: new — Monroe log-odds token drift
-    "q_stats_fdr_bh",    # r6: new — BH correction over permutation p
-    "q_quality_referential",  # r6: new — full-schema FK orphan panel
-    "q_win_efficiency_ratio",  # r6: new — Kaufman trendiness screen
-    "q_graph_assortativity",  # r6: new — degree-mixing Pearson r
-    "q_stats_tost",      # r6: new — TOST equivalence test
+    "q_audit_duplicates",  # r7: band base 1.01 -> 1.02 (ADVICE: 1.01
+                  # bands can straddle 2 boundaries for a 1% pair)
+    "q_stats_mcnemar",   # r7: significance cross-product in
+                  # decimal(38,0)/HUGEINT (int64 overflow at |b-c|>3M)
+    "q_eval_brier",      # r7: NULL skill on constant labels (exact
+                  # zero-denominator guard, both engines)
+    "q_agg_tdigest",     # r7: merge buckets on right-edge k crossings
+                  # (midpoint bucketing was ~2 k-units loose)
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
