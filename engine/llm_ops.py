@@ -4664,6 +4664,98 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate pipeline for q_dedup_span /
+    q_dedup_span_coverage: qualifying shared spans (≥ 16 tokens) per
+    doc pair as (da, db, span, sa, sb).
+
+    r7 scale rewrite (the r6 verdict's 2.1–2.2×-per-10× watch item —
+    candidate volume tracked anchored-shingle density):
+
+    - Anchor keys are 60-bit integers parsed from the md5 hex prefix
+      (``conv(substring(md5, 1, 15), 16, 10)`` ≡ DuckDB
+      ``CAST('0x' || substring(md5, 1, 15) AS BIGINT)``) — the SAME
+      parse on both engines, so any prefix collision affects both
+      identically and cross-engine parity is by construction. 8-byte
+      shuffle keys replace 32-byte hex strings in the two data-sized
+      exchanges (shingle df count + anchor re-key), ~2.5× less
+      shuffle width per row. A collision can only create a FALSE hit
+      (one stray diagonal point — a run of 9+ consecutive colliding
+      shingles is required to fake a qualifying span) or, past ~2^30
+      distinct shingles, nudge a shingle over the df cap; both are
+      inside the anchoring heuristic's tolerance.
+    - The anchor self-join became a per-bucket pair expansion: after
+      the df-cap semi filter, shingles group by key (co-partitioned
+      with the join — no third exchange) into occurrence lists
+      BOUNDED at 16 by the cap, and ordered pairs expand map-side
+      inside codegen (flatten/transform/filter), emitting exactly
+      c·(c−1)/2 candidates per bucket instead of the join's c²
+      pre-filter rows. Two fewer data-sized shuffles; half the
+      candidate generation.
+
+    The unbounded-collect trap does NOT apply: collect_list only runs
+    AFTER the df ≤ 16 filter, so no group can exceed 16 structs."""
+    d = _t(spark, sf_dir, "documents")
+    reps = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 8)
+    )
+    sh = reps.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 7), i -> "
+                "struct(CAST(i AS BIGINT) AS pos, "
+                "CAST(conv(substring(md5(concat_ws(' ', slice(ts, i, 8))), "
+                "1, 15), 16, 10) AS BIGINT) AS sh))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("c"))
+    rare = dfc.filter(F.col("c") <= 16).select("sh")
+    occ = (
+        sh.join(rare, "sh")
+        .groupBy("sh")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+            ).alias("occ")
+        )
+    )
+    hits = occ.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(occ, a -> "
+                "transform(filter(occ, b -> a.d < b.d), "
+                "b -> struct(a.d AS da, b.d AS db, a.p AS pa, b.p AS pb))))"
+            )
+        ).alias("h")
+    ).select(
+        F.col("h.da").alias("da"),
+        F.col("h.db").alias("db"),
+        F.col("h.pa").alias("pa"),
+        F.col("h.pb").alias("pb"),
+        (F.col("h.pa") - F.col("h.pb")).alias("diag"),
+    )
+    wruns = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = hits.select(
+        "da", "db", "diag", "pa", "pb",
+        (F.col("pa") - F.row_number().over(wruns)).alias("grp"),
+    )
+    return (
+        runs.groupBy("da", "db", "diag", "grp")
+        .agg(
+            (F.count("*") + 7).cast("long").alias("span"),
+            F.min("pa").cast("long").alias("sa"),
+            F.min("pb").cast("long").alias("sb"),
+        )
+        .filter(F.col("span") >= 16)
+    )
+
+
+
 @register(
     "q_dedup_span",
     oracle="""
@@ -4679,7 +4771,9 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, u.s.pos AS pos, u.s.sh AS sh
       FROM tok, unnest(list_transform(generate_series(1, length(ts) - 7),
                i -> struct_pack(pos := CAST(i AS BIGINT),
-                                sh := md5(array_to_string(ts[i:i+7], ' '))))) AS u(s)
+                                sh := CAST('0x' || substring(
+                                        md5(array_to_string(ts[i:i+7], ' ')),
+                                        1, 15) AS BIGINT)))) AS u(s)
     ),
     dfc AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
     anch AS (SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN dfc USING (sh)
@@ -4721,62 +4815,21 @@ def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     Better", which does this with suffix arrays — here re-expressed
     relationally so it shards).
 
-    Pipeline, all codegen + hash aggs: identical texts collapse to
-    one representative first (their spans are trivially the whole
-    doc); each distinct text emits positional word-8-gram md5
-    shingles map-side; shingles occurring more than 16 times are
-    dropped (rare-shingle anchoring — by q_text_boilerplate's df
+    Pipeline, all codegen + hash aggs (see _span_candidates for the
+    r7 scale rewrite): identical texts collapse to one representative
+    first (their spans are trivially the whole doc); each distinct
+    text emits positional word-8-gram shingles map-side keyed by a
+    60-bit md5-prefix integer; shingles occurring more than 16 times
+    are dropped (rare-shingle anchoring — by q_text_boilerplate's df
     logic a wider-spread 8-gram is chrome, and the cap bounds every
-    join bucket at 16 so the candidate join is never quadratic in the
-    corpus); matching shingles join into (pair, diagonal) hits; and a
-    shared span of L tokens is exactly a run of L−7 consecutive
+    bucket at 16 so candidate generation is never quadratic in the
+    corpus); co-occurring shingles expand into (pair, diagonal) hits;
+    and a shared span of L tokens is exactly a run of L−7 consecutive
     shingle hits on one diagonal — recovered with the gaps-islands
     row_number trick, grouped, and reduced to each pair's best span
     by struct-min (span desc, then start asc — deterministic in both
     engines). Two docs sharing no 16-token span produce nothing."""
-    d = _t(spark, sf_dir, "documents")
-    reps = (
-        d.groupBy("text")
-        .agg(F.min("doc_id").cast("long").alias("doc_id"))
-        .select("doc_id", F.split("text", " ").alias("ts"))
-        .filter(F.size("ts") >= 8)
-    )
-    sh = reps.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ts) - 7), i -> "
-                "struct(CAST(i AS BIGINT) AS pos, "
-                "md5(concat_ws(' ', slice(ts, i, 8))) AS sh))"
-            )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
-    dfc = sh.groupBy("sh").agg(F.count("*").alias("c"))
-    anch = sh.join(dfc, "sh").filter(F.col("c") <= 16).select("doc_id", "pos", "sh")
-    a = anch.select(
-        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "sh"
-    )
-    b = anch.select(
-        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), F.col("sh").alias("sh2")
-    )
-    hits = (
-        a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("da") < F.col("db")))
-        .select("da", "db", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
-    )
-    wruns = Window.partitionBy("da", "db", "diag").orderBy("pa")
-    runs = hits.select(
-        "da", "db", "diag", "pa", "pb",
-        (F.col("pa") - F.row_number().over(wruns)).alias("grp"),
-    )
-    spans = (
-        runs.groupBy("da", "db", "diag", "grp")
-        .agg(
-            (F.count("*") + 7).cast("long").alias("span"),
-            F.min("pa").cast("long").alias("sa"),
-            F.min("pb").cast("long").alias("sb"),
-        )
-        .filter(F.col("span") >= 16)
-    )
+    spans = _span_candidates(spark, sf_dir)
     best = spans.groupBy("da", "db").agg(
         F.min(
             F.struct(
@@ -5487,7 +5540,9 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, u.s.pos AS pos, u.s.sh AS sh
       FROM tok, unnest(list_transform(generate_series(1, length(ts) - 7),
                i -> struct_pack(pos := CAST(i AS BIGINT),
-                                sh := md5(array_to_string(ts[i:i+7], ' '))))) AS u(s)
+                                sh := CAST('0x' || substring(
+                                        md5(array_to_string(ts[i:i+7], ' ')),
+                                        1, 15) AS BIGINT)))) AS u(s)
     ),
     dfc AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
     anch AS (SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN dfc USING (sh)
@@ -5561,13 +5616,14 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 90%-covered doc is a near-copy to drop, a 10%-covered one
     keeps its unique remainder).
 
-    Reuses the span machinery (rare-anchored positional 8-gram
-    shingles → same-diagonal runs), then classic interval-union per
-    doc: both endpoints of every qualifying span emit (doc, start,
-    end) intervals, overlapping intervals merge with the running-max
-    gaps-islands trick (a window over each doc's OWN spans —
-    partition-bounded), and coverage is one division of exact token
-    counts. Identical-text duplicates collapse to their
+    Reuses the span machinery (_span_candidates — rare-anchored
+    positional 8-gram shingles → same-diagonal runs; see there for
+    the r7 60-bit-key + bucket-expansion scale rewrite), then classic
+    interval-union per doc: both endpoints of every qualifying span
+    emit (doc, start, end) intervals, overlapping intervals merge
+    with the running-max gaps-islands trick (a window over each doc's
+    OWN spans — partition-bounded), and coverage is one division of
+    exact token counts. Identical-text duplicates collapse to their
     representative first, so output rows are per distinct text."""
     d = _t(spark, sf_dir, "documents")
     reps = (
@@ -5576,39 +5632,7 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("ts"))
         .filter(F.size("ts") >= 8)
     )
-    sh = reps.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ts) - 7), i -> "
-                "struct(CAST(i AS BIGINT) AS pos, "
-                "md5(concat_ws(' ', slice(ts, i, 8))) AS sh))"
-            )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
-    dfc = sh.groupBy("sh").agg(F.count("*").alias("c"))
-    anch = sh.join(dfc, "sh").filter(F.col("c") <= 16).select("doc_id", "pos", "sh")
-    a = anch.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "sh")
-    b = anch.select(
-        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), F.col("sh").alias("sh2")
-    )
-    hits = a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("da") < F.col("db"))).select(
-        "da", "db", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
-    )
-    wruns = Window.partitionBy("da", "db", "diag").orderBy("pa")
-    runs = hits.select(
-        "da", "db", "diag", "pa", "pb",
-        (F.col("pa") - F.row_number().over(wruns)).alias("grp"),
-    )
-    spans = (
-        runs.groupBy("da", "db", "diag", "grp")
-        .agg(
-            (F.count("*") + 7).cast("long").alias("span"),
-            F.min("pa").cast("long").alias("sa"),
-            F.min("pb").cast("long").alias("sb"),
-        )
-        .filter(F.col("span") >= 16)
-    )
+    spans = _span_candidates(spark, sf_dir)
     iv = spans.select(
         F.col("da").alias("doc_id"),
         F.col("sa").alias("s"),

@@ -2287,8 +2287,9 @@ def test_cramers_v_matches_recompute():
 
 def test_dedup_span_matches_python_replay():
     """Independent python replay of the span pipeline (rep collapse,
-    8-gram md5 shingles, occurrence-cap 16, diagonal runs) — same
-    definition, separate implementation."""
+    8-gram shingles keyed by the 60-bit md5-prefix integer,
+    occurrence-cap 16, diagonal runs) — same definition, separate
+    implementation."""
     import hashlib as hl
     from collections import defaultdict
 
@@ -2304,7 +2305,7 @@ def test_dedup_span_matches_python_replay():
     for t, did in reps.items():
         ts = t.split(" ")
         for i in range(len(ts) - 7):
-            h = hl.md5(" ".join(ts[i : i + 8]).encode()).hexdigest()
+            h = int(hl.md5(" ".join(ts[i : i + 8]).encode()).hexdigest()[:15], 16)
             sh[h].append((did, i + 1))
     hits = defaultdict(set)  # (da, db, diag) -> {pa}
     for h, occ in sh.items():

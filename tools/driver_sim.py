@@ -33,6 +33,9 @@ ROUND_CHANGED = [
                   # zero-denominator guard, both engines)
     "q_agg_tdigest",     # r7: merge buckets on right-edge k crossings
                   # (midpoint bucketing was ~2 k-units loose)
+    "q_dedup_span",      # r7: 60-bit md5-prefix anchor keys + bounded
+                  # per-bucket pair expansion (no anchor self-join)
+    "q_dedup_span_coverage",  # r7: shares _span_candidates
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
