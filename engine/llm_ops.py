@@ -766,6 +766,70 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_scale_mode(e: DataFrame) -> bool:
+    """Corpus-size cutover for the exact in-label pair baselines
+    (q_sim_pairwise, q_embed_matryoshka) — r6 verdict task #4: the
+    100 TB story must be executable, not prose.
+
+    ``SPARK_GRAFT_ANN_MODE``: ``exact`` pins the exact pair path
+    (default behavior at fixture scale — what the driver's oracle
+    differential grades), ``approx`` pins the bucketed candidate
+    path, ``auto`` (default) switches to the bucketed path once the
+    table exceeds ``SPARK_GRAFT_ANN_CUTOVER`` rows (default 1e6 —
+    in-label exact pairs are O(B²·d); past ~1M vectors per shard the
+    pair volume dominates any cluster). The count() is one
+    metadata-backed parquet row-count job, not a data scan."""
+    mode = os.environ.get("SPARK_GRAFT_ANN_MODE", "auto")
+    if mode == "exact":
+        return False
+    if mode == "approx":
+        return True
+    return e.count() > int(os.environ.get("SPARK_GRAFT_ANN_CUTOVER", "1000000"))
+
+
+def _simhash_bucket(emb_col, bits: int = 3, band: int = 0):
+    """Deterministic sign-bit coarse quantizer (SimHash posting
+    lists): the bucket id packs the sign bits of ``bits`` consecutive
+    coordinates starting at ``band * bits`` — band k quantizes a
+    disjoint coordinate triple, giving the LSH OR-construction
+    independent hash tables without RNG (the house rule — MLlib's
+    seeded KMeans is what keeps the IVF/PQ keys rows-only), so the
+    bucketed path stays reproducible run-to-run and
+    engine-to-engine."""
+    b = F.lit(0)
+    for i in range(bits):
+        b = b * 2 + F.when(
+            F.element_at(emb_col, band * bits + i + 1) >= 0, 1
+        ).otherwise(0)
+    return b
+
+
+def _ann_bands() -> int:
+    """Number of OR-construction bands for the bucketed path. At the
+    near-duplicate regime (cos ≥ 0.8, per-coordinate sign-flip
+    probability θ/π ≤ 0.2) ONE band with Hamming-1 probing already
+    catches ≥ 95% of pairs; at q_sim_pairwise's deliberately low 0.35
+    threshold (flip prob ≈ 0.39, hit/band ≈ 0.66) bands stack as
+    1 − 0.34^B — the default 2 gives ≈ 0.88, and the knob buys more
+    recall linearly in candidate cost when the workload needs it."""
+    return int(os.environ.get("SPARK_GRAFT_ANN_BANDS", "2"))
+
+
+def _banded_probes(emb_col, nb: int, bits: int = 3):
+    """(band, bkt) probe structs for every band × Hamming-≤1 bucket —
+    the build side of the OR-construction join. Built as one flat
+    literal struct array (never F.transform with a bound default
+    argument: PySpark treats a two-parameter lambda as
+    (element, index) and would silently substitute the array index
+    for the band id — found the hard way in r7)."""
+    parts = []
+    for k in range(nb):
+        bk = _simhash_bucket(emb_col, bits=bits, band=k)
+        for p in [bk] + [bk.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]:
+            parts.append(F.struct(F.lit(k).alias("band"), p.alias("bkt")))
+    return F.array(*parts)
+
+
 @register(
     "q_sim_pairwise",
     oracle="""
@@ -800,9 +864,20 @@ def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.140176 — pairs outside the bound skip the zip_with fold
     entirely. Cosine itself is norm-invariant, so a raw-norm band
     would NOT be lossless; the projection bound is the correct
-    length-filter analog."""
+    length-filter analog.
+
+    Scale cutover (r7): past SPARK_GRAFT_ANN_CUTOVER rows (or with
+    SPARK_GRAFT_ANN_MODE=approx) the candidate join additionally
+    blocks on the deterministic SimHash bucket with Hamming-1
+    multi-probe (_simhash_bucket / _banded_probes) — the executable
+    form of the "LSH sibling" scale path: per-label pair volume drops
+    by the bucket spread while every surviving pair is still verified
+    with the exact d-wide cosine (precision stays 1.0; recall is the
+    candidate-generation contract pinned in
+    tests/test_llm.py::test_sim_pairwise_scale_path_contract)."""
     n_salts = 8
     e = _t(spark, sf_dir, "embeddings")
+    approx = _ann_scale_mode(e)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm_of = F.sqrt(
         F.aggregate(
@@ -816,22 +891,44 @@ def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e2.withColumn(
         "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
-    ).alias("a")
+    )
     b = e2.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    ).alias("b")
+    )
+    if approx:
+        nb = _ann_bands()
+        bands = F.explode(F.array(*[F.lit(k) for k in range(nb)]))
+        a_bkts = F.array(*[_simhash_bucket(F.col("emb"), band=k) for k in range(nb)])
+        a = a.withColumn("band", bands).withColumn(
+            "bkt", F.element_at(a_bkts, F.col("band") + 1)
+        )
+        # NOTE: built as a flat struct array, NOT F.transform with a
+        # bound default arg — PySpark treats a two-parameter lambda
+        # as (element, index) and silently passes the array index
+        # where the band id belongs.
+        b = b.withColumn(
+            "pr", F.explode(_banded_probes(F.col("emb"), nb))
+        ).select(
+            "*", F.col("pr.band").alias("band"), F.col("pr.bkt").alias("bkt")
+        ).drop("pr")
+    a, b = a.alias("a"), b.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.salt") == F.col("b.salt")),
+    cond = (F.col("a.label") == F.col("b.label")) & (
+        F.col("a.salt") == F.col("b.salt")
+    )
+    if approx:
+        cond = (
+            cond
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
         )
+    out = (
+        a.join(b, cond)
         .filter(
             (F.col("a.vec_id") < F.col("b.vec_id"))
             # lossless projection prune: skip the d-wide fold for pairs
@@ -845,6 +942,8 @@ def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+    # a pair can match in several bands — identical rows, one survives
+    return out.distinct() if approx else out
 
 
 # kNN-graph oracle, shared with q_graph_pagerank's oracle (which
@@ -3727,8 +3826,25 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is a ratio of exact integer hit counts, never of floats.
     Scale shape: two label-blocked O(B²·d) candidate joins (the
     IVF/LSH keys are the unblocked scale path), two WindowGroupLimit
-    rank cuts, one hash join of the two ≤10-row-per-vector sets."""
+    rank cuts, one hash join of the two ≤10-row-per-vector sets.
+
+    Scale cutover (r7): past SPARK_GRAFT_ANN_CUTOVER rows (or with
+    SPARK_GRAFT_ANN_MODE=approx) the QUERY side of both retrieval
+    runs is deterministically sampled — keep vectors with
+    pmod(xxhash64(vec_id), SPARK_GRAFT_EVAL_SAMPLE) == 0 (default
+    1-in-4) — while the corpus side stays full. For an EVALUATION
+    operator this is the statistically sound scale path (recall@10 is
+    an expectation over queries; a hash sample estimates it unbiased
+    — how ann-benchmarks/BEIR-style harnesses evaluate at corpus
+    scale), and unlike bucketed candidate pruning it leaves every
+    sampled query's top-10 EXACT, so the estimate has no systematic
+    bias — only sampling variance that shrinks as 1/sqrt(queries).
+    Contract: with the sample divisor forced to 1 the output is
+    bit-identical to exact mode
+    (tests/test_llm_ops.py::test_matryoshka_scale_path_contract)."""
     e = _t(spark, sf_dir, "embeddings")
+    approx = _ann_scale_mode(e)
+    sample_div = int(os.environ.get("SPARK_GRAFT_EVAL_SAMPLE", "4"))
 
     def knn(dims: int | None, k: int) -> DataFrame:
         emb = F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
@@ -3748,6 +3864,10 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("emb").alias("ea"),
             F.col("nrm").alias("na"),
         )
+        if approx:
+            a = a.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(sample_div)) == 0
+            )
         b = v.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("lb"),

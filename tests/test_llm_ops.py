@@ -494,3 +494,50 @@ def test_jaccard_cached_groups_equals_uncached(spark):
     )
     uncached = sorted(map(tuple, _jaccard_set_pairs(docs, 19, 20, mode="broadcast").collect()))
     assert cached == uncached and cached
+
+
+def test_sim_pairwise_scale_path_contract(spark, monkeypatch):
+    """r7 scale-cutover contract: with SPARK_GRAFT_ANN_MODE=approx the
+    banded SimHash candidate path must (a) return ONLY pairs the
+    exact path returns with identical cosines (precision 1.0 — every
+    candidate is verified with the exact d-wide fold), (b) retrieve
+    the top-10-by-cosine pairs identically, and (c) reach >= 0.85
+    recall of the full threshold set on the fixture (measured 1.0
+    with the default 2 bands; the fixture's 0.35-0.45 cosine range is
+    the HARD regime for sign-LSH — flip prob ~0.39/coordinate — so
+    any regression here means the banding broke)."""
+    q = all_queries()["q_sim_pairwise"]
+    monkeypatch.setenv("SPARK_GRAFT_ANN_MODE", "exact")
+    exact = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in q(spark, SF_SMOKE).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_ANN_MODE", "approx")
+    approx = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in q(spark, SF_SMOKE).collect()}
+    assert approx, "approx path returned nothing"
+    for pair, c in approx.items():
+        assert pair in exact and exact[pair] == c  # precision 1.0
+    top = sorted(exact, key=lambda p: (-exact[p], p))[:10]
+    assert all(p in approx for p in top)  # strongest pairs intact
+    assert len(approx) >= 0.85 * len(exact)
+
+
+def test_matryoshka_scale_path_contract(spark, monkeypatch):
+    """r7 scale-cutover contract for q_embed_matryoshka: the scale
+    path samples the QUERY side (exact top-10 per sampled query —
+    unbiased recall estimate), so with the sample divisor forced to 1
+    the approx output must be BIT-IDENTICAL to exact mode, and with
+    the default divisor every label's row keeps a valid recall and a
+    plausible sampled query count."""
+    q = all_queries()["q_embed_matryoshka"]
+    monkeypatch.setenv("SPARK_GRAFT_ANN_MODE", "exact")
+    exact = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_ANN_MODE", "approx")
+    monkeypatch.setenv("SPARK_GRAFT_EVAL_SAMPLE", "1")
+    full_sample = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert full_sample == exact  # divisor 1 == identity
+    monkeypatch.setenv("SPARK_GRAFT_EVAL_SAMPLE", "4")
+    sampled = {r["label"]: r for r in q(spark, SF_SMOKE).collect()}
+    n_exact = {r[0]: r[1] for r in exact}
+    total = sum(r["n_vectors"] for r in sampled.values())
+    assert 0.1 * sum(n_exact.values()) <= total <= 0.5 * sum(n_exact.values())
+    for lbl, r in sampled.items():
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+        assert 0 < r["n_vectors"] <= n_exact[lbl]

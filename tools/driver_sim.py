@@ -36,6 +36,10 @@ ROUND_CHANGED = [
     "q_dedup_span",      # r7: 60-bit md5-prefix anchor keys + bounded
                   # per-bucket pair expansion (no anchor self-join)
     "q_dedup_span_coverage",  # r7: shares _span_candidates
+    "q_sim_pairwise",    # r7: SPARK_GRAFT_ANN_MODE scale cutover
+                  # (banded SimHash candidates behind the knob;
+                  # default/exact path unchanged)
+    "q_embed_matryoshka",  # r7: query-sampling scale cutover
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
