@@ -40,6 +40,9 @@ ROUND_CHANGED = [
                   # (banded SimHash candidates behind the knob;
                   # default/exact path unchanged)
     "q_embed_matryoshka",  # r7: query-sampling scale cutover
+    "q_stream_watermark_late",  # r7: rows-only -> full oracle (the
+                  # deterministic replay's watermark schedule is now
+                  # mirrored in SQL)
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
