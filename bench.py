@@ -65,6 +65,12 @@ HEADLINE = [
     # (the 32-key prefix above is unchanged for comparability)
     "q_dedup_soft_weights",  # components + 1/cluster_size reweighting (r6)
     "q_graph_components",    # pointer-jumping label propagation (r6)
+    # r7 additions: the next heaviest unbenched keys (r6 verdict task
+    # #7; the 34-key prefix above is unchanged for comparability)
+    "q_stream_median",       # two-layer streaming exact median (r7)
+    "q_stream_pipeline",     # dedup+enrich+rollup stream ETL (r7)
+    "q_graph_kcore",         # h-index coreness fixpoint (r7)
+    "q_embed_pq",            # product quantization + ADC search (r7)
 ]
 
 
