@@ -3721,6 +3721,89 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_pixels",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w, h,
+             (doc_id + 3 * x.x + 7 * y.y) % 256 AS v
+      FROM d,
+           unnest(generate_series(0, w - 1)) AS x(x),
+           unnest(generate_series(0, h - 1)) AS y(y)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(v) AS BIGINT) AS sum_luma,
+           round(CAST(sum(v) AS DOUBLE) / (w * h), 4) + 0.0 AS mean_luma
+    FROM g GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+)
+def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, end-to-end and hash-checked (r7 — the codec
+    stub resolved, r6 verdict task #9): each doc synthesizes a genuine
+    grayscale PNG (dimensions from doc columns, pixel(x,y) =
+    (doc_id + 3x + 7y) mod 256, zlib IDAT + real CRCs via
+    engine.multimodal.encode_png), the payload round-trips through
+    engine.multimodal.decode_png — actual zlib inflate + scanline
+    unfiltering, stdlib only — and the DECODED pixels (never the
+    source array) reduce to exact integer luma statistics. The DuckDB
+    oracle recomputes the same statistics arithmetically from the
+    pixel formula, so a single flipped bit anywhere in encode,
+    deflate, inflate or unfilter breaks the hash compare. Entropy-
+    coded formats (JPEG/video) remain out of scope without a codec
+    library — SURVEY §2.11.
+
+    Scale shape: one documents scan, repartitioned across the
+    executor width BEFORE the Python stage (the r6 fan-out lesson —
+    the fixture scan is one row-group split), then a single Arrow-
+    batched mapInPandas whose per-row state is one ≤32×24 image;
+    output is 6 scalars per doc. No shuffle after the repartition."""
+    import numpy as np
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    width = spark.sparkContext.defaultParallelism
+    d = d.repartition(width)
+
+    def run(batches):
+        from engine.multimodal import decode_png, encode_png
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_pixels": [], "sum_luma": [], "mean_luma": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 24 + 8
+                h = int(doc_id) % 16 + 8
+                xs = np.arange(w, dtype=np.int64) * 3
+                ys = np.arange(h, dtype=np.int64) * 7
+                px = ((int(doc_id) + np.add.outer(ys, xs)) % 256).astype(
+                    np.uint8
+                )
+                payload = encode_png(px.tobytes(), w, h, channels=1)
+                dec = decode_png(payload)
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8)
+                s = int(arr.astype(np.int64).sum())
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["n_pixels"].append(dec["width"] * dec["height"])
+                out["sum_luma"].append(s)
+                out["mean_luma"].append(
+                    round(s / (dec["width"] * dec["height"]), 4) + 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, width long, height long, n_pixels long, "
+        "sum_luma long, mean_luma double",
+    ).orderBy("doc_id")
+
+
 def _knn_body() -> str:
     return KNN_ORACLE.strip().removeprefix("WITH").rsplit("SELECT", 1)[0].strip()
 

@@ -145,16 +145,149 @@ def decode_headers(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, DECODE_SCHEMA)
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Minimal standards-correct PNG encoder (stdlib only): 8-bit,
+    non-interlaced, filter 0 on every scanline, one zlib IDAT, real
+    CRCs. Exists so pixel-decode tests and the q_multimodal_pixels
+    operator can synthesize genuine PNG payloads without a codec
+    library."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL pixel decode for PNG, stdlib only (r7 — closes the r1-r6
+    codec stub for the one image format whose compression IS stdlib):
+    walks the chunk stream, zlib-inflates the concatenated IDATs and
+    reverses all five scanline filters (none/sub/up/average/paeth) per
+    the PNG spec. Supports the common profile a data pipeline stores:
+    8-bit, non-interlaced, grayscale/RGB/gray+alpha/RGBA. Returns
+    width/height/channels and the raw pixel bytes. Raises ValueError
+    on non-PNG or unsupported profiles — callers in batch transforms
+    catch and degrade, never die."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, channels, idat = 8, None, None, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            width, height, depth, ct, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or ct not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG profile d{depth} ct{ct}")
+            channels = _PNG_CHANNELS[ct]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data size mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+def decode_wav_samples(payload: bytes) -> dict:
+    """REAL sample decode for PCM WAV via the stdlib ``wave`` module:
+    returns channel count, sample rate, frame count and the raw
+    little-endian sample bytes."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        return {
+            "channels": w.getnchannels(),
+            "sample_rate": w.getframerate(),
+            "n_frames": w.getnframes(),
+            "samples": w.readframes(w.getnframes()),
+        }
+
+
 def _decode_pixels(payload: bytes) -> dict:
-    """Pixel/sample-level decode — still gated on a codec library (the
-    container ships none); header metadata needs no codec, see
-    :func:`parse_media_header`."""
+    """Pixel/sample-level decode dispatch. PNG and WAV decode for real
+    with the stdlib (zlib inflate + unfilter; ``wave``) — see
+    :func:`decode_png` / :func:`decode_wav_samples`. Entropy-coded
+    formats (JPEG, video codecs) still require a codec library the
+    container doesn't ship; they stay gated (r6 verdict task #9:
+    resolved as PNG/WAV real, JPEG/video out of scope — SURVEY §2.11)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav_samples(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "pixel decode requires PIL/pillow (not in this container); "
-            "parse_media_header() covers header metadata without it"
+            "entropy-coded formats (JPEG/video) require PIL/pillow or a "
+            "codec library (not in this container); PNG and PCM WAV "
+            "decode for real via the stdlib path above"
         ) from e
     raise NotImplementedError("wire PIL decode here when the codec lands")
 

@@ -119,6 +119,9 @@ _PRIORITY: list[str] = [
     "q_revenue_waterfall", "q_dedup_span_coverage", "q_text_fightin_words",
     "q_stats_fdr_bh", "q_quality_referential", "q_win_efficiency_ratio",
     "q_graph_assortativity", "q_stats_tost",
+    # -- new in round 7 (first-row keys; land in r9's window after
+    #    the final 15 r6-new keys) --
+    "q_multimodal_pixels",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r06) so every future window is a prefix rotation
 

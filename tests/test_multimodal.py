@@ -163,3 +163,94 @@ def test_decode_headers_null_payload_degrades(spark):
     out = {r["media_id"]: r for r in multimodal.decode_headers(df).collect()}
     assert out[1]["fmt"] == "png"
     assert out[2]["fmt"] == "unknown" and out[2]["n_bytes"] == 0
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _raw_png(width, height, color_type, filtered_rows) -> bytes:
+    """Assemble a PNG from HAND-WRITTEN filtered scanlines — the
+    encoder is deliberately bypassed so the decoder is tested against
+    the spec, not against our own encode path."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(row) for f, row in filtered_rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters_hand_verified():
+    """decode_png against hand-unfiltered expectations for every PNG
+    filter type (spec section 9): none/sub/up in one image,
+    average/paeth in another. Expected pixels computed by hand from
+    the spec recurrences, NOT by running any code in this repo."""
+    a = _raw_png(3, 3, 0, [
+        (0, [10, 20, 30]),   # none  -> 10 20 30
+        (1, [5, 5, 5]),      # sub   -> 5 10 15
+        (2, [1, 2, 3]),      # up    -> 6 12 18
+    ])
+    d = multimodal.decode_png(a)
+    assert (d["width"], d["height"], d["channels"]) == (3, 3, 1)
+    assert list(d["pixels"]) == [10, 20, 30, 5, 10, 15, 6, 12, 18]
+
+    b = _raw_png(3, 2, 0, [
+        (3, [8, 10, 12]),    # average -> 8 14 19
+        (4, [1, 1, 1]),      # paeth   -> 9 15 20
+    ])
+    d = multimodal.decode_png(b)
+    assert list(d["pixels"]) == [8, 14, 19, 9, 15, 20]
+
+
+def test_encode_decode_png_roundtrip_rgba():
+    """encode_png -> decode_png round-trip on deterministic RGBA data;
+    decode must return the exact source bytes."""
+    w, h, ch = 17, 9, 4
+    src = bytes((3 * i + 7) % 256 for i in range(w * h * ch))
+    d = multimodal.decode_png(multimodal.encode_png(src, w, h, channels=ch))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert d["pixels"] == src
+
+
+def test_decode_wav_samples_stdlib():
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(struct.pack("<4h", 0, 1000, -1000, 32767))
+    d = multimodal.decode_wav_samples(buf.getvalue())
+    assert d["channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_frames"] == 4
+    assert struct.unpack("<4h", d["samples"]) == (0, 1000, -1000, 32767)
+
+
+def test_decode_pixels_dispatch_and_gate():
+    """_decode_pixels: PNG and WAV decode for real; entropy-coded
+    formats still raise the documented NotImplementedError when no
+    codec library is present."""
+    png = multimodal.encode_png(bytes(range(16)), 4, 4, channels=1)
+    assert multimodal._decode_pixels(png)["pixels"] == bytes(range(16))
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32)

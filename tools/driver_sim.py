@@ -43,6 +43,7 @@ ROUND_CHANGED = [
     "q_stream_watermark_late",  # r7: rows-only -> full oracle (the
                   # deterministic replay's watermark schedule is now
                   # mirrored in SQL)
+    "q_multimodal_pixels",  # r7: new — real PNG pixel decode round-trip
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
