@@ -5657,3 +5657,270 @@ def q_win_efficiency_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(2 * net > F.col("vol"), 1).otherwise(0).alias("trending"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_win_elder_ray",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT event_type,
+             list(CAST(cl AS DOUBLE) ORDER BY di) AS cls,
+             max(struct_pack(d := di, day := day, hi := hi, lo := lo)) AS lastb
+      FROM d GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type, lastb.day AS day,
+             CAST(len(cls) AS BIGINT) AS n_days,
+             list_reduce(cls, (acc, x) -> (2.0 * x + 12.0 * acc) / 14.0)
+               AS ema,
+             CAST(lastb.hi AS DOUBLE) AS hi, CAST(lastb.lo AS DOUBLE) AS lo
+      FROM s
+    )
+    SELECT event_type, day, n_days,
+           round(ema / 100.0, 4) + 0.0 AS ema13,
+           round((hi - ema) / 100.0, 4) + 0.0 AS bull_power,
+           round((lo - ema) / 100.0, 4) + 0.0 AS bear_power,
+           CASE WHEN hi - ema > 0 THEN 1 ELSE 0 END AS bulls_in_control,
+           CASE WHEN lo - ema < 0 THEN 1 ELSE 0 END AS bears_present
+    FROM e ORDER BY event_type
+    """,
+)
+def q_win_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder-Ray bull/bear power at the latest bar per event type:
+    bull = last high − EMA13(close), bear = last low − EMA13 — the
+    oscillator pair that splits q_win_ewma-style smoothing into WHO is
+    in control (bulls push highs above the consensus EMA, bears pull
+    lows below), completing the momentum family next to MACD (EMA
+    differences) and force-index (volume-weighted change).
+
+    Shape: the per-type daily-bar aggregate (deterministic close =
+    value of the max (ts, event_id) struct — the house bar idiom),
+    then ONE sorted-array fold per type for the EMA — day counts per
+    type are bounded, the fold order is pinned by the sort, and both
+    engines evaluate the IDENTICAL (2x + 12·acc)/14 expression
+    seeded with the first close, so the doubles (and the sign flags
+    read off them) agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    d = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+        )
+    )
+    s = d.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("di"), F.col("cl").cast("double").alias("v")))
+        ).alias("ds"),
+        F.max(
+            F.struct(
+                F.col("di").alias("d"),
+                F.col("day").alias("day"),
+                F.col("hi").alias("hi"),
+                F.col("lo").alias("lo"),
+            )
+        ).alias("lastb"),
+    )
+    cls = F.transform(F.col("ds"), lambda x: x["v"])
+    ema = F.aggregate(
+        F.slice(cls, 2, F.greatest(F.size(cls) - 1, F.lit(0))),
+        F.element_at(cls, 1),
+        lambda acc, x: (2.0 * x + 12.0 * acc) / 14.0,
+    )
+    e = s.select(
+        "event_type",
+        F.col("lastb.day").alias("day"),
+        F.size(cls).cast("long").alias("n_days"),
+        ema.alias("ema"),
+        F.col("lastb.hi").cast("double").alias("hi"),
+        F.col("lastb.lo").cast("double").alias("lo"),
+    )
+    return e.select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.round(F.col("ema") / 100.0, 4) + 0.0).alias("ema13"),
+        (F.round((F.col("hi") - F.col("ema")) / 100.0, 4) + 0.0).alias("bull_power"),
+        (F.round((F.col("lo") - F.col("ema")) / 100.0, 4) + 0.0).alias("bear_power"),
+        F.when(F.col("hi") - F.col("ema") > 0, 1).otherwise(0).alias(
+            "bulls_in_control"
+        ),
+        F.when(F.col("lo") - F.col("ema") < 0, 1).otherwise(0).alias(
+            "bears_present"
+        ),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_win_heikin_ashi",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(min(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS op,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT event_type,
+             list(struct_pack(di := di, o := CAST(op AS DOUBLE),
+                              h := CAST(hi AS DOUBLE),
+                              l := CAST(lo AS DOUBLE),
+                              c := CAST(cl AS DOUBLE)) ORDER BY di) AS ds,
+             max(struct_pack(d := di, day := day)).day AS day
+      FROM d GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, day,
+             CAST(len(ds) AS BIGINT) AS n_days,
+             list_transform(ds, b -> (b.o + b.h + b.l + b.c) / 4.0) AS hcs,
+             ds[len(ds)] AS lastb,
+             (ds[1].o + ds[1].c) / 2.0 AS seed
+      FROM s
+    ),
+    g AS (
+      SELECT event_type, day, n_days,
+             hcs[len(hcs)] AS ha_close,
+             list_reduce(list_prepend(seed, hcs[1:len(hcs) - 1]),
+                         (acc, x) -> (acc + x) / 2.0) AS ha_open,
+             lastb.h AS hi, lastb.l AS lo
+      FROM f
+    )
+    SELECT event_type, day, n_days,
+           round(ha_open / 100.0, 4) + 0.0 AS ha_open,
+           round(ha_close / 100.0, 4) + 0.0 AS ha_close,
+           round(greatest(hi, ha_open, ha_close) / 100.0, 4) + 0.0 AS ha_high,
+           round(least(lo, ha_open, ha_close) / 100.0, 4) + 0.0 AS ha_low,
+           CASE WHEN ha_close > ha_open THEN 1 ELSE 0 END AS bullish
+    FROM g ORDER BY event_type
+    """,
+)
+def q_win_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed candle at the latest bar per event type:
+    HA close = (O+H+L+C)/4, HA open = midpoint of the PREVIOUS HA
+    candle — the trend-smoothing recursion chartists read instead of
+    raw candles (a run of same-color HA candles = one trend leg;
+    q_candle_patterns reads raw bodies, this reads the smoothed ones).
+
+    The recursion ha_open[t] = (ha_open[t-1] + ha_close[t-1])/2 is a
+    sorted-array fold with an explicit seed ((O₀+C₀)/2): both engines
+    prepend the seed and fold (acc + x)/2 over the HA closes except
+    the last, in the SAME pinned order — bit-identical doubles, so
+    the candle color flag agrees too. Per-type day counts bound the
+    arrays; one hash agg + one fold, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    st = F.struct(
+        F.col("ts").alias("t"), F.col("event_id").alias("e"), F.col("c").alias("v")
+    )
+    d = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.min(st)["v"].alias("op"),
+            F.max(st)["v"].alias("cl"),
+        )
+    )
+    s = d.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("di"),
+                    F.col("op").cast("double").alias("o"),
+                    F.col("hi").cast("double").alias("h"),
+                    F.col("lo").cast("double").alias("l"),
+                    F.col("cl").cast("double").alias("c"),
+                )
+            )
+        ).alias("ds"),
+        F.max(F.struct(F.col("di").alias("d"), F.col("day").alias("day")))[
+            "day"
+        ].alias("day"),
+    )
+    hcs = F.transform(
+        F.col("ds"), lambda b: (b["o"] + b["h"] + b["l"] + b["c"]) / 4.0
+    )
+    lastb = F.element_at(F.col("ds"), -1)
+    seed = (
+        F.element_at(F.col("ds"), 1)["o"] + F.element_at(F.col("ds"), 1)["c"]
+    ) / 2.0
+    ha_open = F.aggregate(
+        F.slice(hcs, 1, F.greatest(F.size(hcs) - 1, F.lit(0))),
+        seed,
+        lambda acc, x: (acc + x) / 2.0,
+    )
+    g = s.select(
+        "event_type",
+        "day",
+        F.size("ds").cast("long").alias("n_days"),
+        F.element_at(hcs, -1).alias("ha_close"),
+        ha_open.alias("ha_open"),
+        lastb["h"].alias("hi"),
+        lastb["l"].alias("lo"),
+    )
+    return g.select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.round(F.col("ha_open") / 100.0, 4) + 0.0).alias("ha_open"),
+        (F.round(F.col("ha_close") / 100.0, 4) + 0.0).alias("ha_close"),
+        (
+            F.round(
+                F.greatest("hi", "ha_open", "ha_close") / 100.0, 4
+            )
+            + 0.0
+        ).alias("ha_high"),
+        (
+            F.round(F.least("lo", "ha_open", "ha_close") / 100.0, 4) + 0.0
+        ).alias("ha_low"),
+        F.when(F.col("ha_close") > F.col("ha_open"), 1).otherwise(0).alias(
+            "bullish"
+        ),
+    ).orderBy("event_type")

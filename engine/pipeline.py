@@ -3924,3 +3924,156 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / 2).cast("long").alias("n_edges"),
         (F.round(num / den, 4) + 0.0).alias("assortativity"),
     )
+
+
+@register(
+    "q_eval_f1_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(greatest(least(
+               0.5 + CAST(embedding[1] AS DOUBLE), 1.0), 0.0) * 1000000)
+             AS BIGINT) AS p6,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    cell AS (
+      SELECT p6 // 50000 AS bucket, y, CAST(count(*) AS BIGINT) AS c
+      FROM scored GROUP BY bucket, y
+    ),
+    th AS (SELECT unnest(generate_series(1, 19)) AS step),
+    cm AS (
+      SELECT th.step, CAST(th.step * 50000 AS BIGINT) AS thr6,
+             CAST(sum(CASE WHEN cell.bucket >= th.step AND y = 1
+                           THEN c ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN cell.bucket >= th.step AND y = 0
+                           THEN c ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN cell.bucket < th.step AND y = 1
+                           THEN c ELSE 0 END) AS BIGINT) AS fn
+      FROM th, cell GROUP BY th.step
+    ),
+    m AS (
+      SELECT step, round(thr6 / 1000000.0, 2) + 0.0 AS threshold, tp, fp, fn,
+             CASE WHEN tp + fp > 0
+                  THEN round(CAST(tp AS DOUBLE) / (tp + fp), 4) + 0.0
+                  ELSE NULL END AS precision,
+             CASE WHEN tp + fn > 0
+                  THEN round(CAST(tp AS DOUBLE) / (tp + fn), 4) + 0.0
+                  ELSE NULL END AS recall,
+             CASE WHEN 2 * tp + fp + fn > 0
+                  THEN round(2.0 * tp / (2 * tp + fp + fn), 4) + 0.0
+                  ELSE NULL END AS f1,
+             CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp AS HUGEINT) END AS f1n,
+             CAST(2 * tp + fp + fn AS HUGEINT) AS f1d
+      FROM cm
+    ),
+    best AS (
+      SELECT step,
+             CASE WHEN f1n IS NOT NULL AND NOT EXISTS (
+                    SELECT 1 FROM m m2 WHERE m2.f1n IS NOT NULL
+                    AND m2.f1n * m.f1d > m.f1n * m2.f1d)
+                  THEN 1 ELSE 0 END AS is_best
+      FROM m
+    )
+    SELECT m.threshold, m.tp, m.fp, m.fn, m.precision, m.recall, m.f1,
+           best.is_best AS best_f1
+    FROM m JOIN best USING (step) ORDER BY m.threshold
+    """,
+)
+def q_eval_f1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep: precision / recall / F1 at 19 thresholds
+    (0.05 … 0.95) with the best-F1 row flagged — the table a team
+    reads to PICK the threshold that q_eval_confusion then monitors
+    (AUC ranks the model; this chooses where to cut it). Scores and
+    labels follow the q_eval_auc fixture conventions.
+
+    Exactness: scores land on the 1e-6 grid, thresholds on the same
+    grid (step·50000), so every tp/fp/fn is an exact integer; the
+    metric divisions happen once per threshold row. The best-F1 flag
+    never compares floats — F1 ratios cross-multiply as 128-bit
+    integers (2tp_a·d_b > 2tp_b·d_a), so ties flag every maximal row
+    identically on both engines.
+
+    Plan: ONE hash aggregate collapses the corpus to ≤ 42 (bucket,
+    label) cells (scores bucket by the same 0.05 grid the thresholds
+    live on — a threshold can never split a bucket), the 19-row
+    threshold spine cross-joins against those cells (both broadcast-
+    sized), and the flag is a tiny self-join. No data-sized shuffle
+    beyond the first aggregate's partials."""
+    p6 = F.floor(
+        F.greatest(
+            F.least(0.5 + F.element_at("embedding", 1).cast("double"), F.lit(1.0)),
+            F.lit(0.0),
+        )
+        * 1000000
+    ).cast("long")
+    y = F.when(F.col("label") % 2 == 1, 1).otherwise(0)
+    cell = (
+        load_table(spark, sf_dir, "embeddings")
+        .select((p6 / 50000).cast("long").alias("bucket"), y.alias("y"))
+        .groupBy("bucket", "y")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    th = spark.range(1, 20).select(F.col("id").cast("long").alias("step"))
+    cm = (
+        F.broadcast(th)
+        .crossJoin(cell)
+        .groupBy("step")
+        .agg(
+            F.sum(
+                F.when((F.col("bucket") >= F.col("step")) & (F.col("y") == 1),
+                       F.col("c")).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("bucket") >= F.col("step")) & (F.col("y") == 0),
+                       F.col("c")).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when((F.col("bucket") < F.col("step")) & (F.col("y") == 1),
+                       F.col("c")).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    m = cm.select(
+        "step",
+        (F.round(F.col("step") * 50000 / 1000000.0, 2) + 0.0).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 4)
+               + 0.0).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 4)
+               + 0.0).alias("recall"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               F.round(2.0 * F.col("tp")
+                       / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 4)
+               + 0.0).alias("f1"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               dec(2 * F.col("tp"))).alias("f1n"),
+        dec(2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1d"),
+    )
+    other = m.select(
+        F.col("f1n").alias("o_n"), F.col("f1d").alias("o_d")
+    ).filter(F.col("o_n").isNotNull())
+    beaten = (
+        m.join(
+            F.broadcast(other),
+            F.col("o_n") * F.col("f1d") > F.col("f1n") * F.col("o_d"),
+            "left_semi",
+        )
+        .select("step")
+        .withColumn("beat", F.lit(1))
+    )
+    return (
+        m.join(F.broadcast(beaten), "step", "left")
+        .select(
+            "threshold", "tp", "fp", "fn", "precision", "recall", "f1",
+            F.when(
+                F.col("f1n").isNotNull() & F.col("beat").isNull(), 1
+            ).otherwise(0).alias("best_f1"),
+        )
+        .orderBy("threshold")
+    )

@@ -3783,3 +3783,239 @@ def q_stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stats_kruskal_wallis",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    gv AS (SELECT grp, cents, CAST(count(*) AS BIGINT) AS c
+           FROM v GROUP BY grp, cents),
+    tv AS (
+      SELECT cents, CAST(sum(c) AS BIGINT) AS t,
+             CAST(coalesce(sum(sum(c)) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS before
+      FROM gv GROUP BY cents
+    ),
+    rj AS (
+      SELECT gv.grp, CAST(sum(gv.c) AS BIGINT) AS nj,
+             CAST(sum(CAST(gv.c AS HUGEINT) * (2 * tv.before + tv.t + 1))
+                  AS HUGEINT) AS r2j
+      FROM gv JOIN tv USING (cents) GROUP BY gv.grp
+    ),
+    tie AS (
+      SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tsum,
+             CAST(sum(t) AS BIGINT) AS n
+      FROM tv
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, any_value(tie.n) AS n,
+             CAST(sum(CAST(r2j AS HUGEINT) * r2j // nj) AS HUGEINT) AS q4,
+             any_value(tie.tsum) AS tsum
+      FROM rj, tie
+    )
+    SELECT n, k,
+           round(3.0 * CAST(q4 AS DOUBLE) / n / (n + 1) - 3.0 * (n + 1), 4)
+             + 0.0 AS h,
+           CASE WHEN CAST(tsum AS DOUBLE)
+                     < CAST(n AS DOUBLE) * n * n - n
+                THEN round((3.0 * CAST(q4 AS DOUBLE) / n / (n + 1)
+                            - 3.0 * (n + 1))
+                           / (1.0 - CAST(tsum AS DOUBLE)
+                                    / (CAST(n AS DOUBLE) * n * n - n)),
+                           4) + 0.0
+                ELSE NULL END AS h_corrected
+    FROM s
+    """,
+)
+def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities on order
+    value — the k-group extension of q_stats_mannwhitney (which is
+    exactly KW at k=2) and the nonparametric counterpart of
+    q_stats_anova's F: does ANY priority's value distribution sit
+    higher, without normality assumptions. Tie-corrected variant
+    alongside (H / (1 − Σ(t³−t)/(N³−N))), NULL when every value is
+    tied.
+
+    Exactness (the q_stats_mannwhitney discipline): ranks stay
+    DOUBLED integers (2·avg rank of a tied value = 2·before + t + 1),
+    per-group doubled rank sums and the tie term accumulate as
+    decimal/HUGEINT, and Σ(2R_j)²/n_j is floored PER GROUP to an
+    exact 128-bit integer before the k-term sum — a deterministic
+    ≤ k absolute error ≈ 3k/(N(N+1)) on H, orders of magnitude below
+    the round(4) contract, instead of a k-term float sum whose order
+    the engines would not agree on. (2R_j)² clears 128 bits up to
+    ~10⁹ rows per group — the same documented bound as the sibling
+    moment folds. H evaluates once, in doubles, by the identical
+    expression tree on both engines.
+
+    Plan: one value-level hash agg, the banded exclusive prefix
+    (never a global single-partition window), one domain-sized join
+    back, one 5-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    gv = v.groupBy("grp", "cents").agg(F.count("*").cast("long").alias("c"))
+    tv = gv.groupBy("cents").agg(F.sum("c").cast("long").alias("t"))
+    tv = _banded_cum(tv, "cents", ["t"], 1 << 16).withColumn(
+        "before", F.col("cum_t") - F.col("t")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    rj = (
+        gv.join(tv.select("cents", "t", "before"), "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("nj"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * (2 * F.col("before") + F.col("t") + 1)
+            ).alias("r2j"),
+        )
+    )
+    tie = tv.agg(
+        F.sum(dec("t") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    s = rj.crossJoin(F.broadcast(tie)).agg(
+        F.count("*").cast("long").alias("k"),
+        F.any_value("n").alias("n"),
+        F.sum(F.floor(F.col("r2j") * F.col("r2j") / F.col("nj"))).alias("q4"),
+        F.any_value("tsum").alias("tsum"),
+    )
+    nD = F.col("n").cast("double")
+    h = 3.0 * F.col("q4").cast("double") / F.col("n") / (F.col("n") + 1) - 3.0 * (
+        F.col("n") + 1
+    )
+    tD = F.col("tsum").cast("double")
+    cube = nD * F.col("n") * F.col("n") - F.col("n")
+    return s.select(
+        "n",
+        "k",
+        (F.round(h, 4) + 0.0).alias("h"),
+        F.when(tD < cube, F.round(h / (1.0 - tD / cube), 4) + 0.0)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("h_corrected"),
+    )
+
+
+@register(
+    "q_stats_friedman",
+    oracle="""
+    WITH cell AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS blk,
+             o_orderpriority AS trt,
+             (CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                   AS HUGEINT) * 1000000)
+               // count(*) AS mq
+      FROM orders GROUP BY blk, trt
+    ),
+    full_blk AS (
+      SELECT blk FROM cell GROUP BY blk
+      HAVING count(*) = (SELECT count(DISTINCT o_orderpriority) FROM orders)
+    ),
+    c2 AS (SELECT cell.* FROM cell JOIN full_blk USING (blk)),
+    tied AS (
+      SELECT blk, trt,
+             CAST(count(*) OVER (PARTITION BY blk, mq) AS BIGINT) AS t,
+             CAST(coalesce(count(*) OVER (PARTITION BY blk
+                    ORDER BY mq RANGE BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS before
+      FROM c2
+    ),
+    rj AS (
+      SELECT trt, CAST(count(*) AS BIGINT) AS b,
+             CAST(sum(2 * before + t + 1) AS BIGINT) AS r2
+      FROM tied GROUP BY trt
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, any_value(b) AS b,
+             CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS sr4
+      FROM rj
+    )
+    SELECT b AS n_blocks, k AS k_treatments,
+           round(3.0 * CAST(sr4 AS DOUBLE) / b / k / (k + 1)
+                 - 3.0 * b * (k + 1), 4) + 0.0 AS chi2_f
+    FROM s
+    """,
+)
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the order priorities rank consistently across
+    MONTH blocks? The repeated-measures companion to
+    q_stats_kruskal_wallis — KW pools all observations (and a strong
+    month effect inflates within-group variance); Friedman ranks the
+    treatment means WITHIN each month, so a consistent ordering shows
+    up even when months differ wildly in level. Only complete blocks
+    (all k treatments present) enter, per the classic design.
+
+    Exactness: each (month, priority) cell reduces to the exact
+    1e-6-grid mean (Σcents·10⁶ div n — 128-bit), within-block ranks
+    are DOUBLED integers with average-tie handling (2·before + t + 1
+    over the block's mq groups — a block is k rows, so the windows
+    are domain-sized), per-treatment doubled rank sums and their
+    squares are exact integers, and χ²_F evaluates once in doubles by
+    the identical expression tree: 3·Σ(2R_j)²/(b·k·(k+1)) − 3·b·(k+1)
+    (the standard 12/(bk(k+1))·ΣR² with the doubled-rank ¼ folded
+    in)."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+            .alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "decimal(38,0)"
+                )
+                * 1000000
+                / F.count("*")
+            ).alias("mq")
+        )
+    )
+    k_all = o.select(F.countDistinct("o_orderpriority").alias("ka"))
+    full_blk = (
+        cell.groupBy("blk")
+        .agg(F.count("*").alias("nt"))
+        .crossJoin(F.broadcast(k_all))
+        .filter(F.col("nt") == F.col("ka"))
+        .select("blk")
+    )
+    from pyspark.sql import Window
+
+    c2 = cell.join(full_blk, "blk")
+    wt = Window.partitionBy("blk", "mq")
+    wb = Window.partitionBy("blk").orderBy("mq").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    tied = c2.select(
+        "blk",
+        "trt",
+        F.count("*").over(wt).cast("long").alias("t"),
+        F.coalesce(F.count("*").over(wb), F.lit(0)).cast("long").alias("before"),
+    )
+    rj = tied.groupBy("trt").agg(
+        F.count("*").cast("long").alias("b"),
+        F.sum(2 * F.col("before") + F.col("t") + 1).cast("long").alias("r2"),
+    )
+    s = rj.agg(
+        F.count("*").cast("long").alias("k"),
+        F.any_value("b").alias("b"),
+        F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2")).alias("sr4"),
+    )
+    chi = (
+        3.0 * F.col("sr4").cast("double") / F.col("b") / F.col("k") / (F.col("k") + 1)
+        - 3.0 * F.col("b") * (F.col("k") + 1)
+    )
+    return s.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        (F.round(chi, 4) + 0.0).alias("chi2_f"),
+    )

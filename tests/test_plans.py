@@ -84,6 +84,8 @@ _SINGLE_PARTITION_OK = {
     "q_basket_rules",     # 1-row order-count fold + global top-25 gather
     "q_stats_ks",         # |bands|-row carry window + 1-row struct-max
     "q_stats_mannwhitney",  # |bands|-row carry window + 1-row re-aggregate
+    "q_stats_kruskal_wallis",  # |bands|-row carry window + 5-row/1-row reduces
+    "q_stats_friedman",   # per-block k-row rank windows + 5-row/1-row reduces
     "q_stats_anova",      # 1-row (k, N, S) total + 1-row output
     "q_quality_drift",    # <=64-bin table: carry window + total window
     "q_win_theil_sen",    # calendar-bounded day-pair series: rank + 1-row fold
@@ -172,6 +174,12 @@ _CROSS_OK = {
     "q_multimodal_phash",
     # DAU/WAU: the 1-row max-day bound clips contribution days.
     "q_rolling_active_users",
+    # KW: the 1-row (tie-sum, N) total folds into the 5-group table.
+    "q_stats_kruskal_wallis",
+    # F1 sweep: the 19-row threshold SPINE fans the <=42-cell score
+    # histogram (both broadcast-sized literals), and the best-F1 flag
+    # cross-joins the 19-row metric table with itself.
+    "q_eval_f1_sweep",
     # Benford: the 1-row total folds into the 9-row digit table.
     "q_benford",
     # perplexity: the 1-row corpus-token total folds into each token's

@@ -3542,3 +3542,146 @@ def test_tost_matches_numpy():
         exp = 1 if ((diff + margin) / se >= 1.6449
                     and (margin - diff) / se >= 1.6449) else 0
         assert row["equivalent"] == exp
+
+
+def test_kruskal_wallis_matches_scipy_free_recompute():
+    """Independent replay: scipy-free rank-based H with tie correction
+    over the orders fixture (average ranks via sorted positions)."""
+    df = _order_cents()
+    con = duckdb.connect()
+    pri = con.execute(
+        f"SELECT o_orderpriority AS grp, CAST(floor(o_totalprice*100) AS BIGINT)"
+        f" AS cents FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    n = len(pri)
+    order = pri["cents"].sort_values(kind="mergesort")
+    # average rank per value (1-based)
+    import collections
+
+    cnt = collections.Counter(pri["cents"])
+    start, avg_rank = {}, {}
+    pos = 1
+    for v in sorted(cnt):
+        t = cnt[v]
+        avg_rank[v] = pos + (t - 1) / 2.0
+        pos += t
+    rsum = collections.defaultdict(float)
+    nj = collections.Counter(pri["grp"])
+    for _, r in pri.iterrows():
+        rsum[r["grp"]] += avg_rank[r["cents"]]
+    s = sum(rsum[g] ** 2 / nj[g] for g in nj)
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    ties = sum(t**3 - t for t in cnt.values())
+    c = 1 - ties / (n**3 - n)
+    row = _oracle_orders("q_stats_kruskal_wallis").iloc[0]
+    assert row["n"] == n and row["k"] == len(nj)
+    # engine floors (2R)^2/n_j per group: deterministic <= k absolute
+    # error on the q4 sum -> bound H tolerance accordingly
+    tol = 3.0 * len(nj) / (n * (n + 1)) + 2e-4
+    assert abs(row["h"] - h) <= tol
+    assert abs(row["h_corrected"] - h / c) <= tol / c
+
+
+def test_friedman_matches_recompute():
+    """Independent replay: rank the per-(month, priority) exact grid
+    means within each complete month block, chi2_F from rank sums."""
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS blk,"
+        f" o_orderpriority AS trt,"
+        f" CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS HUGEINT)"
+        f" * 1000000 // count(*) AS mq"
+        f" FROM read_parquet('{SF}/orders.parquet') GROUP BY blk, trt"
+    ).df()
+    k = o["trt"].nunique()
+    full = o.groupby("blk").filter(lambda g: len(g) == k)
+    import collections
+
+    rsum = collections.defaultdict(float)
+    b = 0
+    for _, g in full.groupby("blk"):
+        b += 1
+        vals = sorted(g["mq"])
+        for _, r in g.iterrows():
+            lo = vals.index(r["mq"]) + 1
+            hi = len(vals) - vals[::-1].index(r["mq"])
+            rsum[r["trt"]] += (lo + hi) / 2.0
+    chi = 12.0 / (b * k * (k + 1)) * sum(v**2 for v in rsum.values()) - 3 * b * (
+        k + 1
+    )
+    row = _oracle_orders("q_stats_friedman").iloc[0]
+    assert row["n_blocks"] == b and row["k_treatments"] == k
+    assert abs(row["chi2_f"] - round(chi, 4)) < 1e-6
+
+
+def test_f1_sweep_matches_recompute():
+    e = _embeds()
+    score = e["embedding"].map(lambda v: min(max(0.5 + float(v[0]), 0.0), 1.0))
+    p6 = np.floor(score * 1000000).astype("int64")
+    y = (e["label"] % 2 == 1).astype(int).to_numpy()
+    got = _oracle_orders("q_eval_f1_sweep")
+    assert len(got) == 19
+    best_seen = []
+    for _, r in got.iterrows():
+        thr6 = int(round(r["threshold"] * 1000000))
+        pred = (p6 >= thr6).to_numpy()
+        tp = int((pred & (y == 1)).sum())
+        fp = int((pred & (y == 0)).sum())
+        fn = int((~pred & (y == 1)).sum())
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        if tp + fp:
+            assert abs(r["precision"] - round(tp / (tp + fp), 4)) < 1e-9
+        if 2 * tp + fp + fn:
+            f1 = 2 * tp / (2 * tp + fp + fn)
+            assert abs(r["f1"] - round(f1, 4)) < 1e-9
+            best_seen.append((f1, bool(r["best_f1"])))
+    mx = max(f for f, _ in best_seen)
+    for f, flag in best_seen:
+        assert flag == (abs(f - mx) < 1e-12)
+
+
+def test_elder_ray_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_elder_ray").set_index("event_type")
+    for et in ev["event_type"].unique():
+        g = ev[ev["event_type"] == et].sort_values(["ts", "event_id"])
+        bars = g.groupby("day").agg(
+            hi=("c", "max"), lo=("c", "min"), cl=("c", "last")
+        )
+        ema = float(bars["cl"].iloc[0])
+        for x in bars["cl"].iloc[1:]:
+            ema = (2.0 * float(x) + 12.0 * ema) / 14.0
+        row = got.loc[et]
+        assert row["n_days"] == len(bars)
+        assert abs(row["ema13"] - round(ema / 100.0, 4)) < 1e-9
+        assert abs(
+            row["bull_power"] - round((int(bars["hi"].iloc[-1]) - ema) / 100.0, 4)
+        ) < 1e-9
+        assert abs(
+            row["bear_power"] - round((int(bars["lo"].iloc[-1]) - ema) / 100.0, 4)
+        ) < 1e-9
+        assert row["bulls_in_control"] == (1 if bars["hi"].iloc[-1] - ema > 0 else 0)
+        assert row["bears_present"] == (1 if bars["lo"].iloc[-1] - ema < 0 else 0)
+
+
+def test_heikin_ashi_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_heikin_ashi").set_index("event_type")
+    for et in ev["event_type"].unique():
+        g = ev[ev["event_type"] == et].sort_values(["ts", "event_id"])
+        bars = g.groupby("day").agg(
+            op=("c", "first"), hi=("c", "max"), lo=("c", "min"), cl=("c", "last")
+        )
+        hc = ((bars["op"] + bars["hi"] + bars["lo"] + bars["cl"]) / 4.0).to_numpy()
+        ho = (float(bars["op"].iloc[0]) + float(bars["cl"].iloc[0])) / 2.0
+        for x in hc[:-1]:
+            ho = (ho + float(x)) / 2.0
+        row = got.loc[et]
+        assert row["n_days"] == len(bars)
+        assert abs(row["ha_open"] - round(ho / 100.0, 4)) < 1e-9
+        assert abs(row["ha_close"] - round(float(hc[-1]) / 100.0, 4)) < 1e-9
+        hh = max(float(bars["hi"].iloc[-1]), ho, float(hc[-1]))
+        ll = min(float(bars["lo"].iloc[-1]), ho, float(hc[-1]))
+        assert abs(row["ha_high"] - round(hh / 100.0, 4)) < 1e-9
+        assert abs(row["ha_low"] - round(ll / 100.0, 4)) < 1e-9
+        assert row["bullish"] == (1 if hc[-1] > ho else 0)

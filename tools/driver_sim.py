@@ -44,6 +44,11 @@ ROUND_CHANGED = [
                   # deterministic replay's watermark schedule is now
                   # mirrored in SQL)
     "q_multimodal_pixels",  # r7: new — real PNG pixel decode round-trip
+    "q_stats_kruskal_wallis",  # r7: new — k-group rank test (tie-corrected)
+    "q_stats_friedman",  # r7: new — blocked rank test over month blocks
+    "q_eval_f1_sweep",   # r7: new — threshold sweep + exact best-F1 flag
+    "q_win_elder_ray",   # r7: new — bull/bear power off EMA13 fold
+    "q_win_heikin_ashi",  # r7: new — smoothed candle recursion fold
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
