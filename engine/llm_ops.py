@@ -5991,3 +5991,66 @@ def q_text_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("zval"), 4) + 0.0).alias("z_score"),
         F.when(F.col("zval") > 0, "A").otherwise("B").alias("leans"),
     ).orderBy("rank")
+
+
+@register(
+    "q_text_code_detection",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, length(text) AS n_chars,
+             length(text) - length(translate(text, '{};=()<>[]#', ''))
+               AS n_symbols,
+             length(text) - length(translate(text, '0123456789', ''))
+               AS n_digits
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_symbols AS BIGINT) AS n_symbols,
+           CAST(n_digits AS BIGINT) AS n_digits,
+           round(CAST(n_symbols AS DOUBLE) / n_chars, 4) + 0.0 AS symbol_ratio,
+           round(CAST(n_digits AS DOUBLE) / n_chars, 4) + 0.0 AS digit_ratio,
+           CASE WHEN 50 * n_symbols >= n_chars THEN 1 ELSE 0 END AS is_code
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection per document — the training-data filter
+    that routes source code away from (or into) a text corpus: the
+    density of code punctuation ({};=()<>[]#) and digits over the
+    document, with an exact-integer decision (code if ≥ 2% of
+    characters are code punctuation — natural prose sits far under
+    1%). Complements q_text_quality (prose quality) and
+    q_text_script_mix (writing systems) in the routing stack.
+
+    All counts are single TRANSLATE passes (delete the class, diff
+    the lengths) — pure codegen string ops identical on both engines,
+    no regex (regex dialects diverge cross-engine); the flag
+    cross-multiplies 50·symbols ≥ chars so no float decides it; the
+    two display ratios are one IEEE division each. Map-only: no
+    shuffle at any scale."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text")
+    n_symbols = n_chars - F.length(F.translate(F.col("text"), "{};=()<>[]#", ""))
+    n_digits = n_chars - F.length(F.translate(F.col("text"), "0123456789", ""))
+    m = d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_symbols.cast("long").alias("n_symbols"),
+        n_digits.cast("long").alias("n_digits"),
+    )
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_symbols",
+        "n_digits",
+        (F.round(F.col("n_symbols").cast("double") / F.col("n_chars"), 4) + 0.0).alias(
+            "symbol_ratio"
+        ),
+        (F.round(F.col("n_digits").cast("double") / F.col("n_chars"), 4) + 0.0).alias(
+            "digit_ratio"
+        ),
+        F.when(50 * F.col("n_symbols") >= F.col("n_chars"), 1)
+        .otherwise(0)
+        .alias("is_code"),
+    ).orderBy("doc_id")

@@ -4077,3 +4077,93 @@ def q_eval_f1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "q_privacy_ldiversity",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens,
+             c_custkey
+      FROM customer
+    ),
+    cls AS (
+      SELECT nat, seg, CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT sens) AS BIGINT) AS l
+      FROM q GROUP BY nat, seg
+    ),
+    tot AS (
+      SELECT CAST(sum(sz) AS BIGINT) AS n_customers,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(l) AS BIGINT) AS min_l
+      FROM cls
+    )
+    SELECT lvl AS l,
+           CAST((SELECT count(*) FROM cls WHERE cls.l < lvl) AS BIGINT)
+             AS classes_below,
+           CAST(coalesce((SELECT sum(sz) FROM cls WHERE cls.l < lvl), 0)
+             AS BIGINT) AS customers_at_risk,
+           round(CAST(coalesce((SELECT sum(sz) FROM cls WHERE cls.l < lvl),
+                               0) AS DOUBLE) / tot.n_customers, 4) + 0.0
+             AS risk_share,
+           tot.n_classes, tot.min_l
+    FROM (SELECT unnest([2, 3, 5]) AS lvl), tot
+    ORDER BY l
+    """,
+)
+def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit over the (nation, market segment) quasi-
+    identifier with the balance band as the SENSITIVE attribute: a
+    class that is k-anonymous but whose members all share one
+    sensitive value still leaks it (the homogeneity attack
+    q_privacy_kanonymity cannot see) — for l ∈ {2, 3, 5}, how many
+    classes expose fewer than l distinct sensitive values and how
+    many customers sit in them, plus the dataset's worst class
+    (min l).
+
+    Plan: one hash aggregate with an exact count-distinct builds the
+    bounded class table (|nations|×|segments| rows); the three audit
+    levels are conditional counts over it plus a 1-row total fold —
+    one fact scan regardless of how many l values the audit
+    reports."""
+    c = _t(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("sens"),
+    )
+    cls = q.groupBy("nat", "seg").agg(
+        F.count("*").cast("long").alias("sz"),
+        F.countDistinct("sens").cast("long").alias("l"),
+    )
+    per_l = cls.agg(
+        F.sum("sz").cast("long").alias("n_customers"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("l").cast("long").alias("min_l"),
+        *[
+            a
+            for lvl in (2, 3, 5)
+            for a in (
+                F.count(F.when(F.col("l") < lvl, 1))
+                .cast("long")
+                .alias(f"cb_{lvl}"),
+                F.coalesce(F.sum(F.when(F.col("l") < lvl, F.col("sz"))), F.lit(0))
+                .cast("long")
+                .alias(f"risk_{lvl}"),
+            )
+        ],
+    )
+    rows = []
+    for lvl in (2, 3, 5):
+        rows.append(
+            f"struct(CAST({lvl} AS BIGINT) AS l, cb_{lvl} AS classes_below, "
+            f"risk_{lvl} AS customers_at_risk, "
+            f"round(CAST(risk_{lvl} AS DOUBLE) / n_customers, 4) + 0.0 "
+            f"AS risk_share, n_classes, min_l)"
+        )
+    return (
+        per_l.select(F.explode(F.expr(f"array({', '.join(rows)})")).alias("r"))
+        .select("r.*")
+        .orderBy("l")
+    )

@@ -120,10 +120,12 @@ _PRIORITY: list[str] = [
     "q_stats_fdr_bh", "q_quality_referential", "q_win_efficiency_ratio",
     "q_graph_assortativity", "q_stats_tost",
     # -- new in round 7 (first-row keys; land in r9's window after
-    #    the final 15 r6-new keys — 15 + 6 new still leaves r9 slots
+    #    the final 15 r6-new keys — 15 + 10 new still leaves r9 slots
     #    for the stalest refreshers, so coverage closes on schedule) --
     "q_multimodal_pixels", "q_stats_kruskal_wallis", "q_stats_friedman",
     "q_eval_f1_sweep", "q_win_elder_ray", "q_win_heikin_ashi",
+    "q_stats_bartlett", "q_orders_backlog", "q_privacy_ldiversity",
+    "q_text_code_detection",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r06) so every future window is a prefix rotation
 

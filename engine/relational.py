@@ -4540,3 +4540,97 @@ def q_quality_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relationship")
     )
+
+
+@register(
+    "q_orders_backlog",
+    oracle="""
+    WITH mx AS (
+      SELECT CAST(floor(epoch(max(o_orderdate)) / 86400) AS BIGINT) AS today
+      FROM orders
+    ),
+    open_o AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             mx.today - CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+               AS age
+      FROM orders, mx WHERE o_orderstatus <> 'F'
+    ),
+    banded AS (
+      SELECT CASE WHEN age <= 30 THEN 'a_0_30'
+                  WHEN age <= 90 THEN 'b_31_90'
+                  WHEN age <= 365 THEN 'c_91_365'
+                  ELSE 'd_over_365' END AS age_band,
+             cents
+      FROM open_o
+    ),
+    agg AS (
+      SELECT age_band, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM banded GROUP BY age_band
+    ),
+    tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS nt,
+                   CAST(sum(value_cents) AS BIGINT) AS vt FROM agg)
+    SELECT age_band, n_orders,
+           round(value_cents / 100.0, 2) + 0.0 AS value,
+           round(CAST(n_orders AS DOUBLE) / tot.nt, 4) + 0.0 AS order_share,
+           round(CAST(value_cents AS DOUBLE) / tot.vt, 4) + 0.0 AS value_share
+    FROM agg, tot ORDER BY age_band
+    """,
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging as of the data's horizon (max order
+    date): unfinished orders banded 0-30 / 31-90 / 91-365 / 365+ days
+    with counts, value, and shares — the AR/fulfillment aging report
+    every finance and ops team runs (old open orders are stuck cash),
+    complementing q_quality_freshness (table-level staleness) with
+    the entity-level view.
+
+    Plan: the as-of day is a 1-row max broadcast (never a self-join
+    on the fact table), banding is one CASE over the scan, and the
+    report is a 4-row hash aggregate plus a 1-row total fold. The
+    band keys carry sort prefixes so ORDER BY needs no custom
+    collation on either engine."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.floor(F.unix_timestamp(F.max("o_orderdate").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("today")
+    )
+    age = F.col("today") - F.floor(
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400
+    ).cast("long")
+    banded = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(age <= 30, "a_0_30")
+            .when(age <= 90, "b_31_90")
+            .when(age <= 365, "c_91_365")
+            .otherwise("d_over_365")
+            .alias("age_band"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    agg = banded.groupBy("age_band").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+    tot = agg.agg(
+        F.sum("n_orders").cast("long").alias("nt"),
+        F.sum("value_cents").cast("long").alias("vt"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "age_band",
+            "n_orders",
+            (F.round(F.col("value_cents") / 100.0, 2) + 0.0).alias("value"),
+            (F.round(F.col("n_orders").cast("double") / F.col("nt"), 4) + 0.0).alias(
+                "order_share"
+            ),
+            (
+                F.round(F.col("value_cents").cast("double") / F.col("vt"), 4) + 0.0
+            ).alias("value_share"),
+        )
+        .orderBy("age_band")
+    )

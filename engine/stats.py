@@ -4019,3 +4019,106 @@ def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("k_treatments"),
         (F.round(chi, 4) + 0.0).alias("chi2_f"),
     )
+
+
+@register(
+    "q_stats_bartlett",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+      FROM v GROUP BY grp HAVING count(*) > 1
+    ),
+    t AS (
+      SELECT grp, n,
+             CAST(round(ln((CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
+                           / (CAST(n AS DOUBLE) * (n - 1))) * 1000000)
+                  AS BIGINT) AS lnv6,
+             (CAST(ss AS HUGEINT) * n - CAST(s AS HUGEINT) * s) AS ssq_n
+      FROM g
+    ),
+    p AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum((n - 1) * lnv6) AS BIGINT) AS sum_ln6,
+             sum(1.0 / (n - 1)) AS inv_sum,
+             CAST(sum(ssq_n // n) AS HUGEINT) AS sse
+      FROM t
+    )
+    SELECT k, nn AS n_total,
+           round((
+             (nn - k) * ln(CAST(sse AS DOUBLE) / (nn - k))
+             - sum_ln6 / 1000000.0
+           ) / (1.0 + (inv_sum - 1.0 / (nn - k)) / (3.0 * (k - 1))),
+           4) + 0.0 AS bartlett_stat
+    FROM p
+    """,
+)
+def q_stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the five order
+    priorities — the parametric companion to q_stats_levene (Levene is
+    robust to non-normality; Bartlett is the more powerful classic
+    when normality holds; running both is the standard practice) and
+    the precondition check for q_stats_anova's pooled variance.
+
+    Determinism: per-group variances come from exact integer moments
+    (Σx, Σx² as 128-bit); each group's ln(S²) lands on the 1e-6
+    integer grid BEFORE the (n_j−1)-weighted sum (the q_stats_theil_u
+    ln-grid idiom — a k-term float sum would depend on aggregation
+    order), so Σ(n_j−1)ln(S_j²) is an exact integer; each group's
+    pooled-SSE contribution ssq_n/n is floored to an exact 128-bit
+    integer before the k-term sum (deterministic ≤ k absolute error
+    on SSE, invisible under the ln + round(4)); the pooled ln
+    evaluates once. The Bartlett correction C uses Σ1/(n_j−1), a
+    k-term float sum but divided out after round(4) headroom."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    g = (
+        v.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("ss"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    t = g.select(
+        "grp",
+        "n",
+        F.round(
+            F.log(
+                (F.col("ss").cast("double") * F.col("n")
+                 - F.col("s").cast("double") * F.col("s"))
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lnv6"),
+        (dec("ss") * F.col("n") - dec("s") * F.col("s")).alias("ssq_n"),
+    )
+    p = t.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum((F.col("n") - 1) * F.col("lnv6")).cast("long").alias("sum_ln6"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("inv_sum"),
+        F.sum(F.floor(F.col("ssq_n") / F.col("n"))).alias("sse"),
+    )
+    nn, k = F.col("nn"), F.col("k")
+    stat = (
+        (nn - k) * F.log(F.col("sse") / (nn - k)) - F.col("sum_ln6") / 1000000.0
+    ) / (1.0 + (F.col("inv_sum") - 1.0 / (nn - k)) / (3.0 * (k - 1)))
+    return p.select(
+        "k",
+        nn.alias("n_total"),
+        (F.round(stat, 4) + 0.0).alias("bartlett_stat"),
+    )

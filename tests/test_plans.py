@@ -86,6 +86,9 @@ _SINGLE_PARTITION_OK = {
     "q_stats_mannwhitney",  # |bands|-row carry window + 1-row re-aggregate
     "q_stats_kruskal_wallis",  # |bands|-row carry window + 5-row/1-row reduces
     "q_stats_friedman",   # per-block k-row rank windows + 5-row/1-row reduces
+    "q_stats_bartlett",   # 5-group moment table reduces to one row
+    "q_orders_backlog",   # 1-row as-of max + 4-band/1-row reduces
+    "q_privacy_ldiversity",  # bounded class table reduces to one wide row
     "q_stats_anova",      # 1-row (k, N, S) total + 1-row output
     "q_quality_drift",    # <=64-bin table: carry window + total window
     "q_win_theil_sen",    # calendar-bounded day-pair series: rank + 1-row fold
@@ -176,6 +179,8 @@ _CROSS_OK = {
     "q_rolling_active_users",
     # KW: the 1-row (tie-sum, N) total folds into the 5-group table.
     "q_stats_kruskal_wallis",
+    # backlog aging: the 1-row as-of-day max + the 1-row total fold.
+    "q_orders_backlog",
     # F1 sweep: the 19-row threshold SPINE fans the <=42-cell score
     # histogram (both broadcast-sized literals), and the best-F1 flag
     # cross-joins the 19-row metric table with itself.

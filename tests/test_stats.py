@@ -3685,3 +3685,109 @@ def test_heikin_ashi_matches_pandas():
         assert abs(row["ha_high"] - round(hh / 100.0, 4)) < 1e-9
         assert abs(row["ha_low"] - round(ll / 100.0, 4)) < 1e-9
         assert row["bullish"] == (1 if hc[-1] > ho else 0)
+
+
+def test_bartlett_matches_recompute():
+    """Scipy-free Bartlett replay on exact sample variances, with the
+    engine's documented grid/floor tolerances folded in."""
+    import math
+
+    con = duckdb.connect()
+    g = con.execute(
+        f"SELECT o_orderpriority AS grp, count(*) n,"
+        f" sum(CAST(floor(o_totalprice*100) AS BIGINT)) s,"
+        f" sum(CAST(floor(o_totalprice*100) AS HUGEINT)"
+        f"     * CAST(floor(o_totalprice*100) AS BIGINT)) ss"
+        f" FROM read_parquet('{SF}/orders.parquet') GROUP BY grp HAVING count(*) > 1"
+    ).df()
+    k = len(g)
+    nn = int(g["n"].sum())
+    sse = sum(
+        (int(r["ss"]) * int(r["n"]) - int(r["s"]) ** 2) / int(r["n"])
+        for _, r in g.iterrows()
+    )
+    sp2 = sse / (nn - k)
+    m = (nn - k) * math.log(sp2) - sum(
+        (int(r["n"]) - 1)
+        * math.log(
+            (int(r["ss"]) * int(r["n"]) - int(r["s"]) ** 2)
+            / (int(r["n"]) * (int(r["n"]) - 1))
+        )
+        for _, r in g.iterrows()
+    )
+    c = 1 + (sum(1 / (int(r["n"]) - 1) for _, r in g.iterrows()) - 1 / (nn - k)) / (
+        3 * (k - 1)
+    )
+    row = _oracle_orders("q_stats_bartlett").iloc[0]
+    assert row["k"] == k and row["n_total"] == nn
+    # engine quantizes each ln(S^2) to 1e-6 and floors SSE/n per group
+    tol = (nn / 1e6) + 1e-3
+    assert abs(row["bartlett_stat"] - m / c) <= tol
+
+
+def test_orders_backlog_matches_recompute():
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT o_orderstatus st, o_orderdate d, "
+        f"CAST(floor(o_totalprice*100) AS BIGINT) cents "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    today = o["d"].max()
+    open_o = o[o["st"] != "F"].copy()
+    age = (today - open_o["d"]).dt.days
+    bands = np.where(age <= 30, "a_0_30",
+             np.where(age <= 90, "b_31_90",
+              np.where(age <= 365, "c_91_365", "d_over_365")))
+    got = _oracle_orders("q_orders_backlog").set_index("age_band")
+    nt, vt = len(open_o), int(open_o["cents"].sum())
+    for b in set(bands):
+        sel = open_o[bands == b]
+        row = got.loc[b]
+        assert row["n_orders"] == len(sel)
+        assert abs(row["value"] - round(int(sel["cents"].sum()) / 100.0, 2)) < 1e-9
+        assert abs(row["order_share"] - round(len(sel) / nt, 4)) < 1e-9
+        assert abs(
+            row["value_share"] - round(int(sel["cents"].sum()) / vt, 4)
+        ) < 1e-9
+    assert set(got.index) == set(bands)
+
+
+def test_ldiversity_matches_recompute():
+    con = duckdb.connect()
+    c = con.execute(
+        f"SELECT c_nationkey nat, c_mktsegment seg, "
+        f"CAST(floor(c_acctbal/1000) AS BIGINT) sens "
+        f"FROM read_parquet('{SF}/customer.parquet')"
+    ).df()
+    cls = c.groupby(["nat", "seg"]).agg(
+        sz=("sens", "size"), l=("sens", "nunique")
+    )
+    got = _oracle_orders("q_privacy_ldiversity").set_index("l")
+    for lvl in (2, 3, 5):
+        below = cls[cls["l"] < lvl]
+        row = got.loc[lvl]
+        assert row["classes_below"] == len(below)
+        assert row["customers_at_risk"] == int(below["sz"].sum())
+        assert abs(
+            row["risk_share"] - round(int(below["sz"].sum()) / len(c), 4)
+        ) < 1e-9
+        assert row["n_classes"] == len(cls) and row["min_l"] == int(cls["l"].min())
+
+
+def test_code_detection_matches_recompute():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+        f" WHERE length(text) > 0"
+    ).df()
+    got = _oracle_orders("q_text_code_detection").set_index("doc_id")
+    syms = set("{};=()<>[]#")
+    digs = set("0123456789")
+    for _, r in docs.iterrows():
+        t = r["text"]
+        ns = sum(1 for ch in t if ch in syms)
+        nd = sum(1 for ch in t if ch in digs)
+        row = got.loc[int(r["doc_id"])]
+        assert row["n_chars"] == len(t)
+        assert row["n_symbols"] == ns and row["n_digits"] == nd
+        assert row["is_code"] == (1 if 50 * ns >= len(t) else 0)

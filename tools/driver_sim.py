@@ -49,6 +49,10 @@ ROUND_CHANGED = [
     "q_eval_f1_sweep",   # r7: new — threshold sweep + exact best-F1 flag
     "q_win_elder_ray",   # r7: new — bull/bear power off EMA13 fold
     "q_win_heikin_ashi",  # r7: new — smoothed candle recursion fold
+    "q_stats_bartlett",  # r7: new — variance homogeneity (ln-grid terms)
+    "q_orders_backlog",  # r7: new — open-order aging report
+    "q_privacy_ldiversity",  # r7: new — homogeneity-attack audit
+    "q_text_code_detection",  # r7: new — code punctuation density filter
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
