@@ -5924,3 +5924,145 @@ def q_win_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bullish"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "q_win_kama",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, di, cl,
+             abs(cl - lag(cl) OVER pw) AS ac,
+             lag(cl, 10) OVER pw AS cl10,
+             coalesce(first_value(cl) OVER (PARTITION BY event_type
+               ORDER BY di ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), cl)
+               AS cl_back
+      FROM d WINDOW pw AS (PARTITION BY event_type ORDER BY di)
+    ),
+    s AS (
+      SELECT event_type, di, cl,
+             CAST(sum(ac) OVER v AS BIGINT) AS vol,
+             abs(cl - coalesce(cl10, cl_back)) AS net
+      FROM w
+      WINDOW v AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ),
+    sc AS (
+      SELECT event_type, di, cl,
+             pow(CASE WHEN vol IS NULL OR vol = 0 THEN 1.0
+                      ELSE CAST(net AS DOUBLE) / vol END
+                 * (2.0/3.0 - 2.0/31.0) + 2.0/31.0, 2) AS smooth
+      FROM s
+    ),
+    f AS (
+      SELECT event_type,
+             list(struct_pack(di := di, sc := smooth, p := CAST(cl AS DOUBLE))
+                  ORDER BY di) AS xs
+      FROM sc GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(len(xs) AS BIGINT) AS n_days,
+           round(list_reduce(
+                   list_transform(xs, x -> struct_pack(sc := x.sc, p := x.p)),
+                   (acc, x) -> struct_pack(
+                     sc := x.sc, p := acc.p + x.sc * (x.p - acc.p))).p / 100.0,
+                 4) + 0.0 AS kama
+    FROM f ORDER BY event_type
+    """,
+)
+def q_win_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman Adaptive Moving Average at the latest bar per event
+    type — the consumer of q_win_efficiency_ratio's signal: the
+    smoothing constant interpolates between a 2-day and a 30-day EMA
+    by the 10-day efficiency ratio squared (sc = (ER·(2/3 − 2/31) +
+    2/31)²), so the average hugs trends and flattens in chop. The
+    textbook adaptive-coefficient recursion kama_t = kama_{t−1} +
+    sc_t·(p_t − kama_{t−1}).
+
+    Shape: per-day sc comes from the SAME rolling windows the ER key
+    uses (exact integer |net| and Σ|Δ|; flat days with zero
+    volatility define ER = 1 — the price went nowhere efficiently);
+    the variable-coefficient recursion is a pinned-order fold over
+    (sc, price) structs seeded with the first close — both engines
+    fold the identical expression over the identical list, so the
+    doubles match bit-for-bit. Day counts per type bound the
+    arrays."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl")
+        )
+    )
+    pw = Window.partitionBy("event_type").orderBy("di")
+    v10 = pw.rowsBetween(-9, 0)
+    back = pw.rowsBetween(-10, 0)
+    w = d.select(
+        "event_type",
+        "di",
+        "cl",
+        F.abs(F.col("cl") - F.lag("cl").over(pw)).alias("ac"),
+        F.lag("cl", 10).over(pw).alias("cl10"),
+        F.first("cl").over(back).alias("cl_back"),
+    )
+    s = w.select(
+        "event_type",
+        "di",
+        "cl",
+        F.sum("ac").over(v10).cast("long").alias("vol"),
+        F.abs(F.col("cl") - F.coalesce(F.col("cl10"), F.col("cl_back"))).alias(
+            "net"
+        ),
+    )
+    er = F.when(
+        F.col("vol").isNull() | (F.col("vol") == 0), F.lit(1.0)
+    ).otherwise(F.col("net").cast("double") / F.col("vol"))
+    sc = s.select(
+        "event_type",
+        "di",
+        "cl",
+        F.pow(er * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0, 2).alias("smooth"),
+    )
+    f = sc.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("di"),
+                    F.col("smooth").alias("sc"),
+                    F.col("cl").cast("double").alias("p"),
+                )
+            )
+        ).alias("xs")
+    )
+    kama = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1)["p"],
+        lambda acc, x: acc + x["sc"] * (x["p"] - acc),
+    )
+    return f.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        (F.round(kama / 100.0, 4) + 0.0).alias("kama"),
+    ).orderBy("event_type")

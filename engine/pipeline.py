@@ -4167,3 +4167,58 @@ def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("l")
     )
+
+
+@register(
+    "q_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) FILTER (WHERE l_quantity >= 30) AS BIGINT)
+             AS big_lines,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS discounted
+    FROM lineitem WHERE l_extendedprice > 0
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline observability via Spark's ``Observation``
+    API: business metrics (row count, revenue, segment counts) are
+    attached to the SCAN with ``df.observe(...)`` and harvested from
+    the query's own execution — the production pattern for data-
+    quality counters on a 100 TB job (metrics ride the existing pass;
+    a second aggregate-only scan would double the IO; this is what
+    feeds StreamingQueryListener/QueryExecutionListener dashboards).
+
+    The observed run here is a count-collapsing action (metrics are
+    a side channel of whatever the job already does); the returned
+    1-row frame is built from the harvested metrics, and the oracle
+    recomputes them relationally — verifying the observe channel
+    end-to-end, exact integers throughout."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+        F.count(F.when(F.col("l_quantity") >= 30, 1)).alias("big_lines"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["revenue_cents"]),
+                int(m["big_lines"]),
+                int(m["discounted"]),
+            )
+        ],
+        "n_rows long, revenue_cents long, big_lines long, discounted long",
+    )

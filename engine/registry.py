@@ -125,7 +125,7 @@ _PRIORITY: list[str] = [
     "q_multimodal_pixels", "q_stats_kruskal_wallis", "q_stats_friedman",
     "q_eval_f1_sweep", "q_win_elder_ray", "q_win_heikin_ashi",
     "q_stats_bartlett", "q_orders_backlog", "q_privacy_ldiversity",
-    "q_text_code_detection",
+    "q_text_code_detection", "q_observe_metrics", "q_win_kama",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r06) so every future window is a prefix rotation
 

@@ -3791,3 +3791,37 @@ def test_code_detection_matches_recompute():
         assert row["n_chars"] == len(t)
         assert row["n_symbols"] == ns and row["n_digits"] == nd
         assert row["is_code"] == (1 if 50 * ns >= len(t) else 0)
+
+
+def test_observe_metrics_matches_recompute():
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT count(*) n, sum(CAST(floor(l_extendedprice*100) AS BIGINT)) s,"
+        f" count(*) FILTER (WHERE l_quantity >= 30) b,"
+        f" count(*) FILTER (WHERE l_discount > 0.05) d"
+        f" FROM read_parquet('{SF}/lineitem.parquet') WHERE l_extendedprice > 0"
+    ).fetchone()
+    row = _oracle_orders("q_observe_metrics").iloc[0]
+    assert (row["n_rows"], row["revenue_cents"], row["big_lines"],
+            row["discounted"]) == tuple(int(x) for x in exp)
+
+
+def test_kama_matches_pandas():
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_kama").set_index("event_type")
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        cl = bars["cl"].to_numpy().astype("int64")
+        n = len(cl)
+        kama = float(cl[0])
+        for i in range(1, n):
+            back = cl[max(0, i - 10)]
+            net = abs(int(cl[i]) - int(back))
+            vol = sum(abs(int(cl[j]) - int(cl[j - 1]))
+                      for j in range(max(1, i - 9), i + 1))
+            er = 1.0 if vol == 0 else net / vol
+            sc = (er * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0) ** 2
+            kama = kama + sc * (float(cl[i]) - kama)
+        row = got.loc[et]
+        assert row["n_days"] == n
+        assert abs(row["kama"] - round(kama / 100.0, 4)) < 1e-6

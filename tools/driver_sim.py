@@ -53,6 +53,8 @@ ROUND_CHANGED = [
     "q_orders_backlog",  # r7: new — open-order aging report
     "q_privacy_ldiversity",  # r7: new — homogeneity-attack audit
     "q_text_code_detection",  # r7: new — code punctuation density filter
+    "q_observe_metrics",  # r7: new — Observation API in-flight metrics
+    "q_win_kama",        # r7: new — adaptive-coefficient MA fold
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
