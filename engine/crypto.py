@@ -6066,3 +6066,97 @@ def q_win_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").cast("long").alias("n_days"),
         (F.round(kama / 100.0, 4) + 0.0).alias("kama"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_win_volume_profile",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) // 500 AS bucket,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, bucket, vol,
+             row_number() OVER w AS rk,
+             CAST(sum(vol) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(vol) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY vol DESC, bucket ASC)
+    ),
+    va AS (
+      SELECT event_type, bucket, vol, rk, cum, tot
+      FROM r WHERE (cum - vol) * 10 < tot * 7
+    )
+    SELECT event_type,
+           CAST(any_value(tot) AS BIGINT) AS n_ticks,
+           round(max(CASE WHEN rk = 1 THEN bucket END) * 5.0 + 2.5, 2)
+             AS poc_price,
+           round(min(bucket) * 5.0, 2) AS va_low,
+           round((max(bucket) + 1) * 5.0, 2) AS va_high,
+           CAST(count(*) AS BIGINT) AS va_buckets,
+           round(CAST(max(cum) AS DOUBLE) / any_value(tot), 4) + 0.0
+             AS va_coverage
+    FROM va GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_win_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume profile / value area per event type: tick volume binned
+    into $5 price buckets, the point of control (modal bucket) and
+    the 70% value area (the smallest descending-volume bucket set
+    covering ≥ 70% of ticks) — the market-structure readout (where
+    did trading actually happen) complementing the time-axis bars of
+    q_bars_ohlcv; support/resistance levels are read off exactly this
+    table.
+
+    Exactness: bucket volumes are exact counts; the ≥70% inclusion
+    test cross-multiplies (cum−vol)·10 < tot·7 (a bucket enters while
+    the EXCLUSIVE prefix is under 70%) so no float decides
+    membership; ordering ties break bucket-ascending. The windows run
+    over the bounded (type × price-bucket) domain, never ticks."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("value") * 100).cast("long") / 500)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("vol"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("vol"), F.asc("bucket"))
+    wt = Window.partitionBy("event_type")
+    r = b.select(
+        "event_type",
+        "bucket",
+        "vol",
+        F.row_number().over(w).alias("rk"),
+        F.sum("vol")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+        F.sum("vol").over(wt).cast("long").alias("tot"),
+    )
+    va = r.filter((F.col("cum") - F.col("vol")) * 10 < F.col("tot") * 7)
+    return (
+        va.groupBy("event_type")
+        .agg(
+            F.any_value("tot").cast("long").alias("n_ticks"),
+            F.round(
+                F.max(F.when(F.col("rk") == 1, F.col("bucket"))) * 5.0 + 2.5, 2
+            ).alias("poc_price"),
+            F.round(F.min("bucket") * 5.0, 2).alias("va_low"),
+            F.round((F.max("bucket") + 1) * 5.0, 2).alias("va_high"),
+            F.count("*").cast("long").alias("va_buckets"),
+            (
+                F.round(
+                    F.max("cum").cast("double") / F.any_value("tot"), 4
+                )
+                + 0.0
+            ).alias("va_coverage"),
+        )
+        .orderBy("event_type")
+    )

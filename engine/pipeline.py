@@ -4222,3 +4222,305 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, revenue_cents long, big_lines long, discounted long",
     )
+
+
+@register(
+    "q_eval_ks",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(greatest(least(
+               0.5 + CAST(embedding[1] AS DOUBLE), 1.0), 0.0) * 1000000)
+             AS BIGINT) AS p6,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    g AS (
+      SELECT p6, CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS np,
+             CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS nn
+      FROM scored GROUP BY p6
+    ),
+    w AS (
+      SELECT p6,
+             CAST(sum(np) OVER cum AS BIGINT) AS cum_p,
+             CAST(sum(nn) OVER cum AS BIGINT) AS cum_n,
+             CAST(sum(np) OVER () AS BIGINT) AS n_pos,
+             CAST(sum(nn) OVER () AS BIGINT) AS n_neg
+      FROM g
+      WINDOW cum AS (ORDER BY p6
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+      SELECT n_pos, n_neg,
+             abs(CAST(cum_p AS HUGEINT) * n_neg
+                 - CAST(cum_n AS HUGEINT) * n_pos) AS dn,
+             -p6 AS np6
+      FROM w
+    ),
+    m AS (SELECT any_value(n_pos) AS n_pos, any_value(n_neg) AS n_neg,
+                 max(struct_pack(dn := dn, np6 := np6)) AS mx
+          FROM d)
+    SELECT n_pos, n_neg,
+           round(CAST(mx.dn AS DOUBLE) / (CAST(n_pos AS DOUBLE) * n_neg), 6)
+             + 0.0 AS ks,
+           round(-mx.np6 / 1000000.0, 6) + 0.0 AS ks_at_score
+    FROM m
+    """,
+)
+def q_eval_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS separation of the classifier — max |ECDF_pos − ECDF_neg| of
+    the score (the credit-scoring "KS statistic"): AUC summarizes
+    ranking everywhere, KS reports the single score where the classes
+    separate MOST (and that score is the natural rule-of-thumb
+    cutoff, cross-checking q_eval_f1_sweep's best-F1 row). Fixture
+    conventions of q_eval_auc.
+
+    Exactness (the q_stats_ks machinery pointed at model scores):
+    the max ECDF gap evaluates as the integer cross-product
+    |cum_pos·n_neg − cum_neg·n_pos| on the 1e-6 score grid; the
+    argmax tie-breaks to the smallest score via the lexicographic
+    struct-max; one division at the end. The cumulative pass is the
+    banded prefix-sum — no global single-partition window."""
+    from engine.stats import _banded_cum
+
+    p6 = F.floor(
+        F.greatest(
+            F.least(0.5 + F.element_at("embedding", 1).cast("double"), F.lit(1.0)),
+            F.lit(0.0),
+        )
+        * 1000000
+    ).cast("long")
+    y = F.when(F.col("label") % 2 == 1, 1).otherwise(0)
+    g = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(p6.alias("p6"), y.alias("y"))
+        .groupBy("p6")
+        .agg(
+            F.count(F.when(F.col("y") == 1, 1)).cast("long").alias("np"),
+            F.count(F.when(F.col("y") == 0, 1)).cast("long").alias("nn"),
+        )
+    )
+    w = _banded_cum(g, "p6", ["np", "nn"], 1 << 14)
+    tot = g.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+    )
+    d = w.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        F.abs(
+            F.col("cum_np").cast("decimal(38,0)") * F.col("n_neg")
+            - F.col("cum_nn").cast("decimal(38,0)") * F.col("n_pos")
+        ).alias("dn"),
+        (-F.col("p6")).alias("np6"),
+    )
+    m = d.agg(
+        F.any_value("n_pos").alias("n_pos"),
+        F.any_value("n_neg").alias("n_neg"),
+        F.max(F.struct(F.col("dn"), F.col("np6"))).alias("mx"),
+    )
+    return m.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.round(
+                F.col("mx.dn").cast("double")
+                / (F.col("n_pos").cast("double") * F.col("n_neg")),
+                6,
+            )
+            + 0.0
+        ).alias("ks"),
+        (F.round(-F.col("mx.np6") / 1000000.0, 6) + 0.0).alias("ks_at_score"),
+    )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+    WITH f1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    f2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN f1 ON e.user_id = f1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > f1.t1
+      GROUP BY e.user_id
+    ),
+    f3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN f2 ON e.user_id = f2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t2
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT 'a_view_to_click' AS stage_pair, f2.t2 - f1.t1 AS us
+      FROM f1 JOIN f2 USING (user_id)
+      UNION ALL
+      SELECT 'b_click_to_purchase', f3.t3 - f2.t2
+      FROM f2 JOIN f3 USING (user_id)
+    )
+    SELECT stage_pair, CAST(count(*) AS BIGINT) AS n_users,
+           round(median(us) / 86400000000.0, 4) + 0.0 AS median_days,
+           round(quantile_cont(us, 0.9) / 86400000000.0, 4) + 0.0 AS p90_days
+    FROM lat GROUP BY stage_pair ORDER BY stage_pair
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-transition latency distribution for the view → click →
+    purchase funnel: per consecutive stage pair, how many users make
+    the hop and how long it takes (median / p90 days) — q_funnel
+    counts WHO converts, q_time_to_event measures one end-to-end
+    latency; this localizes WHICH transition is slow (the funnel-
+    debugging readout).
+
+    Same first-hit chaining as q_funnel (per-user min-timestamp hash
+    aggs joined stage-to-stage, each strictly after the previous
+    stage's first hit); latencies stay exact integer microseconds
+    until the final interpolated percentiles (Spark percentile ==
+    DuckDB quantile_cont — the q_agg_percentile parity) and one
+    display division to days. Stage keys carry sort prefixes."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    f1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    f2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(f1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    f3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    lat = (
+        f1.join(f2, "user_id")
+        .select(
+            F.lit("a_view_to_click").alias("stage_pair"),
+            (F.col("t2") - F.col("t1")).alias("us"),
+        )
+        .unionAll(
+            f2.join(f3, "user_id").select(
+                F.lit("b_click_to_purchase").alias("stage_pair"),
+                (F.col("t3") - F.col("t2")).alias("us"),
+            )
+        )
+    )
+    return (
+        lat.groupBy("stage_pair")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            (F.round(F.median("us") / 86400000000.0, 4) + 0.0).alias(
+                "median_days"
+            ),
+            (F.round(F.percentile("us", 0.9) / 86400000000.0, 4) + 0.0).alias(
+                "p90_days"
+            ),
+        )
+        .orderBy("stage_pair")
+    )
+
+
+@register(
+    "q_segment_migration",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(o_orderdate)) / 86400) AS BIGINT) AS lo,
+             CAST(floor(epoch(max(o_orderdate)) / 86400) AS BIGINT) AS hi
+      FROM orders
+    ),
+    tagged AS (
+      SELECT o_custkey,
+             CASE WHEN CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                       * 2 <= bounds.lo + bounds.hi
+                  THEN 0 ELSE 1 END AS half
+      FROM orders, bounds
+    ),
+    seg AS (
+      SELECT o_custkey, half,
+             CASE WHEN count(*) = 1 THEN 'a_one_time'
+                  WHEN count(*) <= 3 THEN 'b_repeat'
+                  ELSE 'c_loyal' END AS seg
+      FROM tagged GROUP BY o_custkey, half
+    ),
+    mat AS (
+      SELECT coalesce(p.seg, 'x_new') AS seg_from,
+             coalesce(n.seg, 'x_churned') AS seg_to,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM (SELECT o_custkey, seg FROM seg WHERE half = 0) p
+      FULL OUTER JOIN (SELECT o_custkey, seg FROM seg WHERE half = 1) n
+        ON p.o_custkey = n.o_custkey
+      GROUP BY seg_from, seg_to
+    ),
+    tot AS (SELECT CAST(sum(n_customers) AS BIGINT) AS nt FROM mat)
+    SELECT seg_from, seg_to, n_customers,
+           round(CAST(n_customers AS DOUBLE) / tot.nt, 4) + 0.0 AS share
+    FROM mat, tot ORDER BY seg_from, seg_to
+    """,
+)
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment migration matrix between the two halves of the
+    order timeline: order-frequency segments (one-time / repeat /
+    loyal — exact integer counts, no rank ties to reconcile) plus the
+    'new' and 'churned' boundary states from a FULL OUTER join — the
+    lifecycle flow behind retention dashboards (q_retention counts
+    cohort survival; this says WHERE the survivors moved), feeding
+    the same decisions as q_rfm_segments but longitudinally.
+
+    Plan: the half-point is a 1-row min/max broadcast (the
+    cross-multiplied 2·day ≤ lo+hi test avoids fractional midpoints);
+    per-(customer, half) counts are one hash agg; the matrix is one
+    full-outer self-join of the two bounded segment relations plus a
+    1-row total fold. Segment keys carry sort prefixes."""
+    o = _t(spark, sf_dir, "orders")
+    di = F.floor(
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400
+    ).cast("long")
+    bounds = o.agg(
+        F.min(di).alias("lo"), F.max(di).alias("hi")
+    )
+    tagged = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(di * 2 <= F.col("lo") + F.col("hi"), 0).otherwise(1).alias("half"),
+    )
+    seg = tagged.groupBy("o_custkey", "half").agg(
+        F.when(F.count("*") == 1, "a_one_time")
+        .when(F.count("*") <= 3, "b_repeat")
+        .otherwise("c_loyal")
+        .alias("seg")
+    )
+    p = seg.filter(F.col("half") == 0).select(
+        F.col("o_custkey").alias("ck_p"), F.col("seg").alias("seg_p")
+    )
+    n = seg.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ck_n"), F.col("seg").alias("seg_n")
+    )
+    mat = (
+        p.join(n, F.col("ck_p") == F.col("ck_n"), "full_outer")
+        .select(
+            F.coalesce(F.col("seg_p"), F.lit("x_new")).alias("seg_from"),
+            F.coalesce(F.col("seg_n"), F.lit("x_churned")).alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+    tot = mat.agg(F.sum("n_customers").cast("long").alias("nt"))
+    return (
+        mat.crossJoin(F.broadcast(tot))
+        .select(
+            "seg_from",
+            "seg_to",
+            "n_customers",
+            (F.round(F.col("n_customers").cast("double") / F.col("nt"), 4) + 0.0)
+            .alias("share"),
+        )
+        .orderBy("seg_from", "seg_to")
+    )

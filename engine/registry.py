@@ -126,6 +126,8 @@ _PRIORITY: list[str] = [
     "q_eval_f1_sweep", "q_win_elder_ray", "q_win_heikin_ashi",
     "q_stats_bartlett", "q_orders_backlog", "q_privacy_ldiversity",
     "q_text_code_detection", "q_observe_metrics", "q_win_kama",
+    "q_eval_ks", "q_funnel_latency", "q_segment_migration",
+    "q_win_volume_profile", "q_stats_dunn",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r06) so every future window is a prefix rotation
 

@@ -4122,3 +4122,120 @@ def q_stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         nn.alias("n_total"),
         (F.round(stat, 4) + 0.0).alias("bartlett_stat"),
     )
+
+
+@register(
+    "q_stats_dunn",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    gv AS (SELECT grp, cents, CAST(count(*) AS BIGINT) AS c
+           FROM v GROUP BY grp, cents),
+    tv AS (
+      SELECT cents, CAST(sum(c) AS BIGINT) AS t,
+             CAST(coalesce(sum(sum(c)) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS before
+      FROM gv GROUP BY cents
+    ),
+    rj AS (
+      SELECT gv.grp, CAST(sum(gv.c) AS BIGINT) AS nj,
+             CAST(sum(CAST(gv.c AS HUGEINT) * (2 * tv.before + tv.t + 1))
+                  AS HUGEINT) AS r2j
+      FROM gv JOIN tv USING (cents) GROUP BY gv.grp
+    ),
+    tie AS (
+      SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tsum,
+             CAST(sum(t) AS BIGINT) AS n
+      FROM tv
+    ),
+    z AS (
+      SELECT a.grp AS group_a, b.grp AS group_b, a.nj AS n_a, b.nj AS n_b,
+             (CAST(a.r2j AS DOUBLE) / (2.0 * a.nj)
+              - CAST(b.r2j AS DOUBLE) / (2.0 * b.nj))
+             / sqrt((CAST(tie.n AS DOUBLE) * (tie.n + 1) / 12.0
+                     - CAST(tie.tsum AS DOUBLE) / (12.0 * (tie.n - 1)))
+                    * (1.0 / a.nj + 1.0 / b.nj)) AS zval
+      FROM rj a JOIN rj b ON a.grp < b.grp, tie
+    )
+    SELECT group_a, group_b, n_a, n_b,
+           round(zval, 4) + 0.0 AS z,
+           CASE WHEN abs(zval) > 2.807034 THEN 1 ELSE 0 END AS significant
+    FROM z ORDER BY group_a, group_b
+    """,
+)
+def q_stats_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test: after q_stats_kruskal_wallis says SOME
+    priority differs, the pairwise mean-rank z for every priority
+    pair (tie-corrected pooled variance, Bonferroni-adjusted α=0.05
+    over the 10 comparisons → |z| > 2.807034) says WHICH — the
+    standard KW follow-up, sharing the same global doubled-rank
+    machinery so the two keys are mutually consistent by
+    construction.
+
+    The per-group doubled rank sums and the tie term are exact
+    128-bit integers (one value-level aggregate + banded prefix);
+    the pairwise z evaluates once per pair in doubles by the
+    identical expression tree on both engines, and the significance
+    cut compares against the Bonferroni critical CONSTANT (z for
+    α/2m, m=10) rather than computing a normal CDF."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    gv = v.groupBy("grp", "cents").agg(F.count("*").cast("long").alias("c"))
+    tv = gv.groupBy("cents").agg(F.sum("c").cast("long").alias("t"))
+    tv = _banded_cum(tv, "cents", ["t"], 1 << 16).withColumn(
+        "before", F.col("cum_t") - F.col("t")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    rj = (
+        gv.join(tv.select("cents", "t", "before"), "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("nj"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * (2 * F.col("before") + F.col("t") + 1)
+            ).alias("r2j"),
+        )
+    )
+    tie = tv.agg(
+        F.sum(dec("t") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    a = rj.select(
+        F.col("grp").alias("group_a"),
+        F.col("nj").alias("n_a"),
+        F.col("r2j").alias("r2a"),
+    )
+    b = rj.select(
+        F.col("grp").alias("group_b"),
+        F.col("nj").alias("n_b"),
+        F.col("r2j").alias("r2b"),
+    )
+    nD = F.col("n").cast("double")
+    sig2 = nD * (F.col("n") + 1) / 12.0 - F.col("tsum").cast("double") / (
+        12.0 * (F.col("n") - 1)
+    )
+    zval = (
+        F.col("r2a").cast("double") / (2.0 * F.col("n_a"))
+        - F.col("r2b").cast("double") / (2.0 * F.col("n_b"))
+    ) / F.sqrt(sig2 * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            (F.round(zval, 4) + 0.0).alias("z"),
+            F.when(F.abs(zval) > 2.807034, 1).otherwise(0).alias("significant"),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -89,6 +89,9 @@ _SINGLE_PARTITION_OK = {
     "q_stats_bartlett",   # 5-group moment table reduces to one row
     "q_orders_backlog",   # 1-row as-of max + 4-band/1-row reduces
     "q_privacy_ldiversity",  # bounded class table reduces to one wide row
+    "q_eval_ks",          # |bands|-row carry window + 1-row struct-max
+    "q_segment_migration",  # 1-row bounds broadcast + 1-row total fold
+    "q_stats_dunn",       # |bands|-row carry window + 5x5 pair table
     "q_stats_anova",      # 1-row (k, N, S) total + 1-row output
     "q_quality_drift",    # <=64-bin table: carry window + total window
     "q_win_theil_sen",    # calendar-bounded day-pair series: rank + 1-row fold
@@ -181,6 +184,13 @@ _CROSS_OK = {
     "q_stats_kruskal_wallis",
     # backlog aging: the 1-row as-of-day max + the 1-row total fold.
     "q_orders_backlog",
+    # KS separation: the 1-row (n_pos, n_neg) total folds in.
+    "q_eval_ks",
+    # segment migration: 1-row (lo, hi) bounds + 1-row total fold.
+    "q_segment_migration",
+    # Dunn: the 5-row group table theta-self-joins (10 pairs) and the
+    # 1-row tie total folds in — all broadcast-sized by construction.
+    "q_stats_dunn",
     # F1 sweep: the 19-row threshold SPINE fans the <=42-cell score
     # histogram (both broadcast-sized literals), and the best-F1 flag
     # cross-joins the 19-row metric table with itself.

@@ -3825,3 +3825,138 @@ def test_kama_matches_pandas():
         row = got.loc[et]
         assert row["n_days"] == n
         assert abs(row["kama"] - round(kama / 100.0, 4)) < 1e-6
+
+
+def test_eval_ks_matches_recompute():
+    e = _embeds()
+    score = e["embedding"].map(lambda v: min(max(0.5 + float(v[0]), 0.0), 1.0))
+    p6 = np.floor(score * 1000000).astype("int64").to_numpy()
+    y = (e["label"] % 2 == 1).astype(int).to_numpy()
+    pos = np.sort(p6[y == 1])
+    neg = np.sort(p6[y == 0])
+    xs = np.unique(p6)
+    best, best_at = -1, None
+    for x in xs:
+        dn = abs(
+            int(np.searchsorted(pos, x, side="right")) * len(neg)
+            - int(np.searchsorted(neg, x, side="right")) * len(pos)
+        )
+        if dn > best or (dn == best and x < best_at):
+            best, best_at = dn, int(x)
+    row = _oracle_orders("q_eval_ks").iloc[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["ks"] - round(best / (len(pos) * len(neg)), 6)) < 1e-12
+    assert abs(row["ks_at_score"] - round(best_at / 1e6, 6)) < 1e-12
+
+
+def test_funnel_latency_matches_recompute():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_type, epoch_us(ts) us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    t1 = ev[ev["event_type"] == "view"].groupby("user_id")["us"].min()
+    c = ev[ev["event_type"] == "click"].merge(
+        t1.rename("t1"), left_on="user_id", right_index=True
+    )
+    t2 = c[c["us"] > c["t1"]].groupby("user_id")["us"].min()
+    pu = ev[ev["event_type"] == "purchase"].merge(
+        t2.rename("t2"), left_on="user_id", right_index=True
+    )
+    t3 = pu[pu["us"] > pu["t2"]].groupby("user_id")["us"].min()
+    got = _oracle_orders("q_funnel_latency").set_index("stage_pair")
+    lat1 = (t2 - t1.loc[t2.index]).to_numpy()
+    lat2 = (t3 - t2.loc[t3.index]).to_numpy()
+    for key, lat in (("a_view_to_click", lat1), ("b_click_to_purchase", lat2)):
+        row = got.loc[key]
+        assert row["n_users"] == len(lat)
+        assert abs(
+            row["median_days"] - round(float(np.quantile(lat, 0.5)) / 86400e6, 4)
+        ) < 1e-9
+        assert abs(
+            row["p90_days"] - round(float(np.quantile(lat, 0.9)) / 86400e6, 4)
+        ) < 1e-9
+
+
+def test_segment_migration_matches_recompute():
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT o_custkey ck, CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) di "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    lo, hi = int(o["di"].min()), int(o["di"].max())
+    o["half"] = (o["di"] * 2 > lo + hi).astype(int)
+    def seg(n):
+        return "a_one_time" if n == 1 else ("b_repeat" if n <= 3 else "c_loyal")
+    halves = {h: o[o["half"] == h].groupby("ck").size().map(seg) for h in (0, 1)}
+    import collections
+    mat = collections.Counter()
+    for ck in set(halves[0].index) | set(halves[1].index):
+        f = halves[0].get(ck, "x_new")
+        t = halves[1].get(ck, "x_churned")
+        mat[(f, t)] += 1
+    got = _oracle_orders("q_segment_migration")
+    assert {(r["seg_from"], r["seg_to"]): r["n_customers"]
+            for _, r in got.iterrows()} == dict(mat)
+    assert abs(got["share"].sum() - 1.0) < 1e-2
+
+
+def test_volume_profile_matches_recompute():
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type et, CAST(floor(value*100) AS BIGINT) // 500 b "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    got = _oracle_orders("q_win_volume_profile").set_index("event_type")
+    for et, g in ev.groupby("et"):
+        vols = g.groupby("b").size().reset_index(name="v")
+        vols = vols.sort_values(["v", "b"], ascending=[False, True])
+        tot = int(vols["v"].sum())
+        cum, kept = 0, []
+        for _, r in vols.iterrows():
+            if cum * 10 >= tot * 7:
+                break
+            kept.append(r)
+            cum += int(r["v"])
+        row = got.loc[et]
+        assert row["n_ticks"] == tot
+        assert abs(row["poc_price"] - (int(kept[0]["b"]) * 5.0 + 2.5)) < 1e-9
+        bs = [int(r["b"]) for r in kept]
+        assert abs(row["va_low"] - min(bs) * 5.0) < 1e-9
+        assert abs(row["va_high"] - (max(bs) + 1) * 5.0) < 1e-9
+        assert row["va_buckets"] == len(bs)
+        assert abs(row["va_coverage"] - round(cum / tot, 4)) < 1e-9
+
+
+def test_dunn_matches_recompute():
+    """Dunn z per pair from the same average ranks the KW replay
+    builds — separate implementation path (python dict ranks)."""
+    import collections
+    import math
+
+    con = duckdb.connect()
+    pri = con.execute(
+        f"SELECT o_orderpriority AS grp, CAST(floor(o_totalprice*100) AS BIGINT)"
+        f" AS cents FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    n = len(pri)
+    cnt = collections.Counter(pri["cents"])
+    avg_rank, pos = {}, 1
+    for v in sorted(cnt):
+        avg_rank[v] = pos + (cnt[v] - 1) / 2.0
+        pos += cnt[v]
+    rsum = collections.defaultdict(float)
+    nj = collections.Counter(pri["grp"])
+    for _, r in pri.iterrows():
+        rsum[r["grp"]] += avg_rank[r["cents"]]
+    ties = sum(t**3 - t for t in cnt.values())
+    sig2 = n * (n + 1) / 12.0 - ties / (12.0 * (n - 1))
+    got = _oracle_orders("q_stats_dunn")
+    assert len(got) == len(nj) * (len(nj) - 1) // 2
+    for _, r in got.iterrows():
+        a, b = r["group_a"], r["group_b"]
+        z = (rsum[a] / nj[a] - rsum[b] / nj[b]) / math.sqrt(
+            sig2 * (1.0 / nj[a] + 1.0 / nj[b])
+        )
+        assert abs(r["z"] - round(z, 4)) < 1e-6
+        assert r["significant"] == (1 if abs(z) > 2.807034 else 0)

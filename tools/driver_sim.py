@@ -55,6 +55,11 @@ ROUND_CHANGED = [
     "q_text_code_detection",  # r7: new — code punctuation density filter
     "q_observe_metrics",  # r7: new — Observation API in-flight metrics
     "q_win_kama",        # r7: new — adaptive-coefficient MA fold
+    "q_eval_ks",         # r7: new — classifier KS separation
+    "q_funnel_latency",  # r7: new — stage-transition latency table
+    "q_segment_migration",  # r7: new — lifecycle transition matrix
+    "q_win_volume_profile",  # r7: new — value area / point of control
+    "q_stats_dunn",      # r7: new — KW post-hoc pairwise z
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
