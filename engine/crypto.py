@@ -6160,3 +6160,123 @@ def q_win_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_win_choppiness",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(floor(value * 100)) AS BIGINT) AS hi,
+             CAST(min(floor(value * 100)) AS BIGINT) AS lo,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    tr AS (
+      SELECT event_type, di, day, hi, lo,
+             greatest(hi - lo,
+                      abs(hi - lag(cl) OVER w),
+                      abs(lo - lag(cl) OVER w)) AS tr
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY di)
+    ),
+    s AS (
+      SELECT event_type, day,
+             CAST(sum(tr) OVER v AS BIGINT) AS atr_sum,
+             CAST(max(hi) OVER v AS BIGINT) AS hh,
+             CAST(min(lo) OVER v AS BIGINT) AS ll,
+             count(tr) OVER v AS cn
+      FROM tr
+      WINDOW v AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(100.0 * ln(CAST(atr_sum AS DOUBLE) / (hh - ll)) / ln(14.0),
+                 4) + 0.0 AS choppiness,
+           CASE WHEN CAST(atr_sum AS DOUBLE) / (hh - ll)
+                     > pow(14.0, 0.618) THEN 1 ELSE 0 END AS is_choppy
+    FROM s
+    WHERE cn = 14 AND hh > ll AND atr_sum > 0
+    ORDER BY event_type, day
+    """,
+)
+def q_win_choppiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choppiness Index (14-day) per event type: 100·log₁₄ of the
+    true-range sum over the window's total high-low range — near 100
+    means the price churned inside a box (every TR dollar re-traced),
+    near 0 means it traveled (range ≈ sum of moves). The regime
+    classifier that tells trend-followers (q_win_adx, q_win_kama)
+    when NOT to trust their signals; flag at the Fibonacci 61.8
+    threshold.
+
+    Exactness: TR, ΣTR, and the window extremes are exact integer
+    cents in the same per-type window exchange; choppiness is one
+    ln-ratio of exact integers by the identical expression tree, and
+    the flag compares the exact ratio against the CONSTANT 14^0.618
+    (evaluated identically on both engines) rather than the rounded
+    display value."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl"),
+        )
+    )
+    pw = Window.partitionBy("event_type").orderBy("di")
+    tr = d.select(
+        "event_type",
+        "di",
+        "day",
+        "hi",
+        "lo",
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - F.lag("cl").over(pw)),
+            F.abs(F.col("lo") - F.lag("cl").over(pw)),
+        ).alias("tr"),
+    )
+    v = pw.rowsBetween(-13, 0)
+    s = tr.select(
+        "event_type",
+        "day",
+        F.sum("tr").over(v).cast("long").alias("atr_sum"),
+        F.max("hi").over(v).cast("long").alias("hh"),
+        F.min("lo").over(v).cast("long").alias("ll"),
+        F.count("tr").over(v).alias("cn"),
+    )
+    ratio = F.col("atr_sum").cast("double") / (F.col("hh") - F.col("ll"))
+    return (
+        s.filter((F.col("cn") == 14) & (F.col("hh") > F.col("ll")) & (F.col("atr_sum") > 0))
+        .select(
+            "event_type",
+            "day",
+            (F.round(100.0 * F.log(ratio) / F.log(F.lit(14.0)), 4) + 0.0).alias(
+                "choppiness"
+            ),
+            F.when(ratio > F.pow(F.lit(14.0), F.lit(0.618)), 1)
+            .otherwise(0)
+            .alias("is_choppy"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -224,3 +224,53 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_source_text_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-format sink→source roundtrip (one document per line — the
+    shape a 100 TB web-scrape corpus actually arrives in): documents
+    serialize as tab-framed lines (lang TAB text) through the text
+    sink, read back with ``spark.read.text`` + one split, and a
+    per-language aggregate including a CONTENT CHECKSUM (sum of
+    md5-prefix integers per doc) must hash-match the oracle on the
+    original parquet — any newline/encoding/truncation corruption in
+    the line roundtrip breaks the sum, not just the counts. Newlines
+    cannot occur inside fixture texts (asserted by the lang framing
+    surviving), and the tab frame is the first-tab split so text may
+    contain tabs."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    path = _sink("text_rt", sf_dir)
+    d.select(
+        F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = (
+        spark.read.text(path)
+        .select(
+            F.substring_index(F.col("value"), "\t", 1).alias("lang"),
+            F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+        )
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+            )
+            .cast("long")
+            .alias("content_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -4524,3 +4524,84 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_from", "seg_to")
     )
+
+
+@register(
+    "q_eval_mrr",
+    oracle="""
+    WITH s AS (
+      SELECT label AS qid, vec_id,
+             CAST(embedding[2] AS DOUBLE) AS score,
+             CAST(least(greatest(floor((CAST(embedding[3] AS DOUBLE) + 1) * 2),
+                                 0), 3) AS INTEGER) AS rel
+      FROM embeddings),
+    r AS (
+      SELECT qid, rel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS pos
+      FROM s),
+    fr AS (
+      SELECT qid, CAST(min(pos) AS BIGINT) AS first_rel_rank
+      FROM r WHERE rel >= 2 GROUP BY qid)
+    SELECT r.qid AS label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           fr.first_rel_rank,
+           CASE WHEN fr.first_rel_rank IS NULL THEN 0.0
+                ELSE round(1.0 / fr.first_rel_rank, 6) + 0.0 END
+             AS reciprocal_rank
+    FROM (SELECT DISTINCT qid FROM r) q
+    JOIN r ON r.qid = q.qid
+    LEFT JOIN fr ON fr.qid = q.qid
+    GROUP BY r.qid, fr.first_rel_rank
+    ORDER BY label
+    """,
+)
+def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank inputs per query: the rank of the FIRST
+    relevant document (rel ≥ 2 on q_eval_ndcg's graded-relevance
+    fixture) under the score ordering, and its reciprocal — the IR
+    metric for known-item search (nDCG grades the whole list; MRR
+    asks only "how deep is the first good hit", the latency-of-
+    relevance readout). Queries with no relevant doc report rank
+    NULL / RR 0.
+
+    Shape: one rank window per query partition (WindowGroupLimit
+    cannot prune here — the first relevant doc can sit at any rank —
+    but the aggregate collapses immediately to one row per query),
+    then a min over relevant positions. Tie-break (score DESC,
+    vec_id) keeps ranks cross-engine-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        F.col("label").alias("qid"),
+        "vec_id",
+        F.element_at("embedding", 2).cast("double").alias("score"),
+        F.least(
+            F.greatest(
+                F.floor((F.element_at("embedding", 3).cast("double") + 1) * 2),
+                F.lit(0),
+            ),
+            F.lit(3),
+        )
+        .cast("int")
+        .alias("rel"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    r = s.select("qid", "rel", F.row_number().over(w).alias("pos"))
+    fr = (
+        r.filter(F.col("rel") >= 2)
+        .groupBy("qid")
+        .agg(F.min("pos").cast("long").alias("first_rel_rank"))
+    )
+    per_q = r.groupBy("qid").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        per_q.join(fr, "qid", "left")
+        .select(
+            F.col("qid").alias("label"),
+            "n_docs",
+            "first_rel_rank",
+            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+            .otherwise(F.round(1.0 / F.col("first_rel_rank"), 6) + 0.0)
+            .alias("reciprocal_rank"),
+        )
+        .orderBy("label")
+    )

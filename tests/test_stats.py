@@ -3960,3 +3960,76 @@ def test_dunn_matches_recompute():
         )
         assert abs(r["z"] - round(z, 4)) < 1e-6
         assert r["significant"] == (1 if abs(z) > 2.807034 else 0)
+
+
+def test_eval_mrr_matches_recompute():
+    e = _embeds()
+    rows = []
+    for _, r in e.iterrows():
+        rel = int(min(max(np.floor((float(r["embedding"][2]) + 1) * 2), 0), 3))
+        rows.append((int(r["label"]), int(r["vec_id"]),
+                     float(r["embedding"][1]), rel))
+    got = _oracle_orders("q_eval_mrr").set_index("label")
+    import collections
+    byq = collections.defaultdict(list)
+    for qid, vid, score, rel in rows:
+        byq[qid].append((vid, score, rel))
+    for qid, docs in byq.items():
+        docs.sort(key=lambda d: (-d[1], d[0]))
+        first = next((i + 1 for i, d in enumerate(docs) if d[2] >= 2), None)
+        row = got.loc[qid]
+        assert row["n_docs"] == len(docs)
+        if first is None:
+            assert pd.isna(row["first_rel_rank"]) and row["reciprocal_rank"] == 0.0
+        else:
+            assert row["first_rel_rank"] == first
+            assert abs(row["reciprocal_rank"] - round(1.0 / first, 6)) < 1e-12
+
+
+def test_choppiness_matches_pandas():
+    import math
+
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_choppiness").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        g = ev[ev["event_type"] == et].sort_values(["ts", "event_id"])
+        bars = g.groupby("day").agg(hi=("c", "max"), lo=("c", "min"),
+                                    cl=("c", "last"))
+        hi, lo, cl = (bars[k].to_numpy().astype("int64")
+                      for k in ("hi", "lo", "cl"))
+        tr = [None] * len(hi)
+        for i in range(len(hi)):
+            tr[i] = int(hi[i] - lo[i]) if i == 0 else max(
+                int(hi[i] - lo[i]), abs(int(hi[i] - cl[i - 1])),
+                abs(int(lo[i] - cl[i - 1])))
+        for i in range(13, len(hi)):
+            # the engine's 14-row window includes day i-13's tr, which
+            # for the very first day is hi-lo (lag is NULL -> greatest
+            # skips the null legs)
+            atr = sum(tr[i - 13 : i + 1])
+            hh, ll = int(hi[i - 13 : i + 1].max()), int(lo[i - 13 : i + 1].min())
+            if hh <= ll or atr <= 0:
+                continue
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            chop = 100.0 * math.log(atr / (hh - ll)) / math.log(14.0)
+            assert abs(row["choppiness"] - round(chop, 4)) < 1e-6
+            assert row["is_choppy"] == (1 if atr / (hh - ll) > 14.0 ** 0.618 else 0)
+            checked += 1
+    assert checked == len(got) and checked > 0
+
+
+def test_source_text_roundtrip_counts(spark):
+    from engine.registry import all_queries as _aq
+
+    got = {r["lang"]: r for r in _aq()["q_source_text_roundtrip"](
+        spark, SF).collect()}
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT lang, count(*) n, sum(length(text)) c FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY lang"
+    ).df()
+    for _, r in exp.iterrows():
+        assert got[r["lang"]]["n_docs"] == int(r["n"])
+        assert got[r["lang"]]["total_chars"] == int(r["c"])

@@ -60,6 +60,9 @@ ROUND_CHANGED = [
     "q_segment_migration",  # r7: new — lifecycle transition matrix
     "q_win_volume_profile",  # r7: new — value area / point of control
     "q_stats_dunn",      # r7: new — KW post-hoc pairwise z
+    "q_eval_mrr",        # r7: new — first-relevant-rank / MRR inputs
+    "q_win_choppiness",  # r7: new — trend-vs-chop regime index
+    "q_source_text_roundtrip",  # r7: new — text-line sink/source gate
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
