@@ -6054,3 +6054,218 @@ def q_text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_code"),
     ).orderBy("doc_id")
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3) -> str:
+    """Generate the unrolled Lloyd-iteration oracle SQL. Each block is
+    the same exact-integer assign/update step the Spark plan runs, so
+    the text is mechanical: assignment by min(struct(dist, cid)) with
+    the distance an exact int64 sum of squared 1e-6-grid diffs, update
+    by per-dimension floor(sum div n) with empty clusters inheriting
+    the previous centroid."""
+    blocks = ["""
+    pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY CAST('0x' || substring(
+                 md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+               vec_id) AS cid, q AS c
+      FROM pts QUALIFY cid <= 4
+    ),
+    c0 AS (SELECT cid, c FROM seeds)"""]
+    for i in range(1, iters + 1):
+        blocks.append(f"""
+    a{i} AS (
+      SELECT vec_id, q,
+             min(struct_pack(
+               d := list_sum(list_transform(generate_series(1, 64),
+                      j -> (q[j] - c.c[j]) * (q[j] - c.c[j]))),
+               cid := c.cid)) AS best
+      FROM pts, c{i - 1} c GROUP BY vec_id, q
+    ),
+    m{i} AS (
+      -- FLOOR division for any sign (DuckDB // truncates toward zero;
+      -- Spark floor(decimal/n) rounds toward -inf): subtract the
+      -- positive modulus first so the division is exact
+      SELECT best.cid AS cid, u.j AS dim,
+             CAST((sum(q[u.j])
+                   - ((sum(q[u.j]) % count(*)) + count(*)) % count(*))
+                  // count(*) AS BIGINT) AS v
+      FROM a{i}, unnest(generate_series(1, 64)) AS u(j)
+      GROUP BY best.cid, u.j
+    ),
+    c{i} AS (
+      SELECT p.cid,
+             coalesce(list(m.v ORDER BY m.dim), p.c) AS c
+      FROM c{i - 1} p LEFT JOIN m{i} m ON p.cid = m.cid
+      GROUP BY p.cid, p.c
+    )""")
+    return f"""
+    WITH {','.join(blocks)},
+    final AS (
+      SELECT vec_id,
+             min(struct_pack(
+               d := list_sum(list_transform(generate_series(1, 64),
+                      j -> (q[j] - c.c[j]) * (q[j] - c.c[j]))),
+               cid := c.cid)) AS best
+      FROM pts, c{iters} c GROUP BY vec_id, q
+    )
+    SELECT f.best.cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CAST(f.best.d AS HUGEINT)) AS BIGINT) AS inertia_q,
+           round(CAST(sum(CAST(f.best.d AS HUGEINT)) AS DOUBLE)
+                 / count(*) / 1e12, 6) + 0.0 AS mean_dist,
+           round(any_value(c.c[1]) / 1000000.0, 6) + 0.0 AS c_dim1,
+           round(any_value(c.c[2]) / 1000000.0, 6) + 0.0 AS c_dim2
+    FROM final f JOIN c{iters} c ON f.best.cid = c.cid
+    GROUP BY f.best.cid ORDER BY cluster_id
+    """
+
+
+@register("q_embed_kmeans", oracle=_kmeans_oracle())
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus (k=4, 3 Lloyd iterations) —
+    UNLIKE the MLlib-backed IVF/PQ keys (rows-only: seeded RNG), this
+    is Lloyd's algorithm as pure relational algebra with every source
+    of nondeterminism removed, making it the engine's only FULLY
+    ORACLE-CHECKED clustering: content-hash seeding (the 4 vectors
+    with the smallest md5('km:'||vec_id) prefix — reshard-stable, no
+    RNG), distances as exact int64 sums of squared 1e-6-grid
+    differences (max 64·(2·10⁶)² ≈ 2.6e14 per pair), assignment by
+    lexicographic struct-min (distance, then cluster id — exact tie
+    policy), and centroid updates by per-dimension floor(Σ div n)
+    integer means. Both engines replay the IDENTICAL iteration
+    text — the DuckDB oracle is the same unrolled blocks — so the
+    differential hash checks the whole training trajectory, not just
+    a final score.
+
+    Scale shape per iteration: one broadcast of the k-row centroid
+    relation against the point scan (no shuffle for assignment), one
+    posexplode + (k×64)-group hash aggregate for the update (map-side
+    combined; shuffle is k·64 rows of partials per task, independent
+    of corpus size) — the q_embed_centroids discipline applied
+    iteratively. The plan unrolls 3 fixed iterations (a pipeline
+    would localCheckpoint between rounds at larger iteration counts;
+    3 keeps the differential cheap and the lineage shallow)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+        ).alias("q"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # TakeOrderedAndProject picks the 4 seeds distributed (never a
+    # global row_number window over the corpus); the rank window then
+    # runs on the 4-row result only.
+    top4 = pts.select(F.col("q").alias("c"), h.alias("hk"), "vec_id").orderBy(
+        "hk", "vec_id"
+    ).limit(4)
+    cents = top4.select(
+        F.row_number()
+        .over(Window.orderBy("hk", "vec_id"))
+        .alias("cid"),
+        "c",
+    )
+
+    def dist(qcol, ccol):
+        return F.aggregate(
+            F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents_df):
+        j = pts.crossJoin(F.broadcast(cents_df))
+        return (
+            j.select(
+                "vec_id",
+                "q",
+                F.struct(
+                    dist(F.col("q"), F.col("c")).alias("d"),
+                    F.col("cid").alias("cid"),
+                ).alias("cand"),
+            )
+            .groupBy("vec_id", "q")
+            .agg(F.min("cand").alias("best"))
+        )
+
+    for _ in range(3):
+        a = assign(cents)
+        m = (
+            a.select(F.col("best.cid").alias("cid"), F.posexplode("q"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.floor(
+                    F.sum("col").cast("decimal(38,0)") / F.count("*")
+                )
+                .cast("long")
+                .alias("v"),
+            )
+        )
+        upd = (
+            m.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("v")))
+                    ),
+                    lambda s: s["v"],
+                ).alias("cm")
+            )
+        )
+        cents = (
+            cents.join(upd, "cid", "left")
+            .select("cid", F.coalesce(F.col("cm"), F.col("c")).alias("c"))
+        )
+        # Collapse lineage: the centroid relation is k×64 integers by
+        # construction (bounded collect, the pivot-domain precedent) —
+        # rebuilding it as a literal frame keeps each iteration's
+        # assignment plan shallow instead of nesting all prior rounds
+        # (measured 10 s -> planning-bound without this at ANY SF).
+        cents = spark.createDataFrame(
+            [(int(r["cid"]), [int(x) for x in r["c"]]) for r in cents.collect()],
+            "cid int, c array<long>",
+        )
+
+    final = assign(cents)
+    return (
+        final.select(F.col("best.cid").alias("cluster_id"), F.col("best.d").alias("d"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum(F.col("d").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("inertia_q"),
+            (
+                F.round(
+                    F.sum(F.col("d").cast("decimal(38,0)")).cast("double")
+                    / F.count("*")
+                    / 1e12,
+                    6,
+                )
+                + 0.0
+            ).alias("mean_dist"),
+        )
+        .join(
+            cents.select(
+                F.col("cid").alias("cluster_id"),
+                (F.round(F.element_at("c", 1) / 1000000.0, 6) + 0.0).alias("c_dim1"),
+                (F.round(F.element_at("c", 2) / 1000000.0, 6) + 0.0).alias("c_dim2"),
+            ),
+            "cluster_id",
+        )
+        .orderBy("cluster_id")
+    )

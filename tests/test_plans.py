@@ -90,6 +90,7 @@ _SINGLE_PARTITION_OK = {
     "q_orders_backlog",   # 1-row as-of max + 4-band/1-row reduces
     "q_privacy_ldiversity",  # bounded class table reduces to one wide row
     "q_eval_ks",          # |bands|-row carry window + 1-row struct-max
+    "q_embed_kmeans",     # 4-row seed-rank window after TakeOrdered
     "q_segment_migration",  # 1-row bounds broadcast + 1-row total fold
     "q_stats_dunn",       # |bands|-row carry window + 5x5 pair table
     "q_stats_anova",      # 1-row (k, N, S) total + 1-row output
@@ -191,6 +192,10 @@ _CROSS_OK = {
     # Dunn: the 5-row group table theta-self-joins (10 pairs) and the
     # 1-row tie total folds in — all broadcast-sized by construction.
     "q_stats_dunn",
+    # k-means: every assignment pass broadcasts the k-row centroid
+    # relation against the point scan — the IVF coarse-quantizer
+    # pattern; k=4 rows by construction.
+    "q_embed_kmeans",
     # F1 sweep: the 19-row threshold SPINE fans the <=42-cell score
     # histogram (both broadcast-sized literals), and the best-F1 flag
     # cross-joins the 19-row metric table with itself.

@@ -4033,3 +4033,55 @@ def test_source_text_roundtrip_counts(spark):
     for _, r in exp.iterrows():
         assert got[r["lang"]]["n_docs"] == int(r["n"])
         assert got[r["lang"]]["total_chars"] == int(r["c"])
+
+
+def test_embed_kmeans_matches_python_lloyd():
+    """Independent python replay of the full deterministic Lloyd
+    trajectory: content-hash seeds, exact integer distances,
+    struct-min tie policy, floor-mean updates."""
+    e = _embeds()
+    pts = {}
+    for _, r in e.iterrows():
+        pts[int(r["vec_id"])] = [int(np.floor(float(x) * 1000000))
+                                 for x in r["embedding"]]
+    seeds = sorted(
+        pts,
+        key=lambda v: (int(hashlib.md5(f"km:{v}".encode()).hexdigest()[:15], 16), v),
+    )[:4]
+    cents = {i + 1: list(pts[v]) for i, v in enumerate(seeds)}
+
+    def d2(q, c):
+        return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+    for _ in range(3):
+        assign = {}
+        for v, q in pts.items():
+            assign[v] = min((d2(q, c), cid) for cid, c in cents.items())[1]
+        new = {}
+        for cid in cents:
+            members = [pts[v] for v in assign if assign[v] == cid]
+            if not members:
+                new[cid] = cents[cid]
+            else:
+                n = len(members)
+                new[cid] = [
+                    (sum(col) - ((sum(col) % n) + n) % n) // n
+                    if sum(col) % n else sum(col) // n
+                    for col in zip(*members)
+                ]
+        cents = new
+    import collections
+
+    best = {v: min((d2(q, c), cid) for cid, c in cents.items())
+            for v, q in pts.items()}
+    n_by = collections.Counter(cid for _, cid in best.values())
+    inertia = collections.Counter()
+    for v, (d, cid) in best.items():
+        inertia[cid] += d
+    got = _oracle_orders("q_embed_kmeans").set_index("cluster_id")
+    for cid in cents:
+        row = got.loc[cid]
+        assert row["n_points"] == n_by[cid]
+        assert row["inertia_q"] == inertia[cid]
+        assert abs(row["c_dim1"] - round(cents[cid][0] / 1e6, 6)) < 1e-12
+        assert abs(row["c_dim2"] - round(cents[cid][1] / 1e6, 6)) < 1e-12

@@ -63,6 +63,7 @@ ROUND_CHANGED = [
     "q_eval_mrr",        # r7: new — first-relevant-rank / MRR inputs
     "q_win_choppiness",  # r7: new — trend-vs-chop regime index
     "q_source_text_roundtrip",  # r7: new — text-line sink/source gate
+    "q_embed_kmeans",    # r7: new — fully-oracled deterministic Lloyd
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
