@@ -3560,7 +3560,59 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_graph_kcore")
+def _kcore_oracle(rounds: int = 64) -> str:
+    """Recursive-CTE h-index fixpoint oracle (r7 — kcore's rows-only
+    → full-oracle conversion): the coreness fixpoint is UNIQUE and
+    every h-index round is idempotent once reached, so replaying a
+    fixed number of rounds ≥ the convergence count computes the
+    identical answer the engine's convergence-certified loop does.
+    DuckDB executes the recursion ITERATIVELY (the recursive term
+    sees only the previous round's rows), so 64 rounds cost 64
+    edge-join/window passes — unlike a 48-deep unrolled CTE chain,
+    which the optimizer inlined into an exponential plan (measured
+    >600 s; this text runs in seconds). 64 matches the engine's own
+    round bound: past it the engine RAISES, so both sides either
+    agree on the fixpoint or fail loudly."""
+    return f"""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    bp AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    e AS (SELECT pa AS src, pb AS dst FROM bp
+          UNION ALL SELECT pb AS src, pa AS dst FROM bp),
+    c AS (
+      SELECT 0 AS rnd, src, CAST(count(*) AS BIGINT) AS v
+      FROM e GROUP BY src
+      UNION ALL
+      SELECT rnd + 1, src, v FROM (
+        SELECT any_value(x.rnd) AS rnd, x.src,
+               CAST(max(least(x.rn, x.nc)) AS BIGINT) AS v
+        FROM (
+          SELECT c.rnd, e.src, c.v AS nc,
+                 row_number() OVER (PARTITION BY e.src
+                                    ORDER BY c.v DESC, e.dst ASC) AS rn
+          FROM e JOIN c ON e.dst = c.src
+        ) x GROUP BY x.src
+      ) WHERE rnd < {rounds}
+    ),
+    fin AS (SELECT src, v FROM c WHERE rnd = {rounds}),
+    hist AS (
+      SELECT v AS k, CAST(count(*) AS BIGINT) AS n_coreness
+      FROM fin GROUP BY v
+    )
+    SELECT k, n_coreness,
+           CAST(sum(n_coreness) OVER (ORDER BY k DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS core_size
+    FROM hist ORDER BY k
+    """
+
+
+@register("q_graph_kcore", oracle=_kcore_oracle())
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coreness decomposition of the co-purchase graph: every node's
     core number (the largest k for which it survives in the k-core),
@@ -3583,11 +3635,18 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally: sort each node's neighbor values desc, h = max over
     ranks r of min(r, value_r).
 
-    No SQL oracle — a fixpoint is not ANSI-expressible (same
-    structural rows-only contract as pagerank/components);
-    tests/test_stats.py recomputes the full decomposition with pure
-    python peeling and demands exact equality, plus the defining
-    invariants (min degree >= k inside each core; maximality)."""
+    Full oracle since r7 (was rows-only): the coreness fixpoint is
+    unique and h-index rounds are idempotent at the fixpoint, so the
+    oracle replays a FIXED 64 rounds of the identical update inside a
+    DuckDB recursive CTE (iterative execution — an unrolled CTE chain
+    inlines exponentially; see _kcore_oracle) and reads the final
+    round. 64 matches the engine's own bound: the engine keeps its
+    convergence-certified loop (sum of values strictly decreases
+    until fixpoint) and RAISES past 64 rounds, so both sides agree on
+    the fixpoint or fail loudly. tests/test_stats.py still recomputes
+    the full decomposition with pure python peeling and demands exact
+    equality, plus the defining invariants (min degree >= k inside
+    each core; maximality)."""
     from engine.relational import q_basket_pairs
 
     e0 = q_basket_pairs(spark, sf_dir).select("part_a", "part_b")

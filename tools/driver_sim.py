@@ -64,6 +64,8 @@ ROUND_CHANGED = [
     "q_win_choppiness",  # r7: new — trend-vs-chop regime index
     "q_source_text_roundtrip",  # r7: new — text-line sink/source gate
     "q_embed_kmeans",    # r7: new — fully-oracled deterministic Lloyd
+    "q_graph_kcore",     # r7: rows-only -> full oracle (recursive-CTE
+                  # fixed-round h-index replay)
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
