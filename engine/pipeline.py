@@ -4664,3 +4664,95 @@ def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_graph_distances",
+    oracle="""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    bp AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    e AS (SELECT pa AS src, pb AS dst FROM bp
+          UNION ALL SELECT pb AS src, pa AS dst FROM bp),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+    root AS (
+      SELECT src FROM deg ORDER BY d DESC, src ASC LIMIT 1
+    ),
+    walk AS (
+      SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM root
+      UNION
+      SELECT e.dst AS node, walk.dist + 1 AS dist
+      FROM walk JOIN e ON e.src = walk.node
+      WHERE walk.dist < 32
+    ),
+    sp AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+           FROM walk GROUP BY node),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT sp.dist,
+           CAST(count(*) AS BIGINT) AS n_at_dist,
+           round(CAST(count(*) AS DOUBLE) / nv.n_nodes, 4) + 0.0
+             AS reach_share
+    FROM sp, nv GROUP BY sp.dist, nv.n_nodes ORDER BY sp.dist
+    """,
+)
+def q_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances on the co-purchase graph from
+    its highest-degree node (tie → smallest id): how many parts sit
+    1, 2, 3… merchandising hops from the biggest hub, as a distance
+    histogram with reach shares — small-world diagnostics (eccentric
+    whiskers, disconnected shelves) completing the graph panel next
+    to components (WHETHER connected) and k-core (HOW dense).
+
+    Engine: frontier BFS — each round joins the current frontier to
+    the edge list, anti-joins the visited set, and localCheckpoints
+    both (bounded by the graph diameter; converged when the frontier
+    empties, capped at 32 like the oracle's recursion guard). The
+    oracle is a recursive CTE whose UNION-dedup on (node, dist)
+    bounds every level at |V| rows; min-dist per node afterward. Both
+    compute the same unique BFS distance function, or both hit the
+    32-hop cap together."""
+    from engine.relational import q_basket_pairs
+
+    e0 = q_basket_pairs(spark, sf_dir).select("part_a", "part_b")
+    e = (
+        e0.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionAll(
+            e0.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    n_nodes = deg.count()
+    root = deg.orderBy(F.desc("d"), F.asc("src")).limit(1).select("src")
+    visited = root.select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, 33):
+        nxt = (
+            frontier.join(e, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy("dist")
+        .agg(F.count("*").cast("long").alias("n_at_dist"))
+        .select(
+            "dist",
+            "n_at_dist",
+            (F.round(F.col("n_at_dist").cast("double") / F.lit(n_nodes), 4) + 0.0)
+            .alias("reach_share"),
+        )
+        .orderBy("dist")
+    )

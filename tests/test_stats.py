@@ -4085,3 +4085,40 @@ def test_embed_kmeans_matches_python_lloyd():
         assert row["inertia_q"] == inertia[cid]
         assert abs(row["c_dim1"] - round(cents[cid][0] / 1e6, 6)) < 1e-12
         assert abs(row["c_dim2"] - round(cents[cid][1] / 1e6, 6)) < 1e-12
+
+
+def test_graph_distances_matches_python_bfs():
+    con = duckdb.connect()
+    bp = con.execute(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM read_parquet('{SF}/lineitem.parquet'))
+        SELECT a.l_partkey pa, b.l_partkey pb
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING count(*) >= 2"""
+    ).df()
+    import collections
+
+    adj = collections.defaultdict(set)
+    for _, r in bp.iterrows():
+        adj[int(r["pa"])].add(int(r["pb"]))
+        adj[int(r["pb"])].add(int(r["pa"]))
+    root = max(adj, key=lambda v: (len(adj[v]), -v))
+    dist = {root: 0}
+    frontier = [root]
+    d = 0
+    while frontier and d < 32:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    hist = collections.Counter(dist.values())
+    got = _oracle_orders("q_graph_distances").set_index("dist")
+    assert {int(k): int(r["n_at_dist"]) for k, r in got.iterrows()} == dict(hist)
+    n = len(adj)
+    for k, r in got.iterrows():
+        assert abs(r["reach_share"] - round(hist[int(k)] / n, 4)) < 1e-9

@@ -66,6 +66,7 @@ ROUND_CHANGED = [
     "q_embed_kmeans",    # r7: new — fully-oracled deterministic Lloyd
     "q_graph_kcore",     # r7: rows-only -> full oracle (recursive-CTE
                   # fixed-round h-index replay)
+    "q_graph_distances",  # r7: new — fully-oracled BFS hop histogram
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
