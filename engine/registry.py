@@ -129,7 +129,7 @@ _PRIORITY: list[str] = [
     "q_eval_ks", "q_funnel_latency", "q_segment_migration",
     "q_win_volume_profile", "q_stats_dunn", "q_eval_mrr",
     "q_win_choppiness", "q_source_text_roundtrip", "q_embed_kmeans",
-    "q_graph_distances",
+    "q_graph_distances", "q_stats_wilcoxon", "q_stats_hill",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r06) so every future window is a prefix rotation
 

@@ -4239,3 +4239,186 @@ def q_stats_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_a", "group_b")
     )
+
+
+@register(
+    "q_stats_wilcoxon",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(o_orderdate)) / 86400) AS BIGINT) AS lo,
+             CAST(floor(epoch(max(o_orderdate)) / 86400) AS BIGINT) AS hi
+      FROM orders
+    ),
+    halves AS (
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN CAST(floor(epoch(o_orderdate) / 86400)
+                                     AS BIGINT) * 2 <= bounds.lo + bounds.hi
+                           THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN CAST(floor(epoch(o_orderdate) / 86400)
+                                     AS BIGINT) * 2 <= bounds.lo + bounds.hi
+                           THEN 0
+                           ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+                           END) AS BIGINT) AS s2
+      FROM orders, bounds GROUP BY o_custkey
+      HAVING s1 > 0 AND s2 > 0
+    ),
+    d AS (
+      SELECT abs(s2 - s1) AS ad,
+             CASE WHEN s2 > s1 THEN 1 ELSE 0 END AS pos
+      FROM halves WHERE s2 <> s1
+    ),
+    g AS (
+      SELECT ad, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(pos) AS BIGINT) AS tp,
+             CAST(coalesce(sum(count(*)) OVER (ORDER BY ad
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS before
+      FROM d GROUP BY ad
+    ),
+    s AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(CAST(tp AS HUGEINT) * (2 * before + t + 1))
+                  AS HUGEINT) AS w2p,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+      FROM g
+    )
+    SELECT n,
+           round(CAST(w2p AS DOUBLE) / 2.0, 1) + 0.0 AS w_plus,
+           round((CAST(w2p AS DOUBLE) / 2.0
+                  - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                        - CAST(ties AS DOUBLE) / 48.0), 4) + 0.0 AS z
+    FROM s WHERE n > 0
+    """,
+)
+def q_stats_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired customer spend (first vs
+    second half of the order timeline, customers active in both):
+    did per-customer spend SHIFT, using the magnitudes of the paired
+    differences — the nonparametric paired companion completing the
+    family (mannwhitney: independent two-sample; kruskal: k-sample;
+    friedman: blocked; THIS: paired two-period), with the
+    tie-corrected normal approximation.
+
+    Exactness: paired sums and differences are exact cents; zero
+    differences drop (the standard treatment); |d| ranks are DOUBLED
+    integers with average-tie handling over the banded... the value
+    domain here is per-customer diffs, aggregated value-level first;
+    W⁺ accumulates as 128-bit; z evaluates once in doubles by the
+    identical tree (σ² uses the Σ(t³−t)/48 tie correction)."""
+    o = load_table(spark, sf_dir, "orders")
+    di = F.floor(
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400
+    ).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    bounds = o.agg(F.min(di).alias("lo"), F.max(di).alias("hi"))
+    first_half = di * 2 <= F.col("lo") + F.col("hi")
+    halves = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(first_half, cents).otherwise(0)).cast("long").alias("s1"),
+            F.sum(F.when(first_half, 0).otherwise(cents)).cast("long").alias("s2"),
+        )
+        .filter((F.col("s1") > 0) & (F.col("s2") > 0))
+    )
+    d = halves.filter(F.col("s2") != F.col("s1")).select(
+        F.abs(F.col("s2") - F.col("s1")).alias("ad"),
+        F.when(F.col("s2") > F.col("s1"), 1).otherwise(0).alias("pos"),
+    )
+    g = d.groupBy("ad").agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum("pos").cast("long").alias("tp"),
+    )
+    g = _banded_cum(g, "ad", ["t"], 1 << 20).withColumn(
+        "before", F.col("cum_t") - F.col("t")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    s = g.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("tp").cast("decimal(38,0)")
+            * (2 * F.col("before") + F.col("t") + 1)
+        ).alias("w2p"),
+        F.sum(dec("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    nD = F.col("n").cast("double")
+    w_plus = F.col("w2p").cast("double") / 2.0
+    z = (w_plus - nD * (F.col("n") + 1) / 4.0) / F.sqrt(
+        nD * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0
+        - F.col("ties").cast("double") / 48.0
+    )
+    return s.filter(F.col("n") > 0).select(
+        "n",
+        (F.round(w_plus, 1) + 0.0).alias("w_plus"),
+        (F.round(z, 4) + 0.0).alias("z"),
+    )
+
+
+@register(
+    "q_stats_hill",
+    oracle="""
+    WITH topv AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY floor(o_totalprice * 100) DESC,
+                                o_orderkey ASC) AS rk
+      FROM orders QUALIFY rk <= 101
+    ),
+    ref AS (SELECT cents AS xref FROM topv WHERE rk = 101),
+    t AS (
+      SELECT CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE) / ref.xref)
+                                 * 1000000) AS BIGINT)) AS BIGINT) AS s6,
+             CAST(count(*) AS BIGINT) AS k
+      FROM topv, ref WHERE rk <= 100
+    )
+    SELECT k,
+           round(s6 / 1000000.0 / k, 6) + 0.0 AS hill_gamma,
+           round(1000000.0 * k / s6, 4) + 0.0 AS tail_alpha
+    FROM t WHERE s6 > 0
+    """,
+)
+def q_stats_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index over the top-100
+    order statistics: γ̂ = mean ln(x_(i)/x_(101)), α̂ = 1/γ̂ — the
+    heavy-tail exponent behind q_abc_pareto's concentration curve and
+    q_benford's fraud screen (α ≈ 1–2 means whale orders dominate any
+    sum; capacity planning and revenue-at-risk read this number).
+
+    Exactness: the top-101 order statistics come from ONE
+    TakeOrderedAndProject (never a global sort), deterministically
+    tie-broken by order key; each ln ratio lands on the 1e-6 integer
+    grid BEFORE the 100-term sum (the ln-grid idiom — float sum order
+    would differ between engines); the two reported values divide the
+    exact grid sum once each."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    topv = (
+        o.select(cents.alias("cents"), "o_orderkey")
+        .orderBy(F.desc("cents"), F.asc("o_orderkey"))
+        .limit(101)
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_orderkey"))
+    ranked = topv.select("cents", F.row_number().over(w).alias("rk"))
+    ref = ranked.filter(F.col("rk") == 101).select(F.col("cents").alias("xref"))
+    t = (
+        ranked.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(ref))
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(F.col("cents").cast("double") / F.col("xref")) * 1000000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s6"),
+            F.count("*").cast("long").alias("k"),
+        )
+    )
+    return t.filter(F.col("s6") > 0).select(
+        "k",
+        (F.round(F.col("s6") / 1000000.0 / F.col("k"), 6) + 0.0).alias("hill_gamma"),
+        (F.round(1000000.0 * F.col("k") / F.col("s6"), 4) + 0.0).alias("tail_alpha"),
+    )

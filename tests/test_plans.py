@@ -91,6 +91,8 @@ _SINGLE_PARTITION_OK = {
     "q_privacy_ldiversity",  # bounded class table reduces to one wide row
     "q_eval_ks",          # |bands|-row carry window + 1-row struct-max
     "q_embed_kmeans",     # 4-row seed-rank window after TakeOrdered
+    "q_stats_wilcoxon",   # |bands|-row carry window + 1-row reduce
+    "q_stats_hill",       # 101-row TakeOrdered + rank window on it
     "q_segment_migration",  # 1-row bounds broadcast + 1-row total fold
     "q_stats_dunn",       # |bands|-row carry window + 5x5 pair table
     "q_stats_anova",      # 1-row (k, N, S) total + 1-row output
@@ -192,6 +194,10 @@ _CROSS_OK = {
     # Dunn: the 5-row group table theta-self-joins (10 pairs) and the
     # 1-row tie total folds in — all broadcast-sized by construction.
     "q_stats_dunn",
+    # Wilcoxon: 1-row (lo, hi) timeline bounds broadcast.
+    "q_stats_wilcoxon",
+    # Hill: the 1-row x_(101) reference folds into the 100-row top set.
+    "q_stats_hill",
     # k-means: every assignment pass broadcasts the k-row centroid
     # relation against the point scan — the IVF coarse-quantizer
     # pattern; k=4 rows by construction.

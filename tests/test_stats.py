@@ -4122,3 +4122,61 @@ def test_graph_distances_matches_python_bfs():
     n = len(adj)
     for k, r in got.iterrows():
         assert abs(r["reach_share"] - round(hist[int(k)] / n, 4)) < 1e-9
+
+
+def test_wilcoxon_matches_scipy_free_recompute():
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT o_custkey ck, CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) di,"
+        f" CAST(floor(o_totalprice*100) AS BIGINT) cents"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    lo, hi = int(o["di"].min()), int(o["di"].max())
+    o["h1"] = o["di"] * 2 <= lo + hi
+    g = o.groupby("ck").apply(
+        lambda x: pd.Series({
+            "s1": int(x.loc[x["h1"], "cents"].sum()),
+            "s2": int(x.loc[~x["h1"], "cents"].sum()),
+        }),
+        include_groups=False,
+    )
+    g = g[(g["s1"] > 0) & (g["s2"] > 0)]
+    d = (g["s2"] - g["s1"]).astype("int64")
+    d = d[d != 0]
+    ad = d.abs()
+    import collections
+    import math
+
+    cnt = collections.Counter(ad)
+    avg_rank, pos = {}, 1
+    for v in sorted(cnt):
+        avg_rank[v] = pos + (cnt[v] - 1) / 2.0
+        pos += cnt[v]
+    w_plus = sum(avg_rank[abs(x)] for x in d if x > 0)
+    n = len(d)
+    ties = sum(t**3 - t for t in cnt.values())
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    )
+    row = _oracle_orders("q_stats_wilcoxon").iloc[0]
+    assert row["n"] == n
+    assert abs(row["w_plus"] - round(w_plus, 1)) < 1e-9
+    assert abs(row["z"] - round(z, 4)) < 1e-6
+
+
+def test_hill_matches_recompute():
+    import math
+
+    df = _order_cents()
+    top = sorted(
+        zip(df["cents"], range(len(df))), key=lambda t: (-t[0], t[1])
+    )
+    # the engine tie-breaks by o_orderkey; values at the 101 boundary
+    # are what matter — recompute on the VALUE multiset instead
+    vals = sorted(df["cents"], reverse=True)
+    xref = vals[100]
+    s6 = sum(round(math.log(v / xref) * 1000000) for v in vals[:100])
+    row = _oracle_orders("q_stats_hill").iloc[0]
+    assert row["k"] == 100
+    assert abs(row["hill_gamma"] - round(s6 / 1e6 / 100, 6)) < 1e-9
+    assert abs(row["tail_alpha"] - round(1e6 * 100 / s6, 4)) < 1e-9

@@ -67,6 +67,8 @@ ROUND_CHANGED = [
     "q_graph_kcore",     # r7: rows-only -> full oracle (recursive-CTE
                   # fixed-round h-index replay)
     "q_graph_distances",  # r7: new — fully-oracled BFS hop histogram
+    "q_stats_wilcoxon",  # r7: new — paired signed-rank test
+    "q_stats_hill",      # r7: new — heavy-tail index (top-k ln grid)
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
