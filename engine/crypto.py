@@ -6280,3 +6280,124 @@ def q_win_choppiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_win_ulcer_index",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS di,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(max(struct_pack(t := ts, e := event_id,
+                                  v := CAST(floor(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cl
+      FROM events GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT event_type, di, day, cl,
+             CAST(max(cl) OVER v AS BIGINT) AS peak,
+             count(*) OVER v AS cn
+      FROM d
+      WINDOW v AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    dd AS (
+      SELECT event_type, di, day,
+             CAST(floor(10000.0 * (peak - cl) / peak) AS BIGINT) AS ddb,
+             cn
+      FROM w WHERE peak > 0
+    ),
+    u AS (
+      SELECT event_type, day,
+             CAST(sum(CAST(ddb AS HUGEINT) * ddb) OVER v AS HUGEINT) AS sq,
+             CAST(count(*) OVER v AS BIGINT) AS n14,
+             cn
+      FROM dd
+      WINDOW v AS (PARTITION BY event_type ORDER BY di
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           round(sqrt(CAST(sq AS DOUBLE) / n14) / 100.0, 4) + 0.0
+             AS ulcer_index
+    FROM u WHERE cn = 14 AND n14 = 14
+    ORDER BY event_type, day
+    """,
+)
+def q_win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer Index (14-day) per event type: RMS of the percentage
+    drawdown from the rolling 14-day peak — the downside-only risk
+    measure (volatility penalizes upside too; q_drawdown reports the
+    single worst excursion; the UI integrates how long and how deep
+    the position stayed underwater — what risk committees actually
+    feel).
+
+    Exactness: drawdown basis points floor to an integer grid per day
+    (10⁴·(peak−close)/peak), their squares accumulate as 128-bit in
+    the rolling window, and the RMS is one sqrt of an exact-integer
+    mean. Two stacked 14-row windows share the per-type exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("long")
+            .alias("di"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "di", "day")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("c").alias("v"),
+                )
+            )["v"].alias("cl")
+        )
+    )
+    pw = Window.partitionBy("event_type").orderBy("di")
+    v = pw.rowsBetween(-13, 0)
+    w = d.select(
+        "event_type",
+        "di",
+        "day",
+        "cl",
+        F.max("cl").over(v).cast("long").alias("peak"),
+        F.count("*").over(v).alias("cn"),
+    )
+    dd = w.filter(F.col("peak") > 0).select(
+        "event_type",
+        "di",
+        "day",
+        F.floor(10000.0 * (F.col("peak") - F.col("cl")) / F.col("peak"))
+        .cast("long")
+        .alias("ddb"),
+        "cn",
+    )
+    u = dd.select(
+        "event_type",
+        "day",
+        F.sum(F.col("ddb").cast("decimal(38,0)") * F.col("ddb"))
+        .over(v)
+        .alias("sq"),
+        F.count("*").over(v).cast("long").alias("n14"),
+        "cn",
+    )
+    return (
+        u.filter((F.col("cn") == 14) & (F.col("n14") == 14))
+        .select(
+            "event_type",
+            "day",
+            (
+                F.round(
+                    F.sqrt(F.col("sq").cast("double") / F.col("n14")) / 100.0, 4
+                )
+                + 0.0
+            ).alias("ulcer_index"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -6269,3 +6269,87 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q_text_term_burstiness",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM tf GROUP BY tok, doc_id
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    m AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS cf,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+      FROM per_doc GROUP BY tok HAVING count(*) >= 20
+    )
+    SELECT tok AS token, df, cf,
+           round(CAST(cf AS DOUBLE) / df, 4) + 0.0 AS burst_ec,
+           round((CAST(ss AS DOUBLE) * nd.n - CAST(cf AS DOUBLE) * cf)
+                 / (CAST(nd.n AS DOUBLE) * (nd.n - 1))
+                 / (CAST(cf AS DOUBLE) / nd.n), 4) + 0.0 AS vmr
+    FROM m, nd
+    ORDER BY vmr DESC, token LIMIT 20
+    """,
+)
+def q_text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): for frequent terms, the mean
+    occurrences per CONTAINING doc (E[c | c>0], 'burst size') and the
+    corpus-wide variance-to-mean ratio — content words arrive in
+    bursts (one doc about a topic uses its terms many times; VMR ≫ 1)
+    while function words spread Poisson-like (VMR ≈ 1). The signal
+    behind stopword induction, topic-term selection, and
+    q_text_boilerplate-style chrome detection, from a different
+    statistic than plain df/tf.
+
+    Exactness: per-(term, doc) counts and their squares are exact
+    integers (128-bit squares); absent docs contribute exact zeros
+    through the Σc²·N − (Σc)² expansion rather than materializing
+    |vocab|×|docs| rows; VMR and burst size are single divisions.
+    Top-20 by VMR with token tie-break. One token explode + two hash
+    aggregates — vocabulary-bounded shuffles only."""
+    d = _t(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    per_doc = tf.groupBy("tok", "doc_id").agg(F.count("*").cast("long").alias("c"))
+    nd = d.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    m = (
+        per_doc.groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("c").cast("long").alias("cf"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+    return (
+        m.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("tok").alias("token"),
+            "df",
+            "cf",
+            (F.round(F.col("cf").cast("double") / F.col("df"), 4) + 0.0).alias(
+                "burst_ec"
+            ),
+            (
+                F.round(
+                    (
+                        F.col("ss").cast("double") * F.col("n")
+                        - F.col("cf").cast("double") * F.col("cf")
+                    )
+                    / (F.col("n").cast("double") * (F.col("n") - 1))
+                    / (F.col("cf").cast("double") / F.col("n")),
+                    4,
+                )
+                + 0.0
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), F.asc("token"))
+        .limit(20)
+    )

@@ -93,6 +93,7 @@ _SINGLE_PARTITION_OK = {
     "q_embed_kmeans",     # 4-row seed-rank window after TakeOrdered
     "q_stats_wilcoxon",   # |bands|-row carry window + 1-row reduce
     "q_stats_hill",       # 101-row TakeOrdered + rank window on it
+    "q_text_term_burstiness",  # global top-20 VMR gather (TakeOrdered)
     "q_segment_migration",  # 1-row bounds broadcast + 1-row total fold
     "q_stats_dunn",       # |bands|-row carry window + 5x5 pair table
     "q_stats_anova",      # 1-row (k, N, S) total + 1-row output
@@ -198,6 +199,8 @@ _CROSS_OK = {
     "q_stats_wilcoxon",
     # Hill: the 1-row x_(101) reference folds into the 100-row top set.
     "q_stats_hill",
+    # burstiness: the 1-row doc-count total folds into the vocab table.
+    "q_text_term_burstiness",
     # k-means: every assignment pass broadcasts the k-row centroid
     # relation against the point scan — the IVF coarse-quantizer
     # pattern; k=4 rows by construction.

@@ -4180,3 +4180,55 @@ def test_hill_matches_recompute():
     assert row["k"] == 100
     assert abs(row["hill_gamma"] - round(s6 / 1e6 / 100, 6)) < 1e-9
     assert abs(row["tail_alpha"] - round(1e6 * 100 / s6, 4)) < 1e-9
+
+
+def test_ulcer_index_matches_pandas():
+    import math
+
+    ev, _ = _ev_bars()
+    got = _oracle_orders("q_win_ulcer_index").set_index(["event_type", "day"])
+    checked = 0
+    for et in ev["event_type"].unique():
+        bars = _daily_bars(ev, et)
+        cl = bars["cl"].to_numpy().astype("int64")
+        ddb = []
+        for i in range(len(cl)):
+            peak = int(cl[max(0, i - 13) : i + 1].max())
+            ddb.append(int(math.floor(10000.0 * (peak - int(cl[i])) / peak)))
+        for i in range(13, len(cl)):
+            sq = sum(x * x for x in ddb[i - 13 : i + 1])
+            ui = math.sqrt(sq / 14) / 100.0
+            key = (et, bars.index[i].strftime("%Y-%m-%d"))
+            row = got.loc[key]
+            assert abs(row["ulcer_index"] - round(ui, 4)) < 1e-9
+            checked += 1
+    assert checked == len(got) and checked > 0
+
+
+def test_term_burstiness_matches_recompute():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    import collections
+
+    per = collections.defaultdict(collections.Counter)
+    for _, r in docs.iterrows():
+        for t in r["text"].split(" "):
+            per[t][int(r["doc_id"])] += 1
+    n = docs["doc_id"].nunique()
+    rows = []
+    for t, cc in per.items():
+        df_, cf = len(cc), sum(cc.values())
+        if df_ < 20:
+            continue
+        ss = sum(v * v for v in cc.values())
+        var = (ss * n - cf * cf) / (n * (n - 1))
+        rows.append((t, df_, cf, round(cf / df_, 4), round(var / (cf / n), 4)))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    got = _oracle_orders("q_text_term_burstiness")
+    assert len(got) == min(20, len(rows))
+    for (_, r), exp in zip(got.iterrows(), rows[:20]):
+        assert (r["token"], r["df"], r["cf"]) == (exp[0], exp[1], exp[2])
+        assert abs(r["burst_ec"] - exp[3]) < 1e-9
+        assert abs(r["vmr"] - exp[4]) < 1e-9

@@ -69,6 +69,8 @@ ROUND_CHANGED = [
     "q_graph_distances",  # r7: new — fully-oracled BFS hop histogram
     "q_stats_wilcoxon",  # r7: new — paired signed-rank test
     "q_stats_hill",      # r7: new — heavy-tail index (top-k ln grid)
+    "q_win_ulcer_index",  # r7: new — RMS drawdown risk window
+    "q_text_term_burstiness",  # r7: new — Church-Gale term VMR
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
