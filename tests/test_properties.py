@@ -333,3 +333,134 @@ def test_ntile_closed_form_matches_definition(n):
         want.extend([b] * s)
     got = [tile(rn) for rn in range(1, n + 1)]
     assert got == want
+
+
+# ---- r7 additions: PNG codec, t-digest merge, band losslessness ----
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_roundtrip_property(w, h, ch, seed):
+    """encode_png -> decode_png is the identity for any size/channel
+    combination and any pixel content."""
+    import random
+
+    from engine import multimodal
+
+    rnd = random.Random(seed)
+    src = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    d = multimodal.decode_png(multimodal.encode_png(src, w, h, channels=ch))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert d["pixels"] == src
+
+
+def _ref_unfilter(rows, width, channels):
+    """Independent spec-derived unfilter (PNG spec section 9) used to
+    cross-check decode_png on arbitrary filter choices."""
+    stride = width * channels
+    out, prev = [], [0] * stride
+    for f, line in rows:
+        cur = list(line)
+        for i in range(stride):
+            a = cur[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 1:
+                cur[i] = (cur[i] + a) & 0xFF
+            elif f == 2:
+                cur[i] = (cur[i] + b) & 0xFF
+            elif f == 3:
+                cur[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        out.extend(cur)
+        prev = cur
+    return bytes(out)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=12),
+    ch=st.sampled_from([1, 3]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_decode_arbitrary_filters_property(w, h, ch, seed):
+    """decode_png agrees with an independent unfilter implementation
+    for RANDOM per-row filter types and random filtered bytes."""
+    import random
+    import struct
+    import zlib
+
+    from engine import multimodal
+
+    rnd = random.Random(seed)
+    rows = [
+        (rnd.randrange(5), [rnd.randrange(256) for _ in range(w * ch)])
+        for _ in range(h)
+    ]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ct = {1: 0, 3: 2}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(line) for f, line in rows)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert multimodal.decode_png(png)["pixels"] == _ref_unfilter(rows, w, ch)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=2000,
+    ),
+)
+def test_tdigest_merge_invariants(vals):
+    """_tdigest_merge preserves total weight exactly, keeps centroid
+    means inside [min, max], bounds the centroid count by the k-range,
+    and its quantile reads stay within 5% rank error of the exact
+    distribution at the probed quantiles."""
+    import bisect
+
+    import numpy as np
+
+    from engine.relational import _tdigest_merge, _tdigest_quantile
+
+    m, w = _tdigest_merge(np.array(vals), np.ones(len(vals)), delta=100)
+    assert abs(float(w.sum()) - len(vals)) < 1e-6
+    assert float(m.min()) >= min(vals) - 1e-9
+    assert float(m.max()) <= max(vals) + 1e-9
+    assert len(m) <= 100 // 2 + 2
+    sv = sorted(vals)
+    n = len(sv)
+    for q in (0.5, 0.95):
+        est = _tdigest_quantile(m, w, q)
+        lo = bisect.bisect_left(sv, est) / n
+        hi = bisect.bisect_right(sv, est) / n
+        err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+        assert err <= 0.05, (q, est, err)
+
+
+@given(a=st.integers(min_value=101, max_value=10**9))
+def test_audit_band_property(a):
+    """Every qualifying duplicate-payment pair (within 1%) differs by
+    at most one 1.02-log band — the pigeonhole claim, fuzzed."""
+    import math
+
+    b = math.ceil(a * 99 / 100)
+    band = lambda c: math.ceil(math.log(c) / math.log(1.02))  # noqa: E731
+    assert 0 <= band(a) - band(b) <= 1
