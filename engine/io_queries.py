@@ -274,3 +274,47 @@ def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_sink_compaction",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_nationkey, n_name ORDER BY n_nationkey
+    """,
+)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the differential gate: the customer
+    table is deliberately fragmented into 32 tiny Parquet files (the
+    million-small-files failure mode of a streaming ingest), compacted
+    with engine.io.compact_files (driver-side LISTING sizes the
+    rewrite — no data read — into ~target-size files), and the
+    per-nation aggregate over the COMPACTED dataset must hash-match
+    the oracle on the original parquet, proving the maintenance job
+    is value-preserving. The file-count contraction itself is pinned
+    in tests/test_io.py; this key puts the data integrity of the
+    rewrite in front of the driver."""
+    from engine.io import compact_files
+
+    d = load_table(spark, sf_dir, "customer")
+    frag = _sink("compact_src", sf_dir)
+    d.repartition(32).write.mode("overwrite").parquet(frag)
+    out = _sink("compact_dst", sf_dir)
+    compact_files(spark, frag, out, target_mb=128)
+    back = spark.read.parquet(out)
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        back.join(F.broadcast(n), back["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("balance_cents"),
+        )
+        .orderBy("n_nationkey")
+    )

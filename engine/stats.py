@@ -4422,3 +4422,93 @@ def q_stats_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("s6") / 1000000.0 / F.col("k"), 6) + 0.0).alias("hill_gamma"),
         (F.round(1000000.0 * F.col("k") / F.col("s6"), 4) + 0.0).alias("tail_alpha"),
     )
+
+
+@register(
+    "q_stats_jarque_bera",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice / 100) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    m AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+             CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+             CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+      FROM v GROUP BY flag
+    ),
+    c AS (
+      SELECT flag, n,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n AS m2,
+             (CAST(s3 AS DOUBLE) - 3.0 * CAST(s1 AS DOUBLE) * s2 / n
+              + 2.0 * CAST(s1 AS DOUBLE) * s1 * s1 / n / n) / n AS m3,
+             (CAST(s4 AS DOUBLE) - 4.0 * CAST(s1 AS DOUBLE) * s3 / n
+              + 6.0 * CAST(s1 AS DOUBLE) * s1 * s2 / n / n
+              - 3.0 * CAST(s1 AS DOUBLE) * s1 * s1 * s1 / n / n / n) / n
+               AS m4
+      FROM m
+    )
+    SELECT flag, n,
+           round(m3 / pow(m2, 1.5), 4) + 0.0 AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 4) + 0.0 AS excess_kurtosis,
+           round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                 + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0), 4) + 0.0 AS jb,
+           CASE WHEN n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                 + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0) > 5.991465
+                THEN 1 ELSE 0 END AS reject_normality
+    FROM c WHERE m2 > 0 ORDER BY flag
+    """,
+)
+def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return flag: JB = n/6·(S² +
+    K²/4) from the exact central moments — the gate in front of every
+    parametric assumption in the module (q_stats_ttest/anova/bartlett
+    assume normal-ish tails; JB says whether that's even plausible),
+    with the α=0.05 χ²₂ decision (crit 5.991465).
+
+    The four raw power sums are exact 128-bit integers off the
+    100-cent grid (the q_agg_skew_kurt moment idiom — this key turns
+    those descriptive moments into the inferential test); central
+    moments, S, K, JB and the flag all evaluate once in doubles by
+    the identical expression tree on both engines. ONE map-side
+    combined hash aggregate; no shuffle beyond the 4-group partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") / 100).cast("long").alias("x"),
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    x = F.col("x")
+    m = v.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(x.cast("decimal(38,0)") * x).alias("s2"),
+        F.sum(x.cast("decimal(38,0)") * x * x).alias("s3"),
+        F.sum(x.cast("decimal(38,0)") * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    s1, s2, s3, s4 = (F.col(c).cast("double") for c in ("s1", "s2", "s3", "s4"))
+    m2 = (s2 - s1 * F.col("s1") / n) / n
+    m3 = (s3 - 3.0 * s1 * F.col("s2").cast("double") / n
+          + 2.0 * s1 * F.col("s1") * F.col("s1") / n / n) / n
+    m4 = (s4 - 4.0 * s1 * F.col("s3").cast("double") / n
+          + 6.0 * s1 * F.col("s1") * F.col("s2").cast("double") / n / n
+          - 3.0 * s1 * F.col("s1") * F.col("s1") * F.col("s1") / n / n / n) / n
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4.0)
+    return (
+        m.filter(m2 > 0)
+        .select(
+            "flag",
+            "n",
+            (F.round(skew, 4) + 0.0).alias("skewness"),
+            (F.round(kurt, 4) + 0.0).alias("excess_kurtosis"),
+            (F.round(jb, 4) + 0.0).alias("jb"),
+            F.when(jb > 5.991465, 1).otherwise(0).alias("reject_normality"),
+        )
+        .orderBy("flag")
+    )

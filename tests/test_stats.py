@@ -4232,3 +4232,49 @@ def test_term_burstiness_matches_recompute():
         assert (r["token"], r["df"], r["cf"]) == (exp[0], exp[1], exp[2])
         assert abs(r["burst_ec"] - exp[3]) < 1e-9
         assert abs(r["vmr"] - exp[4]) < 1e-9
+
+
+def test_jarque_bera_matches_recompute():
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_returnflag flag, CAST(floor(l_extendedprice/100) AS BIGINT) x "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    got = _oracle_orders("q_stats_jarque_bera").set_index("flag")
+    for flag, g in li.groupby("flag"):
+        x = g["x"].to_numpy().astype("float64")
+        n = len(x)
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        s = m3 / m2**1.5
+        k = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (s**2 + k**2 / 4.0)
+        row = got.loc[flag]
+        assert row["n"] == n
+        assert abs(row["skewness"] - round(s, 4)) < 1e-3
+        assert abs(row["excess_kurtosis"] - round(k, 4)) < 1e-3
+        assert abs(row["jb"] - jb) < max(1.0, abs(jb)) * 1e-3
+        assert row["reject_normality"] == (1 if jb > 5.991465 else 0)
+
+
+def test_sink_compaction_reduces_files_and_preserves_values(spark):
+    import glob
+
+    from engine.registry import all_queries as _aq
+
+    got = {r["n_nationkey"]: r for r in _aq()["q_sink_compaction"](
+        spark, SF).collect()}
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT c_nationkey nk, count(*) n, "
+        f"sum(CAST(floor(c_acctbal*100) AS BIGINT)) b "
+        f"FROM read_parquet('{SF}/customer.parquet') GROUP BY nk"
+    ).df()
+    for _, r in exp.iterrows():
+        assert got[int(r["nk"])]["n_customers"] == int(r["n"])
+        assert got[int(r["nk"])]["balance_cents"] == int(r["b"])
+    tag = SF.rstrip("/").rsplit("/", 1)[-1]
+    frag = glob.glob(f"/root/repo/.tmp/io/compact_src-{tag}/*.parquet")
+    comp = glob.glob(f"/root/repo/.tmp/io/compact_dst-{tag}/*.parquet")
+    assert len(frag) == 32 and 1 <= len(comp) < len(frag)

@@ -71,6 +71,8 @@ ROUND_CHANGED = [
     "q_stats_hill",      # r7: new — heavy-tail index (top-k ln grid)
     "q_win_ulcer_index",  # r7: new — RMS drawdown risk window
     "q_text_term_burstiness",  # r7: new — Church-Gale term VMR
+    "q_sink_compaction", # r7: new — small-file compaction value gate
+    "q_stats_jarque_bera",  # r7: new — JB normality gate
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
