@@ -4756,3 +4756,242 @@ def q_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+@register(
+    "q_graph_transitivity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS tn
+      FROM (SELECT x AS node FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node
+    ),
+    loc AS (
+      SELECT deg.node, deg.d, coalesce(tri.tn, 0) AS tn,
+             CAST(floor(2000000.0 * coalesce(tri.tn, 0)
+                        / (deg.d * (deg.d - 1))) AS BIGINT) AS cc6
+      FROM deg LEFT JOIN tri ON deg.node = tri.node
+      WHERE deg.d >= 2
+    ),
+    s AS (
+      SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+             CAST(sum(tn) AS BIGINT) AS tri3,
+             CAST(sum(CAST(d AS HUGEINT) * (d - 1)) AS HUGEINT) AS wedges2,
+             CAST(sum(cc6) AS BIGINT) AS cc_sum6,
+             CAST(count(*) AS BIGINT) AS n_cc
+      FROM loc
+    )
+    SELECT n_nodes, n_edges,
+           CAST(tri3 / 3 AS BIGINT) AS n_triangles,
+           round(CAST(tri3 AS DOUBLE) / CAST(wedges2 AS DOUBLE), 6) + 0.0
+             AS transitivity,
+           round(cc_sum6 / 1000000.0 / n_cc, 6) + 0.0 AS avg_local_cc
+    FROM s WHERE wedges2 > 0
+    """,
+)
+def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering summary of the co-purchase graph: transitivity
+    (3·triangles / wedges — the probability two co-purchased neighbors
+    of a part are themselves co-purchased) and the Watts-Strogatz
+    average LOCAL clustering coefficient — the two standard (and
+    often divergent) closure measures; q_graph_triangles reports the
+    per-node counts this key reduces to the graph-level diagnostic.
+
+    Exactness: per-node triangle incidences and wedge counts
+    d·(d−1) are exact integers off the q_graph_triangles wedge join;
+    each local coefficient floors to the 1e-6 grid BEFORE the
+    |V|-term mean (a float mean's order would differ between
+    engines), so both displayed ratios divide exact integers once."""
+    from engine.relational import q_basket_pairs
+
+    e = q_basket_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    t = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    tri = (
+        t.select(F.col("x").alias("node"))
+        .unionAll(t.select(F.col("y").alias("node")))
+        .unionAll(t.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("tn"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    loc = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("tn"), F.lit(0)).alias("tn"),
+            F.floor(
+                2000000.0
+                * F.coalesce(F.col("tn"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            )
+            .cast("long")
+            .alias("cc6"),
+        )
+    )
+    n_nodes = deg.count()
+    n_edges = e.count()
+    s = loc.agg(
+        F.sum("tn").cast("long").alias("tri3"),
+        F.sum(F.col("d").cast("decimal(38,0)") * (F.col("d") - 1)).alias(
+            "wedges2"
+        ),
+        F.sum("cc6").cast("long").alias("cc_sum6"),
+        F.count("*").cast("long").alias("n_cc"),
+    )
+    return s.filter(F.col("wedges2") > 0).select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        (F.col("tri3") / 3).cast("long").alias("n_triangles"),
+        (
+            F.round(
+                F.col("tri3").cast("double") / F.col("wedges2").cast("double"), 6
+            )
+            + 0.0
+        ).alias("transitivity"),
+        (F.round(F.col("cc_sum6") / 1000000.0 / F.col("n_cc"), 6) + 0.0).alias(
+            "avg_local_cc"
+        ),
+    )
+
+
+@register(
+    "q_sample_neyman",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS s1,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS HUGEINT)
+                      * CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s2
+      FROM orders GROUP BY stratum HAVING count(*) > 1
+    ),
+    sd AS (
+      SELECT stratum, nh,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+                  / (nh - 1)) AS sh
+      FROM g
+    ),
+    tot AS (SELECT sum(nh * sh) AS w FROM sd),
+    q AS (
+      SELECT stratum, nh, sh,
+             1000.0 * nh * sh / tot.w AS quota,
+             CAST(floor(1000.0 * nh * sh / tot.w) AS BIGINT) AS base
+      FROM sd, tot
+    ),
+    lr AS (
+      SELECT stratum, nh, sh, quota, base,
+             row_number() OVER (ORDER BY quota - base DESC, stratum ASC)
+               AS rr,
+             CAST(1000 - sum(base) OVER () AS BIGINT) AS leftover
+      FROM q
+    )
+    SELECT stratum, nh AS stratum_size,
+           round(sh / 100.0, 4) + 0.0 AS stratum_sd,
+           round(quota, 4) + 0.0 AS quota,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS n_allocated
+    FROM lr ORDER BY stratum
+    """,
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: for a budget of
+    1000 samples across the order priorities, allocate n_h ∝ N_h·S_h
+    (more samples where the stratum is bigger OR more variable — the
+    design that minimizes the estimator variance at fixed cost),
+    integerized by largest-remainder apportionment — the design step
+    BEFORE q_sample_stratified/quota draw anything (those sample at
+    given rates; this computes what the rates should be).
+
+    Exactness: stratum variances from exact 128-bit moments; quotas
+    and remainders are doubles from the identical expression tree on
+    both engines (5 strata), and the apportionment (floor quotas +
+    rank remainders desc, stratum tie-break) awards the leftover
+    deterministically; Σ n_allocated = 1000 by construction."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        o.select(F.col("o_orderpriority").alias("stratum"), cents.alias("x"))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("nh"),
+            F.sum("x").cast("long").alias("s1"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
+        )
+        .filter(F.col("nh") > 1)
+    )
+    sh = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("nh"))
+        / (F.col("nh") - 1)
+    )
+    sd = g.select("stratum", "nh", sh.alias("sh"))
+    tot = sd.agg(F.sum(F.col("nh") * F.col("sh")).alias("w"))
+    q = sd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        "sh",
+        (1000.0 * F.col("nh") * F.col("sh") / F.col("w")).alias("quota"),
+        F.floor(1000.0 * F.col("nh") * F.col("sh") / F.col("w"))
+        .cast("long")
+        .alias("base"),
+    )
+    w_r = Window.orderBy(F.desc(F.col("quota") - F.col("base")), F.asc("stratum"))
+    w_all = Window.partitionBy()
+    lr = q.select(
+        "stratum",
+        "nh",
+        "sh",
+        "quota",
+        "base",
+        F.row_number().over(w_r).alias("rr"),
+        (1000 - F.sum("base").over(w_all)).cast("long").alias("leftover"),
+    )
+    return lr.select(
+        "stratum",
+        F.col("nh").alias("stratum_size"),
+        (F.round(F.col("sh") / 100.0, 4) + 0.0).alias("stratum_sd"),
+        (F.round(F.col("quota"), 4) + 0.0).alias("quota"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_allocated"),
+    ).orderBy("stratum")

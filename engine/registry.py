@@ -131,7 +131,7 @@ _PRIORITY: list[str] = [
     "q_win_choppiness", "q_source_text_roundtrip", "q_embed_kmeans",
     "q_graph_distances", "q_stats_wilcoxon", "q_stats_hill",
     "q_win_ulcer_index", "q_text_term_burstiness", "q_sink_compaction",
-    "q_stats_jarque_bera",
+    "q_stats_jarque_bera", "q_graph_transitivity", "q_sample_neyman",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r06) so every future window is a prefix rotation
 

@@ -94,6 +94,8 @@ _SINGLE_PARTITION_OK = {
     "q_stats_wilcoxon",   # |bands|-row carry window + 1-row reduce
     "q_stats_hill",       # 101-row TakeOrdered + rank window on it
     "q_text_term_burstiness",  # global top-20 VMR gather (TakeOrdered)
+    "q_graph_transitivity",  # 1-row closure summary reduce
+    "q_sample_neyman",    # 5-row quota table: rank window + 1-row total
     "q_segment_migration",  # 1-row bounds broadcast + 1-row total fold
     "q_stats_dunn",       # |bands|-row carry window + 5x5 pair table
     "q_stats_anova",      # 1-row (k, N, S) total + 1-row output
@@ -199,6 +201,8 @@ _CROSS_OK = {
     "q_stats_wilcoxon",
     # Hill: the 1-row x_(101) reference folds into the 100-row top set.
     "q_stats_hill",
+    # Neyman: the 1-row allocation denominator folds into 5 strata.
+    "q_sample_neyman",
     # burstiness: the 1-row doc-count total folds into the vocab table.
     "q_text_term_burstiness",
     # k-means: every assignment pass broadcasts the k-row centroid

@@ -4278,3 +4278,76 @@ def test_sink_compaction_reduces_files_and_preserves_values(spark):
     frag = glob.glob(f"/root/repo/.tmp/io/compact_src-{tag}/*.parquet")
     comp = glob.glob(f"/root/repo/.tmp/io/compact_dst-{tag}/*.parquet")
     assert len(frag) == 32 and 1 <= len(comp) < len(frag)
+
+
+def test_graph_transitivity_matches_networkx_free_recompute():
+    con = duckdb.connect()
+    bp = con.execute(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM read_parquet('{SF}/lineitem.parquet'))
+        SELECT a.l_partkey pa, b.l_partkey pb
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING count(*) >= 2"""
+    ).df()
+    import collections
+    import math
+
+    adj = collections.defaultdict(set)
+    for _, r in bp.iterrows():
+        adj[int(r["pa"])].add(int(r["pb"]))
+        adj[int(r["pb"])].add(int(r["pa"]))
+    tri = collections.Counter()
+    for v in adj:
+        for u in adj[v]:
+            for w in adj[v]:
+                if u < w and w in adj[u]:
+                    tri[v] += 1
+    tri3 = sum(tri.values())
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) for v in adj if len(adj[v]) >= 2)
+    cc6 = [
+        math.floor(2000000.0 * tri[v] / (len(adj[v]) * (len(adj[v]) - 1)))
+        for v in adj
+        if len(adj[v]) >= 2
+    ]
+    row = _oracle_orders("q_graph_transitivity").iloc[0]
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(bp)
+    assert row["n_triangles"] == tri3 // 3
+    assert abs(row["transitivity"] - round(tri3 / wedges, 6)) < 1e-12
+    assert abs(row["avg_local_cc"] - round(sum(cc6) / 1e6 / len(cc6), 6)) < 1e-12
+
+
+def test_sample_neyman_matches_recompute():
+    import math
+
+    df = _order_cents()
+    g = df.groupby(df["o_orderpriority"] if "o_orderpriority" in df else None)
+    con = duckdb.connect()
+    s = con.execute(
+        f"SELECT o_orderpriority st, count(*) nh,"
+        f" sum(CAST(floor(o_totalprice*100) AS BIGINT)) s1,"
+        f" sum(CAST(floor(o_totalprice*100) AS HUGEINT)"
+        f"     * CAST(floor(o_totalprice*100) AS BIGINT)) s2"
+        f" FROM read_parquet('{SF}/orders.parquet') GROUP BY st HAVING count(*) > 1"
+    ).df()
+    rows = []
+    for _, r in s.iterrows():
+        nh = int(r["nh"])
+        sh = math.sqrt((int(r["s2"]) - int(r["s1"]) ** 2 / nh) / (nh - 1))
+        rows.append([r["st"], nh, sh])
+    w = sum(nh * sh for _, nh, sh in rows)
+    quotas = {st: 1000.0 * nh * sh / w for st, nh, sh in rows}
+    base = {st: math.floor(q) for st, q in quotas.items()}
+    leftover = 1000 - sum(base.values())
+    order = sorted(quotas, key=lambda st: (-(quotas[st] - base[st]), st))
+    alloc = dict(base)
+    for st in order[:leftover]:
+        alloc[st] += 1
+    got = _oracle_orders("q_sample_neyman").set_index("stratum")
+    assert int(got["n_allocated"].sum()) == 1000
+    for st, nh, sh in rows:
+        row = got.loc[st]
+        assert row["stratum_size"] == nh
+        assert abs(row["stratum_sd"] - round(sh / 100.0, 4)) < 1e-9
+        assert row["n_allocated"] == alloc[st]

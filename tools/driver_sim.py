@@ -73,6 +73,8 @@ ROUND_CHANGED = [
     "q_text_term_burstiness",  # r7: new — Church-Gale term VMR
     "q_sink_compaction", # r7: new — small-file compaction value gate
     "q_stats_jarque_bera",  # r7: new — JB normality gate
+    "q_graph_transitivity",  # r7: new — global/avg-local clustering
+    "q_sample_neyman",   # r7: new — Neyman-optimal allocation
 ]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
