@@ -56,55 +56,32 @@ def _ensure_loaded() -> None:
 
 
 # Driver-facing key order. The external correctness harness records the
-# FIRST 50 keys of ``queries()`` (observed r01-r06: exactly 50 rows,
+# FIRST 50 keys of ``queries()`` (observed r01-r07: exactly 50 rows,
 # first-50 registration order, every round). To give every operator a
 # hard driver-verified row across rounds, each round fronts the keys
-# lacking one. State after r06: the union of r01∪…∪r06 rows covers 283
-# of the 395 keys — 268 hash-green + 15 rows-only, ZERO red (first
-# all-green round; the r05 q_sql_api decimal fix re-certified green at
-# slot 0). 112 keys still lack any driver row. Round 7 fronts: the
-# three r6 perf-rewrite re-certs (minhash/cluster/containment), then
-# 47 of the 67 remaining never-graded r5-continuation keys. r8 takes
-# the last 20 continuation keys + the first 30 r6-new keys; r9 the
-# final 15 r6-new keys — first-row coverage of everything registered
-# through r6 completes in r9. The refresh backlog is ordered by row
-# staleness (r01 → r06) so every future window is a prefix rotation.
+# lacking one. State after r07: the union of r01∪…∪r07 rows covers 330
+# of the 425 keys — 315 hash-green + 15 rows-only, ZERO red across all
+# seven rounds. 95 keys still lack any driver row. Round 8 fronts: the
+# last 20 never-graded r5-continuation keys + the first 30 r6-new keys
+# (VERDICT r7 task 1; q_price_index / q_market_concentration /
+# q_eval_gains land inside this window per task 10). r9 takes the two
+# scale-cutover re-certs + the final 15 r6-new + the 30 r7-new keys —
+# first-row coverage of everything registered through r7 completes in
+# r9 (+ r10 spillover for r8-new keys). The refresh backlog is ordered
+# by row staleness (r01 → r07) so every future window is a prefix
+# rotation.
 _PRIORITY: list[str] = [
-    # ================= r7 window (slots 0-49) =================
-    # slots 0-2: r6 perf-rewrite re-certs (tests/test_registry._RECERT):
-    # minhash signature collapse, cluster gid-level components +
-    # pointer-jumping, containment's refactored shared core
-    "q_dedup_minhash", "q_dedup_cluster", "q_dedup_containment",
-    # slots 3-49: next 47 of the 67 never-driver-graded
-    # r5-continuation keys (registration order preserved); the last
-    # 20 of the 67 spill past the slot-50 boundary into r8's window
-
-    "q_join_spatial", "q_quality_freshness", "q_embed_outliers",
-    "q_drawdown_duration", "q_variance_ratio", "q_growth_accounting",
-    "q_win_hurst", "q_source_schema_evolution", "q_tpch_q1", "q_fn_lambda",
-    "q_sql_recursive", "q_win_ichimoku", "q_stats_spearman",
-    "q_stats_kendall", "q_liquidity_metrics", "q_stats_regression_multi",
-    "q_gdpr_erasure", "q_orderflow_imbalance", "q_sample_class_balance",
-    "q_embed_matryoshka", "q_win_pivot_points", "q_stats_srm",
-    "q_dedup_soft_weights", "q_user_lorenz", "q_stats_cuped",
-    "q_stats_proportions", "q_roll_spread", "q_vol_estimators",
-    "q_stats_jackknife", "q_stats_granger", "q_multimodal_phash",
-    "q_text_bigram_entropy", "q_stats_power", "q_win_vpin",
-    "q_attribution_markov", "q_dedup_threshold_sweep", "q_win_rolling_beta",
-    "q_sequence_ngrams", "q_tokenize_fertility", "q_privacy_kanonymity",
-    "q_feature_hashing", "q_anomaly_esd", "q_supplier_scorecard",
-    "q_win_renko", "q_fn_variant", "q_stats_acf", "q_stats_runs_test",
+    # ================= r8 window (slots 0-49) =================
+    # slots 0-19: the last 20 of the 67 never-driver-graded
+    # r5-continuation keys (registration order preserved; the first
+    # 47 were graded in r7's window and now sit in the r07 tail block)
     "q_abc_xyz", "q_price_elasticity", "q_basket_sequential",
     "q_events_burstiness", "q_forecast_mase", "q_text_compression",
     "q_seasonality_strength", "q_eval_calibration", "q_stats_qte",
     "q_stats_winsorized", "q_sample_kfold", "q_win_mfi", "q_doc_novelty",
     "q_embed_silhouette", "q_win_pairs_spread", "q_agg_geomean",
     "q_text_script_mix", "q_win_donchian", "q_win_keltner", "q_stats_levene",
-    # -- new in round 6 (first-row keys; queue behind the r5
-    #    continuation backlog, ahead of every refreshed key).
-    #    r8 window = the 20 continuation keys above the boundary +
-    #    the first 30 of these; r9 window = the final 15 + the
-    #    stalest refreshers --
+    # slots 20-49: first 30 of the 45 r6-new first-row keys
     "q_dedup_span", "q_win_adx", "q_win_cci", "q_win_aroon",
     "q_win_williams_r", "q_stats_cramers_v", "q_win_vortex", "q_win_cmo",
     "q_win_dpo", "q_win_ultimate", "q_win_force_index", "q_stats_cohens_d",
@@ -113,15 +90,22 @@ _PRIORITY: list[str] = [
     "q_stats_permutation", "q_stats_mcnemar", "q_price_index",
     "q_graph_kcore", "q_tokenize_vocab_prune", "q_stream_median",
     "q_sim_mmr", "q_market_concentration", "q_embed_ivf_recall",
-    "q_eval_gains", "q_embed_pq", "q_agg_ddsketch", "q_stream_pipeline",
+    "q_eval_gains", "q_embed_pq", "q_agg_ddsketch",
+    # ================= r9 queue (slots 50+) =================
+    # slots 50-51: r7 scale-cutover re-certs (tests/test_registry.
+    # _RECERT; VERDICT r7 task 1). q_sim_pairwise's newest row is r06
+    # and the SPARK_GRAFT_ANN_MODE cutover postdates it;
+    # q_embed_matryoshka's r07 row already postdates its rewrite, so
+    # its slot here is belt-and-braces per the verdict's explicit ask.
+    "q_sim_pairwise", "q_embed_matryoshka",
+    # final 15 r6-new first-row keys
+    "q_stream_pipeline",
     "q_sample_weighted", "q_backtest_sma", "q_audit_duplicates",
     "q_embed_drift", "q_stats_shrinkage", "q_regime_transitions",
     "q_revenue_waterfall", "q_dedup_span_coverage", "q_text_fightin_words",
     "q_stats_fdr_bh", "q_quality_referential", "q_win_efficiency_ratio",
     "q_graph_assortativity", "q_stats_tost",
-    # -- new in round 7 (first-row keys; land in r9's window after
-    #    the final 15 r6-new keys — 15 + 10 new still leaves r9 slots
-    #    for the stalest refreshers, so coverage closes on schedule) --
+    # -- new in round 7 (first-row keys) --
     "q_multimodal_pixels", "q_stats_kruskal_wallis", "q_stats_friedman",
     "q_eval_f1_sweep", "q_win_elder_ray", "q_win_heikin_ashi",
     "q_stats_bartlett", "q_orders_backlog", "q_privacy_ldiversity",
@@ -210,8 +194,10 @@ _PRIORITY: list[str] = [
     "q_events_heatmap", "q_dataset_card", "q_topk_movers", "q_order_cadence",
     # r06 rows
 
+    # (q_sim_pairwise fronted to the r9 re-cert slots — r7 cutover
+    # rewrite postdates its r06 row)
     "q_sql_api", "q_fn_try", "q_dedup_jaccard", "q_dedup_ngram",
-    "q_sim_pairwise", "q_embed_pca", "q_graph_pagerank", "q_dedup_simhash",
+    "q_embed_pca", "q_graph_pagerank", "q_dedup_simhash",
     "q_agg_count_min", "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree",
     "q_sample_importance", "q_join_interval_overlap", "q_agg_bitmap_distinct",
     "q_agg_tdigest", "q_win_holt", "q_stats_chisq", "q_sim_range",
@@ -226,6 +212,25 @@ _PRIORITY: list[str] = [
     "q_win_theil_sen", "q_graph_components", "q_risk_metrics",
     "q_seasonal_decompose", "q_graph_link_predict", "q_text_heaps",
     "q_multimodal_frames",
+    # r07 rows (CORRECTNESS_r07.json order; q_embed_matryoshka fronted
+    # to the r9 re-cert slots)
+
+    "q_dedup_minhash", "q_dedup_cluster", "q_dedup_containment",
+    "q_join_spatial", "q_quality_freshness", "q_embed_outliers",
+    "q_drawdown_duration", "q_variance_ratio", "q_growth_accounting",
+    "q_win_hurst", "q_source_schema_evolution", "q_tpch_q1", "q_fn_lambda",
+    "q_sql_recursive", "q_win_ichimoku", "q_stats_spearman",
+    "q_stats_kendall", "q_liquidity_metrics", "q_stats_regression_multi",
+    "q_gdpr_erasure", "q_orderflow_imbalance", "q_sample_class_balance",
+    "q_win_pivot_points", "q_stats_srm",
+    "q_dedup_soft_weights", "q_user_lorenz", "q_stats_cuped",
+    "q_stats_proportions", "q_roll_spread", "q_vol_estimators",
+    "q_stats_jackknife", "q_stats_granger", "q_multimodal_phash",
+    "q_text_bigram_entropy", "q_stats_power", "q_win_vpin",
+    "q_attribution_markov", "q_dedup_threshold_sweep", "q_win_rolling_beta",
+    "q_sequence_ngrams", "q_tokenize_fertility", "q_privacy_kanonymity",
+    "q_feature_hashing", "q_anomaly_esd", "q_supplier_scorecard",
+    "q_win_renko", "q_fn_variant", "q_stats_acf", "q_stats_runs_test",
 ]
 
 
