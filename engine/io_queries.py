@@ -231,8 +231,9 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(length(text)) AS BIGINT) AS total_chars,
-           CAST(sum(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT))
+           CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+           CAST(sum(CAST('0x' || substring(md5(coalesce(text, '')), 1, 8)
+                         AS BIGINT))
                 AS BIGINT) AS content_sum
     FROM documents GROUP BY lang ORDER BY lang
     """,
@@ -248,8 +249,15 @@ def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the line roundtrip breaks the sum, not just the counts. Newlines
     cannot occur inside fixture texts (asserted by the lang framing
     surviving), and the tab frame is the first-tab split so text may
-    contain tabs."""
-    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    contain tabs. A NULL text is coalesced to '' BEFORE serialization
+    (mirrored in the oracle): concat_ws silently skips NULLs, which
+    would emit a tab-less line whose read-back text column swallows
+    the lang value — a silent divergence the r7 ADVICE flagged (the
+    fixtures have no NULL texts today, but the sink must not depend
+    on that)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     path = _sink("text_rt", sf_dir)
     d.select(
         F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")

@@ -3774,7 +3774,7 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [],
-                   "n_pixels": [], "sum_luma": [], "mean_luma": []}
+                   "n_pixels": [], "sum_luma": []}
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 w = int(n_chars) % 24 + 8
                 h = int(doc_id) % 16 + 8
@@ -3792,15 +3792,19 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["height"].append(dec["height"])
                 out["n_pixels"].append(dec["width"] * dec["height"])
                 out["sum_luma"].append(s)
-                out["mean_luma"].append(
-                    round(s / (dec["width"] * dec["height"]), 4) + 0.0
-                )
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(
+    # mean_luma is rounded JVM-side: Python round() is half-even while
+    # DuckDB round() is half-away-from-zero, and exact 4-decimal ties
+    # are reachable (w*h=256 with s%8==4 gives an exact .XXXX5 — r7
+    # ADVICE). Spark F.round is HALF_UP, matching the oracle.
+    dec = d.mapInPandas(
         run,
-        "doc_id long, width long, height long, n_pixels long, "
-        "sum_luma long, mean_luma double",
+        "doc_id long, width long, height long, n_pixels long, sum_luma long",
+    )
+    return dec.withColumn(
+        "mean_luma",
+        F.round(F.col("sum_luma") / F.col("n_pixels"), 4) + F.lit(0.0),
     ).orderBy("doc_id")
 
 
@@ -6204,15 +6208,20 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(3):
         a = assign(cents)
+        # Floor division made EXACT before the divide (r7 ADVICE):
+        # Spark decimal division rounds the quotient HALF_UP at scale 6
+        # first, so floor(sum/n) can land one ABOVE the oracle's exact
+        # integer division when the fractional part is within 5e-7 of 1
+        # (reachable once a cluster exceeds ~2M points). Subtracting the
+        # positive modulus first makes the quotient an exact integer for
+        # any sign — the same modulus-subtraction the oracle SQL uses.
+        _s = F.sum("col").cast("decimal(38,0)")
+        _n = F.count("*")
         m = (
             a.select(F.col("best.cid").alias("cid"), F.posexplode("q"))
             .groupBy("cid", "pos")
             .agg(
-                F.floor(
-                    F.sum("col").cast("decimal(38,0)") / F.count("*")
-                )
-                .cast("long")
-                .alias("v"),
+                ((_s - F.pmod(_s, _n)) / _n).cast("long").alias("v"),
             )
         )
         upd = (

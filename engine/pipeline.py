@@ -4909,7 +4909,8 @@ def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (nh - 1)) AS sh
       FROM g
     ),
-    tot AS (SELECT sum(nh * sh) AS w FROM sd),
+    tot AS (SELECT CAST(sum(CAST(floor(nh * sh * 1000000) AS HUGEINT))
+                   AS DOUBLE) / 1000000 AS w FROM sd),
     q AS (
       SELECT stratum, nh, sh,
              1000.0 * nh * sh / tot.w AS quota,
@@ -4962,7 +4963,22 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("nh") - 1)
     )
     sd = g.select("stratum", "nh", sh.alias("sh"))
-    tot = sd.agg(F.sum(F.col("nh") * F.col("sh")).alias("w"))
+    # The allocation denominator Σ nh·sh is pinned to a 1e-6 integer
+    # grid per term before summing (r7 ADVICE): a plain float sum is
+    # order-unpinned across strata, so cross-engine agreement would
+    # hold only by the k=5 broadcast-size accident. Integer sums are
+    # order-free. Magnitude bound: floor() of a double wraps past
+    # 2^63 (ROUND5 note), so the grid term requires nh·sh < 9e12 —
+    # holds through ~sf1000 for cents-scale sd; the term count is the
+    # stratum cardinality, not the row count.
+    tot = sd.agg(
+        (
+            F.sum(
+                F.floor(F.col("nh") * F.col("sh") * 1e6).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+        ).alias("w")
+    )
     q = sd.crossJoin(F.broadcast(tot)).select(
         "stratum",
         "nh",

@@ -3964,21 +3964,26 @@ def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard 12/(bk(k+1))·ΣR² with the doubled-rank ¼ folded
     in)."""
     o = load_table(spark, sf_dir, "orders")
+    # Exact integer division (r7 ADVICE, same fix as q_embed_kmeans):
+    # Spark decimal division rounds HALF_UP at scale 6 before floor,
+    # which can land one above DuckDB's exact `//` when the true
+    # fraction is within 5e-7 of 1. Subtracting the modulus first makes
+    # the quotient exact (cents sums are non-negative, so pmod == the
+    # remainder and trunc == floor on both engines).
+    _s = (
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast(
+            "decimal(38,0)"
+        )
+        * 1000000
+    )
+    _n = F.count("*")
     cell = (
         o.groupBy(
             F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
             .alias("blk"),
             F.col("o_orderpriority").alias("trt"),
         )
-        .agg(
-            F.floor(
-                F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast(
-                    "decimal(38,0)"
-                )
-                * 1000000
-                / F.count("*")
-            ).alias("mq")
-        )
+        .agg(((_s - F.pmod(_s, _n)) / _n).cast("decimal(38,0)").alias("mq"))
     )
     k_all = o.select(F.countDistinct("o_orderpriority").alias("ka"))
     full_blk = (

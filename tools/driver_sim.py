@@ -28,6 +28,17 @@ ROUND_CHANGED = [
     # (reset at r8 start; every key added or plan-rewritten this round
     # must be listed here and pass the vanilla-session differential
     # before the exit seal)
+    "q_multimodal_pixels",  # r8: mean_luma rounded JVM-side (HALF_UP)
+                  # instead of Python half-even (ADVICE tie risk)
+    "q_source_text_roundtrip",  # r8: NULL text coalesced to '' before
+                  # the tab-framed serialization (ADVICE)
+    "q_embed_kmeans",    # r8: centroid floor-division made exact via
+                  # modulus subtraction (decimal HALF_UP-at-scale-6
+                  # off-by-one past ~2M-point clusters; ADVICE)
+    "q_stats_friedman",  # r8: same exact-division fix for the cell
+                  # mean mq (ADVICE latent-pattern note)
+    "q_sample_neyman",   # r8: allocation denominator Σ nh·sh pinned to
+                  # a 1e-6 integer grid per term (ADVICE)
 ]
 
 
