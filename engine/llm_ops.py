@@ -5831,7 +5831,23 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the running-max gaps-islands trick (a window over each doc's
     OWN spans — partition-bounded), and coverage is one division of
     exact token counts. Identical-text duplicates collapse to their
-    representative first, so output rows are per distinct text."""
+    representative first, so output rows are per distinct text.
+
+    Scale cutover (r8 — the r7 verdict's 2.3×-per-10× watch item):
+    the residual slope is the qualifying-interval volume itself (a
+    heavily-duplicated doc emits one interval per partner span, and
+    the union windows are interval-sized). ``SPARK_GRAFT_SPAN_CAP``
+    (default 0 = exact, the driver-graded path) bounds the interval
+    set per doc: keep the K LONGEST intervals (length desc, then
+    start/end for a total order) before the union, making the output
+    a coverage LOWER BOUND — sound for the removal decision, because
+    the docs whose interval sets explode are exactly the near-copies
+    whose union saturates first (the longest K intervals recover most
+    of the union; the contract test pins equality whenever a doc has
+    ≤ K intervals and ≤-domination otherwise). Candidate generation
+    itself stays bounded by _span_candidates' df ≤ 16 cap either
+    way — the knob bounds the per-doc INTERVAL fan-in, the piece
+    that grows with duplication density."""
     d = _t(spark, sf_dir, "documents")
     reps = (
         d.groupBy("text")
@@ -5851,6 +5867,19 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sb") + F.col("span") - 1).alias("e"),
         )
     ).distinct()
+    cap = int(os.environ.get("SPARK_GRAFT_SPAN_CAP", "0"))
+    if cap > 0:
+        # Lower-bound mode: keep the K longest intervals per doc.
+        # (length desc, s, e) is a TOTAL order after the distinct, so
+        # the kept set is deterministic on both any-engine replays.
+        wcap = Window.partitionBy("doc_id").orderBy(
+            F.desc(F.col("e") - F.col("s")), F.asc("s"), F.asc("e")
+        )
+        iv = (
+            iv.withColumn("rnk", F.row_number().over(wcap))
+            .filter(F.col("rnk") <= cap)
+            .drop("rnk")
+        )
     # distinct makes (s, e) unique per doc, so this ordering is TOTAL:
     # the prev-max flag window and the island cumsum window (two
     # separate evaluations) are guaranteed the same row order

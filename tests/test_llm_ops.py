@@ -541,3 +541,32 @@ def test_matryoshka_scale_path_contract(spark, monkeypatch):
     for lbl, r in sampled.items():
         assert 0.0 <= r["recall_at_10"] <= 1.0
         assert 0 < r["n_vectors"] <= n_exact[lbl]
+
+
+def test_span_coverage_cap_contract(spark, monkeypatch):
+    """r8 scale-cutover contract for q_dedup_span_coverage: the
+    SPARK_GRAFT_SPAN_CAP knob bounds the per-doc interval set (the
+    piece whose volume grows with duplication density). Contract:
+    (a) a cap larger than any doc's interval count is BIT-IDENTICAL
+    to the exact path, (b) a tiny cap keeps exactly the same doc set
+    (cap >= 1 preserves every doc that had any qualifying span) with
+    covered_tokens a LOWER BOUND of the exact union and n_tokens
+    unchanged — the coverage-lower-bound semantics the docstring
+    promises."""
+    q = all_queries()["q_dedup_span_coverage"]
+    monkeypatch.delenv("SPARK_GRAFT_SPAN_CAP", raising=False)
+    exact = {r["doc_id"]: r for r in q(spark, SF_SMOKE).collect()}
+    assert exact, "fixture produced no covered docs"
+    monkeypatch.setenv("SPARK_GRAFT_SPAN_CAP", "1000000")
+    big = {r["doc_id"]: r for r in q(spark, SF_SMOKE).collect()}
+    assert {k: tuple(v) for k, v in big.items()} == {
+        k: tuple(v) for k, v in exact.items()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_SPAN_CAP", "1")
+    capped = {r["doc_id"]: r for r in q(spark, SF_SMOKE).collect()}
+    assert set(capped) == set(exact)
+    for doc_id, r in capped.items():
+        e = exact[doc_id]
+        assert r["n_tokens"] == e["n_tokens"]
+        assert 0 < r["covered_tokens"] <= e["covered_tokens"]
+        assert r["coverage"] <= e["coverage"] + 1e-9

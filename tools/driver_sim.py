@@ -39,6 +39,8 @@ ROUND_CHANGED = [
                   # mean mq (ADVICE latent-pattern note)
     "q_sample_neyman",   # r8: allocation denominator Σ nh·sh pinned to
                   # a 1e-6 integer grid per term (ADVICE)
+    "q_dedup_span_coverage",  # r8: SPARK_GRAFT_SPAN_CAP interval-cap
+                  # cutover (default/exact path unchanged)
 ]
 
 
