@@ -338,6 +338,68 @@ def _jaccard_set_pairs(
     return same.unionByName(expanded)
 
 
+def _jaccard_scale_mode(n_groups: int) -> bool:
+    """Corpus-size cutover for the exact set-similarity core (r8 —
+    r7 verdict task 5, extending the q_sim_pairwise precedent): the
+    PPJoin prefix-filtered candidate join is exact and sub-quadratic,
+    but its candidate volume grows with corpus DENSITY (shared-token
+    co-occurrence), so past ``SPARK_GRAFT_ANN_CUTOVER`` unique sets
+    (default 1e6) — or with ``SPARK_GRAFT_ANN_MODE=approx`` — the
+    candidate generator switches to MinHash banding (the same
+    signature/band scheme as q_dedup_minhash, whose volume is
+    governed by the band-collision probability, not density). The
+    verify stage is IDENTICAL either way (exact array_intersect
+    Jaccard), so the approx path keeps precision 1.0 and loses only
+    band-missed candidates: P(candidate | J) = 1-(1-J^4)^8 ≈ 1.0 at
+    the q_dedup_jaccard threshold 0.95 and ≈ 0.985 at q_dedup_ngram's
+    0.8. Contract test: test_jaccard_minhash_scale_path_contract.
+
+    ``n_groups`` must be a REAL measured count: callers that pin an
+    explicit join mode fake it as _BROADCAST_ROWS+1 to force the
+    salted strategy, which would silently trip the auto cutover (the
+    brute-force property test caught exactly this) — those callers
+    pass ``n_groups=0`` here instead."""
+    env = os.environ.get("SPARK_GRAFT_ANN_MODE", "auto")
+    if env == "exact":
+        return False
+    if env == "approx":
+        return True
+    return n_groups > int(os.environ.get("SPARK_GRAFT_ANN_CUTOVER", "1000000"))
+
+
+def _minhash_candidate_pairs(
+    groups: DataFrame, n_groups: int, mode: str | None
+) -> DataFrame:
+    """MinHash-banded candidate (ga, gb) pairs over unique sets — the
+    scale-path candidate generator behind :func:`_jaccard_scale_mode`.
+    Deterministic (xxhash64, hash index as seed), linear signature
+    build (one explode + groupBy-min), band self-join volume bounded
+    by bucket collisions rather than token co-occurrence."""
+    tok = groups.select("gid", F.explode("toks").alias("tok"))
+    sigs = tok.groupBy("gid").agg(
+        *[F.min(F.xxhash64("tok", F.lit(i))).alias(f"s{i}") for i in range(_MH_HASHES)]
+    )
+    r = _MH_HASHES // _MH_BANDS
+    band_hashes = F.array(
+        *[F.xxhash64(*[f"s{b * r + j}" for j in range(r)]) for b in range(_MH_BANDS)]
+    )
+    banded = _track(
+        sigs.select("gid", F.posexplode(band_hashes).alias("band", "bh")).persist()
+    )
+    return (
+        _self_candidate_join(
+            banded,
+            ["band", "bh"],
+            "gid",
+            F.col("a.gid") < F.col("b.gid"),
+            mode,
+            _MH_BANDS * n_groups,
+        )
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+        .distinct()
+    )
+
+
 def _jaccard_group_pairs(
     docs: DataFrame,
     t_num: int,
@@ -366,48 +428,63 @@ def _jaccard_group_pairs(
     else:
         groups = _track(_set_groups(docs))
         n_groups = n_prefix = 0 if mode == "broadcast" else _BROADCAST_ROWS + 1
-    # -- 2. prefix + length filtered candidate join over unique sets --
-    sets = groups.select("gid", "toks", "n")
-    tok = sets.select("gid", "n", F.explode("toks").alias("tok"))
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    prefix = _track(
-        tok.join(F.broadcast(dfreq), "tok")
-        .withColumn(
-            "p",
-            F.row_number().over(Window.partitionBy("gid").orderBy("dfreq", "tok")),
+    # -- 2. candidate join over unique sets: exact PPJoin prefix path
+    # by default; MinHash-banded candidates past the corpus-size
+    # cutover (see _jaccard_scale_mode — verify below is identical
+    # either way, so the switch trades recall, never precision).
+    # Explicit-mode callers (join-strategy tests) fake n_groups as
+    # _BROADCAST_ROWS+1, so the auto gate only sees measured counts --
+    if _jaccard_scale_mode(n_groups if mode is None else 0):
+        cand = _minhash_candidate_pairs(groups, n_groups, mode)
+    else:
+        sets = groups.select("gid", "toks", "n")
+        tok = sets.select("gid", "n", F.explode("toks").alias("tok"))
+        dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
+        prefix = _track(
+            tok.join(F.broadcast(dfreq), "tok")
+            .withColumn(
+                "p",
+                F.row_number().over(
+                    Window.partitionBy("gid").orderBy("dfreq", "tok")
+                ),
+            )
+            .filter(F.col("p") <= prefix_len)
+            .select("gid", "n", "tok", "p")
+            .persist()  # both sides of the self-join read this
         )
-        .filter(F.col("p") <= prefix_len)
-        .select("gid", "n", "tok", "p")
-        .persist()  # both sides of the self-join read this
-    )
-    na, nb = F.col("a.n"), F.col("b.n")
-    pa, pb = F.col("a.p"), F.col("b.p")
-    # required overlap for J >= t: i_min = ceil(t/(1+t) * (na+nb))
-    i_min = F.floor(((na + nb) * t_num + (t_num + t_den - 1)) / (t_num + t_den))
-    # positional filter: matched prefix token caps the reachable overlap
-    ubound = 1 + F.least(na - pa, nb - pb)
-    # distinct same-size sets overlap at most n-1
-    max_i = F.least(na, nb) - F.when(na == nb, 1).otherwise(0)
-    cand = (
-        # prefix entries are one row per (set, prefix-token), joined on
-        # `tok` — a tiny, skewed domain (31 values here): broadcast
-        # below the gate, salted shuffled-hash above it.
-        _self_candidate_join(
-            prefix,
-            ["tok"],
-            "gid",
-            (F.col("a.gid") < F.col("b.gid"))
-            # length filter: J >= t is impossible outside these bounds
-            & (na * t_den >= nb * t_num)
-            & (nb * t_den >= na * t_num)
-            & (ubound >= i_min)
-            & (max_i >= i_min),
-            mode,
-            n_prefix,
+        na, nb = F.col("a.n"), F.col("b.n")
+        pa, pb = F.col("a.p"), F.col("b.p")
+        # required overlap for J >= t: i_min = ceil(t/(1+t) * (na+nb))
+        i_min = F.floor(
+            ((na + nb) * t_num + (t_num + t_den - 1)) / (t_num + t_den)
         )
-        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
-        .distinct()
-    )
+        # positional filter: matched prefix token caps the reachable
+        # overlap
+        ubound = 1 + F.least(na - pa, nb - pb)
+        # distinct same-size sets overlap at most n-1
+        max_i = F.least(na, nb) - F.when(na == nb, 1).otherwise(0)
+        cand = (
+            # prefix entries are one row per (set, prefix-token),
+            # joined on `tok` — a tiny, skewed domain (31 values
+            # here): broadcast below the gate, salted shuffled-hash
+            # above it.
+            _self_candidate_join(
+                prefix,
+                ["tok"],
+                "gid",
+                (F.col("a.gid") < F.col("b.gid"))
+                # length filter: J >= t is impossible outside these
+                # bounds
+                & (na * t_den >= nb * t_num)
+                & (nb * t_den >= na * t_num)
+                & (ubound >= i_min)
+                & (max_i >= i_min),
+                mode,
+                n_prefix,
+            )
+            .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+            .distinct()
+        )
     # -- 3. exact verify on set pairs (doc expansion is the caller's) --
     # One dim-join per side carries BOTH the token array (verify) and
     # the member list (expand), instead of four separate joins against
@@ -2149,15 +2226,33 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = groups.select("gid", "toks", "n")
     tok = sets.select("gid", "n", F.explode("toks").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    posting = _track(
+    posting = (
         tok.join(F.broadcast(dfreq), "tok")
         .withColumn(
             "p",
             F.row_number().over(Window.partitionBy("gid").orderBy("dfreq", "tok")),
         )
-        .select("gid", "n", "tok", "p")
-        .persist()
+        .select("gid", "n", "tok", "p", "dfreq")
     )
+    # Scale cutover (r8 — the containment analogue of the MinHash
+    # candidate switch; MinHash itself cannot serve here because a
+    # high-containment small-in-big pair has arbitrarily LOW Jaccard,
+    # so band collisions would miss exactly the pairs this operator
+    # exists to find): past the cutover, drop tokens with document
+    # frequency above SPARK_GRAFT_DF_CAP from the posting. The join
+    # key's per-token candidate volume is then bounded by cap² instead
+    # of the corpus's worst stop-word df². Ranks (p) are computed on
+    # the FULL set first, so the prefix/positional bounds stay sound;
+    # a true pair is lost only if every shared prefix token of A is
+    # ultra-common — and A's prefix is by construction its RAREST
+    # ceil(0.05·na)+1 tokens, the tail least likely to hit the cap.
+    # Verify stays exact → precision 1.0 either way. Contract test:
+    # test_containment_dfcap_scale_path_contract.
+    if _jaccard_scale_mode(n_groups):
+        posting = posting.filter(
+            F.col("dfreq") <= int(os.environ.get("SPARK_GRAFT_DF_CAP", "256"))
+        )
+    posting = _track(posting.drop("dfreq").persist())
     na, nb = F.col("a.n"), F.col("b.n")
     pa, pb = F.col("a.p"), F.col("b.p")
     i_min = F.floor((na * t_num + (t_den - 1)) / t_den)  # ceil(t * na)

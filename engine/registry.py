@@ -92,12 +92,17 @@ _PRIORITY: list[str] = [
     "q_sim_mmr", "q_market_concentration", "q_embed_ivf_recall",
     "q_eval_gains", "q_embed_pq", "q_agg_ddsketch",
     # ================= r9 queue (slots 50+) =================
-    # slots 50-51: r7 scale-cutover re-certs (tests/test_registry.
-    # _RECERT; VERDICT r7 task 1). q_sim_pairwise's newest row is r06
-    # and the SPARK_GRAFT_ANN_MODE cutover postdates it;
-    # q_embed_matryoshka's r07 row already postdates its rewrite, so
-    # its slot here is belt-and-braces per the verdict's explicit ask.
+    # slots 50-54: scale-cutover re-certs (tests/test_registry.
+    # _RECERT). q_sim_pairwise's newest row is r06 and the r7
+    # SPARK_GRAFT_ANN_MODE cutover postdates it; q_embed_matryoshka's
+    # r07 row already postdates its rewrite, so its slot is
+    # belt-and-braces per the verdict's explicit ask; jaccard/ngram/
+    # containment gained the r8 set-similarity cutover (default path
+    # unchanged, but by the letter they are re-certs — the r7
+    # precedent). 5 re-certs + 15 r6-new + 30 r7-new = exactly r9's
+    # 50-slot window; r8-new keys spill to r10.
     "q_sim_pairwise", "q_embed_matryoshka",
+    "q_dedup_jaccard", "q_dedup_ngram", "q_dedup_containment",
     # final 15 r6-new first-row keys
     "q_stream_pipeline",
     "q_sample_weighted", "q_backtest_sma", "q_audit_duplicates",
@@ -196,7 +201,9 @@ _PRIORITY: list[str] = [
 
     # (q_sim_pairwise fronted to the r9 re-cert slots — r7 cutover
     # rewrite postdates its r06 row)
-    "q_sql_api", "q_fn_try", "q_dedup_jaccard", "q_dedup_ngram",
+    # (q_dedup_jaccard / q_dedup_ngram fronted to the r9 re-cert
+    # slots — r8 set-similarity cutover postdates their r06 rows)
+    "q_sql_api", "q_fn_try",
     "q_embed_pca", "q_graph_pagerank", "q_dedup_simhash",
     "q_agg_count_min", "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree",
     "q_sample_importance", "q_join_interval_overlap", "q_agg_bitmap_distinct",
@@ -215,7 +222,9 @@ _PRIORITY: list[str] = [
     # r07 rows (CORRECTNESS_r07.json order; q_embed_matryoshka fronted
     # to the r9 re-cert slots)
 
-    "q_dedup_minhash", "q_dedup_cluster", "q_dedup_containment",
+    # (q_dedup_containment fronted to the r9 re-cert slots — r8
+    # df-cap cutover postdates its r07 row)
+    "q_dedup_minhash", "q_dedup_cluster",
     "q_join_spatial", "q_quality_freshness", "q_embed_outliers",
     "q_drawdown_duration", "q_variance_ratio", "q_growth_accounting",
     "q_win_hurst", "q_source_schema_evolution", "q_tpch_q1", "q_fn_lambda",

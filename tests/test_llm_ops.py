@@ -543,6 +543,76 @@ def test_matryoshka_scale_path_contract(spark, monkeypatch):
         assert 0 < r["n_vectors"] <= n_exact[lbl]
 
 
+def test_jaccard_minhash_scale_path_contract(spark, monkeypatch):
+    """r8 scale-cutover contract for the exact set-similarity core
+    (_jaccard_group_pairs; consumers q_dedup_jaccard / q_dedup_ngram):
+    with SPARK_GRAFT_ANN_MODE=approx the candidate generator switches
+    to MinHash banding while the verify stage stays exact, so the
+    approx output must be a SUBSET of the exact output with identical
+    jaccard values (precision 1.0), at high recall — P(candidate|J) =
+    1-(1-J^4)^8 ≈ 1.0 at jaccard's 0.95 threshold and ≈ 0.985 at
+    ngram's 0.8 (identical-set pairs bypass the join entirely and are
+    never lost)."""
+    for key, floor in [("q_dedup_jaccard", 0.99), ("q_dedup_ngram", 0.90)]:
+        q = all_queries()[key]
+        monkeypatch.setenv("SPARK_GRAFT_ANN_MODE", "exact")
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in q(spark, SF_SMOKE).collect()
+        }
+        monkeypatch.setenv("SPARK_GRAFT_ANN_MODE", "approx")
+        approx = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in q(spark, SF_SMOKE).collect()
+        }
+        assert approx, f"{key}: approx path returned nothing"
+        for pair, j in approx.items():
+            assert pair in exact and exact[pair] == j, (key, pair)
+        assert len(approx) >= floor * len(exact), (
+            key, len(approx), len(exact)
+        )
+
+
+def test_containment_dfcap_scale_path_contract(spark, monkeypatch):
+    """r8 scale-cutover contract for q_dedup_containment: MinHash
+    banding cannot serve the asymmetric threshold (a high-containment
+    small-in-big pair has arbitrarily low Jaccard), so its scale path
+    df-caps the posting instead. A cap above every fixture token's
+    document frequency must be BIT-IDENTICAL to exact; a tiny cap must
+    return a subset with identical containment values (precision 1.0 —
+    the verify is exact either way) that still includes every
+    identical-set pair (those bypass the join)."""
+    q = all_queries()["q_dedup_containment"]
+    monkeypatch.setenv("SPARK_GRAFT_ANN_MODE", "exact")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in q(spark, SF_SMOKE).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_ANN_MODE", "approx")
+    monkeypatch.setenv("SPARK_GRAFT_DF_CAP", "1000000")
+    big = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in q(spark, SF_SMOKE).collect()
+    }
+    assert big == exact
+    monkeypatch.setenv("SPARK_GRAFT_DF_CAP", "4")
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in q(spark, SF_SMOKE).collect()
+    }
+    assert capped, "capped path returned nothing"
+    for pair, c in capped.items():
+        assert pair in exact and exact[pair] == c, pair
+    # identical-set pairs are the SYMMETRIC 1.0 pairs (a one-direction
+    # 1.0 is a strict-subset pair, which does flow through the join
+    # and may legitimately be capped away)
+    ones = {
+        p for p, c in exact.items()
+        if c == 1.0 and exact.get((p[1], p[0])) == 1.0
+    }
+    assert ones and ones <= set(capped)
+
+
 def test_span_coverage_cap_contract(spark, monkeypatch):
     """r8 scale-cutover contract for q_dedup_span_coverage: the
     SPARK_GRAFT_SPAN_CAP knob bounds the per-doc interval set (the

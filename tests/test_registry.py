@@ -38,6 +38,13 @@ _RECERT = {
     # re-cert explicitly, so it keeps a slot.
     "q_sim_pairwise",
     "q_embed_matryoshka",
+    # r8 set-similarity scale cutover (VERDICT r7 task 5): default
+    # paths unchanged (MinHash candidates / df-cap engage only past
+    # the corpus-size gate), but the rewrites postdate their r06/r07
+    # rows — the r7 precedent says re-cert next round.
+    "q_dedup_jaccard",
+    "q_dedup_ngram",
+    "q_dedup_containment",
 }
 
 

@@ -41,6 +41,12 @@ ROUND_CHANGED = [
                   # a 1e-6 integer grid per term (ADVICE)
     "q_dedup_span_coverage",  # r8: SPARK_GRAFT_SPAN_CAP interval-cap
                   # cutover (default/exact path unchanged)
+    "q_dedup_jaccard",   # r8: MinHash-banded candidate cutover for the
+                  # set-similarity core past SPARK_GRAFT_ANN_CUTOVER
+                  # unique sets (default PPJoin path unchanged)
+    "q_dedup_ngram",     # r8: same (shares _jaccard_group_pairs)
+    "q_dedup_containment",  # r8: SPARK_GRAFT_DF_CAP posting cap past
+                  # the cutover (default path unchanged)
 ]
 
 
