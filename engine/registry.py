@@ -121,6 +121,9 @@ _PRIORITY: list[str] = [
     "q_graph_distances", "q_stats_wilcoxon", "q_stats_hill",
     "q_win_ulcer_index", "q_text_term_burstiness", "q_sink_compaction",
     "q_stats_jarque_bera", "q_graph_transitivity", "q_sample_neyman",
+    # -- new in round 8 (first-row keys; spill to r10's window after
+    #    r9 exhausts the r6/r7 backlog + the 5 re-certs) --
+    "q_multimodal_jpeg",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r06) so every future window is a prefix rotation
 

@@ -47,6 +47,8 @@ ROUND_CHANGED = [
     "q_dedup_ngram",     # r8: same (shares _jaccard_group_pairs)
     "q_dedup_containment",  # r8: SPARK_GRAFT_DF_CAP posting cap past
                   # the cutover (default path unchanged)
+    "q_multimodal_jpeg",  # r8: new — real baseline-JPEG encode/decode
+                  # round-trip (huffman + DCT, stdlib + numpy)
 ]
 
 
