@@ -24,299 +24,270 @@ from tests.conftest import SF_SMOKE
 # else is explained without execution.
 _SKIP_PREFIX = "q_stream_"
 
-# Queries allowed to contain a single-partition exchange/window, each
-# with the documented reason.
-_SINGLE_PARTITION_OK = {
-    "q_agg_global",       # one output row by definition
-    "q_agg_approx_distinct",
-    "q_topk",             # TakeOrderedAndProject gathers k rows
-    "q_limit_offset",     # global LIMIT/OFFSET contract
-    "q_sort_multi",       # global ORDER BY contract (rangepartitioning)
-    "q_win_ntile",        # 2-pass rank: window over the 32-row counts table
-    "q_text_tfidf",       # broadcast 1-row corpus-size aggregate
-    "q_sim_topk",         # global top-k gather after per-partition sort
-    "q_sim_topk_lsh",     # MLlib approxNearestNeighbors internal gather
-    "q_tokenize",         # global tail LIMIT for display contract
-    "q_udtf",             # single lateral-join demo slice
-    "q_fn_cond_null",     # ordered display contract
-    "q_multimodal_features",  # 1-row total-bytes agg sizes the repartition
-    "q_multimodal_decode",    # same 1-row total-bytes sizing agg
-    "q_profile_table",    # whole-table profile reduces to one wide row
-    "q_funnel",           # per-stage counts reduce to one row each
-    "q_agg_hll_sketch",   # TOTAL row = union of 5 per-segment sketches
-    "q_agg_kll_quantiles",  # TOTAL row = merge of per-flag KLL sketches
-    "q_text_bm25",        # 1-row (N, avgdl) broadcast aggregate
-    "q_sim_hybrid_rrf",   # rank windows over two already-gathered top-20s
-    "q_tpch_q6",          # global scan-filter-agg: one output row
-    "q_tpch_q14",         # promo-share ratio reduces to one row
-    "q_tpch_q15",         # 1-row scalar max of the post-agg revenue table
-    "q_tpch_q17",         # global revenue sum: one output row
-    "q_tpch_q19",         # global revenue sum: one output row
-    "q_tpch_q22",         # 1-row positive-balance average broadcast
-    "q_sample_temperature",  # 1-row min-count aggregate sizes the rates
-    "q_concurrency",      # carry-in window over the one-row-per-DAY totals table
-    "q_sample_reservoir",  # TakeOrderedAndProject gathers k=100 rows
-    "q_tpch_q11",         # 1-row (total, n_parts) scalar of the post-agg table
-    "q_text_hapax",       # 1-row global reduce of the vocab-bounded count table
-    "q_join_bloom",       # 1-row dense-bitmap fold of the 1024-word table
-    "q_rfm_segments",     # carry-in windows over the three band-count
-                          # tables (recency/frequency values + <=64 log2
-                          # monetary bands) — the customer table itself is
-                          # never single-partitioned (r5 rewrite)
-    "q_abc_pareto",       # carry-in window over the <=64-row band totals table
-    "q_multimodal_phash",  # 1-row hamming-0 closed-form reduce (partial
-                           # aggs map-side over the post-agg cluster table)
-    "q_quality_rules",    # whole-table DQ summary reduces to one wide row
-    "q_eval_auc",         # carry-in window over the ~score-band count table
-                          # + the 1-row Mann-Whitney reduce
-    "q_rolling_active_users",  # 1-row max-day bound clipping the explode
-    "q_benford",          # 1-row total over the 9-digit count table
-    "q_text_perplexity",  # 1-row corpus-token total scaling the log-probs
-    "q_skyline",          # carry-in window over the <=bands price-band table
-    "q_funnel_windowed",  # three 1-row stage counts fold into one row
-    "q_survival_km",      # KM windows over the <=|days| duration histogram
-    "q_text_keywords",    # 1-row corpus-size fold into the IDF
-    "q_agg_gini",         # <=64-row band carry window + 1-row Gini reduce
-    "q_dataset_card",     # whole-corpus summary reduces to one wide row
-    "q_sample_importance",  # 1-row max-weight aggregate sizes the accept test
-    "q_stats_chisq",      # 1-row (n, r, c) scalar of the cell table
-    "q_text_collocations",  # 1-row (T, B) totals + global top-20 gather
-    "q_basket_rules",     # 1-row order-count fold + global top-25 gather
-    "q_stats_ks",         # |bands|-row carry window + 1-row struct-max
-    "q_stats_mannwhitney",  # |bands|-row carry window + 1-row re-aggregate
-    "q_stats_kruskal_wallis",  # |bands|-row carry window + 5-row/1-row reduces
-    "q_stats_friedman",   # per-block k-row rank windows + 5-row/1-row reduces
-    "q_stats_bartlett",   # 5-group moment table reduces to one row
-    "q_orders_backlog",   # 1-row as-of max + 4-band/1-row reduces
-    "q_privacy_ldiversity",  # bounded class table reduces to one wide row
-    "q_eval_ks",          # |bands|-row carry window + 1-row struct-max
-    "q_embed_kmeans",     # 4-row seed-rank window after TakeOrdered
-    "q_stats_wilcoxon",   # |bands|-row carry window + 1-row reduce
-    "q_stats_hill",       # 101-row TakeOrdered + rank window on it
-    "q_text_term_burstiness",  # global top-20 VMR gather (TakeOrdered)
-    "q_graph_transitivity",  # 1-row closure summary reduce
-    "q_sample_neyman",    # 5-row quota table: rank window + 1-row total
-    "q_segment_migration",  # 1-row bounds broadcast + 1-row total fold
-    "q_stats_dunn",       # |bands|-row carry window + 5x5 pair table
-    "q_stats_anova",      # 1-row (k, N, S) total + 1-row output
-    "q_quality_drift",    # <=64-bin table: carry window + total window
-    "q_win_theil_sen",    # calendar-bounded day-pair series: rank + 1-row fold
-    "q_risk_metrics",     # calendar-bounded daily series: lag/rank + 1-row report
-    "q_seasonal_decompose",  # calendar-bounded daily series: centered MA window
-    "q_text_heaps",       # |bands|-row carry window + 1-row OLS fold
-    "q_variance_ratio",   # calendar-bounded daily series: lag + k-sum windows
-    "q_win_hurst",        # calendar-bounded daily series: lag + block windows
-    "q_growth_accounting",  # 1-row max-day aggregate bounds churn attribution
-    "q_stats_spearman",   # |bands|-row carry window + 1-row moment fold
-    "q_stats_kendall",    # calendar-bounded day series + 1-row fold
-    "q_stats_regression_multi",  # 1-row min-day re-base + 1-row moment fold
-    "q_gdpr_erasure",     # three 1-row audit aggregates
-    "q_sample_class_balance",  # 1-row minority-size bound
-    "q_user_lorenz",      # <=64-row band carry window + 10-row decile
-                          # cum window — customers never single-partitioned
-    "q_stats_cuped",      # 1-row pooled-moment fold broadcast to 2 arms
-    "q_stats_proportions",  # 1-row arm-total fold broadcast to |types|
-    "q_stats_jackknife",  # 50-bucket table + two 1-row folds
-    "q_stats_granger",    # calendar-bounded daily series lag + 1-row fold
-    "q_stats_power",      # 1-row arm-total fold broadcast to |types|
-    "q_attribution_markov",  # 1-row wide transition pivot + Cramer algebra
-    "q_dedup_threshold_sweep",  # two 1-row conditional-count folds of the
-                          # pair table -> 6-row stack
-    "q_privacy_kanonymity",  # two 1-row folds of the bounded class table
-                          # -> 3-row stack
-    "q_abc_xyz",          # <=64-row band carry windows (abc_pareto
-                          # scheme) + 1-row horizon fold
-    "q_basket_sequential",  # 1-row pair-total fold into the lift
-    "q_events_burstiness",  # 1-row hour-span fold into the Fano ratio
-    "q_seasonality_strength",  # calendar-bounded daily series: centered
-                          # MA window + 7-row dow fold + 1-row output
-    "q_eval_calibration",  # 1-row min/max fold + 1-row ECE fold
-    "q_stats_qte",        # 1-row 8-percentile fold -> 4-row stack
-    "q_sample_kfold",     # 1-row total + 1-row chi2 folds of the
-                          # <=|folds|x|langs| cell table
-    "q_stats_levene",     # 1-row W-statistic fold of the |types| table
-    "q_stats_cramers_v",  # 1-row (n, r, c) scalar + 1-row chi²/V output
-    "q_stats_theil_u",    # three 1-row entropy-term folds of the cell table
-    "q_eval_confusion",   # whole-corpus reduce to ONE confusion row
-    "q_eval_brier",       # 1-row exact-moment fold by definition
-    "q_stats_mcnemar",    # 1-row paired-cell fold by definition
-    "q_price_index",      # 1-row min-month scalar fold (house pattern)
-    "q_graph_kcore",      # cumulative window over the <=64-row histogram
-    "q_tokenize_vocab_prune",  # frequency-rank window over the
-                          # vocabulary-bounded train count table
-    "q_eval_gains",       # <=|bands| carry window + 10-row decile
-                          # cum window (lorenz scheme) — the scored
-                          # relation is never single-partitioned
-    "q_text_fightin_words",  # rank window over the already-gathered
-                          # top-10 (TakeOrderedAndProject feeds it)
-    "q_stats_fdr_bh",     # rank + suffix-min windows over the
-                          # |types|-row p-value table
-    "q_graph_assortativity",  # 1-row degree-moment fold by definition
+# Queries allowed to contain a single-partition exchange/window —
+# key -> the documented bounded-fold/spine justification
+# (machine-checked non-empty by test_plan_whitelists_are_annotated,
+# r7 verdict task 8).
+_SINGLE_PARTITION_OK: dict[str, str] = {
+    "q_agg_global": "one output row by definition",
+    "q_agg_approx_distinct": "1-row global HLL estimate by definition",
+    "q_topk": "TakeOrderedAndProject gathers k rows",
+    "q_limit_offset": "global LIMIT/OFFSET contract",
+    "q_sort_multi": "global ORDER BY contract (rangepartitioning)",
+    "q_win_ntile": "2-pass rank: window over the 32-row counts table",
+    "q_text_tfidf": "broadcast 1-row corpus-size aggregate",
+    "q_sim_topk": "global top-k gather after per-partition sort",
+    "q_sim_topk_lsh": "MLlib approxNearestNeighbors internal gather",
+    "q_tokenize": "global tail LIMIT for display contract",
+    "q_udtf": "single lateral-join demo slice",
+    "q_fn_cond_null": "ordered display contract",
+    "q_multimodal_features": "1-row total-bytes agg sizes the repartition",
+    "q_multimodal_decode": "same 1-row total-bytes sizing agg",
+    "q_profile_table": "whole-table profile reduces to one wide row",
+    "q_funnel": "per-stage counts reduce to one row each",
+    "q_agg_hll_sketch": "TOTAL row = union of 5 per-segment sketches",
+    "q_agg_kll_quantiles": "TOTAL row = merge of per-flag KLL sketches",
+    "q_text_bm25": "1-row (N, avgdl) broadcast aggregate",
+    "q_sim_hybrid_rrf": "rank windows over two already-gathered top-20s",
+    "q_tpch_q6": "global scan-filter-agg: one output row",
+    "q_tpch_q14": "promo-share ratio reduces to one row",
+    "q_tpch_q15": "1-row scalar max of the post-agg revenue table",
+    "q_tpch_q17": "global revenue sum: one output row",
+    "q_tpch_q19": "global revenue sum: one output row",
+    "q_tpch_q22": "1-row positive-balance average broadcast",
+    "q_sample_temperature": "1-row min-count aggregate sizes the rates",
+    "q_concurrency": "carry-in window over the one-row-per-DAY totals table",
+    "q_sample_reservoir": "TakeOrderedAndProject gathers k=100 rows",
+    "q_tpch_q11": "1-row (total, n_parts) scalar of the post-agg table",
+    "q_text_hapax": "1-row global reduce of the vocab-bounded count table",
+    "q_join_bloom": "1-row dense-bitmap fold of the 1024-word table",
+    "q_rfm_segments":
+        "carry-in windows over the three band-count tables (recency/frequency "
+        "values + <=64 log2 monetary bands) — the customer table itself is "
+        "never single-partitioned (r5 rewrite)",
+    "q_abc_pareto": "carry-in window over the <=64-row band totals table",
+    "q_multimodal_phash":
+        "1-row hamming-0 closed-form reduce (partial aggs map-side over the "
+        "post-agg cluster table)",
+    "q_quality_rules": "whole-table DQ summary reduces to one wide row",
+    "q_eval_auc":
+        "carry-in window over the ~score-band count table + the 1-row Mann- "
+        "Whitney reduce",
+    "q_rolling_active_users": "1-row max-day bound clipping the explode",
+    "q_benford": "1-row total over the 9-digit count table",
+    "q_text_perplexity": "1-row corpus-token total scaling the log-probs",
+    "q_skyline": "carry-in window over the <=bands price-band table",
+    "q_funnel_windowed": "three 1-row stage counts fold into one row",
+    "q_survival_km": "KM windows over the <=|days| duration histogram",
+    "q_text_keywords": "1-row corpus-size fold into the IDF",
+    "q_agg_gini": "<=64-row band carry window + 1-row Gini reduce",
+    "q_dataset_card": "whole-corpus summary reduces to one wide row",
+    "q_sample_importance": "1-row max-weight aggregate sizes the accept test",
+    "q_stats_chisq": "1-row (n, r, c) scalar of the cell table",
+    "q_text_collocations": "1-row (T, B) totals + global top-20 gather",
+    "q_basket_rules": "1-row order-count fold + global top-25 gather",
+    "q_stats_ks": "|bands|-row carry window + 1-row struct-max",
+    "q_stats_mannwhitney": "|bands|-row carry window + 1-row re-aggregate",
+    "q_stats_kruskal_wallis": "|bands|-row carry window + 5-row/1-row reduces",
+    "q_stats_friedman": "per-block k-row rank windows + 5-row/1-row reduces",
+    "q_stats_bartlett": "5-group moment table reduces to one row",
+    "q_orders_backlog": "1-row as-of max + 4-band/1-row reduces",
+    "q_privacy_ldiversity": "bounded class table reduces to one wide row",
+    "q_eval_ks": "|bands|-row carry window + 1-row struct-max",
+    "q_embed_kmeans": "4-row seed-rank window after TakeOrdered",
+    "q_stats_wilcoxon": "|bands|-row carry window + 1-row reduce",
+    "q_stats_hill": "101-row TakeOrdered + rank window on it",
+    "q_text_term_burstiness": "global top-20 VMR gather (TakeOrdered)",
+    "q_graph_transitivity": "1-row closure summary reduce",
+    "q_sample_neyman": "5-row quota table: rank window + 1-row total",
+    "q_segment_migration": "1-row bounds broadcast + 1-row total fold",
+    "q_stats_dunn": "|bands|-row carry window + 5x5 pair table",
+    "q_stats_anova": "1-row (k, N, S) total + 1-row output",
+    "q_quality_drift": "<=64-bin table: carry window + total window",
+    "q_win_theil_sen": "calendar-bounded day-pair series: rank + 1-row fold",
+    "q_risk_metrics": "calendar-bounded daily series: lag/rank + 1-row report",
+    "q_seasonal_decompose":
+        "calendar-bounded daily series: centered MA window",
+    "q_text_heaps": "|bands|-row carry window + 1-row OLS fold",
+    "q_variance_ratio": "calendar-bounded daily series: lag + k-sum windows",
+    "q_win_hurst": "calendar-bounded daily series: lag + block windows",
+    "q_growth_accounting": "1-row max-day aggregate bounds churn attribution",
+    "q_stats_spearman": "|bands|-row carry window + 1-row moment fold",
+    "q_stats_kendall": "calendar-bounded day series + 1-row fold",
+    "q_stats_regression_multi": "1-row min-day re-base + 1-row moment fold",
+    "q_gdpr_erasure": "three 1-row audit aggregates",
+    "q_sample_class_balance": "1-row minority-size bound",
+    "q_user_lorenz":
+        "<=64-row band carry window + 10-row decile cum window — customers "
+        "never single-partitioned",
+    "q_stats_cuped": "1-row pooled-moment fold broadcast to 2 arms",
+    "q_stats_proportions": "1-row arm-total fold broadcast to |types|",
+    "q_stats_jackknife": "50-bucket table + two 1-row folds",
+    "q_stats_granger": "calendar-bounded daily series lag + 1-row fold",
+    "q_stats_power": "1-row arm-total fold broadcast to |types|",
+    "q_attribution_markov": "1-row wide transition pivot + Cramer algebra",
+    "q_dedup_threshold_sweep":
+        "two 1-row conditional-count folds of the pair table -> 6-row stack",
+    "q_privacy_kanonymity":
+        "two 1-row folds of the bounded class table -> 3-row stack",
+    "q_abc_xyz":
+        "<=64-row band carry windows (abc_pareto scheme) + 1-row horizon fold",
+    "q_basket_sequential": "1-row pair-total fold into the lift",
+    "q_events_burstiness": "1-row hour-span fold into the Fano ratio",
+    "q_seasonality_strength":
+        "calendar-bounded daily series: centered MA window + 7-row dow fold + "
+        "1-row output",
+    "q_eval_calibration": "1-row min/max fold + 1-row ECE fold",
+    "q_stats_qte": "1-row 8-percentile fold -> 4-row stack",
+    "q_sample_kfold":
+        "1-row total + 1-row chi2 folds of the <=|folds|x|langs| cell table",
+    "q_stats_levene": "1-row W-statistic fold of the |types| table",
+    "q_stats_cramers_v": "1-row (n, r, c) scalar + 1-row chi²/V output",
+    "q_stats_theil_u": "three 1-row entropy-term folds of the cell table",
+    "q_eval_confusion": "whole-corpus reduce to ONE confusion row",
+    "q_eval_brier": "1-row exact-moment fold by definition",
+    "q_stats_mcnemar": "1-row paired-cell fold by definition",
+    "q_price_index": "1-row min-month scalar fold (house pattern)",
+    "q_graph_kcore": "cumulative window over the <=64-row histogram",
+    "q_tokenize_vocab_prune":
+        "frequency-rank window over the vocabulary-bounded train count table",
+    "q_eval_gains":
+        "<=|bands| carry window + 10-row decile cum window (lorenz scheme) — "
+        "the scored relation is never single-partitioned",
+    "q_text_fightin_words":
+        "rank window over the already-gathered top-10 (TakeOrderedAndProject "
+        "feeds it)",
+    "q_stats_fdr_bh":
+        "rank + suffix-min windows over the |types|-row p-value table",
+    "q_graph_assortativity": "1-row degree-moment fold by definition",
 }
 
-# Deliberate non-equi/broadcast-nested-loop shapes: q_join_cross is the
-# 5x5 dim cross join; q_sim_topk and q_text_tfidf fold a broadcast
-# ONE-ROW aggregate (query vector / corpus size) into the plan — a
-# 1-row BroadcastNestedLoopJoin is the scalar-subquery pattern and is
-# size-independent. q_agg_theta_sketch pairs the per-segment sketch
-# table with itself (type_a < type_b): the input is one row per
-# SEGMENT (5 here; segments, never ticks, at scale), so the non-equi
-# broadcast join is over a cardinality that does not grow with data.
-_CROSS_OK = {
-    "q_join_cross", "q_sim_topk", "q_text_tfidf", "q_agg_theta_sketch",
-    # 1-row broadcast scalar folds (scalar-subquery pattern, size-
-    # independent): BM25's (N, avgdl) + df table; the temperature
-    # sampler's min-count; Q15's scalar max; Q22's positive-balance
-    # average; the RRF fusion inherits q_sim_topk's query-vector fold
-    # plus BM25's stats folds.
-    "q_text_bm25", "q_sample_temperature", "q_tpch_q15", "q_tpch_q22",
-    "q_sim_hybrid_rrf",
-    # Q11's (total, n_parts) threshold: 1-row re-aggregate of the
-    # already-small post-agg value table, broadcast back — never a
-    # second fact scan.
-    "q_tpch_q11",
-    # the bloom bitmap is ONE row (a 1024-long array, ~8KB) broadcast
-    # to every probe task — the runtime-filter pattern by construction.
-    "q_join_bloom",
-    # DQ summary: the 1-row orphan count folds into the 1-row rules row.
-    "q_quality_rules",
-    # phash multi-index: the 66-row LITERAL (half, flip-bit) ball
-    # index broadcast-nested-loops against the distinct-hash table —
-    # a bounded row-generator (66× expansion), never data×data.
-    "q_multimodal_phash",
-    # DAU/WAU: the 1-row max-day bound clips contribution days.
-    "q_rolling_active_users",
-    # KW: the 1-row (tie-sum, N) total folds into the 5-group table.
-    "q_stats_kruskal_wallis",
-    # backlog aging: the 1-row as-of-day max + the 1-row total fold.
-    "q_orders_backlog",
-    # KS separation: the 1-row (n_pos, n_neg) total folds in.
-    "q_eval_ks",
-    # segment migration: 1-row (lo, hi) bounds + 1-row total fold.
-    "q_segment_migration",
-    # Dunn: the 5-row group table theta-self-joins (10 pairs) and the
-    # 1-row tie total folds in — all broadcast-sized by construction.
-    "q_stats_dunn",
-    # Wilcoxon: 1-row (lo, hi) timeline bounds broadcast.
-    "q_stats_wilcoxon",
-    # Hill: the 1-row x_(101) reference folds into the 100-row top set.
-    "q_stats_hill",
-    # Neyman: the 1-row allocation denominator folds into 5 strata.
-    "q_sample_neyman",
-    # burstiness: the 1-row doc-count total folds into the vocab table.
-    "q_text_term_burstiness",
-    # k-means: every assignment pass broadcasts the k-row centroid
-    # relation against the point scan — the IVF coarse-quantizer
-    # pattern; k=4 rows by construction.
-    "q_embed_kmeans",
-    # F1 sweep: the 19-row threshold SPINE fans the <=42-cell score
-    # histogram (both broadcast-sized literals), and the best-F1 flag
-    # cross-joins the 19-row metric table with itself.
-    "q_eval_f1_sweep",
-    # Benford: the 1-row total folds into the 9-row digit table.
-    "q_benford",
-    # perplexity: the 1-row corpus-token total folds into each token's
-    # probability (vocabulary table itself broadcasts hash-side).
-    "q_text_perplexity",
-    # windowed funnel: three 1-row stage counts fold into one row.
-    "q_funnel_windowed",
-    # KM: the 1-row max-day bound tags censoring.
-    "q_survival_km",
-    # keywords: the 1-row corpus size folds into each term's IDF.
-    "q_text_keywords",
-    # RFM: the 1-row customer count folds into the closed-form ntile.
-    "q_rfm_segments",
-    # importance sampler: the 1-row max-weight bound folds into the
-    # integer accept test.
-    "q_sample_importance",
-    # chi-square: the 1-row (n, r, c) scalar of the <=|domains|² cell
-    # table folds into expected counts and dof.
-    "q_stats_chisq",
-    # cosine range search inherits q_sim_topk's 1-row query-vector fold.
-    "q_sim_range",
-    # collocations: the 1-row (T, B) token/bigram totals fold into PMI.
-    "q_text_collocations",
-    # basket rules: the 1-row order count folds into lift.
-    "q_basket_rules",
-    # KS / Mann-Whitney: the 1-row (n_a, n_b) totals fold into the
-    # banded-cum distinct-value table.
-    "q_stats_ks",
-    "q_stats_mannwhitney",
-    # ANOVA: the 1-row (k, N, S) totals fold into the |groups| terms.
-    "q_stats_anova",
-    # PSI: the 1-row (RN, CN, |bins|) totals fold into the <=64 bins.
-    "q_quality_drift",
-    # Theil-Sen: the 1-row day count folds into the 1-row median.
-    "q_win_theil_sen",
-    # variance ratio: the 1-row base-variance moments fold into 3 rows.
-    "q_variance_ratio",
-    # growth accounting: the 1-row max-day bound stops churn attribution.
-    "q_growth_accounting",
-    # Hurst: the 1-row OLS fold joins the 1-row wide R/S means.
-    "q_win_hurst",
-    # Kendall: the 1-row day count folds into the 1-row tau report.
-    "q_stats_kendall",
-    # multi OLS: the 1-row series-start minimum re-bases the day index.
-    "q_stats_regression_multi",
-    # erasure audit: three 1-row before×erased count folds.
-    "q_gdpr_erasure",
-    # class balance: the 1-row minority-size bound clips every class.
-    "q_sample_class_balance",
-    # Lorenz: the 1-row (n, total) fold maps ranks to deciles.
-    "q_user_lorenz",
-    # CUPED: the 1-row pooled-moment fold adjusts the 2-row arm table.
-    "q_stats_cuped",
-    # proportions: the 1-row arm-total fold joins the |types| rows.
-    "q_stats_proportions",
-    # jackknife: the 1-row (B, N, S) total fold joins the 50 buckets.
-    "q_stats_jackknife",
-    # power/MDE: the 1-row arm-total fold joins the |types| rows.
-    "q_stats_power",
-    # threshold sweep: the two 1-row count folds cross-join before the
-    # 6-row stack (scalar-subquery pattern, size-independent).
-    "q_dedup_threshold_sweep",
-    # k-anonymity: the 1-row total fold joins the 3-row threshold stack.
-    "q_privacy_kanonymity",
-    # ACF: the CONSTANT 5-row lag spine broadcasts onto the bounded
-    # daily series (size-independent, like the scalar-subquery folds).
-    "q_stats_acf",
-    # ABC-XYZ: the 1-row weekly-horizon fold classifies every part.
-    "q_abc_xyz",
-    # sequential basket: the 1-row pair-total fold scales the lift.
-    "q_basket_sequential",
-    # burstiness: the 1-row hour-span fold scales every type's Fano.
-    "q_events_burstiness",
-    # calibration: the 1-row min/max fold normalizes every score and
-    # the 1-row ECE fold joins the 10 bins.
-    "q_eval_calibration",
-    # k-fold: the 1-row total and chi2 folds join the 5-row fold table.
-    "q_sample_kfold",
-    # Cramér's V: the |langs|×|sources| grid materializes as the
-    # bounded row-totals × col-totals cross (domain-sized, never
-    # data×data) and the 1-row (n, r, c) scalar folds into each cell.
-    "q_stats_cramers_v",
-    # Theil's U: three 1-row entropy-term folds (q_ls, q_l, q_s) of
-    # the bounded cell table cross-join into the single output row
-    # (scalar-subquery pattern, size-independent).
-    "q_stats_theil_u",
-    # Poisson bootstrap / permutation test: the CONSTANT 50/99-row
-    # replicate spine broadcasts onto the fact scan (the q_stats_acf
-    # lag-spine pattern — a bounded row generator, never data×data).
-    "q_stats_bootstrap",
-    "q_stats_permutation",
-    # vocab prune: the CONSTANT 5-size spine + the 1-row eval-total
-    # fold broadcast onto the vocabulary-bounded type table.
-    "q_tokenize_vocab_prune",
-    # gains table: the 1-row (n, p) totals fold maps ranks to deciles
-    # (the q_user_lorenz scalar-subquery pattern).
-    "q_eval_gains",
-    # fightin' words: the 1-row corpus-totals fold joins the
-    # vocabulary-bounded token table (scalar-subquery pattern).
-    "q_text_fightin_words",
-    # BH correction inherits q_stats_permutation's constant 99-row
-    # replicate spine cross.
-    "q_stats_fdr_bh",
+
+# Deliberate non-equi/broadcast-nested-loop shapes — key -> the
+# documented justification (machine-checked non-empty by
+# test_plan_whitelists_are_annotated, r7 verdict task 8). A 1-row
+# BroadcastNestedLoopJoin is the scalar-subquery pattern and is
+# size-independent; constant spines are bounded row generators.
+_CROSS_OK: dict[str, str] = {
+    "q_join_cross": "the 5x5 dim cross join is the operator's semantics",
+    "q_sim_topk": "1-row broadcast query-vector fold (scalar-subquery)",
+    "q_text_tfidf": "1-row broadcast corpus-size fold (scalar-subquery)",
+    "q_agg_theta_sketch":
+        "per-SEGMENT sketch table theta-self-joins (5 rows; segments, "
+        "never ticks, at scale)",
+    "q_text_bm25": "1-row (N, avgdl) broadcast stats fold",
+    "q_sample_temperature": "1-row min-count fold sizes the rates",
+    "q_tpch_q15": "1-row scalar max of the post-agg revenue table",
+    "q_tpch_q22": "1-row positive-balance average broadcast",
+    "q_sim_hybrid_rrf":
+        "inherits q_sim_topk's query-vector fold + BM25's stats folds",
+    "q_tpch_q11":
+        "1-row (total, n_parts) re-aggregate of the post-agg value "
+        "table broadcast back — never a second fact scan",
+    "q_join_bloom":
+        "the bloom bitmap is ONE row (1024-long array, ~8KB) broadcast "
+        "to every probe task — the runtime-filter pattern",
+    "q_quality_rules": "1-row orphan count folds into the 1-row rules row",
+    "q_multimodal_phash":
+        "the 66-row LITERAL (half, flip-bit) ball index broadcast-"
+        "nested-loops against the distinct-hash table — a bounded row "
+        "generator (66x expansion), never data x data",
+    "q_rolling_active_users": "1-row max-day bound clips contribution days",
+    "q_stats_kruskal_wallis":
+        "1-row (tie-sum, N) total folds into the 5-group table",
+    "q_orders_backlog": "1-row as-of-day max + 1-row total fold",
+    "q_eval_ks": "1-row (n_pos, n_neg) total folds in",
+    "q_segment_migration": "1-row (lo, hi) bounds + 1-row total fold",
+    "q_stats_dunn":
+        "5-row group table theta-self-joins (10 pairs) + the 1-row tie "
+        "total — all broadcast-sized by construction",
+    "q_stats_wilcoxon": "1-row (lo, hi) timeline bounds broadcast",
+    "q_stats_hill": "1-row x_(101) reference folds into the 100-row top set",
+    "q_sample_neyman": "1-row allocation denominator folds into 5 strata",
+    "q_text_term_burstiness": "1-row doc-count total folds into the vocab table",
+    "q_embed_kmeans":
+        "every assignment pass broadcasts the k=4-row centroid relation "
+        "against the point scan — the IVF coarse-quantizer pattern",
+    "q_eval_f1_sweep":
+        "19-row threshold SPINE fans the <=42-cell score histogram "
+        "(broadcast-sized literals); best-F1 flag cross-joins the "
+        "19-row metric table with itself",
+    "q_benford": "1-row total folds into the 9-row digit table",
+    "q_text_perplexity":
+        "1-row corpus-token total folds into each token's probability",
+    "q_funnel_windowed": "three 1-row stage counts fold into one row",
+    "q_survival_km": "1-row max-day bound tags censoring",
+    "q_text_keywords": "1-row corpus size folds into each term's IDF",
+    "q_rfm_segments": "1-row customer count folds into the closed-form ntile",
+    "q_sample_importance":
+        "1-row max-weight bound folds into the integer accept test",
+    "q_stats_chisq":
+        "1-row (n, r, c) scalar of the <=|domains|^2 cell table folds "
+        "into expected counts and dof",
+    "q_sim_range": "inherits q_sim_topk's 1-row query-vector fold",
+    "q_text_collocations": "1-row (T, B) token/bigram totals fold into PMI",
+    "q_basket_rules": "1-row order count folds into lift",
+    "q_stats_ks":
+        "1-row (n_a, n_b) totals fold into the banded-cum distinct-value table",
+    "q_stats_mannwhitney":
+        "1-row (n_a, n_b) totals fold into the banded-cum distinct-value table",
+    "q_stats_anova": "1-row (k, N, S) totals fold into the |groups| terms",
+    "q_quality_drift": "1-row (RN, CN, |bins|) totals fold into the <=64 bins",
+    "q_win_theil_sen": "1-row day count folds into the 1-row median",
+    "q_variance_ratio": "1-row base-variance moments fold into 3 rows",
+    "q_growth_accounting": "1-row max-day bound stops churn attribution",
+    "q_win_hurst": "1-row OLS fold joins the 1-row wide R/S means",
+    "q_stats_kendall": "1-row day count folds into the 1-row tau report",
+    "q_stats_regression_multi":
+        "1-row series-start minimum re-bases the day index",
+    "q_gdpr_erasure": "three 1-row before x erased count folds",
+    "q_sample_class_balance": "1-row minority-size bound clips every class",
+    "q_user_lorenz": "1-row (n, total) fold maps ranks to deciles",
+    "q_stats_cuped": "1-row pooled-moment fold adjusts the 2-row arm table",
+    "q_stats_proportions": "1-row arm-total fold joins the |types| rows",
+    "q_stats_jackknife": "1-row (B, N, S) total fold joins the 50 buckets",
+    "q_stats_power": "1-row arm-total fold joins the |types| rows",
+    "q_dedup_threshold_sweep":
+        "two 1-row count folds cross-join before the 6-row stack "
+        "(scalar-subquery pattern, size-independent)",
+    "q_privacy_kanonymity":
+        "1-row total fold joins the 3-row threshold stack",
+    "q_stats_acf":
+        "CONSTANT 5-row lag spine broadcasts onto the bounded daily "
+        "series (size-independent, like the scalar-subquery folds)",
+    "q_abc_xyz": "1-row weekly-horizon fold classifies every part",
+    "q_basket_sequential": "1-row pair-total fold scales the lift",
+    "q_events_burstiness": "1-row hour-span fold scales every type's Fano",
+    "q_eval_calibration":
+        "1-row min/max fold normalizes every score; 1-row ECE fold "
+        "joins the 10 bins",
+    "q_sample_kfold":
+        "1-row total and chi2 folds join the 5-row fold table",
+    "q_stats_cramers_v":
+        "the |langs| x |sources| grid materializes as the bounded "
+        "row-totals x col-totals cross (domain-sized, never data x "
+        "data) + the 1-row (n, r, c) scalar folds into each cell",
+    "q_stats_theil_u":
+        "three 1-row entropy-term folds of the bounded cell table "
+        "cross-join into the single output row",
+    "q_stats_bootstrap":
+        "CONSTANT 50-row replicate spine broadcasts onto the fact scan "
+        "(the q_stats_acf lag-spine pattern — a bounded row generator)",
+    "q_stats_permutation":
+        "CONSTANT 99-row replicate spine broadcasts onto the fact scan "
+        "(the q_stats_acf lag-spine pattern — a bounded row generator)",
+    "q_tokenize_vocab_prune":
+        "CONSTANT 5-size spine + 1-row eval-total fold broadcast onto "
+        "the vocabulary-bounded type table",
+    "q_eval_gains":
+        "1-row (n, p) totals fold maps ranks to deciles (the "
+        "q_user_lorenz scalar-subquery pattern)",
+    "q_text_fightin_words":
+        "1-row corpus-totals fold joins the vocabulary-bounded token table",
+    "q_stats_fdr_bh":
+        "inherits q_stats_permutation's constant 99-row replicate spine cross",
 }
+
 
 
 @pytest.fixture(scope="module")
@@ -349,6 +320,24 @@ def test_single_partition_stages_are_documented(plans):
         if "SinglePartition" in p and k not in _SINGLE_PARTITION_OK
     ]
     assert not bad, f"undocumented single-partition stages in: {bad}"
+
+
+def test_plan_whitelists_are_annotated():
+    """r7 verdict task 8: every whitelist entry carries a non-trivial
+    justification string (a wrong bounded-fold claim should be
+    auditable without re-deriving the plan), and no entry is stale —
+    each key must still be a registered query."""
+    registered = set(all_queries())
+    for name, wl in (
+        ("_SINGLE_PARTITION_OK", _SINGLE_PARTITION_OK),
+        ("_CROSS_OK", _CROSS_OK),
+    ):
+        assert isinstance(wl, dict), f"{name} must map key -> justification"
+        for k, why in wl.items():
+            assert isinstance(why, str) and len(why.strip()) >= 10, (
+                f"{name}[{k}] lacks a justification"
+            )
+            assert k in registered, f"{name} has stale entry {k}"
 
 
 def test_filter_reaches_parquet_scan(plans):
