@@ -3991,6 +3991,93 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "q_multimodal_wav_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, (n_chars % 30 + 2) * 64 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, i.i AS i,
+             ((doc_id * 31 + i.i * 17) % 4096) - 2048 AS v
+      FROM d, unnest(generate_series(0, n - 1)) AS i(i)
+    ),
+    x AS (
+      SELECT doc_id, n, v,
+             CASE WHEN v * lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0
+                  THEN 1 ELSE 0 END AS zc
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_frames,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(zc) AS BIGINT) AS zero_crossings
+    FROM x GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode → feature extraction, end-to-end and
+    hash-checked (r8 — completes the media trio next to
+    q_multimodal_pixels/PNG and q_multimodal_jpeg): each doc
+    synthesizes a genuine PCM16 mono WAV (sample i =
+    ((doc·31 + 17i) mod 4096) − 2048, 8 kHz, written with the stdlib
+    ``wave`` module), round-trips it through
+    engine.multimodal.decode_wav_samples, and the DECODED samples
+    reduce to the standard audio screens — total energy (Σ|s|), peak
+    amplitude, zero-crossing count (s·s₋₁ < 0, the pitch/noisiness
+    proxy) — as EXACT integers the DuckDB oracle recomputes
+    arithmetically from the sample formula. Any flipped bit in the
+    RIFF framing, sample packing or decode breaks the hash. PCM is
+    lossless, so unlike JPEG no special payload construction is
+    needed.
+
+    Scale shape: identical to the pixels/jpeg keys — executor-width
+    repartition before one Arrow mapInPandas whose per-row state is
+    one ≤2048-sample clip; 6 scalars out per doc; no shuffle after
+    the repartition."""
+    import numpy as np
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import io
+        import wave
+
+        from engine.multimodal import decode_wav_samples
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "sample_rate": [],
+                   "sum_abs": [], "peak": [], "zero_crossings": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = (int(n_chars) % 30 + 2) * 64
+                i = np.arange(n, dtype=np.int64)
+                v = ((int(doc_id) * 31 + i * 17) % 4096) - 2048
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(v.astype("<i2").tobytes())
+                dec = decode_wav_samples(buf.getvalue())
+                s = np.frombuffer(dec["samples"], dtype="<i2").astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(int(dec["n_frames"]))
+                out["sample_rate"].append(int(dec["sample_rate"]))
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["peak"].append(int(np.abs(s).max()))
+                out["zero_crossings"].append(int((s[:-1] * s[1:] < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, n_frames long, sample_rate long, sum_abs long, "
+        "peak long, zero_crossings long",
+    ).orderBy("doc_id")
+
+
 def _knn_body() -> str:
     return KNN_ORACLE.strip().removeprefix("WITH").rsplit("SELECT", 1)[0].strip()
 

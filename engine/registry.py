@@ -123,7 +123,7 @@ _PRIORITY: list[str] = [
     "q_stats_jarque_bera", "q_graph_transitivity", "q_sample_neyman",
     # -- new in round 8 (first-row keys; spill to r10's window after
     #    r9 exhausts the r6/r7 backlog + the 5 re-certs) --
-    "q_multimodal_jpeg",
+    "q_multimodal_jpeg", "q_multimodal_wav_features",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r06) so every future window is a prefix rotation
 

@@ -49,6 +49,8 @@ ROUND_CHANGED = [
                   # the cutover (default path unchanged)
     "q_multimodal_jpeg",  # r8: new — real baseline-JPEG encode/decode
                   # round-trip (huffman + DCT, stdlib + numpy)
+    "q_multimodal_wav_features",  # r8: new — real PCM WAV decode ->
+                  # energy/peak/zero-crossing features (exact ints)
 ]
 
 
