@@ -178,3 +178,39 @@ def test_sql_lint_no_decimal_literal_division():
     assert not flag_text("SELECT CAST(cents AS DOUBLE) / 100.0 AS r FROM t")
     problems = [p for f in sorted(ENGINE.glob("*.py")) for p in lint_file(f)]
     assert not problems, problems
+
+
+# The rows-only set is FROZEN (r8 — the r7 verdict asked for a final
+# declaration instead of per-round re-litigation). Each key's
+# structural rationale lives in SURVEY.md §2.12b; each has a named
+# contract test. Growing this set requires amending BOTH places.
+_ROWS_ONLY_FROZEN = {
+    "q_agg_approx_distinct",
+    "q_agg_hll_sketch",
+    "q_agg_kll_quantiles",
+    "q_agg_theta_sketch",
+    "q_agg_tdigest",
+    "q_agg_heavy_hitters",
+    "q_sim_topk_lsh",
+    "q_sim_topk_ivf",
+    "q_sim_join",
+    "q_dedup_embedding_ann",
+    "q_embed_ivf_recall",
+    "q_embed_pq",
+    "q_embed_pca",
+    "q_sim_mmr",
+    "q_dedup_minhash",
+    "q_tokenize_bpe",
+    "q_fn_hash_native",
+    "q_text_compression",
+}
+
+
+def test_rows_only_set_is_frozen():
+    qs, os_ = all_queries(), all_oracles()
+    rows_only = set(qs) - set(os_)
+    assert rows_only == _ROWS_ONLY_FROZEN, (
+        f"rows-only drift: new={sorted(rows_only - _ROWS_ONLY_FROZEN)} "
+        f"converted-or-lost={sorted(_ROWS_ONLY_FROZEN - rows_only)} — "
+        "amend SURVEY.md §2.12b and this freeze together"
+    )
