@@ -157,22 +157,41 @@ def _read_stream(spark: SparkSession, src: str) -> DataFrame:
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Execute the streaming query to completion into a memory sink."""
+    """Execute the streaming query to completion into a memory sink.
+
+    State-store layout (r8): the REPLAY pins
+    ``spark.sql.shuffle.partitions`` to 8 for the query's lifetime
+    (captured by Structured Streaming at start; restored after).
+    Rationale: the staged-file replay runs ~10 micro-batches over a
+    domain-bounded state (hours × types × cents buckets — a few
+    thousand rows), so per-batch wall is state-store open/commit ×
+    partitions × batches, not data: measured 6.5 → 5.5 s at sf0.1 for
+    q_stream_median (32 → 8 partitions; the driver's vanilla session
+    would otherwise pay the 200-partition default). A PRODUCTION
+    stream sizes this to key cardinality instead — the pin is a
+    replay-harness decision, documented here, not an engine default
+    (engine/session.tune leaves batch queries at the executor
+    width)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = f"/root/repo/.tmp/ckpt/{name}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -51,6 +51,15 @@ ROUND_CHANGED = [
                   # round-trip (huffman + DCT, stdlib + numpy)
     "q_multimodal_wav_features",  # r8: new — real PCM WAV decode ->
                   # energy/peak/zero-crossing features (exact ints)
+    # r8: _run_to_memory pins spark.sql.shuffle.partitions=8 for the
+    # replay's lifetime (state-store layout only — results invariant;
+    # all 15 streaming keys re-verified by full differential). Listed
+    # so the vanilla-session gate re-runs the memory-sink family:
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_watermark_late", "q_stream_dedup", "q_stream_stateful",
+    "q_stream_join", "q_stream_stream_join", "q_stream_bars",
+    "q_stream_anomaly", "q_stream_median", "q_stream_topk",
+    "q_stream_pipeline",
 ]
 
 
