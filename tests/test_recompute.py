@@ -686,3 +686,56 @@ def test_time_intelligence_matches_mom_yoy():
                 assert pd.isna(row["mom_pct"])
             checked += 1
     assert checked == len(got)
+
+
+def test_text_quality_matches_lexical_blend():
+    got = _oracle("q_text_quality").set_index("doc_id")
+    docs = _docs()
+    assert len(got) == len(docs)
+    stops = {"the", "a", "of", "and", "to"}
+    for _, r in docs.iterrows():
+        w = r["text"].split(" ")
+        dr = len(set(w)) / len(w)
+        sr = sum(1 for x in w if x in stops) / len(w)
+        row = got.loc[r["doc_id"]]
+        assert row["n_tokens"] == len(w)
+        assert abs(row["distinct_ratio"] - dr) < 1e-12
+        assert abs(row["stopword_ratio"] - sr) < 1e-12
+        assert abs(row["quality"] - (0.5 * dr + 0.5 * (1.0 - sr))) < 1e-12
+
+
+def test_text_stats_matches_per_lang_means():
+    got = _oracle("q_text_stats").set_index("lang")
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    assert len(got) > 0
+    for lang, g in docs.groupby("lang"):
+        toks = g["text"].map(lambda t: len(t.split(" ")))
+        row = got.loc[lang]
+        assert row["n_docs"] == len(g)
+        assert row["n_sources"] == g["source"].nunique()
+        assert abs(row["avg_chars"] - round(g["n_chars"].mean(), 4)) < 1e-6
+        assert abs(row["avg_tokens"] - round(toks.mean(), 4)) < 1e-6
+        assert row["total_tokens"] == int(toks.sum())
+
+
+def test_multimodal_struct_matches_l2_norm():
+    got = _oracle("q_multimodal_struct").set_index("doc_id")
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, label, embedding "
+        f"FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    assert len(got) > 0
+    checked = 0
+    for _, r in emb.iterrows():
+        if r["vec_id"] not in got.index:
+            continue
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        row = got.loc[r["vec_id"]]
+        assert row["dim"] == len(v)
+        assert abs(row["emb_norm"] - round(float(np.sqrt((v * v).sum())), 6)) < 1e-9
+        checked += 1
+    assert checked == len(got)
