@@ -71,6 +71,12 @@ HEADLINE = [
     "q_stream_pipeline",     # dedup+enrich+rollup stream ETL (r7)
     "q_graph_kcore",         # h-index coreness fixpoint (r7)
     "q_embed_pq",            # product quantization + ADC search (r7)
+    # r8 additions: the next heaviest unbenched keys (the 38-key
+    # prefix above is unchanged for comparability)
+    "q_embed_kmeans",        # fully-oracled deterministic Lloyd (r8)
+    "q_graph_distances",     # BFS hop histogram fixpoint (r8)
+    "q_dedup_span_coverage",  # substring-dedup interval union (r8)
+    "q_multimodal_jpeg",     # real baseline-JPEG round-trip (r8)
 ]
 
 
