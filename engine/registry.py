@@ -56,61 +56,46 @@ def _ensure_loaded() -> None:
 
 
 # Driver-facing key order. The external correctness harness records the
-# FIRST 50 keys of ``queries()`` (observed r01-r07: exactly 50 rows,
+# FIRST 50 keys of ``queries()`` (observed r01-r08: exactly 50 rows,
 # first-50 registration order, every round). To give every operator a
 # hard driver-verified row across rounds, each round fronts the keys
-# lacking one. State after r07: the union of r01∪…∪r07 rows covers 330
-# of the 425 keys — 315 hash-green + 15 rows-only, ZERO red across all
-# seven rounds. 95 keys still lack any driver row. Round 8 fronts: the
-# last 20 never-graded r5-continuation keys + the first 30 r6-new keys
-# (VERDICT r7 task 1; q_price_index / q_market_concentration /
-# q_eval_gains land inside this window per task 10). r9 takes the two
-# scale-cutover re-certs + the final 15 r6-new + the 30 r7-new keys —
-# first-row coverage of everything registered through r7 completes in
-# r9 (+ r10 spillover for r8-new keys). The refresh backlog is ordered
-# by row staleness (r01 → r07) so every future window is a prefix
-# rotation.
+# lacking one. State after r08: the union of r01∪…∪r08 rows covers 380
+# of the 427 keys — 361 hash-green + 19 rows-only, ZERO red across all
+# eight rounds. 47 keys still lack any driver row (15 r6-new + 30
+# r7-new + 2 r8-new). Round 9 fronts ALL 47 (never-graded drops to
+# ZERO) plus exactly 3 re-certs, chosen to cover every distinct
+# VERDICT-r8 ask within the 50-slot budget:
+#   - q_stream_watermark_late — its only driver row is the r02
+#     `no_oracle` row, predating the r7 rows-only→full-oracle
+#     conversion (VERDICT r8 "missing" #2);
+#   - q_dedup_jaccard — certifies the r8 MinHash-banded candidate
+#     cutover for the exact set-similarity core (q_dedup_ngram shares
+#     the identical _jaccard_group_pairs path, so one green row
+#     certifies the mechanism; ngram's own row spills to r10);
+#   - q_dedup_containment — the r8 df-cap cutover is a SEPARATE
+#     mechanism (SPARK_GRAFT_DF_CAP posting cap, not MinHash), so it
+#     needs its own row.
+# q_dedup_span_coverage (SPAN_CAP cutover) is already in-window as a
+# first-row key, doubling as its own re-cert. The r8-planned
+# q_sim_pairwise / q_embed_matryoshka re-certs spill to the r10 front:
+# both default paths are unchanged by their cutovers (env-gated,
+# default-off) and matryoshka's r07 row already postdates its rewrite
+# — they are belt-and-braces, and never-graded=0 outranks them
+# (VERDICT r8 task 1). The refresh backlog stays ordered by row
+# staleness (r01 → r08) so every future window is a prefix rotation.
 _PRIORITY: list[str] = [
-    # ================= r8 window (slots 0-49) =================
-    # slots 0-19: the last 20 of the 67 never-driver-graded
-    # r5-continuation keys (registration order preserved; the first
-    # 47 were graded in r7's window and now sit in the r07 tail block)
-    "q_abc_xyz", "q_price_elasticity", "q_basket_sequential",
-    "q_events_burstiness", "q_forecast_mase", "q_text_compression",
-    "q_seasonality_strength", "q_eval_calibration", "q_stats_qte",
-    "q_stats_winsorized", "q_sample_kfold", "q_win_mfi", "q_doc_novelty",
-    "q_embed_silhouette", "q_win_pairs_spread", "q_agg_geomean",
-    "q_text_script_mix", "q_win_donchian", "q_win_keltner", "q_stats_levene",
-    # slots 20-49: first 30 of the 45 r6-new first-row keys
-    "q_dedup_span", "q_win_adx", "q_win_cci", "q_win_aroon",
-    "q_win_williams_r", "q_stats_cramers_v", "q_win_vortex", "q_win_cmo",
-    "q_win_dpo", "q_win_ultimate", "q_win_force_index", "q_stats_cohens_d",
-    "q_stats_theil_u", "q_eval_confusion", "q_eval_brier",
-    "q_embed_dim_stats", "q_vocab_coverage", "q_stats_bootstrap",
-    "q_stats_permutation", "q_stats_mcnemar", "q_price_index",
-    "q_graph_kcore", "q_tokenize_vocab_prune", "q_stream_median",
-    "q_sim_mmr", "q_market_concentration", "q_embed_ivf_recall",
-    "q_eval_gains", "q_embed_pq", "q_agg_ddsketch",
-    # ================= r9 queue (slots 50+) =================
-    # slots 50-54: scale-cutover re-certs (tests/test_registry.
-    # _RECERT). q_sim_pairwise's newest row is r06 and the r7
-    # SPARK_GRAFT_ANN_MODE cutover postdates it; q_embed_matryoshka's
-    # r07 row already postdates its rewrite, so its slot is
-    # belt-and-braces per the verdict's explicit ask; jaccard/ngram/
-    # containment gained the r8 set-similarity cutover (default path
-    # unchanged, but by the letter they are re-certs — the r7
-    # precedent). 5 re-certs + 15 r6-new + 30 r7-new = exactly r9's
-    # 50-slot window; r8-new keys spill to r10.
-    "q_sim_pairwise", "q_embed_matryoshka",
-    "q_dedup_jaccard", "q_dedup_ngram", "q_dedup_containment",
-    # final 15 r6-new first-row keys
+    # ================= r9 window (slots 0-49) =================
+    # slots 0-2: re-certs (tests/test_registry._RECERT; rationale
+    # in the header comment above)
+    "q_stream_watermark_late", "q_dedup_jaccard", "q_dedup_containment",
+    # slots 3-17: final 15 r6-new first-row keys
     "q_stream_pipeline",
     "q_sample_weighted", "q_backtest_sma", "q_audit_duplicates",
     "q_embed_drift", "q_stats_shrinkage", "q_regime_transitions",
     "q_revenue_waterfall", "q_dedup_span_coverage", "q_text_fightin_words",
     "q_stats_fdr_bh", "q_quality_referential", "q_win_efficiency_ratio",
     "q_graph_assortativity", "q_stats_tost",
-    # -- new in round 7 (first-row keys) --
+    # slots 18-47: the 30 r7-new first-row keys
     "q_multimodal_pixels", "q_stats_kruskal_wallis", "q_stats_friedman",
     "q_eval_f1_sweep", "q_win_elder_ray", "q_win_heikin_ashi",
     "q_stats_bartlett", "q_orders_backlog", "q_privacy_ldiversity",
@@ -121,11 +106,19 @@ _PRIORITY: list[str] = [
     "q_graph_distances", "q_stats_wilcoxon", "q_stats_hill",
     "q_win_ulcer_index", "q_text_term_burstiness", "q_sink_compaction",
     "q_stats_jarque_bera", "q_graph_transitivity", "q_sample_neyman",
-    # -- new in round 8 (first-row keys; spill to r10's window after
-    #    r9 exhausts the r6/r7 backlog + the 5 re-certs) --
+    # slots 48-49: the 2 r8-new first-row keys — in-window so
+    # never-graded hits ZERO this round (VERDICT r8 task 1)
     "q_multimodal_jpeg", "q_multimodal_wav_features",
+    # ================= r10 queue (slots 50+) =================
+    # slots 50-52: the re-certs spilled from r9 (rationale in the
+    # header comment). After these, r10's window takes the FIRST 47
+    # keys of the r01 refresh block below — the stalest driver rows
+    # (8 rounds old against a heavily-refactored codebase), row-age
+    # ordered per VERDICT r8 task 7. Every later window keeps walking
+    # the backlog in block order (r01 → r08).
+    "q_dedup_ngram", "q_sim_pairwise", "q_embed_matryoshka",
     # ---- refresh backlog: driver-verified keys, stalest row
-    # first (r01 -> r06) so every future window is a prefix rotation
+    # first (r01 -> r08) so every future window is a prefix rotation
 
     # r01 rows
 
@@ -153,7 +146,9 @@ _PRIORITY: list[str] = [
     "q_fn_hash", "q_fn_hash_native", "q_fn_cast", "q_udf_scalar",
     "q_udf_pandas_scalar", "q_udf_pandas_agg", "q_udf_grouped_map",
     "q_udf_map_batches", "q_udtf", "q_stream_tumbling", "q_stream_sliding",
-    "q_stream_session", "q_stream_watermark_late", "q_stream_dedup",
+    # (q_stream_watermark_late fronted to the r9 re-cert slots — its
+    # r02 row is `no_oracle`, predating the r7 full-oracle conversion)
+    "q_stream_session", "q_stream_dedup",
     "q_stream_stateful", "q_stream_join", "q_stream_stream_join",
     # r03 rows
 
@@ -243,6 +238,23 @@ _PRIORITY: list[str] = [
     "q_sequence_ngrams", "q_tokenize_fertility", "q_privacy_kanonymity",
     "q_feature_hashing", "q_anomaly_esd", "q_supplier_scorecard",
     "q_win_renko", "q_fn_variant", "q_stats_acf", "q_stats_runs_test",
+    # r08 rows (CORRECTNESS_r08.json order)
+
+    "q_abc_xyz", "q_price_elasticity", "q_basket_sequential",
+    "q_events_burstiness", "q_forecast_mase", "q_text_compression",
+    "q_seasonality_strength", "q_eval_calibration", "q_stats_qte",
+    "q_stats_winsorized", "q_sample_kfold", "q_win_mfi", "q_doc_novelty",
+    "q_embed_silhouette", "q_win_pairs_spread", "q_agg_geomean",
+    "q_text_script_mix", "q_win_donchian", "q_win_keltner", "q_stats_levene",
+    "q_dedup_span", "q_win_adx", "q_win_cci", "q_win_aroon",
+    "q_win_williams_r", "q_stats_cramers_v", "q_win_vortex", "q_win_cmo",
+    "q_win_dpo", "q_win_ultimate", "q_win_force_index", "q_stats_cohens_d",
+    "q_stats_theil_u", "q_eval_confusion", "q_eval_brier",
+    "q_embed_dim_stats", "q_vocab_coverage", "q_stats_bootstrap",
+    "q_stats_permutation", "q_stats_mcnemar", "q_price_index",
+    "q_graph_kcore", "q_tokenize_vocab_prune", "q_stream_median",
+    "q_sim_mmr", "q_market_concentration", "q_embed_ivf_recall",
+    "q_eval_gains", "q_embed_pq", "q_agg_ddsketch",
 ]
 
 

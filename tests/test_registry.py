@@ -31,20 +31,25 @@ def test_priority_has_no_duplicates():
 # collapse; cluster gid-level CC + pointer-jumping; containment
 # shares the refactored _jaccard_group_pairs core.
 _RECERT = {
-    # r7 scale-cutover rewrites postdating their newest driver rows
-    # (VERDICT r7 task 1): q_sim_pairwise's newest row is r06, before
-    # the SPARK_GRAFT_ANN_MODE cutover; q_embed_matryoshka's r07 row
-    # already postdates its rewrite but the verdict asked for the
-    # re-cert explicitly, so it keeps a slot.
+    # r9 in-window re-certs (registry._PRIORITY slots 0-2):
+    # q_stream_watermark_late's only driver row is the r02 `no_oracle`
+    # row, predating the r7 rows-only->full-oracle conversion (VERDICT
+    # r8 "missing" #2); q_dedup_jaccard certifies the r8 MinHash-banded
+    # candidate cutover; q_dedup_containment certifies the separate
+    # r8 df-cap cutover.
+    "q_stream_watermark_late",
+    "q_dedup_jaccard",
+    "q_dedup_containment",
+    # r10-queued re-certs (slots 50-52), spilled from r9 so the 47
+    # never-graded keys all fit in-window (never-graded=0 outranked
+    # them — VERDICT r8 task 1): q_dedup_ngram shares q_dedup_jaccard's
+    # _jaccard_group_pairs cutover path verbatim; q_sim_pairwise's
+    # newest row is r06, before the (env-gated, default-off) r7
+    # SPARK_GRAFT_ANN_MODE cutover; q_embed_matryoshka's r07 row
+    # already postdates its rewrite (belt-and-braces).
+    "q_dedup_ngram",
     "q_sim_pairwise",
     "q_embed_matryoshka",
-    # r8 set-similarity scale cutover (VERDICT r7 task 5): default
-    # paths unchanged (MinHash candidates / df-cap engage only past
-    # the corpus-size gate), but the rewrites postdate their r06/r07
-    # rows — the r7 precedent says re-cert next round.
-    "q_dedup_jaccard",
-    "q_dedup_ngram",
-    "q_dedup_containment",
 }
 
 

@@ -213,6 +213,16 @@ def check_one(spark, con, key: str, fn, sql: str | None, sf_dir: str) -> tuple[b
 
 
 def main() -> None:
+    # ADVICE r8: the scale-cutover knobs switch graded-exact keys onto
+    # approximate candidate paths; a differential sweep with one set
+    # would certify the wrong plan. Fail loudly instead.
+    knobs = ["SPARK_GRAFT_ANN_MODE", "SPARK_GRAFT_ANN_CUTOVER",
+             "SPARK_GRAFT_DF_CAP", "SPARK_GRAFT_SPAN_CAP"]
+    leaked = [k for k in knobs if os.environ.get(k)]
+    assert not leaked, (
+        f"scale-cutover knobs set during a check sweep: {leaked} — "
+        "unset them; grading must exercise the default exact paths"
+    )
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
     if args and args[0].startswith("/"):

@@ -11,6 +11,7 @@ the command line. Oracle-checked keys also run the complex-output gate
 Usage: python tools/driver_sim.py [extra_key ...]
 """
 import importlib.util
+import os
 import sys
 
 import duckdb
@@ -25,42 +26,30 @@ from tools.check import complex_cols, decimal_cols, normalize, rows_equal  # noq
 # vanilla-session differential before the exit seal. Maintained by the
 # round builder; reset at round start.
 ROUND_CHANGED = [
-    # (reset at r8 start; every key added or plan-rewritten this round
+    # (reset at r9 start; every key added or plan-rewritten this round
     # must be listed here and pass the vanilla-session differential
     # before the exit seal)
-    "q_multimodal_pixels",  # r8: mean_luma rounded JVM-side (HALF_UP)
-                  # instead of Python half-even (ADVICE tie risk)
-    "q_source_text_roundtrip",  # r8: NULL text coalesced to '' before
-                  # the tab-framed serialization (ADVICE)
-    "q_embed_kmeans",    # r8: centroid floor-division made exact via
-                  # modulus subtraction (decimal HALF_UP-at-scale-6
-                  # off-by-one past ~2M-point clusters; ADVICE)
-    "q_stats_friedman",  # r8: same exact-division fix for the cell
-                  # mean mq (ADVICE latent-pattern note)
-    "q_sample_neyman",   # r8: allocation denominator Σ nh·sh pinned to
-                  # a 1e-6 integer grid per term (ADVICE)
-    "q_dedup_span_coverage",  # r8: SPARK_GRAFT_SPAN_CAP interval-cap
-                  # cutover (default/exact path unchanged)
-    "q_dedup_jaccard",   # r8: MinHash-banded candidate cutover for the
-                  # set-similarity core past SPARK_GRAFT_ANN_CUTOVER
-                  # unique sets (default PPJoin path unchanged)
-    "q_dedup_ngram",     # r8: same (shares _jaccard_group_pairs)
-    "q_dedup_containment",  # r8: SPARK_GRAFT_DF_CAP posting cap past
-                  # the cutover (default path unchanged)
-    "q_multimodal_jpeg",  # r8: new — real baseline-JPEG encode/decode
-                  # round-trip (huffman + DCT, stdlib + numpy)
-    "q_multimodal_wav_features",  # r8: new — real PCM WAV decode ->
-                  # energy/peak/zero-crossing features (exact ints)
-    # r8: _run_to_memory pins spark.sql.shuffle.partitions=8 for the
-    # replay's lifetime (state-store layout only — results invariant;
-    # all 15 streaming keys re-verified by full differential). Listed
-    # so the vanilla-session gate re-runs the memory-sink family:
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark_late", "q_stream_dedup", "q_stream_stateful",
-    "q_stream_join", "q_stream_stream_join", "q_stream_bars",
-    "q_stream_anomaly", "q_stream_median", "q_stream_topk",
-    "q_stream_pipeline",
+    # ADVICE r8 (medium): the r8 streaming block listed only 13 of the
+    # 15 _run_to_memory callers — q_stream_python_source and
+    # q_stream_cdc_apply (engine/streaming.py) also replay through the
+    # shuffle-partition-pinned harness and were silently skipped by
+    # the r8 vanilla-session gate. Close the gap this round:
+    "q_stream_python_source", "q_stream_cdc_apply",
 ]
+
+# ADVICE r8 (low): the scale-cutover env knobs switch graded-exact
+# keys onto approximate candidate paths (documented recall <1.0 near
+# threshold). A grading/sealing session must run the DEFAULT exact
+# paths — fail loudly if any knob leaked into the environment.
+_SCALE_KNOBS = [
+    "SPARK_GRAFT_ANN_MODE", "SPARK_GRAFT_ANN_CUTOVER",
+    "SPARK_GRAFT_DF_CAP", "SPARK_GRAFT_SPAN_CAP",
+]
+_leaked = [k for k in _SCALE_KNOBS if os.environ.get(k)]
+assert not _leaked, (
+    f"scale-cutover knobs set during a graded sweep: {_leaked} — "
+    "unset them; driver grading must exercise the default exact paths"
+)
 
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
