@@ -145,11 +145,22 @@ def _stage(sf_dir: str, variant: str) -> str:
     return out
 
 
-def _read_stream(spark: SparkSession, src: str) -> DataFrame:
+def _read_stream(spark: SparkSession, src: str, files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the staged slices.
+
+    ``files_per_trigger`` sizes the micro-batches (8 'plain' slices /
+    N files per trigger = batch count). Default 1 = one batch per
+    slice — maximum incremental-state exercise. Keys whose RESULT is
+    batch-boundary-invariant (complete-mode final state, or append-
+    mode dedup over the ts-ORDERED 'plain' staging where no row is
+    ever late) may pass 2 to halve the per-batch state-store
+    open/commit overhead while still running ≥4 batches; boundary-
+    SENSITIVE keys (watermark-late drops, sentinel flushes, CDC
+    ordering) must stay at 1."""
     tune(spark)
     raw = (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .option("latestFirst", False)
         .parquet(src)
     )
@@ -178,6 +189,15 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        # The pin only needs to span .start(): StreamExecution clones
+        # the session in its constructor (sparkSessionForStream =
+        # sparkSession.cloneSession(), run inside start()) and every
+        # micro-batch plans against the CLONE's conf, so restoring the
+        # session-global value immediately after start() cannot affect
+        # the running stream — and batch queries planned concurrently
+        # on the shared session (parallel tests, nested replays) no
+        # longer see the 8-partition override for the stream's
+        # lifetime (ADVICE r8).
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -185,13 +205,13 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -671,7 +691,10 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer (n, Σn, Σn²) — deterministic doubles cross-engine.
     """
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src)
+    # complete-mode final state == batch agg regardless of micro-batch
+    # boundaries (and 'plain' staging is ts-ordered: no late rows), so
+    # the replay may run 4 larger batches instead of 8 (r9 wall cut)
+    ev = _read_stream(spark, src, files_per_trigger=2)
     hourly = _run_to_memory(
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -933,7 +956,9 @@ def q_stream_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src)
+    # complete-mode final histogram is batch-boundary-invariant ('plain'
+    # staging is ts-ordered, no late rows): 4 larger batches (r9)
+    ev = _read_stream(spark, src, files_per_trigger=2)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(
@@ -1022,7 +1047,12 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup key set, watermark-evicted after 1 hour — bounded by ACTIVE
     keys, not traffic."""
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src)
+    # append-mode dedup over ts-ORDERED staging: no row is ever late,
+    # so each key still emits exactly once whatever the batch
+    # boundaries (coarser batches advance the watermark LESS often —
+    # strictly less state eviction, so strictly no re-emission risk):
+    # 4 larger batches (r9)
+    ev = _read_stream(spark, src, files_per_trigger=2)
     # static reference dim, computed batch-side from the same fixture
     from engine.io import load_table
 

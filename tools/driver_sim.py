@@ -35,6 +35,18 @@ ROUND_CHANGED = [
     # shuffle-partition-pinned harness and were silently skipped by
     # the r8 vanilla-session gate. Close the gap this round:
     "q_stream_python_source", "q_stream_cdc_apply",
+    # r9: _run_to_memory now restores the shuffle-partition pin right
+    # after .start() (StreamExecution plans batches on its session
+    # CLONE, so the pin is captured at start and the global session is
+    # clean for the replay's lifetime — ADVICE r8); anomaly/median/
+    # pipeline additionally replay 4 larger micro-batches
+    # (files_per_trigger=2; results batch-boundary-invariant, comments
+    # at the call sites). ALL _run_to_memory callers re-gated:
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_watermark_late", "q_stream_dedup", "q_stream_stateful",
+    "q_stream_join", "q_stream_stream_join", "q_stream_bars",
+    "q_stream_anomaly", "q_stream_median", "q_stream_topk",
+    "q_stream_pipeline",
 ]
 
 # ADVICE r8 (low): the scale-cutover env knobs switch graded-exact
