@@ -532,10 +532,20 @@ def decode_jpeg_baseline(payload: bytes) -> dict:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("bad marker structure")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them instead of misreading 0xFF as the
+        # marker and the real code as length bytes (ADVICE r8)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS — no image
             raise ValueError("no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry NO length
+            # field — parsing one as a length-prefixed segment would
+            # swallow the following bytes (ADVICE r8)
+            continue
         (ln,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + ln]
         pos += ln

@@ -103,6 +103,27 @@ def test_jpeg_nonmultiple_of_8_dimensions():
     assert len(dec["pixels"]) == 21 * 13
 
 
+def test_jpeg_decoder_accepts_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 (ADVICE r8): 0xFF fill bytes may precede any
+    marker code, and TEM (0x01) / stray RSTn are standalone (no length
+    field). A foreign encoder's legal header must decode identically
+    to our own canonical layout."""
+    import numpy as np
+
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    payload = multimodal.encode_jpeg_baseline(img.tobytes(), 8, 8)
+    want = multimodal.decode_jpeg_baseline(payload)["pixels"]
+    # splice after SOI: a fill-padded COM segment, a standalone TEM,
+    # then a fill byte directly before the first real segment
+    com = b"\xff\xff\xff\xfe" + (4).to_bytes(2, "big") + b"hi"
+    tem = b"\xff\x01"
+    fill = b"\xff"
+    doctored = payload[:2] + com + tem + fill + payload[2:]
+    got = multimodal.decode_jpeg_baseline(doctored)
+    assert got["pixels"] == want
+    assert (got["width"], got["height"]) == (8, 8)
+
+
 def test_jpeg_decoder_rejects_progressive_and_garbage():
     import struct
 

@@ -47,6 +47,9 @@ ROUND_CHANGED = [
     "q_stream_join", "q_stream_stream_join", "q_stream_bars",
     "q_stream_anomaly", "q_stream_median", "q_stream_topk",
     "q_stream_pipeline",
+    "q_multimodal_jpeg",  # r9: marker walk now skips 0xFF fill bytes
+                  # and length-less standalone markers (TEM/stray
+                  # RSTn) per T.81 B.1.1.2 (ADVICE r8)
 ]
 
 # ADVICE r8 (low): the scale-cutover env knobs switch graded-exact
