@@ -86,8 +86,37 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
-    # untimed warmup: JVM/codegen/broadcast machinery
+    # Untimed warmups (r9, VERDICT r8 task 3): the r8 driver bench
+    # showed 1-4 s first-touch costs unrelated to the measured plans
+    # (q_source_python 4.4 s cold vs 0.42 warm). Each lane a headline
+    # key exercises is spun up once here so the timed loop measures
+    # plans, not process/daemon startup. The timed protocol itself is
+    # unchanged for cross-round comparability.
+    # 1. relational lane: JVM, whole-stage codegen, broadcast machinery
     queries["q_agg_group"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # 2. Python-worker/Arrow lane: a tiny mapInPandas forks the python
+    #    daemon + Arrow serde pool reused by every pandas-UDF key
+    spark.range(64).repartition(4).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    # 3. MLlib lane: a tiny KMeans fit loads the MLlib/BLAS code paths
+    #    (q_dedup_minhash / q_dedup_embedding_ann / q_embed_pq)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.linalg import Vectors
+
+    _mldf = spark.createDataFrame(
+        [(Vectors.dense([float(i), float(i % 3)]),) for i in range(12)],
+        ["features"],
+    )
+    KMeans(k=2, seed=1, maxIter=2).fit(_mldf)
+    # 4. Python DataSource worker lane + streaming replay staging: the
+    #    registered-DataSource scan spins its own worker, and _stage
+    #    writes the sliced replay fixtures on first touch — both are
+    #    harness/first-touch costs, not operator cost
+    queries["q_source_python"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from engine.streaming import _stage
+
+    _stage(sf_dir, "plain")
 
     times: dict[str, float] = {}
     for key in HEADLINE:
