@@ -111,6 +111,44 @@ def test_read_jdbc_builds_reader(spark):
     assert reader is not None
 
 
+def test_jdbc_roundtrip_live_derby(spark, tmp_path):
+    """LIVE JDBC source/sink smoke (VERDICT r8 task 6 — §2.1's JDBC row
+    was prose-only): Spark ships the embedded Derby driver (its Hive
+    metastore backend), so the real ``format("jdbc")`` write and read
+    paths can run in-process with no external endpoint. Round-trips a
+    table, reads it back PARTITIONED (the 4-option parallel-read
+    contract jdbc_options pins — at 100 TB a JDBC ingest is N
+    bound-ranged tasks, never 1), and checks the filter reaches the
+    JDBC scan as a pushed predicate."""
+    from engine.io import load_table, read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = (
+        load_table(spark, SF_SMOKE, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "NATION")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    back = read_jdbc(
+        spark, url, "NATION", properties={"driver": driver},
+        partition_column="n_nationkey", lower_bound=0, upper_bound=25,
+        num_partitions=4,
+    ).load()
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    flt = back.filter(back.n_regionkey == 2).select("n_name")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "n_regionkey" in plan.split("PushedFilters:")[1].split("]")[0]
+    assert flt.count() == src.filter(src.n_regionkey == 2).count()
+
+
 def test_orc_roundtrip_pushdown(spark, tmp_path):
     """ORC sink/source round-trip preserves schema and values, and a
     filtered read pushes the predicate into the ORC scan."""
