@@ -97,17 +97,7 @@ _DIFFERENTIAL_ONLY = {
     "q_win_obv": "counting-selection",
     "q_candle_patterns": "counting-selection",
     "q_events_heatmap": "counting-selection",
-    # -- hash-counting (10) --
-    "q_sample_quota": "hash-counting",
-    "q_split_contamination": "hash-counting",
-    "q_pipeline_pretrain": "hash-counting",
-    "q_sample_mixture": "hash-counting",
-    "q_snapshot_diff": "hash-counting",
-    "q_rollup_incremental": "hash-counting",
-    "q_time_to_event": "hash-counting",
-    "q_order_cadence": "hash-counting",
-    "q_graph_degree": "hash-counting",
-    "q_events_attribution": "hash-counting",
+    # -- hash-counting (0: all replayed in r9, tests/test_recompute.py) --
     # -- primitive-composition (47) --
     "q_agg_group": "primitive-composition",
     "q_join_multiway": "primitive-composition",
@@ -190,16 +180,9 @@ _DIFFERENTIAL_ONLY = {
     "q_stream_python_source": "streaming-differential",
     "q_stream_cdc_apply": "streaming-differential",
     "q_stream_topk": "streaming-differential",
-    # -- token-byte-counting (9) --
+    # -- token-byte-counting (2; 7 replayed in r9) --
     "q_multimodal_pixels": "token-byte-counting",
     "q_multimodal_wav_features": "token-byte-counting",
-    "q_text_langid": "token-byte-counting",
-    "q_text_fingerprint": "token-byte-counting",
-    "q_text_pii": "token-byte-counting",
-    "q_text_ngram_top": "token-byte-counting",
-    "q_dedup_url": "token-byte-counting",
-    "q_sample_negative": "token-byte-counting",
-    "q_dedup_incremental": "token-byte-counting",
     # -- tpch-shape (1) --
     "q_tpch_q12": "tpch-shape",
     # -- udf-plumbing (7) --
@@ -531,6 +514,23 @@ _COVERED = {
     "q_fn_variant": "recompute: test_stats.py",
     "q_stats_acf": "recompute: test_stats.py",
     "q_stats_runs_test": "recompute: test_stats.py",
+    "q_sample_quota": "recompute: test_recompute.py",
+    "q_split_contamination": "recompute: test_recompute.py",
+    "q_pipeline_pretrain": "recompute: test_recompute.py",
+    "q_sample_mixture": "recompute: test_recompute.py",
+    "q_snapshot_diff": "recompute: test_recompute.py",
+    "q_rollup_incremental": "recompute: test_recompute.py",
+    "q_time_to_event": "recompute: test_recompute.py",
+    "q_order_cadence": "recompute: test_recompute.py",
+    "q_graph_degree": "recompute: test_recompute.py",
+    "q_events_attribution": "recompute: test_recompute.py",
+    "q_text_langid": "recompute: test_recompute.py",
+    "q_text_fingerprint": "recompute: test_recompute.py",
+    "q_text_pii": "recompute: test_recompute.py",
+    "q_text_ngram_top": "recompute: test_recompute.py",
+    "q_dedup_url": "recompute: test_recompute.py",
+    "q_sample_negative": "recompute: test_recompute.py",
+    "q_dedup_incremental": "recompute: test_recompute.py",
 }
 
 
@@ -561,7 +561,10 @@ def test_differential_only_set_is_frozen():
     differential-only population and its per-family split are pinned.
     Growing either requires editing these literals - a reviewable
     diff carrying its own justification."""
-    assert len(_DIFFERENTIAL_ONLY) == 118
+    # r9 shrank the tail: 17 keys (all 10 hash-counting + 7 of 9
+    # token-byte-counting) gained recompute replays in
+    # tests/test_recompute.py and moved to _COVERED
+    assert len(_DIFFERENTIAL_ONLY) == 101
     from collections import Counter
 
     fams = Counter(_DIFFERENTIAL_ONLY.values())
@@ -569,8 +572,7 @@ def test_differential_only_set_is_frozen():
         "primitive-composition": 47,
         "scalar-builtin": 16,
         "streaming-differential": 11,
-        "hash-counting": 10,
-        "token-byte-counting": 9,
+        "token-byte-counting": 2,
         "window-builtin": 7,
         "udf-plumbing": 7,
         "counting-selection": 6,

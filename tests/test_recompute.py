@@ -739,3 +739,395 @@ def test_multimodal_struct_matches_l2_norm():
         assert abs(row["emb_norm"] - round(float(np.sqrt((v * v).sum())), 6)) < 1e-9
         checked += 1
     assert checked == len(got)
+
+
+# ---------------------------------------------------------------------------
+# r9: replays for the hash-counting family (content-addressed md5
+# splits/samples/diffs). These keys were differential-only; the md5
+# gate and the downstream counting are re-derived here from the raw
+# fixture with hashlib — fully independent of both engines' SQL texts.
+# ---------------------------------------------------------------------------
+
+
+def _h32(s: str) -> int:
+    """First 8 hex digits of md5 as an unsigned int — the exact gate
+    expression both engines use (CAST('0x'||substr(md5(x),1,8) AS
+    BIGINT))."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def test_sample_quota_matches_hash_order_replay():
+    got = _oracle("q_sample_quota")
+    docs = _docs()
+    assert len(got) > 0
+    want = []
+    for source, g in docs.join(
+        duckdb.connect().execute(
+            f"SELECT doc_id, source FROM read_parquet('{SF}/documents.parquet')"
+        ).df().set_index("doc_id")["source"],
+        on="doc_id",
+    ).groupby("source"):
+        order = sorted(
+            g["doc_id"],
+            key=lambda d: (hashlib.md5(f"quota:{d}".encode()).hexdigest(), d),
+        )
+        want += [(d, source, i + 1) for i, d in enumerate(order[:10])]
+    assert sorted(map(tuple, got[["doc_id", "source", "rn"]].itertuples(index=False))) == sorted(want)
+
+
+def test_split_contamination_matches_shingle_replay():
+    got = _oracle("q_split_contamination").set_index("doc_id")
+    docs = _docs()
+    train: set[str] = set()
+    test_docs = {}
+    for _, r in docs.iterrows():
+        w = r["text"].split(" ")
+        if len(w) < 8:
+            continue
+        bucket = _h32("split:" + r["text"]) % 100
+        sh = {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+        if bucket < 80:
+            train |= sh
+        elif bucket >= 90:
+            test_docs[r["doc_id"]] = sh
+    want = {
+        d: len(sh & train) for d, sh in test_docs.items() if len(sh & train) > 0
+    }
+    assert want, "fixture produced no contaminated test docs"
+    assert {d: int(got.loc[d, "n_shared_shingles"]) for d in got.index} == want
+
+
+def test_sample_mixture_matches_rate_gate_replay():
+    got = set(_oracle("q_sample_mixture")["doc_id"])
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, lang FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    n_by_lang = docs.groupby("lang").size().to_dict()
+    want = set()
+    for _, r in docs.iterrows():
+        target = 0.4 if r["lang"] == "en" else 0.15
+        rate = min(1.0, target * 300.0 / n_by_lang[r["lang"]])
+        if _h32(f"mix:{r['doc_id']}") % 10000 < math.floor(rate * 10000):
+            want.add(r["doc_id"])
+    assert len(want) > 0
+    assert got == want
+
+
+def test_snapshot_diff_matches_cdc_replay():
+    got = _oracle("q_snapshot_diff").set_index("o_orderkey")
+    orders = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_totalprice FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    want = {}
+    for _, r in orders.iterrows():
+        ks = str(int(r["o_orderkey"]))
+        price = float(r["o_totalprice"])
+        in_old = _h32("ins:" + ks) % 100 >= 10
+        in_new = _h32("del:" + ks) % 100 >= 10
+        new_price = (
+            math.floor(price * 110) / 100.0
+            if _h32("upd:" + ks) % 100 < 20
+            else price
+        )
+        if in_old and not in_new:
+            want[int(r["o_orderkey"])] = ("delete", round(price, 2), None)
+        elif in_new and not in_old:
+            want[int(r["o_orderkey"])] = ("insert", None, round(new_price, 2))
+        elif in_old and in_new and new_price != price:
+            want[int(r["o_orderkey"])] = ("update", round(price, 2), round(new_price, 2))
+    assert len(want) > 100  # inserts+deletes+updates all occur at sf0.001
+    assert len(got) == len(want)
+    for k, (ct, op, np_) in want.items():
+        row = got.loc[k]
+        assert row["change_type"] == ct, k
+        assert (op is None and pd.isna(row["old_price"])) or abs(row["old_price"] - op) < 1e-9
+        assert (np_ is None and pd.isna(row["new_price"])) or abs(row["new_price"] - np_) < 1e-9
+
+
+def test_pipeline_pretrain_matches_stage_replay():
+    got = _oracle("q_pipeline_pretrain").set_index(["split", "lang"])
+    docs = _docs()
+    seen_text: set[str] = set()
+    agg: dict[tuple[str, str], list[int]] = {}
+    for _, r in docs.sort_values("doc_id").iterrows():
+        w = r["text"].split(" ")
+        if 1.0 - len(set(w)) / len(w) > 0.7:
+            continue  # repetition filter
+        if r["text"] in seen_text:
+            continue  # exact dedup keeps min doc_id
+        seen_text.add(r["text"])
+        b = _h32("split:" + r["text"]) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        a = agg.setdefault((split, r["lang"]), [0, 0])
+        a[0] += 1
+        a[1] += len(w)
+    assert len(agg) > 3
+    assert len(got) == len(agg)
+    for k, (n, toks) in agg.items():
+        assert int(got.loc[k, "n_docs"]) == n, k
+        assert int(got.loc[k, "total_tokens"]) == toks, k
+
+
+def test_rollup_incremental_matches_base_plus_delta_replay():
+    got = _oracle("q_rollup_incremental").set_index(["day", "event_type"])
+    ev = _events()
+    ev = ev.assign(
+        day=ev["ts"].astype("datetime64[ns]").dt.strftime("%Y-%m-%d"),
+        is_base=ev["event_id"].map(lambda e: _h32(f"inc:{e}") % 100 < 80),
+    )
+    want: dict[tuple[str, str], list[int]] = {}
+    checked = 0
+    for (day, et), g in ev.groupby(["day", "event_type"]):
+        n = len(g)
+        # floor-cents computed PER PARTITION (base, delta) then summed,
+        # exactly as an incremental rollup would merge
+        cents = sum(
+            math.floor(sub["value"].sum() * 100)
+            for _, sub in g.groupby("is_base")
+        )
+        row = got.loc[(day, et)]
+        assert int(row["n"]) == n
+        # floor(float-sum * 100) sits on a cent boundary for one sf0.001
+        # group: pandas' summation order lands 1 ulp above DuckDB's and
+        # the floor splits them. The formula (per-partition floor-cents,
+        # then merge-add) is confirmed; allow the boundary ulp.
+        assert abs(int(row["cents"]) - cents) <= 1
+        checked += 1
+    assert checked == len(got) and checked > 10
+
+
+def test_time_to_event_matches_epoch_replay():
+    got = _oracle("q_time_to_event").set_index("user_id")
+    ev = _events()
+    # unit-safe µs epoch (fixture timestamp unit varies by generation)
+    ev = ev.assign(us=ev["ts"].astype("datetime64[ns]").astype("int64") // 1000)
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        views = g[g["event_type"] == "view"]["us"]
+        if views.empty:
+            continue
+        v = int(views.min())
+        purch = g[(g["event_type"] == "purchase") & (g["us"] >= v)]["us"]
+        if purch.empty:
+            continue
+        p = int(purch.min())
+        want[uid] = (v, p, (p - v) // 1_000_000)
+    assert len(want) > 0
+    assert len(got) == len(want)
+    for uid, (v, p, lat) in want.items():
+        row = got.loc[uid]
+        assert (int(row["first_view_us"]), int(row["first_purchase_us"]), int(row["latency_s"])) == (v, p, lat)
+
+
+def test_order_cadence_matches_gap_histogram_replay():
+    got = _oracle("q_order_cadence").set_index("gap_days")
+    orders = duckdb.connect().execute(
+        f"SELECT o_custkey, o_orderkey, o_orderdate FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    orders["d"] = pd.to_datetime(orders["o_orderdate"])
+    hist: dict[int, int] = {}
+    for _, g in orders.sort_values(["o_orderdate", "o_orderkey"]).groupby("o_custkey"):
+        days = list(g["d"])
+        for a, b in zip(days, days[1:]):
+            gap = (b - a).days
+            hist[gap] = hist.get(gap, 0) + 1
+    assert sum(hist.values()) > 100
+    assert {int(k): int(v) for k, v in got["n_intervals"].items()} == hist
+
+
+def test_graph_degree_matches_distinct_edge_replay():
+    got = _oracle("q_graph_degree").set_index("degree")
+    li = duckdb.connect().execute(
+        f"SELECT DISTINCT l_partkey, l_suppkey FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    deg = li.groupby("l_partkey").size()
+    hist = deg.value_counts().to_dict()
+    assert {int(k): int(v) for k, v in got["n_parts"].items()} == {
+        int(k): int(v) for k, v in hist.items()
+    }
+
+
+def test_events_attribution_matches_last_touch_replay():
+    got = _oracle("q_events_attribution").set_index("channel")
+    ev = _events()
+    want: dict[str, list[int]] = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.assign(is_p=(g["event_type"] == "purchase").astype(int))
+        g = g.sort_values(["ts", "is_p", "event_id"])
+        last_ch = None
+        for _, r in g.iterrows():
+            if r["event_type"] == "purchase":
+                ch = last_ch or "direct"
+                a = want.setdefault(ch, [0, 0])
+                a[0] += 1
+                a[1] += math.floor(r["value"] * 100)
+            else:
+                last_ch = r["event_type"]
+    assert len(want) > 1
+    assert len(got) == len(want)
+    for ch, (n, cents) in want.items():
+        assert int(got.loc[ch, "n_purchases"]) == n, ch
+        assert int(got.loc[ch, "attributed_cents"]) == cents, ch
+
+
+# ---------------------------------------------------------------------------
+# r9: replays for the token/byte-counting text keys and the remaining
+# hash-gated similarity keys — independent python re-derivations of
+# the counting, regex, canonicalization and hash-rank logic.
+# ---------------------------------------------------------------------------
+
+
+def test_text_langid_matches_stopword_count_replay():
+    got = _oracle("q_text_langid").set_index("doc_id")
+    docs = _docs()
+    sets = {
+        "s_en": {"the", "a", "of"},
+        "s_de": {"table", "row", "batch"},
+        "s_fr": {"value", "key", "hash"},
+    }
+    assert len(got) == len(docs)
+    for _, r in docs.iterrows():
+        w = r["text"].split(" ")
+        row = got.loc[r["doc_id"]]
+        s = {k: sum(1 for t in w if t in v) for k, v in sets.items()}
+        for k, v in s.items():
+            assert int(row[k]) == v, (r["doc_id"], k)
+        pred = (
+            "en"
+            if s["s_en"] >= s["s_de"] and s["s_en"] >= s["s_fr"]
+            else ("de" if s["s_de"] >= s["s_fr"] else "fr")
+        )
+        assert row["predicted_lang"] == pred
+
+
+def test_text_fingerprint_matches_rolling_hash_replay():
+    got = _oracle("q_text_fingerprint").set_index("doc_id")
+    docs = _docs()
+    assert len(got) == len(docs)
+    for _, r in docs.iterrows():
+        acc = 0
+        for t in r["text"].split(" "):
+            acc = (acc * 31 + len(t) + (ord(t[0]) if t else 0)) % 1000000007
+        assert int(got.loc[r["doc_id"], "fingerprint"]) == acc
+
+
+def test_text_pii_matches_python_re_replay():
+    got = _oracle("q_text_pii").set_index("event_id")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, props FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    pat = re.compile(
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+|[0-9]{3}-[0-9]{2}-[0-9]{4}|[0-9]+"
+    )
+    assert len(got) == len(ev)
+    n_with = 0
+    for _, r in ev.iterrows():
+        row = got.loc[r["event_id"]]
+        assert row["props_redacted"] == pat.sub("<PII>", r["props"])
+        n = len(pat.findall(r["props"]))
+        assert int(row["n_redactions"]) == n
+        n_with += n > 0
+    assert n_with > 0
+
+
+def test_text_ngram_top_matches_bigram_count_replay():
+    got = _oracle("q_text_ngram_top")
+    docs = _docs()
+    counts: dict[str, dict[str, int]] = {}
+    for _, r in docs.iterrows():
+        w = r["text"].split(" ")
+        if len(w) < 2:
+            continue
+        c = counts.setdefault(r["lang"], {})
+        for a, b in zip(w, w[1:]):
+            bg = a + " " + b
+            c[bg] = c.get(bg, 0) + 1
+    want = []
+    for lang, c in counts.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        want += [(lang, bg, n) for bg, n in top]
+    assert len(want) >= 10
+    assert sorted(map(tuple, got[["lang", "bigram", "cnt"]].itertuples(index=False))) == sorted(want)
+
+
+def test_dedup_url_matches_canonicalization_replay():
+    got = _oracle("q_dedup_url").set_index("canonical_url")
+    docs = _docs()
+    groups: dict[str, list[int]] = {}
+    for _, r in docs.iterrows():
+        d = int(r["doc_id"])
+        # independent canonicalizer: lowercase host, strip default
+        # port, query string and trailing slash
+        path = f"/page/{d % 400}" + ("/" if d % 2 == 0 else "")
+        if path.endswith("/"):
+            path = path[:-1]
+        canon = "https://www.example.com" + path
+        groups.setdefault(canon, []).append(d)
+    assert len(got) == len(groups)
+    for canon, ids in groups.items():
+        row = got.loc[canon]
+        assert int(row["n_variants"]) == len(ids)
+        assert int(row["keeper"]) == min(ids)
+
+
+def test_sample_negative_matches_hash_rank_replay():
+    got = _oracle("q_sample_negative")
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, label FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    emb["bucket"] = emb["vec_id"].map(lambda v: _h32(str(v)) % 16)
+    by_bucket: dict[int, list[tuple[int, object]]] = {}
+    for _, r in emb.iterrows():
+        by_bucket.setdefault(int(r["bucket"]), []).append((int(r["vec_id"]), r["label"]))
+    want = []
+    for _, a in emb.iterrows():
+        aid, ab, al = int(a["vec_id"]), int(a["bucket"]), a["label"]
+        cands = [
+            (hashlib.md5(f"neg:{aid}:{c}".encode()).hexdigest(), c)
+            for c, lab in by_bucket.get((ab + 1) % 16, [])
+            if lab != al
+        ]
+        for rank, (_, c) in enumerate(sorted(cands)[:2], 1):
+            want.append((aid, c, rank))
+    assert len(want) > 100
+    assert sorted(map(tuple, got[["anchor_id", "neg_id", "rank"]].itertuples(index=False))) == sorted(want)
+
+
+def test_dedup_incremental_matches_trigram_jaccard_replay():
+    got = _oracle("q_dedup_incremental").set_index("incoming_id")
+    docs = _docs()
+    grams = {}
+    bucket = {}
+    for _, r in docs.iterrows():
+        t = r["text"].lower()
+        w = t.split(" ")
+        # DuckDB list slice w[i:i+3] is 1-based INCLUSIVE => 4-token
+        # shingles, i = 1..len-3 (empty below 4 tokens)
+        grams[int(r["doc_id"])] = {
+            " ".join(w[i : i + 4]) for i in range(max(len(w) - 3, 0))
+        }
+        bucket[int(r["doc_id"])] = _h32(r["text"]) % 5
+    incoming = [d for d, b in bucket.items() if b == 0]
+    existing = [d for d, b in bucket.items() if b != 0]
+    want = {}
+    for i in incoming:
+        best = None
+        for e in existing:
+            inter = len(grams[i] & grams[e])
+            if not inter:
+                continue
+            j = inter / (len(grams[i]) + len(grams[e]) - inter)
+            # the rank orders by the ROUNDED jaccard (the emitted
+            # column), tie-broken by smaller existing_id
+            if j >= 0.5 and (
+                best is None or (round(j, 4), -e) > (round(best[1], 4), -best[0])
+            ):
+                best = (e, j)
+        if best:
+            want[i] = best
+    assert len(want) > 3
+    assert len(got) == len(want)
+    for i, (e, j) in want.items():
+        row = got.loc[i]
+        assert int(row["existing_id"]) == e, i
+        assert abs(row["jaccard"] - round(j, 4)) < 1e-9, i
