@@ -90,13 +90,7 @@ _FAMILY_JUSTIFICATION = {
 
 # key -> structural-family tag (see _FAMILY_JUSTIFICATION)
 _DIFFERENTIAL_ONLY = {
-    # -- counting-selection (6) --
-    "q_bars_ohlcv": "counting-selection",
-    "q_bar_gaps": "counting-selection",
-    "q_resample_ffill": "counting-selection",
-    "q_win_obv": "counting-selection",
-    "q_candle_patterns": "counting-selection",
-    "q_events_heatmap": "counting-selection",
+    # -- counting-selection (0: all replayed in r9, tests/test_recompute.py) --
     # -- hash-counting (0: all replayed in r9, tests/test_recompute.py) --
     # -- primitive-composition (47) --
     "q_agg_group": "primitive-composition",
@@ -531,6 +525,12 @@ _COVERED = {
     "q_dedup_url": "recompute: test_recompute.py",
     "q_sample_negative": "recompute: test_recompute.py",
     "q_dedup_incremental": "recompute: test_recompute.py",
+    "q_bars_ohlcv": "recompute: test_recompute.py",
+    "q_bar_gaps": "recompute: test_recompute.py",
+    "q_resample_ffill": "recompute: test_recompute.py",
+    "q_win_obv": "recompute: test_recompute.py",
+    "q_candle_patterns": "recompute: test_recompute.py",
+    "q_events_heatmap": "recompute: test_recompute.py",
 }
 
 
@@ -561,10 +561,10 @@ def test_differential_only_set_is_frozen():
     differential-only population and its per-family split are pinned.
     Growing either requires editing these literals - a reviewable
     diff carrying its own justification."""
-    # r9 shrank the tail: 17 keys (all 10 hash-counting + 7 of 9
-    # token-byte-counting) gained recompute replays in
+    # r9 shrank the tail: 23 keys (all 10 hash-counting + 7 of 9
+    # token-byte-counting, then all 6 counting-selection) gained recompute replays in
     # tests/test_recompute.py and moved to _COVERED
-    assert len(_DIFFERENTIAL_ONLY) == 101
+    assert len(_DIFFERENTIAL_ONLY) == 95
     from collections import Counter
 
     fams = Counter(_DIFFERENTIAL_ONLY.values())
@@ -575,7 +575,6 @@ def test_differential_only_set_is_frozen():
         "token-byte-counting": 2,
         "window-builtin": 7,
         "udf-plumbing": 7,
-        "counting-selection": 6,
         "roundtrip-identity": 4,
         "tpch-shape": 1,
     }

@@ -1131,3 +1131,132 @@ def test_dedup_incremental_matches_trigram_jaccard_replay():
         row = got.loc[i]
         assert int(row["existing_id"]) == e, i
         assert abs(row["jaccard"] - round(j, 4)) < 1e-9, i
+
+
+# ---------------------------------------------------------------------------
+# r9: replays for the counting/selection family (OHLCV bars, grids,
+# pattern flags) — pandas re-derivations of first/last/min/max
+# selection and gap/grid construction.
+# ---------------------------------------------------------------------------
+
+
+def _ts_us(ts: pd.Series) -> pd.Series:
+    return ts.astype("datetime64[ns]").astype("int64") // 1000
+
+
+def test_bars_ohlcv_matches_pandas_groupby():
+    got = _oracle("q_bars_ohlcv").set_index(["bar_start", "event_type"])
+    ev = _events().sort_values(["ts", "event_id"])
+    ev["bar"] = _ts_us(ev["ts"]) // 3_600_000_000 * 3600
+    checked = 0
+    for (bar, et), g in ev.groupby(["bar", "event_type"]):
+        row = got.loc[(bar, et)]
+        assert row["open"] == g["value"].iloc[0]
+        assert row["close"] == g["value"].iloc[-1]
+        assert row["high"] == g["value"].max()
+        assert row["low"] == g["value"].min()
+        assert int(row["n_trades"]) == len(g)
+        assert abs(row["volume"] - round(g["value"].sum(), 2)) < 2e-2
+        checked += 1
+    assert checked == len(got) > 50
+
+
+def test_bar_gaps_matches_grid_complement():
+    got = _oracle("q_bar_gaps")
+    ev = _events()
+    ev["bar"] = _ts_us(ev["ts"]) // 3_600_000_000 * 3600
+    want = []
+    for et, g in ev.groupby("event_type"):
+        present = set(g["bar"])
+        for b in range(min(present), max(present) + 3600, 3600):
+            if b not in present:
+                want.append((et, b))
+    assert len(want) > 0
+    assert sorted(map(tuple, got[["event_type", "bar_start"]].itertuples(index=False))) == sorted(want)
+
+
+def test_resample_ffill_matches_locf_replay():
+    got = _oracle("q_resample_ffill").set_index(["user_id", "bar_start"])
+    ev = _events().sort_values(["ts", "event_id"])
+    ev["us"] = _ts_us(ev["ts"])
+    checked = 0
+    for uid, g in ev.groupby("user_id"):
+        lo = math.ceil(g["us"].min() / 3_600_000_000)
+        hi = math.floor(g["us"].max() / 3_600_000_000)
+        for h in range(lo, hi + 1):
+            cut = h * 3_600_000_000
+            prior = g[g["us"] <= cut]
+            assert not prior.empty  # grid starts at ceil(first tick)
+            price = prior["value"].iloc[-1]
+            assert abs(got.loc[(uid, cut // 1_000_000), "price"] - round(price, 2)) < 1e-9
+            checked += 1
+    assert checked == len(got) > 50
+
+
+def test_win_obv_matches_cumulative_replay():
+    got = _oracle("q_win_obv").set_index("event_id")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, user_id, ts, value, props FROM read_parquet('{SF}/events.parquet')"
+    ).df().sort_values(["ts", "event_id"])
+    pat = re.compile(r'"k":\s*([0-9]+)')
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        obv, prev = 0, None
+        for _, r in g.iterrows():
+            m = pat.search(r["props"])
+            vol = int(m.group(1)) if m else None
+            if prev is not None and r["value"] > prev:
+                obv += vol
+            elif prev is not None and r["value"] < prev:
+                obv -= vol
+            assert int(got.loc[r["event_id"], "obv"]) == obv, r["event_id"]
+            prev = r["value"]
+            checked += 1
+    assert checked == len(got) > 500
+
+
+def test_candle_patterns_matches_flag_replay():
+    got = _oracle("q_candle_patterns").set_index("event_type")
+    ev = _events().sort_values(["ts", "event_id"])
+    ev["day"] = ev["ts"].astype("datetime64[ns]").dt.floor("D")
+    agg = {}
+    for et, g in ev.groupby("event_type"):
+        bars = []
+        for day, b in g.groupby("day"):
+            o, c = b["value"].iloc[0], b["value"].iloc[-1]
+            h, lo = b["value"].max(), b["value"].min()
+            bars.append((day, o, h, lo, c))
+        bars.sort()
+        doji = hammer = engulf = 0
+        for i, (_, o, h, lo, c) in enumerate(bars):
+            doji += abs(c - o) <= 0.1 * (h - lo)
+            hammer += (min(o, c) - lo >= 2 * abs(c - o)) and (
+                h - max(o, c) <= abs(c - o)
+            )
+            if i > 0:
+                _, po, _, _, pc = bars[i - 1]
+                engulf += pc < po and c > o and o <= pc and c >= po
+        agg[et] = (doji, hammer, engulf, len(bars))
+    assert len(agg) == len(got) > 2
+    for et, (d, hm, e, n) in agg.items():
+        row = got.loc[et]
+        assert (
+            int(row["n_doji"]), int(row["n_hammer"]),
+            int(row["n_bull_engulf"]), int(row["n_bars"]),
+        ) == (d, hm, e, n), et
+
+
+def test_events_heatmap_matches_dow_hour_replay():
+    got = _oracle("q_events_heatmap").set_index(["dow", "hour"])
+    ev = _events()
+    t = ev["ts"].astype("datetime64[ns]")
+    # DuckDB dayofweek: 0=Sunday; oracle emits dayofweek+1 (1=Sunday)
+    ev = ev.assign(dow=(t.dt.dayofweek + 1) % 7 + 1, hour=t.dt.hour)
+    checked = 0
+    for (dow, hour), g in ev.groupby(["dow", "hour"]):
+        row = got.loc[(dow, hour)]
+        assert int(row["n_events"]) == len(g)
+        cents = int(np.floor(g["value"] * 100).sum())
+        assert abs(row["volume"] - cents / 100.0) < 1e-9
+        checked += 1
+    assert checked == len(got) > 100
