@@ -174,9 +174,6 @@ _DIFFERENTIAL_ONLY = {
     "q_stream_python_source": "streaming-differential",
     "q_stream_cdc_apply": "streaming-differential",
     "q_stream_topk": "streaming-differential",
-    # -- token-byte-counting (2; 7 replayed in r9) --
-    "q_multimodal_pixels": "token-byte-counting",
-    "q_multimodal_wav_features": "token-byte-counting",
     # -- tpch-shape (1) --
     "q_tpch_q12": "tpch-shape",
     # -- udf-plumbing (7) --
@@ -531,6 +528,12 @@ _COVERED = {
     "q_win_obv": "recompute: test_recompute.py",
     "q_candle_patterns": "recompute: test_recompute.py",
     "q_events_heatmap": "recompute: test_recompute.py",
+    # r9 reclassification: the media codec layer these two keys ride
+    # carries real contract tests (PNG/JPEG roundtrips, WAV decode
+    # cross-checked against stdlib wave), and the feature arithmetic
+    # is pinned by a formula-recomputing oracle
+    "q_multimodal_pixels": "contract: test_multimodal.py",
+    "q_multimodal_wav_features": "contract: test_multimodal.py",
 }
 
 
@@ -564,7 +567,7 @@ def test_differential_only_set_is_frozen():
     # r9 shrank the tail: 23 keys (all 10 hash-counting + 7 of 9
     # token-byte-counting, then all 6 counting-selection) gained recompute replays in
     # tests/test_recompute.py and moved to _COVERED
-    assert len(_DIFFERENTIAL_ONLY) == 95
+    assert len(_DIFFERENTIAL_ONLY) == 93
     from collections import Counter
 
     fams = Counter(_DIFFERENTIAL_ONLY.values())
@@ -572,7 +575,6 @@ def test_differential_only_set_is_frozen():
         "primitive-composition": 47,
         "scalar-builtin": 16,
         "streaming-differential": 11,
-        "token-byte-counting": 2,
         "window-builtin": 7,
         "udf-plumbing": 7,
         "roundtrip-identity": 4,
