@@ -117,6 +117,12 @@ _PRIORITY: list[str] = [
     # ordered per VERDICT r8 task 7. Every later window keeps walking
     # the backlog in block order (r01 → r08).
     "q_dedup_ngram", "q_sim_pairwise", "q_embed_matryoshka",
+    # r9 estimator touch awaiting a fresh row: _tdigest_quantile's
+    # interpolation moved to the lerp-stable two-product form (ulp-
+    # exact at frac 0/1; hypothesis caught the 1-ulp walk past an
+    # exact data point). Rows-only key, but the re-cert precedent
+    # applies to any post-row plan/output change.
+    "q_agg_tdigest",
     # ---- refresh backlog: driver-verified keys, stalest row
     # first (r01 -> r08) so every future window is a prefix rotation
 
@@ -205,7 +211,9 @@ _PRIORITY: list[str] = [
     "q_embed_pca", "q_graph_pagerank", "q_dedup_simhash",
     "q_agg_count_min", "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree",
     "q_sample_importance", "q_join_interval_overlap", "q_agg_bitmap_distinct",
-    "q_agg_tdigest", "q_win_holt", "q_stats_chisq", "q_sim_range",
+    # (q_agg_tdigest fronted to the r10 re-cert slots — the r9
+    # lerp-stable quantile read postdates its r06 row)
+    "q_win_holt", "q_stats_chisq", "q_sim_range",
     "q_agg_skew_kurt", "q_join_asof_nearest", "q_text_readability",
     "q_fn_datetime_extra", "q_doc_quality_model", "q_stream_topk",
     "q_agg_argmax", "q_agg_string_agg", "q_win_rolling_ols", "q_fn_struct",

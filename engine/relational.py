@@ -2587,7 +2587,11 @@ def _tdigest_quantile(means, weights, q: float) -> float:
         return float(m[-1])
     i = int(np.searchsorted(cum, target)) - 1
     frac = (target - cum[i]) / (cum[i + 1] - cum[i])
-    return float(m[i] + frac * (m[i + 1] - m[i]))
+    # lerp-stable form: m[i] + frac*(m[i+1]-m[i]) lands 1 ulp BELOW
+    # m[i+1] at frac == 1.0 (a + (b-a) != b in floats), which walks the
+    # estimate past an exact data point and off its rank (caught by
+    # hypothesis in r9); the two-product form is exact at both ends
+    return float(m[i] * (1.0 - frac) + m[i + 1] * frac)
 
 
 @register("q_agg_tdigest")  # rows-only: sketch estimates have no SQL oracle

@@ -449,6 +449,13 @@ def test_tdigest_merge_invariants(vals):
     n = len(sv)
     for q in (0.5, 0.95):
         est = _tdigest_quantile(m, w, q)
+        # rank error is measured up to float precision: an estimate a
+        # few ulps off an exact data value must rank AS that value
+        # (interpolation arithmetic is not exact even in lerp-stable
+        # form when cum/frac themselves round)
+        near = min(sv, key=lambda v: abs(v - est))
+        if abs(near - est) <= 4 * abs(np.spacing(near)):
+            est = near
         lo = bisect.bisect_left(sv, est) / n
         hi = bisect.bisect_right(sv, est) / n
         err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))

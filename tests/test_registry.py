@@ -50,6 +50,9 @@ _RECERT = {
     "q_dedup_ngram",
     "q_sim_pairwise",
     "q_embed_matryoshka",
+    # r9 estimator touch: _tdigest_quantile moved to the lerp-stable
+    # two-product interpolation (rows-only key; fresh row in r10).
+    "q_agg_tdigest",
 }
 
 

@@ -50,6 +50,9 @@ ROUND_CHANGED = [
     "q_multimodal_jpeg",  # r9: marker walk now skips 0xFF fill bytes
                   # and length-less standalone markers (TEM/stray
                   # RSTn) per T.81 B.1.1.2 (ADVICE r8)
+    "q_agg_tdigest",  # r9: lerp-stable quantile interpolation
+                  # (hypothesis caught the 1-ulp walk past an exact
+                  # data point at frac=1)
 ]
 
 # ADVICE r8 (low): the scale-cutover env knobs switch graded-exact
