@@ -110,12 +110,13 @@ _PRIORITY: list[str] = [
     # never-graded hits ZERO this round (VERDICT r8 task 1)
     "q_multimodal_jpeg", "q_multimodal_wav_features",
     # ================= r10 queue (slots 50+) =================
-    # slots 50-52: the re-certs spilled from r9 (rationale in the
-    # header comment). After these, r10's window takes the FIRST 47
-    # keys of the r01 refresh block below — the stalest driver rows
-    # (8 rounds old against a heavily-refactored codebase), row-age
-    # ordered per VERDICT r8 task 7. Every later window keeps walking
-    # the backlog in block order (r01 → r08).
+    # slots 50-53: the re-certs spilled from r9 (rationale in the
+    # header comment) + the r9 tdigest touch. After these, r10's
+    # window takes the FIRST 46 keys of the r01 refresh block below —
+    # the stalest driver rows (8 rounds old against a heavily-
+    # refactored codebase), row-age ordered per VERDICT r8 task 7.
+    # Every later window keeps walking the backlog in block order
+    # (r01 → r08).
     "q_dedup_ngram", "q_sim_pairwise", "q_embed_matryoshka",
     # r9 estimator touch awaiting a fresh row: _tdigest_quantile's
     # interpolation moved to the lerp-stable two-product form (ulp-
