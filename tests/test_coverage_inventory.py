@@ -184,14 +184,7 @@ _DIFFERENTIAL_ONLY = {
     "q_udf_map_batches": "udf-plumbing",
     "q_udf_map_arrow": "udf-plumbing",
     "q_udtf_arrow": "udf-plumbing",
-    # -- window-builtin (7) --
-    "q_win_running": "window-builtin",
-    "q_win_rank": "window-builtin",
-    "q_win_lag_lead": "window-builtin",
-    "q_win_moving_avg": "window-builtin",
-    "q_win_range_frame": "window-builtin",
-    "q_win_first_last": "window-builtin",
-    "q_win_pct": "window-builtin",
+    # -- window-builtin (0: all replayed in r9 second wave) --
 }
 
 # key -> where its independent check lives
@@ -534,6 +527,13 @@ _COVERED = {
     # is pinned by a formula-recomputing oracle
     "q_multimodal_pixels": "contract: test_multimodal.py",
     "q_multimodal_wav_features": "contract: test_multimodal.py",
+    "q_win_running": "recompute: test_recompute.py",
+    "q_win_rank": "recompute: test_recompute.py",
+    "q_win_lag_lead": "recompute: test_recompute.py",
+    "q_win_moving_avg": "recompute: test_recompute.py",
+    "q_win_range_frame": "recompute: test_recompute.py",
+    "q_win_first_last": "recompute: test_recompute.py",
+    "q_win_pct": "recompute: test_recompute.py",
 }
 
 
@@ -567,7 +567,7 @@ def test_differential_only_set_is_frozen():
     # r9 shrank the tail: 23 keys (all 10 hash-counting + 7 of 9
     # token-byte-counting, then all 6 counting-selection) gained recompute replays in
     # tests/test_recompute.py and moved to _COVERED
-    assert len(_DIFFERENTIAL_ONLY) == 93
+    assert len(_DIFFERENTIAL_ONLY) == 86
     from collections import Counter
 
     fams = Counter(_DIFFERENTIAL_ONLY.values())
@@ -575,7 +575,6 @@ def test_differential_only_set_is_frozen():
         "primitive-composition": 47,
         "scalar-builtin": 16,
         "streaming-differential": 11,
-        "window-builtin": 7,
         "udf-plumbing": 7,
         "roundtrip-identity": 4,
         "tpch-shape": 1,

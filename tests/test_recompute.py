@@ -1260,3 +1260,132 @@ def test_events_heatmap_matches_dow_hour_replay():
         assert abs(row["volume"] - cents / 100.0) < 1e-9
         checked += 1
     assert checked == len(got) > 100
+
+
+# ---------------------------------------------------------------------------
+# r9 (second wave): replays for the window-builtin family — pandas
+# re-derivations of frame semantics (running/rolling/range frames,
+# rank variants, percent_rank/cume_dist). These guard against a
+# shared misreading of frame bounds that both engines' texts would
+# reproduce identically.
+# ---------------------------------------------------------------------------
+
+
+def test_win_running_matches_cumsum():
+    got = _oracle("q_win_running").set_index("event_id")
+    ev = _events().sort_values(["ts", "event_id"])
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        run = 0.0
+        for _, r in g.iterrows():
+            run += r["value"]
+            assert abs(got.loc[r["event_id"], "running_total"] - round(run, 2)) < 1e-9
+            checked += 1
+    assert checked == len(got) > 500
+
+
+def test_win_rank_matches_rank_variants():
+    got = _oracle("q_win_rank").set_index("c_custkey")
+    cust = duckdb.connect().execute(
+        f"SELECT c_custkey, c_nationkey, c_acctbal FROM read_parquet('{SF}/customer.parquet')"
+    ).df()
+    checked = 0
+    for _, g in cust.groupby("c_nationkey"):
+        g = g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        # rank()/dense_rank() peer on the FULL order key (verified
+        # against DuckDB on a literal table): with the unique
+        # c_custkey tiebreak no peers exist, so rank == dense_rank ==
+        # row_number — the replay asserts exactly that collapse
+        for i, (_, r) in enumerate(g.iterrows(), 1):
+            row = got.loc[r["c_custkey"]]
+            assert (int(row["rn"]), int(row["rnk"]), int(row["drnk"])) == (i, i, i)
+            checked += 1
+    assert checked == len(got) > 100
+
+
+def test_win_lag_lead_matches_shift():
+    got = _oracle("q_win_lag_lead").set_index("event_id")
+    ev = _events().sort_values(["ts", "event_id"])
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        v = g["value"].tolist()
+        ids = g["event_id"].tolist()
+        for i, eid in enumerate(ids):
+            row = got.loc[eid]
+            if i == 0:
+                assert pd.isna(row["delta_prev"])
+            else:
+                assert abs(row["delta_prev"] - (v[i] - v[i - 1])) < 1e-12
+            if i == len(ids) - 1:
+                assert pd.isna(row["next_value"])
+            else:
+                assert row["next_value"] == v[i + 1]
+            checked += 1
+    assert checked == len(got) > 500
+
+
+def test_win_moving_avg_matches_rolling_mean():
+    got = _oracle("q_win_moving_avg").set_index("event_id")
+    ev = _events().sort_values(["ts", "event_id"])
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        v = g["value"].reset_index(drop=True)
+        sma = v.rolling(7, min_periods=1).mean()
+        for i, eid in enumerate(g["event_id"]):
+            assert abs(got.loc[eid, "sma7"] - round(sma[i], 4)) < 1e-9
+            checked += 1
+    assert checked == len(got) > 500
+
+
+def test_win_range_frame_matches_time_window_sum():
+    got = _oracle("q_win_range_frame").set_index("event_id")
+    ev = _events()
+    ev["es"] = _ts_us(ev["ts"]) // 1_000_000
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["es", "event_id"])
+        for _, r in g.iterrows():
+            # RANGE frame: every row whose epoch_s is within [t-3600, t],
+            # INCLUDING peers sorting after the current row
+            win = g[(g["es"] >= r["es"] - 3600) & (g["es"] <= r["es"])]
+            assert abs(
+                got.loc[r["event_id"], "vol_1h"] - round(win["value"].sum(), 2)
+            ) < 2e-2
+            checked += 1
+    assert checked == len(got) > 500
+
+
+def test_win_first_last_matches_partition_endpoints():
+    got = _oracle("q_win_first_last").set_index("event_id")
+    ev = _events().sort_values(["ts", "event_id"])
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        first, last = g["value"].iloc[0], g["value"].iloc[-1]
+        for eid in g["event_id"]:
+            row = got.loc[eid]
+            assert row["open_value"] == first and row["close_value"] == last
+            checked += 1
+    assert checked == len(got) > 500
+
+
+def test_win_pct_matches_textbook_formulas():
+    got = _oracle("q_win_pct").set_index("c_custkey")
+    cust = duckdb.connect().execute(
+        f"SELECT c_custkey, c_nationkey, c_acctbal FROM read_parquet('{SF}/customer.parquet')"
+    ).df()
+    checked = 0
+    for _, g in cust.groupby("c_nationkey"):
+        g = g.sort_values(["c_acctbal", "c_custkey"])
+        n = len(g)
+        for i, (_, r) in enumerate(g.iterrows(), 1):
+            # percent_rank/cume_dist peer on the FULL order key
+            # (verified vs DuckDB): the unique c_custkey tiebreak
+            # makes every row its own peer group, so
+            # percent_rank = (i-1)/(n-1) and cume_dist = i/n exactly
+            pr = 0.0 if n == 1 else (i - 1) / (n - 1)
+            cume = i / n
+            row = got.loc[r["c_custkey"]]
+            assert abs(row["pct_rank"] - round(pr, 6)) < 1e-9
+            assert abs(row["cume"] - round(cume, 6)) < 1e-9
+            checked += 1
+    assert checked == len(got) > 100
