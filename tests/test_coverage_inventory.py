@@ -145,23 +145,7 @@ _DIFFERENTIAL_ONLY = {
     "q_source_json_roundtrip": "roundtrip-identity",
     "q_sink_partition_prune": "roundtrip-identity",
     "q_source_schema_evolution": "roundtrip-identity",
-    # -- scalar-builtin (16) --
-    "q_fn_string": "scalar-builtin",
-    "q_fn_date": "scalar-builtin",
-    "q_fn_math": "scalar-builtin",
-    "q_fn_array": "scalar-builtin",
-    "q_fn_map": "scalar-builtin",
-    "q_fn_explode": "scalar-builtin",
-    "q_fn_json": "scalar-builtin",
-    "q_fn_cast": "scalar-builtin",
-    "q_fn_bitwise": "scalar-builtin",
-    "q_fn_url": "scalar-builtin",
-    "q_fn_explode_outer": "scalar-builtin",
-    "q_fn_regexp": "scalar-builtin",
-    "q_fn_try": "scalar-builtin",
-    "q_fn_datetime_extra": "scalar-builtin",
-    "q_fn_struct": "scalar-builtin",
-    "q_fn_lambda": "scalar-builtin",
+    # -- scalar-builtin (0: all replayed in r9 third wave — python stdlib as the third implementation) --
     # -- streaming-differential (11) --
     "q_stream_median": "streaming-differential",
     "q_stream_pipeline": "streaming-differential",
@@ -174,8 +158,7 @@ _DIFFERENTIAL_ONLY = {
     "q_stream_python_source": "streaming-differential",
     "q_stream_cdc_apply": "streaming-differential",
     "q_stream_topk": "streaming-differential",
-    # -- tpch-shape (1) --
-    "q_tpch_q12": "tpch-shape",
+    # -- tpch-shape (0: q12 replayed in r9) --
     # -- udf-plumbing (7) --
     "q_udf_scalar": "udf-plumbing",
     "q_udf_pandas_scalar": "udf-plumbing",
@@ -534,6 +517,23 @@ _COVERED = {
     "q_win_range_frame": "recompute: test_recompute.py",
     "q_win_first_last": "recompute: test_recompute.py",
     "q_win_pct": "recompute: test_recompute.py",
+    "q_fn_string": "recompute: test_recompute.py",
+    "q_fn_date": "recompute: test_recompute.py",
+    "q_fn_math": "recompute: test_recompute.py",
+    "q_fn_array": "recompute: test_recompute.py",
+    "q_fn_map": "recompute: test_recompute.py",
+    "q_fn_explode": "recompute: test_recompute.py",
+    "q_fn_json": "recompute: test_recompute.py",
+    "q_fn_cast": "recompute: test_recompute.py",
+    "q_fn_bitwise": "recompute: test_recompute.py",
+    "q_fn_url": "recompute: test_recompute.py",
+    "q_fn_explode_outer": "recompute: test_recompute.py",
+    "q_fn_regexp": "recompute: test_recompute.py",
+    "q_fn_try": "recompute: test_recompute.py",
+    "q_fn_datetime_extra": "recompute: test_recompute.py",
+    "q_fn_struct": "recompute: test_recompute.py",
+    "q_fn_lambda": "recompute: test_recompute.py",
+    "q_tpch_q12": "recompute: test_recompute.py",
 }
 
 
@@ -567,17 +567,15 @@ def test_differential_only_set_is_frozen():
     # r9 shrank the tail: 23 keys (all 10 hash-counting + 7 of 9
     # token-byte-counting, then all 6 counting-selection) gained recompute replays in
     # tests/test_recompute.py and moved to _COVERED
-    assert len(_DIFFERENTIAL_ONLY) == 86
+    assert len(_DIFFERENTIAL_ONLY) == 69
     from collections import Counter
 
     fams = Counter(_DIFFERENTIAL_ONLY.values())
     assert fams == {
         "primitive-composition": 47,
-        "scalar-builtin": 16,
         "streaming-differential": 11,
         "udf-plumbing": 7,
         "roundtrip-identity": 4,
-        "tpch-shape": 1,
     }
 
 

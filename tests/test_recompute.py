@@ -1389,3 +1389,330 @@ def test_win_pct_matches_textbook_formulas():
             assert abs(row["cume"] - round(cume, 6)) < 1e-9
             checked += 1
     assert checked == len(got) > 100
+
+
+# ---------------------------------------------------------------------------
+# r9 (third wave): replays for the scalar-builtin family. Python's
+# stdlib (str/datetime/math/json/re) is a genuine THIRD implementation
+# of these semantics — the wave pins indexing conventions (1-based
+# substring/instr), rounding modes (round-half-away for doubles on
+# both engines vs python's half-even), ISO week/dow conventions, and
+# lateral-explode null rows.
+# ---------------------------------------------------------------------------
+
+
+def _cust(sf: str = SF) -> pd.DataFrame:
+    return duckdb.connect().execute(
+        f"SELECT c_custkey, c_name, c_mktsegment, c_nationkey, c_acctbal "
+        f"FROM read_parquet('{sf}/customer.parquet')"
+    ).df()
+
+
+def _orders(sf: str = SF) -> pd.DataFrame:
+    return duckdb.connect().execute(
+        f"SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus, "
+        f"o_orderpriority, o_custkey FROM read_parquet('{sf}/orders.parquet')"
+    ).df()
+
+
+def _round_half_away(x: float) -> int:
+    """Both engines round(double, 0) half AWAY from zero (Spark
+    HALF_UP via BigDecimal, DuckDB likewise); python round() is
+    half-even, so the replay must not use it."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_fn_string_matches_python_str():
+    got = _oracle("q_fn_string").set_index("c_custkey")
+    cust = _cust()
+    assert len(got) == len(cust)
+    tr = str.maketrans("AEIOU", "aeiou")
+    for _, r in cust.iterrows():
+        row = got.loc[r["c_custkey"]]
+        name, seg = r["c_name"], r["c_mktsegment"]
+        assert row["seg_up"] == seg.upper()
+        assert row["name_lo"] == name.lower()
+        assert row["name_pre"] == name[:8]  # substring is 1-based, len 8
+        assert row["joined"] == seg + "|" + name
+        assert int(row["name_len"]) == len(name)
+        assert row["nat_pad"] == str(int(r["c_nationkey"])).rjust(4, "0")
+        assert int(row["hash_pos"]) == name.find("#") + 1  # instr: 1-based, 0=absent
+        m = re.search(r"([0-9]+)", name)
+        assert int(row["name_num"]) == int(m.group(1))
+        assert row["no_zeros"] == name.replace("0", "")
+        assert row["trimmed"] == (" " + seg + " ").strip()
+        assert row["seg_rev"] == seg[::-1]
+        assert row["stars"] == "*" * (int(r["c_nationkey"]) % 4)
+        assert row["seg_tr"] == seg.translate(tr)
+
+
+def test_fn_date_matches_python_datetime():
+    import calendar
+    from datetime import date, timedelta
+
+    got = _oracle("q_fn_date").set_index("o_orderkey")
+    orders = _orders()
+    assert len(got) == len(orders)
+    base = date(1995, 1, 1)
+    for _, r in orders.iterrows():
+        d = pd.Timestamp(r["o_orderdate"]).date()
+        row = got.loc[r["o_orderkey"]]
+        assert (int(row["yr"]), int(row["mo"]), int(row["dy"])) == (d.year, d.month, d.day)
+        assert int(row["qtr"]) == (d.month - 1) // 3 + 1
+        # DuckDB dayofweek: 0 = Sunday; oracle emits +1 (1 = Sunday)
+        assert int(row["dow"]) == (d.weekday() + 1) % 7 + 1
+        assert row["month_start"] == d.replace(day=1).isoformat()
+        assert row["plus30"] == (d + timedelta(days=30)).isoformat()
+        last = d.replace(day=calendar.monthrange(d.year, d.month)[1])
+        assert row["month_end"] == last.isoformat()
+        assert int(row["days_since"]) == (d - base).days
+        assert int(row["epoch_s"]) == (d - date(1970, 1, 1)).days * 86400
+
+
+def test_fn_math_matches_python_math():
+    got = _oracle("q_fn_math").set_index("p_partkey")
+    part = duckdb.connect().execute(
+        f"SELECT p_partkey, p_retailprice, p_size FROM read_parquet('{SF}/part.parquet')"
+    ).df()
+    assert len(got) == len(part)
+    for _, r in part.iterrows():
+        p, sz = float(r["p_retailprice"]), int(r["p_size"])
+        row = got.loc[r["p_partkey"]]
+        assert int(row["price_r0"]) == _round_half_away(p)  # .50 boundaries occur
+        assert int(row["price_floor"]) == math.floor(p)
+        assert int(row["price_ceil"]) == math.ceil(p)
+        assert int(row["size_dev"]) == abs(sz - 25)
+        assert abs(row["price_sqrt"] - round(math.sqrt(p), 6)) < 2e-6
+        assert abs(row["price_ln"] - round(math.log(p), 6)) < 2e-6
+        assert abs(row["price_log10"] - round(math.log10(p), 6)) < 2e-6
+        assert abs(row["size_sq"] - sz * sz) < 1e-9
+        assert int(row["size_pmod"]) == sz % 7
+        assert int(row["size_sign"]) == (sz > 25) - (sz < 25)
+        assert abs(row["size_exp"] - round(math.exp(sz / 100.0), 6)) < 2e-6
+
+
+def test_fn_bitwise_matches_python_int_ops():
+    got = _oracle("q_fn_bitwise").set_index("event_id")
+    ev = _events()
+    ev = ev[ev["event_id"] < 1000]
+    assert len(got) == len(ev) > 0
+    for _, r in ev.iterrows():
+        u, e = int(r["user_id"]), int(r["event_id"])
+        row = got.loc[e]
+        assert int(row["and_mask"]) == u & 255
+        assert int(row["or_set"]) == u | 4096
+        assert int(row["xored"]) == u ^ e
+        assert int(row["shifted"]) == u << 2
+        assert int(row["popcount"]) == bin(u).count("1")
+
+
+def _emb(sf: str = SF) -> pd.DataFrame:
+    return duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).df()
+
+
+def test_fn_array_matches_python_list_ops():
+    got = _oracle("q_fn_array").set_index("vec_id")
+    emb = _emb()
+    assert len(got) == len(emb)
+    for _, r in emb.iterrows():
+        v = [float(x) for x in r["embedding"]]
+        row = got.loc[r["vec_id"]]
+        assert int(row["dim"]) == len(v)
+        assert abs(row["e2"] - v[1]) < 1e-9  # [2] is 1-based
+        assert abs(row["vec_sum"] - round(sum(v), 4)) < 1e-3
+        assert abs(row["head_sum"] - round(sum(v[:8]), 4)) < 1e-3  # [1:8] inclusive
+        assert abs(row["vec_min"] - round(min(v), 6)) < 1e-9
+        assert int(row["n_pos"]) == sum(1 for x in v if x > 0)
+        assert abs(row["doubled_sum"] - round(sum(x * 2.0 for x in v), 4)) < 1e-3
+
+
+def test_fn_explode_matches_parallel_unnest():
+    got = _oracle("q_fn_explode")
+    emb = _emb()
+    want = []
+    for _, r in emb.iterrows():
+        v = [float(x) for x in r["embedding"][:4]]
+        want += [(int(r["vec_id"]), pos, v[pos]) for pos in range(4)]
+    have = sorted(map(tuple, got[["vec_id", "pos", "val"]].itertuples(index=False)))
+    want = sorted(want)
+    assert len(have) == len(want) > 0
+    for (hv, hp, hx), (wv, wp, wx) in zip(have, want):
+        assert (hv, hp) == (wv, wp) and abs(hx - wx) < 1e-9
+
+
+def test_fn_json_and_regexp_match_python_re():
+    import json as _json
+
+    got_j = _oracle("q_fn_json").set_index("event_id")
+    got_r = _oracle("q_fn_regexp").set_index("event_id")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, props FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    kpat = re.compile(r'"k":\s*([0-9]+)')
+    assert len(got_j) == len(ev) == len(got_r)
+    for _, r in ev.iterrows():
+        props = r["props"]
+        k = kpat.search(props).group(1)
+        rj = got_j.loc[r["event_id"]]
+        assert int(rj["k_str"]) == int(k) == int(rj["k_typed"])
+        assert rj["rebuilt"] == '{"k":' + k + "}"
+        rr = got_r.loc[r["event_id"]]
+        assert rr["k_str"] == k
+        assert int(rr["n_digit_runs"]) == len(re.findall(r"[0-9]+", props))
+        assert int(rr["k_multi_digit"]) == int(bool(re.search(r'"k":\s*[0-9]{2,}', props)))
+        assert rr["masked"] == re.sub(r"[0-9]", "#", props)
+        # cross-check the regex read against a real JSON parse
+        assert _json.loads(props)["k"] == int(k)
+
+
+def test_fn_cast_matches_python_formatting():
+    got = _oracle("q_fn_cast").set_index("o_orderkey")
+    orders = _orders()
+    assert len(got) == len(orders)
+    for _, r in orders.iterrows():
+        k, p = int(r["o_orderkey"]), float(r["o_totalprice"])
+        row = got.loc[k]
+        assert row["price_dec"] == f"{p:.2f}"
+        assert int(row["price_long"]) == math.floor(p)
+        assert row["key_str"] == str(k)
+        assert row["ts_parsed"] == "1996-06-15 00:00:00"
+        assert int(row["roundtrip"]) == k
+
+
+def test_fn_url_matches_string_build():
+    got = _oracle("q_fn_url").set_index("doc_id")
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, source, lang FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    assert len(got) == len(docs)
+    for _, r in docs.iterrows():
+        row = got.loc[r["doc_id"]]
+        d = int(r["doc_id"])
+        assert row["url"] == f"https://{r['source']}.example.com/docs/{d}?lang={r['lang']}"
+        assert row["host"] == f"{r['source']}.example.com"
+        assert row["path"] == f"/docs/{d}"
+        assert row["lang_param"] == r["lang"]
+
+
+def test_fn_explode_outer_keeps_empty_docs():
+    got = _oracle("q_fn_explode_outer")
+    docs = _docs()
+    want = []
+    for _, r in docs.iterrows():
+        toks = [t for t in r["text"].split(" ") if len(t) > 5]
+        if toks:
+            want += [(int(r["doc_id"]), t) for t in toks]
+        else:
+            want.append((int(r["doc_id"]), None))  # outer: row survives
+    have = sorted(
+        (int(a), b if pd.notna(b) else None)
+        for a, b in got[["doc_id", "tok"]].itertuples(index=False)
+    )
+    assert have == sorted(want, key=lambda t: (t[0], t[1] or ""))
+    assert any(t is None for _, t in have), "fixture lacks an all-short doc"
+
+
+def test_fn_try_matches_python_fallbacks():
+    import json as _json
+
+    got = _oracle("q_fn_try").set_index("event_id")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, event_type, value, props FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    assert len(got) == len(ev)
+    for _, r in ev.iterrows():
+        e = int(r["event_id"])
+        row = got.loc[e]
+        assert int(row["k_num"]) == _json.loads(r["props"])["k"]
+        assert pd.isna(row["type_as_num"])  # alphabetic, TRY_CAST -> NULL
+        if e % 10 == 0:
+            assert pd.isna(row["safe_div"])
+        else:
+            want = math.floor(r["value"] / (e % 10) * 10000) / 10000.0
+            assert abs(row["safe_div"] - want) < 1e-9
+        assert pd.isna(row["first_char_num"])
+
+
+def test_fn_datetime_extra_matches_iso_conventions():
+    import calendar
+    from datetime import date, timedelta
+
+    got = _oracle("q_fn_datetime_extra").set_index("o_orderkey")
+    orders = _orders()
+    assert len(got) == len(orders)
+    for _, r in orders.iterrows():
+        d = pd.Timestamp(r["o_orderdate"]).date()
+        row = got.loc[r["o_orderkey"]]
+        qs = date(d.year, (d.month - 1) // 3 * 3 + 1, 1)
+        assert row["qtr_start"] == qs.isoformat()
+        last = d.replace(day=calendar.monthrange(d.year, d.month)[1])
+        assert row["month_end"] == last.isoformat()
+        assert int(row["doy"]) == d.timetuple().tm_yday
+        assert int(row["iso_week"]) == d.isocalendar().week
+        assert int(row["months_since_1995"]) == (d.year - 1995) * 12 + d.month
+        isodow = d.weekday() + 1  # Mon=1..Sun=7
+        step = (8 - isodow) % 7 or 7
+        assert row["next_monday"] == (d + timedelta(days=step)).isoformat()
+
+
+def test_fn_struct_matches_json_dumps():
+    import json as _json
+
+    got = _oracle("q_fn_struct").set_index("o_orderkey")
+    orders = _orders()
+    assert len(got) == len(orders)
+    n_f = 0
+    for _, r in orders.iterrows():
+        k = int(r["o_orderkey"])
+        row = got.loc[k]
+        want = _json.dumps(
+            {"k": k, "st": r["o_orderstatus"], "pri": r["o_orderpriority"]},
+            separators=(",", ":"),
+        )
+        assert row["order_json"] == want
+        assert row["st_field"] == r["o_orderstatus"]
+        assert int(row["is_f"]) == int(r["o_orderstatus"] == "F")
+        n_f += row["is_f"]
+    assert 0 < n_f < len(orders)
+
+
+def test_fn_lambda_matches_python_fold():
+    got = _oracle("q_fn_lambda").set_index("vec_id")
+    emb = _emb()
+    assert len(got) == len(emb)
+    for _, r in emb.iterrows():
+        v = [float(x) for x in r["embedding"]]
+        n = len(v)
+        row = got.loc[r["vec_id"]]
+        dot_rev = sum(v[i] * v[n - 1 - i] for i in range(n))
+        assert abs(row["dot_rev"] - round(dot_rev, 4)) < 1e-3
+        assert bool(row["any_big"]) == any(x > 0.3 for x in v)
+        assert bool(row["all_small"]) == all(abs(x) < 1.0 for x in v)
+        assert int(row["idx_sum"]) == n * (n + 1) // 2
+
+
+def test_tpch_q12_matches_pandas_join():
+    got = _oracle("q_tpch_q12").set_index("shipmode")
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_orderkey, l_linestatus, l_shipdate FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    orders = _orders().set_index("o_orderkey")
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    agg: dict[str, list[int]] = {}
+    for _, r in li.iterrows():
+        sd = pd.Timestamp(r["l_shipdate"])
+        if not (lo <= sd < hi):
+            continue
+        o = orders.loc[int(r["l_orderkey"])]
+        if sd <= pd.Timestamp(o["o_orderdate"]) + pd.Timedelta(days=30):
+            continue
+        a = agg.setdefault(r["l_linestatus"], [0, 0])
+        a[int(o["o_orderpriority"] not in ("1-URGENT", "2-HIGH"))] += 1
+    assert len(got) == len(agg) > 0
+    for st, (hi_c, lo_c) in agg.items():
+        row = got.loc[st]
+        assert (int(row["high_line_count"]), int(row["low_line_count"])) == (hi_c, lo_c)
