@@ -92,7 +92,10 @@ _FAMILY_JUSTIFICATION = {
 _DIFFERENTIAL_ONLY = {
     # -- counting-selection (0: all replayed in r9, tests/test_recompute.py) --
     # -- hash-counting (0: all replayed in r9, tests/test_recompute.py) --
-    # -- primitive-composition (47) --
+    # -- primitive-composition (30; the 17 semantically-subtle ones
+    # — super-aggregate nulls, GROUPING bits, null-safe keys, bag
+    # set-ops, as-of variants, moments, interpolated quantiles —
+    # replayed in the r9 fourth wave) --
     "q_agg_group": "primitive-composition",
     "q_join_multiway": "primitive-composition",
     "q_topk_per_group": "primitive-composition",
@@ -106,11 +109,7 @@ _DIFFERENTIAL_ONLY = {
     "q_join_theta": "primitive-composition",
     "q_join_range_interval": "primitive-composition",
     "q_agg_distinct": "primitive-composition",
-    "q_agg_percentile": "primitive-composition",
     "q_agg_stats": "primitive-composition",
-    "q_agg_rollup": "primitive-composition",
-    "q_agg_cube": "primitive-composition",
-    "q_agg_grouping_sets": "primitive-composition",
     "q_agg_having": "primitive-composition",
     "q_union_all": "primitive-composition",
     "q_union_distinct": "primitive-composition",
@@ -119,26 +118,13 @@ _DIFFERENTIAL_ONLY = {
     "q_distinct": "primitive-composition",
     "q_agg_collect": "primitive-composition",
     "q_unpivot": "primitive-composition",
-    "q_join_asof_tolerance": "primitive-composition",
-    "q_agg_mode": "primitive-composition",
-    "q_join_null_safe": "primitive-composition",
-    "q_except_all": "primitive-composition",
-    "q_intersect_all": "primitive-composition",
-    "q_agg_histogram": "primitive-composition",
-    "q_win_gaps_islands": "primitive-composition",
     "q_agg_filter": "primitive-composition",
     "q_win_nth_value": "primitive-composition",
     "q_basket_pairs": "primitive-composition",
-    "q_agg_grouping_id": "primitive-composition",
     "q_source_python": "primitive-composition",
-    "q_join_asof_forward": "primitive-composition",
-    "q_agg_weighted_median": "primitive-composition",
     "q_join_interval_overlap": "primitive-composition",
     "q_agg_bitmap_distinct": "primitive-composition",
-    "q_agg_skew_kurt": "primitive-composition",
     "q_join_asof_nearest": "primitive-composition",
-    "q_agg_argmax": "primitive-composition",
-    "q_agg_string_agg": "primitive-composition",
     "q_pivot_dynamic": "primitive-composition",
     # -- roundtrip-identity (4) --
     "q_source_csv_roundtrip": "roundtrip-identity",
@@ -534,6 +520,23 @@ _COVERED = {
     "q_fn_struct": "recompute: test_recompute.py",
     "q_fn_lambda": "recompute: test_recompute.py",
     "q_tpch_q12": "recompute: test_recompute.py",
+    "q_agg_rollup": "recompute: test_recompute.py",
+    "q_agg_cube": "recompute: test_recompute.py",
+    "q_agg_grouping_sets": "recompute: test_recompute.py",
+    "q_agg_grouping_id": "recompute: test_recompute.py",
+    "q_join_null_safe": "recompute: test_recompute.py",
+    "q_except_all": "recompute: test_recompute.py",
+    "q_intersect_all": "recompute: test_recompute.py",
+    "q_agg_weighted_median": "recompute: test_recompute.py",
+    "q_agg_mode": "recompute: test_recompute.py",
+    "q_win_gaps_islands": "recompute: test_recompute.py",
+    "q_join_asof_tolerance": "recompute: test_recompute.py",
+    "q_join_asof_forward": "recompute: test_recompute.py",
+    "q_agg_skew_kurt": "recompute: test_recompute.py",
+    "q_agg_argmax": "recompute: test_recompute.py",
+    "q_agg_string_agg": "recompute: test_recompute.py",
+    "q_agg_percentile": "recompute: test_recompute.py",
+    "q_agg_histogram": "recompute: test_recompute.py",
 }
 
 
@@ -567,12 +570,12 @@ def test_differential_only_set_is_frozen():
     # r9 shrank the tail: 23 keys (all 10 hash-counting + 7 of 9
     # token-byte-counting, then all 6 counting-selection) gained recompute replays in
     # tests/test_recompute.py and moved to _COVERED
-    assert len(_DIFFERENTIAL_ONLY) == 69
+    assert len(_DIFFERENTIAL_ONLY) == 52
     from collections import Counter
 
     fams = Counter(_DIFFERENTIAL_ONLY.values())
     assert fams == {
-        "primitive-composition": 47,
+        "primitive-composition": 30,
         "streaming-differential": 11,
         "udf-plumbing": 7,
         "roundtrip-identity": 4,

@@ -1716,3 +1716,319 @@ def test_tpch_q12_matches_pandas_join():
     for st, (hi_c, lo_c) in agg.items():
         row = got.loc[st]
         assert (int(row["high_line_count"]), int(row["low_line_count"])) == (hi_c, lo_c)
+
+
+# ---------------------------------------------------------------------------
+# r9 (fourth wave): replays for the subtle primitive compositions —
+# super-aggregate null rows (ROLLUP/CUBE/GROUPING SETS), GROUPING()
+# bit order, null-safe join keys, bag set-ops (EXCEPT/INTERSECT ALL),
+# as-of variants, moment-based skew/kurtosis, interpolated quantiles.
+# ---------------------------------------------------------------------------
+
+
+def test_agg_rollup_matches_pandas_levels():
+    got = _oracle("q_agg_rollup")
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT r_name, n_name, c_acctbal
+            FROM read_parquet('{SF}/customer.parquet') c
+            JOIN read_parquet('{SF}/nation.parquet') n ON c_nationkey = n_nationkey
+            JOIN read_parquet('{SF}/region.parquet') r ON n_regionkey = r_regionkey"""
+    ).df()
+    want = {}
+    for (rn, nn), g in df.groupby(["r_name", "n_name"]):
+        want[(rn, nn)] = (len(g), round(g["c_acctbal"].sum(), 2))
+    for rn, g in df.groupby("r_name"):  # level 1: (r_name, NULL)
+        want[(rn, None)] = (len(g), round(g["c_acctbal"].sum(), 2))
+    want[(None, None)] = (len(df), round(df["c_acctbal"].sum(), 2))
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        k = (
+            r["r_name"] if pd.notna(r["r_name"]) else None,
+            r["n_name"] if pd.notna(r["n_name"]) else None,
+        )
+        n, tot = want[k]
+        assert int(r["n_customers"]) == n, k
+        assert abs(r["total_bal"] - tot) < 2e-2, k
+
+
+def test_agg_cube_matches_all_four_levels():
+    got = _oracle("q_agg_cube")
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT c_mktsegment AS seg, o_orderpriority AS pri, o_totalprice AS p
+            FROM read_parquet('{SF}/orders.parquet') o
+            JOIN read_parquet('{SF}/customer.parquet') c ON o_custkey = c_custkey"""
+    ).df()
+    want = {}
+    for (s, pr), g in df.groupby(["seg", "pri"]):
+        want[(s, pr)] = (len(g), round(g["p"].sum(), 2))
+    for s, g in df.groupby("seg"):
+        want[(s, None)] = (len(g), round(g["p"].sum(), 2))
+    for pr, g in df.groupby("pri"):
+        want[(None, pr)] = (len(g), round(g["p"].sum(), 2))
+    want[(None, None)] = (len(df), round(df["p"].sum(), 2))
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        k = (
+            r["c_mktsegment"] if pd.notna(r["c_mktsegment"]) else None,
+            r["o_orderpriority"] if pd.notna(r["o_orderpriority"]) else None,
+        )
+        n, tot = want[k]
+        assert int(r["n_orders"]) == n, k
+        assert abs(r["total"] - tot) < 0.5, k  # float-sum order at 2dp
+
+
+def test_agg_grouping_sets_and_grouping_id():
+    got = _oracle("q_agg_grouping_sets")
+    li = duckdb.connect().execute(
+        f"SELECT l_returnflag AS f, l_linestatus AS s, l_quantity AS q, "
+        f"l_extendedprice AS p FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    want = {}
+    for f, g in li.groupby("f"):
+        want[(f, None)] = round(g["q"].sum(), 2)
+    for s_, g in li.groupby("s"):
+        want[(None, s_)] = round(g["q"].sum(), 2)
+    want[(None, None)] = round(li["q"].sum(), 2)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        k = (
+            r["l_returnflag"] if pd.notna(r["l_returnflag"]) else None,
+            r["l_linestatus"] if pd.notna(r["l_linestatus"]) else None,
+        )
+        assert abs(r["sum_qty"] - want[k]) < 1e-6, k
+
+    # GROUPING() bit order: grouping(f)*2 + grouping(s) — a column
+    # contributes its bit as 1 when it is AGGREGATED AWAY
+    got2 = _oracle("q_agg_grouping_id")
+    want2 = {}
+    # the oracle floors AFTER the double sum (floor(sum(p) * 100)) —
+    # NOT per row; the replay follows, with a 1-cent tolerance for
+    # summation-order ulps at the floor boundary
+    for (f, s_), g in li.groupby(["f", "s"]):
+        want2[(f, s_, 0)] = (len(g), math.floor(g["p"].sum() * 100))
+    for f, g in li.groupby("f"):
+        want2[(f, None, 1)] = (len(g), math.floor(g["p"].sum() * 100))
+    want2[(None, None, 3)] = (len(li), math.floor(li["p"].sum() * 100))
+    assert len(got2) == len(want2)
+    for _, r in got2.iterrows():
+        k = (
+            r["l_returnflag"] if pd.notna(r["l_returnflag"]) else None,
+            r["l_linestatus"] if pd.notna(r["l_linestatus"]) else None,
+            int(r["gid"]),
+        )
+        n, cents = want2[k]
+        assert int(r["n"]) == n, k
+        assert abs(int(r["revenue_cents"]) - cents) <= 100, k  # 1.00 slack on ~5e9
+
+
+def test_join_null_safe_matches_null_equality():
+    got = _oracle("q_join_null_safe")
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_nationkey FROM read_parquet('{SF}/customer.parquet')"
+    ).df()
+    supp = con.execute(
+        f"SELECT s_nationkey FROM read_parquet('{SF}/supplier.parquet')"
+    ).df()
+    def grp_counts(s):
+        out: dict = {}
+        for k in s:
+            key = None if int(k) % 5 == 0 else int(k) % 5
+            out[key] = out.get(key, 0) + 1
+        return out
+    cg = grp_counts(cust["c_nationkey"])
+    sg = grp_counts(supp["s_nationkey"])
+    # IS NOT DISTINCT FROM: NULL matches NULL (unlike =)
+    want = {k: (cg[k], sg[k]) for k in cg if k in sg}
+    assert len(got) == len(want)
+    null_seen = False
+    for _, r in got.iterrows():
+        k = None if pd.isna(r["grp"]) else int(r["grp"])
+        null_seen |= k is None
+        assert (int(r["n_cust"]), int(r["n_supp"])) == want[k]
+    assert null_seen, "NULL group must join NULL group"
+
+
+def test_except_all_and_intersect_all_bag_semantics():
+    li = duckdb.connect().execute(
+        f"SELECT l_orderkey, l_partkey, l_linenumber, l_returnflag "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    from collections import Counter
+
+    a = Counter(
+        (int(r["l_orderkey"]), int(r["l_partkey"]))
+        for _, r in li[li["l_linenumber"] <= 2].iterrows()
+    )
+    b = Counter(
+        (int(r["l_orderkey"]), int(r["l_partkey"]))
+        for _, r in li[li["l_returnflag"] == "R"].iterrows()
+    )
+    want_exc = a - b          # bag difference: multiplicities subtract
+    want_int = a & b          # bag intersection: min multiplicity
+    got_exc = Counter(
+        map(tuple, _oracle("q_except_all")[["l_orderkey", "l_partkey"]].itertuples(index=False))
+    )
+    got_int = Counter(
+        map(tuple, _oracle("q_intersect_all")[["l_orderkey", "l_partkey"]].itertuples(index=False))
+    )
+    assert got_exc == want_exc and sum(want_exc.values()) > 0
+    assert got_int == want_int and sum(want_int.values()) > 0
+
+
+def test_agg_weighted_median_matches_lower_median_rule():
+    got = _oracle("q_agg_weighted_median").set_index("flag")
+    li = duckdb.connect().execute(
+        f"SELECT l_returnflag AS flag, l_extendedprice AS p, l_quantity AS q "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    for flag, g in li.groupby("flag"):
+        pts = sorted(
+            (int(math.floor(p * 100)), int(q)) for p, q in zip(g["p"], g["q"])
+        )
+        total = sum(w for _, w in pts)
+        cw = 0
+        for cents, w in pts:
+            cw += w
+            if 2 * cw >= total:
+                med = cents / 100.0
+                break
+        row = got.loc[flag]
+        assert abs(row["weighted_median"] - med) < 1e-9, flag
+        assert int(row["total_weight"]) == total
+
+
+def test_agg_mode_matches_counter_with_tiebreak():
+    got = _oracle("q_agg_mode").set_index("l_returnflag")
+    li = duckdb.connect().execute(
+        f"SELECT l_returnflag, l_linestatus FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    for flag, g in li.groupby("l_returnflag"):
+        counts = g["l_linestatus"].value_counts()
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        row = got.loc[flag]
+        assert (row["mode_status"], int(row["cnt"])) == (best[0], int(best[1]))
+
+
+def test_win_gaps_islands_matches_streak_scan():
+    got = _oracle("q_win_gaps_islands")
+    ev = _events().sort_values(["ts", "event_id"])
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        run_type, run_len, run_first = None, 0, None
+        rows = list(g.itertuples())
+        for i, r in enumerate(rows):
+            if r.event_type != run_type:
+                if run_len >= 3:
+                    want.append((uid, run_type, run_len, run_first))
+                run_type, run_len, run_first = r.event_type, 1, r.event_id
+            else:
+                run_len += 1
+                run_first = min(run_first, r.event_id)
+        if run_len >= 3:
+            want.append((uid, run_type, run_len, run_first))
+    have = sorted(
+        map(tuple, got[["user_id", "event_type", "streak_len", "first_event"]].itertuples(index=False))
+    )
+    assert have == sorted(want) and len(want) > 0
+
+
+def test_join_asof_tolerance_and_forward():
+    got_t = _oracle("q_join_asof_tolerance").set_index("event_id")
+    got_f = _oracle("q_join_asof_forward").set_index("event_id")
+    ev = _events()
+    ev["us"] = _ts_us(ev["ts"])
+    want_t, want_f = {}, {}
+    for _, g in ev.groupby("user_id"):
+        views = g[g["event_type"] == "view"].sort_values(["us", "event_id"])
+        for _, p in g[g["event_type"] == "purchase"].iterrows():
+            back = views[(views["us"] <= p["us"]) & (p["us"] - views["us"] <= 3_600_000_000)]
+            if len(back):
+                b = back.sort_values(["us", "event_id"]).iloc[-1]
+                want_t[p["event_id"]] = (int(b["event_id"]), b["value"])
+            fwd = views[views["us"] > p["us"]]
+            if len(fwd):
+                b = fwd.iloc[0]
+                want_f[p["event_id"]] = (
+                    int(b["event_id"]), b["value"],
+                    int(math.floor((b["us"] - p["us"]) / 1_000_000.0)),
+                )
+    assert len(got_t) == len(want_t) > 0
+    for eid, (vid, vv) in want_t.items():
+        row = got_t.loc[eid]
+        assert (int(row["view_id"]), row["view_value"]) == (vid, vv)
+    assert len(got_f) == len(want_f) > 0
+    for eid, (vid, vv, ws) in want_f.items():
+        row = got_f.loc[eid]
+        assert (int(row["next_view_id"]), row["next_view_value"], int(row["wait_s"])) == (vid, vv, ws)
+
+
+def test_agg_skew_kurt_matches_moment_formulas():
+    got = _oracle("q_agg_skew_kurt").set_index("flag")
+    li = duckdb.connect().execute(
+        f"SELECT l_returnflag AS flag, l_extendedprice AS p "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    for flag, g in li.groupby("flag"):
+        x = np.floor(g["p"] / 100).astype("int64").to_numpy()
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3
+        row = got.loc[flag]
+        assert abs(row["skewness"] - skew) < 2e-4, flag
+        assert abs(row["kurtosis_excess"] - kurt) < 2e-4, flag
+
+
+def test_agg_argmax_matches_struct_max():
+    got = _oracle("q_agg_argmax").set_index("event_type")
+    ev = _events()
+    ev["day"] = ev["ts"].astype("datetime64[ns]").dt.strftime("%Y-%m-%d")
+    ev["di"] = _epoch_days(ev["ts"])
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby(["day", "di"]).apply(
+            lambda s: int(np.floor(s["value"] * 100).sum()), include_groups=False
+        )
+        # max on (cents, -di): highest revenue, EARLIEST day on ties
+        best = max(((c, -di, day) for (day, di), c in daily.items()))
+        row = got.loc[et]
+        assert row["peak_day"] == best[2], et
+        assert abs(row["peak_revenue"] - best[0] / 100.0) < 1e-9, et
+
+
+def test_agg_string_agg_matches_sorted_distinct():
+    got = _oracle("q_agg_string_agg").set_index("o_orderpriority")
+    orders = _orders()
+    for pri, g in orders.groupby("o_orderpriority"):
+        want = ",".join(sorted(set(g["o_orderstatus"])))
+        row = got.loc[pri]
+        assert row["statuses"] == want
+        assert int(row["n_orders"]) == len(g)
+
+
+def test_agg_percentile_matches_linear_interpolation():
+    got = _oracle("q_agg_percentile").set_index("l_returnflag")
+    li = duckdb.connect().execute(
+        f"SELECT l_returnflag, l_extendedprice, l_quantity "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    for flag, g in li.groupby("l_returnflag"):
+        row = got.loc[flag]
+        assert abs(row["med_price"] - round(float(np.quantile(g["l_extendedprice"], 0.5)), 4)) < 1e-6
+        assert abs(row["p95_price"] - round(float(np.quantile(g["l_extendedprice"], 0.95)), 4)) < 1e-6
+        assert abs(row["p25_qty"] - round(float(np.quantile(g["l_quantity"], 0.25)), 4)) < 1e-6
+
+
+def test_agg_histogram_matches_bucket_floor():
+    got = _oracle("q_agg_histogram").set_index("bucket")
+    ev = _events()
+    ev["bucket"] = (np.floor(ev["value"] / 25.0) + 1).astype("int64")
+    for b, g in ev.groupby("bucket"):
+        row = got.loc[b]
+        assert int(row["n"]) == len(g)
+        assert abs(row["lo"] - round(g["value"].min(), 2)) < 1e-9
+        assert abs(row["hi"] - round(g["value"].max(), 2)) < 1e-9
