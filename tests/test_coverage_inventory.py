@@ -92,40 +92,6 @@ _FAMILY_JUSTIFICATION = {
 _DIFFERENTIAL_ONLY = {
     # -- counting-selection (0: all replayed in r9, tests/test_recompute.py) --
     # -- hash-counting (0: all replayed in r9, tests/test_recompute.py) --
-    # -- primitive-composition (30; the 17 semantically-subtle ones
-    # — super-aggregate nulls, GROUPING bits, null-safe keys, bag
-    # set-ops, as-of variants, moments, interpolated quantiles —
-    # replayed in the r9 fourth wave) --
-    "q_agg_group": "primitive-composition",
-    "q_join_multiway": "primitive-composition",
-    "q_topk_per_group": "primitive-composition",
-    "q_agg_pivot": "primitive-composition",
-    "q_filter_date": "primitive-composition",
-    "q_case_when": "primitive-composition",
-    "q_join_left": "primitive-composition",
-    "q_join_outer": "primitive-composition",
-    "q_join_semi": "primitive-composition",
-    "q_join_anti": "primitive-composition",
-    "q_join_theta": "primitive-composition",
-    "q_join_range_interval": "primitive-composition",
-    "q_agg_distinct": "primitive-composition",
-    "q_agg_stats": "primitive-composition",
-    "q_agg_having": "primitive-composition",
-    "q_union_all": "primitive-composition",
-    "q_union_distinct": "primitive-composition",
-    "q_intersect": "primitive-composition",
-    "q_except": "primitive-composition",
-    "q_distinct": "primitive-composition",
-    "q_agg_collect": "primitive-composition",
-    "q_unpivot": "primitive-composition",
-    "q_agg_filter": "primitive-composition",
-    "q_win_nth_value": "primitive-composition",
-    "q_basket_pairs": "primitive-composition",
-    "q_source_python": "primitive-composition",
-    "q_join_interval_overlap": "primitive-composition",
-    "q_agg_bitmap_distinct": "primitive-composition",
-    "q_join_asof_nearest": "primitive-composition",
-    "q_pivot_dynamic": "primitive-composition",
     # -- roundtrip-identity (4) --
     "q_source_csv_roundtrip": "roundtrip-identity",
     "q_source_json_roundtrip": "roundtrip-identity",
@@ -537,6 +503,36 @@ _COVERED = {
     "q_agg_string_agg": "recompute: test_recompute.py",
     "q_agg_percentile": "recompute: test_recompute.py",
     "q_agg_histogram": "recompute: test_recompute.py",
+    "q_agg_group": "recompute: test_recompute.py",
+    "q_join_multiway": "recompute: test_recompute.py",
+    "q_topk_per_group": "recompute: test_recompute.py",
+    "q_agg_pivot": "recompute: test_recompute.py",
+    "q_filter_date": "recompute: test_recompute.py",
+    "q_case_when": "recompute: test_recompute.py",
+    "q_join_left": "recompute: test_recompute.py",
+    "q_join_outer": "recompute: test_recompute.py",
+    "q_join_semi": "recompute: test_recompute.py",
+    "q_join_anti": "recompute: test_recompute.py",
+    "q_join_theta": "recompute: test_recompute.py",
+    "q_join_range_interval": "recompute: test_recompute.py",
+    "q_agg_distinct": "recompute: test_recompute.py",
+    "q_agg_stats": "recompute: test_recompute.py",
+    "q_agg_having": "recompute: test_recompute.py",
+    "q_union_all": "recompute: test_recompute.py",
+    "q_union_distinct": "recompute: test_recompute.py",
+    "q_intersect": "recompute: test_recompute.py",
+    "q_except": "recompute: test_recompute.py",
+    "q_distinct": "recompute: test_recompute.py",
+    "q_agg_collect": "recompute: test_recompute.py",
+    "q_unpivot": "recompute: test_recompute.py",
+    "q_agg_filter": "recompute: test_recompute.py",
+    "q_win_nth_value": "recompute: test_recompute.py",
+    "q_basket_pairs": "recompute: test_recompute.py",
+    "q_source_python": "recompute: test_recompute.py",
+    "q_join_interval_overlap": "recompute: test_recompute.py",
+    "q_agg_bitmap_distinct": "recompute: test_recompute.py",
+    "q_join_asof_nearest": "recompute: test_recompute.py",
+    "q_pivot_dynamic": "recompute: test_recompute.py",
 }
 
 
@@ -570,12 +566,11 @@ def test_differential_only_set_is_frozen():
     # r9 shrank the tail: 23 keys (all 10 hash-counting + 7 of 9
     # token-byte-counting, then all 6 counting-selection) gained recompute replays in
     # tests/test_recompute.py and moved to _COVERED
-    assert len(_DIFFERENTIAL_ONLY) == 52
+    assert len(_DIFFERENTIAL_ONLY) == 22
     from collections import Counter
 
     fams = Counter(_DIFFERENTIAL_ONLY.values())
     assert fams == {
-        "primitive-composition": 30,
         "streaming-differential": 11,
         "udf-plumbing": 7,
         "roundtrip-identity": 4,

@@ -2032,3 +2032,391 @@ def test_agg_histogram_matches_bucket_floor():
         assert int(row["n"]) == len(g)
         assert abs(row["lo"] - round(g["value"].min(), 2)) < 1e-9
         assert abs(row["hi"] - round(g["value"].max(), 2)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# r9 (fifth wave): replays for every remaining primitive-composition
+# key — pandas merges/groupbys as the third derivation. With this
+# wave, ALL relational keys carry an independent recompute; the
+# differential-only set reduces to the three structural families
+# (streaming equivalence, UDF plumbing, roundtrip identity).
+# ---------------------------------------------------------------------------
+
+
+def _li(sf: str = SF) -> pd.DataFrame:
+    return duckdb.connect().execute(
+        f"SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+    ).df()
+
+
+def test_agg_group_matches_q1_shape():
+    got = _oracle("q_agg_group").set_index(["l_returnflag", "l_linestatus"])
+    li = _li()
+    li = li[pd.to_datetime(li["l_shipdate"]) <= pd.Timestamp("1998-09-02")]
+    assert len(got) > 0
+    for (f, s), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        row = got.loc[(f, s)]
+        assert abs(row["sum_qty"] - round(g["l_quantity"].sum(), 2)) < 1e-6
+        assert abs(row["sum_base_price"] - round(g["l_extendedprice"].sum(), 2)) < 0.02
+        disc = int(np.floor(g["l_extendedprice"] * (1 - g["l_discount"]) * 100).sum())
+        charge = int(
+            np.floor(
+                g["l_extendedprice"] * (1 - g["l_discount"]) * (1 + g["l_tax"]) * 100
+            ).sum()
+        )
+        assert abs(row["sum_disc_price"] - disc / 100.0) < 1e-6
+        assert abs(row["sum_charge"] - charge / 100.0) < 1e-6
+        assert abs(row["avg_qty"] - round(g["l_quantity"].mean(), 2)) < 1e-6
+        assert abs(row["avg_disc"] - round(g["l_discount"].mean(), 4)) < 1e-6
+        assert int(row["count_order"]) == len(g)
+
+
+def test_join_multiway_matches_merge_chain():
+    got = _oracle("q_join_multiway").set_index(["r_name", "n_name"])
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT r_name, n_name, o_totalprice
+            FROM read_parquet('{SF}/orders.parquet') o
+            JOIN read_parquet('{SF}/customer.parquet') c ON o_custkey = c_custkey
+            JOIN read_parquet('{SF}/nation.parquet') n ON c_nationkey = n_nationkey
+            JOIN read_parquet('{SF}/region.parquet') r ON n_regionkey = r_regionkey"""
+    ).df()
+    # independent re-join in pandas from the four raw tables
+    o = con.execute(f"SELECT o_custkey, o_totalprice FROM read_parquet('{SF}/orders.parquet')").df()
+    c = con.execute(f"SELECT c_custkey, c_nationkey FROM read_parquet('{SF}/customer.parquet')").df()
+    n = con.execute(f"SELECT n_nationkey, n_name, n_regionkey FROM read_parquet('{SF}/nation.parquet')").df()
+    r = con.execute(f"SELECT r_regionkey, r_name FROM read_parquet('{SF}/region.parquet')").df()
+    j = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    assert len(j) == len(df)
+    for (rn, nn), g in j.groupby(["r_name", "n_name"]):
+        row = got.loc[(rn, nn)]
+        assert abs(row["revenue"] - round(g["o_totalprice"].sum(), 2)) < 0.02
+        assert int(row["n_orders"]) == len(g)
+
+
+def test_topk_per_group_matches_sorted_head():
+    got = _oracle("q_topk_per_group")
+    orders = _orders()
+    want = []
+    for ck, g in orders.groupby("o_custkey"):
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        for i, (_, r) in enumerate(g.head(3).iterrows(), 1):
+            want.append((int(ck), int(r["o_orderkey"]), float(r["o_totalprice"]), i))
+    have = sorted(map(tuple, got[["o_custkey", "o_orderkey", "totalprice", "rank_in_cust"]].itertuples(index=False)))
+    assert have == sorted(want)
+
+
+def test_agg_pivot_and_pivot_dynamic_match_conditional_sums():
+    ev = _events()
+    for key in ("q_agg_pivot", "q_pivot_dynamic"):
+        got = _oracle(key).set_index("user_id")
+        assert len(got) == ev["user_id"].nunique()
+        for uid, g in ev.groupby("user_id"):
+            row = got.loc[uid]
+            for et in ("click", "error", "purchase", "signup", "view"):
+                sub = g[g["event_type"] == et]["value"]
+                if sub.empty:
+                    assert pd.isna(row[et]), (key, uid, et)
+                else:
+                    assert abs(row[et] - round(sub.sum(), 2)) < 1e-6, (key, uid, et)
+
+
+def test_filter_date_matches_between():
+    got = _oracle("q_filter_date")
+    li = _li()
+    sd = pd.to_datetime(li["l_shipdate"])
+    sel = li[(sd >= pd.Timestamp("1996-01-01")) & (sd <= pd.Timestamp("1996-12-31"))]
+    want = sorted(
+        (int(r["l_orderkey"]), int(r["l_linenumber"]),
+         pd.Timestamp(r["l_shipdate"]).date().isoformat())
+        for _, r in sel.iterrows()
+    )
+    assert sorted(map(tuple, got[["l_orderkey", "l_linenumber", "ship_date"]].itertuples(index=False))) == want
+    assert len(want) > 100
+
+
+def test_case_when_matches_banding():
+    got = _oracle("q_case_when").set_index("price_band")
+    orders = _orders()
+    bands = orders["o_totalprice"].map(
+        lambda p: "high" if p > 300000 else ("mid" if p > 100000 else "low")
+    )
+    for band, g in orders.groupby(bands):
+        row = got.loc[band]
+        assert int(row["n_orders"]) == len(g)
+        assert abs(row["total"] - round(g["o_totalprice"].sum(), 2)) < 0.02
+
+
+def test_join_left_semi_anti_match_exists_logic():
+    got_l = _oracle("q_join_left").set_index("c_custkey")
+    got_s = set(_oracle("q_join_semi")["c_custkey"])
+    got_a = set(_oracle("q_join_anti")["c_custkey"])
+    cust = _cust()
+    orders = _orders()
+    by_cust = dict(tuple(orders.groupby("o_custkey")))
+    urgent = set(orders[orders["o_orderpriority"] == "1-URGENT"]["o_custkey"].astype(int))
+    assert len(got_l) == len(cust)
+    for _, r in cust.iterrows():
+        ck = int(r["c_custkey"])
+        g = by_cust.get(ck)
+        row = got_l.loc[ck]
+        assert int(row["order_cnt"]) == (0 if g is None else len(g))
+        tot = 0.0 if g is None else round(g["o_totalprice"].sum(), 2)
+        assert abs(row["total_spent"] - tot) < 0.02
+    want_s = {int(k) for k in cust["c_custkey"] if int(k) in urgent}
+    assert got_s == want_s
+    assert got_a == set(cust["c_custkey"].astype(int)) - want_s
+    assert got_s and got_a  # both sides non-empty: semi ∪ anti = all
+
+
+def test_join_outer_matches_full_merge():
+    # sf0.01: at sf0.001 every surviving key sits on both sides, so
+    # the outer legs would go unexercised
+    got = _oracle("q_join_outer", SF01).set_index("custkey")
+    cust = _cust(SF01)
+    orders = _orders(SF01)
+    neg = {int(r["c_custkey"]): float(r["c_acctbal"])
+           for _, r in cust[cust["c_acctbal"] < 0].iterrows()}
+    big = {
+        int(ck): round(g["o_totalprice"].sum(), 2)
+        for ck, g in orders[orders["o_totalprice"] > 300000].groupby("o_custkey")
+    }
+    keys = set(neg) | set(big)
+    assert len(got) == len(keys)
+    n_left_only = n_right_only = 0
+    for k in keys:
+        row = got.loc[k]
+        if k in neg:
+            assert abs(row["acctbal"] - neg[k]) < 1e-9
+        else:
+            assert pd.isna(row["acctbal"]); n_right_only += 1
+        if k in big:
+            assert abs(row["big_total"] - big[k]) < 0.02
+        else:
+            assert pd.isna(row["big_total"]); n_left_only += 1
+    assert n_left_only and n_right_only  # both outer sides exercised
+
+
+def test_join_theta_matches_inequality_pairs():
+    # sf0.01: the 10 sf0.001 suppliers never share a nation
+    got = _oracle("q_join_theta", SF01)
+    supp = duckdb.connect().execute(
+        f"SELECT s_suppkey, s_nationkey, s_acctbal FROM read_parquet('{SF01}/supplier.parquet')"
+    ).df()
+    want = []
+    rows = list(supp.itertuples())
+    for a in rows:
+        for b in rows:
+            if a.s_nationkey == b.s_nationkey and a.s_acctbal > b.s_acctbal:
+                want.append((int(a.s_suppkey), int(b.s_suppkey), int(a.s_nationkey)))
+    assert sorted(map(tuple, got[["a_suppkey", "b_suppkey", "nationkey"]].itertuples(index=False))) == sorted(want)
+    assert len(want) > 0
+
+
+def test_join_range_interval_matches_window_count():
+    got = _oracle("q_join_range_interval").set_index("event_id")
+    ev = _events()
+    ev["us"] = _ts_us(ev["ts"])
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        clicks = g[g["event_type"] == "click"]["us"]
+        for _, p in g[g["event_type"] == "purchase"].iterrows():
+            n = int(((clicks >= p["us"] - 3_600_000_000) & (clicks < p["us"])).sum())
+            assert int(got.loc[p["event_id"], "clicks_before"]) == n
+            checked += 1
+    assert checked == len(got) > 0
+
+
+def test_agg_distinct_matches_nunique():
+    got = _oracle("q_agg_distinct").set_index("l_returnflag")
+    li = _li()
+    for f, g in li.groupby("l_returnflag"):
+        row = got.loc[f]
+        assert int(row["supp_cnt"]) == g["l_suppkey"].nunique()
+        assert int(row["part_cnt"]) == g["l_partkey"].nunique()
+        assert abs(row["sum_dist_qty"] - round(g["l_quantity"].drop_duplicates().sum(), 2)) < 1e-6
+
+
+def test_agg_stats_matches_numpy_ddof1():
+    got = _oracle("q_agg_stats").set_index("l_linestatus")
+    li = _li()
+    for s, g in li.groupby("l_linestatus"):
+        row = got.loc[s]
+        assert abs(row["sd_price"] - round(g["l_extendedprice"].std(ddof=1), 2)) < 0.02
+        assert abs(row["var_qty"] - round(g["l_quantity"].var(ddof=1), 2)) < 0.02
+        r = np.corrcoef(g["l_extendedprice"], g["l_quantity"])[0, 1]
+        assert abs(row["corr_pq"] - round(r, 4)) < 2e-4
+        cov = np.cov(g["l_extendedprice"], g["l_discount"], ddof=1)[0, 1]
+        assert abs(row["cov_pd"] - round(cov, 2)) < 0.05
+
+
+def test_agg_having_matches_group_filter():
+    got = _oracle("q_agg_having").set_index("o_custkey")
+    orders = _orders()
+    want = {}
+    for ck, g in orders.groupby("o_custkey"):
+        if len(g) >= 5 and g["o_totalprice"].sum() > 500000:
+            want[int(ck)] = (len(g), round(g["o_totalprice"].sum(), 2))
+    assert len(got) == len(want) > 0
+    for ck, (n, tot) in want.items():
+        row = got.loc[ck]
+        assert int(row["n_orders"]) == n
+        assert abs(row["total"] - tot) < 0.02
+
+
+def test_set_ops_match_python_sets():
+    from collections import Counter
+
+    cust = _cust()
+    supp = duckdb.connect().execute(
+        f"SELECT s_suppkey, s_nationkey FROM read_parquet('{SF}/supplier.parquet')"
+    ).df()
+    ua = _oracle("q_union_all")
+    want_ua = Counter(
+        [(int(k), "customer") for k in cust["c_custkey"]]
+        + [(int(k), "supplier") for k in supp["s_suppkey"]]
+    )
+    assert Counter(map(tuple, ua[["id", "src"]].itertuples(index=False))) == want_ua
+    cn = set(cust["c_nationkey"].astype(int))
+    sn = set(supp["s_nationkey"].astype(int))
+    assert set(_oracle("q_union_distinct")["nationkey"].astype(int)) == cn | sn
+    assert set(_oracle("q_intersect")["nationkey"].astype(int)) == cn & sn
+    assert set(_oracle("q_except")["nationkey"].astype(int)) == cn - sn
+    li = _li()
+    want_d = set(zip(li["l_returnflag"], li["l_linestatus"]))
+    assert set(map(tuple, _oracle("q_distinct").itertuples(index=False))) == want_d
+
+
+def test_agg_collect_matches_sorted_distinct_join():
+    got = _oracle("q_agg_collect").set_index("n_name")
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT n_name, c_mktsegment FROM read_parquet('{SF}/customer.parquet') c
+            JOIN read_parquet('{SF}/nation.parquet') n ON c_nationkey = n_nationkey"""
+    ).df()
+    for nn, g in df.groupby("n_name"):
+        row = got.loc[nn]
+        assert row["segments"] == ",".join(sorted(set(g["c_mktsegment"])))
+        assert int(row["n_customers"]) == len(g)
+
+
+def test_unpivot_matches_stacked_columns():
+    got = _oracle("q_unpivot")
+    li = _li()
+    li = li[li["l_linenumber"] == 1]
+    want = []
+    for _, r in li.iterrows():
+        k = (int(r["l_orderkey"]), 1)
+        want += [
+            (*k, "quantity", float(r["l_quantity"])),
+            (*k, "extendedprice", float(r["l_extendedprice"])),
+            (*k, "tax", float(r["l_tax"])),
+        ]
+    have = sorted(map(tuple, got[["l_orderkey", "l_linenumber", "metric", "metric_value"]].itertuples(index=False)))
+    assert have == sorted(want)
+
+
+def test_agg_filter_matches_conditional_aggs():
+    got = _oracle("q_agg_filter").set_index("l_returnflag")
+    li = _li()
+    for f, g in li.groupby("l_returnflag"):
+        row = got.loc[f]
+        assert int(row["n_bulk"]) == int((g["l_quantity"] > 25).sum())
+        rev = g[g["l_discount"] > 0.05]["l_extendedprice"].sum()
+        assert abs(row["discounted_rev"] - round(rev, 2)) < 0.02
+        assert int(row["n_total"]) == len(g)
+
+
+def test_win_nth_value_matches_running_third():
+    got = _oracle("q_win_nth_value").set_index("event_id")
+    ev = _events().sort_values(["ts", "event_id"])
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        vals = g["value"].tolist()
+        for i, eid in enumerate(g["event_id"]):
+            row = got.loc[eid]
+            if i < 2:
+                assert pd.isna(row["third_seen"])
+            else:
+                assert row["third_seen"] == vals[2]
+            checked += 1
+    assert checked == len(got) > 500
+
+
+def test_basket_pairs_matches_pair_counts():
+    got = _oracle("q_basket_pairs")
+    li = _li()[["l_orderkey", "l_partkey"]].drop_duplicates()
+    from collections import Counter
+
+    pairs: Counter = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"].astype(int)))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs[(ps[i], ps[j])] += 1
+    want = {k: v for k, v in pairs.items() if v >= 2}
+    have = {
+        (int(a), int(b)): int(n)
+        for a, b, n in got[["part_a", "part_b", "n_orders"]].itertuples(index=False)
+    }
+    assert have == want and len(want) > 0
+
+
+def test_source_python_matches_knuth_formula():
+    got = _oracle("q_source_python").set_index("tick_id")
+    assert len(got) == 20000
+    for i in (0, 1, 7, 8191, 19999):
+        assert int(got.loc[i, "bucket"]) == i % 8
+        assert int(got.loc[i, "value_cents"]) == ((i * 2654435761) % 2**32) % 10007
+
+
+def test_join_asof_nearest_matches_two_sided_rule():
+    got = _oracle("q_join_asof_nearest").set_index("event_id")
+    ev = _events()
+    ev = ev[ev["event_type"].isin(["view", "purchase"])].copy()
+    ev["us"] = _ts_us(ev["ts"])
+    want = {}
+    for _, g in ev.groupby("user_id"):
+        # sort exactly as the window does: views before purchases at
+        # equal ts (a view at the same instant counts as PREV, gap 0)
+        g = g.assign(is_p=(g["event_type"] == "purchase").astype(int))
+        g = g.sort_values(["us", "is_p", "event_id"]).reset_index(drop=True)
+        for idx, r in g.iterrows():
+            if r["event_type"] != "purchase":
+                continue
+            prev = next_ = None
+            for j in range(idx - 1, -1, -1):
+                if g.loc[j, "event_type"] == "view":
+                    prev = (int(g.loc[j, "event_id"]), int(g.loc[j, "us"]))
+                    break
+            for j in range(idx + 1, len(g)):
+                if g.loc[j, "event_type"] == "view":
+                    next_ = (int(g.loc[j, "event_id"]), int(g.loc[j, "us"]))
+                    break
+            if prev is None and next_ is None:
+                continue
+            t = int(r["us"])
+            if next_ is None or (prev is not None and abs(next_[1] - t) >= abs(prev[1] - t)):
+                vid = prev[0]  # ties go to prev
+            else:
+                vid = next_[0]
+            gap = min(
+                abs(prev[1] - t) if prev else 2**63 - 1,
+                abs(next_[1] - t) if next_ else 2**63 - 1,
+            )
+            want[int(r["event_id"])] = (vid, gap // 1_000_000)
+    assert len(got) == len(want) > 0
+    for eid, (vid, gap) in want.items():
+        row = got.loc[eid]
+        assert (int(row["view_id"]), int(row["gap_s"])) == (vid, gap), eid
+
+
+def test_agg_bitmap_distinct_matches_nunique():
+    got = _oracle("q_agg_bitmap_distinct").set_index("o_orderpriority")
+    orders = _orders()
+    for pri, g in orders.groupby("o_orderpriority"):
+        assert int(got.loc[pri, "n_customers"]) == g["o_custkey"].nunique()
