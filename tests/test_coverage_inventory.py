@@ -252,7 +252,7 @@ _COVERED = {
     "q_pack_sequences": "contract: test_pipeline.py",
     "q_merge_upsert": "contract: test_pipeline.py",
     "q_fn_cond_null": "contract: test_plans.py",
-    "q_fn_hash": "contract: test_registry.py",
+    "q_fn_hash": "recompute: test_recompute.py",
     "q_fn_hash_native": "contract: test_registry.py",
     "q_udtf": "contract: test_plans.py",
     "q_stream_tumbling": "contract: test_streaming.py",
@@ -600,8 +600,12 @@ def test_recompute_claims_have_a_matching_test():
     """Claim-vs-file audit (r9): every row that names a test file as
     its recompute home must actually appear in that file — a
     classification row without a replay is exactly the silent gap
-    this inventory exists to prevent (caught q_fn_map, q_topk and
-    q_join_interval_overlap carrying dangling claims)."""
+    this inventory exists to prevent. The same rule covers contract
+    rows. (Caught 10 dangling rows total: q_fn_map missed in the r9
+    scalar wave; q_topk / q_join_interval_overlap / q_tokenize /
+    q_funnel / q_drawdown / q_seasonality / q_fn_hash carried
+    forward from the r8 inventory; the two media keys' codec tests
+    did not name them.)"""
     import os
     import re
 
@@ -610,7 +614,7 @@ def test_recompute_claims_have_a_matching_test():
     missing = []
     for k, where in _COVERED.items():
         kind, _, files = where.partition(":")
-        if kind != "recompute":
+        if kind not in ("recompute", "contract"):
             continue
         named = [f.strip() for f in files.split(",")]
         found = False

@@ -331,6 +331,8 @@ def test_encode_decode_png_roundtrip_rgba():
 
 
 def test_decode_wav_samples_stdlib():
+    """Cross-checks the decoder q_multimodal_wav_features rides
+    against python's stdlib wave writer (independent codec)."""
     import io
     import struct
     import wave
@@ -348,7 +350,8 @@ def test_decode_wav_samples_stdlib():
 
 
 def test_decode_pixels_dispatch_and_gate():
-    """_decode_pixels: PNG, WAV and baseline JPEG decode for real
+    """_decode_pixels (the q_multimodal_pixels decode layer): PNG, WAV
+    and baseline JPEG decode for real
     (r8 — the JPEG codec closed the last NotImplementedError gate); a
     structurally broken JPEG fails with a parse error, not a stub."""
     png = multimodal.encode_png(bytes(range(16)), 4, 4, channels=1)

@@ -2551,3 +2551,14 @@ def test_seasonality_matches_dow_index():
             assert abs(row["avg_daily"] - math.floor(s_ / n) / 100.0) < 1e-9
             idx = (s_ / n) / (tot_cents / tot_days)
             assert abs(row["seasonal_idx"] - round(idx, 4)) < 1e-6
+
+
+def test_fn_hash_matches_hashlib():
+    got = _oracle("q_fn_hash").set_index("c_custkey")
+    cust = _cust()
+    assert len(got) == len(cust)
+    for _, r in cust.iterrows():
+        row = got.loc[r["c_custkey"]]
+        assert row["name_md5"] == hashlib.md5(r["c_name"].encode()).hexdigest()
+        rec = r["c_name"] + "|" + r["c_mktsegment"]
+        assert row["rec_sha"] == hashlib.sha256(rec.encode()).hexdigest()
