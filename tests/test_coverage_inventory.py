@@ -98,7 +98,10 @@ _DIFFERENTIAL_ONLY = {
     "q_sink_partition_prune": "roundtrip-identity",
     "q_source_schema_evolution": "roundtrip-identity",
     # -- scalar-builtin (0: all replayed in r9 third wave — python stdlib as the third implementation) --
-    # -- streaming-differential (11) --
+    # -- streaming-differential (11; anomaly/median/pipeline
+    # additionally carry formula replays in test_recompute.py —
+    # z-score, lower-median, traffic share — on top of the
+    # stream-vs-batch equivalence that classifies them here) --
     "q_stream_median": "streaming-differential",
     "q_stream_pipeline": "streaming-differential",
     "q_stream_sliding": "streaming-differential",

@@ -2562,3 +2562,74 @@ def test_fn_hash_matches_hashlib():
         assert row["name_md5"] == hashlib.md5(r["c_name"].encode()).hexdigest()
         rec = r["c_name"] + "|" + r["c_mktsegment"]
         assert row["rec_sha"] == hashlib.sha256(rec.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# r9 (streaming formulas): the streaming keys' independent check is
+# stream-vs-batch equivalence by construction, but three of them also
+# carry real FORMULAS (z-score, lower-median, traffic share) whose
+# shared text could be misread on both engines — replay those from
+# the raw fixture. The keys stay classified streaming-differential;
+# these pin the formula layer specifically.
+# ---------------------------------------------------------------------------
+
+
+def test_stream_anomaly_formula_matches_numpy():
+    got = _oracle("q_stream_anomaly")
+    ev = _events()
+    ev["win"] = _ts_us(ev["ts"]) // 3_600_000_000 * 3600
+    rows = {}
+    for et, g in ev.groupby("event_type"):
+        counts = g.groupby("win").size()
+        if len(counts) <= 1:
+            continue
+        n_wins = len(counts)
+        mean = counts.sum() / n_wins
+        sd = math.sqrt((np.sum(counts.to_numpy() ** 2) - counts.sum() ** 2 / n_wins) / (n_wins - 1))
+        for w, n in counts.items():
+            z = (n - mean) / sd
+            rows[(et, int(w))] = (int(n), round(z, 4), int(abs(z) > 2.0))
+    assert len(got) == len(rows) > 0
+    for _, r in got.iterrows():
+        n, z, flag = rows[(r["event_type"], int(r["win_start"]))]
+        assert int(r["n"]) == n
+        assert abs(r["z"] - z) < 1e-6
+        assert int(r["is_anomaly"]) == flag
+
+
+def test_stream_median_formula_matches_histogram_rule():
+    got = _oracle("q_stream_median").set_index(["win_start", "event_type"])
+    ev = _events()
+    ev["win"] = _ts_us(ev["ts"]) // 3_600_000_000 * 3600
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    checked = 0
+    for (w, et), g in ev.groupby(["win", "event_type"]):
+        hist = g.groupby("cents").size().sort_index()
+        total = int(hist.sum())
+        cum = 0
+        for cents, k in hist.items():
+            cum += int(k)
+            if 2 * cum >= total:
+                med = cents / 100.0
+                break
+        row = got.loc[(int(w), et)]
+        assert int(row["n"]) == total
+        assert abs(row["median_value"] - round(med, 2)) < 1e-9
+        checked += 1
+    assert checked == len(got) > 50
+
+
+def test_stream_pipeline_formula_matches_share_and_distinct():
+    got = _oracle("q_stream_pipeline").set_index(["event_type", "day"])
+    ev = _events()
+    ev["day"] = ev["ts"].astype("datetime64[ns]").dt.strftime("%Y-%m-%d")
+    counts = ev.groupby("event_type").size()
+    tot = counts.sum()
+    checked = 0
+    for (et, day), g in ev.groupby(["event_type", "day"]):
+        n_users = g.drop_duplicates(["user_id"])["user_id"].nunique()
+        row = got.loc[(et, day)]
+        assert int(row["n_users"]) == n_users
+        assert abs(row["type_share"] - round(counts[et] / tot, 6)) < 1e-9
+        checked += 1
+    assert checked == len(got) > 10
