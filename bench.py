@@ -77,6 +77,10 @@ HEADLINE = [
     "q_graph_distances",     # BFS hop histogram fixpoint (r8)
     "q_dedup_span_coverage",  # substring-dedup interval union (r8)
     "q_multimodal_jpeg",     # real baseline-JPEG round-trip (r8)
+    # r9 additions: the two heaviest previously-unbenched keys (the
+    # 42-key prefix above is unchanged for comparability)
+    "q_dedup_cluster",       # PPJoin edges + pointer-jumping CC fixpoint
+    "q_stream_stream_join",  # two-stream watermarked interval join replay
 ]
 
 

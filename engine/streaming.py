@@ -544,8 +544,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps are µs-aligned, making the ns->µs load truncation
     lossless for the boundary comparison."""
     src = _stage(sf_dir, "plain")
+    # batch-boundary-invariant (r9): ordered staging means no late
+    # rows, and the 1 h watermark delay strictly exceeds the 30 min
+    # join range, so no state a future row could still match is ever
+    # evicted early — the emitted inner-join set is the batch answer
+    # whatever the micro-batch boundaries. 4 larger batches per side.
     clicks = (
-        _read_stream(spark, src)
+        _read_stream(spark, src, files_per_trigger=2)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -555,7 +560,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        _read_stream(spark, src)
+        _read_stream(spark, src, files_per_trigger=2)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
