@@ -114,7 +114,10 @@ _DIFFERENTIAL_ONLY = {
     "q_stream_cdc_apply": "streaming-differential",
     "q_stream_topk": "streaming-differential",
     # -- tpch-shape (0: q12 replayed in r9) --
-    # -- udf-plumbing (7) --
+    # -- udf-plumbing (7; pandas_agg/grouped_map additionally carry
+    # formula replays in test_recompute.py — weighted mean, group
+    # z-score — on top of the execution-surface contract that
+    # classifies them here) --
     "q_udf_scalar": "udf-plumbing",
     "q_udf_pandas_scalar": "udf-plumbing",
     "q_udf_pandas_agg": "udf-plumbing",

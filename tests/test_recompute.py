@@ -2633,3 +2633,30 @@ def test_stream_pipeline_formula_matches_share_and_distinct():
         assert abs(row["type_share"] - round(counts[et] / tot, 6)) < 1e-9
         checked += 1
     assert checked == len(got) > 10
+
+
+def test_udf_pandas_agg_formula_matches_weighted_mean():
+    """q_udf_pandas_agg's contract is the Arrow grouped-agg surface,
+    but its formula (quantity-weighted mean price) is worth its own
+    pin — the UDF body and the SQL must both mean Σpq/Σq."""
+    got = _oracle("q_udf_pandas_agg").set_index("l_returnflag")
+    li = _li()
+    for f, g in li.groupby("l_returnflag"):
+        w = (g["l_extendedprice"] * g["l_quantity"]).sum() / g["l_quantity"].sum()
+        assert abs(got.loc[f, "wavg_price"] - w) < 1e-6, f
+
+
+def test_udf_grouped_map_formula_matches_group_zscore():
+    """q_udf_grouped_map's formula layer: per-nation z-score with the
+    SAMPLE stddev (ddof=1) and the sd==0 -> 0.0 guard."""
+    got = _oracle("q_udf_grouped_map").set_index("c_custkey")
+    cust = _cust()
+    checked = 0
+    for _, g in cust.groupby("c_nationkey"):
+        mu = g["c_acctbal"].mean()
+        sd = g["c_acctbal"].std(ddof=1)
+        for _, r in g.iterrows():
+            z = 0.0 if not sd or sd != sd else (r["c_acctbal"] - mu) / sd
+            assert abs(got.loc[r["c_custkey"], "z_score"] - z) < 1e-9
+            checked += 1
+    assert checked == len(got) > 100
