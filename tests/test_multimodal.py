@@ -124,6 +124,22 @@ def test_jpeg_decoder_accepts_fill_bytes_and_standalone_markers():
     assert (got["width"], got["height"]) == (8, 8)
 
 
+def test_jpeg_decoder_truncated_fill_bytes_raise_value_error():
+    """ADVICE r9: a payload truncated INSIDE trailing 0xFF fill bytes
+    (or right after them) must raise the decoder's documented
+    ValueError, not IndexError from the fill-skip walk running off
+    the end."""
+    import numpy as np
+
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    payload = multimodal.encode_jpeg_baseline(img.tobytes(), 8, 8)
+    for tail in (b"\xff", b"\xff\xff\xff", b""):
+        # SOI, then nothing but fill bytes / empty: the marker walk
+        # hits end-of-payload before any marker code
+        with pytest.raises(ValueError):
+            multimodal.decode_jpeg_baseline(payload[:2] + tail)
+
+
 def test_jpeg_decoder_rejects_progressive_and_garbage():
     import struct
 

@@ -31,28 +31,25 @@ def test_priority_has_no_duplicates():
 # collapse; cluster gid-level CC + pointer-jumping; containment
 # shares the refactored _jaccard_group_pairs core.
 _RECERT = {
-    # r9 in-window re-certs (registry._PRIORITY slots 0-2):
-    # q_stream_watermark_late's only driver row is the r02 `no_oracle`
-    # row, predating the r7 rows-only->full-oracle conversion (VERDICT
-    # r8 "missing" #2); q_dedup_jaccard certifies the r8 MinHash-banded
-    # candidate cutover; q_dedup_containment certifies the separate
-    # r8 df-cap cutover.
-    "q_stream_watermark_late",
-    "q_dedup_jaccard",
-    "q_dedup_containment",
-    # r10-queued re-certs (slots 50-52), spilled from r9 so the 47
-    # never-graded keys all fit in-window (never-graded=0 outranked
-    # them — VERDICT r8 task 1): q_dedup_ngram shares q_dedup_jaccard's
-    # _jaccard_group_pairs cutover path verbatim; q_sim_pairwise's
-    # newest row is r06, before the (env-gated, default-off) r7
+    # r10 in-window re-certs (registry._PRIORITY slots 0-4; full
+    # rationale in the registry header comment):
+    # q_dedup_ngram shares q_dedup_jaccard's _jaccard_group_pairs
+    # cutover path verbatim (jaccard's r09 row certifies the
+    # mechanism; ngram gets its own row); q_sim_pairwise's newest row
+    # is r06, before the (env-gated, default-off) r7
     # SPARK_GRAFT_ANN_MODE cutover; q_embed_matryoshka's r07 row
-    # already postdates its rewrite (belt-and-braces).
+    # already postdates its rewrite (belt-and-braces, spilled from
+    # the r9 plan).
     "q_dedup_ngram",
     "q_sim_pairwise",
     "q_embed_matryoshka",
     # r9 estimator touch: _tdigest_quantile moved to the lerp-stable
     # two-product interpolation (rows-only key; fresh row in r10).
     "q_agg_tdigest",
+    # replay path changed POST-SEAL in r9 (c8a483b:
+    # files_per_trigger=2) while its only driver row is r02 — VERDICT
+    # r9 "missing" #2 asked it to jump the queue.
+    "q_stream_stream_join",
 }
 
 

@@ -212,17 +212,29 @@ def check_one(spark, con, key: str, fn, sql: str | None, sf_dir: str) -> tuple[b
     return True, f"match: {len(sdf)} rows ({t_spark:.1f}s)"
 
 
+def assert_scale_knobs_unset(context: str) -> None:
+    """ADVICE r8/r9: the scale-cutover knobs switch graded-exact keys
+    onto approximate candidate paths; a differential sweep with one
+    set would certify the wrong plan. RuntimeError (not assert — an
+    assert is silently stripped under ``python -O``), and a single
+    shared knob list so a future knob added here guards BOTH gates
+    (driver_sim imports this)."""
+    leaked = [k for k in SCALE_KNOBS if os.environ.get(k)]
+    if leaked:
+        raise RuntimeError(
+            f"scale-cutover knobs set during {context}: {leaked} — "
+            "unset them; grading must exercise the default exact paths"
+        )
+
+
+SCALE_KNOBS = [
+    "SPARK_GRAFT_ANN_MODE", "SPARK_GRAFT_ANN_CUTOVER",
+    "SPARK_GRAFT_DF_CAP", "SPARK_GRAFT_SPAN_CAP",
+]
+
+
 def main() -> None:
-    # ADVICE r8: the scale-cutover knobs switch graded-exact keys onto
-    # approximate candidate paths; a differential sweep with one set
-    # would certify the wrong plan. Fail loudly instead.
-    knobs = ["SPARK_GRAFT_ANN_MODE", "SPARK_GRAFT_ANN_CUTOVER",
-             "SPARK_GRAFT_DF_CAP", "SPARK_GRAFT_SPAN_CAP"]
-    leaked = [k for k in knobs if os.environ.get(k)]
-    assert not leaked, (
-        f"scale-cutover knobs set during a check sweep: {leaked} — "
-        "unset them; grading must exercise the default exact paths"
-    )
+    assert_scale_knobs_unset("a check sweep")
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
     if args and args[0].startswith("/"):

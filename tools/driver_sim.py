@@ -11,7 +11,6 @@ the command line. Oracle-checked keys also run the complex-output gate
 Usage: python tools/driver_sim.py [extra_key ...]
 """
 import importlib.util
-import os
 import sys
 
 import duckdb
@@ -20,54 +19,24 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
 # Same row normalization as the hardened checker: floats rounded before
 # keying the sort, so cross-engine rounding noise can't misalign rows.
-from tools.check import complex_cols, decimal_cols, normalize, rows_equal  # noqa: E402
+from tools.check import (  # noqa: E402
+    assert_scale_knobs_unset, complex_cols, decimal_cols, normalize, rows_equal,
+)
 
 # Keys added or plan-rewritten THIS round — every one must pass the
 # vanilla-session differential before the exit seal. Maintained by the
 # round builder; reset at round start.
 ROUND_CHANGED = [
-    # (reset at r9 start; every key added or plan-rewritten this round
-    # must be listed here and pass the vanilla-session differential
-    # before the exit seal)
-    # ADVICE r8 (medium): the r8 streaming block listed only 13 of the
-    # 15 _run_to_memory callers — q_stream_python_source and
-    # q_stream_cdc_apply (engine/streaming.py) also replay through the
-    # shuffle-partition-pinned harness and were silently skipped by
-    # the r8 vanilla-session gate. Close the gap this round:
-    "q_stream_python_source", "q_stream_cdc_apply",
-    # r9: _run_to_memory now restores the shuffle-partition pin right
-    # after .start() (StreamExecution plans batches on its session
-    # CLONE, so the pin is captured at start and the global session is
-    # clean for the replay's lifetime — ADVICE r8); anomaly/median/
-    # pipeline additionally replay 4 larger micro-batches
-    # (files_per_trigger=2; results batch-boundary-invariant, comments
-    # at the call sites). ALL _run_to_memory callers re-gated:
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark_late", "q_stream_dedup", "q_stream_stateful",
-    "q_stream_join", "q_stream_stream_join", "q_stream_bars",
-    "q_stream_anomaly", "q_stream_median", "q_stream_topk",
-    "q_stream_pipeline",
-    "q_multimodal_jpeg",  # r9: marker walk now skips 0xFF fill bytes
-                  # and length-less standalone markers (TEM/stray
-                  # RSTn) per T.81 B.1.1.2 (ADVICE r8)
-    "q_agg_tdigest",  # r9: lerp-stable quantile interpolation
-                  # (hypothesis caught the 1-ulp walk past an exact
-                  # data point at frac=1)
+    # (reset at r10 start; every key added or plan-rewritten this
+    # round must be listed here and pass the vanilla-session
+    # differential before the exit seal)
 ]
 
-# ADVICE r8 (low): the scale-cutover env knobs switch graded-exact
-# keys onto approximate candidate paths (documented recall <1.0 near
-# threshold). A grading/sealing session must run the DEFAULT exact
-# paths — fail loudly if any knob leaked into the environment.
-_SCALE_KNOBS = [
-    "SPARK_GRAFT_ANN_MODE", "SPARK_GRAFT_ANN_CUTOVER",
-    "SPARK_GRAFT_DF_CAP", "SPARK_GRAFT_SPAN_CAP",
-]
-_leaked = [k for k in _SCALE_KNOBS if os.environ.get(k)]
-assert not _leaked, (
-    f"scale-cutover knobs set during a graded sweep: {_leaked} — "
-    "unset them; driver grading must exercise the default exact paths"
-)
+# ADVICE r8 (low): a grading/sealing session must run the DEFAULT
+# exact paths — fail loudly if any scale-cutover knob leaked into the
+# environment. ADVICE r9 (low): knob list + RuntimeError guard now
+# live in ONE place (tools/check.py) so both gates stay in sync.
+assert_scale_knobs_unset("a driver-sim run")
 
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
