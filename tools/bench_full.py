@@ -1,0 +1,103 @@
+"""Full-registry timing snapshot: EVERY registered key at sf0.1, warm,
+best-of-1, persisted to BENCH_FULL_r{N}.json (VERDICT r9 task 4).
+
+The 44-key headline bench (bench.py) is kept for round-over-round
+comparability; this snapshot closes the remaining 383-key blind spot —
+a slope regression in the long tail shows up here a round earlier
+than SCALING.md's manual audits. Once per round, at the exit seal:
+
+    python tools/bench_full.py 10          # writes BENCH_FULL_r10.json
+
+If an earlier BENCH_FULL_r{N}.json exists, every key that moved >2x
+(and >0.5 s absolute, to keep sub-100 ms jitter out) is printed for
+the round notes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from engine.registry import all_queries  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+from tools.check import assert_scale_knobs_unset  # noqa: E402
+
+
+def warm(spark, queries, sf_dir: str) -> None:
+    """Same untimed lane warmups as bench.py: JVM/codegen, python
+    daemon + Arrow pool, MLlib/BLAS, Python DataSource worker, and
+    the streaming replay staging."""
+    queries["q_agg_group"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(64).repartition(4).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.linalg import Vectors
+
+    mldf = spark.createDataFrame(
+        [(Vectors.dense([float(i), float(i % 3)]),) for i in range(12)],
+        ["features"],
+    )
+    KMeans(k=2, seed=1, maxIter=2).fit(mldf)
+    queries["q_source_python"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from engine.streaming import _stage
+
+    _stage(sf_dir, "plain")
+    _stage(sf_dir, "sentinel")
+    _stage(sf_dir, "late")
+
+
+def main() -> None:
+    assert_scale_knobs_unset("a full-registry bench")
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench-full")
+    queries = all_queries()
+    warm(spark, queries, sf_dir)
+
+    times: dict[str, float] = {}
+    for i, key in enumerate(sorted(queries)):
+        t0 = time.perf_counter()
+        queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[key] = round(time.perf_counter() - t0, 3)
+        print(f"[{i + 1:3d}/{len(queries)}] {times[key]:7.2f}s  {key}", flush=True)
+
+    out = {
+        "metric": "full_registry_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "n_keys": len(times),
+        "sf": sf,
+        "queries": times,
+    }
+    path = f"/root/repo/BENCH_FULL_r{rnd:02d}.json" if rnd else "/root/repo/BENCH_FULL.json"
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"\nwrote {path}: {out['value']}s over {out['n_keys']} keys")
+
+    # round-over-round movers (>2x AND >0.5 s absolute delta)
+    prior_files = sorted(
+        f for f in os.listdir("/root/repo")
+        if f.startswith("BENCH_FULL_r") and f.endswith(".json") and f != os.path.basename(path)
+    )
+    if prior_files:
+        prev = json.load(open(f"/root/repo/{prior_files[-1]}"))
+        movers = []
+        for k, t in times.items():
+            p = prev["queries"].get(k)
+            if p and p > 0 and (t / p > 2 or p / t > 2) and abs(t - p) > 0.5:
+                movers.append((k, p, t))
+        print(f"\nmovers vs {prior_files[-1]} (>2x and >0.5s):")
+        for k, p, t in sorted(movers, key=lambda m: -abs(m[2] - m[1])):
+            print(f"  {k}: {p:.2f}s -> {t:.2f}s")
+        if not movers:
+            print("  (none)")
+
+
+if __name__ == "__main__":
+    main()
