@@ -20,7 +20,14 @@ Contract details (driver protocol, __spark_entry__.py docstring):
   over partials) must not feed ``round`` directly — rounding amplifies
   1-ulp order noise into visible diffs; aggregate exact integers (see
   q_embed_centroids' quantize-then-average) or pin the fold order
-  (q_win_ewma's sorted-array ``aggregate``).
+  (q_win_ewma's sorted-array ``aggregate``);
+- quantized-integer sums must be SIZED against their unit: ANSI Spark
+  throws on int64 overflow (DuckDB's BIGINT cast too), so any sum
+  whose addends can exceed ~1e17 (squared-cents terms, anything
+  beyond linear cents) must aggregate in decimal(38,0) / HUGEINT and
+  cast to double only for final ratios (q_stats_anova's per-group
+  cents² terms hit 6.3e18 at sf0.1 — caught by the r10 full-registry
+  sf0.1 snapshot; linear cents sums have ≥1e5× headroom).
 """
 
 from __future__ import annotations
@@ -86,14 +93,20 @@ def _ensure_loaded() -> None:
 #   - q_stream_stream_join — its replay path changed POST-SEAL in r9
 #     (c8a483b: files_per_trigger=2, 4 micro-batches) while its only
 #     driver row is r02; VERDICT r9 "missing" #2 asked it to jump the
-#     queue ahead of its natural r02-block slot.
+#     queue ahead of its natural r02-block slot;
+#   - q_stats_anova — the first r10 full-registry sf0.1 snapshot
+#     caught its k-row SSB/SSW long sums overflowing int64 at sf0.1
+#     (a single group's qssw ≈ 6.3e18 cents²); both sides now sum in
+#     decimal(38,0)/HUGEINT. Output values are unchanged at the
+#     graded SFs, but the plan changed after its r06 row — re-cert
+#     precedent applies (displaces q_fn_map to the r01 remainder).
 _PRIORITY: list[str] = [
     # ================= r10 window (slots 0-49) =================
-    # slots 0-4: re-certs (tests/test_registry._RECERT; rationale
+    # slots 0-5: re-certs (tests/test_registry._RECERT; rationale
     # in the header comment above)
     "q_dedup_ngram", "q_sim_pairwise", "q_embed_matryoshka",
-    "q_agg_tdigest", "q_stream_stream_join",
-    # slots 5-49: the first 45 keys of the r01 refresh block — the
+    "q_agg_tdigest", "q_stream_stream_join", "q_stats_anova",
+    # slots 6-49: the first 44 keys of the r01 refresh block — the
     # stalest driver rows (9 rounds old against a heavily-refactored
     # codebase), row-age ordered per VERDICT r8 task 7 / r9 task 1.
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
@@ -107,14 +120,15 @@ _PRIORITY: list[str] = [
     "q_win_first_last", "q_win_pct", "q_sort_multi", "q_topk",
     "q_limit_offset", "q_union_all", "q_union_distinct", "q_intersect",
     "q_except", "q_distinct", "q_fn_string", "q_fn_date", "q_fn_math",
-    "q_fn_array", "q_fn_map",
+    "q_fn_array",
     # ================= refresh backlog (slots 50+) =================
     # Driver-verified keys, stalest row first (r01 remainder → r09)
     # so every future window is a prefix rotation.
 
-    # r01 rows (remainder — r11 window front)
+    # r01 rows (remainder — r11 window front; q_fn_map displaced by
+    # the q_stats_anova re-cert insertion)
 
-    "q_fn_explode", "q_agg_approx_distinct",
+    "q_fn_map", "q_fn_explode", "q_agg_approx_distinct",
     # r02 rows
 
     "q_sim_topk", "q_agg_collect", "q_dedup_exact", "q_dedup_embedding",
@@ -194,7 +208,9 @@ _PRIORITY: list[str] = [
     "q_source_csv_roundtrip", "q_source_json_roundtrip",
     "q_sink_partition_prune", "q_stats_changepoint", "q_udtf_arrow",
     "q_basket_rules", "q_events_attribution", "q_stats_ks",
-    "q_stats_mannwhitney", "q_stats_anova", "q_quality_drift",
+    # (q_stats_anova fronted to the r10 re-cert slots — the sf0.1
+    # overflow fix postdates its r06 row)
+    "q_stats_mannwhitney", "q_quality_drift",
     "q_win_theil_sen", "q_graph_components", "q_risk_metrics",
     "q_seasonal_decompose", "q_graph_link_predict", "q_text_heaps",
     "q_multimodal_frames",

@@ -758,13 +758,14 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g, tot
     ),
     a AS (SELECT any_value(k) AS k, any_value(n_total) AS n,
-                 CAST(sum(qssb) AS BIGINT) AS ssb,
-                 CAST(sum(qssw) AS BIGINT) AS ssw
+                 CAST(sum(qssb) AS HUGEINT) AS ssb,
+                 CAST(sum(qssw) AS HUGEINT) AS ssw
           FROM terms)
     SELECT k, n,
            round((CAST(ssb AS DOUBLE) / (k - 1))
                  / (CAST(ssw AS DOUBLE) / (n - k)), 4) + 0.0 AS f_stat,
-           round(CAST(ssb AS DOUBLE) / (ssb + ssw), 6) + 0.0 AS eta_sq
+           round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6) + 0.0
+             AS eta_sq
     FROM a
     """,
 )
@@ -777,7 +778,10 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT sums — Σcents² overflows bigint beyond ~sf0.1); group and
     grand means are deterministic double divisions of those integers;
     each group's between/within term is quantized to a bigint cents²
-    unit BEFORE the k-row sum so SSB/SSW are order-independent.
+    unit BEFORE the k-row sum so SSB/SSW are order-independent, and
+    the k-row sum itself is decimal(38,0)/HUGEINT (a single group's
+    qssw reaches ~6.3e18 cents² at sf0.1, so the summed SSW overflows
+    int64 — found by the r10 full-registry sf0.1 snapshot).
 
     Scale shape: ONE fact-table hash aggregate to |priorities| rows
     (map-side combine), a 1-row broadcast total, and closed-form
@@ -810,11 +814,18 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qssw"),
     )
+    # The k-row SSB/SSW sums must NOT be long: each group's qssw is an
+    # exact cents² bigint that reaches ~6.3e18 at sf0.1, so the 5-group
+    # sum (~3.1e19) overflows int64 — ANSI Spark throws, and the old
+    # oracle's CAST(sum(...) AS BIGINT) would too (caught by the first
+    # full-registry sf0.1 snapshot, r10). Sum in decimal(38,0)/HUGEINT
+    # (still exact integers — order-independent), cast to double only
+    # for the final ratios; no DecimalType reaches the output schema.
     a = terms.agg(
         F.any_value("k").alias("k"),
         F.any_value("n_total").alias("n"),
-        F.sum("qssb").cast("long").alias("ssb"),
-        F.sum("qssw").cast("long").alias("ssw"),
+        F.sum(F.col("qssb").cast("decimal(38,0)")).alias("ssb"),
+        F.sum(F.col("qssw").cast("decimal(38,0)")).alias("ssw"),
     )
     return a.select(
         "k",
@@ -828,7 +839,11 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("f_stat"),
         (
-            F.round(F.col("ssb").cast("double") / (F.col("ssb") + F.col("ssw")), 6)
+            F.round(
+                F.col("ssb").cast("double")
+                / (F.col("ssb") + F.col("ssw")).cast("double"),
+                6,
+            )
             + 0.0
         ).alias("eta_sq"),
     )

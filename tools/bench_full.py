@@ -61,9 +61,17 @@ def main() -> None:
     warm(spark, queries, sf_dir)
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for i, key in enumerate(sorted(queries)):
         t0 = time.perf_counter()
-        queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record and keep sweeping
+            # one bad key must not kill the snapshot (this caught the
+            # q_stats_anova sf0.1 long overflow on the first run)
+            errors[key] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            print(f"[{i + 1:3d}/{len(queries)}]   ERROR   {key}: {errors[key]}", flush=True)
+            continue
         times[key] = round(time.perf_counter() - t0, 3)
         print(f"[{i + 1:3d}/{len(queries)}] {times[key]:7.2f}s  {key}", flush=True)
 
@@ -72,6 +80,8 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "n_keys": len(times),
+        "n_errors": len(errors),
+        "errors": errors,
         "sf": sf,
         "queries": times,
     }

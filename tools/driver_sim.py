@@ -33,6 +33,9 @@ ROUND_CHANGED = [
     # r10: stream-stream join replay coarsened to files_per_trigger=4
     # (2 micro-batches/side; invariance argument at the call site)
     "q_stream_stream_join",
+    # r10: k-row SSB/SSW sums moved to decimal(38,0)/HUGEINT — the
+    # full-registry sf0.1 snapshot caught the int64 overflow
+    "q_stats_anova",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
