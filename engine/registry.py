@@ -99,14 +99,24 @@ def _ensure_loaded() -> None:
 #     (a single group's qssw ≈ 6.3e18 cents²); both sides now sum in
 #     decimal(38,0)/HUGEINT. Output values are unchanged at the
 #     graded SFs, but the plan changed after its r06 row — re-cert
-#     precedent applies (displaces q_fn_map to the r01 remainder).
+#     precedent applies (displaces q_fn_map to the r01 remainder);
+#   - q_stats_permutation + q_stats_fdr_bh — the snapshot's slowest
+#     non-fixpoint walls (7.5 s / 8.1 s warm at sf0.1): the 99-way
+#     replicate fan-out now crosses the per-(event_type, user_id)
+#     integer aggregate instead of raw events (both the observed arm
+#     and every permuted assignment are functions of user_id alone,
+#     so the reduction is algebraically lossless — 1.3/1.4 s after).
+#     Hash-identical at sf0.01 and sf0.1, but the plan changed, so
+#     both re-cert (displacing q_fn_math/q_fn_array to the r01
+#     remainder).
 _PRIORITY: list[str] = [
     # ================= r10 window (slots 0-49) =================
-    # slots 0-5: re-certs (tests/test_registry._RECERT; rationale
+    # slots 0-7: re-certs (tests/test_registry._RECERT; rationale
     # in the header comment above)
     "q_dedup_ngram", "q_sim_pairwise", "q_embed_matryoshka",
     "q_agg_tdigest", "q_stream_stream_join", "q_stats_anova",
-    # slots 6-49: the first 44 keys of the r01 refresh block — the
+    "q_stats_permutation", "q_stats_fdr_bh",
+    # slots 8-49: the first 42 keys of the r01 refresh block — the
     # stalest driver rows (9 rounds old against a heavily-refactored
     # codebase), row-age ordered per VERDICT r8 task 7 / r9 task 1.
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
@@ -119,16 +129,16 @@ _PRIORITY: list[str] = [
     "q_win_lag_lead", "q_win_moving_avg", "q_win_range_frame",
     "q_win_first_last", "q_win_pct", "q_sort_multi", "q_topk",
     "q_limit_offset", "q_union_all", "q_union_distinct", "q_intersect",
-    "q_except", "q_distinct", "q_fn_string", "q_fn_date", "q_fn_math",
-    "q_fn_array",
+    "q_except", "q_distinct", "q_fn_string", "q_fn_date",
     # ================= refresh backlog (slots 50+) =================
     # Driver-verified keys, stalest row first (r01 remainder → r09)
     # so every future window is a prefix rotation.
 
-    # r01 rows (remainder — r11 window front; q_fn_map displaced by
-    # the q_stats_anova re-cert insertion)
+    # r01 rows (remainder — r11 window front; q_fn_math/q_fn_array/
+    # q_fn_map displaced by the three stats re-cert insertions)
 
-    "q_fn_map", "q_fn_explode", "q_agg_approx_distinct",
+    "q_fn_math", "q_fn_array", "q_fn_map",
+    "q_fn_explode", "q_agg_approx_distinct",
     # r02 rows
 
     "q_sim_topk", "q_agg_collect", "q_dedup_exact", "q_dedup_embedding",
@@ -246,7 +256,9 @@ _PRIORITY: list[str] = [
     "q_win_dpo", "q_win_ultimate", "q_win_force_index", "q_stats_cohens_d",
     "q_stats_theil_u", "q_eval_confusion", "q_eval_brier",
     "q_embed_dim_stats", "q_vocab_coverage", "q_stats_bootstrap",
-    "q_stats_permutation", "q_stats_mcnemar", "q_price_index",
+    # (q_stats_permutation fronted to the r10 re-cert slots — the
+    # user-level fan-out cutover postdates its row)
+    "q_stats_mcnemar", "q_price_index",
     "q_graph_kcore", "q_tokenize_vocab_prune", "q_stream_median",
     "q_sim_mmr", "q_market_concentration", "q_embed_ivf_recall",
     "q_eval_gains", "q_embed_pq", "q_agg_ddsketch",
@@ -258,7 +270,9 @@ _PRIORITY: list[str] = [
     "q_sample_weighted", "q_backtest_sma", "q_audit_duplicates",
     "q_embed_drift", "q_stats_shrinkage", "q_regime_transitions",
     "q_revenue_waterfall", "q_dedup_span_coverage", "q_text_fightin_words",
-    "q_stats_fdr_bh", "q_quality_referential", "q_win_efficiency_ratio",
+    # (q_stats_fdr_bh fronted to the r10 re-cert slots — it composes
+    # q_stats_permutation, whose plan changed after its r09 row)
+    "q_quality_referential", "q_win_efficiency_ratio",
     "q_graph_assortativity", "q_stats_tost",
     "q_multimodal_pixels", "q_stats_kruskal_wallis", "q_stats_friedman",
     "q_eval_f1_sweep", "q_win_elder_ray", "q_win_heikin_ashi",

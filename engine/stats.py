@@ -3271,28 +3271,42 @@ def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale/determinism discipline: each replicate's assignment is
     md5('perm:' || b || ':' || user_id) % 2 — user-level (preserves
     within-user correlation, mirrors the observed md5 arms),
-    shard-stable, engine-identical; all 99 replicates reduce
-    map-side in ONE conditional hash agg over the b-spine cross
-    (|types|×99 partials — the fan-out never shuffles); and the
-    exceedance test cross-multiplies the two rational mean diffs into
-    exact 128-bit integer products (decimal(38,0)/HUGEINT), so the
-    p-value's numerator is a count of exact comparisons — no float
-    ever decides significance (the flag itself is the integer
-    20·(1+exceed) ≤ (1+B) form of p ≤ 0.05)."""
+    shard-stable, engine-identical. Because BOTH the observed arm and
+    every replicate assignment are functions of user_id alone, the
+    whole test factors exactly through the per-(event_type, user_id)
+    integer aggregate (Σcents, #events): the fact table reduces ONCE
+    (map-side combine to |type×user| rows), and only that user-level
+    frame crosses the 99-row replicate spine — at sf0.1 the fan-out
+    handles 742 k rows and 148 k hashes instead of 9.9 M each, and at
+    cluster scale the spine never re-reads the fact table (r10; the
+    sweep-identical integer sums make the cutover hash-invariant —
+    the old event×99 cross was the r10 full-snapshot's slowest
+    non-fixpoint wall). The exceedance test cross-multiplies the two
+    rational mean diffs into exact 128-bit integer products
+    (decimal(38,0)/HUGEINT), so the p-value's numerator is a count of
+    exact comparisons — no float ever decides significance (the flag
+    itself is the integer 20·(1+exceed) ≤ (1+B) form of p ≤ 0.05)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "user_id",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # user-level exact sufficient statistics — every assignment
+    # (observed and permuted) is constant within a user, so summing
+    # (#events, Σcents) per user first is algebraically lossless
+    ug = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("ec"),
+        F.sum("cents").cast("long").alias("sc"),
+    )
     arm = _spark_bucket()
     obs = (
-        ev.select("event_type", "cents", arm.alias("arm"))
+        ug.select("event_type", "ec", "sc", arm.alias("arm"))
         .groupBy("event_type")
         .agg(
-            F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n0"),
-            F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n1"),
-            F.sum(F.when(F.col("arm") == 0, F.col("cents"))).cast("long").alias("s0"),
-            F.sum(F.when(F.col("arm") == 1, F.col("cents"))).cast("long").alias("s1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("ec"))).cast("long").alias("n0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("ec"))).cast("long").alias("n1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("sc"))).cast("long").alias("s0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("sc"))).cast("long").alias("s1"),
         )
         .filter((F.col("n0") > 0) & (F.col("n1") > 0))
     )
@@ -3316,15 +3330,19 @@ def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 2
     )
+    # a (type, b) group with no pa=0 users yields NULL sums where the
+    # old event-level count gave 0 — downstream only tests pn>0 inside
+    # when(), where NULL and 0 both fall to otherwise(0), so the
+    # valid/exceed counts are unchanged
     perm = (
-        ev.crossJoin(F.broadcast(bspine))
-        .select("event_type", "b", "cents", pa.alias("pa"))
+        ug.crossJoin(F.broadcast(bspine))
+        .select("event_type", "b", "ec", "sc", pa.alias("pa"))
         .groupBy("event_type", "b")
         .agg(
-            F.count(F.when(F.col("pa") == 0, 1)).cast("long").alias("pn0"),
-            F.count(F.when(F.col("pa") == 1, 1)).cast("long").alias("pn1"),
-            F.sum(F.when(F.col("pa") == 0, F.col("cents"))).cast("long").alias("ps0"),
-            F.sum(F.when(F.col("pa") == 1, F.col("cents"))).cast("long").alias("ps1"),
+            F.sum(F.when(F.col("pa") == 0, F.col("ec"))).cast("long").alias("pn0"),
+            F.sum(F.when(F.col("pa") == 1, F.col("ec"))).cast("long").alias("pn1"),
+            F.sum(F.when(F.col("pa") == 0, F.col("sc"))).cast("long").alias("ps0"),
+            F.sum(F.when(F.col("pa") == 1, F.col("sc"))).cast("long").alias("ps1"),
         )
     )
     dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731

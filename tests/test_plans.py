@@ -274,8 +274,10 @@ _CROSS_OK: dict[str, str] = {
         "CONSTANT 50-row replicate spine broadcasts onto the fact scan "
         "(the q_stats_acf lag-spine pattern — a bounded row generator)",
     "q_stats_permutation":
-        "CONSTANT 99-row replicate spine broadcasts onto the fact scan "
-        "(the q_stats_acf lag-spine pattern — a bounded row generator)",
+        "CONSTANT 99-row replicate spine broadcasts onto the user-level "
+        "(event_type, user_id) aggregate — the fact table reduces once "
+        "before the fan-out (the q_stats_acf lag-spine pattern over a "
+        "bounded row generator; r10 cutover)",
     "q_tokenize_vocab_prune":
         "CONSTANT 5-size spine + 1-row eval-total fold broadcast onto "
         "the vocabulary-bounded type table",
@@ -285,7 +287,8 @@ _CROSS_OK: dict[str, str] = {
     "q_text_fightin_words":
         "1-row corpus-totals fold joins the vocabulary-bounded token table",
     "q_stats_fdr_bh":
-        "inherits q_stats_permutation's constant 99-row replicate spine cross",
+        "inherits q_stats_permutation's constant 99-row replicate spine "
+        "cross over the user-level aggregate",
 }
 
 

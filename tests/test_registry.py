@@ -54,6 +54,12 @@ _RECERT = {
     # long sums overflowing int64 at sf0.1; both engines now sum in
     # decimal(38,0)/HUGEINT — plan changed after its r06 row.
     "q_stats_anova",
+    # the snapshot's slowest non-fixpoint walls: the 99-replicate
+    # fan-out now crosses the user-level (event_type, user_id)
+    # aggregate instead of raw events (lossless — every assignment is
+    # a function of user_id); plan changed after their last rows.
+    "q_stats_permutation",
+    "q_stats_fdr_bh",
 }
 
 

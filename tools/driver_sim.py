@@ -36,6 +36,10 @@ ROUND_CHANGED = [
     # r10: k-row SSB/SSW sums moved to decimal(38,0)/HUGEINT — the
     # full-registry sf0.1 snapshot caught the int64 overflow
     "q_stats_anova",
+    # r10: permutation machinery fans out over the user-level
+    # aggregate instead of raw events (fdr_bh composes it)
+    "q_stats_permutation",
+    "q_stats_fdr_bh",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
