@@ -108,15 +108,19 @@ def _ensure_loaded() -> None:
 #     so the reduction is algebraically lossless — 1.3/1.4 s after).
 #     Hash-identical at sf0.01 and sf0.1, but the plan changed, so
 #     both re-cert (displacing q_fn_math/q_fn_array to the r01
-#     remainder).
+#     remainder);
+#   - q_graph_transitivity — its edge list (a lineitem self-join) was
+#     recomputed by each of ~4 downstream subplans; it now
+#     materializes once via eager localCheckpoint (5.5 s → 2.2 s warm
+#     at sf0.1). Plan changed after its r09 row (displaces q_fn_date).
 _PRIORITY: list[str] = [
     # ================= r10 window (slots 0-49) =================
     # slots 0-7: re-certs (tests/test_registry._RECERT; rationale
     # in the header comment above)
     "q_dedup_ngram", "q_sim_pairwise", "q_embed_matryoshka",
     "q_agg_tdigest", "q_stream_stream_join", "q_stats_anova",
-    "q_stats_permutation", "q_stats_fdr_bh",
-    # slots 8-49: the first 42 keys of the r01 refresh block — the
+    "q_stats_permutation", "q_stats_fdr_bh", "q_graph_transitivity",
+    # slots 9-49: the first 41 keys of the r01 refresh block — the
     # stalest driver rows (9 rounds old against a heavily-refactored
     # codebase), row-age ordered per VERDICT r8 task 7 / r9 task 1.
     "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
@@ -129,15 +133,16 @@ _PRIORITY: list[str] = [
     "q_win_lag_lead", "q_win_moving_avg", "q_win_range_frame",
     "q_win_first_last", "q_win_pct", "q_sort_multi", "q_topk",
     "q_limit_offset", "q_union_all", "q_union_distinct", "q_intersect",
-    "q_except", "q_distinct", "q_fn_string", "q_fn_date",
+    "q_except", "q_distinct", "q_fn_string",
     # ================= refresh backlog (slots 50+) =================
     # Driver-verified keys, stalest row first (r01 remainder → r09)
     # so every future window is a prefix rotation.
 
-    # r01 rows (remainder — r11 window front; q_fn_math/q_fn_array/
-    # q_fn_map displaced by the three stats re-cert insertions)
+    # r01 rows (remainder — r11 window front; q_fn_date/q_fn_math/
+    # q_fn_array/q_fn_map displaced by the four r10 re-cert
+    # insertions)
 
-    "q_fn_math", "q_fn_array", "q_fn_map",
+    "q_fn_date", "q_fn_math", "q_fn_array", "q_fn_map",
     "q_fn_explode", "q_agg_approx_distinct",
     # r02 rows
 
@@ -283,7 +288,9 @@ _PRIORITY: list[str] = [
     "q_win_choppiness", "q_source_text_roundtrip", "q_embed_kmeans",
     "q_graph_distances", "q_stats_wilcoxon", "q_stats_hill",
     "q_win_ulcer_index", "q_text_term_burstiness", "q_sink_compaction",
-    "q_stats_jarque_bera", "q_graph_transitivity", "q_sample_neyman",
+    # (q_graph_transitivity fronted to the r10 re-cert slots — the
+    # edge-list localCheckpoint cutover postdates its r09 row)
+    "q_stats_jarque_bera", "q_sample_neyman",
     "q_multimodal_jpeg", "q_multimodal_wav_features",
 ]
 

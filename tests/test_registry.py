@@ -60,6 +60,10 @@ _RECERT = {
     # a function of user_id); plan changed after their last rows.
     "q_stats_permutation",
     "q_stats_fdr_bh",
+    # edge list now materializes once via eager localCheckpoint
+    # instead of re-running the lineitem self-join per subplan; plan
+    # changed after its r09 row.
+    "q_graph_transitivity",
 }
 
 

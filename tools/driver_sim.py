@@ -40,6 +40,9 @@ ROUND_CHANGED = [
     # aggregate instead of raw events (fdr_bh composes it)
     "q_stats_permutation",
     "q_stats_fdr_bh",
+    # r10: edge list localCheckpointed once instead of recomputing
+    # the lineitem self-join per subplan
+    "q_graph_transitivity",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
