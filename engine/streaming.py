@@ -513,9 +513,23 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs on transformWithStateInPandas where the environment supports
     it, applyInPandasWithState otherwise (this container lacks
     protobuf, so the fallback is what executes here — both paths emit
-    identical rows by construction)."""
+    identical rows by construction).
+
+    Replay batching (r10): 2 micro-batches (files_per_trigger=4).
+    Invariance argument per the _read_stream contract: the RESULT
+    keeps only the LAST emission per user (max emit), i.e. the final
+    accumulated state — an exact integer count plus a float total
+    whose value is the sum over all slices regardless of where batch
+    boundaries fall (the emit counter itself is dropped from the
+    output). Per-batch float partials group differently under
+    coarsening, but the differential oracle already sums in DuckDB's
+    own unrelated order, so the round(2) display tolerance is what it
+    always was. Cross-batch state restore stays exercised: every
+    user in slices 5-8 re-reads state written by batch 1. Measured
+    5.9 -> 1.9 s warm at sf0.1 (the wall is per-batch Python-worker
+    state-store round-trips x partitions x batches)."""
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src).select("user_id", "value")
+    ev = _read_stream(spark, src, files_per_trigger=4).select("user_id", "value")
     st = stateful_accumulate(ev, api="auto")
     raw = _run_to_memory(st, "update")
     w = Window.partitionBy("user_id").orderBy(F.desc("emit"))

@@ -64,6 +64,10 @@ _RECERT = {
     # instead of re-running the lineitem self-join per subplan; plan
     # changed after its r09 row.
     "q_graph_transitivity",
+    # replay coarsened to 2 micro-batches — the output keeps only the
+    # final per-user state (boundary-invariant); plan changed after
+    # its r02 row.
+    "q_stream_stateful",
 }
 
 

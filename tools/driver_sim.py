@@ -43,6 +43,9 @@ ROUND_CHANGED = [
     # r10: edge list localCheckpointed once instead of recomputing
     # the lineitem self-join per subplan
     "q_graph_transitivity",
+    # r10: stateful replay coarsened to 2 micro-batches (final-state
+    # output is batch-boundary-invariant)
+    "q_stream_stateful",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
