@@ -244,7 +244,7 @@ _COVERED = {
     "q_sim_topk_lsh": "contract: test_llm_ops.py, test_plans.py, test_registry.py",
     "q_sim_join": "contract: test_llm_ops.py, test_registry.py",
     "q_text_stats": "recompute: test_recompute.py",
-    "q_text_tfidf": "contract: test_plans.py",
+    "q_text_tfidf": "recompute: test_recompute.py",
     "q_text_quality": "recompute: test_recompute.py",
     "q_tokenize": "recompute: test_recompute.py",
     "q_multimodal_struct": "recompute: test_recompute.py",
@@ -278,7 +278,7 @@ _COVERED = {
     "q_win_corr": "recompute: test_recompute.py",
     "q_text_repetition": "recompute: test_recompute.py",
     "q_drawdown": "recompute: test_recompute.py",
-    "q_twap": "contract: test_plans.py",
+    "q_twap": "recompute: test_recompute.py",
     "q_agg_kll_quantiles": "contract: test_plans.py, test_registry.py, test_relational.py",
     "q_agg_theta_sketch": "contract: test_plans.py, test_registry.py, test_relational.py",
     "q_text_entropy": "recompute: test_recompute.py",
@@ -306,20 +306,20 @@ _COVERED = {
     "q_anomaly_mad": "recompute: test_recompute.py",
     "q_win_stochastic": "recompute: test_recompute.py",
     "q_dedup_edit": "contract: test_llm_ops.py",
-    "q_text_bm25": "contract: test_plans.py",
-    "q_sim_hybrid_rrf": "contract: test_plans.py",
+    "q_text_bm25": "recompute: test_recompute.py",
+    "q_sim_hybrid_rrf": "recompute: test_recompute.py",
     "q_embed_centroids": "recompute: test_recompute.py",
     "q_agg_heavy_hitters": "contract: test_llm_ops.py, test_registry.py",
     "q_tokenize_bpe": "contract: test_llm_ops.py, test_registry.py",
-    "q_sample_temperature": "contract: test_plans.py",
+    "q_sample_temperature": "recompute: test_recompute.py",
     "q_sample_reservoir": "contract: test_plans.py",
     "q_multimodal_decode": "contract: test_plans.py",
     "q_text_boilerplate": "contract: test_plans.py",
     "q_embed_knn": "recompute: test_stats.py",
     "q_shuffle_shard": "contract: test_plans.py",
     "q_event_paths": "contract: test_plans.py",
-    "q_win_rolling_median": "contract: test_relational.py",
-    "q_concurrency": "contract: test_plans.py",
+    "q_win_rolling_median": "recompute: test_recompute.py",
+    "q_concurrency": "recompute: test_recompute.py",
     "q_join_range_banded": "contract: test_plans.py",
     "q_corr_matrix": "recompute: test_recompute.py",
     "q_win_cusum": "recompute: test_properties.py",
@@ -332,7 +332,7 @@ _COVERED = {
     "q_tpch_q16": "contract: test_plans.py",
     "q_tpch_q20": "contract: test_plans.py",
     "q_tpch_q21": "contract: test_benchmarks.py, test_plans.py",
-    "q_win_atr": "contract: test_benchmarks.py",
+    "q_win_atr": "recompute: test_recompute.py",
     "q_graph_triangles": "contract: test_benchmarks.py",
     "q_text_hapax": "contract: test_benchmarks.py, test_plans.py",
     "q_join_bloom": "contract: test_plans.py, test_relational.py",
@@ -344,15 +344,15 @@ _COVERED = {
     "q_eval_auc": "recompute: test_stats.py",
     "q_time_intelligence": "recompute: test_recompute.py",
     "q_seasonality": "recompute: test_recompute.py",
-    "q_resample_interpolate": "contract: test_benchmarks.py, test_plans.py",
+    "q_resample_interpolate": "recompute: test_recompute.py",
     "q_rolling_active_users": "contract: test_plans.py",
     "q_cohort_ltv": "recompute: test_recompute.py",
-    "q_user_overlap": "contract: test_plans.py",
-    "q_benford": "contract: test_plans.py",
+    "q_user_overlap": "recompute: test_recompute.py",
+    "q_benford": "recompute: test_recompute.py",
     "q_session_paths": "contract: test_plans.py",
-    "q_text_perplexity": "contract: test_plans.py",
+    "q_text_perplexity": "recompute: test_recompute.py",
     "q_market_beta": "recompute: test_recompute.py",
-    "q_skyline": "contract: test_plans.py",
+    "q_skyline": "recompute: test_recompute.py",
     "q_funnel_windowed": "contract: test_plans.py",
     "q_stats_did": "recompute: test_recompute.py",
     "q_anomaly_seasonal": "recompute: test_recompute.py",
@@ -370,15 +370,15 @@ _COVERED = {
     "q_agg_count_min": "contract: test_plans.py",
     "q_eval_ndcg": "recompute: test_recompute.py",
     "q_eval_pr_at_k": "recompute: test_recompute.py",
-    "q_sample_importance": "contract: test_plans.py",
+    "q_sample_importance": "recompute: test_recompute.py",
     "q_agg_tdigest": "contract: test_registry.py, test_relational.py",
     "q_win_holt": "recompute: test_recompute.py",
-    "q_stats_chisq": "contract: test_plans.py",
+    "q_stats_chisq": "recompute: test_recompute.py",
     "q_sim_range": "contract: test_plans.py",
     "q_text_readability": "recompute: test_recompute.py",
     "q_doc_quality_model": "recompute: test_recompute.py",
     "q_win_rolling_ols": "recompute: test_recompute.py",
-    "q_text_collocations": "contract: test_plans.py",
+    "q_text_collocations": "recompute: test_recompute.py",
     "q_text_zipf": "recompute: test_recompute.py",
     "q_stats_changepoint": "recompute: test_recompute.py",
     "q_basket_rules": "contract: test_plans.py",

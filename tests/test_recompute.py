@@ -2660,3 +2660,467 @@ def test_udf_grouped_map_formula_matches_group_zscore():
             assert abs(got.loc[r["c_custkey"], "z_score"] - z) < 1e-9
             checked += 1
     assert checked == len(got) > 100
+
+
+# --- r10 wave: formula-bearing keys converted contract -> recompute ---
+
+
+def _half_away(x: float, nd: int) -> float:
+    """DuckDB/Spark round() is half-AWAY-from-zero; python round() is
+    half-even — replicate the engines' form for positive values."""
+    scale = 10**nd
+    return math.floor(x * scale + 0.5) / scale if x >= 0 else -math.floor(-x * scale + 0.5) / scale
+
+
+def test_stats_chisq_matches_contingency_recompute():
+    """q_stats_chisq: Pearson chi-squared over the orders
+    (priority x status) contingency table — expected counts from the
+    marginals, per-cell (o-e)^2/e quantized to the 1e-6 grid before
+    the sum (both engines share that text; this replay derives it
+    from the raw fixture)."""
+    got = _oracle("q_stats_chisq")
+    od = duckdb.connect().execute(
+        f"SELECT o_orderpriority AS pri, o_orderstatus AS st "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    cell = od.groupby(["pri", "st"]).size()
+    n = int(cell.sum())
+    row = cell.groupby(level=0).sum()
+    col = cell.groupby(level=1).sum()
+    qsum = 0
+    for (p, s), o in cell.items():
+        e = float(row[p]) * float(col[s]) / n
+        qsum += math.floor((o - e) ** 2 / e * 1_000_000)
+    r, c = od["pri"].nunique(), od["st"].nunique()
+    assert int(got["dof"].iloc[0]) == (r - 1) * (c - 1)
+    assert int(got["n"].iloc[0]) == n
+    assert abs(got["chi2"].iloc[0] - qsum / 1e6) < 1e-3
+
+
+def test_text_bm25_matches_okapi_recompute():
+    """q_text_bm25: Okapi BM25 (k1=1.2, b=0.75 — the oracle's
+    tf*2.2/(tf+1.2*(0.25+0.75*dl/avgdl)) is the k1-factored form)
+    with the +1-smoothed idf, then top-5 docs per query term by
+    (rounded score desc, doc_id asc)."""
+    got = _oracle("q_text_bm25")
+    docs = _docs()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    terms = ["join", "vector", "dup"]
+    expect = []
+    for term in terms:
+        scored = []
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            scored.append((d, tf, len(t)))
+        dfreq = len(scored)
+        rows = []
+        for d, tf, dl in scored:
+            idf = math.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1)
+            s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            rows.append((term, d, _half_away(s, 4)))
+        rows.sort(key=lambda x: (-x[2], x[1]))
+        expect.extend(rows[:5])
+    got_rows = sorted(map(tuple, got[["term", "doc_id", "bm25"]].values.tolist()))
+    assert sorted(expect) == got_rows
+
+
+def test_text_perplexity_matches_unigram_nll_recompute():
+    """q_text_perplexity: corpus-level unigram LM, per-doc mean
+    negative log-likelihood over [a-z]+ tokens of the lowered text."""
+    got = _oracle("q_text_perplexity").set_index("doc_id")
+    docs = _docs()
+    toks = {r.doc_id: re.findall(r"[a-z]+", r.text.lower()) for r in docs.itertuples()}
+    freq: dict = {}
+    for t in toks.values():
+        for w in t:
+            freq[w] = freq.get(w, 0) + 1
+    n = sum(freq.values())
+    checked = 0
+    for d, t in toks.items():
+        if not t:
+            assert d not in got.index
+            continue
+        nll = -sum(math.log(freq[w] / n) for w in t) / len(t)
+        assert int(got.loc[d, "n_tokens"]) == len(t)
+        assert abs(got.loc[d, "nll_per_token"] - nll) < 1e-3, d
+        checked += 1
+    assert checked == len(got) > 10
+
+
+def test_twap_matches_interval_weighted_mean():
+    """q_twap: per-user time-weighted average price — each value
+    holds until the user's NEXT event (ts, event_id order); the last
+    event carries no interval and is excluded."""
+    got = _oracle("q_twap").set_index("user_id")
+    ev = duckdb.connect().execute(
+        f"SELECT user_id, value, event_id, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    checked = 0
+    for u, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"]).reset_index(drop=True)
+        if len(g) < 2:
+            assert u not in got.index
+            continue
+        dur = g["us"].shift(-1) - g["us"]
+        w = dur[:-1]
+        v = g["value"][:-1]
+        twap = float((v * w).sum() / w.sum())
+        assert int(got.loc[u, "n_intervals"]) == len(g) - 1
+        assert abs(got.loc[u, "twap"] - twap) < 1e-3, u
+        checked += 1
+    assert checked == len(got) > 5
+
+
+def test_benford_matches_first_digit_law():
+    """q_benford: first significant digit of the cents quantity vs
+    the Benford expectation log10(1 + 1/d)."""
+    got = _oracle("q_benford").set_index("digit")
+    ev = _events()
+    cents = (ev.loc[ev["value"] >= 0.01, "value"] * 100).apply(math.floor)
+    digits = cents.astype(int).astype(str).str[0].astype(int)
+    counts = digits.value_counts()
+    total = int(counts.sum())
+    assert len(got) == len(counts)
+    for d, n in counts.items():
+        assert int(got.loc[d, "n"]) == int(n)
+        assert abs(got.loc[d, "observed"] - n / total) < 1e-3
+        assert abs(got.loc[d, "benford_expected"] - math.log10(1 + 1 / d)) < 1e-3
+        assert abs(got.loc[d, "deviation"] - (n / total - math.log10(1 + 1 / d))) < 2e-3
+
+
+def _bm25_two_term(docs: pd.DataFrame) -> dict:
+    """Shared replay helper: the oracle's two-term ('join','vector')
+    BM25 sum per doc (k1=1.2, b=0.75, +1-smoothed idf), rounded 4."""
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    tf = {
+        d: (t.count("join"), t.count("vector"), len(t))
+        for d, t in toks.items()
+        if t.count("join") or t.count("vector")
+    }
+    df_j = sum(1 for v in tf.values() if v[0] > 0)
+    df_v = sum(1 for v in tf.values() if v[1] > 0)
+    out = {}
+    for d, (tj, tv, dl) in tf.items():
+        norm = 1.2 * (0.25 + 0.75 * dl / avgdl)
+        s = 0.0
+        if tj:
+            s += math.log((n_docs - df_j + 0.5) / (df_j + 0.5) + 1) * tj * 2.2 / (tj + norm)
+        if tv:
+            s += math.log((n_docs - df_v + 0.5) / (df_v + 0.5) + 1) * tv * 2.2 / (tv + norm)
+        out[d] = _half_away(s, 4)
+    return out
+
+
+def test_sim_hybrid_rrf_matches_rank_fusion():
+    """q_sim_hybrid_rrf: reciprocal-rank fusion (k=60) of the lexical
+    BM25 ranking and the cosine ranking against query vector 0, top
+    20 each, fused top 10 by (rrf desc, doc_id)."""
+    got = _oracle("q_sim_hybrid_rrf")
+    docs = _docs()
+    lex = _bm25_two_term(docs)
+    lrank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(lex.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype=float) for r in emb.itertuples()}
+    q = vecs[0]
+    nq = math.sqrt(float((q * q).sum()))
+    cos = {
+        v: _half_away(float((x * q).sum()) / (math.sqrt(float((x * x).sum())) * nq), 6)
+        for v, x in vecs.items()
+        if v != 0
+    }
+    vrank = {
+        v: i + 1
+        for i, (v, _) in enumerate(
+            sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    ids = {d for d, r in lrank.items() if r <= 20} | {v for v, r in vrank.items() if r <= 20}
+    fused = {
+        i: _half_away(
+            (1.0 / (60 + lrank[i]) if lrank.get(i, 99) <= 20 else 0.0)
+            + (1.0 / (60 + vrank[i]) if vrank.get(i, 99) <= 20 else 0.0),
+            6,
+        )
+        for i in ids
+    }
+    expect = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_rows = [(int(r.doc_id), r.rrf) for r in got.itertuples()]
+    assert [(d, pytest.approx(s, abs=2e-6)) for d, s in expect] == got_rows
+
+
+def test_win_atr_matches_wilder_true_range():
+    """q_win_atr: daily OHLC bars per event_type, true range =
+    greatest(h-l, |h-prev_close|, |l-prev_close|) (NULL-skipping
+    greatest on day 1), 14-day rolling mean."""
+    got = _oracle("q_win_atr")
+    ev = duckdb.connect().execute(
+        f"SELECT event_type, value, event_id, epoch_us(ts) AS us, "
+        f"strftime(date_trunc('day', ts), '%Y-%m-%d') AS day "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    gmap = {
+        (r.event_type, r.day): r.atr14
+        for r in got.itertuples()
+    }
+    checked = 0
+    for et, g in ev.groupby("event_type"):
+        bars = []
+        for day, b in sorted(g.groupby("day"), key=lambda kv: kv[0]):
+            b = b.sort_values(["us", "event_id"])
+            bars.append((day, b["value"].max(), b["value"].min(), b["value"].iloc[-1]))
+        trs = []
+        prev_close = None
+        for day, hi, lo, close in bars:
+            cands = [hi - lo]
+            if prev_close is not None:
+                cands += [abs(hi - prev_close), abs(lo - prev_close)]
+            trs.append((day, max(cands)))
+            prev_close = close
+        for i, (day, _) in enumerate(trs):
+            atr = sum(t for _, t in trs[max(0, i - 13): i + 1]) / len(trs[max(0, i - 13): i + 1])
+            assert abs(gmap[(et, day)] - atr) < 1e-3, (et, day)
+            checked += 1
+    assert checked == len(got) > 10
+
+
+def test_win_rolling_median_matches_pandas_rolling():
+    """q_win_rolling_median: 10-row trailing median per user in
+    (ts, event_id) order (even windows average the middle pair)."""
+    got = _oracle("q_win_rolling_median").set_index("event_id")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, user_id, value, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"]).reset_index(drop=True)
+        med = g["value"].rolling(10, min_periods=1).median()
+        for eid, m in zip(g["event_id"], med):
+            assert abs(got.loc[eid, "med10"] - m) < 1e-3, eid
+            checked += 1
+    assert checked == len(got) > 100
+
+
+def test_resample_interpolate_matches_linear_replay():
+    """q_resample_interpolate: per-user hourly grid over the user's
+    event span, linearly interpolated between the surrounding events
+    (exact-hit grid points take the last event value at that
+    instant)."""
+    got = _oracle("q_resample_interpolate")
+    gmap = {(int(r.user_id), int(r.bar_start)): r.price for r in got.itertuples()}
+    ev = duckdb.connect().execute(
+        f"SELECT user_id, value, event_id, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    HR = 3_600_000_000
+    checked = 0
+    for u, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"]).reset_index(drop=True)
+        us = g["us"].to_numpy()
+        val = g["value"].to_numpy()
+        lo = math.ceil(us.min() / HR)
+        hi = math.floor(us.max() / HR)
+        for h in range(lo, hi + 1):
+            t = h * HR
+            at_or_before = np.nonzero(us <= t)[0]
+            ip = at_or_before[-1]
+            tp, vp = int(us[ip]), float(val[ip])
+            if t == tp:
+                price = vp
+            else:
+                inext = np.nonzero(us > t)[0][0]
+                tn, vn = int(us[inext]), float(val[inext])
+                price = vp + (vn - vp) * (t - tp) / (tn - tp)
+            assert abs(gmap[(int(u), t // 1_000_000)] - price) < 1e-3, (u, h)
+            checked += 1
+    assert checked == len(got) > 10
+
+
+def _md5_mod(prefix: str, key, mod: int) -> int:
+    h = hashlib.md5(f"{prefix}{key}".encode()).hexdigest()[:8]
+    return int(h, 16) % mod
+
+
+def test_sample_temperature_matches_md5_gate_replay():
+    """q_sample_temperature: per-language sqrt(n_min/n) keep rate,
+    gated by md5('temp:'||doc_id)%10000 — exact set replay."""
+    got = _oracle("q_sample_temperature")
+    docs = _docs()
+    counts = docs["lang"].value_counts()
+    n_min = int(counts.min())
+    keep = set()
+    for r in docs.itertuples():
+        rate = math.sqrt(n_min / counts[r.lang])
+        if _md5_mod("temp:", r.doc_id, 10_000) < math.floor(rate * 10_000):
+            keep.add((r.doc_id, r.lang))
+    assert set(map(tuple, got[["doc_id", "lang"]].values.tolist())) == keep
+    assert 0 < len(keep) < len(docs)
+
+
+def test_sample_importance_matches_md5_gate_replay():
+    """q_sample_importance: length-proportional keep probability
+    n_chars/wmax, gated by md5('imp:'||doc_id)%100 — exact replay."""
+    got = _oracle("q_sample_importance")
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, source, n_chars FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    wmax = int(docs["n_chars"].max())
+    keep = {
+        (r.doc_id, r.source, r.n_chars)
+        for r in docs.itertuples()
+        if _md5_mod("imp:", r.doc_id, 100) * wmax < 100 * r.n_chars
+    }
+    assert set(map(tuple, got[["doc_id", "source", "n_chars"]].values.tolist())) == keep
+    assert 0 < len(keep) < len(docs)
+
+
+def test_text_tfidf_matches_definition_replay():
+    """q_text_tfidf: tf * ln(N/df) over whitespace tokens, top 2 terms
+    per doc_id < 20 (ties only at exactly-equal (tf, df), broken by
+    term asc)."""
+    got = _oracle("q_text_tfidf")
+    docs = _docs()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    total = len(toks)
+    df: dict = {}
+    for t in toks.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    expect = []
+    for d, t in toks.items():
+        if d >= 20:
+            continue
+        tf: dict = {}
+        for w in t:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            ((w, c * math.log(total / df[w])) for w, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:2]
+        for rnk, (w, s) in enumerate(scored, 1):
+            expect.append((d, w, rnk, s))
+    got_rows = sorted(map(tuple, got[["doc_id", "term", "rnk", "tfidf"]].values.tolist()))
+    expect.sort()
+    assert len(expect) == len(got_rows)
+    for (d, w, rnk, s), (gd, gw, grnk, gs) in zip(expect, got_rows):
+        assert (d, w, rnk) == (gd, gw, grnk)
+        assert abs(s - gs) < 1e-3
+
+
+def test_user_overlap_matches_set_jaccard():
+    """q_user_overlap: pairwise Jaccard of the per-type user sets."""
+    got = _oracle("q_user_overlap")
+    ev = _events()
+    sets = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+    types = sorted(sets)
+    expect = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            common = len(sets[a] & sets[b])
+            if common:
+                j = common / (len(sets[a]) + len(sets[b]) - common)
+                expect.append((a, b, common, j))
+    assert len(expect) == len(got)
+    for (a, b, nc, j), r in zip(expect, got.itertuples()):
+        assert (a, b, nc) == (r.type_a, r.type_b, r.n_common)
+        assert abs(j - r.jaccard) < 1e-3
+
+
+def test_concurrency_matches_interval_sweep():
+    """q_concurrency: 30-min-gap sessions per user become (+1, -1)
+    boundary events; the running sum in (us, delta desc, user_id)
+    order is the concurrent-session count."""
+    got = _oracle("q_concurrency")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, user_id, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    GAP = 1_800_000_000
+    bounds = []
+    for u, g in ev.groupby("user_id"):
+        us = g.sort_values(["us", "event_id"])["us"].tolist()
+        s_us = us[0]
+        prev = us[0]
+        for t in us[1:]:
+            if t - prev > GAP:
+                bounds += [(s_us, u, 1), (prev, u, -1)]
+                s_us = t
+            prev = t
+        bounds += [(s_us, u, 1), (prev, u, -1)]
+    bounds.sort(key=lambda r: (r[0], -r[2], r[1]))
+    run, expect = 0, []
+    for us, u, d in bounds:
+        run += d
+        expect.append((us, u, d, run))
+    got_rows = list(map(tuple, got[["us", "user_id", "delta", "concurrent"]].values.tolist()))
+    assert expect == got_rows
+    assert max(r[3] for r in expect) > 1
+
+
+def test_skyline_matches_pareto_dominance():
+    """q_skyline: the (min price, min size) Pareto frontier of part —
+    a part survives iff no other part is <= on both axes and < on
+    one (replayed by brute-force dominance, not the oracle's
+    running-min form)."""
+    got = _oracle("q_skyline")
+    pts = duckdb.connect().execute(
+        f"SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents, "
+        f"p_size FROM read_parquet('{SF}/part.parquet')"
+    ).df()
+    arr = pts[["cents", "p_size"]].to_numpy()
+    keep = []
+    for r in pts.itertuples():
+        dominated = (
+            ((arr[:, 0] <= r.cents) & (arr[:, 1] < r.p_size))
+            | ((arr[:, 0] < r.cents) & (arr[:, 1] <= r.p_size))
+        ).any()
+        if not dominated:
+            keep.append((r.p_partkey, r.cents / 100.0, r.p_size))
+    keep.sort(key=lambda x: (x[1], x[0]))
+    got_rows = list(map(tuple, got[["p_partkey", "price", "p_size"]].values.tolist()))
+    assert keep == got_rows
+    assert 0 < len(keep) < len(pts)
+
+
+def test_text_collocations_matches_bigram_pmi():
+    """q_text_collocations: adjacent-token bigram PMI
+    ln(c_xy * t^2 / (b * c_x * c_y)) with support >= 5, top 20 by
+    (rounded pmi desc, w1, w2)."""
+    got = _oracle("q_text_collocations")
+    docs = _docs()
+    uni: dict = {}
+    bi: dict = {}
+    for r in docs.itertuples():
+        t = r.text.split(" ")
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    t_tot = sum(uni.values())
+    b_tot = sum(bi.values())
+    scored = [
+        (w1, w2, c, _half_away(math.log(c * t_tot * t_tot / (b_tot * uni[w1] * uni[w2])), 4))
+        for (w1, w2), c in bi.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    expect = scored[:20]
+    got_rows = list(map(tuple, got[["w1", "w2", "cxy", "pmi"]].values.tolist()))
+    assert len(expect) == len(got_rows)
+    for (w1, w2, c, p), (gw1, gw2, gc, gp) in zip(expect, got_rows):
+        assert (w1, w2, c) == (gw1, gw2, gc)
+        assert abs(p - gp) < 2e-4
