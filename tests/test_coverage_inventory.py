@@ -314,10 +314,10 @@ _COVERED = {
     "q_sample_temperature": "recompute: test_recompute.py",
     "q_sample_reservoir": "contract: test_plans.py",
     "q_multimodal_decode": "contract: test_plans.py",
-    "q_text_boilerplate": "contract: test_plans.py",
+    "q_text_boilerplate": "recompute: test_recompute.py",
     "q_embed_knn": "recompute: test_stats.py",
     "q_shuffle_shard": "contract: test_plans.py",
-    "q_event_paths": "contract: test_plans.py",
+    "q_event_paths": "recompute: test_recompute.py",
     "q_win_rolling_median": "recompute: test_recompute.py",
     "q_concurrency": "recompute: test_recompute.py",
     "q_join_range_banded": "contract: test_plans.py",
@@ -333,8 +333,8 @@ _COVERED = {
     "q_tpch_q20": "contract: test_plans.py",
     "q_tpch_q21": "contract: test_benchmarks.py, test_plans.py",
     "q_win_atr": "recompute: test_recompute.py",
-    "q_graph_triangles": "contract: test_benchmarks.py",
-    "q_text_hapax": "contract: test_benchmarks.py, test_plans.py",
+    "q_graph_triangles": "recompute: test_recompute.py",
+    "q_text_hapax": "recompute: test_recompute.py",
     "q_join_bloom": "contract: test_plans.py, test_relational.py",
     "q_stats_ttest": "recompute: test_stats.py",
     "q_stats_trend": "recompute: test_stats.py",
@@ -345,19 +345,19 @@ _COVERED = {
     "q_time_intelligence": "recompute: test_recompute.py",
     "q_seasonality": "recompute: test_recompute.py",
     "q_resample_interpolate": "recompute: test_recompute.py",
-    "q_rolling_active_users": "contract: test_plans.py",
+    "q_rolling_active_users": "recompute: test_recompute.py",
     "q_cohort_ltv": "recompute: test_recompute.py",
     "q_user_overlap": "recompute: test_recompute.py",
     "q_benford": "recompute: test_recompute.py",
-    "q_session_paths": "contract: test_plans.py",
+    "q_session_paths": "recompute: test_recompute.py",
     "q_text_perplexity": "recompute: test_recompute.py",
     "q_market_beta": "recompute: test_recompute.py",
     "q_skyline": "recompute: test_recompute.py",
-    "q_funnel_windowed": "contract: test_plans.py",
+    "q_funnel_windowed": "recompute: test_recompute.py",
     "q_stats_did": "recompute: test_recompute.py",
     "q_anomaly_seasonal": "recompute: test_recompute.py",
     "q_survival_km": "recompute: test_stats.py",
-    "q_text_keywords": "contract: test_plans.py",
+    "q_text_keywords": "recompute: test_recompute.py",
     "q_agg_gini": "recompute: test_properties.py",
     "q_win_autocorr": "recompute: test_recompute.py",
     "q_user_entropy": "recompute: test_recompute.py",

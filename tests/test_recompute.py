@@ -3124,3 +3124,220 @@ def test_text_collocations_matches_bigram_pmi():
     for (w1, w2, c, p), (gw1, gw2, gc, gp) in zip(expect, got_rows):
         assert (w1, w2, c) == (gw1, gw2, gc)
         assert abs(p - gp) < 2e-4
+
+
+def test_text_hapax_matches_vocab_counts():
+    """q_text_hapax: vocabulary size, hapax-legomenon count/ratio and
+    corpus token total over [a-z]+ tokens."""
+    got = _oracle("q_text_hapax")
+    docs = _docs()
+    freq: dict = {}
+    for r in docs.itertuples():
+        for w in re.findall(r"[a-z]+", r.text.lower()):
+            freq[w] = freq.get(w, 0) + 1
+    hapax = sum(1 for c in freq.values() if c == 1)
+    assert int(got["vocab"].iloc[0]) == len(freq)
+    assert int(got["n_hapax"].iloc[0]) == hapax
+    assert int(got["corpus_tokens"].iloc[0]) == sum(freq.values())
+    assert abs(got["hapax_ratio"].iloc[0] - hapax / len(freq)) < 1e-3
+
+
+def test_graph_triangles_matches_bruteforce_enumeration():
+    """q_graph_triangles: per-node triangle incidence on the
+    co-purchase graph (edges = part pairs sharing >= 2 orders),
+    replayed by brute-force set intersection over adjacency."""
+    got = _oracle("q_graph_triangles")
+    li = duckdb.connect().execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    from collections import defaultdict
+
+    order_parts = defaultdict(set)
+    for r in li.itertuples():
+        order_parts[r.l_orderkey].add(r.l_partkey)
+    pair_count: dict = defaultdict(int)
+    for parts in order_parts.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair_count[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), c in pair_count.items():
+        if c >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    tri = defaultdict(int)
+    for a in adj:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for n in (a, b, c):
+                        tri[n] += 1
+    expect = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got_rows = [(int(r.node), int(r.n_triangles)) for r in got.itertuples()]
+    assert expect == got_rows
+    assert len(expect) > 0
+
+
+def test_rolling_active_users_matches_window_sets():
+    """q_rolling_active_users: DAU and trailing-7-day WAU (distinct
+    users active in [day-6, day]) with DAU/WAU stickiness."""
+    got = _oracle("q_rolling_active_users")
+    daily = duckdb.connect().execute(
+        f"SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    import datetime
+
+    by_day: dict = {}
+    for r in daily.itertuples():
+        by_day.setdefault(datetime.date.fromisoformat(r.day), set()).add(r.user_id)
+    days = sorted(by_day)
+    checked = 0
+    for r in got.itertuples():
+        d = datetime.date.fromisoformat(r.day)
+        dau = len(by_day[d])
+        wau_set = set()
+        for k in range(7):
+            wau_set |= by_day.get(d - datetime.timedelta(days=k), set())
+        assert r.dau == dau and r.wau == len(wau_set), r.day
+        assert abs(r.stickiness - dau / len(wau_set)) < 1e-3
+        checked += 1
+    assert checked == len(got) == len(days)
+
+
+def test_event_paths_matches_transition_counts():
+    """q_event_paths: per-user consecutive event-type transition
+    counts in (ts, event_id) order."""
+    got = _oracle("q_event_paths")
+    ev = duckdb.connect().execute(
+        f"SELECT user_id, event_type, event_id, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    from collections import Counter
+
+    trans: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        seq = g.sort_values(["us", "event_id"])["event_type"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    got_map = {(r.prev_type, r.next_type): int(r.n) for r in got.itertuples()}
+    assert got_map == dict(trans)
+
+
+def test_session_paths_matches_sequence_replay():
+    """q_session_paths: 30-min-gap sessions, path = first 8 event
+    types '>'-joined (DuckDB list_slice is 1-based INCLUSIVE, so
+    [1:8] is exactly 8 elements), top 20 by (count desc, path)."""
+    got = _oracle("q_session_paths")
+    ev = duckdb.connect().execute(
+        f"SELECT user_id, event_type, event_id, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    from collections import Counter
+
+    GAP = 1_800_000_000
+    paths: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        cur: list = []
+        prev = None
+        for r in g.itertuples():
+            if prev is not None and r.us - prev > GAP:
+                paths[">".join(cur[:8])] += 1
+                cur = []
+            cur.append(r.event_type)
+            prev = r.us
+        paths[">".join(cur[:8])] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got_rows = [(r.path, int(r.n_sessions)) for r in got.itertuples()]
+    assert expect == got_rows
+
+
+def test_funnel_windowed_matches_three_level_replay():
+    """q_funnel_windowed: signup -> click -> purchase inside 24 h of
+    the first signup, each level strictly after the previous."""
+    got = _oracle("q_funnel_windowed")
+    ev = duckdb.connect().execute(
+        f"SELECT user_id, event_type, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    DAY = 24 * 3_600_000_000
+    t0 = ev[ev.event_type == "signup"].groupby("user_id")["us"].min()
+    n1 = len(t0)
+    t1 = {}
+    for r in ev[ev.event_type == "click"].itertuples():
+        z = t0.get(r.user_id)
+        if z is not None and z < r.us <= z + DAY:
+            t1[r.user_id] = min(t1.get(r.user_id, r.us), r.us)
+    t2 = {}
+    for r in ev[ev.event_type == "purchase"].itertuples():
+        z, o = t0.get(r.user_id), t1.get(r.user_id)
+        if z is not None and o is not None and r.us > o and r.us <= z + DAY:
+            t2[r.user_id] = min(t2.get(r.user_id, r.us), r.us)
+    assert (int(got["n_level1"].iloc[0]), int(got["n_level2"].iloc[0]),
+            int(got["n_level3"].iloc[0])) == (n1, len(t1), len(t2))
+    assert n1 >= len(t1) >= len(t2) and n1 > 0
+
+
+def test_text_keywords_matches_quantized_tfidf():
+    """q_text_keywords: per-doc top-3 [a-z]+ tokens by tf-idf
+    quantized to the 1e-6 grid (ties by token asc)."""
+    got = _oracle("q_text_keywords")
+    docs = _docs()
+    toks = {r.doc_id: re.findall(r"[a-z]+", r.text.lower()) for r in docs.itertuples()}
+    n_docs = len(docs)
+    df: dict = {}
+    for t in toks.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    expect = []
+    for d, t in toks.items():
+        if not t:
+            continue
+        tf: dict = {}
+        for w in t:
+            tf[w] = tf.get(w, 0) + 1
+        # tf*ln(n/df) >= 0 always (df <= n_docs), so half-away == +0.5-floor
+        scored = sorted(
+            ((w, math.floor(c * math.log(n_docs / df[w]) * 1e6 + 0.5)) for w, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        for w, q in scored[:3]:
+            expect.append((d, w, q / 1e6))
+    got_rows = sorted(map(tuple, got[["doc_id", "keyword", "tfidf"]].values.tolist()))
+    expect.sort()
+    assert len(expect) == len(got_rows)
+    for (d, w, s), (gd, gw, gs) in zip(expect, got_rows):
+        assert (d, w) == (gd, gw), (d, w, gd, gw)
+        assert abs(s - gs) < 2e-6
+
+
+def test_text_boilerplate_matches_shingle_df_replay():
+    """q_text_boilerplate: 5-token shingles (w[i:i+4] is 1-based
+    INCLUSIVE = 5 tokens) over docs with >= 5 whitespace tokens;
+    shingles seen in >= 10 docs are boilerplate; per-doc fraction."""
+    got = _oracle("q_text_boilerplate").set_index("doc_id")
+    docs = _docs()
+    grams: dict = {}
+    for r in docs.itertuples():
+        w = r.text.split(" ")
+        if len(w) < 5:
+            continue
+        grams[r.doc_id] = [" ".join(w[i: i + 5]) for i in range(len(w) - 4)]
+    from collections import Counter
+
+    df: Counter = Counter()
+    for gs in grams.values():
+        df.update(set(gs))
+    common = {g for g, c in df.items() if c >= 10}
+    checked = 0
+    for d, gs in grams.items():
+        nc = sum(1 for g in gs if g in common)
+        assert int(got.loc[d, "n_grams"]) == len(gs), d
+        assert int(got.loc[d, "n_common"]) == nc, d
+        assert abs(got.loc[d, "boilerplate_frac"] - nc / len(gs)) < 1e-3
+        checked += 1
+    assert checked == len(got) > 10
