@@ -252,10 +252,10 @@ _COVERED = {
     "q_multimodal_features": "contract: test_plans.py",
     "q_vwap": "recompute: test_recompute.py",
     "q_win_volatility": "recompute: test_recompute.py",
-    "q_split_hash": "contract: test_pipeline.py, test_plans.py",
-    "q_sample_stratified": "contract: test_pipeline.py, test_plans.py",
-    "q_sessionize": "contract: test_pipeline.py",
-    "q_pack_sequences": "contract: test_pipeline.py",
+    "q_split_hash": "recompute: test_recompute.py",
+    "q_sample_stratified": "recompute: test_recompute.py",
+    "q_sessionize": "recompute: test_recompute.py",
+    "q_pack_sequences": "recompute: test_recompute.py",
     "q_merge_upsert": "contract: test_pipeline.py",
     "q_fn_cond_null": "contract: test_plans.py",
     "q_fn_hash": "recompute: test_recompute.py",
@@ -283,7 +283,7 @@ _COVERED = {
     "q_agg_theta_sketch": "contract: test_plans.py, test_registry.py, test_relational.py",
     "q_text_entropy": "recompute: test_recompute.py",
     "q_rollup_time": "contract: test_plans.py",
-    "q_doc_chunk": "contract: test_plans.py",
+    "q_doc_chunk": "recompute: test_recompute.py",
     "q_join_lateral": "contract: test_plans.py",
     "q_scd2": "contract: test_pipeline.py, test_plans.py",
     "q_join_point_in_time": "contract: test_plans.py",
@@ -305,14 +305,14 @@ _COVERED = {
     "q_win_macd": "recompute: test_properties.py",
     "q_anomaly_mad": "recompute: test_recompute.py",
     "q_win_stochastic": "recompute: test_recompute.py",
-    "q_dedup_edit": "contract: test_llm_ops.py",
+    "q_dedup_edit": "recompute: test_recompute.py",
     "q_text_bm25": "recompute: test_recompute.py",
     "q_sim_hybrid_rrf": "recompute: test_recompute.py",
     "q_embed_centroids": "recompute: test_recompute.py",
     "q_agg_heavy_hitters": "contract: test_llm_ops.py, test_registry.py",
     "q_tokenize_bpe": "contract: test_llm_ops.py, test_registry.py",
     "q_sample_temperature": "recompute: test_recompute.py",
-    "q_sample_reservoir": "contract: test_plans.py",
+    "q_sample_reservoir": "recompute: test_recompute.py",
     "q_multimodal_decode": "contract: test_plans.py",
     "q_text_boilerplate": "recompute: test_recompute.py",
     "q_embed_knn": "recompute: test_stats.py",
@@ -374,7 +374,7 @@ _COVERED = {
     "q_agg_tdigest": "contract: test_registry.py, test_relational.py",
     "q_win_holt": "recompute: test_recompute.py",
     "q_stats_chisq": "recompute: test_recompute.py",
-    "q_sim_range": "contract: test_plans.py",
+    "q_sim_range": "recompute: test_recompute.py",
     "q_text_readability": "recompute: test_recompute.py",
     "q_doc_quality_model": "recompute: test_recompute.py",
     "q_win_rolling_ols": "recompute: test_recompute.py",

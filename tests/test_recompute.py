@@ -3341,3 +3341,210 @@ def test_text_boilerplate_matches_shingle_df_replay():
         assert abs(got.loc[d, "boilerplate_frac"] - nc / len(gs)) < 1e-3
         checked += 1
     assert checked == len(got) > 10
+
+
+def test_sample_reservoir_matches_hash_order_top100():
+    """q_sample_reservoir: deterministic reservoir — the 100 docs
+    with the smallest md5('res:'||doc_id) hex key (doc_id tiebreak)."""
+    got = _oracle("q_sample_reservoir")
+    docs = _docs()
+    keyed = sorted(
+        (hashlib.md5(f"res:{r.doc_id}".encode()).hexdigest(), r.doc_id, r.lang)
+        for r in docs.itertuples()
+    )[:100]
+    expect = [(d, lang) for _, d, lang in keyed]
+    got_rows = list(map(tuple, got[["doc_id", "lang"]].values.tolist()))
+    assert expect == got_rows
+
+
+def test_sample_stratified_matches_md5_rates():
+    """q_sample_stratified: md5 bucket %100 with per-stratum keep
+    thresholds (en 10%, others 40%) — exact set replay."""
+    got = _oracle("q_sample_stratified")
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, lang, source FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    expect = set()
+    for r in docs.itertuples():
+        b = _md5_mod("sample:", r.doc_id, 100)
+        if b < (10 if r.lang == "en" else 40):
+            expect.add((r.doc_id, r.lang, r.source, b))
+    assert set(map(tuple, got[["doc_id", "lang", "source", "bucket"]].values.tolist())) == expect
+    assert 0 < len(expect) < len(docs)
+
+
+def test_split_hash_matches_content_addressed_buckets():
+    """q_split_hash: 80/10/10 train/val/test split content-addressed
+    on md5('split:'||text) — exact per-doc replay."""
+    got = _oracle("q_split_hash").set_index("doc_id")
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, lang, source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    for r in docs.itertuples():
+        b = int(hashlib.md5(f"split:{r.text}".encode()).hexdigest()[:8], 16) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert int(got.loc[r.doc_id, "bucket"]) == b
+        assert got.loc[r.doc_id, "split"] == split
+    assert len(got) == len(docs)
+
+
+def test_sessionize_matches_gap_replay():
+    """q_sessionize: 30-min-gap sessions with per-session bounds,
+    event count and rounded value total."""
+    got = _oracle("q_sessionize")
+    gmap = {
+        (int(r.user_id), int(r.session_id)):
+            (int(r.session_start_us), int(r.session_end_us), int(r.n_events), r.total_value)
+        for r in got.itertuples()
+    }
+    ev = duckdb.connect().execute(
+        f"SELECT user_id, event_id, value, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    GAP = 1_800_000_000
+    checked = 0
+    for u, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        sid, cur = 0, []
+        prev = None
+        def flush(sid, cur):
+            us = [r.us for r in cur]
+            vals = sum(r.value for r in cur)
+            assert gmap[(int(u), sid)][:3] == (min(us), max(us), len(cur))
+            assert abs(gmap[(int(u), sid)][3] - vals) < 1e-2 + 1e-9
+        for r in g.itertuples():
+            if prev is not None and r.us - prev > GAP:
+                flush(sid, cur)
+                checked += 1
+                cur = []
+            if not cur:
+                sid += 1
+            cur.append(r)
+            prev = r.us
+        flush(sid, cur)
+        checked += 1
+    assert checked == len(got) > 10
+
+
+def test_pack_sequences_matches_cumulative_packing():
+    """q_pack_sequences: doc_id-ordered greedy packing into 512-token
+    sequences per source (seq_id = tokens-before // 512)."""
+    got = _oracle("q_pack_sequences")
+    gmap = {
+        (r.source, int(r.seq_id)): (int(r.n_docs), int(r.seq_tokens), int(r.first_doc))
+        for r in got.itertuples()
+    }
+    docs = duckdb.connect().execute(
+        f"SELECT source, doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    from collections import defaultdict
+
+    expect: dict = defaultdict(lambda: [0, 0, None])
+    for src, g in docs.groupby("source"):
+        cum = 0
+        for r in g.sort_values("doc_id").itertuples():
+            toks = len(r.text.split(" "))
+            sid = cum // 512
+            e = expect[(src, sid)]
+            e[0] += 1
+            e[1] += toks
+            e[2] = r.doc_id if e[2] is None else min(e[2], r.doc_id)
+            cum += toks
+    assert {k: tuple(v) for k, v in expect.items()} == gmap
+
+
+def test_doc_chunk_matches_stride_windows():
+    """q_doc_chunk: 32-token chunks at stride 24 (1-based-inclusive
+    slice = python w[start:start+32]), empty docs get one chunk."""
+    got = _oracle("q_doc_chunk")
+    gmap = {
+        (int(r.doc_id), int(r.start)): (r.chunk_text, int(r.n_tokens))
+        for r in got.itertuples()
+    }
+    docs = _docs()
+    expect = {}
+    for r in docs.itertuples():
+        w = r.text.split(" ")
+        for start in range(0, max(len(w), 1), 24):
+            chunk = w[start: start + 32]
+            expect[(r.doc_id, start)] = (" ".join(chunk), len(chunk))
+    assert expect == gmap
+
+
+def _lev_banded(a: str, b: str, k: int):
+    """Banded Levenshtein with cutoff: exact distance if <= k, else
+    None (the classic k-band DP)."""
+    if abs(len(a) - len(b)) > k:
+        return None
+    if len(a) > len(b):
+        a, b = b, a
+    prev = {j: j for j in range(0, min(k, len(b)) + 1)}
+    for i in range(1, len(a) + 1):
+        cur = {}
+        lo, hi = max(1, i - k), min(len(b), i + k)
+        if i - k <= 0:
+            cur[0] = i
+        for j in range(lo, hi + 1):
+            best = min(
+                prev.get(j, k + 1) + 1,
+                cur.get(j - 1, k + 1) + 1,
+                prev.get(j - 1, k + 1) + (a[i - 1] != b[j - 1]),
+            )
+            cur[j] = best
+        prev = cur
+        if min(prev.values()) > k:
+            return None
+    d = prev.get(len(b), k + 1)
+    return d if d <= k else None
+
+
+def test_dedup_edit_matches_bruteforce_levenshtein():
+    """q_dedup_edit: same-lang near-duplicate pairs at edit distance
+    <= 8 — brute-forced over all rep pairs with |len diff| <= 8, which
+    also proves the oracle's 16-char length blocking loses no pair
+    (band [len-8, len+8] spans at most two adjacent blocks)."""
+    got = _oracle("q_dedup_edit")
+    docs = _docs()
+    reps: dict = {}
+    for r in docs.itertuples():
+        key = (r.lang, r.text)
+        if key not in reps or r.doc_id < reps[key]:
+            reps[key] = r.doc_id
+    by_lang: dict = {}
+    for (lang, text), rid in reps.items():
+        by_lang.setdefault(lang, []).append((rid, text))
+    expect = set()
+    for lang, items in by_lang.items():
+        for i, (ra, ta) in enumerate(items):
+            for rb, tb in items[i + 1:]:
+                if abs(len(ta) - len(tb)) > 8:
+                    continue
+                d = _lev_banded(ta, tb, 8)
+                if d is not None:
+                    expect.add((min(ra, rb), max(ra, rb), d))
+    got_rows = set(map(tuple, got[["doc_a", "doc_b", "dist"]].values.tolist()))
+    assert got_rows == expect
+
+
+def test_sim_range_matches_cosine_threshold():
+    """q_sim_range: all vectors with cosine >= 0.3 against query
+    vector 0."""
+    got = _oracle("q_sim_range").set_index("vec_id")
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    vecs = {int(r.vec_id): (r.label, np.asarray(list(r.embedding), dtype=float)) for r in emb.itertuples()}
+    _, q = vecs[0]
+    nq = math.sqrt(float((q * q).sum()))
+    expect = {}
+    for v, (lab, x) in vecs.items():
+        if v == 0:
+            continue
+        c = float((x * q).sum()) / (math.sqrt(float((x * x).sum())) * nq)
+        if c >= 0.3:
+            expect[v] = (lab, c)
+    assert set(expect) == set(got.index)
+    for v, (lab, c) in expect.items():
+        assert got.loc[v, "label"] == lab
+        assert abs(got.loc[v, "cosine"] - c) < 1e-3
+    assert 0 < len(expect) < len(vecs) - 1
