@@ -238,9 +238,9 @@ _COVERED = {
     "q_topk": "recompute: test_recompute.py",
     "q_limit_offset": "contract: test_plans.py",
     "q_agg_approx_distinct": "contract: test_plans.py, test_registry.py",
-    "q_sim_topk": "contract: test_llm_ops.py, test_plans.py, test_registry.py",
-    "q_dedup_exact": "contract: test_llm_ops.py",
-    "q_dedup_embedding": "contract: test_llm_ops.py, test_registry.py",
+    "q_sim_topk": "recompute: test_recompute.py",
+    "q_dedup_exact": "recompute: test_recompute.py",
+    "q_dedup_embedding": "recompute: test_recompute.py",
     "q_sim_topk_lsh": "contract: test_llm_ops.py, test_plans.py, test_registry.py",
     "q_sim_join": "contract: test_llm_ops.py, test_registry.py",
     "q_text_stats": "recompute: test_recompute.py",
@@ -269,7 +269,7 @@ _COVERED = {
     "q_profile_table": "contract: test_plans.py",
     "q_funnel": "recompute: test_recompute.py",
     "q_sim_topk_ivf": "contract: test_llm_ops.py, test_registry.py",
-    "q_join_asof": "contract: test_plans.py",
+    "q_join_asof": "recompute: test_recompute.py",
     "q_win_ntile": "contract: test_plans.py",
     "q_dedup_embedding_ann": "contract: test_llm_ops.py, test_registry.py",
     "q_agg_hll_sketch": "contract: test_plans.py, test_registry.py, test_relational.py",
@@ -282,10 +282,10 @@ _COVERED = {
     "q_agg_kll_quantiles": "contract: test_plans.py, test_registry.py, test_relational.py",
     "q_agg_theta_sketch": "contract: test_plans.py, test_registry.py, test_relational.py",
     "q_text_entropy": "recompute: test_recompute.py",
-    "q_rollup_time": "contract: test_plans.py",
+    "q_rollup_time": "recompute: test_recompute.py",
     "q_doc_chunk": "recompute: test_recompute.py",
     "q_join_lateral": "contract: test_plans.py",
-    "q_scd2": "contract: test_pipeline.py, test_plans.py",
+    "q_scd2": "recompute: test_recompute.py",
     "q_join_point_in_time": "contract: test_plans.py",
     "q_tpch_q5": "contract: test_plans.py",
     "q_tpch_q18": "contract: test_plans.py",
@@ -366,7 +366,7 @@ _COVERED = {
     "q_sql_api": "contract: test_registry.py",
     "q_embed_pca": "contract: test_llm_ops.py, test_plans.py, test_registry.py",
     "q_graph_pagerank": "recompute: test_recompute.py",
-    "q_dedup_simhash": "contract: test_llm_ops.py",
+    "q_dedup_simhash": "recompute: test_recompute.py",
     "q_agg_count_min": "contract: test_plans.py",
     "q_eval_ndcg": "recompute: test_recompute.py",
     "q_eval_pr_at_k": "recompute: test_recompute.py",
@@ -381,7 +381,7 @@ _COVERED = {
     "q_text_collocations": "recompute: test_recompute.py",
     "q_text_zipf": "recompute: test_recompute.py",
     "q_stats_changepoint": "recompute: test_recompute.py",
-    "q_basket_rules": "contract: test_plans.py",
+    "q_basket_rules": "recompute: test_recompute.py",
     "q_stats_ks": "recompute: test_stats.py",
     "q_stats_mannwhitney": "recompute: test_stats.py",
     "q_stats_anova": "recompute: test_stats.py",

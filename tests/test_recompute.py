@@ -3548,3 +3548,204 @@ def test_sim_range_matches_cosine_threshold():
         assert got.loc[v, "label"] == lab
         assert abs(got.loc[v, "cosine"] - c) < 1e-3
     assert 0 < len(expect) < len(vecs) - 1
+
+
+def test_basket_rules_matches_support_confidence_lift():
+    """q_basket_rules: association rules over order baskets —
+    confidence c_ab/c_a and lift c_ab*N/(c_a*c_b) at support >= 3,
+    top 25 by (lift desc, part_a, part_b)."""
+    got = _oracle("q_basket_rules")
+    li = duckdb.connect().execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    from collections import Counter, defaultdict
+
+    baskets = defaultdict(set)
+    for r in li.itertuples():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n_orders = len(baskets)
+    item: Counter = Counter()
+    pair: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        item.update(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair[(a, b)] += 1
+    scored = [
+        (a, b, c, c / item[a], c * n_orders / (item[a] * item[b]))
+        for (a, b), c in pair.items()
+        if c >= 3
+    ]
+    scored.sort(key=lambda r: (-r[4], r[0], r[1]))
+    expect = scored[:25]
+    got_rows = list(map(tuple, got[["part_a", "part_b", "c_ab", "confidence", "lift"]].values.tolist()))
+    assert len(expect) == len(got_rows)
+    for (a, b, c, conf, lift), (ga, gb, gc, gconf, glift) in zip(expect, got_rows):
+        assert (a, b, c) == (ga, gb, gc)
+        assert abs(conf - gconf) < 1e-5 and abs(lift - glift) < 1e-5
+
+
+def test_join_asof_matches_latest_view_replay():
+    """q_join_asof: for each purchase, the user's latest view at or
+    before it (ties by event_id desc)."""
+    got = _oracle("q_join_asof").set_index("event_id")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    views = {
+        u: sorted(((r.us, r.event_id, r.value) for r in g.itertuples()))
+        for u, g in ev[ev.event_type == "view"].groupby("user_id")
+    }
+    checked = 0
+    for r in ev[ev.event_type == "purchase"].itertuples():
+        cand = [v for v in views.get(r.user_id, []) if v[0] <= r.us]
+        if not cand:
+            assert r.event_id not in got.index
+            continue
+        _, vid, vval = max(cand)
+        assert int(got.loc[r.event_id, "view_id"]) == vid
+        assert got.loc[r.event_id, "view_value"] == vval
+        checked += 1
+    assert checked == len(got) > 10
+
+
+def test_scd2_matches_effective_interval_replay():
+    """q_scd2: type-2 dimension rows from signup events — each row
+    effective until the user's next signup, open-ended current row."""
+    got = _oracle("q_scd2").set_index("event_id")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, user_id, value, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet') WHERE event_type = 'signup'"
+    ).df()
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        rows = sorted(g.itertuples(), key=lambda r: (r.us, r.event_id))
+        for i, r in enumerate(rows):
+            nxt = rows[i + 1].us if i + 1 < len(rows) else None
+            assert int(got.loc[r.event_id, "eff_from"]) == r.us
+            if nxt is None:
+                assert pd.isna(got.loc[r.event_id, "eff_to"])
+                assert bool(got.loc[r.event_id, "is_current"])
+            else:
+                assert int(got.loc[r.event_id, "eff_to"]) == nxt
+                assert not bool(got.loc[r.event_id, "is_current"])
+            checked += 1
+    assert checked == len(got) > 10
+
+
+def test_rollup_time_matches_grouping_sets_replay():
+    """q_rollup_time: the four grouping-sets levels re-derived from
+    one (type, month, day) base aggregate."""
+    got = _oracle("q_rollup_time")
+    ev = duckdb.connect().execute(
+        f"SELECT event_type, strftime(date_trunc('month', ts), '%Y-%m-%d') AS month, "
+        f"strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    from collections import defaultdict
+
+    base = defaultdict(lambda: [0.0, 0])
+    for r in ev.itertuples():
+        e = base[(r.event_type, r.month, r.day)]
+        e[0] += r.value
+        e[1] += 1
+    expect = {}
+    for (t, m, d), (v, n) in base.items():
+        for key in ((t, m, d), (t, m, None), (t, None, None), (None, None, None)):
+            e = expect.setdefault(key, [0.0, 0])
+            e[0] += v
+            e[1] += n
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        key = (
+            r.event_type if pd.notna(r.event_type) else None,
+            r.month if pd.notna(r.month) else None,
+            r.day if pd.notna(r.day) else None,
+        )
+        v, n = expect[key]
+        assert int(r.n_ticks) == n, key
+        assert abs(r.volume - v) < 1e-2 + 1e-9, key
+
+
+def test_dedup_exact_matches_min_docid_reps():
+    """q_dedup_exact: one representative (min doc_id) per distinct
+    text."""
+    got = _oracle("q_dedup_exact")
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, lang, source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    reps: dict = {}
+    for r in docs.itertuples():
+        if r.text not in reps or r.doc_id < reps[r.text][0]:
+            reps[r.text] = (r.doc_id, r.lang, r.source)
+    assert set(map(tuple, got[["doc_id", "lang", "source"]].values.tolist())) == set(reps.values())
+
+
+def test_sim_topk_matches_bruteforce_cosine():
+    """q_sim_topk: exact top-10 by cosine against query vector 0
+    (rounded-6 ordering, vec_id tiebreak)."""
+    got = _oracle("q_sim_topk")
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype=float) for r in emb.itertuples()}
+    q = vecs[0]
+    nq = math.sqrt(float((q * q).sum()))
+    cos = sorted(
+        (
+            (-_half_away(float((x * q).sum()) / (math.sqrt(float((x * x).sum())) * nq), 6), v)
+            for v, x in vecs.items()
+            if v != 0
+        )
+    )[:10]
+    expect = [(v, -c) for c, v in cos]
+    got_rows = [(int(r.vec_id), r.cosine) for r in got.itertuples()]
+    assert [v for v, _ in expect] == [v for v, _ in got_rows]
+    for (_, c), (_, gc) in zip(expect, got_rows):
+        assert abs(c - gc) < 2e-6
+
+
+def test_dedup_embedding_matches_label_blocked_cosine():
+    """q_dedup_embedding: within-label pairs with cosine > 0.35 —
+    the higher vec_id of each such pair is dropped."""
+    got = set(_oracle("q_dedup_embedding")["dropped_id"].tolist())
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    from collections import defaultdict
+
+    by_label = defaultdict(list)
+    for r in emb.itertuples():
+        by_label[r.label].append((int(r.vec_id), np.asarray(list(r.embedding), dtype=float)))
+    dropped = set()
+    for items in by_label.values():
+        items.sort()
+        for i, (va, xa) in enumerate(items):
+            na = math.sqrt(float((xa * xa).sum()))
+            for vb, xb in items[i + 1:]:
+                c = float((xa * xb).sum()) / (na * math.sqrt(float((xb * xb).sum())))
+                if c > 0.35:
+                    dropped.add(vb)
+    assert got == dropped
+    assert 0 < len(dropped) < len(emb)
+
+
+def test_dedup_simhash_matches_bitvote_replay():
+    """q_dedup_simhash: 48-bit SimHash — md5-derived token hashes
+    vote +1/-1 per bit WITH multiplicity; bit set when the vote sum
+    is >= 0."""
+    got = _oracle("q_dedup_simhash").set_index("doc_id")
+    docs = _docs()
+    checked = 0
+    for r in docs.itertuples():
+        votes = [0] * 48
+        for tok in r.text.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+            for b in range(48):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sh = sum(1 << b for b in range(48) if votes[b] >= 0)
+        assert int(got.loc[r.doc_id, "simhash"]) == sh, r.doc_id
+        checked += 1
+    assert checked == len(got) == len(docs)
