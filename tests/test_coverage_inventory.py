@@ -256,7 +256,7 @@ _COVERED = {
     "q_sample_stratified": "recompute: test_recompute.py",
     "q_sessionize": "recompute: test_recompute.py",
     "q_pack_sequences": "recompute: test_recompute.py",
-    "q_merge_upsert": "contract: test_pipeline.py",
+    "q_merge_upsert": "recompute: test_recompute.py",
     "q_fn_cond_null": "contract: test_plans.py",
     "q_fn_hash": "recompute: test_recompute.py",
     "q_fn_hash_native": "contract: test_registry.py",
@@ -266,11 +266,11 @@ _COVERED = {
     "q_stream_watermark_late": "contract: test_streaming.py",
     "q_stream_stateful": "contract: test_streaming.py",
     "q_join_skew_salted": "contract: test_plans.py",
-    "q_profile_table": "contract: test_plans.py",
+    "q_profile_table": "recompute: test_recompute.py",
     "q_funnel": "recompute: test_recompute.py",
     "q_sim_topk_ivf": "contract: test_llm_ops.py, test_registry.py",
     "q_join_asof": "recompute: test_recompute.py",
-    "q_win_ntile": "contract: test_plans.py",
+    "q_win_ntile": "recompute: test_recompute.py",
     "q_dedup_embedding_ann": "contract: test_llm_ops.py, test_registry.py",
     "q_agg_hll_sketch": "contract: test_plans.py, test_registry.py, test_relational.py",
     "q_retention": "recompute: test_recompute.py",
@@ -286,7 +286,7 @@ _COVERED = {
     "q_doc_chunk": "recompute: test_recompute.py",
     "q_join_lateral": "contract: test_plans.py",
     "q_scd2": "recompute: test_recompute.py",
-    "q_join_point_in_time": "contract: test_plans.py",
+    "q_join_point_in_time": "recompute: test_recompute.py",
     "q_tpch_q5": "contract: test_plans.py",
     "q_tpch_q18": "contract: test_plans.py",
     "q_tpch_q3": "contract: test_plans.py",
@@ -316,7 +316,7 @@ _COVERED = {
     "q_multimodal_decode": "contract: test_plans.py",
     "q_text_boilerplate": "recompute: test_recompute.py",
     "q_embed_knn": "recompute: test_stats.py",
-    "q_shuffle_shard": "contract: test_plans.py",
+    "q_shuffle_shard": "recompute: test_recompute.py",
     "q_event_paths": "recompute: test_recompute.py",
     "q_win_rolling_median": "recompute: test_recompute.py",
     "q_concurrency": "recompute: test_recompute.py",
@@ -325,7 +325,7 @@ _COVERED = {
     "q_win_cusum": "recompute: test_properties.py",
     "q_tpch_q2": "contract: test_benchmarks.py, test_plans.py",
     "q_tpch_q8": "contract: test_plans.py",
-    "q_embed_quantize": "contract: test_registry.py",
+    "q_embed_quantize": "recompute: test_recompute.py",
     "q_tpch_q9": "contract: test_plans.py",
     "q_tpch_q11": "contract: test_benchmarks.py, test_plans.py",
     "q_tpch_q13": "contract: test_benchmarks.py, test_plans.py",
@@ -340,7 +340,7 @@ _COVERED = {
     "q_stats_trend": "recompute: test_stats.py",
     "q_rfm_segments": "recompute: test_properties.py",
     "q_abc_pareto": "recompute: test_properties.py",
-    "q_quality_rules": "contract: test_plans.py",
+    "q_quality_rules": "recompute: test_recompute.py",
     "q_eval_auc": "recompute: test_stats.py",
     "q_time_intelligence": "recompute: test_recompute.py",
     "q_seasonality": "recompute: test_recompute.py",

@@ -3749,3 +3749,171 @@ def test_dedup_simhash_matches_bitvote_replay():
         assert int(got.loc[r.doc_id, "simhash"]) == sh, r.doc_id
         checked += 1
     assert checked == len(got) == len(docs)
+
+
+def test_merge_upsert_matches_full_outer_classification():
+    """q_merge_upsert: insert/update/keep classification of the
+    synthetic update feed against the orders base."""
+    got = _oracle("q_merge_upsert").set_index("o_orderkey")
+    od = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_orderstatus, floor(o_totalprice * 100) / 100 AS price, "
+        f"floor(o_totalprice * 1.05 * 100) / 100 AS price_up "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    upd = {}
+    for r in od.itertuples():
+        if r.o_orderkey % 10 == 0:
+            upd[r.o_orderkey] = ("U", r.price_up)
+        if r.o_orderkey % 97 == 0:
+            upd[r.o_orderkey + 10_000_000] = ("N", r.price)
+    checked = 0
+    for r in od.itertuples():
+        k = r.o_orderkey
+        if k in upd:
+            assert got.loc[k, "action"] == "update"
+            assert got.loc[k, "status"] == upd[k][0]
+            assert abs(got.loc[k, "price"] - upd[k][1]) < 1e-9
+        else:
+            assert got.loc[k, "action"] == "keep"
+            assert got.loc[k, "status"] == r.o_orderstatus
+            assert abs(got.loc[k, "price"] - r.price) < 1e-9
+        checked += 1
+    inserts = {k for k in upd if k >= 10_000_000}
+    for k in inserts:
+        assert got.loc[k, "action"] == "insert"
+        checked += 1
+    assert checked == len(got) == len(od) + len(inserts)
+
+
+def test_win_ntile_matches_quartile_definition():
+    """q_win_ntile: ntile(4) — the first (n mod 4) quartiles get
+    ceil(n/4) rows, the rest floor(n/4), over (acctbal, custkey)
+    order."""
+    got = _oracle("q_win_ntile").set_index("c_custkey")
+    cust = duckdb.connect().execute(
+        f"SELECT c_custkey, c_acctbal FROM read_parquet('{SF}/customer.parquet')"
+    ).df().sort_values(["c_acctbal", "c_custkey"]).reset_index(drop=True)
+    n = len(cust)
+    base, rem = divmod(n, 4)
+    checked = 0
+    i = 0
+    for q in range(1, 5):
+        size = base + (1 if q <= rem else 0)
+        for _ in range(size):
+            assert int(got.loc[cust.loc[i, "c_custkey"], "quartile"]) == q
+            i += 1
+            checked += 1
+    assert checked == n == len(got)
+
+
+def test_join_point_in_time_matches_version_lookup():
+    """q_join_point_in_time: each purchase joined to the signup
+    version effective at its timestamp ([eff_from, eff_to) interval,
+    open-ended current)."""
+    got = _oracle("q_join_point_in_time").set_index("event_id")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    versions: dict = {}
+    for u, g in ev[ev.event_type == "signup"].groupby("user_id"):
+        rows = sorted(g.itertuples(), key=lambda r: (r.us, r.event_id))
+        versions[u] = [
+            (r.us, rows[i + 1].us if i + 1 < len(rows) else None, r.event_id, r.value)
+            for i, r in enumerate(rows)
+        ]
+    checked = 0
+    for r in ev[ev.event_type == "purchase"].itertuples():
+        hits = [
+            (vid, val)
+            for f, t, vid, val in versions.get(r.user_id, [])
+            if r.us >= f and (t is None or r.us < t)
+        ]
+        if not hits:
+            assert r.event_id not in got.index
+            continue
+        assert len(hits) == 1
+        assert int(got.loc[r.event_id, "version_id"]) == hits[0][0]
+        assert got.loc[r.event_id, "attr_value"] == hits[0][1]
+        checked += 1
+    assert checked == len(got) > 10
+
+
+def test_shuffle_shard_matches_md5_positions():
+    """q_shuffle_shard: 256-way md5 sharding with deterministic
+    in-shard positions by (full hash, doc_id)."""
+    got = _oracle("q_shuffle_shard")
+    docs = _docs()
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in docs.itertuples():
+        hx = hashlib.md5(f"shuffle:{r.doc_id}".encode()).hexdigest()
+        shards[int(hx[:2], 16)].append((hx, r.doc_id))
+    expect = set()
+    for s, items in shards.items():
+        for pos, (_, d) in enumerate(sorted(items), 1):
+            expect.add((d, s, pos))
+    assert set(map(tuple, got[["doc_id", "shard", "pos"]].values.tolist())) == expect
+
+
+def test_embed_quantize_matches_int8_rule():
+    """q_embed_quantize: symmetric int8 quantization — clamp to
+    [-1, 1], scale by 127, floor(x+0.5)."""
+    got = _oracle("q_embed_quantize").set_index("vec_id")
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    checked = 0
+    for r in emb.itertuples():
+        q = ",".join(
+            str(math.floor(max(min(float(x), 1.0), -1.0) * 127 + 0.5))
+            for x in r.embedding
+        )
+        assert got.loc[int(r.vec_id), "q"] == q
+        assert got.loc[int(r.vec_id), "label"] == r.label
+        checked += 1
+    assert checked == len(got) == len(emb)
+
+
+def test_quality_rules_matches_rule_counts():
+    """q_quality_rules: per-rule violation counts, duplicate line
+    keys, orphan lines and the clean rate."""
+    got = _oracle("q_quality_rules")
+    li = duckdb.connect().execute(
+        f"SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, "
+        f"epoch_us(l_shipdate) AS ship_us FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    ok = duckdb.connect().execute(
+        f"SELECT DISTINCT o_orderkey FROM read_parquet('{SF}/orders.parquet')"
+    ).df()["o_orderkey"]
+    import datetime
+
+    lo = datetime.datetime(1995, 1, 1).timestamp() * 1e6
+    hi = datetime.datetime(2002, 1, 1).timestamp() * 1e6
+    bq = int((li["l_quantity"] <= 0).sum())
+    bp = int((li["l_extendedprice"] < 0).sum())
+    bd = int(((li["l_discount"] < 0) | (li["l_discount"] > 0.5)).sum())
+    bs = int(((li["ship_us"] < lo) | (li["ship_us"] >= hi)).sum())
+    dup = len(li) - len(li[["l_orderkey", "l_linenumber"]].drop_duplicates())
+    orphan = int((~li["l_orderkey"].isin(set(ok))).sum())
+    r = got.iloc[0]
+    assert (int(r.n_rows), int(r.bad_quantity), int(r.bad_price),
+            int(r.bad_discount), int(r.bad_shipdate), int(r.dup_line_keys),
+            int(r.orphan_lines)) == (len(li), bq, bp, bd, bs, dup, orphan)
+    assert abs(r.clean_rate - (len(li) - (bq + bp + bd + bs)) / len(li)) < 1e-5
+
+
+def test_profile_table_matches_column_stats():
+    """q_profile_table: rows/nulls/distinct per profiled orders
+    column."""
+    got = _oracle("q_profile_table").set_index("column_name")
+    od = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+        f"o_orderpriority FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    for col in od.columns:
+        assert int(got.loc[col, "n_rows"]) == len(od)
+        assert int(got.loc[col, "n_nulls"]) == int(od[col].isna().sum())
+        assert int(got.loc[col, "n_distinct"]) == od[col].dropna().nunique()
+    assert len(got) == len(od.columns)
