@@ -291,7 +291,7 @@ _COVERED = {
     "q_tpch_q18": "contract: test_plans.py",
     "q_tpch_q3": "contract: test_plans.py",
     "q_tpch_q10": "contract: test_plans.py",
-    "q_tpch_q6": "contract: test_plans.py",
+    "q_tpch_q6": "recompute: test_recompute.py",
     "q_tpch_q7": "contract: test_plans.py",
     "q_tpch_q14": "contract: test_plans.py",
     "q_tpch_q19": "contract: test_plans.py",
@@ -320,7 +320,7 @@ _COVERED = {
     "q_event_paths": "recompute: test_recompute.py",
     "q_win_rolling_median": "recompute: test_recompute.py",
     "q_concurrency": "recompute: test_recompute.py",
-    "q_join_range_banded": "contract: test_plans.py",
+    "q_join_range_banded": "recompute: test_recompute.py",
     "q_corr_matrix": "recompute: test_recompute.py",
     "q_win_cusum": "recompute: test_properties.py",
     "q_tpch_q2": "contract: test_benchmarks.py, test_plans.py",
@@ -361,7 +361,7 @@ _COVERED = {
     "q_agg_gini": "recompute: test_properties.py",
     "q_win_autocorr": "recompute: test_recompute.py",
     "q_user_entropy": "recompute: test_recompute.py",
-    "q_dataset_card": "contract: test_plans.py",
+    "q_dataset_card": "recompute: test_recompute.py",
     "q_topk_movers": "recompute: test_recompute.py",
     "q_sql_api": "contract: test_registry.py",
     "q_embed_pca": "contract: test_llm_ops.py, test_plans.py, test_registry.py",
@@ -402,7 +402,7 @@ _COVERED = {
     "q_variance_ratio": "recompute: test_stats.py",
     "q_growth_accounting": "recompute: test_stats.py",
     "q_win_hurst": "recompute: test_stats.py",
-    "q_tpch_q1": "contract: test_benchmarks.py, test_plans.py",
+    "q_tpch_q1": "recompute: test_recompute.py",
     "q_sql_recursive": "recompute: test_stats.py",
     "q_win_ichimoku": "recompute: test_stats.py",
     "q_stats_spearman": "recompute: test_stats.py",

@@ -3917,3 +3917,103 @@ def test_profile_table_matches_column_stats():
         assert int(got.loc[col, "n_nulls"]) == int(od[col].isna().sum())
         assert int(got.loc[col, "n_distinct"]) == od[col].dropna().nunique()
     assert len(got) == len(od.columns)
+
+
+def test_tpch_q1_matches_quantized_aggregate_replay():
+    """q_tpch_q1: the pricing-summary aggregates replayed row-by-row
+    with the same floor-cents quantization (exact integer sums, so
+    the replay is bit-comparable before the display rounding)."""
+    got = _oracle("q_tpch_q1").set_index(["l_returnflag", "l_linestatus"])
+    li = duckdb.connect().execute(
+        f"SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, "
+        f"l_discount, l_tax, epoch_us(l_shipdate) AS ship_us "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    import datetime
+
+    cutoff = datetime.datetime(1998, 9, 2, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    li = li[li["ship_us"] <= cutoff]
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in li.itertuples():
+        e = agg[(r.l_returnflag, r.l_linestatus)]
+        e[0] += int(r.l_quantity)
+        e[1] += math.floor(r.l_extendedprice * 100)
+        e[2] += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+        e[3] += math.floor(r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax) * 100)
+        e[4] += math.floor(r.l_discount * 10000)
+        e[5] += 1
+    assert len(agg) == len(got)
+    for k, (q, bp, dp, ch, dc, n) in agg.items():
+        g = got.loc[k]
+        assert int(g.sum_qty) == q and int(g.count_order) == n
+        assert abs(g.sum_base_price - bp / 100.0) < 1e-6
+        assert abs(g.sum_disc_price - dp / 100.0) < 1e-6
+        assert abs(g.sum_charge - ch / 100.0) < 1e-6
+        assert abs(g.avg_qty - q / n) < 1e-3
+        assert abs(g.avg_price - bp / 100.0 / n) < 1e-3
+        assert abs(g.avg_disc - dc / 10000.0 / n) < 1e-5
+
+
+def test_tpch_q6_matches_filtered_sum_replay():
+    """q_tpch_q6: the forecast-revenue filter chain and floor-cents
+    revenue sum."""
+    got = _oracle("q_tpch_q6")
+    li = duckdb.connect().execute(
+        f"SELECT l_extendedprice, l_discount, l_quantity, epoch_us(l_shipdate) AS ship_us "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1997, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    sel = li[
+        (li.ship_us >= lo) & (li.ship_us < hi)
+        & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    ]
+    rev = sum(math.floor(r.l_extendedprice * r.l_discount * 100) for r in sel.itertuples())
+    assert int(got["n_items"].iloc[0]) == len(sel)
+    assert abs(got["revenue"].iloc[0] - rev / 100.0) < 1e-6
+    assert len(sel) > 0
+
+
+def test_join_range_banded_matches_bisect_replay():
+    """q_join_range_banded: per event, the count of events in the
+    global (ts-5min, ts) band — replayed with a sorted-array bisect
+    instead of the banded join."""
+    got = _oracle("q_join_range_banded").set_index("event_id")
+    ev = duckdb.connect().execute(
+        f"SELECT event_id, epoch_us(ts) AS us FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    import bisect
+
+    allts = sorted(ev["us"].tolist())
+    BAND = 300_000_000
+    checked = 0
+    for r in ev.itertuples():
+        n = bisect.bisect_left(allts, r.us) - bisect.bisect_left(allts, r.us - BAND)
+        assert int(got.loc[r.event_id, "n_prior_5min"]) == n
+        checked += 1
+    assert checked == len(got) == len(ev)
+
+
+def test_dataset_card_matches_corpus_summary():
+    """q_dataset_card: corpus-level doc/lang/source/token/char counts,
+    exact-dup and empty counts, avg tokens per doc."""
+    got = _oracle("q_dataset_card").iloc[0]
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, lang, source, text, n_chars FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    n_tokens = sum(len(re.findall(r"[a-z]+", t.lower())) for t in docs["text"])
+    n_dups = len(docs) - docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()).nunique()
+    n_empty = int((docs["text"].str.strip().str.len() == 0).sum())
+    assert int(got.n_docs) == len(docs)
+    assert int(got.n_langs) == docs["lang"].nunique()
+    assert int(got.n_sources) == docs["source"].nunique()
+    assert int(got.n_tokens) == n_tokens
+    assert int(got.n_chars) == int(docs["n_chars"].sum())
+    assert int(got.n_exact_dups) == n_dups
+    assert int(got.n_empty) == n_empty
+    assert abs(got.avg_tokens_per_doc - n_tokens / len(docs)) < 1e-2
