@@ -287,18 +287,18 @@ _COVERED = {
     "q_join_lateral": "contract: test_plans.py",
     "q_scd2": "recompute: test_recompute.py",
     "q_join_point_in_time": "recompute: test_recompute.py",
-    "q_tpch_q5": "contract: test_plans.py",
-    "q_tpch_q18": "contract: test_plans.py",
-    "q_tpch_q3": "contract: test_plans.py",
-    "q_tpch_q10": "contract: test_plans.py",
+    "q_tpch_q5": "recompute: test_recompute.py",
+    "q_tpch_q18": "recompute: test_recompute.py",
+    "q_tpch_q3": "recompute: test_recompute.py",
+    "q_tpch_q10": "recompute: test_recompute.py",
     "q_tpch_q6": "recompute: test_recompute.py",
-    "q_tpch_q7": "contract: test_plans.py",
-    "q_tpch_q14": "contract: test_plans.py",
-    "q_tpch_q19": "contract: test_plans.py",
-    "q_tpch_q4": "contract: test_plans.py",
-    "q_tpch_q15": "contract: test_plans.py",
-    "q_tpch_q17": "contract: test_plans.py",
-    "q_tpch_q22": "contract: test_plans.py",
+    "q_tpch_q7": "recompute: test_recompute.py",
+    "q_tpch_q14": "recompute: test_recompute.py",
+    "q_tpch_q19": "recompute: test_recompute.py",
+    "q_tpch_q4": "recompute: test_recompute.py",
+    "q_tpch_q15": "recompute: test_recompute.py",
+    "q_tpch_q17": "recompute: test_recompute.py",
+    "q_tpch_q22": "recompute: test_recompute.py",
     "q_win_bollinger": "recompute: test_recompute.py",
     "q_win_rsi": "recompute: test_recompute.py",
     "q_win_ewma": "recompute: test_properties.py",
@@ -327,9 +327,9 @@ _COVERED = {
     "q_tpch_q8": "contract: test_plans.py",
     "q_embed_quantize": "recompute: test_recompute.py",
     "q_tpch_q9": "contract: test_plans.py",
-    "q_tpch_q11": "contract: test_benchmarks.py, test_plans.py",
-    "q_tpch_q13": "contract: test_benchmarks.py, test_plans.py",
-    "q_tpch_q16": "contract: test_plans.py",
+    "q_tpch_q11": "recompute: test_recompute.py",
+    "q_tpch_q13": "recompute: test_recompute.py",
+    "q_tpch_q16": "recompute: test_recompute.py",
     "q_tpch_q20": "contract: test_plans.py",
     "q_tpch_q21": "contract: test_benchmarks.py, test_plans.py",
     "q_win_atr": "recompute: test_recompute.py",

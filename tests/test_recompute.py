@@ -4017,3 +4017,457 @@ def test_dataset_card_matches_corpus_summary():
     assert int(got.n_exact_dups) == n_dups
     assert int(got.n_empty) == n_empty
     assert abs(got.avg_tokens_per_doc - n_tokens / len(docs)) < 1e-2
+
+
+def _li_parts():
+    return duckdb.connect().execute(
+        f"SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount, "
+        f"epoch_us(l_shipdate) AS ship_us FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+
+
+def test_tpch_q14_matches_promo_share_replay():
+    """q_tpch_q14: promo revenue share for 1996-09 — floor-cents
+    per-line revenue, CASE-summed by part type."""
+    got = _oracle("q_tpch_q14").iloc[0]
+    li = _li_parts()
+    pt = duckdb.connect().execute(
+        f"SELECT p_partkey, p_type FROM read_parquet('{SF}/part.parquet')"
+    ).df().set_index("p_partkey")["p_type"]
+    import datetime
+
+    lo = datetime.datetime(1996, 9, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1996, 10, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    sel = li[(li.ship_us >= lo) & (li.ship_us < hi)]
+    promo = total = 0
+    for r in sel.itertuples():
+        cents = math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+        total += cents
+        if pt[r.l_partkey] == "PROMO":
+            promo += cents
+    assert abs(got.promo_revenue - promo / 100.0) < 1e-6
+    assert abs(got.total_revenue - total / 100.0) < 1e-6
+    assert abs(got.promo_pct - 100.0 * promo / total) < 1e-3
+    assert total > 0
+
+
+def test_tpch_q19_matches_brand_band_predicate():
+    """q_tpch_q19: the three-brand disjunctive (size-band x
+    quantity-band) predicate and floor-cents revenue."""
+    got = _oracle("q_tpch_q19").iloc[0]
+    li = _li_parts()
+    parts = duckdb.connect().execute(
+        f"SELECT p_partkey, p_brand, p_size FROM read_parquet('{SF}/part.parquet')"
+    ).df().set_index("p_partkey")
+    bands = [("Brand#12", 1, 15, 1, 11), ("Brand#23", 1, 25, 10, 20),
+             ("Brand#3", 1, 35, 20, 30)]
+    rev = n = 0
+    for r in li.itertuples():
+        p = parts.loc[r.l_partkey]
+        if any(
+            p.p_brand == b and s_lo <= p.p_size <= s_hi and q_lo <= r.l_quantity <= q_hi
+            for b, s_lo, s_hi, q_lo, q_hi in bands
+        ):
+            rev += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+            n += 1
+    assert int(got.n_items) == n
+    assert abs(got.revenue - rev / 100.0) < 1e-6
+
+
+def test_tpch_q4_matches_exists_replay():
+    """q_tpch_q4: Q3-1996 orders with at least one line shipped after
+    the order date, counted by priority."""
+    got = _oracle("q_tpch_q4").set_index("o_orderpriority")
+    od = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_orderpriority, epoch_us(o_orderdate) AS od_us "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    li = _li_parts()
+    import datetime
+    from collections import Counter, defaultdict
+
+    lo = datetime.datetime(1996, 7, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1996, 10, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    max_ship = defaultdict(int)
+    for r in li.itertuples():
+        max_ship[r.l_orderkey] = max(max_ship[r.l_orderkey], r.ship_us)
+    counts: Counter = Counter()
+    for r in od.itertuples():
+        if lo <= r.od_us < hi and max_ship.get(r.o_orderkey, -1) > r.od_us:
+            counts[r.o_orderpriority] += 1
+    assert {k: int(got.loc[k, "order_count"]) for k in got.index} == dict(counts)
+    assert sum(counts.values()) > 0
+
+
+def test_tpch_q17_matches_small_quantity_replay():
+    """q_tpch_q17: Brand#13 lines below 20% of the part's average
+    quantity; yearly average as floor-cents sum / 7."""
+    got = _oracle("q_tpch_q17").iloc[0]
+    li = _li_parts()
+    parts = duckdb.connect().execute(
+        f"SELECT p_partkey, p_brand FROM read_parquet('{SF}/part.parquet')"
+    ).df().set_index("p_partkey")["p_brand"]
+    avg_qty = li.groupby("l_partkey")["l_quantity"].mean()
+    cents = n = 0
+    for r in li.itertuples():
+        if parts[r.l_partkey] == "Brand#13" and r.l_quantity < 0.2 * avg_qty[r.l_partkey]:
+            cents += math.floor(r.l_extendedprice * 100)
+            n += 1
+    assert int(got.n_items) == n
+    assert abs(got.avg_yearly - cents / 700.0) < 1e-6
+
+
+def test_tpch_q3_matches_shipping_priority_replay():
+    """q_tpch_q3: BUILDING-segment unshipped-revenue top 10 — merges
+    replayed in pandas, floor-cents per line."""
+    got = _oracle("q_tpch_q3")
+    import datetime
+
+    cut = datetime.datetime(1997, 3, 15, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    cust = duckdb.connect().execute(
+        f"SELECT c_custkey FROM read_parquet('{SF}/customer.parquet') "
+        f"WHERE c_mktsegment = 'BUILDING'"
+    ).df()["c_custkey"]
+    od = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS od_us, "
+        f"strftime(o_orderdate, '%Y-%m-%d') AS od_str "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    od = od[(od.od_us < cut) & od.o_custkey.isin(set(cust))]
+    li = _li_parts()
+    li = li[(li.ship_us > cut) & li.l_orderkey.isin(set(od.o_orderkey))]
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for r in li.itertuples():
+        rev[r.l_orderkey] += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+    dates = od.set_index("o_orderkey")["od_str"]
+    scored = sorted(((c / 100.0, k) for k, c in rev.items()), key=lambda x: (-x[0], x[1]))[:10]
+    expect = [(k, v, dates[k]) for v, k in scored]
+    got_rows = list(map(tuple, got[["l_orderkey", "revenue", "orderdate"]].values.tolist()))
+    assert expect == got_rows and len(expect) > 0
+
+
+def test_tpch_q10_matches_returned_item_replay():
+    """q_tpch_q10: Q4-1996 returned-item revenue per customer,
+    top 20."""
+    got = _oracle("q_tpch_q10")
+    import datetime
+
+    lo = datetime.datetime(1996, 10, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1997, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM read_parquet('{SF}/customer.parquet')"
+    ).df().set_index("c_custkey")
+    nat = con.execute(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF}/nation.parquet')"
+    ).df().set_index("n_nationkey")["n_name"]
+    od = con.execute(
+        f"SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS od_us "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    od = od[(od.od_us >= lo) & (od.od_us < hi)]
+    okey_cust = od.set_index("o_orderkey")["o_custkey"]
+    li = duckdb.connect().execute(
+        f"SELECT l_orderkey, l_extendedprice, l_discount, l_returnflag "
+        f"FROM read_parquet('{SF}/lineitem.parquet') WHERE l_returnflag = 'R'"
+    ).df()
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for r in li.itertuples():
+        ck = okey_cust.get(r.l_orderkey)
+        if ck is not None and not pd.isna(ck):
+            rev[int(ck)] += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+    scored = sorted(((c / 100.0, k) for k, c in rev.items()), key=lambda x: (-x[0], x[1]))[:20]
+    expect = [
+        (k, cust.loc[k, "c_name"], v, round(cust.loc[k, "c_acctbal"], 2),
+         nat[cust.loc[k, "c_nationkey"]])
+        for v, k in scored
+    ]
+    got_rows = list(map(tuple, got[["c_custkey", "c_name", "revenue", "acctbal", "n_name"]].values.tolist()))
+    assert len(expect) == len(got_rows)
+    for e, g in zip(expect, got_rows):
+        assert e[:3] == g[:3] and e[4] == g[4]
+        assert abs(e[3] - g[3]) < 1e-9
+
+
+def test_tpch_q15_matches_top_supplier_replay():
+    """q_tpch_q15: Q1-1996 max-revenue supplier(s) — exact cents
+    argmax, all ties returned."""
+    got = _oracle("q_tpch_q15")
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1996, 4, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_suppkey, l_extendedprice, l_discount, epoch_us(l_shipdate) AS ship_us "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    li = li[(li.ship_us >= lo) & (li.ship_us < hi)]
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for r in li.itertuples():
+        rev[r.l_suppkey] += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+    mx = max(rev.values())
+    sup = con.execute(
+        f"SELECT s_suppkey, s_name FROM read_parquet('{SF}/supplier.parquet')"
+    ).df().set_index("s_suppkey")["s_name"]
+    expect = {(k, sup[k], c / 100.0) for k, c in rev.items() if c == mx}
+    assert set(map(tuple, got[["s_suppkey", "s_name", "total_revenue"]].values.tolist())) == expect
+
+
+def test_tpch_q22_matches_global_sales_opportunity_replay():
+    """q_tpch_q22: above-average positive balances in the candidate
+    country codes, restricted to customers with no recent orders."""
+    got = _oracle("q_tpch_q22").set_index("cntrycode")
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_custkey, c_acctbal, c_nationkey % 10 AS code "
+        f"FROM read_parquet('{SF}/customer.parquet')"
+    ).df()
+    import datetime
+
+    cut = datetime.datetime(2000, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    recent = set(
+        con.execute(
+            f"SELECT DISTINCT o_custkey FROM read_parquet('{SF}/orders.parquet') "
+            f"WHERE epoch_us(o_orderdate) >= {cut}"
+        ).df()["o_custkey"]
+    )
+    codes = {1, 3, 5, 7}
+    pool = cust[cust.code.isin(codes)]
+    cutoff = pool[pool.c_acctbal > 0]["c_acctbal"].mean()
+    cand = pool[(pool.c_acctbal > cutoff) & ~pool.c_custkey.isin(recent)]
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in cand.itertuples():
+        agg[int(r.code)][0] += 1
+        agg[int(r.code)][1] += math.floor(r.c_acctbal * 100)
+    assert len(got) == len(agg)
+    for code, (n, cents) in agg.items():
+        assert int(got.loc[code, "numcust"]) == n
+        assert abs(got.loc[code, "totacctbal"] - cents / 100.0) < 1e-9
+
+
+def test_tpch_q18_matches_large_volume_replay():
+    """q_tpch_q18: orders with total quantity > 250, joined to
+    customer, top 100 by (totalprice desc, orderkey)."""
+    got = _oracle("q_tpch_q18")
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_orderkey, l_quantity FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    qty = li.groupby("l_orderkey")["l_quantity"].sum()
+    big = qty[qty > 250]
+    od = con.execute(
+        f"SELECT o_orderkey, o_custkey, o_totalprice, "
+        f"strftime(o_orderdate, '%Y-%m-%d') AS od_str "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df().set_index("o_orderkey")
+    cust = con.execute(
+        f"SELECT c_custkey, c_name FROM read_parquet('{SF}/customer.parquet')"
+    ).df().set_index("c_custkey")["c_name"]
+    rows = []
+    for ok, q in big.items():
+        o = od.loc[ok]
+        rows.append((int(o.o_custkey), cust[int(o.o_custkey)], int(ok), o.od_str,
+                     round(o.o_totalprice, 2), round(q, 2)))
+    rows.sort(key=lambda r: (-r[4], r[2]))
+    expect = rows[:100]
+    got_rows = list(map(tuple, got[["c_custkey", "c_name", "o_orderkey",
+                                    "orderdate", "totalprice", "total_qty"]].values.tolist()))
+    assert len(expect) == len(got_rows)
+    for e, g in zip(expect, got_rows):
+        assert e[:4] == g[:4]
+        assert abs(e[4] - g[4]) < 1e-9 and abs(e[5] - g[5]) < 1e-9
+
+
+def test_tpch_q16_matches_supplier_count_replay():
+    """q_tpch_q16: distinct qualifying suppliers per (brand, type,
+    size) with the negative-balance supplier exclusion."""
+    got = _oracle("q_tpch_q16")
+    con = duckdb.connect()
+    ps = con.execute(
+        f"SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    part = con.execute(
+        f"SELECT p_partkey, p_brand, p_type, p_size FROM read_parquet('{SF}/part.parquet')"
+    ).df().set_index("p_partkey")
+    bad = set(
+        con.execute(
+            f"SELECT s_suppkey FROM read_parquet('{SF}/supplier.parquet') WHERE s_acctbal < 0.0"
+        ).df()["s_suppkey"]
+    )
+    sizes = {1, 5, 10, 15, 20, 25, 30, 35}
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for r in ps.itertuples():
+        p = part.loc[r.pk]
+        if (p.p_brand != "Brand#1" and p.p_type != "PROMO"
+                and int(p.p_size) in sizes and r.sk not in bad):
+            groups[(p.p_brand, p.p_type, int(p.p_size))].add(r.sk)
+    expect = sorted(
+        ((b, t, s, len(v)) for (b, t, s), v in groups.items()),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )
+    got_rows = list(map(tuple, got[["p_brand", "p_type", "p_size", "supplier_cnt"]].values.tolist()))
+    assert expect == got_rows and len(expect) > 0
+
+
+def test_tpch_q13_matches_order_count_histogram():
+    """q_tpch_q13: customers-per-order-count histogram with the
+    priority-filtered LEFT join (zero-order customers included)."""
+    got = _oracle("q_tpch_q13")
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_custkey FROM read_parquet('{SF}/customer.parquet')"
+    ).df()["c_custkey"]
+    od = con.execute(
+        f"SELECT o_custkey FROM read_parquet('{SF}/orders.parquet') "
+        f"WHERE o_orderpriority <> '4-NOT SPECIFIED'"
+    ).df()["o_custkey"]
+    per_cust = od.value_counts()
+    from collections import Counter
+
+    hist: Counter = Counter()
+    for c in cust:
+        hist[int(per_cust.get(c, 0))] += 1
+    expect = sorted(hist.items(), key=lambda kv: (-kv[1], -kv[0]))
+    got_rows = [(int(r.c_count), int(r.custdist)) for r in got.itertuples()]
+    assert expect == got_rows
+
+
+def _asia_nations(sf: str = SF) -> set:
+    con = duckdb.connect()
+    return set(
+        con.execute(
+            f"SELECT n_nationkey FROM read_parquet('{sf}/nation.parquet') n "
+            f"JOIN read_parquet('{sf}/region.parquet') r ON n.n_regionkey = r.r_regionkey "
+            f"WHERE r.r_name = 'ASIA'"
+        ).df()["n_nationkey"]
+    )
+
+
+def test_tpch_q5_matches_local_supplier_replay():
+    """q_tpch_q5: 1996 revenue per ASIA nation where the customer and
+    the supplier share the nation."""
+    got = _oracle("q_tpch_q5").set_index("n_name")
+    con = duckdb.connect()
+    asia = _asia_nations()
+    nat = con.execute(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF}/nation.parquet')"
+    ).df().set_index("n_nationkey")["n_name"]
+    cust = con.execute(
+        f"SELECT c_custkey, c_nationkey FROM read_parquet('{SF}/customer.parquet')"
+    ).df().set_index("c_custkey")["c_nationkey"]
+    sup = con.execute(
+        f"SELECT s_suppkey, s_nationkey FROM read_parquet('{SF}/supplier.parquet')"
+    ).df().set_index("s_suppkey")["s_nationkey"]
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1997, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    od = con.execute(
+        f"SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS od_us "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    od = od[(od.od_us >= lo) & (od.od_us < hi)].set_index("o_orderkey")["o_custkey"]
+    li = con.execute(
+        f"SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for r in li.itertuples():
+        ck = od.get(r.l_orderkey)
+        if ck is None or pd.isna(ck):
+            continue
+        cn, sn = int(cust[int(ck)]), int(sup[r.l_suppkey])
+        if cn == sn and cn in asia:
+            rev[nat[cn]] += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+    assert len(got) == len(rev) > 0
+    for name, cents in rev.items():
+        assert abs(got.loc[name, "revenue"] - cents / 100.0) < 1e-6
+
+
+def test_tpch_q7_matches_volume_shipping_replay():
+    """q_tpch_q7: NATION_1 <-> NATION_2 cross-trade revenue by ship
+    year (sf0.01 — the pair has no trade at sf0.001, which would make
+    the replay vacuous)."""
+    got = _oracle("q_tpch_q7", SF01)
+    con = duckdb.connect()
+    nat = con.execute(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF01}/nation.parquet')"
+    ).df().set_index("n_nationkey")["n_name"]
+    cust = con.execute(
+        f"SELECT c_custkey, c_nationkey FROM read_parquet('{SF01}/customer.parquet')"
+    ).df().set_index("c_custkey")["c_nationkey"]
+    sup = con.execute(
+        f"SELECT s_suppkey, s_nationkey FROM read_parquet('{SF01}/supplier.parquet')"
+    ).df().set_index("s_suppkey")["s_nationkey"]
+    od = con.execute(
+        f"SELECT o_orderkey, o_custkey FROM read_parquet('{SF01}/orders.parquet')"
+    ).df().set_index("o_orderkey")["o_custkey"]
+    li = con.execute(
+        f"SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount, "
+        f"year(l_shipdate) AS y, epoch_us(l_shipdate) AS ship_us "
+        f"FROM read_parquet('{SF01}/lineitem.parquet')"
+    ).df()
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1998, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    li = li[(li.ship_us >= lo) & (li.ship_us < hi)]
+    pair = {"NATION_1", "NATION_2"}
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for r in li.itertuples():
+        sn = nat[int(sup[r.l_suppkey])]
+        cn = nat[int(cust[int(od[r.l_orderkey])])]
+        if {sn, cn} == pair:
+            rev[(sn, cn, int(r.y))] += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+    assert len(rev) > 0, "q7 must be non-vacuous at sf0.01"
+    gmap = {
+        (r.supp_nation, r.cust_nation, int(r.l_year)): r.revenue for r in got.itertuples()
+    }
+    assert set(gmap) == set(rev)
+    for k, cents in rev.items():
+        assert abs(gmap[k] - cents / 100.0) < 1e-6
+
+
+def test_tpch_q11_matches_important_stock_replay():
+    """q_tpch_q11: ASIA part values above 2x the mean part value."""
+    got = _oracle("q_tpch_q11")
+    con = duckdb.connect()
+    asia = _asia_nations()
+    sup = con.execute(
+        f"SELECT s_suppkey, s_nationkey FROM read_parquet('{SF}/supplier.parquet')"
+    ).df().set_index("s_suppkey")["s_nationkey"]
+    li = con.execute(
+        f"SELECT l_partkey, l_suppkey, l_extendedprice, l_discount "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    from collections import defaultdict
+
+    val = defaultdict(int)
+    for r in li.itertuples():
+        if int(sup[r.l_suppkey]) in asia:
+            val[r.l_partkey] += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+    total, n = sum(val.values()), len(val)
+    expect = sorted(
+        ((k, c / 100.0) for k, c in val.items() if c > 2.0 * total / n),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    got_rows = [(int(r.p_partkey), r.value) for r in got.itertuples()]
+    assert len(expect) == len(got_rows) > 0
+    for (k, v), (gk, gv) in zip(expect, got_rows):
+        assert k == gk and abs(v - gv) < 1e-6
