@@ -323,15 +323,15 @@ _COVERED = {
     "q_join_range_banded": "recompute: test_recompute.py",
     "q_corr_matrix": "recompute: test_recompute.py",
     "q_win_cusum": "recompute: test_properties.py",
-    "q_tpch_q2": "contract: test_benchmarks.py, test_plans.py",
-    "q_tpch_q8": "contract: test_plans.py",
+    "q_tpch_q2": "recompute: test_recompute.py",
+    "q_tpch_q8": "recompute: test_recompute.py",
     "q_embed_quantize": "recompute: test_recompute.py",
-    "q_tpch_q9": "contract: test_plans.py",
+    "q_tpch_q9": "recompute: test_recompute.py",
     "q_tpch_q11": "recompute: test_recompute.py",
     "q_tpch_q13": "recompute: test_recompute.py",
     "q_tpch_q16": "recompute: test_recompute.py",
-    "q_tpch_q20": "contract: test_plans.py",
-    "q_tpch_q21": "contract: test_benchmarks.py, test_plans.py",
+    "q_tpch_q20": "recompute: test_recompute.py",
+    "q_tpch_q21": "recompute: test_recompute.py",
     "q_win_atr": "recompute: test_recompute.py",
     "q_graph_triangles": "recompute: test_recompute.py",
     "q_text_hapax": "recompute: test_recompute.py",

@@ -4471,3 +4471,249 @@ def test_tpch_q11_matches_important_stock_replay():
     assert len(expect) == len(got_rows) > 0
     for (k, v), (gk, gv) in zip(expect, got_rows):
         assert k == gk and abs(v - gv) < 1e-6
+
+
+def test_tpch_q2_matches_min_cost_supplier_replay():
+    """q_tpch_q2: min-cost EUROPE supplier per qualifying part —
+    per-(part, supplier) min unit cost in floor-cents, per-part
+    argmin with ALL ties, top 100 by (acctbal desc, nation, name,
+    part)."""
+    got = _oracle("q_tpch_q2")
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_partkey, l_suppkey, l_extendedprice, l_quantity "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    cost: dict = {}
+    for r in li.itertuples():
+        c = math.floor(100 * r.l_extendedprice / r.l_quantity)
+        k = (r.l_partkey, r.l_suppkey)
+        if k not in cost or c < cost[k]:
+            cost[k] = c
+    eur_nk = set(
+        con.execute(
+            f"SELECT n_nationkey FROM read_parquet('{SF}/nation.parquet') n "
+            f"JOIN read_parquet('{SF}/region.parquet') r ON n.n_regionkey = r.r_regionkey "
+            f"WHERE r.r_name = 'EUROPE'"
+        ).df()["n_nationkey"]
+    )
+    nat = con.execute(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF}/nation.parquet')"
+    ).df().set_index("n_nationkey")["n_name"]
+    sup = con.execute(
+        f"SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM read_parquet('{SF}/supplier.parquet')"
+    ).df().set_index("s_suppkey")
+    parts_ok = set(
+        con.execute(
+            f"SELECT p_partkey FROM read_parquet('{SF}/part.parquet') "
+            f"WHERE p_size <= 15 AND p_type = 'LARGE'"
+        ).df()["p_partkey"]
+    )
+    from collections import defaultdict
+
+    per_part = defaultdict(list)
+    for (pk, sk), c in cost.items():
+        if pk in parts_ok and int(sup.loc[sk, "s_nationkey"]) in eur_nk:
+            per_part[pk].append((c, sk))
+    rows = []
+    for pk, cands in per_part.items():
+        best = min(c for c, _ in cands)
+        for c, sk in cands:
+            if c == best:
+                s = sup.loc[sk]
+                rows.append((round(s.s_acctbal, 2), s.s_name,
+                             nat[int(s.s_nationkey)], pk, c / 100.0))
+    rows.sort(key=lambda r: (-r[0], r[2], r[1], r[3]))
+    expect = rows[:100]
+    got_rows = list(map(tuple, got[["acctbal", "s_name", "n_name", "p_partkey", "supplycost"]].values.tolist()))
+    assert len(expect) == len(got_rows) > 0
+    for e, g in zip(expect, got_rows):
+        assert e[1:4] == g[1:4]
+        assert abs(e[0] - g[0]) < 1e-9 and abs(e[4] - g[4]) < 1e-9
+
+
+def test_tpch_q8_matches_market_share_replay():
+    """q_tpch_q8: NATION_5's share of AMERICA PROMO revenue by order
+    year."""
+    got = _oracle("q_tpch_q8").set_index("o_year")
+    con = duckdb.connect()
+    amer = set(
+        con.execute(
+            f"SELECT n_nationkey FROM read_parquet('{SF}/nation.parquet') n "
+            f"JOIN read_parquet('{SF}/region.parquet') r ON n.n_regionkey = r.r_regionkey "
+            f"WHERE r.r_name = 'AMERICA'"
+        ).df()["n_nationkey"]
+    )
+    nat = con.execute(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF}/nation.parquet')"
+    ).df().set_index("n_nationkey")["n_name"]
+    cust = con.execute(
+        f"SELECT c_custkey, c_nationkey FROM read_parquet('{SF}/customer.parquet')"
+    ).df().set_index("c_custkey")["c_nationkey"]
+    sup = con.execute(
+        f"SELECT s_suppkey, s_nationkey FROM read_parquet('{SF}/supplier.parquet')"
+    ).df().set_index("s_suppkey")["s_nationkey"]
+    promo = set(
+        con.execute(
+            f"SELECT p_partkey FROM read_parquet('{SF}/part.parquet') WHERE p_type = 'PROMO'"
+        ).df()["p_partkey"]
+    )
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1998, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    od = con.execute(
+        f"SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS od_us, "
+        f"year(o_orderdate) AS y FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    od = od[(od.od_us >= lo) & (od.od_us < hi)].set_index("o_orderkey")
+    li = con.execute(
+        f"SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice, l_discount "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    n5 = defaultdict(int)
+    for r in li.itertuples():
+        if r.l_partkey not in promo or r.l_orderkey not in od.index:
+            continue
+        o = od.loc[r.l_orderkey]
+        if int(cust[int(o.o_custkey)]) not in amer:
+            continue
+        cents = math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+        y = int(o.y)
+        tot[y] += cents
+        if nat[int(sup[r.l_suppkey])] == "NATION_5":
+            n5[y] += cents
+    assert set(tot) == set(got.index) and len(tot) > 0
+    for y, c in tot.items():
+        assert abs(got.loc[y, "total_revenue"] - c / 100.0) < 1e-6
+        assert abs(got.loc[y, "mkt_share"] - n5[y] / c) < 1e-3
+
+
+def test_tpch_q9_matches_product_profit_replay():
+    """q_tpch_q9: widget-part profit (revenue minus half retail cost)
+    by supplier nation and order year, floor-cents per line."""
+    got = _oracle("q_tpch_q9").set_index(["nation", "o_year"])
+    con = duckdb.connect()
+    parts = con.execute(
+        f"SELECT p_partkey, p_retailprice FROM read_parquet('{SF}/part.parquet') "
+        f"WHERE p_name LIKE '%widget%'"
+    ).df().set_index("p_partkey")["p_retailprice"]
+    nat = con.execute(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF}/nation.parquet')"
+    ).df().set_index("n_nationkey")["n_name"]
+    sup = con.execute(
+        f"SELECT s_suppkey, s_nationkey FROM read_parquet('{SF}/supplier.parquet')"
+    ).df().set_index("s_suppkey")["s_nationkey"]
+    od = con.execute(
+        f"SELECT o_orderkey, year(o_orderdate) AS y FROM read_parquet('{SF}/orders.parquet')"
+    ).df().set_index("o_orderkey")["y"]
+    li = con.execute(
+        f"SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice, l_discount, l_quantity "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    from collections import defaultdict
+
+    profit = defaultdict(int)
+    for r in li.itertuples():
+        rp = parts.get(r.l_partkey)
+        if rp is None or pd.isna(rp):
+            continue
+        cents = math.floor(
+            (r.l_extendedprice * (1 - r.l_discount) - 0.5 * rp * r.l_quantity) * 100
+        )
+        profit[(nat[int(sup[r.l_suppkey])], int(od[r.l_orderkey]))] += cents
+    assert set(profit) == set(got.index) and len(profit) > 0
+    for k, c in profit.items():
+        assert abs(got.loc[k, "sum_profit"] - c / 100.0) < 1e-6
+
+
+def test_tpch_q20_matches_potential_promotion_replay():
+    """q_tpch_q20: AFRICA suppliers who shipped > 30 units of any
+    'red '-prefixed part in 1996."""
+    got = _oracle("q_tpch_q20")
+    con = duckdb.connect()
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1997, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    li = con.execute(
+        f"SELECT l_suppkey, l_partkey, l_quantity, epoch_us(l_shipdate) AS ship_us "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    li = li[(li.ship_us >= lo) & (li.ship_us < hi)]
+    red = set(
+        con.execute(
+            f"SELECT p_partkey FROM read_parquet('{SF}/part.parquet') "
+            f"WHERE p_name LIKE 'red %'"
+        ).df()["p_partkey"]
+    )
+    qty = li.groupby(["l_suppkey", "l_partkey"])["l_quantity"].sum()
+    qualified = {
+        sk for (sk, pk), q in qty.items() if pk in red and round(q, 2) > 30.0
+    }
+    afr = set(
+        con.execute(
+            f"SELECT n_nationkey FROM read_parquet('{SF}/nation.parquet') n "
+            f"JOIN read_parquet('{SF}/region.parquet') r ON n.n_regionkey = r.r_regionkey "
+            f"WHERE r.r_name = 'AFRICA'"
+        ).df()["n_nationkey"]
+    )
+    sup = con.execute(
+        f"SELECT s_suppkey, s_name, s_nationkey FROM read_parquet('{SF}/supplier.parquet')"
+    ).df()
+    nat = con.execute(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF}/nation.parquet')"
+    ).df().set_index("n_nationkey")["n_name"]
+    expect = sorted(
+        (int(r.s_suppkey), r.s_name, nat[int(r.s_nationkey)])
+        for r in sup.itertuples()
+        if int(r.s_nationkey) in afr and int(r.s_suppkey) in qualified
+    )
+    got_rows = list(map(tuple, got[["s_suppkey", "s_name", "n_name"]].values.tolist()))
+    assert expect == got_rows and len(expect) > 0
+
+
+def test_tpch_q21_matches_waiting_supplier_replay():
+    """q_tpch_q21: suppliers who were the SOLE late supplier on
+    multi-supplier finished orders, counting their late lines."""
+    got = _oracle("q_tpch_q21")
+    con = duckdb.connect()
+    od = con.execute(
+        f"SELECT o_orderkey, epoch_us(o_orderdate) AS od_us "
+        f"FROM read_parquet('{SF}/orders.parquet') WHERE o_orderstatus = 'F'"
+    ).df().set_index("o_orderkey")["od_us"]
+    li = con.execute(
+        f"SELECT l_orderkey, l_suppkey, epoch_us(l_shipdate) AS ship_us "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    DAY45 = 45 * 24 * 3_600_000_000
+    from collections import defaultdict
+
+    n_late = defaultdict(int)
+    supps = defaultdict(set)
+    for r in li.itertuples():
+        od_us = od.get(r.l_orderkey)
+        if od_us is None or pd.isna(od_us):
+            continue
+        supps[r.l_orderkey].add(r.l_suppkey)
+        key = (r.l_orderkey, r.l_suppkey)
+        n_late.setdefault(key, 0)
+        if r.ship_us > od_us + DAY45:
+            n_late[key] += 1
+    numwait = defaultdict(int)
+    for ok, sks in supps.items():
+        late_sups = [sk for sk in sks if n_late[(ok, sk)] > 0]
+        if len(sks) >= 2 and len(late_sups) == 1:
+            numwait[late_sups[0]] += n_late[(ok, late_sups[0])]
+    sup = con.execute(
+        f"SELECT s_suppkey, s_name FROM read_parquet('{SF}/supplier.parquet')"
+    ).df().set_index("s_suppkey")["s_name"]
+    by_name = defaultdict(int)
+    for sk, n in numwait.items():
+        by_name[sup[sk]] += n
+    expect = sorted(by_name.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got_rows = [(r.s_name, int(r.numwait)) for r in got.itertuples()]
+    assert expect == got_rows and len(expect) > 0
