@@ -228,15 +228,15 @@ _COVERED = {
     "q_graph_transitivity": "recompute: test_stats.py",
     "q_sample_neyman": "recompute: test_stats.py",
     "q_multimodal_jpeg": "contract: test_multimodal.py",
-    "q_join_broadcast": "contract: test_plans.py",
-    "q_join_sortmerge": "contract: test_plans.py",
-    "q_project": "contract: test_plans.py",
-    "q_filter": "contract: test_plans.py",
-    "q_join_cross": "contract: test_plans.py",
-    "q_agg_global": "contract: test_plans.py",
-    "q_sort_multi": "contract: test_plans.py",
+    "q_join_broadcast": "recompute: test_recompute.py",
+    "q_join_sortmerge": "recompute: test_recompute.py",
+    "q_project": "recompute: test_recompute.py",
+    "q_filter": "recompute: test_recompute.py",
+    "q_join_cross": "recompute: test_recompute.py",
+    "q_agg_global": "recompute: test_recompute.py",
+    "q_sort_multi": "recompute: test_recompute.py",
     "q_topk": "recompute: test_recompute.py",
-    "q_limit_offset": "contract: test_plans.py",
+    "q_limit_offset": "recompute: test_recompute.py",
     "q_agg_approx_distinct": "contract: test_plans.py, test_registry.py",
     "q_sim_topk": "recompute: test_recompute.py",
     "q_dedup_exact": "recompute: test_recompute.py",
@@ -257,7 +257,7 @@ _COVERED = {
     "q_sessionize": "recompute: test_recompute.py",
     "q_pack_sequences": "recompute: test_recompute.py",
     "q_merge_upsert": "recompute: test_recompute.py",
-    "q_fn_cond_null": "contract: test_plans.py",
+    "q_fn_cond_null": "recompute: test_recompute.py",
     "q_fn_hash": "recompute: test_recompute.py",
     "q_fn_hash_native": "contract: test_registry.py",
     "q_udtf": "contract: test_plans.py",
@@ -265,7 +265,7 @@ _COVERED = {
     "q_stream_session": "contract: test_streaming.py",
     "q_stream_watermark_late": "contract: test_streaming.py",
     "q_stream_stateful": "contract: test_streaming.py",
-    "q_join_skew_salted": "contract: test_plans.py",
+    "q_join_skew_salted": "recompute: test_recompute.py",
     "q_profile_table": "recompute: test_recompute.py",
     "q_funnel": "recompute: test_recompute.py",
     "q_sim_topk_ivf": "contract: test_llm_ops.py, test_registry.py",
@@ -284,7 +284,7 @@ _COVERED = {
     "q_text_entropy": "recompute: test_recompute.py",
     "q_rollup_time": "recompute: test_recompute.py",
     "q_doc_chunk": "recompute: test_recompute.py",
-    "q_join_lateral": "contract: test_plans.py",
+    "q_join_lateral": "recompute: test_recompute.py",
     "q_scd2": "recompute: test_recompute.py",
     "q_join_point_in_time": "recompute: test_recompute.py",
     "q_tpch_q5": "recompute: test_recompute.py",
@@ -335,7 +335,7 @@ _COVERED = {
     "q_win_atr": "recompute: test_recompute.py",
     "q_graph_triangles": "recompute: test_recompute.py",
     "q_text_hapax": "recompute: test_recompute.py",
-    "q_join_bloom": "contract: test_plans.py, test_relational.py",
+    "q_join_bloom": "recompute: test_recompute.py",
     "q_stats_ttest": "recompute: test_stats.py",
     "q_stats_trend": "recompute: test_stats.py",
     "q_rfm_segments": "recompute: test_properties.py",

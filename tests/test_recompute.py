@@ -4717,3 +4717,228 @@ def test_tpch_q21_matches_waiting_supplier_replay():
     expect = sorted(by_name.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
     got_rows = [(r.s_name, int(r.numwait)) for r in got.itertuples()]
     assert expect == got_rows and len(expect) > 0
+
+
+def test_filter_matches_predicate_replay():
+    """q_filter: the composite part predicate replayed row-wise."""
+    got = _oracle("q_filter")
+    pt = duckdb.connect().execute(
+        f"SELECT p_partkey, p_name, p_type, p_size, p_brand, p_retailprice "
+        f"FROM read_parquet('{SF}/part.parquet')"
+    ).df()
+    expect = {
+        (r.p_partkey, r.p_name, r.p_retailprice)
+        for r in pt.itertuples()
+        if ("PROMO" in r.p_type or r.p_size in (1, 5, 9))
+        and 500 <= r.p_retailprice <= 1500 and r.p_brand is not None
+    }
+    assert set(map(tuple, got[["p_partkey", "p_name", "p_retailprice"]].values.tolist())) == expect
+    assert 0 < len(expect) < len(pt)
+
+
+def test_project_matches_expression_replay():
+    """q_project: per-line revenue expression. (l_orderkey,
+    l_linenumber) is NOT unique in the fixture — the quality-rules
+    dup counter is deliberately nonzero — so rows align by full-tuple
+    sort, not by key lookup."""
+    got = sorted(map(tuple, _oracle("q_project").values.tolist()))
+    li = _li()
+    expect = sorted(
+        (r.l_orderkey, r.l_linenumber, r.l_extendedprice * (1 - r.l_discount))
+        for r in li.itertuples()
+    )
+    assert len(expect) == len(got)
+    for e, g in zip(expect, got):
+        assert e[:2] == g[:2]
+        assert abs(e[2] - g[2]) < 1e-9
+
+
+def test_limit_offset_matches_slice_replay():
+    """q_limit_offset: rows 101-150 of the orderkey order."""
+    got = _oracle("q_limit_offset")
+    od = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_orderstatus FROM read_parquet('{SF}/orders.parquet') "
+        f"ORDER BY o_orderkey"
+    ).df()
+    expect = list(map(tuple, od.iloc[100:150][["o_orderkey", "o_orderstatus"]].values.tolist()))
+    assert list(map(tuple, got[["o_orderkey", "o_orderstatus"]].values.tolist())) == expect
+
+
+def test_sort_multi_matches_three_key_order():
+    """q_sort_multi: (priority desc, totalprice asc, orderkey asc)
+    top 100."""
+    got = _oracle("q_sort_multi")
+    od = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_orderpriority, o_totalprice FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    rows = sorted(
+        ((r.o_orderkey, r.o_orderpriority, r.o_totalprice) for r in od.itertuples()),
+        key=lambda r: (tuple(-ord(c) for c in r[1]), r[2], r[0]),
+    )[:100]
+    got_rows = list(map(tuple, got[["o_orderkey", "o_orderpriority", "totalprice"]].values.tolist()))
+    assert rows == got_rows
+
+
+def test_agg_global_matches_scalar_replay():
+    """q_agg_global: the seven whole-table scalars."""
+    got = _oracle("q_agg_global").iloc[0]
+    li = duckdb.connect().execute(
+        f"SELECT l_quantity, l_extendedprice, "
+        f"strftime(l_shipdate, '%Y-%m-%d') AS ship_str "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    assert int(got.n_rows) == len(li)
+    assert abs(got.sum_qty - round(li.l_quantity.sum(), 2)) < 1e-6
+    assert abs(got.avg_price - li.l_extendedprice.mean()) < 1e-2
+    assert abs(got.min_price - li.l_extendedprice.min()) < 1e-9
+    assert abs(got.max_price - li.l_extendedprice.max()) < 1e-9
+    assert got.first_ship == li.ship_str.min()
+    assert got.last_ship == li.ship_str.max()
+
+
+def test_join_broadcast_matches_brand_rollup():
+    """q_join_broadcast: floor-cents revenue per brand through the
+    part dimension."""
+    got = _oracle("q_join_broadcast").set_index("p_brand")
+    li = _li_parts()
+    brand = duckdb.connect().execute(
+        f"SELECT p_partkey, p_brand FROM read_parquet('{SF}/part.parquet')"
+    ).df().set_index("p_partkey")["p_brand"]
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in li.itertuples():
+        e = agg[brand[r.l_partkey]]
+        e[0] += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+        e[1] += 1
+    assert len(agg) == len(got)
+    for b, (c, n) in agg.items():
+        assert int(got.loc[b, "n_rows"]) == n
+        assert abs(got.loc[b, "revenue"] - c / 100.0) < 1e-6
+
+
+def test_join_sortmerge_matches_priority_rollup():
+    """q_join_sortmerge: quantity rollup per order priority through
+    the orders fact-fact join."""
+    got = _oracle("q_join_sortmerge").set_index("o_orderpriority")
+    li = _li()
+    pri = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_orderpriority FROM read_parquet('{SF}/orders.parquet')"
+    ).df().set_index("o_orderkey")["o_orderpriority"]
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0.0, 0])
+    for r in li.itertuples():
+        e = agg[pri[r.l_orderkey]]
+        e[0] += r.l_quantity
+        e[1] += 1
+    assert len(agg) == len(got)
+    for p, (q, n) in agg.items():
+        assert int(got.loc[p, "n_rows"]) == n
+        assert abs(got.loc[p, "sum_qty"] - round(q, 2)) < 1e-2
+
+
+def test_join_cross_matches_cartesian_replay():
+    """q_join_cross: region x distinct market segment cartesian."""
+    got = _oracle("q_join_cross")
+    con = duckdb.connect()
+    regions = con.execute(
+        f"SELECT r_name FROM read_parquet('{SF}/region.parquet')"
+    ).df()["r_name"].tolist()
+    segs = con.execute(
+        f"SELECT DISTINCT c_mktsegment FROM read_parquet('{SF}/customer.parquet')"
+    ).df()["c_mktsegment"].tolist()
+    expect = {(r, s) for r in regions for s in segs}
+    assert set(map(tuple, got[["r_name", "seg"]].values.tolist())) == expect
+    assert len(got) == len(regions) * len(segs)
+
+
+def test_join_skew_salted_matches_segment_rollup():
+    """q_join_skew_salted: events joined to customer by user key,
+    value rollup per market segment."""
+    got = _oracle("q_join_skew_salted").set_index("c_mktsegment")
+    ev = _events()
+    seg = duckdb.connect().execute(
+        f"SELECT c_custkey, c_mktsegment FROM read_parquet('{SF}/customer.parquet')"
+    ).df().set_index("c_custkey")["c_mktsegment"]
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for r in ev.itertuples():
+        s = seg.get(r.user_id)
+        if s is not None and not pd.isna(s):
+            agg[s][0] += 1
+            agg[s][1] += r.value
+    assert len(agg) == len(got)
+    for s, (n, v) in agg.items():
+        assert int(got.loc[s, "n_events"]) == n
+        assert abs(got.loc[s, "total_value"] - v) < 1e-2 + 1e-9
+
+
+def test_join_bloom_matches_filtered_join_replay():
+    """q_join_bloom: urgent Q1-1996 orders' line revenue."""
+    got = _oracle("q_join_bloom")
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    hi = datetime.datetime(1996, 4, 1, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    od = duckdb.connect().execute(
+        f"SELECT o_orderkey, epoch_us(o_orderdate) AS od_us "
+        f"FROM read_parquet('{SF}/orders.parquet') WHERE o_orderpriority = '1-URGENT'"
+    ).df()
+    keys = set(od[(od.od_us >= lo) & (od.od_us < hi)]["o_orderkey"])
+    li = _li_parts()
+    cents = n = 0
+    for r in li.itertuples():
+        if r.l_orderkey in keys:
+            cents += math.floor(r.l_extendedprice * (1 - r.l_discount) * 100)
+            n += 1
+    assert len(got) == 1
+    assert int(got["n_lines"].iloc[0]) == n
+    assert abs(got["revenue"].iloc[0] - cents / 100.0) < 1e-6
+
+
+def test_join_lateral_matches_top2_per_customer():
+    """q_join_lateral: each customer's top-2 orders by (totalprice
+    desc, orderkey asc) — customers with no orders emit nothing."""
+    got = _oracle("q_join_lateral")
+    od = duckdb.connect().execute(
+        f"SELECT o_custkey, o_orderkey, o_totalprice FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    expect = []
+    for ck, g in od.groupby("o_custkey"):
+        top = sorted(g.itertuples(), key=lambda r: (-r.o_totalprice, r.o_orderkey))[:2]
+        for r in top:
+            expect.append((ck, r.o_orderkey, r.o_totalprice))
+    got_rows = set(map(tuple, got[["c_custkey", "o_orderkey", "o_totalprice"]].values.tolist()))
+    assert got_rows == set(expect)
+
+
+def test_fn_cond_null_matches_scalar_semantics():
+    """q_fn_cond_null: coalesce/nullif/least/greatest/CASE null
+    semantics replayed row-wise (full-tuple sort alignment — the line
+    key is not unique in the fixture)."""
+    got = _oracle("q_fn_cond_null")
+    got_rows = sorted(
+        (
+            (r.l_orderkey, r.l_linenumber, r.flag_or_x, r.qty_cap, r.qty_floor,
+             bool(r.was_n),
+             (True, 0.0) if pd.isna(r.big_disc) else (False, round(r.big_disc, 9)))
+            for r in got.itertuples()
+        )
+    )
+    li = duckdb.connect().execute(
+        f"SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df()
+    expect = sorted(
+        (
+            (r.l_orderkey, r.l_linenumber,
+             r.l_returnflag if r.l_returnflag != "N" else "X",
+             min(r.l_quantity, 25.0), max(r.l_quantity, 5.0),
+             r.l_returnflag == "N",
+             (False, round(r.l_discount, 9)) if r.l_discount > 0.05 else (True, 0.0))
+            for r in li.itertuples()
+        )
+    )
+    assert expect == got_rows
