@@ -4942,3 +4942,60 @@ def test_fn_cond_null_matches_scalar_semantics():
         )
     )
     assert expect == got_rows
+
+
+def test_lev_banded_helper_matches_full_dp():
+    """The banded Levenshtein used by the dedup_edit replay is itself
+    replay infrastructure — pin it against the plain O(n*m) DP on
+    random short strings (hypothesis) so the replay can't be wrong in
+    the same way twice."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def lev_full(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abc", max_size=12),
+        st.text(alphabet="abc", max_size=12),
+        st.integers(min_value=0, max_value=6),
+    )
+    def check(a, b, k):
+        d = lev_full(a, b)
+        banded = _lev_banded(a, b, k)
+        if d <= k:
+            assert banded == d
+        else:
+            assert banded is None
+
+    check()
+
+
+def test_half_away_helper_matches_duckdb_round():
+    """_half_away mirrors what the ENGINES do: round the DOUBLE
+    half-away-from-zero. The reference is DuckDB's own round() on the
+    same double — NOT decimal.Decimal of the exact value, which
+    disagrees whenever a decimal tie like 1.275 is not representable
+    (the double is 1.27499…, so both engines and the helper round it
+    DOWN while exact-decimal HALF_UP would go up; probed exhaustively:
+    23 k such inputs on the 5e-6 grid)."""
+    import random
+
+    rng = random.Random(1275)
+    xs = [rng.randint(-2_000_000, 2_000_000) / 1_000_000 for _ in range(400)]
+    xs += [1.275, -1.275, 0.5, -0.5, 2.675, 0.0000005, -0.0000005, 0.0]
+    con = duckdb.connect()
+    for nd in range(0, 7):
+        want = con.execute(
+            "SELECT list_transform(?, x -> round(x, ?))", [xs, nd]
+        ).fetchone()[0]
+        for x, w in zip(xs, want):
+            got = _half_away(x, nd)
+            assert got == w or abs(got - w) < 1e-12, (x, nd, got, w)
