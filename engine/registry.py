@@ -71,15 +71,16 @@ def _ensure_loaded() -> None:
 # EVIDENCE FRESHNESS: re-cert any key whose plan/output changed after
 # its last row, then refresh the stalest rows, block by block.
 #
-# Refresh cadence (VERDICT r9 task 7): 427 keys / ~45 refresh slots
-# per round ≈ 9 rounds per full refresh cycle, so every key re-grades
-# at least once per ~9 rounds while the full local differential sweep
-# (tools/check.py, a seal gate) re-verifies all 427 every round.
-# Walk the backlog in prefix order: r10 = re-certs + r01 block head;
-# r11 = r01 remainder (q_fn_explode, q_agg_approx_distinct) + the r02
-# block + r03 head; later rounds keep draining r03 → r09.
+# Refresh cadence (VERDICT r9 task 7): 427 keys / ~40-45 refresh
+# slots per round ≈ 9-10 rounds per full refresh cycle, so every key
+# re-grades at least once per ~10 rounds while the full local
+# differential sweep (tools/check.py, a seal gate) re-verifies all
+# 427 every round. Walk the backlog in prefix order: r10 = re-certs +
+# r01 block head; r11 = the displaced r01 remainder (q_fn_string ...
+# q_agg_approx_distinct, 7 keys) + the r02 block head; later rounds
+# keep draining r02 → r09.
 #
-# Round 10 window = 5 re-certs + the first 45 keys of the r01 block:
+# Round 10 window = 10 re-certs + the first 40 keys of the r01 block:
 #   - q_dedup_ngram — shares q_dedup_jaccard's _jaccard_group_pairs
 #     MinHash-candidate cutover path verbatim (jaccard's r09 row
 #     certifies the mechanism; ngram gets its own row here);
