@@ -128,9 +128,15 @@ _edges_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_connected_components_matches_union_find(spark, edges):
-    """Min-label propagation must equal union-find components for ANY
-    graph, including the adversarial long-chain shapes (propagation
-    needs eccentricity rounds there) and self-loops/duplicate edges."""
+    """BOTH strategies of the r11 size cutover — the driver-side
+    union-find (default at these sizes: every case is under the
+    measured-count cap) and the distributed min-label propagation loop
+    (forced via SPARK_GRAFT_CC_CAP=0) — must equal reference
+    union-find components for ANY graph, including the adversarial
+    long-chain shapes (propagation needs eccentricity rounds there)
+    and self-loops/duplicate edges."""
+    import os
+
     from engine.pipeline import connected_components
 
     n = 16
@@ -150,11 +156,20 @@ def test_connected_components_matches_union_find(spark, edges):
 
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
     pairs = spark.createDataFrame(edges or [], "pa long, pb long")
-    got = {
+    got_driver = {
         r["id"]: r["cluster_id"]
         for r in connected_components(nodes, pairs, "id").collect()
     }
-    assert got == expected
+    assert got_driver == expected
+    os.environ["SPARK_GRAFT_CC_CAP"] = "0"
+    try:
+        got_loop = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(nodes, pairs, "id").collect()
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_CC_CAP"]
+    assert got_loop == expected
 
 
 # ---- segmented EWMA fold (q_win_ewma / q_win_macd plan) ----------------

@@ -230,6 +230,10 @@ def assert_scale_knobs_unset(context: str) -> None:
 SCALE_KNOBS = [
     "SPARK_GRAFT_ANN_MODE", "SPARK_GRAFT_ANN_CUTOVER",
     "SPARK_GRAFT_DF_CAP", "SPARK_GRAFT_SPAN_CAP",
+    # r11: connected-components driver-side union-find cutover — the
+    # default is the measured-count auto gate; tests force a path with
+    # this knob, grading must not.
+    "SPARK_GRAFT_CC_CAP",
 ]
 
 

@@ -27,25 +27,16 @@ from tools.check import (  # noqa: E402
 # vanilla-session differential before the exit seal. Maintained by the
 # round builder; reset at round start.
 ROUND_CHANGED = [
-    # (reset at r10 start; every key added or plan-rewritten this
+    # (reset at r11 start; every key added or plan-rewritten this
     # round must be listed here and pass the vanilla-session
     # differential before the exit seal)
-    # r10: stream-stream join replay coarsened to files_per_trigger=4
-    # (2 micro-batches/side; invariance argument at the call site)
-    "q_stream_stream_join",
-    # r10: k-row SSB/SSW sums moved to decimal(38,0)/HUGEINT — the
-    # full-registry sf0.1 snapshot caught the int64 overflow
-    "q_stats_anova",
-    # r10: permutation machinery fans out over the user-level
-    # aggregate instead of raw events (fdr_bh composes it)
-    "q_stats_permutation",
-    "q_stats_fdr_bh",
-    # r10: edge list localCheckpointed once instead of recomputing
-    # the lineitem self-join per subplan
-    "q_graph_transitivity",
-    # r10: stateful replay coarsened to 2 micro-batches (final-state
-    # output is batch-boundary-invariant)
-    "q_stream_stateful",
+    # r11: connected_components gained the measured-count cutover to
+    # a driver-side union-find below _CC_DRIVER_EDGE_CAP pairs (the
+    # distributed fixpoint loop is unchanged above it) — all three
+    # graded keys that route through it re-certify
+    "q_dedup_cluster",
+    "q_dedup_soft_weights",
+    "q_graph_components",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
