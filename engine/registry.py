@@ -80,7 +80,31 @@ def _ensure_loaded() -> None:
 # q_agg_approx_distinct, 7 keys) + the r02 block head; later rounds
 # keep draining r02 → r09.
 #
-# Round 10 window = 10 re-certs + the first 40 keys of the r01 block:
+# Re-cert slot rule (VERDICT r10 task 5): a plan/perf change to a
+# driver-graded key costs one re-cert window slot — but rows-only keys
+# NEVER take a re-cert slot unless their output ROW COUNT changed.
+# A rows-only key's driver row carries nothing beyond a row count
+# (r10 spent a slot on q_agg_tdigest and bought no evidence its
+# in-repo hypothesis pin didn't already hold); their real assurance
+# is the named contract test, so plan changes there re-verify via the
+# test suite + full local sweep instead.
+#
+# Round 11 window = 3 re-certs + the pre-encoded refresh rotation
+# (the displaced r01 remainder, then the whole r02 block, then the
+# r03 head — exactly the r10 backlog prefix):
+#   - q_dedup_cluster / q_dedup_soft_weights / q_graph_components —
+#     connected_components gained a measured-count cutover (r11):
+#     pair lists ≤ _CC_DRIVER_EDGE_CAP are solved driver-side by
+#     union-by-min union-find (label = component min, bit-identical
+#     to the loop's fixpoint) instead of paying the distributed
+#     loop's ~1 s/round fixed overhead; past the cap the unchanged
+#     loop runs. Warm sf0.1: 6.3/6.3/4.0 s → ~2.2/2.3/2.1 s. Output
+#     values unchanged (sf0.01 differential + both-paths property
+#     test), but the plan changed after their latest rows (r07 /
+#     r07 / r06), so all three re-cert.
+#
+# Round 10 window was 10 re-certs + the first 40 keys of the r01
+# block (now the freshest cohort — tail of the backlog):
 #   - q_dedup_ngram — shares q_dedup_jaccard's _jaccard_group_pairs
 #     MinHash-candidate cutover path verbatim (jaccard's r09 row
 #     certifies the mechanism; ngram gets its own row here);
@@ -120,39 +144,15 @@ def _ensure_loaded() -> None:
 #     is batch-boundary-invariant (5.9 s → 1.9 s warm at sf0.1). Plan
 #     changed after its r02 row (displaces q_fn_string).
 _PRIORITY: list[str] = [
-    # ================= r10 window (slots 0-49) =================
-    # slots 0-7: re-certs (tests/test_registry._RECERT; rationale
-    # in the header comment above)
-    "q_dedup_ngram", "q_sim_pairwise", "q_embed_matryoshka",
-    "q_agg_tdigest", "q_stream_stream_join", "q_stats_anova",
-    "q_stats_permutation", "q_stats_fdr_bh", "q_graph_transitivity",
-    "q_stream_stateful",
-    # slots 10-49: the first 40 keys of the r01 refresh block — the
-    # stalest driver rows (9 rounds old against a heavily-refactored
-    # codebase), row-age ordered per VERDICT r8 task 7 / r9 task 1.
-    "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
-    "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_project",
-    "q_filter", "q_filter_date", "q_case_when", "q_join_left",
-    "q_join_outer", "q_join_semi", "q_join_anti", "q_join_theta",
-    "q_join_range_interval", "q_join_cross", "q_agg_global",
-    "q_agg_distinct", "q_agg_percentile", "q_agg_stats", "q_agg_rollup",
-    "q_agg_cube", "q_agg_grouping_sets", "q_agg_having", "q_win_rank",
-    "q_win_lag_lead", "q_win_moving_avg", "q_win_range_frame",
-    "q_win_first_last", "q_win_pct", "q_sort_multi", "q_topk",
-    "q_limit_offset", "q_union_all", "q_union_distinct", "q_intersect",
-    "q_except", "q_distinct",
-    # ================= refresh backlog (slots 50+) =================
-    # Driver-verified keys, stalest row first (r01 remainder → r09)
-    # so every future window is a prefix rotation.
-
-    # r01 rows (remainder — r11 window front; q_fn_string/q_fn_date/
-    # q_fn_math/q_fn_array/q_fn_map displaced by the five r10 re-cert
-    # insertions)
-
+    # ================= r11 window (slots 0-49) =================
+    # slots 0-2: re-certs (tests/test_registry._RECERT; rationale in
+    # the header comment above — the connected_components size-cutover
+    # trio; all three are oracle keys per the rows-only re-cert rule)
+    "q_dedup_cluster", "q_dedup_soft_weights", "q_graph_components",
+    # slots 3-9: the displaced r01 remainder — the stalest driver rows
     "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array", "q_fn_map",
     "q_fn_explode", "q_agg_approx_distinct",
-    # r02 rows
-
+    # slots 10-48: the full r02 block (next-stalest rows)
     "q_sim_topk", "q_agg_collect", "q_dedup_exact", "q_dedup_embedding",
     "q_sim_topk_lsh", "q_sim_join", "q_text_stats", "q_text_tfidf",
     "q_text_quality", "q_text_langid", "q_text_fingerprint", "q_tokenize",
@@ -163,13 +163,21 @@ _PRIORITY: list[str] = [
     "q_fn_hash", "q_fn_hash_native", "q_fn_cast", "q_udf_scalar",
     "q_udf_pandas_scalar", "q_udf_pandas_agg", "q_udf_grouped_map",
     "q_udf_map_batches", "q_udtf", "q_stream_tumbling", "q_stream_sliding",
-    # (q_stream_watermark_late re-graded r09 — moved to the r09 block;
-    # q_stream_stream_join and q_stream_stateful fronted to the r10
-    # re-cert slots)
+    # (q_stream_watermark_late re-graded r09 — in the r09 block;
+    # q_stream_stream_join and q_stream_stateful re-graded r10 — in
+    # the r10 block)
     "q_stream_session", "q_stream_dedup", "q_stream_join",
-    # r03 rows
+    # slot 49: the r03 block head
+    "q_join_skew_salted",
+    # ================= refresh backlog (slots 50+) =================
+    # Driver-verified keys, stalest row first (r03 remainder → r10)
+    # so every future window is a prefix rotation. r12 window front:
+    # the r03 remainder below (q_profile_table …), ~45 keys, plus
+    # re-certs for any r12 plan changes.
 
-    "q_join_skew_salted", "q_profile_table", "q_funnel", "q_sim_topk_ivf",
+    # r03 rows (remainder)
+
+    "q_profile_table", "q_funnel", "q_sim_topk_ivf",
     "q_join_asof", "q_win_ntile", "q_dedup_embedding_ann",
     "q_unpivot", "q_agg_hll_sketch", "q_sample_quota",
     "q_split_contamination", "q_retention", "q_anomaly_zscore", "q_win_corr",
@@ -233,13 +241,18 @@ _PRIORITY: list[str] = [
     # (q_stats_anova fronted to the r10 re-cert slots — the sf0.1
     # overflow fix postdates its r06 row)
     "q_stats_mannwhitney", "q_quality_drift",
-    "q_win_theil_sen", "q_graph_components", "q_risk_metrics",
+    # (q_graph_components fronted to the r11 re-cert slots — the
+    # connected_components size cutover postdates its r06 row)
+    "q_win_theil_sen", "q_risk_metrics",
     "q_seasonal_decompose", "q_graph_link_predict", "q_text_heaps",
     "q_multimodal_frames",
     # r07 rows (CORRECTNESS_r07.json order; q_embed_matryoshka fronted
     # to the r10 re-cert slots; q_dedup_containment re-graded r09 —
     # moved to the r09 block)
-    "q_dedup_minhash", "q_dedup_cluster",
+    # (q_dedup_cluster and q_dedup_soft_weights fronted to the r11
+    # re-cert slots — the connected_components size cutover postdates
+    # their r07 rows)
+    "q_dedup_minhash",
     "q_join_spatial", "q_quality_freshness", "q_embed_outliers",
     "q_drawdown_duration", "q_variance_ratio", "q_growth_accounting",
     "q_win_hurst", "q_source_schema_evolution", "q_tpch_q1", "q_fn_lambda",
@@ -247,7 +260,7 @@ _PRIORITY: list[str] = [
     "q_stats_kendall", "q_liquidity_metrics", "q_stats_regression_multi",
     "q_gdpr_erasure", "q_orderflow_imbalance", "q_sample_class_balance",
     "q_win_pivot_points", "q_stats_srm",
-    "q_dedup_soft_weights", "q_user_lorenz", "q_stats_cuped",
+    "q_user_lorenz", "q_stats_cuped",
     "q_stats_proportions", "q_roll_spread", "q_vol_estimators",
     "q_stats_jackknife", "q_stats_granger", "q_multimodal_phash",
     "q_text_bigram_entropy", "q_stats_power", "q_win_vpin",
@@ -299,6 +312,24 @@ _PRIORITY: list[str] = [
     # edge-list localCheckpoint cutover postdates its r09 row)
     "q_stats_jarque_bera", "q_sample_neyman",
     "q_multimodal_jpeg", "q_multimodal_wav_features",
+    # r10 rows (CORRECTNESS_r10.json order — the freshest cohort: the
+    # 10 r10 re-certs + the first 40 keys of the r01 refresh block)
+
+    "q_dedup_ngram", "q_sim_pairwise", "q_embed_matryoshka",
+    "q_agg_tdigest", "q_stream_stream_join", "q_stats_anova",
+    "q_stats_permutation", "q_stats_fdr_bh", "q_graph_transitivity",
+    "q_stream_stateful",
+    "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_join_multiway",
+    "q_win_running", "q_topk_per_group", "q_agg_pivot", "q_project",
+    "q_filter", "q_filter_date", "q_case_when", "q_join_left",
+    "q_join_outer", "q_join_semi", "q_join_anti", "q_join_theta",
+    "q_join_range_interval", "q_join_cross", "q_agg_global",
+    "q_agg_distinct", "q_agg_percentile", "q_agg_stats", "q_agg_rollup",
+    "q_agg_cube", "q_agg_grouping_sets", "q_agg_having", "q_win_rank",
+    "q_win_lag_lead", "q_win_moving_avg", "q_win_range_frame",
+    "q_win_first_last", "q_win_pct", "q_sort_multi", "q_topk",
+    "q_limit_offset", "q_union_all", "q_union_distinct", "q_intersect",
+    "q_except", "q_distinct",
 ]
 
 

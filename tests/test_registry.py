@@ -31,43 +31,18 @@ def test_priority_has_no_duplicates():
 # collapse; cluster gid-level CC + pointer-jumping; containment
 # shares the refactored _jaccard_group_pairs core.
 _RECERT = {
-    # r10 in-window re-certs (registry._PRIORITY slots 0-4; full
-    # rationale in the registry header comment):
-    # q_dedup_ngram shares q_dedup_jaccard's _jaccard_group_pairs
-    # cutover path verbatim (jaccard's r09 row certifies the
-    # mechanism; ngram gets its own row); q_sim_pairwise's newest row
-    # is r06, before the (env-gated, default-off) r7
-    # SPARK_GRAFT_ANN_MODE cutover; q_embed_matryoshka's r07 row
-    # already postdates its rewrite (belt-and-braces, spilled from
-    # the r9 plan).
-    "q_dedup_ngram",
-    "q_sim_pairwise",
-    "q_embed_matryoshka",
-    # r9 estimator touch: _tdigest_quantile moved to the lerp-stable
-    # two-product interpolation (rows-only key; fresh row in r10).
-    "q_agg_tdigest",
-    # replay path changed POST-SEAL in r9 (c8a483b:
-    # files_per_trigger=2) while its only driver row is r02 — VERDICT
-    # r9 "missing" #2 asked it to jump the queue.
-    "q_stream_stream_join",
-    # the r10 full-registry sf0.1 snapshot caught its k-row SSB/SSW
-    # long sums overflowing int64 at sf0.1; both engines now sum in
-    # decimal(38,0)/HUGEINT — plan changed after its r06 row.
-    "q_stats_anova",
-    # the snapshot's slowest non-fixpoint walls: the 99-replicate
-    # fan-out now crosses the user-level (event_type, user_id)
-    # aggregate instead of raw events (lossless — every assignment is
-    # a function of user_id); plan changed after their last rows.
-    "q_stats_permutation",
-    "q_stats_fdr_bh",
-    # edge list now materializes once via eager localCheckpoint
-    # instead of re-running the lineitem self-join per subplan; plan
-    # changed after its r09 row.
-    "q_graph_transitivity",
-    # replay coarsened to 2 micro-batches — the output keeps only the
-    # final per-user state (boundary-invariant); plan changed after
-    # its r02 row.
-    "q_stream_stateful",
+    # r11 in-window re-certs (registry._PRIORITY slots 0-2; full
+    # rationale in the registry header comment): all three route
+    # through connected_components, which gained the r11
+    # measured-count cutover to a driver-side union-find below
+    # _CC_DRIVER_EDGE_CAP pairs — output values unchanged (sf0.01
+    # differential + the both-paths property test), but the plan
+    # changed after their latest rows (r07 / r07 / r06). All three
+    # are oracle keys, per the rows-only re-cert exclusion rule
+    # (registry header; VERDICT r10 task 5).
+    "q_dedup_cluster",
+    "q_dedup_soft_weights",
+    "q_graph_components",
 }
 
 
