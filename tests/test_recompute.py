@@ -1416,10 +1416,20 @@ def _orders(sf: str = SF) -> pd.DataFrame:
 
 
 def _round_half_away(x: float) -> int:
-    """Both engines round(double, 0) half AWAY from zero (Spark
-    HALF_UP via BigDecimal, DuckDB likewise); python round() is
-    half-even, so the replay must not use it."""
-    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    """Both engines round(double, 0) half AWAY from zero on the
+    double's exact value (Spark HALF_UP via BigDecimal, DuckDB
+    likewise); python round() is half-even, so the replay must not
+    use it — and the earlier floor(x + 0.5) form misrounded doubles
+    where x + 0.5 is inexact (0.49999999999999994 + 0.5 == 1.0 gives
+    1; engines say 0 — ADVICE r10, pinned against DuckDB in
+    test_round_half_away_helper_matches_duckdb). Decimal(x) is the
+    EXACT binary value, so the tie test is exact; for integer
+    rounding it is equivalent to the engines' shortest-repr
+    BigDecimal (a double whose shortest repr ends in .5 IS exactly
+    .5 by repr round-trip uniqueness)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def test_fn_string_matches_python_str():
@@ -2666,10 +2676,27 @@ def test_udf_grouped_map_formula_matches_group_zscore():
 
 
 def _half_away(x: float, nd: int) -> float:
-    """DuckDB/Spark round() is half-AWAY-from-zero; python round() is
-    half-even — replicate the engines' form for positive values."""
+    """DuckDB/Spark round() is half-AWAY-from-zero ON THE SCALED
+    DOUBLE PRODUCT; python round() is half-even — replicate the
+    engines' form. Two subtleties, both pinned against DuckDB's own
+    round() in test_half_away_helper_matches_duckdb_round:
+    - the x*10^nd multiply stays FLOATING POINT on purpose — its
+      rounding is part of the engine semantics (2.675 rounds UP at
+      2 dp because 2.675*100 lands exactly on the double 267.5, while
+      1.275 rounds DOWN because 127.499…*1 stays below 127.5), so an
+      exact-decimal reference like Decimal(repr(x)) disagrees with
+      the engines on thousands of grid points;
+    - the tie decision on that product must be EXACT — the earlier
+      floor(v + 0.5) form misrounded products one ulp below a tie
+      (0.049999999999999996 at nd=1: v + 0.5 == 1.0 inexactly, the
+      engines say 0 — ADVICE r10), so the half-away step now runs on
+      Decimal(v), the product's exact binary value."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     scale = 10**nd
-    return math.floor(x * scale + 0.5) / scale if x >= 0 else -math.floor(-x * scale + 0.5) / scale
+    v = x * scale if x >= 0 else -x * scale
+    r = int(Decimal(v).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    return r / scale if x >= 0 else -r / scale
 
 
 def test_stats_chisq_matches_contingency_recompute():
@@ -4993,9 +5020,42 @@ def test_half_away_helper_matches_duckdb_round():
     xs += [1.275, -1.275, 0.5, -0.5, 2.675, 0.0000005, -0.0000005, 0.0]
     con = duckdb.connect()
     for nd in range(0, 7):
+        scale = 10**nd
+        # the ADVICE r10 family: products one ulp below/above a tie
+        # (floor(v + 0.5) misrounds the below side), at THIS scale
+        adv = []
+        for base in (0.49999999999999994, 0.5, math.nextafter(0.5, 1)):
+            adv += [base / scale, -base / scale]
+        for k in (0, 1, 2, 7):
+            t = (k + 0.5) / scale
+            adv += [math.nextafter(t, 0), t, math.nextafter(t, 9)]
+        probe = xs + adv
         want = con.execute(
-            "SELECT list_transform(?, x -> round(x, ?))", [xs, nd]
+            "SELECT list_transform(?, x -> round(x, ?))", [probe, nd]
         ).fetchone()[0]
-        for x, w in zip(xs, want):
+        for x, w in zip(probe, want):
             got = _half_away(x, nd)
             assert got == w or abs(got - w) < 1e-12, (x, nd, got, w)
+
+
+def test_round_half_away_helper_matches_duckdb_round():
+    """The integer sibling (_round_half_away) pinned the same way:
+    DuckDB's round(x, 0) is the reference, including the doubles one
+    ulp below the .5 tie where the old floor(x + 0.5) form went UP
+    while the engine goes DOWN (ADVICE r10), exact .5 ties
+    (half-away, not python's half-even), and odd ties near 2^51."""
+    import random
+
+    rng = random.Random(4999)
+    xs = [rng.randint(-4_000_000, 4_000_000) / 100 for _ in range(400)]
+    xs += [
+        0.49999999999999994, -0.49999999999999994, 0.5, -0.5, 1.5, 2.5,
+        -2.5, 3.5, 0.0, math.nextafter(0.5, 1), math.nextafter(1.5, 0),
+        4503599627370495.5, 2251799813685247.5, -2251799813685247.5,
+    ]
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT list_transform(?, x -> round(x, 0))", [xs]
+    ).fetchone()[0]
+    for x, w in zip(xs, want):
+        assert _round_half_away(x) == w, (x, _round_half_away(x), w)
