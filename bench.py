@@ -129,6 +129,14 @@ def main() -> None:
         times[key] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # VERDICT r10 task 4a: stamp box load alongside every persisted
+    # bench number — the r10 driver artifact (137.3 s vs a 92-112 s
+    # idle-box range) was recorded minutes after a pytest battery and
+    # could only be adjudicated by after-the-fact warm re-measures.
+    # load_avg is (1, 5, 15 min) at process END, i.e. including this
+    # run's own load; readers compare the 5/15-min numbers against
+    # ncpus (32) to judge whether the box was contended.
+    load = os.getloadavg() if hasattr(os, "getloadavg") else None
     print(
         json.dumps(
             {
@@ -137,6 +145,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "load_avg": [round(x, 2) for x in load] if load else None,
             }
         )
     )

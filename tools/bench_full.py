@@ -75,6 +75,10 @@ def main() -> None:
         times[key] = round(time.perf_counter() - t0, 3)
         print(f"[{i + 1:3d}/{len(queries)}] {times[key]:7.2f}s  {key}", flush=True)
 
+    # load stamp (VERDICT r10 task 4a, same field as bench.py): 1/5/15
+    # min load averages at snapshot END so readers can spot a
+    # contended box before trusting a delta
+    load = os.getloadavg() if hasattr(os, "getloadavg") else None
     out = {
         "metric": "full_registry_total",
         "value": round(sum(times.values()), 3),
@@ -84,6 +88,7 @@ def main() -> None:
         "errors": errors,
         "sf": sf,
         "queries": times,
+        "load_avg": [round(x, 2) for x in load] if load else None,
     }
     path = f"/root/repo/BENCH_FULL_r{rnd:02d}.json" if rnd else "/root/repo/BENCH_FULL.json"
     with open(path, "w") as fh:

@@ -1,0 +1,91 @@
+"""Mechanical exit-seal freshness check (VERDICT r10 task 3).
+
+Two rounds running (r9: c8a483b, r10: 2713e2e) the round notes' pasted
+"files changed since the battery commit" sentence went stale because a
+commit landed AFTER the sentence was written. The fix: the notes
+record the battery commit hash machine-readably, and THIS tool —
+run as the LAST step before the final commit, and cheap enough to
+re-run after any amendment — recomputes the diff and fails unless the
+notes account for every runtime-surface file in it.
+
+Notes contract (in ROUND{N}_NOTES.md):
+    battery-commit: <full or short hash>        (required, exactly one)
+    amendment: <path> — <why no re-battery is needed>   (0+ lines)
+
+Rules:
+- `git diff --name-only <battery>..HEAD` plus uncommitted/staged
+  changes (the final commit will include them) is the ground truth.
+- Runtime-surface paths (engine/, tools/, bench.py,
+  __spark_entry__.py) appearing in that diff MUST each have an
+  `amendment:` line naming them — otherwise the batteries predate the
+  code and the seal claim is false.
+- Test/docs/artifact paths (tests/, *.md, *.json) are listed for the
+  paste but never fail the check.
+- The notes file itself is always exempt (writing the seal sentence
+  can't invalidate it).
+
+Usage: python tools/seal_check.py ROUND11_NOTES.md
+Exit 0 = seal sentence is accurate; prints the diff block to paste.
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+
+REPO = "/root/repo"
+
+RUNTIME = re.compile(r"^(engine/|tools/|bench\.py$|__spark_entry__\.py$)")
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", REPO, *args], capture_output=True, text=True, check=True
+    ).stdout
+
+
+def main() -> int:
+    if len(sys.argv) != 2:
+        print(__doc__)
+        return 2
+    notes_path = sys.argv[1]
+    notes = open(f"{REPO}/{notes_path}").read()
+
+    hashes = re.findall(r"^battery-commit:\s*([0-9a-f]{7,40})\s*$", notes, re.M)
+    if len(hashes) != 1:
+        print(f"FAIL: expected exactly one 'battery-commit: <hash>' line "
+              f"in {notes_path}, found {len(hashes)}")
+        return 1
+    battery = hashes[0]
+    amended = set(re.findall(r"^amendment:\s*(\S+)", notes, re.M))
+
+    committed = _git("diff", "--name-only", f"{battery}..HEAD").split()
+    pending = _git("status", "--porcelain").split("\n")
+    pending = [ln[3:].split(" -> ")[-1] for ln in pending if ln.strip()]
+    changed = sorted(set(committed) | set(pending))
+    changed = [f for f in changed if f != notes_path]
+
+    runtime = [f for f in changed if RUNTIME.match(f)]
+    passive = [f for f in changed if not RUNTIME.match(f)]
+    unaccounted = [f for f in runtime if f not in amended]
+
+    print(f"battery commit: {battery}")
+    print(f"changed since battery ({len(changed)} files):")
+    for f in changed:
+        tag = ("RUNTIME+amended" if f in amended else
+               "RUNTIME-UNACCOUNTED" if f in runtime else "passive")
+        print(f"  [{tag}] {f}")
+    if unaccounted:
+        print(f"\nFAIL: runtime-surface files changed after the battery "
+              f"commit with no amendment line: {unaccounted}\n"
+              f"Either re-run the batteries (new battery-commit) or add "
+              f"'amendment: <path> — <why>' lines to {notes_path}.")
+        return 1
+    print("\nOK: every runtime-surface change since the battery commit "
+          "is accounted for.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
