@@ -370,17 +370,17 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper — the step that turns pairwise dedup output into an actual
     keep/drop decision.
 
-    Components are computed by min-label propagation: every node starts
-    as its own label; each round every node takes the min of its label
-    and its neighbors' labels, until a round changes nothing. Rounds =
-    graph eccentricity, which for dedup graphs is tiny (dup clusters
-    are near-cliques: this corpus converges in 2 rounds). Per round the
-    work is one edge->label hash join + groupBy min — no quadratic
-    step, and ``localCheckpoint`` truncates the growing lineage so
-    round N doesn't replay rounds 1..N-1. The edge list itself is
-    checkpointed once up front (it is the expensive part). At larger
-    diameters the same loop admits the large-star/small-star
-    optimization (halves round count); dedup graphs don't need it.
+    Components come from :func:`connected_components`, which picks its
+    strategy from the MEASURED pair count (r11): a measured-small pair
+    list (≤ 200k — this corpus: 2,049 verified pairs over 3,935
+    unique-set nodes) is solved driver-side by union-find, skipping
+    the fixpoint loop's ~1 s/round fixed overhead; past the cap, the
+    distributed min-label propagation runs — every node starts as its
+    own label, each round takes the min over neighbors composed with a
+    path-halving pointer jump (O(log diameter) rounds), and
+    ``localCheckpoint`` truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1. The edge list itself is
+    checkpointed once up front (it is the expensive part) either way.
 
     The propagation runs on the UNIQUE-SET graph (r6): docs with
     identical token sets are trivially J = 1 neighbors, so they
@@ -2483,9 +2483,10 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same edge set q_graph_triangles densifies and
     q_graph_pagerank ranks.
 
-    Reuses :func:`connected_components` (min-label propagation to a
-    converged fixpoint, localCheckpoint-truncated lineage — scale
-    analysis on q_dedup_cluster); the edge list is q_basket_pairs'
+    Reuses :func:`connected_components` (measured-count strategy pick:
+    driver-side union-find under the cap, min-label propagation to a
+    converged fixpoint above it — scale analysis on q_dedup_cluster);
+    the edge list is q_basket_pairs'
     (≥2 co-orders, a < b) symmetrized, and the node set is ALL
     distinct parts so isolated parts keep their singleton label.
     Convergence makes the result the true components, which is what
