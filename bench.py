@@ -85,6 +85,11 @@ HEADLINE = [
 
 
 def main() -> None:
+    # VERDICT r11 task 3: the END-only stamp is uninterpretable — a
+    # bench run generates its own load (r11: box at 0.14 when the run
+    # began, end stamp read 10.61), so only the START stamp can
+    # distinguish a genuinely contended box from the bench itself.
+    load_start = os.getloadavg() if hasattr(os, "getloadavg") else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench")
@@ -133,9 +138,11 @@ def main() -> None:
     # bench number — the r10 driver artifact (137.3 s vs a 92-112 s
     # idle-box range) was recorded minutes after a pytest battery and
     # could only be adjudicated by after-the-fact warm re-measures.
-    # load_avg is (1, 5, 15 min) at process END, i.e. including this
-    # run's own load; readers compare the 5/15-min numbers against
-    # ncpus (32) to judge whether the box was contended.
+    # load_avg is (1, 5, 15 min) at process END (includes this run's
+    # own load); load_avg_start is the SAME triple before any Spark
+    # work — the start stamp is the one that adjudicates whether the
+    # box was contended (r11 task 3), the end stamp is kept for
+    # continuity with r10/r11 artifacts. Compare against ncpus (32).
     load = os.getloadavg() if hasattr(os, "getloadavg") else None
     print(
         json.dumps(
@@ -145,6 +152,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "load_avg_start": (
+                    [round(x, 2) for x in load_start] if load_start else None
+                ),
                 "load_avg": [round(x, 2) for x in load] if load else None,
             }
         )

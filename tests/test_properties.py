@@ -131,10 +131,13 @@ def test_connected_components_matches_union_find(spark, edges):
     """BOTH strategies of the r11 size cutover — the driver-side
     union-find (default at these sizes: every case is under the
     measured-count cap) and the distributed min-label propagation loop
-    (forced via SPARK_GRAFT_CC_CAP=0) — must equal reference
-    union-find components for ANY graph, including the adversarial
-    long-chain shapes (propagation needs eccentricity rounds there)
-    and self-loops/duplicate edges."""
+    (forced via SPARK_GRAFT_CC_CAP=-1 — NOT 0, which would still take
+    the driver path on an empty edge list since count 0 <= 0; r12
+    ADVICE) — must equal reference union-find components for ANY
+    graph, including the adversarial long-chain shapes (propagation
+    needs eccentricity rounds there), self-loops/duplicate edges, and
+    NULL endpoints (both paths must drop such edges; a NULL-endpoint
+    edge is appended to every drawn case)."""
     import os
 
     from engine.pipeline import connected_components
@@ -155,13 +158,17 @@ def test_connected_components_matches_union_find(spark, edges):
     expected = {i: find(i) for i in range(n)}
 
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
-    pairs = spark.createDataFrame(edges or [], "pa long, pb long")
+    # NULL-endpoint edges must be dropped by BOTH paths (the loop's
+    # equi-joins never match NULL; the driver union-find skips them).
+    pairs = spark.createDataFrame(
+        list(edges) + [(None, 0), (3, None), (None, None)], "pa long, pb long"
+    )
     got_driver = {
         r["id"]: r["cluster_id"]
         for r in connected_components(nodes, pairs, "id").collect()
     }
     assert got_driver == expected
-    os.environ["SPARK_GRAFT_CC_CAP"] = "0"
+    os.environ["SPARK_GRAFT_CC_CAP"] = "-1"
     try:
         got_loop = {
             r["id"]: r["cluster_id"]

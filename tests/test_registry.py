@@ -31,14 +31,15 @@ def test_priority_has_no_duplicates():
 # collapse; cluster gid-level CC + pointer-jumping; containment
 # shares the refactored _jaccard_group_pairs core.
 _RECERT = {
-    # r11 in-window re-certs (registry._PRIORITY slots 0-2; full
+    # r12 in-window re-certs (registry._PRIORITY slots 0-2; full
     # rationale in the registry header comment): all three route
-    # through connected_components, which gained the r11
-    # measured-count cutover to a driver-side union-find below
-    # _CC_DRIVER_EDGE_CAP pairs — output values unchanged (sf0.01
-    # differential + the both-paths property test), but the plan
-    # changed after their latest rows (r07 / r07 / r06). All three
-    # are oracle keys, per the rows-only re-cert exclusion rule
+    # through connected_components, whose driver-side union-find
+    # gained the r12 NULL-endpoint guard (skip, matching the loop's
+    # equi-join drop, instead of TypeError) after their r11 rows.
+    # Outputs and Spark plans unchanged — no caller produces NULL
+    # endpoints — but the executed code path changed, so per the
+    # q_stats_anova r10 precedent all three re-cert. All three are
+    # oracle keys, per the rows-only re-cert exclusion rule
     # (registry header; VERDICT r10 task 5).
     "q_dedup_cluster",
     "q_dedup_soft_weights",

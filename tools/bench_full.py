@@ -52,6 +52,9 @@ def warm(spark, queries, sf_dir: str) -> None:
 
 
 def main() -> None:
+    # start-of-run load stamp (VERDICT r11 task 3): taken before any
+    # Spark work so it reflects the box, not this sweep's own load
+    load_start = os.getloadavg() if hasattr(os, "getloadavg") else None
     assert_scale_knobs_unset("a full-registry bench")
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,9 +78,10 @@ def main() -> None:
         times[key] = round(time.perf_counter() - t0, 3)
         print(f"[{i + 1:3d}/{len(queries)}] {times[key]:7.2f}s  {key}", flush=True)
 
-    # load stamp (VERDICT r10 task 4a, same field as bench.py): 1/5/15
-    # min load averages at snapshot END so readers can spot a
-    # contended box before trusting a delta
+    # load stamps (VERDICT r10 task 4a + r11 task 3, same fields as
+    # bench.py): load_avg_start is 1/5/15-min BEFORE any Spark work
+    # (the stamp that adjudicates box contention), load_avg is the
+    # END stamp kept for artifact continuity.
     load = os.getloadavg() if hasattr(os, "getloadavg") else None
     out = {
         "metric": "full_registry_total",
@@ -88,6 +92,9 @@ def main() -> None:
         "errors": errors,
         "sf": sf,
         "queries": times,
+        "load_avg_start": (
+            [round(x, 2) for x in load_start] if load_start else None
+        ),
         "load_avg": [round(x, 2) for x in load] if load else None,
     }
     path = f"/root/repo/BENCH_FULL_r{rnd:02d}.json" if rnd else "/root/repo/BENCH_FULL.json"
@@ -95,23 +102,18 @@ def main() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"\nwrote {path}: {out['value']}s over {out['n_keys']} keys")
 
-    # round-over-round movers (>2x AND >0.5 s absolute delta)
+    # round-over-round movers, delegated to the standalone diff tool
+    # (tools/bench_diff.py, VERDICT r11 task 4) so the per-run print
+    # and the notes table come from the same code path
+    from tools.bench_diff import print_diff
+
     prior_files = sorted(
         f for f in os.listdir("/root/repo")
         if f.startswith("BENCH_FULL_r") and f.endswith(".json") and f != os.path.basename(path)
     )
     if prior_files:
-        prev = json.load(open(f"/root/repo/{prior_files[-1]}"))
-        movers = []
-        for k, t in times.items():
-            p = prev["queries"].get(k)
-            if p and p > 0 and (t / p > 2 or p / t > 2) and abs(t - p) > 0.5:
-                movers.append((k, p, t))
-        print(f"\nmovers vs {prior_files[-1]} (>2x and >0.5s):")
-        for k, p, t in sorted(movers, key=lambda m: -abs(m[2] - m[1])):
-            print(f"  {k}: {p:.2f}s -> {t:.2f}s")
-        if not movers:
-            print("  (none)")
+        print()
+        print_diff(f"/root/repo/{prior_files[-1]}", path)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ Exit 0 = seal sentence is accurate; prints the diff block to paste.
 
 from __future__ import annotations
 
+import os
 import re
 import subprocess
 import sys
@@ -49,8 +50,16 @@ def main() -> int:
     if len(sys.argv) != 2:
         print(__doc__)
         return 2
-    notes_path = sys.argv[1]
-    notes = open(f"{REPO}/{notes_path}").read()
+    # Accept both `ROUND12_NOTES.md` and `/root/repo/ROUND12_NOTES.md`
+    # (r11 verdict hit a FileNotFoundError on the absolute form) —
+    # normalize to the repo-relative name, which is also what the
+    # changed-file exemption below compares against.
+    notes_path = os.path.relpath(os.path.join(REPO, sys.argv[1]), REPO)
+    notes_file = os.path.join(REPO, notes_path)
+    if notes_path.startswith("..") or not os.path.exists(notes_file):
+        print(f"FAIL: notes file not found under {REPO}: {sys.argv[1]}")
+        return 2
+    notes = open(notes_file).read()
 
     hashes = re.findall(r"^battery-commit:\s*([0-9a-f]{7,40})\s*$", notes, re.M)
     if len(hashes) != 1:
@@ -60,9 +69,26 @@ def main() -> int:
     battery = hashes[0]
     amended = set(re.findall(r"^amendment:\s*(\S+)", notes, re.M))
 
-    committed = _git("diff", "--name-only", f"{battery}..HEAD").split()
-    pending = _git("status", "--porcelain").split("\n")
-    pending = [ln[3:].split(" -> ")[-1] for ln in pending if ln.strip()]
+    # NUL-delimited listings (-z) so paths with spaces or git-escaped
+    # characters can't be mis-split into phantom entries (r11 ADVICE).
+    committed = [
+        p for p in _git("diff", "--name-only", "-z", f"{battery}..HEAD").split("\0")
+        if p
+    ]
+    pending = []
+    porcelain = _git("status", "--porcelain", "-z").split("\0")
+    i = 0
+    while i < len(porcelain):
+        entry = porcelain[i]
+        i += 1
+        if not entry:
+            continue
+        # `<XY> <path>`; for renames/copies the ORIGINAL path follows
+        # as its own NUL-terminated field — skip it, the new path is
+        # the one the final commit will contain.
+        pending.append(entry[3:])
+        if entry and entry[0] in "RC":
+            i += 1
     changed = sorted(set(committed) | set(pending))
     changed = [f for f in changed if f != notes_path]
 
