@@ -27,13 +27,13 @@ from tools.check import (  # noqa: E402
 # vanilla-session differential before the exit seal. Maintained by the
 # round builder; reset at round start.
 ROUND_CHANGED = [
-    # (reset at r11 start; every key added or plan-rewritten this
+    # (reset at r12 start; every key added or plan-rewritten this
     # round must be listed here and pass the vanilla-session
     # differential before the exit seal)
-    # r11: connected_components gained the measured-count cutover to
-    # a driver-side union-find below _CC_DRIVER_EDGE_CAP pairs (the
-    # distributed fixpoint loop is unchanged above it) — all three
-    # graded keys that route through it re-certify
+    # r12: connected_components' driver-side union-find gained the
+    # NULL-endpoint guard (skip, matching the distributed loop's
+    # equi-join drop) — no caller produces NULLs, outputs unchanged,
+    # but the executed code path changed, so the trio re-certifies
     "q_dedup_cluster",
     "q_dedup_soft_weights",
     "q_graph_components",
