@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+
+# `bench_diff ... | head` must not traceback on the closed pipe
+if hasattr(signal, "SIGPIPE"):
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 # A mover is a key whose time changed by MORE THAN 2x in either
 # direction AND by more than 0.5 s absolute — the same thresholds the
