@@ -11,7 +11,8 @@ number recorded right now be compared against prior rounds?" in ~30 s:
   their r11-era in-sweep walls (q_text_tfidf 1.01 s, q_tpch_q5
   0.74 s — BENCH_FULL_r11.json);
 - the start load triple (the stamp that adjudicates guest-side load);
-- a HEALTHY verdict only when both keys land within ~1.6x of record.
+- a HEALTHY verdict only when both keys land within ~2x of record
+  (provisional — see the calibration note at _REFS).
 
 Usage: python tools/host_canary.py
 Prints one JSON line; exit 0 if healthy, 1 if degraded (so shell
@@ -33,11 +34,16 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-# r11-era in-sweep walls (BENCH_FULL_r11.json) x a 1.6 tolerance:
-# generous enough for single-shot variance, tight enough that the
-# r12-observed 3-5x degradation reads unhealthy unambiguously.
+# PROVISIONAL calibration (r12): the refs are r11-era walls measured
+# in bench.py/sweep context (10+ keys warmed the session first), but
+# the canary runs a FRESH session with one warmup, which costs extra
+# codegen/compile on a healthy host too. Tolerance 2.0 absorbs that
+# context gap while the r12-observed degradation (2.3-2.6 s on both
+# keys, >2.5x q5's ref) still reads unhealthy. On the first session
+# where the canary reads healthy, re-measure the refs with THIS
+# protocol and tighten the tolerance back toward 1.5.
 _REFS = {"q_text_tfidf": 1.01, "q_tpch_q5": 0.74}
-_TOL = 1.6
+_TOL = 2.0
 
 
 def main() -> int:
