@@ -77,22 +77,21 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, key in enumerate(sorted(queries)):
+        # ONE execution sink for both protocols — warm and cold must
+        # measure the same thing (r12 review)
+        def run() -> float:
+            t0 = time.perf_counter()
+            queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
         try:
             if warm_mode:
                 # warm rule: one untimed execution compiles/caches the
                 # plan, then min of two timed runs (SCALING.md's
                 # adjudication protocol, host-degradation-robust)
-                queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                reps = []
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                    reps.append(time.perf_counter() - t0)
-                times[key] = round(min(reps), 3)
+                run()
+                times[key] = round(min(run(), run()), 3)
             else:
-                t0 = time.perf_counter()
-                queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                times[key] = round(time.perf_counter() - t0, 3)
+                times[key] = round(run(), 3)
         except Exception as exc:  # noqa: BLE001 — record and keep sweeping
             # one bad key must not kill the snapshot (this caught the
             # q_stats_anova sf0.1 long overflow on the first run)

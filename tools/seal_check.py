@@ -85,9 +85,12 @@ def main() -> int:
             continue
         # `<XY> <path>`; for renames/copies the ORIGINAL path follows
         # as its own NUL-terminated field — skip it, the new path is
-        # the one the final commit will contain.
+        # the one the final commit will contain. A rename can be
+        # reported in EITHER column (X = index, Y = worktree), so
+        # check both or the orig-path field leaks in as a phantom
+        # entry (r12 review).
         pending.append(entry[3:])
-        if entry and entry[0] in "RC":
+        if len(entry) >= 2 and (entry[0] in "RC" or entry[1] in "RC"):
             i += 1
     changed = sorted(set(committed) | set(pending))
     changed = [f for f in changed if f != notes_path]
