@@ -89,6 +89,14 @@ def _ensure_loaded() -> None:
 # is the named contract test, so plan changes there re-verify via the
 # test suite + full local sweep instead.
 #
+# Round 13 window = 0 re-certs + the pre-encoded refresh rotation
+# (the full r04 remainder, 44 keys, then the r05 head — exactly the
+# r12 backlog prefix, per VERDICT r12 task 1). No engine plan change
+# has touched a graded key since the r12 rows, so no re-cert slot is
+# spent; if an r13 change lands on a graded key, it fronts the window
+# and displaces the r05-head fill (the re-cert rule, VERDICT r10
+# task 5).
+#
 # Round 12 window = 3 re-certs + the pre-encoded refresh rotation
 # (the full r03 remainder, then the r04 head — exactly the r11
 # backlog prefix):
@@ -159,36 +167,9 @@ def _ensure_loaded() -> None:
 #     is batch-boundary-invariant (5.9 s → 1.9 s warm at sf0.1). Plan
 #     changed after its r02 row (displaces q_fn_string).
 _PRIORITY: list[str] = [
-    # ================= r12 window (slots 0-49) =================
-    # slots 0-2: re-certs (tests/test_registry._RECERT; rationale in
-    # the header comment above — connected_components' driver path
-    # gained the r12 NULL-endpoint guard after the trio's r11 rows;
-    # all three are oracle keys per the rows-only re-cert rule)
-    "q_dedup_cluster", "q_dedup_soft_weights", "q_graph_components",
-    # slots 3-48: the full r03 remainder — the stalest driver rows
-    "q_profile_table", "q_funnel", "q_sim_topk_ivf",
-    "q_join_asof", "q_win_ntile", "q_dedup_embedding_ann",
-    "q_unpivot", "q_agg_hll_sketch", "q_sample_quota",
-    "q_split_contamination", "q_retention", "q_anomaly_zscore", "q_win_corr",
-    "q_text_pii", "q_text_repetition", "q_join_asof_tolerance", "q_agg_mode",
-    "q_text_ngram_top", "q_fn_bitwise", "q_pipeline_pretrain", "q_drawdown",
-    "q_twap", "q_bar_gaps", "q_resample_ffill", "q_agg_kll_quantiles",
-    "q_agg_theta_sketch", "q_text_entropy", "q_rollup_time",
-    "q_sample_mixture", "q_doc_chunk", "q_stream_bars", "q_join_null_safe",
-    "q_join_lateral", "q_except_all", "q_intersect_all", "q_udf_map_arrow",
-    "q_agg_histogram", "q_win_gaps_islands", "q_scd2",
-    "q_join_point_in_time", "q_agg_filter", "q_win_nth_value", "q_fn_url",
-    "q_fn_explode_outer", "q_tpch_q5", "q_tpch_q18",
-    # slot 49: the r04 block head
-    "q_tpch_q3",
-    # ================= refresh backlog (slots 50+) =================
-    # Driver-verified keys, stalest row first (r04 remainder → r11)
-    # so every future window is a prefix rotation. r13 window front:
-    # the r04 remainder below (q_tpch_q10 …), 45 keys, plus re-certs
-    # for any r13 plan changes, filling to 50 from the r05 head.
-
-    # r04 rows (remainder)
-
+    # ================= r13 window (slots 0-49) =================
+    # slots 0-43: the full r04 remainder — the stalest driver rows
+    # (no re-cert slots this round; see the header comment)
     "q_tpch_q10", "q_tpch_q6", "q_tpch_q7", "q_tpch_q14",
     "q_tpch_q19", "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q22",
     "q_win_bollinger", "q_win_rsi", "q_win_ewma", "q_win_macd",
@@ -202,10 +183,18 @@ _PRIORITY: list[str] = [
     "q_corr_matrix", "q_agg_grouping_id", "q_rollup_incremental",
     "q_sample_negative", "q_win_cusum", "q_time_to_event", "q_tpch_q2",
     "q_tpch_q8",
-    # r05 rows
-
+    # slots 44-49: the r05 block head
     "q_embed_quantize", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
-    "q_tpch_q13", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21", "q_win_atr",
+    "q_tpch_q13", "q_tpch_q16",
+    # ================= refresh backlog (slots 50+) =================
+    # Driver-verified keys, stalest row first (r05 remainder → r12)
+    # so every future window is a prefix rotation. r14 window front:
+    # the r05 remainder below (q_tpch_q20 …), 44 keys, plus re-certs
+    # for any r14 plan changes, filling to 50 from the r06 head.
+
+    # r05 rows (remainder)
+
+    "q_tpch_q20", "q_tpch_q21", "q_win_atr",
     "q_candle_patterns", "q_graph_triangles", "q_text_hapax", "q_join_bloom",
     "q_stats_ttest", "q_stats_trend", "q_stream_anomaly", "q_rfm_segments",
     "q_abc_pareto", "q_quality_rules", "q_eval_auc", "q_time_intelligence",
@@ -346,6 +335,23 @@ _PRIORITY: list[str] = [
     "q_udf_map_batches", "q_udtf", "q_stream_tumbling", "q_stream_sliding",
     "q_stream_session", "q_stream_dedup", "q_stream_join",
     "q_join_skew_salted",
+    # r12 rows (CORRECTNESS_r12.json order — the freshest cohort: the
+    # 3 CC-trio re-certs + the full r03 remainder + the r04 head)
+
+    "q_dedup_cluster", "q_dedup_soft_weights", "q_graph_components",
+    "q_profile_table",
+    "q_funnel", "q_sim_topk_ivf", "q_join_asof", "q_win_ntile",
+    "q_dedup_embedding_ann", "q_unpivot", "q_agg_hll_sketch", "q_sample_quota",
+    "q_split_contamination", "q_retention", "q_anomaly_zscore", "q_win_corr",
+    "q_text_pii", "q_text_repetition", "q_join_asof_tolerance", "q_agg_mode",
+    "q_text_ngram_top", "q_fn_bitwise", "q_pipeline_pretrain", "q_drawdown",
+    "q_twap", "q_bar_gaps", "q_resample_ffill", "q_agg_kll_quantiles",
+    "q_agg_theta_sketch", "q_text_entropy", "q_rollup_time", "q_sample_mixture",
+    "q_doc_chunk", "q_stream_bars", "q_join_null_safe", "q_join_lateral",
+    "q_except_all", "q_intersect_all", "q_udf_map_arrow", "q_agg_histogram",
+    "q_win_gaps_islands", "q_scd2", "q_join_point_in_time", "q_agg_filter",
+    "q_win_nth_value", "q_fn_url", "q_fn_explode_outer", "q_tpch_q5",
+    "q_tpch_q18", "q_tpch_q3",
 ]
 
 

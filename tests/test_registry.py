@@ -30,20 +30,13 @@ def test_priority_has_no_duplicates():
 # a post-rewrite row (lead the r7 window) — minhash signature
 # collapse; cluster gid-level CC + pointer-jumping; containment
 # shares the refactored _jaccard_group_pairs core.
-_RECERT = {
-    # r12 in-window re-certs (registry._PRIORITY slots 0-2; full
-    # rationale in the registry header comment): all three route
-    # through connected_components, whose driver-side union-find
-    # gained the r12 NULL-endpoint guard (skip, matching the loop's
-    # equi-join drop, instead of TypeError) after their r11 rows.
-    # Outputs and Spark plans unchanged — no caller produces NULL
-    # endpoints — but the executed code path changed, so per the
-    # q_stats_anova r10 precedent all three re-cert. All three are
-    # oracle keys, per the rows-only re-cert exclusion rule
-    # (registry header; VERDICT r10 task 5).
-    "q_dedup_cluster",
-    "q_dedup_soft_weights",
-    "q_graph_components",
+_RECERT: set[str] = {
+    # r13: EMPTY — no engine plan change has touched a driver-graded
+    # key since its latest row (the r12 CC-trio re-certs got green
+    # r12 rows and dropped out; the r13 diff is bench/canary/tooling
+    # instrumentation only). If an r13 change lands on a graded key,
+    # add it here AND front it in registry._PRIORITY in the same
+    # commit (the re-cert rule, VERDICT r10 task 5).
 }
 
 
