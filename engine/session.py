@@ -82,6 +82,13 @@ def get_spark(app_name: str = "engine") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("ENGINE_DRIVER_MEM", "24g"))
         .config("spark.sql.warehouse.dir", "/root/repo/.tmp/spark-warehouse")
         .config("spark.ui.enabled", "false")
+        # Console progress writes \r-partial lines that splice into
+        # check.py's per-key [OK]/[FAIL] output and break log grepping
+        # (VERDICT r12 "process findings" #2: an [OK]-line count of 411
+        # for a 427-pass sweep). Driver-console cosmetic only — not in
+        # RUNTIME_CONF because it is builder-time, and the external
+        # driver's own session is out of scope.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

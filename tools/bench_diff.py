@@ -15,7 +15,12 @@ where present, it is the one that adjudicates contention) followed by
 a markdown mover table sorted by absolute delta, ready to paste into
 ROUND{N}_NOTES.md with a "warm b-o-3" column appended by hand.
 
-Exit 0 always (an empty mover list is a finding, not a failure).
+Exit 0 normally (an empty mover list is a finding, not a failure);
+exit 1 when the artifacts' timing protocols differ (warm vs cold walls
+are not comparable — a missing 'protocol' field reads as the pre-r12
+'cold-single-shot' default), with the table still printed for context.
+Keys timed at 0.0 in either run print as explicit anomalies instead of
+silently dropping from the mover table (ADVICE r12).
 """
 
 from __future__ import annotations
@@ -39,19 +44,31 @@ ABS_SEC = 0.5
 
 def movers(
     old: dict[str, float], new: dict[str, float]
-) -> list[tuple[str, float, float]]:
-    """Keys in BOTH runs whose (old, new) pair crosses both thresholds,
-    sorted by absolute delta descending."""
-    out = []
+) -> tuple[list[tuple[str, float, float]], list[tuple[str, float | None, float | None]]]:
+    """(movers, anomalies): movers are keys in BOTH runs whose
+    (old, new) pair crosses both thresholds, sorted by absolute delta
+    descending; anomalies are keys whose recorded time in either run
+    is 0.0/negative (ADVICE r12: a key that collapsed to ~0 s must be
+    a reported line, not an invisible skip)."""
+    out, anomalies = [], []
     for k, t in new.items():
         p = old.get(k)
-        if p and p > 0 and t > 0 and (t / p > RATIO or p / t > RATIO) \
-                and abs(t - p) > ABS_SEC:
+        if p is None:
+            continue
+        if p <= 0 or t <= 0:
+            anomalies.append((k, p, t))
+            continue
+        if (t / p > RATIO or p / t > RATIO) and abs(t - p) > ABS_SEC:
             out.append((k, p, t))
-    return sorted(out, key=lambda m: -abs(m[2] - m[1]))
+    return sorted(out, key=lambda m: -abs(m[2] - m[1])), anomalies
 
 
-def print_diff(old_path: str, new_path: str) -> None:
+def print_diff(old_path: str, new_path: str) -> bool:
+    """Print the diff; returns True when the two artifacts share a
+    timing protocol (a missing field reads as the pre-r12
+    'cold-single-shot' default). ADVICE r12: warm and cold walls are
+    not comparable — bench_full's filename filtering enforced this,
+    but the CLI could silently diff across protocols."""
     a = json.load(open(old_path))
     b = json.load(open(new_path))
     oq, nq = a["queries"], b["queries"]
@@ -65,6 +82,13 @@ def print_diff(old_path: str, new_path: str) -> None:
           f"errors={a.get('n_errors', 0)}  {stamp(a)}")
     print(f"new: {nn}  total={b['value']}s  keys={len(nq)}  "
           f"errors={b.get('n_errors', 0)}  {stamp(b)}")
+    proto_a = a.get("protocol", "cold-single-shot")
+    proto_b = b.get("protocol", "cold-single-shot")
+    proto_ok = proto_a == proto_b
+    if not proto_ok:
+        print(f"WARNING: protocol mismatch ({proto_a} vs {proto_b}) — "
+              "warm and cold walls are not comparable; this mover "
+              "table is not citable")
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
     if only_old:
@@ -72,7 +96,10 @@ def print_diff(old_path: str, new_path: str) -> None:
     if only_new:
         print(f"only in new ({len(only_new)}): {only_new}")
 
-    mv = movers(oq, nq)
+    mv, anomalies = movers(oq, nq)
+    if anomalies:
+        print(f"zero/negative-time anomalies ({len(anomalies)}): "
+              + ", ".join(f"{k} old={p} new={t}" for k, p, t in anomalies))
     print(f"\nmovers (> {RATIO}x and > {ABS_SEC}s, by |delta|): {len(mv)}")
     print(f"| Key | {on.replace('BENCH_FULL_', '').replace('.json', '')} "
           f"sweep | {nn.replace('BENCH_FULL_', '').replace('.json', '')} "
@@ -82,14 +109,16 @@ def print_diff(old_path: str, new_path: str) -> None:
         print(f"| {k} | {p:.2f} | {t:.2f} |  |  |")
     if not mv:
         print("| (none) |  |  |  |  |")
+    return proto_ok
 
 
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    print_diff(sys.argv[1], sys.argv[2])
-    return 0
+    # exit 1 on protocol mismatch (an empty mover list stays exit 0 —
+    # a finding, not a failure)
+    return 0 if print_diff(sys.argv[1], sys.argv[2]) else 1
 
 
 if __name__ == "__main__":

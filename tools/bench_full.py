@@ -65,6 +65,12 @@ def main() -> None:
     # Spark work so it reflects the box, not this sweep's own load
     load_start = os.getloadavg() if hasattr(os, "getloadavg") else None
     assert_scale_knobs_unset("a full-registry bench")
+    # VERDICT r12 task 3: canary verdict embedded in the artifact —
+    # subprocess (fresh JVM = the calibrated canary context) BEFORE
+    # this process builds its own session; see bench.py for rationale
+    from tools.host_canary import subprocess_verdict
+
+    canary = subprocess_verdict()
     args = [a for a in sys.argv[1:] if a != "--warm"]
     warm_mode = "--warm" in sys.argv[1:]
     rnd = int(args[0]) if args else 0
@@ -119,6 +125,7 @@ def main() -> None:
             [round(x, 2) for x in load_start] if load_start else None
         ),
         "load_avg": [round(x, 2) for x in load] if load else None,
+        "host_canary": canary,
     }
     stem = "BENCH_FULL_WARM" if warm_mode else "BENCH_FULL"
     path = f"/root/repo/{stem}_r{rnd:02d}.json" if rnd else f"/root/repo/{stem}.json"
@@ -132,9 +139,18 @@ def main() -> None:
     # diff only against warm snapshots (different protocols never mix)
     from tools.bench_diff import print_diff
 
+    # sort by PARSED round number, not the raw filename (ADVICE r12:
+    # lexicographic r{N:02d} order breaks at round 100)
+    def _round_of(f: str) -> int:
+        try:
+            return int(f[len(f"{stem}_r"):-len(".json")])
+        except ValueError:
+            return -1
     prior_files = sorted(
-        f for f in os.listdir("/root/repo")
-        if f.startswith(f"{stem}_r") and f.endswith(".json") and f != os.path.basename(path)
+        (f for f in os.listdir("/root/repo")
+         if f.startswith(f"{stem}_r") and f.endswith(".json")
+         and f != os.path.basename(path) and _round_of(f) >= 0),
+        key=_round_of,
     )
     if prior_files:
         print()

@@ -256,7 +256,14 @@ def main() -> None:
         # engine confs — load_table's tune() must supply everything
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.master("local[8]").appName("check-vanilla").getOrCreate()
+        spark = (
+            SparkSession.builder.master("local[8]").appName("check-vanilla")
+            # console-progress \r fragments splice into per-key lines
+            # (VERDICT r12); a driver-console cosmetic, not an
+            # engine-relied conf — the vanilla simulation stays honest
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
     else:
         spark = get_spark("check")
     con = duck_con(sf_dir)

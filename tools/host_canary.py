@@ -15,8 +15,20 @@ number recorded right now be compared against prior rounds?" in ~30 s:
   (provisional — see the calibration note at _REFS).
 
 Usage: python tools/host_canary.py
-Prints one JSON line; exit 0 if healthy, 1 if degraded (so shell
-loops can `until python tools/host_canary.py; do sleep 600; done`).
+Prints one JSON line; exit 0 if healthy, 1 if degraded, 3 if the refs
+are STALE (see below). Shell wait loops should be BOUNDED — an
+unhealthy host can stay unhealthy for a whole round (r12 precedent),
+so an unbounded `until ...` would spin forever:
+
+    for i in $(seq 1 18); do   # give up after ~3 h
+        python tools/host_canary.py && break; sleep 600
+    done
+
+Since r13, bench.py and tools/bench_full.py run this canary in a
+subprocess before their sweep and embed the JSON verdict in their
+artifacts (`host_canary` field), so a future reader adjudicates host
+health from the artifact itself instead of reconstructing it from
+round notes.
 
 The thresholds are deliberately coarse (cold single-shots carry
 ±20-30% even on a quiet box); a healthy verdict clears the way for a
@@ -27,6 +39,8 @@ standing SCALING.md rule).
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
 import os
 import sys
@@ -46,8 +60,39 @@ sys.path.insert(0, "/root/repo")
 _REFS = {"q_text_tfidf": 0.646, "q_tpch_q5": 0.737}
 _TOL = 2.5
 
+# Staleness pins (VERDICT r12 task 4): the refs above are only valid
+# for the plans that produced them. These are sha256(inspect.getsource)
+# prefixes of the two reference keys' REGISTERED functions at ref-taking
+# time; if either function changes, the canary exits 3 (STALE) instead
+# of silently reclassifying hosts with walls measured against a
+# different plan. Refresh protocol: re-measure _REFS on a HEALTHY box
+# with the canary's own protocol, then update both dicts together.
+# (Deliberately a source hash, not a plan hash: coarse but dependency-
+# free, and a comment-only edit forcing a cheap ref refresh is the
+# acceptable false-positive direction.)
+_REF_SRC_SHA = {"q_text_tfidf": "a3a2796936928e52", "q_tpch_q5": "e8f83433656ee057"}
 
-def main() -> int:
+
+def stale_refs(queries) -> dict[str, str]:
+    """Ref keys whose registered function source no longer matches the
+    pinned hash → {key: current_hash}. Empty dict = refs current."""
+    out = {}
+    for key, pinned in _REF_SRC_SHA.items():
+        cur = hashlib.sha256(
+            inspect.getsource(queries[key]).encode()
+        ).hexdigest()[:16]
+        if cur != pinned:
+            out[key] = cur
+    return out
+
+
+def run_canary() -> dict:
+    """Run the canary protocol in THIS process (fresh engine session +
+    one warmup key + two cold timed reference keys) and return the
+    verdict dict. Callers embedding the verdict in a bench artifact
+    should instead run this module as a subprocess BEFORE building
+    their own session (see bench.py) so the canary's fresh-session
+    calibration context is preserved."""
     load_start = (
         [round(x, 2) for x in os.getloadavg()]
         if hasattr(os, "getloadavg") else None
@@ -57,6 +102,7 @@ def main() -> int:
 
     spark = get_spark("host-canary")
     qs = all_queries()
+    stale = stale_refs(qs)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # one warmup so the canary measures plans, not JVM/codegen startup
     qs["q_agg_group"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -66,15 +112,56 @@ def main() -> int:
         qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
         walls[key] = round(time.perf_counter() - t0, 2)
     healthy = all(walls[k] <= _REFS[k] * _TOL for k in _REFS)
-    print(json.dumps({
+    out = {
         "healthy": healthy,
         "walls": walls,
         "refs": _REFS,
         "tolerance": _TOL,
         "load_avg_start": load_start,
         "sf_dir": sf_dir,
-    }))
-    return 0 if healthy else 1
+    }
+    if stale:
+        # measured walls are still host evidence, but the verdict is
+        # uninterpretable against refs taken for a different plan
+        out["stale_refs"] = stale
+        out["healthy"] = None
+    return out
+
+
+def subprocess_verdict(timeout: int = 600) -> dict:
+    """Canary verdict for embedding in a bench artifact (VERDICT r12
+    task 3). Runs this module as a SUBPROCESS — a fresh JVM is the
+    calibrated canary context, and running the two reference keys
+    inside the caller's own session would also pre-warm them and
+    silently change the sweep protocol for those keys. Honors
+    SPARK_GRAFT_CANARY_JSON (path to a just-recorded verdict file) to
+    skip the ~35 s re-run. Never raises: {"error": ...} on failure so
+    a broken canary cannot kill a bench run."""
+    import subprocess
+
+    pre = os.environ.get("SPARK_GRAFT_CANARY_JSON")
+    if pre:
+        try:
+            with open(pre) as fh:
+                return json.load(fh)
+        except Exception as e:  # noqa: BLE001
+            return {"error": f"SPARK_GRAFT_CANARY_JSON unreadable: {e}"}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "host_canary.py")],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def main() -> int:
+    out = run_canary()
+    print(json.dumps(out))
+    if out.get("stale_refs"):
+        return 3
+    return 0 if out["healthy"] else 1
 
 
 if __name__ == "__main__":
