@@ -81,6 +81,9 @@ HEADLINE = [
     # 42-key prefix above is unchanged for comparability)
     "q_dedup_cluster",       # PPJoin edges + pointer-jumping CC fixpoint
     "q_stream_stream_join",  # two-stream watermarked interval join replay
+    # r13 addition: the round's new heavy composite (the 44-key prefix
+    # above is unchanged for comparability)
+    "q_dedup_semdedup",      # k-means-blocked semantic dedup (r13)
 ]
 
 

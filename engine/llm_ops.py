@@ -1477,6 +1477,120 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher rule-filter constants (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher",
+# arXiv:2112.11446 Table A1). The stop-word presence rule uses the
+# paper's own 8-word list (distinct from this module's 5-word
+# STOPWORDS scoring tuple); thresholds are the published ones.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, t -> length(t))) * 1.0
+               / len(toks) AS mean_word_len,
+             (n_hash + n_ell) * 1.0 / len(toks) AS symbol_ratio,
+             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+               * 1.0 / len(toks) AS alpha_word_ratio,
+             len(list_intersect(list_distinct(toks),
+                                {list(_GOPHER_STOPS)!r})) AS n_stop_kinds
+      FROM s)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, symbol_ratio, alpha_word_ratio,
+           CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_word_count,
+           CAST(mean_word_len >= 3 AND mean_word_len <= 10 AS INT) AS r_mean_len,
+           CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+           CAST(alpha_word_ratio >= 0.8 AS INT) AS r_alpha,
+           CAST(n_stop_kinds >= 2 AS INT) AS r_stopword,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND symbol_ratio <= 0.1
+                AND alpha_word_ratio >= 0.8
+                AND n_stop_kinds >= 2 AS INT) AS keep
+    FROM m
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021, arXiv:2112.11446
+    Table A1) — the canonical published pretraining document filter,
+    emitted as per-rule flags plus the composite keep decision so a
+    pipeline can both filter and audit per-rule rejection rates:
+    word count in [50, 100k]; mean word length in [3, 10]; symbol
+    (# / ellipsis)-to-word ratio <= 0.1; >= 80% of words contain an
+    alphabetic character; >= 2 of the paper's 8 stop words present.
+    (The paper's line-level bullet/ellipsis rules need multi-line
+    documents; the fixture corpus is single-line, so the symbol rule
+    carries that family here.) Thresholds are the PUBLISHED values,
+    not fixture-tuned: on this synthetic corpus no document carries
+    >= 2 distinct Gopher stop words, so the composite keep is
+    honestly 0 everywhere — per-rule flags and the raw metrics carry
+    the differential entropy (r_word_count splits ~45/55,
+    n_stop_kinds 0/1, word counts and ratios vary per doc).
+
+    Distinct from q_text_quality (a type-token/stopword quality SCORE):
+    this is the hard-threshold rule SET with a boolean verdict.
+
+    Scale: pure map stage over the document scan — every metric is a
+    built-in higher-order function on the token array (whole-stage
+    codegen, no shuffle, no Python); ratios are IEEE divisions of the
+    same exact integers on both engines, so outputs are bit-stable
+    unrounded. At 100 TB this is scan-bound and embarrassingly
+    parallel, the cheapest possible filter stage."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    mean_len = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        / n
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = F.floor(
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+    ).cast("long")
+    sym_ratio = (n_hash + n_ell) / n
+    alpha_ratio = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+        )
+    )
+    r_wc = (n >= 50) & (n <= 100000)
+    r_ml = (mean_len >= 3) & (mean_len <= 10)
+    r_sym = sym_ratio <= 0.1
+    r_alpha = alpha_ratio >= 0.8
+    r_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stop_kinds"),
+        r_wc.cast("int").alias("r_word_count"),
+        r_ml.cast("int").alias("r_mean_len"),
+        r_sym.cast("int").alias("r_symbol"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_stop.cast("int").alias("r_stopword"),
+        (r_wc & r_ml & r_sym & r_alpha & r_stop).cast("int").alias("keep"),
+    )
+
+
 _LANG_MARKERS = {
     "en": ("the", "a", "of"),
     "de": ("table", "row", "batch"),
@@ -6576,6 +6690,230 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
         )
         .orderBy("cluster_id")
+    )
+
+
+# SemDeDup similarity threshold on the exact-integer dot grid: pts are
+# floor(x * 1e6) int64 components of unit-norm vectors, so a pairwise
+# dot is cos * 1e12 (± the deterministic quantization residue both
+# engines share); 0.35 * 1e12 matches q_dedup_embedding's graded
+# cosine operating point.
+_SEMDEDUP_TAU_Q = 350_000_000_000
+
+# Cluster count: SemDeDup's own scale lever — within-cluster pair
+# volume is sum C(|cluster|, 2), so k grows with the corpus to keep
+# cluster sizes (and the quadratic-within-block cost) flat. 16 gives
+# ~125-vector clusters at sf0.1 (the paper's LAION runs use 50k
+# clusters at 600M vectors, a similar corpus:cluster ratio).
+_SEMDEDUP_K = 16
+
+
+def _semdedup_oracle(k: int = _SEMDEDUP_K, iters: int = 2) -> str:
+    """Unrolled SQL for q_dedup_semdedup: the same exact-integer Lloyd
+    blocks as _kmeans_oracle (kept textually independent so the graded
+    q_embed_kmeans oracle string is untouched), at k clusters and 2
+    iterations, then the within-cluster lower-id neighbor count and
+    keep verdict."""
+    blocks = [f"""
+    pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY CAST('0x' || substring(
+                 md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+               vec_id) AS cid, q AS c
+      FROM pts QUALIFY cid <= {k}
+    ),
+    c0 AS (SELECT cid, c FROM seeds)"""]
+    for i in range(1, iters + 1):
+        blocks.append(f"""
+    a{i} AS (
+      SELECT vec_id, q,
+             min(struct_pack(
+               d := list_sum(list_transform(generate_series(1, 64),
+                      j -> (q[j] - c.c[j]) * (q[j] - c.c[j]))),
+               cid := c.cid)) AS best
+      FROM pts, c{i - 1} c GROUP BY vec_id, q
+    ),
+    m{i} AS (
+      SELECT best.cid AS cid, u.j AS dim,
+             CAST((sum(q[u.j])
+                   - ((sum(q[u.j]) % count(*)) + count(*)) % count(*))
+                  // count(*) AS BIGINT) AS v
+      FROM a{i}, unnest(generate_series(1, 64)) AS u(j)
+      GROUP BY best.cid, u.j
+    ),
+    c{i} AS (
+      SELECT p.cid,
+             coalesce(list(m.v ORDER BY m.dim), p.c) AS c
+      FROM c{i - 1} p LEFT JOIN m{i} m ON p.cid = m.cid
+      GROUP BY p.cid, p.c
+    )""")
+    return f"""
+    WITH {','.join(blocks)},
+    fin AS (
+      SELECT vec_id, q,
+             min(struct_pack(
+               d := list_sum(list_transform(generate_series(1, 64),
+                      j -> (q[j] - c.c[j]) * (q[j] - c.c[j]))),
+               cid := c.cid)) AS best
+      FROM pts, c{iters} c GROUP BY vec_id, q
+    ),
+    asg AS (SELECT vec_id, q, f.best.cid AS cid FROM fin f),
+    near AS (
+      SELECT b.vec_id AS vec_id, CAST(count(*) AS BIGINT) AS n_near
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, 64),
+              j -> a.q[j] * b.q[j])) >= {_SEMDEDUP_TAU_Q}
+      GROUP BY b.vec_id
+    )
+    SELECT g.vec_id,
+           CAST(g.cid AS INT) AS cluster_id,
+           CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near_lower,
+           CAST(coalesce(near.n_near, 0) = 0 AS INT) AS kept
+    FROM asg g LEFT JOIN near ON g.vec_id = near.vec_id
+    """
+
+
+@register("q_dedup_semdedup", oracle=_semdedup_oracle())
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication with k-means clustering as the BLOCKING stage —
+    exact pairwise cosine is computed only WITHIN clusters, and a
+    vector is dropped when a lower-vec_id in-cluster neighbor has
+    cos >= 0.35 (the paper keeps one representative per semantic
+    duplicate group; min-id is the deterministic keep policy, the
+    q_dedup_exact convention). Output is per-vector: cluster, count
+    of qualifying lower-id neighbors, and the kept verdict.
+
+    Every stage is deterministic and fully oracle-checked — the same
+    exact-integer Lloyd conventions as q_embed_kmeans (content-hash
+    seeding, int64 squared distances on the 1e-6 grid, struct-min
+    assignment, floor-mean updates; 2 iterations here), then pairwise
+    dots as exact int64 sums (unit-norm corpus: dot == cos * 1e12),
+    so the differential hash pins the clustering trajectory AND the
+    dedup decision.
+
+    Scale shape (the 100 TB story): clustering IS the candidate
+    blocker — per-pass cost is one broadcast of the k-row centroid
+    relation against the point scan plus a (k x 64)-row partial-agg
+    shuffle, and the pair stage is an equi-join on cluster id, so the
+    quadratic is bounded by cluster size, never corpus size. This is
+    the published scale path for embedding dedup (SemDeDup runs on
+    the full LAION corpus this way); k grows ~N/target cluster size
+    (here k=16, ~125-vector clusters at sf0.1 — measured: the pair
+    stage drops 500k->~125k dot evaluations vs k=4), keeping
+    within-cluster pair counts flat. AQE skew-join splits any
+    oversized cluster's partition. Complements q_dedup_embedding
+    (label-blocked exact baseline) and q_dedup_embedding_ann (LSH
+    blocking, rows-only): same verify semantics, third blocking
+    strategy — the one whose recall is 1.0 within blocks by
+    construction."""
+    e = _t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+        ).alias("q"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    topk = pts.select(F.col("q").alias("c"), h.alias("hk"), "vec_id").orderBy(
+        "hk", "vec_id"
+    ).limit(_SEMDEDUP_K)
+    cents = topk.select(
+        F.row_number().over(Window.orderBy("hk", "vec_id")).alias("cid"), "c"
+    )
+
+    def dist(qcol, ccol):
+        return F.aggregate(
+            F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents_df):
+        j = pts.crossJoin(F.broadcast(cents_df))
+        return (
+            j.select(
+                "vec_id",
+                "q",
+                F.struct(
+                    dist(F.col("q"), F.col("c")).alias("d"),
+                    F.col("cid").alias("cid"),
+                ).alias("cand"),
+            )
+            .groupBy("vec_id", "q")
+            .agg(F.min("cand").alias("best"))
+        )
+
+    for _ in range(2):
+        a = assign(cents)
+        # exact floor-mean update (modulus-subtraction before divide;
+        # the q_embed_kmeans r7-ADVICE convention)
+        _s = F.sum("col").cast("decimal(38,0)")
+        _n = F.count("*")
+        m = (
+            a.select(F.col("best.cid").alias("cid"), F.posexplode("q"))
+            .groupBy("cid", "pos")
+            .agg(((_s - F.pmod(_s, _n)) / _n).cast("long").alias("v"))
+        )
+        upd = m.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col("v")))),
+                lambda s: s["v"],
+            ).alias("cm")
+        )
+        cents = (
+            cents.join(upd, "cid", "left")
+            .select("cid", F.coalesce(F.col("cm"), F.col("c")).alias("c"))
+        )
+        # bounded k x 64 integer gather, the q_embed_kmeans lineage
+        # collapse — keeps each pass's assignment plan shallow
+        cents = spark.createDataFrame(
+            [(int(r["cid"]), [int(x) for x in r["c"]]) for r in cents.collect()],
+            "cid int, c array<long>",
+        )
+
+    # The final assignment feeds THREE consumers (both sides of the
+    # pair join + the output spine); localCheckpoint materializes it
+    # once instead of re-running the Lloyd assignment per subplan
+    # (the q_graph_transitivity precedent — eager, corpus-sized but
+    # one row per vector, executor-resident).
+    asg = assign(cents).select(
+        "vec_id", "q", F.col("best.cid").alias("cid")
+    ).localCheckpoint()
+    lo = asg.select(
+        F.col("vec_id").alias("lo_id"), F.col("q").alias("lo_q"), "cid"
+    )
+    dot = F.aggregate(
+        F.zip_with("lo_q", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    near = (
+        asg.join(lo, "cid")
+        .where(F.col("lo_id") < F.col("vec_id"))
+        .where(dot >= _SEMDEDUP_TAU_Q)
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("long").alias("n_near"))
+    )
+    n_near = F.coalesce(F.col("n_near"), F.lit(0).cast("long"))
+    return asg.join(near, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        n_near.alias("n_near_lower"),
+        (n_near == 0).cast("int").alias("kept"),
     )
 
 

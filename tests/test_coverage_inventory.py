@@ -12,8 +12,9 @@ independently-written built-ins, so the differential is already two
 derivations; each such key is pinned below under a structural-family
 justification.
 
-This file freezes the full 427-key inventory (the rows-only-set
-precedent, test_registry.test_rows_only_set_is_frozen): EVERY
+This file freezes the full registry inventory — 429 keys as of r13
+(the rows-only-set precedent,
+test_registry.test_rows_only_set_is_frozen): EVERY
 registered key must appear in exactly one of _COVERED /
 _DIFFERENTIAL_ONLY. Registering a new operator without deciding its
 independent-check story fails test_every_key_has_a_coverage_class —
@@ -246,6 +247,9 @@ _COVERED = {
     "q_text_stats": "recompute: test_recompute.py",
     "q_text_tfidf": "recompute: test_recompute.py",
     "q_text_quality": "recompute: test_recompute.py",
+    # r13 additions
+    "q_text_gopher_rules": "recompute: test_recompute.py",
+    "q_dedup_semdedup": "recompute: test_recompute.py",
     "q_tokenize": "recompute: test_recompute.py",
     "q_multimodal_struct": "recompute: test_recompute.py",
     "q_multimodal_binary": "contract: test_llm_ops.py",

@@ -95,6 +95,7 @@ _SINGLE_PARTITION_OK: dict[str, str] = {
     "q_privacy_ldiversity": "bounded class table reduces to one wide row",
     "q_eval_ks": "|bands|-row carry window + 1-row struct-max",
     "q_embed_kmeans": "4-row seed-rank window after TakeOrdered",
+    "q_dedup_semdedup": "16-row seed-rank window after TakeOrdered",
     "q_stats_wilcoxon": "|bands|-row carry window + 1-row reduce",
     "q_stats_hill": "101-row TakeOrdered + rank window on it",
     "q_text_term_burstiness": "global top-20 VMR gather (TakeOrdered)",
@@ -208,6 +209,10 @@ _CROSS_OK: dict[str, str] = {
     "q_embed_kmeans":
         "every assignment pass broadcasts the k=4-row centroid relation "
         "against the point scan — the IVF coarse-quantizer pattern",
+    "q_dedup_semdedup":
+        "same k-row (k=16) centroid broadcast per Lloyd assignment "
+        "pass as q_embed_kmeans; the pair stage itself is an equi-join "
+        "on cluster id, never a cartesian",
     "q_eval_f1_sweep":
         "19-row threshold SPINE fans the <=42-cell score histogram "
         "(broadcast-sized literals); best-F1 flag cross-joins the "

@@ -5059,3 +5059,95 @@ def test_round_half_away_helper_matches_duckdb_round():
     ).fetchone()[0]
     for x, w in zip(xs, want):
         assert _round_half_away(x) == w, (x, _round_half_away(x), w)
+
+
+def test_gopher_rules_matches_python_replay():
+    """q_text_gopher_rules: every metric and published-threshold flag
+    (Rae et al. 2021 Table A1) re-derived in pure python from the raw
+    documents fixture — the independent third derivation alongside the
+    Spark/DuckDB texts."""
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    got = _oracle("q_text_gopher_rules").set_index("doc_id")
+    docs = _docs()
+    assert len(got) == len(docs)
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        n = len(toks)
+        mean_len = sum(len(t) for t in toks) / n
+        n_sym = r.text.count("#") + r.text.count("...")
+        sym_ratio = n_sym / n
+        alpha_ratio = sum(1 for t in toks if re.search("[A-Za-z]", t)) / n
+        n_stop = len(set(toks) & stops)
+        rules = [
+            50 <= n <= 100000,
+            3 <= mean_len <= 10,
+            sym_ratio <= 0.1,
+            alpha_ratio >= 0.8,
+            n_stop >= 2,
+        ]
+        row = got.loc[r.doc_id]
+        assert row["n_words"] == n
+        assert abs(row["mean_word_len"] - mean_len) < 1e-12
+        assert abs(row["symbol_ratio"] - sym_ratio) < 1e-12
+        assert abs(row["alpha_word_ratio"] - alpha_ratio) < 1e-12
+        assert row["n_stop_kinds"] == n_stop
+        flags = [row["r_word_count"], row["r_mean_len"], row["r_symbol"],
+                 row["r_alpha"], row["r_stopword"]]
+        assert flags == [int(x) for x in rules]
+        assert row["keep"] == int(all(rules))
+
+
+def test_semdedup_matches_python_replay():
+    """q_dedup_semdedup: the full trajectory — exact-integer Lloyd
+    (2 iterations, content-hash seeds, struct-min ties, floor-mean
+    updates) then within-cluster lower-id cos>=0.35 dedup — re-derived
+    in pure python/ints from the raw embeddings fixture."""
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    pts = {
+        int(r.vec_id): [int(math.floor(float(x) * 1000000)) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    seeds = sorted(
+        pts,
+        key=lambda v: (int(hashlib.md5(f"km:{v}".encode()).hexdigest()[:15], 16), v),
+    )[:16]
+    cents = {i + 1: list(pts[v]) for i, v in enumerate(seeds)}
+
+    def d2(q, c):
+        return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+    for _ in range(2):
+        assign = {v: min((d2(q, c), cid) for cid, c in cents.items())[1]
+                  for v, q in pts.items()}
+        new = {}
+        for cid in cents:
+            members = [pts[v] for v in assign if assign[v] == cid]
+            if not members:
+                new[cid] = cents[cid]
+            else:
+                ncnt = len(members)
+                new[cid] = [
+                    (sum(col) - ((sum(col) % ncnt) + ncnt) % ncnt) // ncnt
+                    for col in zip(*members)
+                ]
+        cents = new
+    final = {v: min((d2(q, c), cid) for cid, c in cents.items())[1]
+             for v, q in pts.items()}
+    tau = 350_000_000_000
+    n_near = {}
+    for v, q in pts.items():
+        n_near[v] = sum(
+            1
+            for u, p in pts.items()
+            if u < v and final[u] == final[v]
+            and sum(a * b for a, b in zip(p, q)) >= tau
+        )
+    got = _oracle("q_dedup_semdedup").set_index("vec_id")
+    assert len(got) == len(pts)
+    for v in pts:
+        row = got.loc[v]
+        assert row["cluster_id"] == final[v], v
+        assert row["n_near_lower"] == n_near[v], v
+        assert row["kept"] == int(n_near[v] == 0), v

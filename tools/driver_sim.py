@@ -27,16 +27,12 @@ from tools.check import (  # noqa: E402
 # vanilla-session differential before the exit seal. Maintained by the
 # round builder; reset at round start.
 ROUND_CHANGED = [
-    # (reset at r12 start; every key added or plan-rewritten this
+    # (reset at r13 start; every key added or plan-rewritten this
     # round must be listed here and pass the vanilla-session
     # differential before the exit seal)
-    # r12: connected_components' driver-side union-find gained the
-    # NULL-endpoint guard (skip, matching the distributed loop's
-    # equi-join drop) — no caller produces NULLs, outputs unchanged,
-    # but the executed code path changed, so the trio re-certifies
-    "q_dedup_cluster",
-    "q_dedup_soft_weights",
-    "q_graph_components",
+    # r13: the two new operators (Gopher rule filter, SemDeDup)
+    "q_text_gopher_rules",
+    "q_dedup_semdedup",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
