@@ -3252,6 +3252,124 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_dsir",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5('ds:' || bg), 1, 8)) AS BIGINT)
+               % 1024 AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM s) u
+    ),
+    cnt AS (
+      SELECT b,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      FROM bgs GROUP BY b
+    ),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                   CAST(sum(cr) AS BIGINT) AS tr FROM cnt),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tt + 1024))
+                        * 1000000000) AS BIGINT)
+           - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / (tr + 1024))
+                        * 1000000000) AS BIGINT) AS qlw
+      FROM bgs JOIN cnt USING (b), tot
+    )
+    SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(qlw) AS DOUBLE) / 1000000000 AS dsir_logw,
+           CAST(sum(qlw) > 0 AS INT) AS keep
+    FROM scored GROUP BY doc_id, lang
+    """,
+)
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    per-document log importance weight of a target distribution
+    (lang='en' here) against the raw rest-of-corpus, over hashed
+    word-bigram features (md5 -> 1024 buckets, the q_feature_hashing
+    convention) with Laplace(+1) smoothing — the published
+    domain-targeting selection pass of a pretraining pipeline. keep
+    flags documents whose features look more target- than raw-like
+    (logw > 0), the threshold-free resampling proxy.
+
+    Per-occurrence log terms quantize to round(ln p * 1e9) bigints
+    (the q_text_perplexity fold convention) so per-doc sums are exact
+    integers in any aggregation order; the final /1e9 double is
+    bit-identical across engines (|sum| << 2^53).
+
+    Scale: the feature-bucket relation is FIXED at 1024 rows however
+    large the corpus (hash-agg with map-side combine collapses the
+    bigram stream first), so the probability join broadcasts at any
+    scale and the smoothing totals are a 1-row fold; the only
+    corpus-sized exchange is the per-doc sum. Map-side bigrams come
+    from each doc's own token array (zip_with over two slices), never
+    a positional self-join."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    bg_arr = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bgs = (
+        d.select("doc_id", "lang", F.explode(bg_arr).alias("bg"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("ds:"), F.col("bg"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 1024
+            ).alias("b"),
+        )
+    )
+    is_t = (F.col("lang") == "en").cast("long")
+    cnt = bgs.groupBy("b").agg(
+        F.sum(is_t).alias("ct"),
+        F.sum(1 - is_t).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")
+    )
+
+    def qln(num, den):
+        return F.round(
+            F.log(num.cast("double") / den.cast("double")) * 1_000_000_000
+        ).cast("long")
+
+    # no hint on the bucket join: the cnt relation is 1024 rows by
+    # construction, AQE broadcasts it; the 1-row totals always do
+    scored = (
+        bgs.join(cnt, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                qln(F.col("ct") + 1, F.col("tt") + 1024)
+                - qln(F.col("cr") + 1, F.col("tr") + 1024)
+            ).alias("qlw"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_feats"),
+        (F.sum("qlw").cast("double") / 1_000_000_000).alias("dsir_logw"),
+        (F.sum("qlw") > 0).cast("int").alias("keep"),
+    )
+
+
+@register(
     "q_dedup_incremental",
     oracle="""
     WITH tagged AS (

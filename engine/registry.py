@@ -71,11 +71,12 @@ def _ensure_loaded() -> None:
 # EVIDENCE FRESHNESS: re-cert any key whose plan/output changed after
 # its last row, then refresh the stalest rows, block by block.
 #
-# Refresh cadence (VERDICT r9 task 7): 429 keys (427 + the two r13
+# Refresh cadence (VERDICT r9 task 7): 430 keys (427 + the three r13
 # additions) / ~40-45 refresh slots per round ≈ 9-10 rounds per full
 # refresh cycle, so every key re-grades at least once per ~10 rounds
 # while the full local differential sweep (tools/check.py, a seal
-# gate) re-verifies all 429 every round. Walk the backlog in prefix order: r10 = re-certs +
+# gate) re-verifies all 430 every round. Walk the backlog in prefix
+# order: r10 = re-certs +
 # r01 block head; r11 = the displaced r01 remainder (q_fn_string ...
 # q_agg_approx_distinct, 7 keys) + the r02 block head; later rounds
 # keep draining r02 → r09.
@@ -89,9 +90,9 @@ def _ensure_loaded() -> None:
 # is the named contract test, so plan changes there re-verify via the
 # test suite + full local sweep instead.
 #
-# Round 13 window = 2 first-rows (the round's new operators,
-# q_text_gopher_rules + q_dedup_semdedup — never-graded keys lead
-# every window) + 0 re-certs + the pre-encoded refresh rotation
+# Round 13 window = 3 first-rows (the round's new operators,
+# q_text_gopher_rules + q_dedup_semdedup + q_doc_dsir — never-graded
+# keys lead every window) + 0 re-certs + the pre-encoded refresh rotation
 # (the full r04 remainder, 44 keys, then the r05 head — exactly the
 # r12 backlog prefix, per VERDICT r12 task 1). No engine plan change
 # has touched a graded key since the r12 rows, so no re-cert slot is
@@ -170,11 +171,12 @@ def _ensure_loaded() -> None:
 #     changed after its r02 row (displaces q_fn_string).
 _PRIORITY: list[str] = [
     # ================= r13 window (slots 0-49) =================
-    # slots 0-1: the two r13 additions (never-graded keys lead every
+    # slots 0-2: the three r13 additions (never-graded keys lead every
     # window — tests/test_registry.test_no_driver_window_slot_is_wasted):
-    # Gopher rule filter + SemDeDup, the round's 2-of-3 operator cap
-    "q_text_gopher_rules", "q_dedup_semdedup",
-    # slots 2-45: the full r04 remainder — the stalest driver rows
+    # Gopher rule filter + SemDeDup + DSIR, the round's full 0-3
+    # operator cap
+    "q_text_gopher_rules", "q_dedup_semdedup", "q_doc_dsir",
+    # slots 3-46: the full r04 remainder — the stalest driver rows
     # (no re-cert slots this round; see the header comment)
     "q_tpch_q10", "q_tpch_q6", "q_tpch_q7", "q_tpch_q14",
     "q_tpch_q19", "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q22",
@@ -189,17 +191,17 @@ _PRIORITY: list[str] = [
     "q_corr_matrix", "q_agg_grouping_id", "q_rollup_incremental",
     "q_sample_negative", "q_win_cusum", "q_time_to_event", "q_tpch_q2",
     "q_tpch_q8",
-    # slots 46-49: the r05 block head
-    "q_embed_quantize", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
+    # slots 47-49: the r05 block head
+    "q_embed_quantize", "q_tpch_q9", "q_tpch_q11",
     # ================= refresh backlog (slots 50+) =================
     # Driver-verified keys, stalest row first (r05 remainder → r12)
     # so every future window is a prefix rotation. r14 window front:
-    # the r05 remainder below (q_tpch_q13 …), 46 keys, plus re-certs
+    # the r05 remainder below (q_tpch_q12 …), 47 keys, plus re-certs
     # for any r14 plan changes, filling to 50 from the r06 head.
 
     # r05 rows (remainder)
 
-    "q_tpch_q13", "q_tpch_q16",
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q16",
     "q_tpch_q20", "q_tpch_q21", "q_win_atr",
     "q_candle_patterns", "q_graph_triangles", "q_text_hapax", "q_join_bloom",
     "q_stats_ttest", "q_stats_trend", "q_stream_anomaly", "q_rfm_segments",

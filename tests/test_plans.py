@@ -76,6 +76,7 @@ _SINGLE_PARTITION_OK: dict[str, str] = {
     "q_rolling_active_users": "1-row max-day bound clipping the explode",
     "q_benford": "1-row total over the 9-digit count table",
     "q_text_perplexity": "1-row corpus-token total scaling the log-probs",
+    "q_doc_dsir": "1-row (tt, tr) smoothing-total fold over the 1024-bucket table",
     "q_skyline": "carry-in window over the <=bands price-band table",
     "q_funnel_windowed": "three 1-row stage counts fold into one row",
     "q_survival_km": "KM windows over the <=|days| duration histogram",
@@ -220,6 +221,9 @@ _CROSS_OK: dict[str, str] = {
     "q_benford": "1-row total folds into the 9-row digit table",
     "q_text_perplexity":
         "1-row corpus-token total folds into each token's probability",
+    "q_doc_dsir":
+        "1-row (target, raw) smoothing totals fold into each bigram "
+        "occurrence's quantized log terms",
     "q_funnel_windowed": "three 1-row stage counts fold into one row",
     "q_survival_km": "1-row max-day bound tags censoring",
     "q_text_keywords": "1-row corpus size folds into each term's IDF",

@@ -5151,3 +5151,47 @@ def test_semdedup_matches_python_replay():
         assert row["cluster_id"] == final[v], v
         assert row["n_near_lower"] == n_near[v], v
         assert row["kept"] == int(n_near[v] == 0), v
+
+
+def test_dsir_matches_python_replay():
+    """q_doc_dsir: hashed-bigram DSIR log importance weights (Xie et
+    al. 2023) re-derived in pure python — md5 bucket hashing, Laplace
+    smoothing, quantized-ln fold — from the raw documents fixture."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, lang, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    B = 1024
+
+    def bucket(bg: str) -> int:
+        return int(hashlib.md5(f"ds:{bg}".encode()).hexdigest()[:8], 16) % B
+
+    per_doc: dict[int, list[int]] = {}
+    lang_of: dict[int, str] = {}
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        bs = [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        per_doc[int(r.doc_id)] = bs
+        lang_of[int(r.doc_id)] = r.lang
+        for b in bs:
+            tgt = r.lang == "en"
+            ct[b] = ct.get(b, 0) + (1 if tgt else 0)
+            cr[b] = cr.get(b, 0) + (0 if tgt else 1)
+    tt, tr = sum(ct.values()), sum(cr.values())
+
+    def qln(num: int, den: int) -> int:
+        return int(_round_half_away(math.log(num / den) * 1_000_000_000))
+
+    got = _oracle("q_doc_dsir").set_index("doc_id")
+    assert len(got) == len(per_doc)
+    for did, bs in per_doc.items():
+        qlw = sum(
+            qln(ct.get(b, 0) + 1, tt + B) - qln(cr.get(b, 0) + 1, tr + B)
+            for b in bs
+        )
+        row = got.loc[did]
+        assert row["lang"] == lang_of[did]
+        assert row["n_feats"] == len(bs)
+        assert abs(row["dsir_logw"] - qlw / 1_000_000_000) < 1e-12, did
+        assert row["keep"] == int(qlw > 0), did

@@ -30,9 +30,10 @@ ROUND_CHANGED = [
     # (reset at r13 start; every key added or plan-rewritten this
     # round must be listed here and pass the vanilla-session
     # differential before the exit seal)
-    # r13: the two new operators (Gopher rule filter, SemDeDup)
+    # r13: the three new operators (Gopher rule filter, SemDeDup, DSIR)
     "q_text_gopher_rules",
     "q_dedup_semdedup",
+    "q_doc_dsir",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
