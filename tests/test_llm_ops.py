@@ -640,3 +640,70 @@ def test_span_coverage_cap_contract(spark, monkeypatch):
         assert r["n_tokens"] == e["n_tokens"]
         assert 0 < r["covered_tokens"] <= e["covered_tokens"]
         assert r["coverage"] <= e["coverage"] + 1e-9
+
+
+def test_semdedup_keeps_cluster_minimum_and_blocks(spark):
+    """q_dedup_semdedup invariants beyond the replay: (a) every
+    cluster's minimum vec_id is always kept (it has no lower-id
+    neighbor by construction); (b) the dedup decision never crosses a
+    cluster boundary — a dropped vector's qualifying neighbors are
+    in-cluster, so two single-member clusters can never drop each
+    other however similar (the SemDeDup blocking semantics)."""
+    rows = all_queries()["q_dedup_semdedup"](spark, SF_SMOKE).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert by_cluster
+    for cid, members in by_cluster.items():
+        mn = min(m["vec_id"] for m in members)
+        for m in members:
+            if m["vec_id"] == mn:
+                assert m["kept"] == 1 and m["n_near_lower"] == 0, cid
+        # single-member clusters keep their vector unconditionally
+        if len(members) == 1:
+            assert members[0]["kept"] == 1
+
+
+def test_gopher_keep_is_conjunction_of_rule_flags(spark):
+    """q_text_gopher_rules: keep must equal the AND of the five rule
+    flags, and each flag must restate its metric's threshold — the
+    published-rule consistency contract (a drifting threshold in one
+    of the two texts would break the differential, but THIS test pins
+    the flags to the metrics inside one engine, independent of SQL)."""
+    rows = all_queries()["q_text_gopher_rules"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["r_word_count"] == int(50 <= r["n_words"] <= 100000)
+        assert r["r_mean_len"] == int(3 <= r["mean_word_len"] <= 10)
+        assert r["r_symbol"] == int(r["symbol_ratio"] <= 0.1)
+        assert r["r_alpha"] == int(r["alpha_word_ratio"] >= 0.8)
+        assert r["r_stopword"] == int(r["n_stop_kinds"] >= 2)
+        assert r["keep"] == (
+            r["r_word_count"] & r["r_mean_len"] & r["r_symbol"]
+            & r["r_alpha"] & r["r_stopword"]
+        )
+
+
+def test_dsir_weights_conserve_and_separate(spark):
+    """q_doc_dsir contracts: (a) n_feats == n_words - 1 per doc (one
+    bigram per adjacent token pair — no feature silently dropped);
+    (b) aggregate separation: the mean log weight of target-language
+    docs strictly exceeds the mean of every other language (the
+    property DSIR selection depends on — importance weights must rank
+    target-like text above raw)."""
+    qs = all_queries()
+    dsir = {r["doc_id"]: r for r in qs["q_doc_dsir"](spark, SF_SMOKE).collect()}
+    words = {
+        r["doc_id"]: r["n_words"]
+        for r in qs["q_text_gopher_rules"](spark, SF_SMOKE).collect()
+    }
+    assert set(dsir) == set(words)
+    for did, r in dsir.items():
+        assert r["n_feats"] == words[did] - 1, did
+    by_lang: dict = {}
+    for r in dsir.values():
+        by_lang.setdefault(r["lang"], []).append(r["dsir_logw"])
+    means = {lg: sum(v) / len(v) for lg, v in by_lang.items()}
+    for lg, m in means.items():
+        if lg != "en":
+            assert means["en"] > m, (lg, means)
