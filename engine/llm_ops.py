@@ -6636,7 +6636,14 @@ def _kmeans_oracle(k: int = 4, iters: int = 3) -> str:
     ),
     c{i} AS (
       SELECT p.cid,
-             coalesce(list(m.v ORDER BY m.dim), p.c) AS c
+             -- empty-cluster guard (ADVICE r13): with no matching
+             -- m rows the LEFT JOIN yields one all-NULL row, and
+             -- DuckDB's list() would return [NULL] (not NULL), so a
+             -- bare coalesce would install a [NULL] centroid where
+             -- Spark/the replay keep the previous one. Only accept
+             -- the aggregate when all 64 dims actually arrived.
+             coalesce(CASE WHEN count(m.v) = 64
+                           THEN list(m.v ORDER BY m.dim) END, p.c) AS c
       FROM c{i - 1} p LEFT JOIN m{i} m ON p.cid = m.cid
       GROUP BY p.cid, p.c
     )""")
@@ -6867,7 +6874,14 @@ def _semdedup_oracle(k: int = _SEMDEDUP_K, iters: int = 2) -> str:
     ),
     c{i} AS (
       SELECT p.cid,
-             coalesce(list(m.v ORDER BY m.dim), p.c) AS c
+             -- empty-cluster guard (ADVICE r13): with no matching
+             -- m rows the LEFT JOIN yields one all-NULL row, and
+             -- DuckDB's list() would return [NULL] (not NULL), so a
+             -- bare coalesce would install a [NULL] centroid where
+             -- Spark/the replay keep the previous one. Only accept
+             -- the aggregate when all 64 dims actually arrived.
+             coalesce(CASE WHEN count(m.v) = 64
+                           THEN list(m.v ORDER BY m.dim) END, p.c) AS c
       FROM c{i - 1} p LEFT JOIN m{i} m ON p.cid = m.cid
       GROUP BY p.cid, p.c
     )""")

@@ -15,7 +15,11 @@ number recorded right now be compared against prior rounds?" in ~30 s:
   tax with steady state at record (ROUND13_NOTES §5b), so
   `healthy=false, warm_healthy=true` means "cold numbers not
   comparable, warm-protocol evidence citable", while
-  `warm_healthy=false` flags a real throughput loss;
+  `warm_healthy=false` flags a likely real throughput loss (the
+  warm refs were taken on the degraded host — see the _WARM_REFS
+  caveat — so the inverse reading is the weaker one: warm_healthy=
+  true does not rule out a 2-4x warm loss until the refs are
+  re-anchored on a healthy box);
 - the start load triple (the stamp that adjudicates guest-side load);
 - a HEALTHY verdict only when both cold keys land within ~2.5x of
   record (provisional — see the calibration note at _REFS).
@@ -72,11 +76,25 @@ _TOL = 2.5
 # state matched r11-era records even while cold walls read 4-9x — so
 # the warm leg answers the finer question "is warm-protocol evidence
 # citable on this host?". Refs are this exact protocol's walls
-# measured 2026-08-16 on the degraded host whose steady state was
-# independently at record (BENCH_FULL_WARM_r13 0.616/0.913 deep-warm);
-# a warm_healthy=false reading therefore means real throughput loss,
-# not the startup tax.
+# measured 2026-08-16 on the DEGRADED host whose deep-warm steady
+# state was independently at record (BENCH_FULL_WARM_r13 0.616/0.913).
+# CAVEAT (ADVICE r13): because these refs are ~2x the healthy deep-
+# warm walls, the 2.5x tolerance is effectively ~5x of true steady
+# state — warm_healthy=false is a STRONG signal of real throughput
+# loss, but warm_healthy=true does NOT rule out a 2-4x warm loss.
+# Re-measure on the first healthy box with this protocol (the
+# _REF_SRC_SHA refresh protocol) and tighten.
 _WARM_REFS = {"q_text_tfidf": 1.17, "q_tpch_q5": 1.28}
+
+# Verdict provenance (ADVICE r13): artifact readers must be able to
+# tell when and by which canary schema a verdict was produced —
+# BENCH_FULL_r13 embedded a pre-warm-leg verdict (no warm_healthy)
+# indistinguishable from a fresh one, and SPARK_GRAFT_CANARY_JSON
+# could inject an arbitrarily stale recorded verdict. Every verdict
+# now carries `canary_schema` + a wall-clock `recorded_utc` written
+# by the canary itself; subprocess_verdict flags pre-recorded JSON
+# missing either field instead of embedding it silently.
+_SCHEMA_VERSION = 2  # 1 = r12 cold-only; 2 = r13 two-leg + provenance
 
 # Staleness pins (VERDICT r12 task 4): the refs above are only valid
 # for the plans that produced them. These are sha256(inspect.getsource)
@@ -139,6 +157,11 @@ def run_canary() -> dict:
     healthy = all(walls[k] <= _REFS[k] * _TOL for k in _REFS)
     warm_healthy = all(warm_walls[k] <= _WARM_REFS[k] * _TOL for k in _REFS)
     out = {
+        # provenance first (ADVICE r13): schema version + a wall-clock
+        # stamp written by the canary itself, so an embedded verdict
+        # is datable and protocol-identifiable on its own
+        "canary_schema": _SCHEMA_VERSION,
+        "recorded_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "healthy": healthy,
         "walls": walls,
         "refs": _REFS,
@@ -177,9 +200,19 @@ def subprocess_verdict(timeout: int = 600) -> dict:
     if pre:
         try:
             with open(pre) as fh:
-                return json.load(fh)
+                verdict = json.load(fh)
         except Exception as e:  # noqa: BLE001
             return {"error": f"SPARK_GRAFT_CANARY_JSON unreadable: {e}"}
+        # ADVICE r13: a pre-recorded verdict without provenance could
+        # be arbitrarily stale or from an older canary protocol —
+        # flag it in the embedded copy rather than passing it off as
+        # a fresh schema-2 verdict (never raise: the bench must run).
+        missing = [f for f in ("canary_schema", "recorded_utc") if f not in verdict]
+        if missing:
+            verdict["provenance_warning"] = (
+                f"pre-recorded verdict missing {missing}; age/protocol unknown"
+            )
+        return verdict
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "host_canary.py")],
