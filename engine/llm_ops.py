@@ -1591,6 +1591,202 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher Table A1 repetition thresholds (Rae et al. 2021,
+# arXiv:2112.11446; adopted verbatim by RefinedWeb, Penedo et al.
+# 2023, arXiv:2306.01116 §4.2 "Repetition removal"): max fraction of
+# characters in the MOST FREQUENT word n-gram (n = 2, 3, 4) and in
+# ALL DUPLICATED word n-grams (n = 5..10). PUBLISHED values, not
+# fixture-tuned (string values so the SQL text embeds the paper's
+# decimals verbatim).
+_REP_TOP = {2: "0.20", 3: "0.18", 4: "0.16"}
+_REP_DUP = {5: "0.15", 6: "0.14", 7: "0.13", 8: "0.12", 9: "0.11", 10: "0.10"}
+# (count, chars) pack base for the top-gram argmax: counts and gram
+# lengths are both far below 2^20, so rank = cnt*2^20 + chars orders
+# by count first and decodes exactly in integer arithmetic — no
+# struct argmax needed, identical semantics in both engines.
+_REP_PACK = 1 << 20
+
+
+def _rep_rules_oracle() -> str:
+    """DuckDB oracle for q_text_repetition_rules — same single
+    n-gram explode / count / per-(doc, n) fold / pivot pipeline as
+    the Spark plan, generated from the shared threshold tables."""
+    ns = sorted(list(_REP_TOP) + list(_REP_DUP))
+    piv = ",\n             ".join(
+        [f"max(CASE WHEN n = {k} THEN toprank END) AS tr{k}" for k in _REP_TOP]
+        + [f"max(CASE WHEN n = {k} THEN dupchars END) AS dc{k}" for k in _REP_DUP]
+    )
+    fracs = ",\n             ".join(
+        [
+            f"coalesce((tr{k} // {_REP_PACK}) * (tr{k} % {_REP_PACK}), 0)"
+            f" * 1.0 / chars_total AS top{k}_frac"
+            for k in _REP_TOP
+        ]
+        + [
+            f"coalesce(dc{k}, 0) * 1.0 / chars_total AS dup{k}_frac"
+            for k in _REP_DUP
+        ]
+    )
+    frac_names = [f"top{k}_frac" for k in _REP_TOP] + [
+        f"dup{k}_frac" for k in _REP_DUP
+    ]
+    flags = ",\n           ".join(
+        [f"CAST(top{k}_frac <= {t} AS INT) AS r_top{k}" for k, t in _REP_TOP.items()]
+        + [f"CAST(dup{k}_frac <= {t} AS INT) AS r_dup{k}" for k, t in _REP_DUP.items()]
+    )
+    keep = "\n                AND ".join(
+        [f"top{k}_frac <= {t}" for k, t in _REP_TOP.items()]
+        + [f"dup{k}_frac <= {t}" for k, t in _REP_DUP.items()]
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(length(text) AS BIGINT) AS chars_total
+      FROM documents),
+    g AS (
+      SELECT doc_id, n,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - n + 1, 0) + 1),
+               i -> array_to_string(toks[i:i+n-1], ' '))) AS gram
+      FROM s CROSS JOIN unnest({ns!r}) AS u(n)),
+    c AS (
+      SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(length(gram) AS BIGINT) AS chars
+      FROM g GROUP BY doc_id, n, gram),
+    p AS (
+      SELECT doc_id, n,
+             max(cnt * {_REP_PACK} + chars) AS toprank,
+             CAST(sum(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END)
+                  AS BIGINT) AS dupchars
+      FROM c GROUP BY doc_id, n),
+    piv AS (
+      SELECT doc_id,
+             {piv}
+      FROM p GROUP BY doc_id),
+    f AS (
+      SELECT s.doc_id, CAST(len(s.toks) AS BIGINT) AS n_words, s.chars_total,
+             {fracs}
+      FROM s LEFT JOIN piv USING (doc_id))
+    SELECT doc_id, n_words, chars_total,
+           {', '.join(frac_names)},
+           {flags},
+           CAST({keep} AS INT) AS keep
+    FROM f
+    """
+
+
+@register("q_text_repetition_rules", oracle=_rep_rules_oracle())
+def q_text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-rule filter (Rae et al. 2021, arXiv:2112.11446
+    Table A1 "repetitious text" family, adopted verbatim by RefinedWeb,
+    Penedo et al. 2023, arXiv:2306.01116): per document, the fraction
+    of characters contained in the MOST FREQUENT word n-gram for
+    n = 2, 3, 4 (thresholds 0.20 / 0.18 / 0.16) and the fraction of
+    characters contained in ALL DUPLICATED word n-grams for n = 5..10
+    (0.15 down to 0.10), each as a raw metric + rule flag, plus the
+    composite keep. Complements q_text_gopher_rules (the doc-shape
+    rules) and q_text_repetition (a single distinct/total-token score):
+    together they cover Gopher Table A1's whole non-line-level surface.
+    (The paper's duplicate line/paragraph rules need multi-line
+    documents; the fixture corpus is single-line, so — like the gopher
+    key — the n-gram family carries that mass here.)
+
+    Metric definition (pinned so both engines and the python replay
+    agree exactly): characters of an n-gram include its n-1 internal
+    separator spaces; the denominator is the document's full character
+    length; a document shorter than n words contributes fraction 0 for
+    that n (rule trivially passes — emitted via the LEFT JOIN so
+    single-token docs still get a row, the q_doc_dsir ADVICE lesson);
+    the top n-gram tie-breaks by character length (rank = cnt*2^20 +
+    chars, exact in int64), which only affects the metric when counts
+    tie AND lengths differ. Duplicate-gram character mass counts every
+    occurrence (cnt * chars), the paper's overlap-insensitive reading.
+    Thresholds are the PUBLISHED values: on this synthetic corpus the
+    dup5..dup10 fractions are honestly 0 (random-ish 40-word
+    vocabulary text has no exact 5-gram repeats) while top2/3/4 split
+    the corpus ~97/91/80 % — the crafted-fixture replay test exercises
+    the dup path.
+
+    Scale: ONE n-gram explode serves all nine n values (the per-n
+    arrays concatenate before the explode, so the corpus is scanned
+    once, not nine times), feeding a single (doc, n, gram) hash
+    aggregate with map-side combine; everything after is keyed on
+    doc_id — no corpus-wide shuffle key smaller than the document id,
+    no window, no Python. Fractions are IEEE divisions of identical
+    exact int64s on both engines, bit-stable unrounded; flags compare
+    those identical doubles to the same literals."""
+    d = _t(spark, sf_dir, "documents")
+    ns = sorted(list(_REP_TOP) + list(_REP_DUP))
+    gram_arrays = ", ".join(
+        f"CASE WHEN size(w) >= {n} THEN transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> named_struct('n', {n}, 'gram', array_join(slice(w, i, {n}), ' '))) "
+        f"ELSE CAST(array() AS array<struct<n:INT,gram:STRING>>) END"
+        for n in ns
+    )
+    g = (
+        d.select("doc_id", _tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"flatten(array({gram_arrays}))")).alias("g"),
+        )
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    c = (
+        g.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("chars", F.length("gram").cast("long"))
+    )
+    p = c.groupBy("doc_id", "n").agg(
+        F.max(F.col("cnt") * _REP_PACK + F.col("chars")).alias("toprank"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("chars")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("dupchars"),
+    )
+    piv = p.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == k, F.col("toprank"))).alias(f"tr{k}")
+            for k in _REP_TOP
+        ],
+        *[
+            F.max(F.when(F.col("n") == k, F.col("dupchars"))).alias(f"dc{k}")
+            for k in _REP_DUP
+        ],
+    )
+    base = d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("chars_total"),
+    )
+    joined = base.join(piv, "doc_id", "left")
+    fracs: dict = {}
+    for k in _REP_TOP:
+        top_chars = F.expr(f"(tr{k} div {_REP_PACK}) * (tr{k} % {_REP_PACK})")
+        fracs[f"top{k}_frac"] = F.coalesce(top_chars, F.lit(0)) / F.col("chars_total")
+    for k in _REP_DUP:
+        fracs[f"dup{k}_frac"] = F.coalesce(F.col(f"dc{k}"), F.lit(0)) / F.col(
+            "chars_total"
+        )
+    flags = {
+        f"r_top{k}": fracs[f"top{k}_frac"] <= float(t) for k, t in _REP_TOP.items()
+    }
+    flags.update(
+        {f"r_dup{k}": fracs[f"dup{k}_frac"] <= float(t) for k, t in _REP_DUP.items()}
+    )
+    keep = None
+    for fl in flags.values():
+        keep = fl if keep is None else (keep & fl)
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "chars_total",
+        *[v.alias(nm) for nm, v in fracs.items()],
+        *[v.cast("int").alias(nm) for nm, v in flags.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
 _LANG_MARKERS = {
     "en": ("the", "a", "of"),
     "de": ("table", "row", "batch"),
@@ -2984,6 +3180,170 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_url_fuzzy",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'www.example.com'
+                              WHEN 1 THEN 'mirror.example.com'
+                              ELSE 'cdn.example.com' END) AS host,
+             '/'
+             || (CASE doc_id % 4 WHEN 0 THEN 'article'
+                                 WHEN 1 THEN 'articles'
+                                 WHEN 2 THEN 'artcile'
+                                 ELSE 'article' END)
+             || '/item-' || CAST(doc_id % 199 AS VARCHAR)
+             || (CASE doc_id % 5 WHEN 1 THEN '.html'
+                                 WHEN 2 THEN '/'
+                                 WHEN 3 THEN '-v2' ELSE '' END) AS path
+      FROM documents),
+    g AS (
+      SELECT doc_id, host || path AS url,
+             regexp_extract(path, '[0-9]+') AS stem,
+             list_distinct(list_transform(
+               range(1, greatest(length(path) - 2, 0) + 1),
+               i -> substring(path, i, 3))) AS grams
+      FROM u),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+             CAST(len(a.grams) AS BIGINT) AS sa,
+             CAST(len(b.grams) AS BIGINT) AS sb
+      FROM g a JOIN g b ON a.stem = b.stem AND a.doc_id < b.doc_id
+      WHERE least(len(a.grams), len(b.grams)) * 1.0
+            / greatest(len(a.grams), len(b.grams)) >= 0.6),
+    j AS (
+      SELECT id_a, id_b, inter * 1.0 / (sa + sb - inter) AS jac
+      FROM pairs
+      WHERE inter * 1.0 / (sa + sb - inter) >= 0.6),
+    agg AS (
+      SELECT id_b,
+             CAST(count(*) AS BIGINT) AS n_near_lower,
+             min(struct_pack(nj := -jac, m := id_a)) AS best
+      FROM j GROUP BY id_b)
+    SELECT g.doc_id, g.url, g.stem,
+           CAST(len(g.grams) AS BIGINT) AS n_grams,
+           coalesce(a.n_near_lower, 0) AS n_near_lower,
+           a.best.m AS best_match_id,
+           round(-a.best.nj, 4) AS best_jaccard,
+           CAST(a.id_b IS NULL AS INT) AS kept
+    FROM g LEFT JOIN agg a ON g.doc_id = a.id_b
+    """,
+)
+def q_dedup_url_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY URL near-dup — the crawl-dedup stage that catches what
+    q_dedup_url's exact canonicalization cannot: cross-host mirrors,
+    typo'd path segments, and plural/suffix path variants of the same
+    resource (the RETSim-motivated near-duplicate-URL problem, Zhang
+    et al. 2023, arXiv:2311.17264, solved here with deterministic
+    character n-grams instead of a learned embedding). Variant URLs
+    are synthesized from doc fields (the q_dedup_url convention):
+    three hosts under one registered domain, a typo/plural path
+    segment, a numeric item stem, and an optional suffix. Matching is
+    character-trigram Jaccard >= 0.6 over the PATH (host excluded —
+    mirrors must collide), candidates blocked by the content-defined
+    resource key (registered domain + the path's numeric stem, the
+    crawl-frontier analog of content-defined chunking), with the
+    PPJoin-style length prefilter (J <= min/max, so min/max < 0.6
+    pairs never compute an intersection). Verdict per document, the
+    SemDeDup convention: kept = no near-duplicate with a LOWER
+    doc_id; best match (highest Jaccard, tie -> lowest id) and the
+    lower-id near count are retained for audit.
+
+    Exactness: Jaccard is an IEEE division of exact intersection /
+    union int64s — identical in both engines, so the >= 0.6 cut and
+    the (-jac, id) struct-min argmax are bit-deterministic; only the
+    reported best_jaccard rounds (4 dp, the q_dedup_incremental
+    convention).
+
+    Scale: the pair stage is an equi-join on the block key, quadratic
+    ONLY within a block — block size is bounded by the variant
+    multiplicity of one resource (single digits in any real crawl),
+    never by corpus size, the same bounded-quadratic contract as
+    q_dedup_semdedup's clusters. Trigram sets are tiny per-URL arrays
+    (length-bounded by URL length), carried through the join rather
+    than posting-list exploded — cheaper than an inverted index at
+    URL scale. Two shuffles total (block-key join, verdict group) at
+    any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("mirror.example.com"))
+        .otherwise(F.lit("cdn.example.com"))
+    )
+    seg = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("article"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("articles"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("artcile"))
+        .otherwise(F.lit("article"))
+    )
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 1, F.lit(".html"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("/"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("-v2"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/"), seg, F.lit("/item-"), (F.col("doc_id") % 199).cast("string"),
+        suffix,
+    )
+    g = (
+        d.select("doc_id", path.alias("path"))
+        .select(
+            "doc_id",
+            F.concat(host, F.col("path")).alias("url"),
+            F.regexp_extract(F.col("path"), "[0-9]+", 0).alias("stem"),
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(path) - 2, 0)),"
+                " i -> substring(path, i, 3)))"
+            ).alias("grams"),
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    sa, sb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.stem") == F.col("b.stem"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.least(sa, sb) / F.greatest(sa, sb) >= 0.6)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+            .cast("long")
+            .alias("inter"),
+            sa.cast("long").alias("sa"),
+            sb.cast("long").alias("sb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+    j = pairs.select("id_a", "id_b", jac.alias("jac")).where(F.col("jac") >= 0.6)
+    agg = j.groupBy("id_b").agg(
+        F.count("*").cast("long").alias("n_near_lower"),
+        F.min(F.struct((-F.col("jac")).alias("nj"), F.col("id_a").alias("m"))).alias(
+            "best"
+        ),
+    )
+    return (
+        g.join(agg, g["doc_id"] == agg["id_b"], "left")
+        .select(
+            "doc_id",
+            "url",
+            "stem",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_near_lower"), F.lit(0).cast("long")).alias(
+                "n_near_lower"
+            ),
+            F.col("best.m").alias("best_match_id"),
+            F.round(-F.col("best.nj"), 4).alias("best_jaccard"),
+            F.col("id_b").isNull().cast("int").alias("kept"),
+        )
+    )
+
+
 @register("q_tokenize_bpe")  # rows-only: iterative merge learning has no SQL oracle
 def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge learning (8 rounds) over the corpus vocabulary — the
@@ -3366,6 +3726,170 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_feats"),
         (F.sum("qlw").cast("double") / 1_000_000_000).alias("dsir_logw"),
         (F.sum("qlw") > 0).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "q_doc_domain_mixture",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+    cw AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c_dw
+      FROM w GROUP BY source, word),
+    dom AS (
+      SELECT source, CAST(sum(c_dw) AS BIGINT) AS t_d FROM cw GROUP BY source),
+    corp AS (
+      SELECT word, CAST(sum(c_dw) AS BIGINT) AS c_w FROM cw GROUP BY word),
+    tot AS (
+      SELECT CAST(sum(c_w) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+      FROM corp),
+    nd AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    ex AS (
+      SELECT cw.source,
+             CAST(sum(c_dw * (
+               CAST(round(ln(CAST(c_dw + 1 AS DOUBLE) / (d.t_d + tot.v))
+                          * 1000000000) AS BIGINT)
+             - CAST(round(ln(CAST(c_w + 1 AS DOUBLE) / (tot.t + tot.v))
+                          * 1000000000) AS BIGINT)
+             )) AS BIGINT) AS excess_q
+      FROM cw JOIN dom d USING (source) JOIN corp USING (word), tot
+      GROUP BY cw.source),
+    lg AS (
+      SELECT d.source, nd.n_docs, d.t_d AS n_tokens,
+             CAST(d.t_d AS DOUBLE) / tot.t AS token_share,
+             CAST(ex.excess_q AS DOUBLE) / 1000000000 / d.t_d AS excess_loss,
+             (CAST(round(ln(CAST(d.t_d AS DOUBLE)) * 1000000000) AS BIGINT)
+              - CAST(round(ln(CAST(tot.t AS DOUBLE)) * 1000000000) AS BIGINT))
+               AS share_lq
+      FROM dom d JOIN ex USING (source) JOIN nd USING (source), tot),
+    logit AS (
+      SELECT *, CAST(share_lq AS DOUBLE) / 1000000000 + excess_loss AS logit
+      FROM lg),
+    mx AS (SELECT max(logit) AS m FROM logit),
+    qe AS (
+      SELECT l.*, CAST(round(exp(l.logit - mx.m) * 1000000000000) AS BIGINT)
+               AS eq
+      FROM logit l, mx),
+    se AS (SELECT CAST(sum(eq) AS BIGINT) AS s FROM qe)
+    SELECT source, n_docs, n_tokens, token_share, excess_loss,
+           round(CAST(eq AS DOUBLE) / se.s, 6) AS mixture_weight,
+           round(CAST(eq AS DOUBLE) / se.s / token_share, 6) AS upsample
+    FROM qe, se
+    """,
+)
+def q_doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429): one exponentiated-gradient step over per-domain
+    sampling weights, w_d ∝ share_d · exp(η · excess_loss_d) with the
+    paper's η = 1 — upweighting domains the reference model underfits.
+    The published algorithm measures excess loss as proxy-vs-reference
+    model loss; the deterministic analog here is each domain's unigram
+    KL divergence against the corpus unigram LM — mean per-token
+    ln(p_domain / p_corpus) under Laplace(+1) smoothing, which is
+    exactly "how much worse the corpus-wide reference fits this
+    domain" — so the operator shape (EG update on a per-domain excess
+    signal) is the paper's while the loss oracle stays model-free and
+    exactly replayable. (With a FIXED excess vector, T EG steps
+    collapse to exp(T·η·excess); one step is emitted. The paper's
+    final uniform smoothing α←(1-c)α+cu is an affine map downstream
+    consumers apply with their own c.) Output: one row per domain with
+    doc/token counts, natural token_share, excess_loss, the
+    renormalized mixture_weight, and upsample = weight/share (the
+    sampling multiplier a pretraining loader applies per domain).
+
+    Exactness: per-occurrence log terms quantize to round(ln p × 1e9)
+    bigints (the q_text_perplexity convention) so the per-domain
+    excess sum is exact in any aggregation order; softmax terms
+    quantize to round(exp(logit − max_logit) × 1e12) bigints so the
+    normalizer is an exact integer sum (order-free); the two emitted
+    ratios round to 6 dp to absorb any last-ulp libm exp difference
+    between engines.
+
+    Scale: the token stream collapses to the (domain × vocab)
+    relation via map-side combine before anything else; every later
+    relation is domain-count- or vocab-sized. The (source, word) →
+    word probability join is vocab-sized (AQE broadcasts when it
+    fits, shuffle-joins otherwise — no forced hint, the q_doc_dsir
+    rationale); the corpus totals, max-logit, and normalizer are
+    1-row broadcast folds. Nothing after the first aggregate is
+    corpus-sized at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("source", F.explode(_tokens(F.col("text"))).alias("word"))
+    cw = w.groupBy("source", "word").agg(F.count("*").alias("c_dw"))
+    dom = cw.groupBy("source").agg(F.sum("c_dw").cast("long").alias("t_d"))
+    corp = cw.groupBy("word").agg(F.sum("c_dw").cast("long").alias("c_w"))
+    tot = corp.agg(
+        F.sum("c_w").cast("long").alias("t"), F.count("*").cast("long").alias("v")
+    )
+    nd = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+
+    def qln(num, den):
+        return F.round(
+            F.log(num.cast("double") / den.cast("double")) * 1_000_000_000
+        ).cast("long")
+
+    ex = (
+        cw.join(dom, "source")
+        .join(corp, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                F.col("c_dw")
+                * (
+                    qln(F.col("c_dw") + 1, F.col("t_d") + F.col("v"))
+                    - qln(F.col("c_w") + 1, F.col("t") + F.col("v"))
+                )
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term").cast("long").alias("excess_q"))
+    )
+
+    def qln1(x):
+        return F.round(F.log(x.cast("double")) * 1_000_000_000).cast("long")
+
+    lg = (
+        dom.join(ex, "source")
+        .join(nd, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("t_d").alias("n_tokens"),
+            (F.col("t_d").cast("double") / F.col("t")).alias("token_share"),
+            (
+                F.col("excess_q").cast("double")
+                / F.lit(1_000_000_000)
+                / F.col("t_d")
+            ).alias("excess_loss"),
+            (qln1(F.col("t_d")) - qln1(F.col("t"))).alias("share_lq"),
+        )
+    )
+    logit = lg.withColumn(
+        "logit",
+        F.col("share_lq").cast("double") / F.lit(1_000_000_000)
+        + F.col("excess_loss"),
+    )
+    mx = logit.agg(F.max("logit").alias("m"))
+    qe = logit.crossJoin(F.broadcast(mx)).withColumn(
+        "eq",
+        F.round(F.exp(F.col("logit") - F.col("m")) * 1_000_000_000_000).cast("long"),
+    )
+    se = qe.agg(F.sum("eq").cast("long").alias("s"))
+    return qe.crossJoin(F.broadcast(se)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        "excess_loss",
+        F.round(F.col("eq").cast("double") / F.col("s"), 6).alias("mixture_weight"),
+        F.round(
+            F.col("eq").cast("double") / F.col("s") / F.col("token_share"), 6
+        ).alias("upsample"),
     )
 
 

@@ -71,11 +71,11 @@ def _ensure_loaded() -> None:
 # EVIDENCE FRESHNESS: re-cert any key whose plan/output changed after
 # its last row, then refresh the stalest rows, block by block.
 #
-# Refresh cadence (VERDICT r9 task 7): 430 keys (427 + the three r13
+# Refresh cadence (VERDICT r9 task 7): 433 keys (430 + the three r14
 # additions) / ~40-45 refresh slots per round ≈ 9-10 rounds per full
 # refresh cycle, so every key re-grades at least once per ~10 rounds
 # while the full local differential sweep (tools/check.py, a seal
-# gate) re-verifies all 430 every round. Walk the backlog in prefix
+# gate) re-verifies all 433 every round. Walk the backlog in prefix
 # order: r10 = re-certs +
 # r01 block head; r11 = the displaced r01 remainder (q_fn_string ...
 # q_agg_approx_distinct, 7 keys) + the r02 block head; later rounds
@@ -89,6 +89,16 @@ def _ensure_loaded() -> None:
 # in-repo hypothesis pin didn't already hold); their real assurance
 # is the named contract test, so plan changes there re-verify via the
 # test suite + full local sweep instead.
+#
+# Round 14 window = 3 first-rows (the round's new operators,
+# q_text_repetition_rules + q_doc_domain_mixture + q_dedup_url_fuzzy —
+# never-graded keys lead every window) + 2 re-certs (q_embed_kmeans +
+# q_dedup_semdedup: the ADVICE-r13 empty-cluster guard rewrote both
+# Lloyd oracles' centroid-update SQL, an executed-path change, so
+# their prior rows no longer certify the oracle text) + the
+# pre-encoded refresh rotation (the r05-remainder prefix, 45 keys —
+# exactly the r13 backlog prefix, per VERDICT r13 task 1;
+# q_order_cadence slides to the r15 front).
 #
 # Round 13 window = 3 first-rows (the round's new operators,
 # q_text_gopher_rules + q_dedup_semdedup + q_doc_dsir — never-graded
@@ -170,50 +180,42 @@ def _ensure_loaded() -> None:
 #     is batch-boundary-invariant (5.9 s → 1.9 s warm at sf0.1). Plan
 #     changed after its r02 row (displaces q_fn_string).
 _PRIORITY: list[str] = [
-    # ================= r13 window (slots 0-49) =================
-    # slots 0-2: the three r13 additions (never-graded keys lead every
+    # ================= r14 window (slots 0-49) =================
+    # slots 0-2: the three r14 additions (never-graded keys lead every
     # window — tests/test_registry.test_no_driver_window_slot_is_wasted):
-    # Gopher rule filter + SemDeDup + DSIR, the round's full 0-3
-    # operator cap
-    "q_text_gopher_rules", "q_dedup_semdedup", "q_doc_dsir",
-    # slots 3-46: the full r04 remainder — the stalest driver rows
-    # (no re-cert slots this round; see the header comment)
-    "q_tpch_q10", "q_tpch_q6", "q_tpch_q7", "q_tpch_q14",
-    "q_tpch_q19", "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q22",
-    "q_win_bollinger", "q_win_rsi", "q_win_ewma", "q_win_macd",
-    "q_anomaly_mad", "q_win_obv", "q_win_stochastic", "q_dedup_edit",
-    "q_dedup_url", "q_text_bm25", "q_sim_hybrid_rrf",
-    "q_embed_centroids", "q_agg_heavy_hitters", "q_tokenize_bpe",
-    "q_sample_temperature", "q_sample_reservoir", "q_snapshot_diff",
-    "q_multimodal_decode", "q_text_boilerplate", "q_embed_knn",
-    "q_shuffle_shard", "q_fn_regexp", "q_event_paths", "q_basket_pairs",
-    "q_win_rolling_median", "q_concurrency", "q_join_range_banded",
-    "q_corr_matrix", "q_agg_grouping_id", "q_rollup_incremental",
-    "q_sample_negative", "q_win_cusum", "q_time_to_event", "q_tpch_q2",
-    "q_tpch_q8",
-    # slots 47-49: the r05 block head
-    "q_embed_quantize", "q_tpch_q9", "q_tpch_q11",
+    # Gopher/RefinedWeb repetition rules + DoReMi-style domain mixture
+    # + fuzzy URL near-dup, the round's full 0-3 operator cap
+    "q_text_repetition_rules", "q_doc_domain_mixture", "q_dedup_url_fuzzy",
+    # slots 3-4: re-certs (tests/test_registry._RECERT) — the r14
+    # empty-cluster guard (ADVICE r13) rewrote both Lloyd oracles'
+    # centroid-update text, so their prior driver rows (kmeans r11,
+    # semdedup r13) no longer certify the executed oracle
+    "q_embed_kmeans", "q_dedup_semdedup",
+    # slots 5-49: the r05-remainder backlog prefix (stalest driver
+    # rows, CORRECTNESS_r05 order — VERDICT r13 task 1; the last
+    # remainder key q_order_cadence slides to the r15 front)
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+    "q_win_atr", "q_candle_patterns", "q_graph_triangles", "q_text_hapax",
+    "q_join_bloom", "q_stats_ttest", "q_stats_trend", "q_stream_anomaly",
+    "q_rfm_segments", "q_abc_pareto", "q_quality_rules", "q_eval_auc",
+    "q_time_intelligence", "q_source_python", "q_stream_python_source",
+    "q_seasonality", "q_resample_interpolate", "q_rolling_active_users",
+    "q_cohort_ltv", "q_user_overlap", "q_benford", "q_session_paths",
+    "q_stream_cdc_apply", "q_join_asof_forward", "q_text_perplexity",
+    "q_market_beta", "q_dedup_incremental", "q_skyline", "q_funnel_windowed",
+    "q_stats_did", "q_anomaly_seasonal", "q_survival_km", "q_text_keywords",
+    "q_agg_gini", "q_win_autocorr", "q_user_entropy",
+    "q_agg_weighted_median", "q_events_heatmap", "q_dataset_card",
+    "q_topk_movers",
     # ================= refresh backlog (slots 50+) =================
-    # Driver-verified keys, stalest row first (r05 remainder → r12)
-    # so every future window is a prefix rotation. r14 window front:
-    # the r05 remainder below (q_tpch_q12 …), 47 keys, plus re-certs
-    # for any r14 plan changes, filling to 50 from the r06 head.
+    # Driver-verified keys, stalest row first (r05 tail -> r13) so
+    # every future window is a prefix rotation. r15 window front:
+    # q_order_cadence, then the r06 block, filling to 50 plus re-certs
+    # for any r15 plan changes.
 
-    # r05 rows (remainder)
+    # r05 rows (remainder tail)
 
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q16",
-    "q_tpch_q20", "q_tpch_q21", "q_win_atr",
-    "q_candle_patterns", "q_graph_triangles", "q_text_hapax", "q_join_bloom",
-    "q_stats_ttest", "q_stats_trend", "q_stream_anomaly", "q_rfm_segments",
-    "q_abc_pareto", "q_quality_rules", "q_eval_auc", "q_time_intelligence",
-    "q_source_python", "q_stream_python_source", "q_seasonality",
-    "q_resample_interpolate", "q_rolling_active_users", "q_cohort_ltv",
-    "q_user_overlap", "q_benford", "q_session_paths", "q_stream_cdc_apply",
-    "q_join_asof_forward", "q_text_perplexity", "q_market_beta",
-    "q_dedup_incremental", "q_skyline", "q_funnel_windowed", "q_stats_did",
-    "q_anomaly_seasonal", "q_survival_km", "q_text_keywords", "q_agg_gini",
-    "q_win_autocorr", "q_user_entropy", "q_agg_weighted_median",
-    "q_events_heatmap", "q_dataset_card", "q_topk_movers", "q_order_cadence",
+    "q_order_cadence",
     # r06 rows
 
     # (q_dedup_jaccard re-graded r09 — moved to the r09 block;
@@ -299,7 +301,9 @@ _PRIORITY: list[str] = [
     "q_text_code_detection", "q_observe_metrics", "q_win_kama",
     "q_eval_ks", "q_funnel_latency", "q_segment_migration",
     "q_win_volume_profile", "q_stats_dunn", "q_eval_mrr",
-    "q_win_choppiness", "q_source_text_roundtrip", "q_embed_kmeans",
+    "q_win_choppiness", "q_source_text_roundtrip",
+    # (q_embed_kmeans fronted to the r14 re-cert slots — the
+    # empty-cluster oracle guard postdates its r11 row)
     "q_graph_distances", "q_stats_wilcoxon", "q_stats_hill",
     "q_win_ulcer_index", "q_text_term_burstiness", "q_sink_compaction",
     # (q_graph_transitivity fronted to the r10 re-cert slots — the
@@ -360,6 +364,23 @@ _PRIORITY: list[str] = [
     "q_win_gaps_islands", "q_scd2", "q_join_point_in_time", "q_agg_filter",
     "q_win_nth_value", "q_fn_url", "q_fn_explode_outer", "q_tpch_q5",
     "q_tpch_q18", "q_tpch_q3",
+    # r13 rows (CORRECTNESS_r13.json order — the freshest cohort: the
+    # 3 r13 additions + the r04 remainder + the r05 head;
+    # q_dedup_semdedup fronted to the r14 re-cert slots)
+
+    "q_text_gopher_rules", "q_doc_dsir", "q_tpch_q10", "q_tpch_q6",
+    "q_tpch_q7", "q_tpch_q14", "q_tpch_q19", "q_tpch_q4", "q_tpch_q15",
+    "q_tpch_q17", "q_tpch_q22", "q_win_bollinger", "q_win_rsi", "q_win_ewma",
+    "q_win_macd", "q_anomaly_mad", "q_win_obv", "q_win_stochastic",
+    "q_dedup_edit", "q_dedup_url", "q_text_bm25", "q_sim_hybrid_rrf",
+    "q_embed_centroids", "q_agg_heavy_hitters", "q_tokenize_bpe",
+    "q_sample_temperature", "q_sample_reservoir", "q_snapshot_diff",
+    "q_multimodal_decode", "q_text_boilerplate", "q_embed_knn",
+    "q_shuffle_shard", "q_fn_regexp", "q_event_paths", "q_basket_pairs",
+    "q_win_rolling_median", "q_concurrency", "q_join_range_banded",
+    "q_corr_matrix", "q_agg_grouping_id", "q_rollup_incremental",
+    "q_sample_negative", "q_win_cusum", "q_time_to_event", "q_tpch_q2",
+    "q_tpch_q8", "q_embed_quantize", "q_tpch_q9", "q_tpch_q11",
 ]
 
 

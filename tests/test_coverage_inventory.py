@@ -12,7 +12,7 @@ independently-written built-ins, so the differential is already two
 derivations; each such key is pinned below under a structural-family
 justification.
 
-This file freezes the full registry inventory — 430 keys as of r13
+This file freezes the full registry inventory — 433 keys as of r14
 (the rows-only-set precedent,
 test_registry.test_rows_only_set_is_frozen): EVERY
 registered key must appear in exactly one of _COVERED /
@@ -251,6 +251,10 @@ _COVERED = {
     "q_text_gopher_rules": "recompute: test_recompute.py",
     "q_dedup_semdedup": "recompute: test_recompute.py",
     "q_doc_dsir": "recompute: test_recompute.py",
+    # r14 additions
+    "q_text_repetition_rules": "recompute: test_recompute.py",
+    "q_doc_domain_mixture": "recompute: test_recompute.py",
+    "q_dedup_url_fuzzy": "recompute: test_recompute.py",
     "q_tokenize": "recompute: test_recompute.py",
     "q_multimodal_struct": "recompute: test_recompute.py",
     "q_multimodal_binary": "contract: test_llm_ops.py",

@@ -713,3 +713,42 @@ def test_dsir_weights_conserve_and_separate(spark):
     for lg, m in means.items():
         if lg != "en":
             assert means["en"] > m, (lg, means)
+
+
+def test_repetition_rules_spark_dup_path(spark, tmp_path):
+    """The SPARK side of q_text_repetition_rules' duplicate-gram arm,
+    never exercised by the fixture corpus (dup fracs honestly 0 on
+    random-ish text): run the registered query on a crafted parquet
+    with a genuinely repetitive document and check the dup mass
+    against the same hand arithmetic as the oracle-side twin
+    (test_recompute.test_repetition_rules_dup_path_on_crafted_corpus)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c d e a b c d e a b c d e", "x y z w v u t s r q p o"],
+            "lang": ["en", "en"],
+            "source": ["s0", "s0"],
+            "n_chars": [29, 23],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["q_text_repetition_rules"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    total0 = 29
+    dup5 = (3 * 9 + 4 * 2 * 9) / total0  # 'a b c d e' x3 + 4 rotations x2
+    assert rows[0]["dup5_frac"] == dup5
+    assert rows[0]["r_dup5"] == 0 and rows[0]["keep"] == 0
+    assert rows[0]["top2_frac"] == (3 * 3) / total0
+    assert rows[1]["dup5_frac"] == 0
+    # fully distinct doc: every top frac is a single occurrence — and
+    # on a SHORT doc even 1 occurrence of a 5-char trigram (5/23 =
+    # 0.217) exceeds the 0.18 top3 threshold, so keep is honestly 0;
+    # the dup rules all pass
+    assert rows[1]["top3_frac"] == 5 / 23 and rows[1]["r_top3"] == 0
+    assert all(rows[1][f"r_dup{n}"] == 1 for n in range(5, 11))
+    assert rows[1]["keep"] == 0

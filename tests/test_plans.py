@@ -77,6 +77,10 @@ _SINGLE_PARTITION_OK: dict[str, str] = {
     "q_benford": "1-row total over the 9-digit count table",
     "q_text_perplexity": "1-row corpus-token total scaling the log-probs",
     "q_doc_dsir": "1-row (tt, tr) smoothing-total fold over the 1024-bucket table",
+    "q_doc_domain_mixture":
+        "1-row corpus totals + max-logit + softmax-normalizer folds; every "
+        "post-agg relation is domain-count-sized (the EG reweighting runs "
+        "over one row per domain)",
     "q_skyline": "carry-in window over the <=bands price-band table",
     "q_funnel_windowed": "three 1-row stage counts fold into one row",
     "q_survival_km": "KM windows over the <=|days| duration histogram",
@@ -224,6 +228,10 @@ _CROSS_OK: dict[str, str] = {
     "q_doc_dsir":
         "1-row (target, raw) smoothing totals fold into each bigram "
         "occurrence's quantized log terms",
+    "q_doc_domain_mixture":
+        "1-row (T, V) corpus totals fold into each (domain, word) "
+        "probability; 1-row max-logit and softmax-normalizer folds "
+        "into the one-row-per-domain EG table",
     "q_funnel_windowed": "three 1-row stage counts fold into one row",
     "q_survival_km": "1-row max-day bound tags censoring",
     "q_text_keywords": "1-row corpus size folds into each term's IDF",

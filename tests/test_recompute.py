@@ -5195,3 +5195,185 @@ def test_dsir_matches_python_replay():
         assert row["n_feats"] == len(bs)
         assert abs(row["dsir_logw"] - qlw / 1_000_000_000) < 1e-12, did
         assert row["keep"] == int(qlw > 0), did
+
+
+def test_repetition_rules_match_python_replay():
+    """q_text_repetition_rules: Gopher Table A1 repetition metrics
+    (Rae et al. 2021) re-derived in pure python from the raw fixture —
+    n-gram counting, (count, chars) top-gram argmax, duplicate-gram
+    character mass — so the shared explode/pivot SQL shape cannot hide
+    an expression error in both engines at once."""
+    docs = _docs(SF01)
+    got = _oracle("q_text_repetition_rules", SF01).set_index("doc_id")
+    assert len(got) == len(docs)
+    tops = {2: 0.20, 3: 0.18, 4: 0.16}
+    dups = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        total = len(r.text)
+        row = got.loc[int(r.doc_id)]
+        assert row["n_words"] == len(toks)
+        assert row["chars_total"] == total
+        keep = True
+        for n in sorted(list(tops) + list(dups)):
+            cnt: dict[str, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                cnt[g] = cnt.get(g, 0) + 1
+            if n in tops:
+                if cnt:
+                    c, ch = max((c, len(g)) for g, c in cnt.items())
+                    frac = (c * ch) / total
+                else:
+                    frac = 0.0
+                col, thr = f"top{n}_frac", tops[n]
+            else:
+                frac = (
+                    sum(c * len(g) for g, c in cnt.items() if c >= 2) / total
+                    if cnt
+                    else 0.0
+                )
+                col, thr = f"dup{n}_frac", dups[n]
+            # identical int64s through identical IEEE divisions: exact
+            assert row[col] == frac, (r.doc_id, col)
+            flag = frac <= thr
+            assert row[f"r_{col[:-5]}"] == int(flag), (r.doc_id, col)
+            keep = keep and flag
+        assert row["keep"] == int(keep), r.doc_id
+
+
+def test_repetition_rules_dup_path_on_crafted_corpus():
+    """The fixture corpus has no exact 5..10-gram repeats (dup fracs
+    honestly 0 everywhere), so the duplicate-gram arm of the shared
+    SQL would otherwise never be exercised. Run the registered ORACLE
+    on a crafted corpus with a genuinely repetitive document and check
+    the dup mass against hand arithmetic. (The Spark side of the same
+    arm is covered by the crafted-parquet differential in
+    test_llm_ops.test_repetition_rules_spark_dup_path.)"""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        # doc 0: 'a b c d e' * 3 -> every 5-gram window repeats
+        "(0, 'a b c d e a b c d e a b c d e'), "
+        "(1, 'x y z w v u t s r q p o')"
+        ") AS t(doc_id, text)"
+    )
+    df = con.execute(all_oracles()["q_text_repetition_rules"]).df().set_index(
+        "doc_id"
+    )
+    total0 = len("a b c d e a b c d e a b c d e")  # 29 chars
+    # doc 0 5-grams: 11 windows, 5 distinct patterns; 'a b c d e' (9
+    # chars) occurs 3x; the 4 rotations occur 2x each (also 9 chars)
+    dup5 = (3 * 9 + 4 * 2 * 9) / total0
+    assert df.loc[0, "dup5_frac"] == dup5
+    assert df.loc[0, "r_dup5"] == 0  # 3.1 >> 0.15 -> rule fails
+    assert df.loc[0, "keep"] == 0
+    # top 2-gram of doc 0: 'a b' (or any rotation) occurs 3x, 3 chars
+    assert df.loc[0, "top2_frac"] == (3 * 3) / total0
+    # doc 1: all tokens distinct -> every dup frac 0, top fracs 1-occ
+    assert df.loc[1, "dup5_frac"] == 0
+    assert df.loc[1, "top2_frac"] == (1 * 3) / len("x y z w v u t s r q p o")
+
+
+def test_domain_mixture_matches_python_replay():
+    """q_doc_domain_mixture: the DoReMi-style EG reweighting (Xie et
+    al. 2023) re-derived in pure python — unigram counts, Laplace
+    smoothing, quantized-ln excess (domain-vs-corpus KL), quantized-exp
+    softmax — from the raw fixture."""
+    docs = duckdb.connect().execute(
+        f"SELECT source, text FROM read_parquet('{SF01}/documents.parquet')"
+    ).df()
+    got = _oracle("q_doc_domain_mixture", SF01).set_index("source")
+    cw: dict[tuple, int] = {}
+    n_docs: dict[str, int] = {}
+    for r in docs.itertuples():
+        n_docs[r.source] = n_docs.get(r.source, 0) + 1
+        for w in r.text.split(" "):
+            cw[(r.source, w)] = cw.get((r.source, w), 0) + 1
+    t_d: dict[str, int] = {}
+    c_w: dict[str, int] = {}
+    for (s, w), c in cw.items():
+        t_d[s] = t_d.get(s, 0) + c
+        c_w[w] = c_w.get(w, 0) + c
+    T, V = sum(c_w.values()), len(c_w)
+    assert len(got) == len(t_d)
+
+    def qln(num: int, den: int) -> int:
+        return _round_half_away(math.log(num / den) * 1_000_000_000)
+
+    logits = {}
+    for s in t_d:
+        ex = sum(
+            c * (qln(c + 1, t_d[s] + V) - qln(c_w[w] + 1, T + V))
+            for (src, w), c in cw.items()
+            if src == s
+        )
+        row = got.loc[s]
+        assert row["n_docs"] == n_docs[s]
+        assert row["n_tokens"] == t_d[s]
+        assert row["token_share"] == t_d[s] / T
+        excess = ex / 1_000_000_000 / t_d[s]
+        assert abs(row["excess_loss"] - excess) < 1e-12, s
+        share_lq = qln(t_d[s], 1) - qln(T, 1)
+        logits[s] = share_lq / 1_000_000_000 + excess
+    m = max(logits.values())
+    eq = {s: _round_half_away(math.exp(lg - m) * 1_000_000_000_000)
+          for s, lg in logits.items()}
+    se = sum(eq.values())
+    for s in t_d:
+        w = eq[s] / se
+        # both sides round(…, 6); allow one 1e-6 step for a last-ulp
+        # libm exp difference flipping a quantization boundary
+        assert abs(got.loc[s, "mixture_weight"] - round(w, 6)) <= 1e-6, s
+        assert abs(got.loc[s, "upsample"] - round(w / (t_d[s] / T), 6)) <= 1e-6, s
+    # EG direction: the domain with the largest excess loss must be
+    # upsampled, the smallest downsampled (the DoReMi property)
+    hi = max(t_d, key=lambda s: logits[s] - math.log(t_d[s] / T))
+    lo = min(t_d, key=lambda s: logits[s] - math.log(t_d[s] / T))
+    assert got.loc[hi, "upsample"] > 1.0
+    assert got.loc[lo, "upsample"] < 1.0
+
+
+def test_url_fuzzy_matches_python_replay():
+    """q_dedup_url_fuzzy: URL synthesis, path trigram sets, blocked
+    Jaccard, and the lower-id verdict re-derived in pure python from
+    doc_ids alone."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id FROM read_parquet('{SF01}/documents.parquet')"
+    ).df()
+    got = _oracle("q_dedup_url_fuzzy", SF01).set_index("doc_id")
+    assert len(got) == len(docs)
+    hosts = ["www.example.com", "mirror.example.com", "cdn.example.com"]
+    segs = ["article", "articles", "artcile", "article"]
+    sufs = ["", ".html", "/", "-v2", ""]
+    info = {}
+    for did in docs.doc_id.astype(int):
+        path = f"/{segs[did % 4]}/item-{did % 199}{sufs[did % 5]}"
+        grams = {path[i : i + 3] for i in range(len(path) - 2)}
+        info[did] = (hosts[did % 3] + path, str(did % 199), grams)
+    by_stem: dict[str, list[int]] = {}
+    for did, (_, stem, _) in info.items():
+        by_stem.setdefault(stem, []).append(did)
+    for did, (url, stem, grams) in info.items():
+        row = got.loc[did]
+        assert row["url"] == url and row["stem"] == stem
+        assert row["n_grams"] == len(grams)
+        near = []
+        for other in by_stem[stem]:
+            if other >= did:
+                continue
+            og = info[other][2]
+            if min(len(og), len(grams)) / max(len(og), len(grams)) < 0.6:
+                continue
+            inter = len(og & grams)
+            jac = inter / (len(og) + len(grams) - inter)
+            if jac >= 0.6:
+                near.append((jac, other))
+        assert row["n_near_lower"] == len(near), did
+        assert row["kept"] == int(not near), did
+        if near:
+            bj, bid = max((j, -o) for j, o in near)
+            assert row["best_match_id"] == -bid, did
+            assert abs(row["best_jaccard"] - bj) <= 5.1e-5, did
+        else:
+            assert pd.isna(row["best_match_id"]), did

@@ -31,12 +31,15 @@ def test_priority_has_no_duplicates():
 # collapse; cluster gid-level CC + pointer-jumping; containment
 # shares the refactored _jaccard_group_pairs core.
 _RECERT: set[str] = {
-    # r13: EMPTY — no engine plan change has touched a driver-graded
-    # key since its latest row (the r12 CC-trio re-certs got green
-    # r12 rows and dropped out; the r13 diff is bench/canary/tooling
-    # instrumentation only). If an r13 change lands on a graded key,
-    # add it here AND front it in registry._PRIORITY in the same
-    # commit (the re-cert rule, VERDICT r10 task 5).
+    # r14: the ADVICE-r13 empty-cluster guard rewrote both Lloyd
+    # oracles' centroid-update SQL (coalesce -> CASE WHEN count = 64,
+    # llm_ops.py) — fixture-identical output, but the EXECUTED oracle
+    # text changed after their latest rows (kmeans r11, semdedup
+    # r13), so per the re-cert rule (the q_stats_anova r10
+    # unchanged-output precedent) both re-cert. Both are oracle keys
+    # (rows-only exclusion does not apply).
+    "q_embed_kmeans",
+    "q_dedup_semdedup",
 }
 
 

@@ -27,13 +27,17 @@ from tools.check import (  # noqa: E402
 # vanilla-session differential before the exit seal. Maintained by the
 # round builder; reset at round start.
 ROUND_CHANGED = [
-    # (reset at r13 start; every key added or plan-rewritten this
+    # (reset at r14 start; every key added or plan-rewritten this
     # round must be listed here and pass the vanilla-session
     # differential before the exit seal)
-    # r13: the three new operators (Gopher rule filter, SemDeDup, DSIR)
-    "q_text_gopher_rules",
+    # r14: the three new operators (repetition rules, domain mixture,
+    # fuzzy URL near-dup) + the two Lloyd keys whose ORACLE text
+    # gained the empty-cluster guard (ADVICE r13)
+    "q_text_repetition_rules",
+    "q_doc_domain_mixture",
+    "q_dedup_url_fuzzy",
+    "q_embed_kmeans",
     "q_dedup_semdedup",
-    "q_doc_dsir",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
