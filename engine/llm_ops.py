@@ -1609,7 +1609,8 @@ _REP_PACK = 1 << 20
 
 def _rep_rules_oracle() -> str:
     """DuckDB oracle for q_text_repetition_rules — same single
-    n-gram explode / count / per-(doc, n) fold / pivot pipeline as
+    n-gram explode (char starts riding along) / window count /
+    interval-union lag sweep / per-(doc, n) fold / pivot pipeline as
     the Spark plan, generated from the shared threshold tables."""
     ns = sorted(list(_REP_TOP) + list(_REP_DUP))
     piv = ",\n             ".join(
@@ -1643,22 +1644,36 @@ def _rep_rules_oracle() -> str:
       SELECT doc_id, string_split(text, ' ') AS toks,
              CAST(length(text) AS BIGINT) AS chars_total
       FROM documents),
-    g AS (
+    g0 AS (
       SELECT doc_id, n,
              unnest(list_transform(
                range(1, greatest(len(toks) - n + 1, 0) + 1),
-               i -> array_to_string(toks[i:i+n-1], ' '))) AS gram
-      FROM s CROSS JOIN unnest({ns!r}) AS u(n)),
+               i -> struct_pack(
+                 st := CAST(CASE WHEN i = 1 THEN 1
+                            ELSE length(array_to_string(toks[1:i-1], ' ')) + 2
+                            END AS BIGINT),
+                 gram := array_to_string(toks[i:i+n-1], ' ')))) AS u
+      FROM s CROSS JOIN unnest({ns!r}) AS nn(n)),
+    g AS (SELECT doc_id, n, u.st AS st, u.gram AS gram FROM g0),
     c AS (
-      SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt,
+      SELECT doc_id, n, st,
+             CAST(count(*) OVER (PARTITION BY doc_id, n, gram)
+                  AS BIGINT) AS cnt,
              CAST(length(gram) AS BIGINT) AS chars
-      FROM g GROUP BY doc_id, n, gram),
+      FROM g),
+    c2 AS (
+      SELECT *, st + chars - 1 AS gend,
+             lag(st + chars - 1) OVER (
+               PARTITION BY doc_id, n, (cnt >= 2) ORDER BY st) AS lagend
+      FROM c),
     p AS (
       SELECT doc_id, n,
              max(cnt * {_REP_PACK} + chars) AS toprank,
-             CAST(sum(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END)
+             CAST(sum(CASE WHEN cnt >= 2
+                           THEN gend - greatest(st - 1, coalesce(lagend, 0))
+                           ELSE 0 END)
                   AS BIGINT) AS dupchars
-      FROM c GROUP BY doc_id, n),
+      FROM c2 GROUP BY doc_id, n),
     piv AS (
       SELECT doc_id,
              {piv}
@@ -1699,49 +1714,86 @@ def q_text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-token docs still get a row, the q_doc_dsir ADVICE lesson);
     the top n-gram tie-breaks by character length (rank = cnt*2^20 +
     chars, exact in int64), which only affects the metric when counts
-    tie AND lengths differ. Duplicate-gram character mass counts every
-    occurrence (cnt * chars), the paper's overlap-insensitive reading.
+    tie AND lengths differ. Duplicate-gram character mass is the
+    CHARACTER COVERAGE of all duplicated n-grams — the union of their
+    character spans, each character counted once however many
+    duplicated grams overlap it — so every dup fraction is <= 1 and
+    the published thresholds mean what the paper's do (ADVICE r14;
+    the previous cnt*chars reading double-counted overlaps and could
+    exceed 1). Coverage is computed by the classic sorted-interval
+    sweep: each duplicated gram at token position i spans
+    [start_i, start_i + chars - 1]; positions ascend, so new coverage
+    per gram is gend - greatest(gstart - 1, previous gend) via one
+    lag. The top-gram family keeps the cnt*chars reading (the
+    common-reproduction convention for the single most frequent gram,
+    where overlap of a gram with itself is the signal).
     Thresholds are the PUBLISHED values: on this synthetic corpus the
     dup5..dup10 fractions are honestly 0 (random-ish 40-word
     vocabulary text has no exact 5-gram repeats) while top2/3/4 split
-    the corpus ~97/91/80 % — the crafted-fixture replay test exercises
-    the dup path.
+    the corpus ~97/91/80 % — the crafted-fixture replay tests
+    exercise the dup path, including a partial-overlap union case.
 
     Scale: ONE n-gram explode serves all nine n values (the per-n
     arrays concatenate before the explode, so the corpus is scanned
-    once, not nine times), feeding a single (doc, n, gram) hash
-    aggregate with map-side combine; everything after is keyed on
-    doc_id — no corpus-wide shuffle key smaller than the document id,
-    no window, no Python. Fractions are IEEE divisions of identical
-    exact int64s on both engines, bit-stable unrounded; flags compare
-    those identical doubles to the same literals."""
+    once, not nine times; char starts ride along from a linear
+    prefix-fold over the token array), then a (doc, n, gram) window
+    count, a (doc, n, dup?) lag, and a (doc, n) aggregate — every
+    shuffle key contains doc_id, so no stage outgrows a document and
+    nothing is corpus-global; no Python. Fractions are IEEE divisions
+    of identical exact int64s on both engines, bit-stable unrounded;
+    flags compare those identical doubles to the same literals."""
     d = _t(spark, sf_dir, "documents")
     ns = sorted(list(_REP_TOP) + list(_REP_DUP))
+    # stv[i] = 1-based char offset of token i (linear prefix fold)
+    starts = F.expr(
+        "aggregate(w, array(CAST(1 AS BIGINT)),"
+        " (acc, x) -> concat(acc, array(element_at(acc, -1) + length(x) + 1)))"
+    )
     gram_arrays = ", ".join(
         f"CASE WHEN size(w) >= {n} THEN transform(sequence(1, size(w) - {n} + 1), "
-        f"i -> named_struct('n', {n}, 'gram', array_join(slice(w, i, {n}), ' '))) "
-        f"ELSE CAST(array() AS array<struct<n:INT,gram:STRING>>) END"
+        f"i -> named_struct('n', {n}, 'st', element_at(stv, i), "
+        f"'gram', array_join(slice(w, i, {n}), ' '))) "
+        f"ELSE CAST(array() AS array<struct<n:INT,st:BIGINT,gram:STRING>>) END"
         for n in ns
     )
     g = (
         d.select("doc_id", _tokens(F.col("text")).alias("w"))
+        .select("doc_id", "w", starts.alias("stv"))
         .select(
             "doc_id",
             F.explode(F.expr(f"flatten(array({gram_arrays}))")).alias("g"),
         )
-        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .select(
+            "doc_id",
+            F.col("g.n").alias("n"),
+            F.col("g.st").alias("st"),
+            F.col("g.gram").alias("gram"),
+        )
     )
     c = (
-        g.groupBy("doc_id", "n", "gram")
-        .agg(F.count("*").alias("cnt"))
+        g.withColumn(
+            "cnt",
+            F.count("*").over(Window.partitionBy("doc_id", "n", "gram")),
+        )
         .withColumn("chars", F.length("gram").cast("long"))
+        .withColumn("gend", F.col("st") + F.col("chars") - 1)
     )
-    p = c.groupBy("doc_id", "n").agg(
+    c2 = c.withColumn(
+        "lagend",
+        F.lag("gend").over(
+            Window.partitionBy("doc_id", "n", F.col("cnt") >= 2).orderBy("st")
+        ),
+    )
+    p = c2.groupBy("doc_id", "n").agg(
         F.max(F.col("cnt") * _REP_PACK + F.col("chars")).alias("toprank"),
         F.sum(
-            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("chars")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col("cnt") >= 2,
+                F.col("gend")
+                - F.greatest(
+                    F.col("st") - 1, F.coalesce(F.col("lagend"), F.lit(0).cast("long"))
+                ),
+            ).otherwise(F.lit(0).cast("long"))
         ).alias("dupchars"),
     )
     piv = p.groupBy("doc_id").agg(
@@ -3193,24 +3245,31 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  WHEN 1 THEN 'articles'
                                  WHEN 2 THEN 'artcile'
                                  ELSE 'article' END)
-             || '/item-' || CAST(doc_id % 199 AS VARCHAR)
+             || '/item-'
+             || CAST(doc_id % (SELECT greatest(CAST(ceil(count(*) / 8.0)
+                                                    AS BIGINT), 1)
+                               FROM documents) AS VARCHAR)
              || (CASE doc_id % 5 WHEN 1 THEN '.html'
                                  WHEN 2 THEN '/'
                                  WHEN 3 THEN '-v2' ELSE '' END) AS path
       FROM documents),
     g AS (
       SELECT doc_id, host || path AS url,
+             regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS rdomain,
              regexp_extract(path, '[0-9]+') AS stem,
-             list_distinct(list_transform(
-               range(1, greatest(length(path) - 2, 0) + 1),
-               i -> substring(path, i, 3))) AS grams
+             CASE WHEN length(path) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, length(path) - 2 + 1),
+                 i -> substring(path, i, 3)))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
       FROM u),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
              CAST(len(a.grams) AS BIGINT) AS sa,
              CAST(len(b.grams) AS BIGINT) AS sb
-      FROM g a JOIN g b ON a.stem = b.stem AND a.doc_id < b.doc_id
+      FROM g a JOIN g b ON a.rdomain = b.rdomain AND a.stem = b.stem
+                       AND a.doc_id < b.doc_id
       WHERE least(len(a.grams), len(b.grams)) * 1.0
             / greatest(len(a.grams), len(b.grams)) >= 0.6),
     j AS (
@@ -3222,7 +3281,7 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n_near_lower,
              min(struct_pack(nj := -jac, m := id_a)) AS best
       FROM j GROUP BY id_b)
-    SELECT g.doc_id, g.url, g.stem,
+    SELECT g.doc_id, g.url, g.rdomain, g.stem,
            CAST(len(g.grams) AS BIGINT) AS n_grams,
            coalesce(a.n_near_lower, 0) AS n_near_lower,
            a.best.m AS best_match_id,
@@ -3243,8 +3302,11 @@ def q_dedup_url_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment, a numeric item stem, and an optional suffix. Matching is
     character-trigram Jaccard >= 0.6 over the PATH (host excluded —
     mirrors must collide), candidates blocked by the content-defined
-    resource key (registered domain + the path's numeric stem, the
-    crawl-frontier analog of content-defined chunking), with the
+    resource key — registered domain (the host's last two labels)
+    AND the path's numeric stem, the crawl-frontier analog of
+    content-defined chunking; both columns are in the equi-join key,
+    so off-fixture corpora where many registered domains share stem
+    values still get domain-bounded blocks (ADVICE r14) — with the
     PPJoin-style length prefilter (J <= min/max, so min/max < 0.6
     pairs never compute an intersection). Verdict per document, the
     SemDeDup convention: kept = no near-duplicate with a LOWER
@@ -3258,15 +3320,24 @@ def q_dedup_url_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention).
 
     Scale: the pair stage is an equi-join on the block key, quadratic
-    ONLY within a block — block size is bounded by the variant
-    multiplicity of one resource (single digits in any real crawl),
-    never by corpus size, the same bounded-quadratic contract as
-    q_dedup_semdedup's clusters. Trigram sets are tiny per-URL arrays
-    (length-bounded by URL length), carried through the join rather
-    than posting-list exploded — cheaper than an inverted index at
-    URL scale. Two shuffles total (block-key join, verdict group) at
-    any corpus size."""
+    ONLY within a block. The synthesized stem modulus scales with the
+    corpus (ceil(N/8), floored at 1), so per-resource variant
+    multiplicity stays ~8 at ANY corpus size and the pair stage is
+    O(N) by construction — the fixture now obeys the same
+    bounded-by-variant-multiplicity contract the operator claims for
+    real crawls (ADVICE r14; the previous fixed 199 modulus made
+    fixture blocks grow as N/199). Trigram sets are tiny per-URL
+    arrays (length-bounded by URL length), carried through the join
+    rather than posting-list exploded — cheaper than an inverted
+    index at URL scale. The trigram expression is guarded for paths
+    shorter than 3 chars (Spark's sequence(1, 0) yields [1, 0], not
+    empty — ADVICE r14), unreachable on this synthesis but safe if it
+    changes. Two shuffles total (block-key join, verdict group) at
+    any corpus size, plus the 1-row broadcast count that sets the
+    modulus."""
     d = _t(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
+    modulus = F.greatest(F.ceil(F.col("n_docs") / 8.0).cast("long"), F.lit(1))
     host = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("www.example.com"))
         .when(F.col("doc_id") % 3 == 1, F.lit("mirror.example.com"))
@@ -3285,18 +3356,22 @@ def q_dedup_url_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
     )
     path = F.concat(
-        F.lit("/"), seg, F.lit("/item-"), (F.col("doc_id") % 199).cast("string"),
+        F.lit("/"), seg, F.lit("/item-"), (F.col("doc_id") % modulus).cast("string"),
         suffix,
     )
     g = (
-        d.select("doc_id", path.alias("path"))
+        d.crossJoin(F.broadcast(n_docs))
+        .select("doc_id", host.alias("host"), path.alias("path"))
         .select(
             "doc_id",
-            F.concat(host, F.col("path")).alias("url"),
+            F.concat(F.col("host"), F.col("path")).alias("url"),
+            F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1).alias("rdomain"),
             F.regexp_extract(F.col("path"), "[0-9]+", 0).alias("stem"),
             F.expr(
-                "array_distinct(transform(sequence(1, greatest(length(path) - 2, 0)),"
+                "CASE WHEN length(path) >= 3 THEN"
+                " array_distinct(transform(sequence(1, length(path) - 2),"
                 " i -> substring(path, i, 3)))"
+                " ELSE CAST(array() AS array<string>) END"
             ).alias("grams"),
         )
     )
@@ -3305,7 +3380,8 @@ def q_dedup_url_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(
             b,
-            (F.col("a.stem") == F.col("b.stem"))
+            (F.col("a.rdomain") == F.col("b.rdomain"))
+            & (F.col("a.stem") == F.col("b.stem"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(F.least(sa, sb) / F.greatest(sa, sb) >= 0.6)
@@ -3332,6 +3408,7 @@ def q_dedup_url_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "url",
+            "rdomain",
             "stem",
             F.size("grams").cast("long").alias("n_grams"),
             F.coalesce(F.col("n_near_lower"), F.lit(0).cast("long")).alias(

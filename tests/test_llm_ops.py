@@ -726,11 +726,15 @@ def test_repetition_rules_spark_dup_path(spark, tmp_path):
 
     pd.DataFrame(
         {
-            "doc_id": [0, 1],
-            "text": ["a b c d e a b c d e a b c d e", "x y z w v u t s r q p o"],
-            "lang": ["en", "en"],
-            "source": ["s0", "s0"],
-            "n_chars": [29, 23],
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b c d e a b c d e a b c d e",
+                "x y z w v u t s r q p o",
+                "a b c d e a b c d e x y z w v",
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["s0", "s0", "s0"],
+            "n_chars": [29, 23, 29],
         }
     ).to_parquet(tmp_path / "documents.parquet")
     rows = {
@@ -740,11 +744,16 @@ def test_repetition_rules_spark_dup_path(spark, tmp_path):
         ).collect()
     }
     total0 = 29
-    dup5 = (3 * 9 + 4 * 2 * 9) / total0  # 'a b c d e' x3 + 4 rotations x2
-    assert rows[0]["dup5_frac"] == dup5
+    # every 5-gram window of doc 0 repeats -> coverage = whole doc
+    assert rows[0]["dup5_frac"] == 1.0
     assert rows[0]["r_dup5"] == 0 and rows[0]["keep"] == 0
     assert rows[0]["top2_frac"] == (3 * 3) / total0
     assert rows[1]["dup5_frac"] == 0
+    # doc 2: 'a b c d e' at positions 1 and 6 -> spans [1,9] + [11,19]
+    # -> union 18 of 29 chars (the partial interval-union case)
+    assert rows[2]["dup5_frac"] == 18 / 29
+    assert rows[2]["r_dup5"] == 0
+    assert rows[2]["dup6_frac"] == 0
     # fully distinct doc: every top frac is a single occurrence — and
     # on a SHORT doc even 1 occurrence of a 5-char trigram (5/23 =
     # 0.217) exceeds the 0.18 top3 threshold, so keep is honestly 0;

@@ -41,6 +41,8 @@ _SINGLE_PARTITION_OK: dict[str, str] = {
     "q_tokenize": "global tail LIMIT for display contract",
     "q_udtf": "single lateral-join demo slice",
     "q_fn_cond_null": "ordered display contract",
+    "q_dedup_url_fuzzy":
+        "broadcast 1-row corpus-count aggregate sets the stem modulus",
     "q_multimodal_features": "1-row total-bytes agg sizes the repartition",
     "q_multimodal_decode": "same 1-row total-bytes sizing agg",
     "q_profile_table": "whole-table profile reduces to one wide row",
@@ -267,6 +269,9 @@ _CROSS_OK: dict[str, str] = {
     "q_dedup_threshold_sweep":
         "two 1-row count folds cross-join before the 6-row stack "
         "(scalar-subquery pattern, size-independent)",
+    "q_dedup_url_fuzzy":
+        "1-row corpus-count fold sets the corpus-scaled stem modulus "
+        "(scalar-subquery pattern, size-independent; ADVICE r14)",
     "q_privacy_kanonymity":
         "1-row total fold joins the 3-row threshold stack",
     "q_stats_acf":

@@ -5200,9 +5200,11 @@ def test_dsir_matches_python_replay():
 def test_repetition_rules_match_python_replay():
     """q_text_repetition_rules: Gopher Table A1 repetition metrics
     (Rae et al. 2021) re-derived in pure python from the raw fixture —
-    n-gram counting, (count, chars) top-gram argmax, duplicate-gram
-    character mass — so the shared explode/pivot SQL shape cannot hide
-    an expression error in both engines at once."""
+    n-gram counting, (count, chars) top-gram argmax, duplicated-gram
+    CHARACTER COVERAGE via an independent boolean char mask (not the
+    engines' interval-sweep algebra) — so the shared explode/window
+    SQL shape cannot hide an expression error in both engines at
+    once."""
     docs = _docs(SF01)
     got = _oracle("q_text_repetition_rules", SF01).set_index("doc_id")
     assert len(got) == len(docs)
@@ -5228,11 +5230,18 @@ def test_repetition_rules_match_python_replay():
                     frac = 0.0
                 col, thr = f"top{n}_frac", tops[n]
             else:
-                frac = (
-                    sum(c * len(g) for g, c in cnt.items() if c >= 2) / total
-                    if cnt
-                    else 0.0
-                )
+                covered = [False] * total
+                starts = []
+                p = 0
+                for t in toks:
+                    starts.append(p)
+                    p += len(t) + 1
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i : i + n])
+                    if cnt[g] >= 2:
+                        for j in range(starts[i], starts[i] + len(g)):
+                            covered[j] = True
+                frac = sum(covered) / total
                 col, thr = f"dup{n}_frac", dups[n]
             # identical int64s through identical IEEE divisions: exact
             assert row[col] == frac, (r.doc_id, col)
@@ -5255,24 +5264,32 @@ def test_repetition_rules_dup_path_on_crafted_corpus():
         "CREATE VIEW documents AS SELECT * FROM (VALUES "
         # doc 0: 'a b c d e' * 3 -> every 5-gram window repeats
         "(0, 'a b c d e a b c d e a b c d e'), "
-        "(1, 'x y z w v u t s r q p o')"
+        "(1, 'x y z w v u t s r q p o'), "
+        # doc 2: one repeated 5-gram with a gap -> PARTIAL coverage
+        # (pins the interval-union sweep away from the 0/1 extremes)
+        "(2, 'a b c d e a b c d e x y z w v')"
         ") AS t(doc_id, text)"
     )
     df = con.execute(all_oracles()["q_text_repetition_rules"]).df().set_index(
         "doc_id"
     )
     total0 = len("a b c d e a b c d e a b c d e")  # 29 chars
-    # doc 0 5-grams: 11 windows, 5 distinct patterns; 'a b c d e' (9
-    # chars) occurs 3x; the 4 rotations occur 2x each (also 9 chars)
-    dup5 = (3 * 9 + 4 * 2 * 9) / total0
-    assert df.loc[0, "dup5_frac"] == dup5
-    assert df.loc[0, "r_dup5"] == 0  # 3.1 >> 0.15 -> rule fails
+    # doc 0: every one of the 11 5-gram windows repeats, so the
+    # duplicated-gram character COVERAGE is the whole document
+    assert df.loc[0, "dup5_frac"] == 1.0
+    assert df.loc[0, "r_dup5"] == 0  # 1.0 >> 0.15 -> rule fails
     assert df.loc[0, "keep"] == 0
     # top 2-gram of doc 0: 'a b' (or any rotation) occurs 3x, 3 chars
     assert df.loc[0, "top2_frac"] == (3 * 3) / total0
     # doc 1: all tokens distinct -> every dup frac 0, top fracs 1-occ
     assert df.loc[1, "dup5_frac"] == 0
     assert df.loc[1, "top2_frac"] == (1 * 3) / len("x y z w v u t s r q p o")
+    # doc 2: only 'a b c d e' repeats (positions 1 and 6); spans are
+    # chars [1, 9] and [11, 19] -> union 18 of 29 chars
+    assert df.loc[2, "dup5_frac"] == 18 / 29
+    assert df.loc[2, "r_dup5"] == 0
+    # its 6..10-gram windows are all distinct -> coverage 0
+    assert df.loc[2, "dup6_frac"] == 0
 
 
 def test_domain_mixture_matches_python_replay():
@@ -5335,34 +5352,42 @@ def test_domain_mixture_matches_python_replay():
 
 
 def test_url_fuzzy_matches_python_replay():
-    """q_dedup_url_fuzzy: URL synthesis, path trigram sets, blocked
-    Jaccard, and the lower-id verdict re-derived in pure python from
-    doc_ids alone."""
+    """q_dedup_url_fuzzy: URL synthesis (corpus-scaled stem modulus),
+    path trigram sets, (rdomain, stem)-blocked Jaccard, and the
+    lower-id verdict re-derived in pure python from doc_ids alone."""
     docs = duckdb.connect().execute(
         f"SELECT doc_id FROM read_parquet('{SF01}/documents.parquet')"
     ).df()
     got = _oracle("q_dedup_url_fuzzy", SF01).set_index("doc_id")
     assert len(got) == len(docs)
+    modulus = max(math.ceil(len(docs) / 8.0), 1)
     hosts = ["www.example.com", "mirror.example.com", "cdn.example.com"]
     segs = ["article", "articles", "artcile", "article"]
     sufs = ["", ".html", "/", "-v2", ""]
     info = {}
     for did in docs.doc_id.astype(int):
-        path = f"/{segs[did % 4]}/item-{did % 199}{sufs[did % 5]}"
-        grams = {path[i : i + 3] for i in range(len(path) - 2)}
-        info[did] = (hosts[did % 3] + path, str(did % 199), grams)
-    by_stem: dict[str, list[int]] = {}
-    for did, (_, stem, _) in info.items():
-        by_stem.setdefault(stem, []).append(did)
-    for did, (url, stem, grams) in info.items():
+        path = f"/{segs[did % 4]}/item-{did % modulus}{sufs[did % 5]}"
+        grams = (
+            {path[i : i + 3] for i in range(len(path) - 2)}
+            if len(path) >= 3
+            else set()
+        )
+        host = hosts[did % 3]
+        rdom = ".".join(host.split(".")[-2:])
+        info[did] = (host + path, rdom, str(did % modulus), grams)
+    by_block: dict[tuple, list[int]] = {}
+    for did, (_, rdom, stem, _) in info.items():
+        by_block.setdefault((rdom, stem), []).append(did)
+    for did, (url, rdom, stem, grams) in info.items():
         row = got.loc[did]
         assert row["url"] == url and row["stem"] == stem
+        assert row["rdomain"] == rdom
         assert row["n_grams"] == len(grams)
         near = []
-        for other in by_stem[stem]:
+        for other in by_block[(rdom, stem)]:
             if other >= did:
                 continue
-            og = info[other][2]
+            og = info[other][3]
             if min(len(og), len(grams)) / max(len(og), len(grams)) < 0.6:
                 continue
             inter = len(og & grams)

@@ -27,17 +27,14 @@ from tools.check import (  # noqa: E402
 # vanilla-session differential before the exit seal. Maintained by the
 # round builder; reset at round start.
 ROUND_CHANGED = [
-    # (reset at r14 start; every key added or plan-rewritten this
+    # (reset at r15 start; every key added or plan-rewritten this
     # round must be listed here and pass the vanilla-session
     # differential before the exit seal)
-    # r14: the three new operators (repetition rules, domain mixture,
-    # fuzzy URL near-dup) + the two Lloyd keys whose ORACLE text
-    # gained the empty-cluster guard (ADVICE r13)
-    "q_text_repetition_rules",
-    "q_doc_domain_mixture",
+    # r15 ADVICE fixes: url_fuzzy (block key now rdomain+stem, stem
+    # modulus corpus-scaled, gram guard) and repetition_rules (dup
+    # metric is now true character COVERAGE via interval-union sweep)
     "q_dedup_url_fuzzy",
-    "q_embed_kmeans",
-    "q_dedup_semdedup",
+    "q_text_repetition_rules",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
