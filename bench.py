@@ -84,6 +84,9 @@ HEADLINE = [
     # r13 addition: the round's new heavy composite (the 44-key prefix
     # above is unchanged for comparability)
     "q_dedup_semdedup",      # k-means-blocked semantic dedup (r13)
+    # r15 addition: the round's new heavy composite (the 45-key prefix
+    # above is unchanged for comparability)
+    "q_dedup_cascade",       # 4-stage survival funnel + survivor pair join (r15)
 ]
 
 

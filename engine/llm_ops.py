@@ -1477,6 +1477,135 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII detection patterns (the Dolma pipeline's regex family, Soldaini
+# et al. 2024, arXiv:2402.00159 §PII removal; FineWeb anonymizes the
+# same email/IP classes, Penedo et al. 2024). Restricted to the
+# ASCII-classes + bounded-quantifier + \b subset on which Java regex
+# (Spark) and RE2 (DuckDB) agree; python re is the replay's third
+# engine (tests/test_recompute.py).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "q_text_pii_redact",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             text
+             || (CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                      || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id // 3) % 256 AS VARCHAR)
+                 ELSE '' END) AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}'))
+                + len(regexp_extract_all(t, '{_PII_PHONE}'))
+                + len(regexp_extract_all(t, '{_PII_IP}')) > 0 AS INT)
+             AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(
+             t, '{_PII_EMAIL}', '|EMAIL|', 'g'),
+             '{_PII_PHONE}', '|PHONE|', 'g'),
+             '{_PII_IP}', '|IP|', 'g') AS redacted
+    FROM s
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the privacy stage every published
+    pretraining pipeline runs before release (Dolma, Soldaini et al.
+    2024, arXiv:2402.00159: regex-detected emails / phone numbers /
+    IP addresses replaced with special tokens; FineWeb, Penedo et al.
+    2024, anonymizes the same email/IP classes): per document, the
+    match count per PII class, a has_pii verdict, and the redacted
+    text with Dolma-style |EMAIL| / |PHONE| / |IP| replacement tokens.
+    The fixture corpus is PII-free word text, so — the q_dedup_url
+    convention — deterministic PII is synthesized from doc_id onto a
+    subset of documents (every 7th gets an email, every 11th a NANP
+    phone, every 13th an IPv4), giving the detector a known-answer
+    corpus; the python replay re-runs detection with a THIRD regex
+    engine (python re) on the same synthesis.
+
+    Exactness: patterns are restricted to the ASCII-class + bounded
+    quantifier + word-boundary subset on which Java regex (Spark) and
+    RE2 (DuckDB) agree match-for-match; counts are exact ints, the
+    three redaction passes apply in the same order (email, phone, IP)
+    in both engines.
+
+    Scale: pure map stage over the document scan — regex count +
+    replace inside whole-stage codegen, no shuffle, no Python; at
+    100 TB this is scan-bound and embarrassingly parallel, exactly
+    like q_text_gopher_rules. (Real pipelines swap in the same
+    expressions over their raw text column — the synthesis is the
+    fixture's stand-in for crawl text that carries PII.)"""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (F.col("doc_id") % 900 + 100).cast("string"),
+                F.lit("-"),
+                (F.col("doc_id") % 9000 + 1000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                F.expr("(doc_id div 7) % 256").cast("string"),
+                F.lit("."),
+                F.expr("(doc_id div 3) % 256").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    s = d.select("doc_id", t.alias("t"))
+    n_em = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), 0)).cast("long")
+    n_ph = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), 0)).cast("long")
+    n_ip = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), 0)).cast("long")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "|EMAIL|"),
+            _PII_PHONE,
+            "|PHONE|",
+        ),
+        _PII_IP,
+        "|IP|",
+    )
+    return s.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        n_ip.alias("n_ips"),
+        ((n_em + n_ph + n_ip) > 0).cast("int").alias("has_pii"),
+        red.alias("redacted"),
+    )
+
+
 # Gopher rule-filter constants (Rae et al. 2021, "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher",
 # arXiv:2112.11446 Table A1). The stop-word presence rule uses the
@@ -5479,6 +5608,135 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.expr(f"stack(6, {stack_args}) AS (threshold, n_pairs, n_docs)")
     ).orderBy("threshold")
+
+
+# MinHash-LSH banding grid: every (bands, rows-per-band) factorization
+# of the same 96-hash signature a practitioner would sweep. Constants,
+# so the analytic S-curve landmarks are computed ONCE in python and
+# embedded as identical decimal literals in both engines.
+_BANDING_GRID = [(96, 1), (48, 2), (32, 3), (24, 4), (16, 6), (12, 8), (8, 12), (6, 16)]
+# collision-prob quantization grid: p in [0, 1] lands exactly on a
+# round(p * 1e12) bigint, so per-config sums are order-exact integers
+# (the house ln/exp-quantization convention applied to probabilities)
+_BANDING_Q = "1000000000000.0"
+
+
+def _pow_text(base: str, k: int) -> str:
+    """base**k as a fully-expanded square-and-multiply product string —
+    plain arithmetic valid verbatim in Spark SQL and DuckDB, and more
+    importantly the SAME multiplication tree, so both engines evaluate
+    bit-identical IEEE doubles (library pow() carries no such
+    guarantee)."""
+    if k == 1:
+        return base
+    if k % 2 == 0:
+        h = _pow_text(base, k // 2)
+        return f"({h} * {h})"
+    return f"({_pow_text(base, k - 1)} * {base})"
+
+
+def _banding_collision_text(b: int, r: int) -> str:
+    """1 - (1 - jac^r)^b over the pair relation's ``jac`` column."""
+    one_band_miss = f"(1.0 - {_pow_text('jac', r)})"
+    return f"(1.0 - {_pow_text(one_band_miss, b)})"
+
+
+def _banding_sweep_oracle() -> str:
+    from engine.registry import _ORACLES
+
+    base = _ORACLES["q_dedup_jaccard"]
+    sums = ",\n             ".join(
+        f"sum(CAST(round({_banding_collision_text(b, r)} * {_BANDING_Q})"
+        f" AS BIGINT)) AS s_{i}"
+        for i, (b, r) in enumerate(_BANDING_GRID)
+    )
+    rows = []
+    for i, (b, r) in enumerate(_BANDING_GRID):
+        s_star = repr(round((1.0 / b) ** (1.0 / r), 6))
+        p05 = repr(round(1.0 - (1.0 - 0.5**r) ** b, 6))
+        p08 = repr(round(1.0 - (1.0 - 0.8**r) ** b, 6))
+        rows.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band,
+           CAST({s_star} AS DOUBLE) AS s_star,
+           CAST({p05} AS DOUBLE) AS p_at_050,
+           CAST({p08} AS DOUBLE) AS p_at_080,
+           n AS n_pairs,
+           CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(CAST(s_{i} AS DOUBLE) / {_BANDING_Q} / n, 6)
+           END AS exp_recall,
+           round(CAST(s_{i} AS DOUBLE) / {_BANDING_Q}, 4) AS exp_candidates
+    FROM wide"""
+        )
+    body = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH pairs AS ({base}),
+    wide AS (
+      SELECT {sums},
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT jaccard AS jac FROM pairs) p)
+    {body}
+    ORDER BY rows_per_band
+    """
+
+
+@register("q_dedup_banding_sweep", oracle=_banding_sweep_oracle())
+def q_dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (bands x rows) tuning curve — the parameter sweep a
+    practitioner runs before committing a signature layout (Leskovec,
+    Rajaraman & Ullman, "Mining of Massive Datasets" §3.4.3: banding b
+    bands of r rows makes a pair with Jaccard s a candidate with
+    probability p(s) = 1 - (1 - s^r)^b, the S-curve whose threshold
+    sits near (1/b)^(1/r)). For every factorization of the same
+    96-hash signature this emits the analytic landmarks — curve
+    midpoint s*, collision probability at probe similarities 0.5 and
+    0.8 — plus the corpus-measured quantities: expected recall and
+    expected candidate volume of the banding over the TRUE near-dup
+    pairs (q_dedup_jaccard's exact >= 0.95 pair relation, the set a
+    production sweep must not lose). The dedup-TUNING companion to
+    q_dedup_threshold_sweep (which sweeps the accept threshold; this
+    sweeps the candidate-generation layout feeding it).
+
+    Exactness: the landmark columns are python-computed constants
+    embedded as identical decimal literals in both engines; the
+    data-dependent p(jac) is evaluated through an IDENTICAL
+    square-and-multiply multiplication tree (:func:`_pow_text` —
+    library pow() is not cross-engine bit-stable, a chain of IEEE
+    multiplies on the already-identical jac doubles is), then
+    quantized to the round(p * 1e12) bigint grid so per-config sums
+    are order-exact; each ratio divides once at the end.
+
+    Scale: rides q_dedup_jaccard's group-then-PPJoin pair machinery
+    (shared via the groups cache — the expensive sub-quadratic work
+    happens once per session); the sweep itself is ONE codegen agg
+    pass over the pair relation producing a single wide row, stacked
+    to |grid| rows. Adding a configuration costs one more column,
+    never another pass."""
+    pairs = q_dedup_jaccard(spark, sf_dir).select(F.col("jaccard").alias("jac"))
+    aggs = [
+        F.expr(
+            f"sum(CAST(round({_banding_collision_text(b, r)} * {_BANDING_Q})"
+            " AS BIGINT))"
+        ).alias(f"s_{i}")
+        for i, (b, r) in enumerate(_BANDING_GRID)
+    ]
+    wide = pairs.agg(*aggs, F.count("*").cast("long").alias("n"))
+    cells = []
+    for i, (b, r) in enumerate(_BANDING_GRID):
+        s_star = repr(round((1.0 / b) ** (1.0 / r), 6))
+        p05 = repr(round(1.0 - (1.0 - 0.5**r) ** b, 6))
+        p08 = repr(round(1.0 - (1.0 - 0.8**r) ** b, 6))
+        cells.append(
+            f"{b}, {r}, CAST({s_star} AS DOUBLE), CAST({p05} AS DOUBLE),"
+            f" CAST({p08} AS DOUBLE), n,"
+            f" CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE round(CAST(s_{i} AS DOUBLE) / {_BANDING_Q} / n, 6) END,"
+            f" round(CAST(s_{i} AS DOUBLE) / {_BANDING_Q}, 4)"
+        )
+    return wide.selectExpr(
+        f"stack({len(_BANDING_GRID)}, {', '.join(cells)})"
+        " AS (bands, rows_per_band, s_star, p_at_050, p_at_080,"
+        " n_pairs, exp_recall, exp_candidates)"
+    ).orderBy("rows_per_band")
 
 
 @register(

@@ -776,6 +776,227 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_cascade",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    q AS (
+      SELECT *,
+             (len(w) >= 50 AND len(w) <= 100000
+              AND list_sum(list_transform(w, t -> length(t))) * 1.0
+                  / len(w) >= 3
+              AND list_sum(list_transform(w, t -> length(t))) * 1.0
+                  / len(w) <= 10
+              AND ((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) // 3)
+                  * 1.0 / len(w) <= 0.1
+              AND len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                  * 1.0 / len(w) >= 0.8) AS s_q
+      FROM base),
+    e AS (
+      SELECT *, (s_q AND doc_id = min(CASE WHEN s_q THEN doc_id END)
+                 OVER (PARTITION BY text)) AS s_e
+      FROM q),
+    u AS (
+      SELECT *, (s_e AND doc_id = min(CASE WHEN s_e THEN doc_id END)
+                 OVER (PARTITION BY lower(regexp_replace(regexp_replace(
+                   regexp_replace(
+                     'https://'
+                     || (CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+                                         WHEN 1 THEN 'www.example.com'
+                                         ELSE 'www.EXAMPLE.com' END)
+                     || (CASE doc_id % 4 WHEN 0 THEN ':443' ELSE '' END)
+                     || '/page/' || CAST(doc_id % 400 AS VARCHAR)
+                     || (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
+                     || (CASE doc_id % 5 WHEN 0
+                         THEN '?utm_source=' || source ELSE '' END),
+                     '\\?.*$', ''), '/$', ''), ':443', '')))) AS s_u
+      FROM e),
+    tok AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM u WHERE s_u),
+    sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b),
+    dupb AS (SELECT DISTINCT doc_b FROM inter
+             JOIN sz sa ON doc_a = sa.doc_id
+             JOIN sz sb ON doc_b = sb.doc_id
+             WHERE i * 1.0 / (sa.nt + sb.nt - i) >= 0.95),
+    f AS (SELECT *, (s_u AND doc_id NOT IN (SELECT doc_b FROM dupb)) AS s_n
+          FROM u),
+    stacked AS (
+      SELECT 0 AS stage, 'raw' AS stage_name, source, n_tokens FROM f
+      UNION ALL
+      SELECT 1, 'quality', source, n_tokens FROM f WHERE s_q
+      UNION ALL
+      SELECT 2, 'exact', source, n_tokens FROM f WHERE s_e
+      UNION ALL
+      SELECT 3, 'url', source, n_tokens FROM f WHERE s_u
+      UNION ALL
+      SELECT 4, 'neardup', source, n_tokens FROM f WHERE s_n),
+    agg AS (SELECT stage, stage_name, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM stacked GROUP BY stage, stage_name, source)
+    SELECT stage, stage_name, source, n_docs, n_tokens,
+           round(n_docs * 1.0 / max(CASE WHEN stage = 0 THEN n_docs END)
+                 OVER (PARTITION BY source), 6) AS pct_docs
+    FROM agg
+    """,
+)
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cascade survival funnel — the per-stage ablation table
+    every published pipeline reports (RefinedWeb, Penedo et al. 2023,
+    Table 2 "removal rates"; FineWeb, Penedo et al. 2024, pipeline
+    ablations): quality filter -> exact dedup -> URL-canonical dedup
+    -> near-dup removal, composed in the RefinedWeb macro-order
+    (filters BEFORE deduplication), with per-(stage, source) surviving
+    docs, tokens, and fraction-of-raw. Distinct from
+    q_pipeline_pretrain (which emits only the final split budgets):
+    this is the funnel AUDIT — which stage removed what, per source —
+    the number a curation team actually argues over.
+
+    Stage rules reuse the verified operators' expressions: quality is
+    the q_text_gopher_rules subset with fixture entropy (word count,
+    mean word length, symbol ratio, alpha ratio; the stop-word rule is
+    excluded as fixture-degenerate — its keep is honestly 0 corpus-
+    wide, which would zero every later stage; same honest-adaptation
+    convention as the gopher key itself documents). Exact dedup keeps
+    the lowest doc_id per text group among quality survivors; URL
+    dedup keeps the lowest doc_id per canonical URL (q_dedup_url's
+    synthesis + canonicalization) among exact survivors; near-dup
+    drops docs with a surviving lower-id token-set Jaccard >= 0.95
+    neighbor (q_dedup_jaccard's pair relation restricted to
+    survivors — the SemDeDup lower-id verdict, not transitive
+    clustering; q_dedup_cluster covers that).
+
+    Scale: survival FLAGS compute in one chained pass — three window
+    keepers (text hash, canonical URL; each keyed by content, never
+    corpus-global) feeding boolean columns, so no stage re-reads the
+    corpus; the near-dup branch rides :func:`_jaccard_set_pairs`
+    (group-then-PPJoin, sub-quadratic) over survivors only, and joins
+    back as a left-anti flag. The funnel itself is one explode of a
+    <=5-element struct array per doc into a (stage, source) hash agg —
+    map-side combinable; pct divides inside a |sources|-partition
+    window over the <=5x|sources|-row aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        "source",
+        "text",
+        w.alias("w"),
+        F.size(w).cast("long").alias("n_tokens"),
+    )
+    n = F.size("w")
+    mean_len = (
+        F.aggregate(
+            F.transform(F.col("w"), lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        / n
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = F.floor(
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+    ).cast("long")
+    alpha = F.size(F.filter(F.col("w"), lambda t: t.rlike("[A-Za-z]"))) / n
+    s_q = (
+        (n >= 50)
+        & (n <= 100000)
+        & (mean_len >= 3)
+        & (mean_len <= 10)
+        & ((n_hash + n_ell) / n <= 0.1)
+        & (alpha >= 0.8)
+    )
+    q = base.withColumn("s_q", s_q)
+    we = Window.partitionBy(F.sha2(F.col("text"), 256))
+    e = q.withColumn(
+        "s_e",
+        F.col("s_q")
+        & (F.col("doc_id") == F.min(F.when(F.col("s_q"), F.col("doc_id"))).over(we)),
+    )
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Example.COM"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www.example.com"))
+        .otherwise(F.lit("www.EXAMPLE.com"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (F.col("doc_id") % 400).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit("?utm_source="), F.col("source"))
+        ).otherwise(F.lit("")),
+    )
+    canon = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(url, r"\?.*$", ""), "/$", ""),
+            ":443",
+            "",
+        )
+    )
+    wu = Window.partitionBy(canon)
+    u = e.withColumn(
+        "s_u",
+        F.col("s_e")
+        & (F.col("doc_id") == F.min(F.when(F.col("s_e"), F.col("doc_id"))).over(wu)),
+    )
+    from engine.llm_ops import _jaccard_set_pairs
+
+    docs3 = u.filter("s_u").select(
+        "doc_id", F.array_sort(F.array_distinct(F.col("w"))).alias("toks")
+    )
+    dupb = (
+        _jaccard_set_pairs(docs3, 19, 20)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    f = u.join(dupb, "doc_id", "left").withColumn(
+        "s_n", F.col("s_u") & F.col("_dup").isNull()
+    )
+    contrib = F.expr(
+        "filter(array("
+        "named_struct('stage', 0, 'nm', 'raw', 'keep', true),"
+        "named_struct('stage', 1, 'nm', 'quality', 'keep', s_q),"
+        "named_struct('stage', 2, 'nm', 'exact', 'keep', s_e),"
+        "named_struct('stage', 3, 'nm', 'url', 'keep', s_u),"
+        "named_struct('stage', 4, 'nm', 'neardup', 'keep', s_n)"
+        "), x -> x.keep)"
+    )
+    stacked = f.select("source", "n_tokens", F.explode(contrib).alias("c")).select(
+        F.col("c.stage").alias("stage"),
+        F.col("c.nm").alias("stage_name"),
+        "source",
+        "n_tokens",
+    )
+    agg = stacked.groupBy("stage", "stage_name", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    wp = Window.partitionBy("source")
+    return agg.select(
+        "stage",
+        "stage_name",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs")
+            * 1.0
+            / F.max(F.when(F.col("stage") == 0, F.col("n_docs"))).over(wp),
+            6,
+        ).alias("pct_docs"),
+    ).orderBy("stage", "source")
+
+
+@register(
     "q_sample_mixture",
     oracle="""
     WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -180,41 +180,20 @@ def _ensure_loaded() -> None:
 #     is batch-boundary-invariant (5.9 s → 1.9 s warm at sf0.1). Plan
 #     changed after its r02 row (displaces q_fn_string).
 _PRIORITY: list[str] = [
-    # ================= r14 window (slots 0-49) =================
-    # slots 0-2: the three r14 additions (never-graded keys lead every
+    # ================= r15 window (slots 0-49) =================
+    # slots 0-2: the three r15 additions (never-graded keys lead every
     # window — tests/test_registry.test_no_driver_window_slot_is_wasted):
-    # Gopher/RefinedWeb repetition rules + DoReMi-style domain mixture
-    # + fuzzy URL near-dup, the round's full 0-3 operator cap
-    "q_text_repetition_rules", "q_doc_domain_mixture", "q_dedup_url_fuzzy",
-    # slots 3-4: re-certs (tests/test_registry._RECERT) — the r14
-    # empty-cluster guard (ADVICE r13) rewrote both Lloyd oracles'
-    # centroid-update text, so their prior driver rows (kmeans r11,
-    # semdedup r13) no longer certify the executed oracle
-    "q_embed_kmeans", "q_dedup_semdedup",
-    # slots 5-49: the r05-remainder backlog prefix (stalest driver
-    # rows, CORRECTNESS_r05 order — VERDICT r13 task 1; the last
-    # remainder key q_order_cadence slides to the r15 front)
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
-    "q_win_atr", "q_candle_patterns", "q_graph_triangles", "q_text_hapax",
-    "q_join_bloom", "q_stats_ttest", "q_stats_trend", "q_stream_anomaly",
-    "q_rfm_segments", "q_abc_pareto", "q_quality_rules", "q_eval_auc",
-    "q_time_intelligence", "q_source_python", "q_stream_python_source",
-    "q_seasonality", "q_resample_interpolate", "q_rolling_active_users",
-    "q_cohort_ltv", "q_user_overlap", "q_benford", "q_session_paths",
-    "q_stream_cdc_apply", "q_join_asof_forward", "q_text_perplexity",
-    "q_market_beta", "q_dedup_incremental", "q_skyline", "q_funnel_windowed",
-    "q_stats_did", "q_anomaly_seasonal", "q_survival_km", "q_text_keywords",
-    "q_agg_gini", "q_win_autocorr", "q_user_entropy",
-    "q_agg_weighted_median", "q_events_heatmap", "q_dataset_card",
-    "q_topk_movers",
-    # ================= refresh backlog (slots 50+) =================
-    # Driver-verified keys, stalest row first (r05 tail -> r13) so
-    # every future window is a prefix rotation. r15 window front:
-    # q_order_cadence, then the r06 block, filling to 50 plus re-certs
-    # for any r15 plan changes.
-
-    # r05 rows (remainder tail)
-
+    # MinHash-LSH banding sweep + Dolma-style PII redaction + the
+    # RefinedWeb/FineWeb dedup-cascade funnel, the round's full cap
+    "q_dedup_banding_sweep", "q_text_pii_redact", "q_dedup_cascade",
+    # slots 3-4: re-certs (tests/test_registry._RECERT) — the r15
+    # ADVICE fixes rewrote both keys' executed plan AND oracle text
+    # after their r14 rows (url_fuzzy: rdomain+stem block key, corpus-
+    # scaled modulus; repetition_rules: dup coverage interval-union)
+    "q_dedup_url_fuzzy", "q_text_repetition_rules",
+    # slots 5-49: q_order_cadence (the one remaining r05-latest row)
+    # + the r06 block (44 keys, CORRECTNESS_r06 order — VERDICT r14
+    # task 2: after this window no key's latest row is older than r07)
     "q_order_cadence",
     # r06 rows
 
@@ -242,6 +221,11 @@ _PRIORITY: list[str] = [
     "q_win_theil_sen", "q_risk_metrics",
     "q_seasonal_decompose", "q_graph_link_predict", "q_text_heaps",
     "q_multimodal_frames",
+    # ================= refresh backlog (slots 50+) =================
+    # Driver-verified keys, stalest row first (r07 -> r14) so every
+    # future window is a prefix rotation. r16 window front: the r07
+    # block, filling to 50 plus re-certs for any r16 plan changes.
+
     # r07 rows (CORRECTNESS_r07.json order; q_embed_matryoshka fronted
     # to the r10 re-cert slots; q_dedup_containment re-graded r09 —
     # moved to the r09 block)
@@ -381,6 +365,25 @@ _PRIORITY: list[str] = [
     "q_corr_matrix", "q_agg_grouping_id", "q_rollup_incremental",
     "q_sample_negative", "q_win_cusum", "q_time_to_event", "q_tpch_q2",
     "q_tpch_q8", "q_embed_quantize", "q_tpch_q9", "q_tpch_q11",
+    # r14 rows (CORRECTNESS_r14.json order — the freshest cohort: the
+    # r14 additions + the 2 Lloyd re-certs + the r05 remainder;
+    # q_dedup_url_fuzzy / q_text_repetition_rules fronted to the r15
+    # re-cert slots)
+
+    "q_doc_domain_mixture", "q_embed_kmeans", "q_dedup_semdedup",
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+    "q_win_atr", "q_candle_patterns", "q_graph_triangles", "q_text_hapax",
+    "q_join_bloom", "q_stats_ttest", "q_stats_trend", "q_stream_anomaly",
+    "q_rfm_segments", "q_abc_pareto", "q_quality_rules", "q_eval_auc",
+    "q_time_intelligence", "q_source_python", "q_stream_python_source",
+    "q_seasonality", "q_resample_interpolate", "q_rolling_active_users",
+    "q_cohort_ltv", "q_user_overlap", "q_benford", "q_session_paths",
+    "q_stream_cdc_apply", "q_join_asof_forward", "q_text_perplexity",
+    "q_market_beta", "q_dedup_incremental", "q_skyline", "q_funnel_windowed",
+    "q_stats_did", "q_anomaly_seasonal", "q_survival_km", "q_text_keywords",
+    "q_agg_gini", "q_win_autocorr", "q_user_entropy",
+    "q_agg_weighted_median", "q_events_heatmap", "q_dataset_card",
+    "q_topk_movers",
 ]
 
 

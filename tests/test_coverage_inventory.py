@@ -255,6 +255,10 @@ _COVERED = {
     "q_text_repetition_rules": "recompute: test_recompute.py",
     "q_doc_domain_mixture": "recompute: test_recompute.py",
     "q_dedup_url_fuzzy": "recompute: test_recompute.py",
+    # r15 additions
+    "q_dedup_banding_sweep": "recompute: test_recompute.py",
+    "q_text_pii_redact": "recompute: test_recompute.py",
+    "q_dedup_cascade": "recompute: test_recompute.py",
     "q_tokenize": "recompute: test_recompute.py",
     "q_multimodal_struct": "recompute: test_recompute.py",
     "q_multimodal_binary": "contract: test_llm_ops.py",

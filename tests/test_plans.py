@@ -136,6 +136,9 @@ _SINGLE_PARTITION_OK: dict[str, str] = {
     "q_attribution_markov": "1-row wide transition pivot + Cramer algebra",
     "q_dedup_threshold_sweep":
         "two 1-row conditional-count folds of the pair table -> 6-row stack",
+    "q_dedup_banding_sweep":
+        "1-row wide quantized-sum fold of the pair table -> 8-row "
+        "S-curve stack (the threshold_sweep scheme)",
     "q_privacy_kanonymity":
         "two 1-row folds of the bounded class table -> 3-row stack",
     "q_abc_xyz":

@@ -5292,6 +5292,138 @@ def test_repetition_rules_dup_path_on_crafted_corpus():
     assert df.loc[2, "dup6_frac"] == 0
 
 
+def test_banding_sweep_matches_python_replay():
+    """q_dedup_banding_sweep: the MMDS S-curve sweep re-derived in pure
+    python — brute-force exact Jaccard pairs (>= 0.95) over the raw
+    fixture, the engines' square-and-multiply collision probability
+    replayed multiply-for-multiply (python floats ARE IEEE doubles, so
+    the tree reproduces bit-exactly), the same round(p*1e12) bigint
+    quantization — so the shared generated SQL cannot hide a formula
+    error in both engines at once."""
+    docs = _docs(SF01)
+    got = _oracle("q_dedup_banding_sweep", SF01).set_index("rows_per_band")
+    sets = {int(r.doc_id): frozenset(r.text.split(" ")) for r in docs.itertuples()}
+    ids = sorted(sets)
+    jacs = []
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        for b2 in ids[i + 1 :]:
+            sb = sets[b2]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.95:
+                jacs.append(inter / (len(sa) + len(sb) - inter))
+    assert jacs, "fixture must contain >= 0.95 near-dup pairs"
+
+    def powm(x: float, k: int) -> float:
+        if k == 1:
+            return x
+        if k % 2 == 0:
+            h = powm(x, k // 2)
+            return h * h
+        return powm(x, k - 1) * x
+
+    grid = [(96, 1), (48, 2), (32, 3), (24, 4), (16, 6), (12, 8), (8, 12), (6, 16)]
+    assert len(got) == len(grid)
+    for b, r in grid:
+        row = got.loc[r]
+        assert row["bands"] == b
+        assert row["s_star"] == round((1.0 / b) ** (1.0 / r), 6)
+        assert row["p_at_050"] == round(1.0 - (1.0 - 0.5**r) ** b, 6)
+        assert row["p_at_080"] == round(1.0 - (1.0 - 0.8**r) ** b, 6)
+        assert row["n_pairs"] == len(jacs)
+        sq = sum(
+            _round_half_away((1.0 - powm(1.0 - powm(j, r), b)) * 1e12)
+            for j in jacs
+        )
+        assert row["exp_recall"] == round(sq / 1e12 / len(jacs), 6), (b, r)
+        assert row["exp_candidates"] == round(sq / 1e12, 4), (b, r)
+    # the S-curve structure itself: more rows per band -> sharper curve
+    # -> lower false-candidate exposure at s=0.5; recall over >= 0.95
+    # pairs stays near 1 for the wide-band configs
+    p05 = [got.loc[r, "p_at_050"] for _, r in grid]
+    assert p05 == sorted(p05, reverse=True)
+    assert got.loc[1, "exp_recall"] == 1.0  # b=96, r=1 catches everything
+
+
+def test_dedup_cascade_matches_python_replay():
+    """q_dedup_cascade: the four-stage funnel (gopher-subset quality ->
+    exact -> URL-canonical -> near-dup) re-derived in pure python from
+    the raw fixture — every stage flag, every (stage, source) count /
+    token sum / fraction-of-raw — so the shared window-keeper SQL shape
+    cannot hide a stage-ordering or keeper error in both engines at
+    once."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, source, text FROM read_parquet('{SF01}/documents.parquet')"
+    ).df()
+    got = _oracle("q_dedup_cascade", SF01).set_index(["stage", "source"])
+    flags = {}
+    for r in docs.itertuples():
+        did, toks = int(r.doc_id), r.text.split(" ")
+        n = len(toks)
+        mean = sum(len(t) for t in toks) / n
+        symbol = (r.text.count("#") + r.text.count("...")) / n
+        alpha = sum(1 for t in toks if re.search("[A-Za-z]", t)) / n
+        s_q = 50 <= n <= 100000 and 3 <= mean <= 10 and symbol <= 0.1 and alpha >= 0.8
+        hosts = ["WWW.Example.COM", "www.example.com", "www.EXAMPLE.com"]
+        url = (
+            f"https://{hosts[did % 3]}{':443' if did % 4 == 0 else ''}"
+            f"/page/{did % 400}{'/' if did % 2 == 0 else ''}"
+            + (f"?utm_source={r.source}" if did % 5 == 0 else "")
+        )
+        canon = re.sub(
+            ":443", "", re.sub("/$", "", re.sub(r"\?.*$", "", url))
+        ).lower()
+        flags[did] = {
+            "source": r.source, "n_tokens": n, "text": r.text,
+            "canon": canon, "set": frozenset(toks), "s_q": s_q,
+        }
+    # exact keeper among quality survivors, per text group
+    keeper: dict[str, int] = {}
+    for did, v in flags.items():
+        if v["s_q"]:
+            keeper[v["text"]] = min(keeper.get(v["text"], did), did)
+    for did, v in flags.items():
+        v["s_e"] = v["s_q"] and keeper[v["text"]] == did
+    ukeeper: dict[str, int] = {}
+    for did, v in flags.items():
+        if v["s_e"]:
+            ukeeper[v["canon"]] = min(ukeeper.get(v["canon"], did), did)
+    for did, v in flags.items():
+        v["s_u"] = v["s_e"] and ukeeper[v["canon"]] == did
+    surv = sorted(did for did, v in flags.items() if v["s_u"])
+    dup_b = set()
+    for i, a in enumerate(surv):
+        sa = flags[a]["set"]
+        for b in surv[i + 1 :]:
+            sb = flags[b]["set"]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.95:
+                dup_b.add(b)
+    for did, v in flags.items():
+        v["s_n"] = v["s_u"] and did not in dup_b
+    names = {0: "raw", 1: "quality", 2: "exact", 3: "url", 4: "neardup"}
+    cells: dict[tuple, list[int]] = {}
+    for did, v in flags.items():
+        for st, key in ((0, None), (1, "s_q"), (2, "s_e"), (3, "s_u"), (4, "s_n")):
+            if key is None or v[key]:
+                c = cells.setdefault((st, v["source"]), [0, 0])
+                c[0] += 1
+                c[1] += v["n_tokens"]
+    assert len(got) == len(cells)
+    for (st, src), (nd, nt) in cells.items():
+        row = got.loc[(st, src)]
+        assert row["stage_name"] == names[st], (st, src)
+        assert row["n_docs"] == nd and row["n_tokens"] == nt, (st, src)
+        raw = cells[(0, src)][0]
+        assert row["pct_docs"] == round(nd / raw, 6), (st, src)
+    # funnel structure: monotone non-increasing; quality and near-dup
+    # genuinely remove docs on this fixture (exact removes 0 — the
+    # corpus has no exact text duplicates, FIXTURES.md; URL collisions
+    # among survivors may also be absorbed by earlier stages)
+    tot = {st: sum(v[0] for (s, _), v in cells.items() if s == st) for st in names}
+    assert tot[0] > tot[1] >= tot[2] >= tot[3] > tot[4]
+
+
 def test_domain_mixture_matches_python_replay():
     """q_doc_domain_mixture: the DoReMi-style EG reweighting (Xie et
     al. 2023) re-derived in pure python — unigram counts, Laplace
@@ -5349,6 +5481,43 @@ def test_domain_mixture_matches_python_replay():
     lo = min(t_d, key=lambda s: logits[s] - math.log(t_d[s] / T))
     assert got.loc[hi, "upsample"] > 1.0
     assert got.loc[lo, "upsample"] < 1.0
+
+
+def test_pii_redact_matches_python_replay():
+    """q_text_pii_redact: the synthesis AND the detection re-run with a
+    THIRD regex engine (python re, distinct from Spark's Java regex and
+    DuckDB's RE2) over the raw fixture — counts, verdicts, and the
+    three-pass redacted text must agree string-for-string."""
+    docs = _docs(SF01)
+    got = _oracle("q_text_pii_redact", SF01).set_index("doc_id")
+    assert len(got) == len(docs)
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = re.compile(r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b")
+    ip = re.compile(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+    n_with_pii = 0
+    for r in docs.itertuples():
+        did = int(r.doc_id)
+        t = r.text
+        if did % 7 == 0:
+            t += f" contact user{did}@example.com"
+        if did % 11 == 0:
+            t += f" call 555-{did % 900 + 100}-{did % 9000 + 1000}"
+        if did % 13 == 0:
+            t += f" from 10.{did % 256}.{(did // 7) % 256}.{(did // 3) % 256}"
+        row = got.loc[did]
+        ne, np_, ni = len(email.findall(t)), len(phone.findall(t)), len(ip.findall(t))
+        assert row["n_emails"] == ne, did
+        assert row["n_phones"] == np_, did
+        assert row["n_ips"] == ni, did
+        assert row["has_pii"] == int(ne + np_ + ni > 0), did
+        red = ip.sub("|IP|", phone.sub("|PHONE|", email.sub("|EMAIL|", t)))
+        assert row["redacted"] == red, did
+        # the synthesis is the known answer: injected PII is detected
+        assert ne == (1 if did % 7 == 0 else 0), did
+        assert np_ == (1 if did % 11 == 0 else 0), did
+        assert ni == (1 if did % 13 == 0 else 0), did
+        n_with_pii += int(ne + np_ + ni > 0)
+    assert n_with_pii > 0  # the detector path is genuinely exercised
 
 
 def test_url_fuzzy_matches_python_replay():

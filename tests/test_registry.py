@@ -31,15 +31,15 @@ def test_priority_has_no_duplicates():
 # collapse; cluster gid-level CC + pointer-jumping; containment
 # shares the refactored _jaccard_group_pairs core.
 _RECERT: set[str] = {
-    # r14: the ADVICE-r13 empty-cluster guard rewrote both Lloyd
-    # oracles' centroid-update SQL (coalesce -> CASE WHEN count = 64,
-    # llm_ops.py) — fixture-identical output, but the EXECUTED oracle
-    # text changed after their latest rows (kmeans r11, semdedup
-    # r13), so per the re-cert rule (the q_stats_anova r10
-    # unchanged-output precedent) both re-cert. Both are oracle keys
-    # (rows-only exclusion does not apply).
-    "q_embed_kmeans",
-    "q_dedup_semdedup",
+    # r15: the ADVICE-r14 fixes rewrote both keys' executed PLAN and
+    # ORACLE text after their r14 rows — url_fuzzy blocks on
+    # (rdomain, stem) with a corpus-scaled stem modulus (output
+    # changes at every SF); repetition_rules' dup5..10 fractions are
+    # now interval-union character coverage (fixture output identical,
+    # executed text changed — the q_stats_anova r10 precedent). Both
+    # are oracle keys (rows-only exclusion does not apply).
+    "q_dedup_url_fuzzy",
+    "q_text_repetition_rules",
 }
 
 

@@ -35,6 +35,10 @@ ROUND_CHANGED = [
     # metric is now true character COVERAGE via interval-union sweep)
     "q_dedup_url_fuzzy",
     "q_text_repetition_rules",
+    # r15: the three new operators
+    "q_dedup_banding_sweep",
+    "q_text_pii_redact",
+    "q_dedup_cascade",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
