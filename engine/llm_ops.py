@@ -1862,85 +1862,134 @@ def q_text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus ~97/91/80 % — the crafted-fixture replay tests
     exercise the dup path, including a partial-overlap union case.
 
-    Scale: ONE n-gram explode serves all nine n values (the per-n
-    arrays concatenate before the explode, so the corpus is scanned
-    once, not nine times; char starts ride along from a linear
-    prefix-fold over the token array), then a (doc, n, gram) window
-    count, a (doc, n, dup?) lag, and a (doc, n) aggregate — every
-    shuffle key contains doc_id, so no stage outgrows a document and
-    nothing is corpus-global; no Python. Fractions are IEEE divisions
-    of identical exact int64s on both engines, bit-stable unrounded;
-    flags compare those identical doubles to the same literals."""
+    Scale: two branches, each reusing a proven-cheap primitive. TOP
+    (n = 2,3,4): one explode into a (doc, n, gram) hash aggregate
+    with map-side combine — the original gopher-family path,
+    codegen end-to-end. DUP COVERAGE (n = 5..10): a duplicated
+    n-gram CONTAINS a duplicated 5-gram at its own position, so the
+    n = 5 pass — one explode (char starts riding from a linear
+    prefix fold) into a combined count aggregate — doubles as a
+    LOSSLESS document prefilter: only docs holding a duplicated
+    5-gram enter the n = 6..10 explodes at all (the rare-anchor
+    pruning q_dedup_span uses; on clean corpora, the common case,
+    the 6..10 work is zero and AQE broadcasts the pruned doc list).
+    Grams with cnt >= 2 join back against the occurrence stream
+    (again AQE-broadcast when the dup set is small; a
+    boilerplate-heavy crawl degrades gracefully to shuffle joins),
+    then the interval-union lag runs over MATCHED occurrences only.
+    Every shuffle key contains doc_id; no corpus-global stage; no
+    Python. (r15 plan history: a window-count formulation sorted the
+    full exploded stream twice; a map-only HOF-fold formulation hit
+    Spark's interpreted-lambda path, 3x worse again; the un-anchored
+    join plan paid the full 6-n explode+agg for zero dup rows. The
+    measured numbers live in SCALING.md.) The DuckDB oracle keeps the
+    window/lag formulation of the same semantics (oracle performance
+    is irrelevant; the python char-mask replay arbitrates both).
+    Fractions are IEEE divisions of identical exact int64s on both
+    engines, bit-stable unrounded; flags compare those identical
+    doubles to the same literals."""
     d = _t(spark, sf_dir, "documents")
-    ns = sorted(list(_REP_TOP) + list(_REP_DUP))
+    # --- TOP branch (n = 2, 3, 4): explode -> combined count agg ---
+    top_arrays = ", ".join(
+        f"CASE WHEN size(w) >= {n} THEN transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> named_struct('n', {n}, 'gram', array_join(slice(w, i, {n}), ' '))) "
+        f"ELSE CAST(array() AS array<struct<n:INT,gram:STRING>>) END"
+        for n in _REP_TOP
+    )
+    gtop = (
+        d.select("doc_id", _tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(F.expr(f"flatten(array({top_arrays}))")).alias("g"))
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    ptop = (
+        gtop.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("chars", F.length("gram").cast("long"))
+        .groupBy("doc_id", "n")
+        .agg(F.max(F.col("cnt") * _REP_PACK + F.col("chars")).alias("toprank"))
+    )
+    piv_top = ptop.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == k, F.col("toprank"))).alias(f"tr{k}")
+            for k in _REP_TOP
+        ]
+    )
+    # --- DUP branch (n = 5..10): dup set joins back, union-lag ---
     # stv[i] = 1-based char offset of token i (linear prefix fold)
     starts = F.expr(
         "aggregate(w, array(CAST(1 AS BIGINT)),"
         " (acc, x) -> concat(acc, array(element_at(acc, -1) + length(x) + 1)))"
     )
-    gram_arrays = ", ".join(
-        f"CASE WHEN size(w) >= {n} THEN transform(sequence(1, size(w) - {n} + 1), "
-        f"i -> named_struct('n', {n}, 'st', element_at(stv, i), "
-        f"'gram', array_join(slice(w, i, {n}), ' '))) "
-        f"ELSE CAST(array() AS array<struct<n:INT,st:BIGINT,gram:STRING>>) END"
-        for n in ns
-    )
-    g = (
-        d.select("doc_id", _tokens(F.col("text")).alias("w"))
-        .select("doc_id", "w", starts.alias("stv"))
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"flatten(array({gram_arrays}))")).alias("g"),
+    def _dup_explode(src: DataFrame, ns_: list[int]) -> DataFrame:
+        arrays = ", ".join(
+            f"CASE WHEN size(w) >= {n} THEN transform(sequence(1, size(w) - {n} + 1), "
+            f"i -> named_struct('n', {n}, 'st', element_at(stv, i), "
+            f"'gram', array_join(slice(w, i, {n}), ' '))) "
+            f"ELSE CAST(array() AS array<struct<n:INT,st:BIGINT,gram:STRING>>) END"
+            for n in ns_
         )
-        .select(
-            "doc_id",
-            F.col("g.n").alias("n"),
-            F.col("g.st").alias("st"),
-            F.col("g.gram").alias("gram"),
+        return (
+            src.select("doc_id", _tokens(F.col("text")).alias("w"))
+            .select("doc_id", "w", starts.alias("stv"))
+            .select(
+                "doc_id", F.explode(F.expr(f"flatten(array({arrays}))")).alias("g")
+            )
+            .select(
+                "doc_id",
+                F.col("g.n").alias("n"),
+                F.col("g.st").alias("st"),
+                F.col("g.gram").alias("gram"),
+            )
+        )
+
+    anchor_n = min(_REP_DUP)
+    g5 = _dup_explode(d, [anchor_n])
+    cdup5 = (
+        g5.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "n", "gram")
+    )
+    # lossless anchor prune: a duplicated n>5-gram implies a duplicated
+    # 5-gram in the same doc, so only these docs need the 6..10 passes
+    dupdocs = cdup5.select("doc_id").distinct()
+    grest = _dup_explode(d.join(dupdocs, "doc_id"), [n for n in _REP_DUP if n != anchor_n])
+    cduprest = (
+        grest.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "n", "gram")
+    )
+    gdup = g5.unionAll(grest)
+    cdup = cdup5.unionAll(cduprest)
+    j = (
+        gdup.join(cdup, ["doc_id", "n", "gram"])
+        .withColumn("gend", F.col("st") + F.length("gram").cast("long") - 1)
+        .withColumn(
+            "lagend",
+            F.lag("gend").over(Window.partitionBy("doc_id", "n").orderBy("st")),
         )
     )
-    c = (
-        g.withColumn(
-            "cnt",
-            F.count("*").over(Window.partitionBy("doc_id", "n", "gram")),
-        )
-        .withColumn("chars", F.length("gram").cast("long"))
-        .withColumn("gend", F.col("st") + F.col("chars") - 1)
-    )
-    c2 = c.withColumn(
-        "lagend",
-        F.lag("gend").over(
-            Window.partitionBy("doc_id", "n", F.col("cnt") >= 2).orderBy("st")
-        ),
-    )
-    p = c2.groupBy("doc_id", "n").agg(
-        F.max(F.col("cnt") * _REP_PACK + F.col("chars")).alias("toprank"),
+    pdup = j.groupBy("doc_id", "n").agg(
         F.sum(
-            F.when(
-                F.col("cnt") >= 2,
-                F.col("gend")
-                - F.greatest(
-                    F.col("st") - 1, F.coalesce(F.col("lagend"), F.lit(0).cast("long"))
-                ),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("dupchars"),
+            F.col("gend")
+            - F.greatest(
+                F.col("st") - 1, F.coalesce(F.col("lagend"), F.lit(0).cast("long"))
+            )
+        ).alias("dupchars")
     )
-    piv = p.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("n") == k, F.col("toprank"))).alias(f"tr{k}")
-            for k in _REP_TOP
-        ],
+    piv_dup = pdup.groupBy("doc_id").agg(
         *[
             F.max(F.when(F.col("n") == k, F.col("dupchars"))).alias(f"dc{k}")
             for k in _REP_DUP
-        ],
+        ]
     )
     base = d.select(
         "doc_id",
         F.size(_tokens(F.col("text"))).cast("long").alias("n_words"),
         F.length("text").cast("long").alias("chars_total"),
     )
-    joined = base.join(piv, "doc_id", "left")
+    joined = base.join(piv_top, "doc_id", "left").join(piv_dup, "doc_id", "left")
     fracs: dict = {}
     for k in _REP_TOP:
         top_chars = F.expr(f"(tr{k} div {_REP_PACK}) * (tr{k} % {_REP_PACK})")
