@@ -715,6 +715,73 @@ def test_dsir_weights_conserve_and_separate(spark):
             assert means["en"] > m, (lg, means)
 
 
+def test_banding_sweep_empty_pair_corpus_spark(spark, tmp_path):
+    """Spark twin of the oracle-side empty-pair test: on a corpus with
+    no >= 0.95 pairs the sum aggregates are NULL and the n = 0 CASE
+    guard must emit NULL expected recall — NOT the NaN that a bare
+    0/0 double division would produce (the cross-engine hazard)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [16, 18, 14],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = all_queries()["q_dedup_banding_sweep"](spark, str(tmp_path)).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_pairs"] == 0
+        # None, not float('nan'): a bare 0/0 would surface as NaN here
+        assert r["exp_recall"] is None
+        assert r["exp_candidates"] is None
+
+
+def test_pii_redact_adversarial_strings_spark(spark, tmp_path):
+    """Spark twin of the oracle-side adversarial PII test: Java regex
+    vs python re on the same crafted strings (doc_ids off the 7/11/13
+    synthesis moduli, so only the crafted text carries PII)."""
+    import re as _re
+
+    import pandas as pd
+
+    texts = {
+        1: "a@b.co leads and x@y.org trails z@w.io",
+        2: "555-123-4567 starts it and version 1.2.3.4 matches by design",
+        3: "pi 3.14 no ip but 999.999.999.999 matches the naive class",
+        4: "write to user@example.com. with a trailing dot",
+        5: "clean text with no pii at all",
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 5,
+            "source": ["s0"] * 5,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in all_queries()["q_text_pii_redact"](spark, str(tmp_path)).collect()
+    }
+    email = _re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = _re.compile(r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b")
+    ip = _re.compile(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+    for did, t in texts.items():
+        r = got[did]
+        assert r["n_emails"] == len(email.findall(t)), did
+        assert r["n_phones"] == len(phone.findall(t)), did
+        assert r["n_ips"] == len(ip.findall(t)), did
+        assert r["redacted"] == ip.sub(
+            "|IP|", phone.sub("|PHONE|", email.sub("|EMAIL|", t))
+        ), did
+    assert got[1]["n_emails"] == 3 and got[5]["has_pii"] == 0
+
+
 def test_repetition_rules_spark_dup_path(spark, tmp_path):
     """The SPARK side of q_text_repetition_rules' duplicate-gram arm,
     never exercised by the fixture corpus (dup fracs honestly 0 on

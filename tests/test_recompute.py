@@ -5251,6 +5251,69 @@ def test_repetition_rules_match_python_replay():
         assert row["keep"] == int(keep), r.doc_id
 
 
+def test_banding_sweep_empty_pair_corpus_oracle():
+    """The NULL arm of q_dedup_banding_sweep's recall guard, never
+    exercised by the fixture (which has >= 0.95 pairs at every SF):
+    on a corpus with NO near-dup pairs the oracle must emit all 8
+    configs with n_pairs = 0 and NULL expected recall / candidates —
+    the exact cross-engine hazard the CASE guard exists for (Spark's
+    0/0 double is NaN, not NULL). The Spark twin lives in
+    test_llm_ops.test_banding_sweep_empty_pair_corpus_spark."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'alpha beta gamma'), (1, 'delta epsilon zeta'), "
+        "(2, 'eta theta iota')) AS t(doc_id, text)"
+    )
+    df = con.execute(all_oracles()["q_dedup_banding_sweep"]).df()
+    assert len(df) == 8
+    assert (df["n_pairs"] == 0).all()
+    assert df["exp_recall"].isna().all()
+    assert df["exp_candidates"].isna().all()
+    # analytic landmarks are corpus-independent constants
+    assert df.set_index("rows_per_band").loc[1, "bands"] == 96
+
+
+def test_pii_redact_adversarial_strings_oracle():
+    """q_text_pii_redact's regex subset on adversarial strings, oracle
+    side (RE2) vs python re — multiple matches per doc, PII at string
+    start/end, near-misses (a 4-dot decimal run, a trailing dot after
+    an email), and a version string that the documented-naive IPv4
+    pattern SHOULD match. doc_ids are chosen off the synthesis moduli
+    (7/11/13) so only the crafted strings carry PII. The Spark twin is
+    test_llm_ops.test_pii_redact_adversarial_strings_spark."""
+    texts = {
+        1: "a@b.co leads and x@y.org trails z@w.io",
+        2: "555-123-4567 starts it and version 1.2.3.4 matches by design",
+        3: "pi 3.14 no ip but 999.999.999.999 matches the naive class",
+        4: "write to user@example.com. with a trailing dot",
+        5: "clean text with no pii at all",
+    }
+    con = duckdb.connect()
+    rows = ", ".join(f"({k}, '{v}')" for k, v in texts.items())
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {rows}) AS t(doc_id, text)"
+    )
+    got = con.execute(all_oracles()["q_text_pii_redact"]).df().set_index("doc_id")
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = re.compile(r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b")
+    ip = re.compile(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+    for did, t in texts.items():
+        row = got.loc[did]
+        assert row["n_emails"] == len(email.findall(t)), did
+        assert row["n_phones"] == len(phone.findall(t)), did
+        assert row["n_ips"] == len(ip.findall(t)), did
+        red = ip.sub("|IP|", phone.sub("|PHONE|", email.sub("|EMAIL|", t)))
+        assert row["redacted"] == red, did
+    # the cases actually bite: 3 emails in doc 1; start-anchored phone;
+    # both naive-IP matches; the trailing-dot email excludes the dot
+    assert got.loc[1, "n_emails"] == 3
+    assert got.loc[2, "n_phones"] == 1 and got.loc[2, "n_ips"] == 1
+    assert got.loc[3, "n_ips"] == 1
+    assert "|EMAIL|." in got.loc[4, "redacted"]
+    assert got.loc[5, "has_pii"] == 0
+
+
 def test_repetition_rules_dup_path_on_crafted_corpus():
     """The fixture corpus has no exact 5..10-gram repeats (dup fracs
     honestly 0 everywhere), so the duplicate-gram arm of the shared
