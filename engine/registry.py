@@ -180,51 +180,14 @@ def _ensure_loaded() -> None:
 #     is batch-boundary-invariant (5.9 s → 1.9 s warm at sf0.1). Plan
 #     changed after its r02 row (displaces q_fn_string).
 _PRIORITY: list[str] = [
-    # ================= r15 window (slots 0-49) =================
-    # slots 0-2: the three r15 additions (never-graded keys lead every
-    # window — tests/test_registry.test_no_driver_window_slot_is_wasted):
-    # MinHash-LSH banding sweep + Dolma-style PII redaction + the
-    # RefinedWeb/FineWeb dedup-cascade funnel, the round's full cap
-    "q_dedup_banding_sweep", "q_text_pii_redact", "q_dedup_cascade",
-    # slots 3-4: re-certs (tests/test_registry._RECERT) — the r15
-    # ADVICE fixes rewrote both keys' executed plan AND oracle text
-    # after their r14 rows (url_fuzzy: rdomain+stem block key, corpus-
-    # scaled modulus; repetition_rules: dup coverage interval-union)
-    "q_dedup_url_fuzzy", "q_text_repetition_rules",
-    # slots 5-49: q_order_cadence (the one remaining r05-latest row)
-    # + the r06 block (44 keys, CORRECTNESS_r06 order — VERDICT r14
-    # task 2: after this window no key's latest row is older than r07)
-    "q_order_cadence",
-    # r06 rows
-
-    # (q_dedup_jaccard re-graded r09 — moved to the r09 block;
-    # q_sim_pairwise / q_dedup_ngram fronted to the r10 re-cert slots)
-    "q_sql_api", "q_fn_try",
-    "q_embed_pca", "q_graph_pagerank", "q_dedup_simhash",
-    "q_agg_count_min", "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree",
-    "q_sample_importance", "q_join_interval_overlap", "q_agg_bitmap_distinct",
-    # (q_agg_tdigest fronted to the r10 re-cert slots — the r9
-    # lerp-stable quantile read postdates its r06 row)
-    "q_win_holt", "q_stats_chisq", "q_sim_range",
-    "q_agg_skew_kurt", "q_join_asof_nearest", "q_text_readability",
-    "q_fn_datetime_extra", "q_doc_quality_model", "q_stream_topk",
-    "q_agg_argmax", "q_agg_string_agg", "q_win_rolling_ols", "q_fn_struct",
-    "q_pivot_dynamic", "q_text_collocations", "q_text_zipf",
-    "q_source_csv_roundtrip", "q_source_json_roundtrip",
-    "q_sink_partition_prune", "q_stats_changepoint", "q_udtf_arrow",
-    "q_basket_rules", "q_events_attribution", "q_stats_ks",
-    # (q_stats_anova fronted to the r10 re-cert slots — the sf0.1
-    # overflow fix postdates its r06 row)
-    "q_stats_mannwhitney", "q_quality_drift",
-    # (q_graph_components fronted to the r11 re-cert slots — the
-    # connected_components size cutover postdates its r06 row)
-    "q_win_theil_sen", "q_risk_metrics",
-    "q_seasonal_decompose", "q_graph_link_predict", "q_text_heaps",
-    "q_multimodal_frames",
-    # ================= refresh backlog (slots 50+) =================
-    # Driver-verified keys, stalest row first (r07 -> r14) so every
-    # future window is a prefix rotation. r16 window front: the r07
-    # block, filling to 50 plus re-certs for any r16 plan changes.
+    # ================= r16 window (slots 0-49) =================
+    # Window = any r16 additions (never-graded keys lead every window —
+    # tests/test_registry.test_no_driver_window_slot_is_wasted; fronted
+    # here as each lands) + the r07 block + the r08 head fill to 50 —
+    # VERDICT r15 task 1: after this window no key's latest row is
+    # older than r08. The r15 re-certs (url_fuzzy, repetition_rules)
+    # got green r15 rows and dropped to the r15 block; _RECERT is
+    # empty this round.
 
     # r07 rows (CORRECTNESS_r07.json order; q_embed_matryoshka fronted
     # to the r10 re-cert slots; q_dedup_containment re-graded r09 —
@@ -384,6 +347,31 @@ _PRIORITY: list[str] = [
     "q_agg_gini", "q_win_autocorr", "q_user_entropy",
     "q_agg_weighted_median", "q_events_heatmap", "q_dataset_card",
     "q_topk_movers",
+    # r15 rows (CORRECTNESS_r15.json order — the freshest cohort: the
+    # 3 r15 additions + the 2 ADVICE-fix re-certs + q_order_cadence +
+    # the full 44-key r06 block)
+
+    "q_dedup_banding_sweep", "q_text_pii_redact", "q_dedup_cascade",
+    "q_dedup_url_fuzzy",
+    "q_text_repetition_rules", "q_order_cadence", "q_sql_api", "q_fn_try",
+    "q_embed_pca", "q_graph_pagerank", "q_dedup_simhash", "q_agg_count_min",
+    "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree", "q_sample_importance",
+    "q_join_interval_overlap", "q_agg_bitmap_distinct", "q_win_holt",
+    "q_stats_chisq",
+    "q_sim_range", "q_agg_skew_kurt", "q_join_asof_nearest",
+    "q_text_readability",
+    "q_fn_datetime_extra", "q_doc_quality_model", "q_stream_topk",
+    "q_agg_argmax",
+    "q_agg_string_agg", "q_win_rolling_ols", "q_fn_struct", "q_pivot_dynamic",
+    "q_text_collocations", "q_text_zipf", "q_source_csv_roundtrip",
+    "q_source_json_roundtrip",
+    "q_sink_partition_prune", "q_stats_changepoint", "q_udtf_arrow",
+    "q_basket_rules",
+    "q_events_attribution", "q_stats_ks", "q_stats_mannwhitney",
+    "q_quality_drift",
+    "q_win_theil_sen", "q_risk_metrics", "q_seasonal_decompose",
+    "q_graph_link_predict",
+    "q_text_heaps", "q_multimodal_frames",
 ]
 
 

@@ -31,15 +31,12 @@ def test_priority_has_no_duplicates():
 # collapse; cluster gid-level CC + pointer-jumping; containment
 # shares the refactored _jaccard_group_pairs core.
 _RECERT: set[str] = {
-    # r15: the ADVICE-r14 fixes rewrote both keys' executed PLAN and
-    # ORACLE text after their r14 rows — url_fuzzy blocks on
-    # (rdomain, stem) with a corpus-scaled stem modulus (output
-    # changes at every SF); repetition_rules' dup5..10 fractions are
-    # now interval-union character coverage (fixture output identical,
-    # executed text changed — the q_stats_anova r10 precedent). Both
-    # are oracle keys (rows-only exclusion does not apply).
-    "q_dedup_url_fuzzy",
-    "q_text_repetition_rules",
+    # r16: empty — the r15 re-certs (q_dedup_url_fuzzy,
+    # q_text_repetition_rules) got green r15 rows and dropped to the
+    # r15 refresh block; no r16 engine change has yet touched a
+    # graded key's executed plan or oracle text. Any r16 plan change
+    # to a graded oracle key must add it here AND front it in
+    # _PRIORITY in the same commit (re-cert rule, VERDICT r10 task 5).
 }
 
 
