@@ -87,6 +87,10 @@ HEADLINE = [
     # r15 addition: the round's new heavy composite (the 45-key prefix
     # above is unchanged for comparability)
     "q_dedup_cascade",       # 4-stage survival funnel + survivor pair join (r15)
+    # r16 addition: the round's heaviest new key (the 46-key prefix
+    # above is unchanged for comparability; gopher_lines/c4_rules are
+    # map-only scan-bound keys the full warm sweep covers)
+    "q_text_ccnet_buckets",  # unigram NLL + per-lang tercile windows (r16)
 ]
 
 

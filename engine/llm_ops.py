@@ -1543,7 +1543,15 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantifier + word-boundary subset on which Java regex (Spark) and
     RE2 (DuckDB) agree match-for-match; counts are exact ints, the
     three redaction passes apply in the same order (email, phone, IP)
-    in both engines.
+    in both engines. Count semantics (ADVICE r15): n_emails/n_phones/
+    n_ips are counted PER CLASS on the ORIGINAL text, while redaction
+    is sequential — a span matching two classes (e.g. a phone-shaped
+    run inside an email local part: '-' is in the local-part class)
+    counts once per matching class but is consumed by the FIRST
+    redaction pass that covers it, so sum(counts) need not equal the
+    number of replacement tokens in `redacted`. All three engines and
+    the replay share this definition, so it is a documented semantic,
+    not a differential hazard.
 
     Scale: pure map stage over the document scan — regex count +
     replace inside whole-stage codegen, no shuffle, no Python; at
@@ -1867,8 +1875,9 @@ def q_text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine — the original gopher-family path,
     codegen end-to-end. DUP COVERAGE (n = 5..10): a duplicated
     n-gram CONTAINS a duplicated 5-gram at its own position, so the
-    n = 5 pass — one explode (char starts riding from a linear
-    prefix fold) into a combined count aggregate — doubles as a
+    n = 5 pass — one explode (char starts riding from a per-doc
+    prefix fold; cost note below) into a combined count aggregate —
+    doubles as a
     LOSSLESS document prefilter: only docs holding a duplicated
     5-gram enter the n = 6..10 explodes at all (the rare-anchor
     pruning q_dedup_span uses; on clean corpora, the common case,
@@ -1915,7 +1924,20 @@ def q_text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # --- DUP branch (n = 5..10): dup set joins back, union-lag ---
-    # stv[i] = 1-based char offset of token i (linear prefix fold)
+    # stv[i] = 1-based char offset of token i. COST (ADVICE r15): the
+    # fold concat-copies the growing accumulator once per token, so
+    # building stv is O(tokens^2) element copies per document on the
+    # interpreted-lambda path — NOT linear. Safe regime: per-doc work
+    # is ~T^2/2 bigint copies, negligible through typical web-doc
+    # lengths (T <= ~2k tokens -> <= ~2M copies/doc) and bounded on
+    # this corpus by q_text_stats' observed max (~120 tokens); a
+    # corpus of 100k-token documents (admitted by the Gopher word-
+    # count bound) would make each such doc a ~5e9-copy straggler,
+    # and the documented switch is to derive starts via posexplode +
+    # a per-doc cumulative-length window (codegen, one doc-keyed
+    # shuffle) — not swapped in here because plan swaps in this
+    # family are measurement-gated (SCALING.md r15: the interpreted-
+    # HOF-vs-shuffle tradeoff inverted once already).
     starts = F.expr(
         "aggregate(w, array(CAST(1 AS BIGINT)),"
         " (acc, x) -> concat(acc, array(element_at(acc, -1) + length(x) + 1)))"
@@ -3410,6 +3432,43 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_fuzzy_pairs(g: DataFrame) -> DataFrame:
+    """q_dedup_url_fuzzy's pair stage over a prepared (doc_id, url,
+    rdomain, stem, grams) relation: equi-join on the FULL block key —
+    registered domain AND numeric stem (ADVICE r14) — with the
+    PPJoin-style length prefilter, then the >= 0.6 trigram-Jaccard
+    cut. Extracted (r16, ADVICE r15) so the cross-domain blocking
+    claim is testable on a crafted relation: every fixture host
+    shares registered domain 'example.com', so only a crafted
+    two-domain corpus (tests/test_llm_ops.py::
+    test_url_fuzzy_pair_stage_never_crosses_registered_domains) can
+    exercise the rdomain arm of the key with data. Expressions are
+    verbatim the pre-extraction pair stage — same plan."""
+    a, b = g.alias("a"), g.alias("b")
+    sa, sb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.rdomain") == F.col("b.rdomain"))
+            & (F.col("a.stem") == F.col("b.stem"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.least(sa, sb) / F.greatest(sa, sb) >= 0.6)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+            .cast("long")
+            .alias("inter"),
+            sa.cast("long").alias("sa"),
+            sb.cast("long").alias("sb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+    return pairs.select("id_a", "id_b", jac.alias("jac")).where(F.col("jac") >= 0.6)
+
+
+
 @register(
     "q_dedup_url_fuzzy",
     oracle="""
@@ -3553,28 +3612,7 @@ def q_dedup_url_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("grams"),
         )
     )
-    a, b = g.alias("a"), g.alias("b")
-    sa, sb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.rdomain") == F.col("b.rdomain"))
-            & (F.col("a.stem") == F.col("b.stem"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(F.least(sa, sb) / F.greatest(sa, sb) >= 0.6)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-            .cast("long")
-            .alias("inter"),
-            sa.cast("long").alias("sa"),
-            sb.cast("long").alias("sb"),
-        )
-    )
-    jac = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
-    j = pairs.select("id_a", "id_b", jac.alias("jac")).where(F.col("jac") >= 0.6)
+    j = _url_fuzzy_pairs(g)
     agg = j.groupBy("id_b").agg(
         F.count("*").cast("long").alias("n_near_lower"),
         F.min(F.struct((-F.col("jac")).alias("nj"), F.col("id_a").alias("m"))).alias(
@@ -8038,4 +8076,419 @@ def q_text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("vmr"), F.asc("token"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 16: line-level published-method filters (Gopher Table A1 line
+# family, C4 heuristics) + the CCNet perplexity-bucket partitioner
+# ---------------------------------------------------------------------------
+
+# The fixture corpus is single-line (space-separated word tokens, no
+# newlines), but the Gopher line-family and C4 rules are LINE-level
+# filters — so, exactly like q_text_pii_redact synthesizes PII spans,
+# both operators below derive a deterministic multi-line VIEW of each
+# document inside the query (identical literal arithmetic in Spark and
+# DuckDB): the token stream splits into 8-word lines, and line
+# decorations (bullets, ellipses, terminal punctuation, injected
+# duplicate lines, "javascript"/"lorem ipsum"/brace markers) are pure
+# functions of (doc_id, line_index) chosen so every published rule
+# fires on a nontrivial fixture subset. The detection logic then runs
+# on the synthesized lines for real — a corpus with native newlines
+# would swap the line derivation for split(text, '\n') and keep every
+# metric expression unchanged.
+_LINE_WORDS = 8
+
+
+@register(
+    "q_text_gopher_lines",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    d0 AS (
+      SELECT doc_id, toks,
+             CAST((len(toks) + 7) // 8 AS BIGINT) AS n_lines,
+             (CASE WHEN (doc_id + 0) % (doc_id % 4 + 1) = 0
+                   THEN '- ' ELSE '' END)
+               || array_to_string(list_slice(toks, 1, 8), ' ')
+               || (CASE WHEN (doc_id * 3 + 0) % ((doc_id % 3) * 2 + 1) = 0
+                        THEN ' ...' ELSE '' END) AS line0
+      FROM s
+    ),
+    lined AS (
+      SELECT doc_id, n_lines,
+             list_transform(range(0, CAST(n_lines AS INT)), i ->
+               CASE WHEN (doc_id % 5 = 3 AND i % 3 = 2)
+                      OR (doc_id % 5 = 1 AND i % 6 = 5)
+                    THEN line0
+                    ELSE (CASE WHEN (doc_id + i) % (doc_id % 4 + 1) = 0
+                               THEN '- ' ELSE '' END)
+                         || array_to_string(
+                              list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')
+                         || (CASE WHEN (doc_id * 3 + i)
+                                       % ((doc_id % 3) * 2 + 1) = 0
+                                  THEN ' ...' ELSE '' END)
+               END) AS lines
+      FROM d0
+    ),
+    m AS (
+      SELECT doc_id, n_lines,
+             len(list_filter(lines, l -> starts_with(l, '- '))) * 1.0
+               / n_lines AS frac_bullet_lines,
+             len(list_filter(lines, l -> ends_with(l, '...'))) * 1.0
+               / n_lines AS frac_ellipsis_lines,
+             (n_lines - len(list_distinct(lines))) * 1.0 / n_lines
+               AS dup_line_frac,
+             (list_sum(list_transform(lines, l -> length(l)))
+              - list_sum(list_transform(list_distinct(lines),
+                                        l -> length(l)))) * 1.0
+               / list_sum(list_transform(lines, l -> length(l)))
+               AS dup_line_char_frac
+      FROM lined
+    )
+    SELECT doc_id, n_lines, frac_bullet_lines, frac_ellipsis_lines,
+           dup_line_frac, dup_line_char_frac,
+           CAST(frac_bullet_lines <= 0.90 AS INT) AS r_bullet,
+           CAST(frac_ellipsis_lines <= 0.30 AS INT) AS r_ellipsis,
+           CAST(dup_line_frac <= 0.30 AS INT) AS r_dup_line,
+           CAST(dup_line_char_frac <= 0.20 AS INT) AS r_dup_char,
+           CAST(frac_bullet_lines <= 0.90 AND frac_ellipsis_lines <= 0.30
+                AND dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                AS INT) AS keep
+    FROM m
+    """,
+)
+def q_text_gopher_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level Gopher quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1 — the line family left open by
+    q_text_gopher_rules' docstring): remove a document when > 90% of
+    its lines start with a bullet, when > 30% end with an ellipsis,
+    when the fraction of DUPLICATE lines exceeds 0.30, or when the
+    fraction of characters inside duplicate lines exceeds 0.20
+    (characters in every occurrence beyond the first — computed here
+    as total line chars minus distinct-line chars, which is exactly
+    that definition without any per-line grouping). Thresholds are
+    the PUBLISHED values; flags are emitted per rule plus the
+    composite keep so rejection rates are auditable per rule.
+
+    Lines are a deterministic synthesized view (module comment at
+    _LINE_WORDS): 8-word lines with bullet/ellipsis decoration and
+    duplicate-line injection driven by (doc_id, line_index) moduli,
+    so each rule genuinely fires on part of the corpus (bullet
+    modulus 1 docs read 100% bullets; ellipsis modulus 1/3 docs cross
+    the 30% line; doc_id%5 in {1,3} docs get light/heavy duplicate
+    injection). Fractions are IEEE divisions of exact integers —
+    bit-stable cross-engine unrounded (registry float policy).
+
+    Scale: a pure map stage — line synthesis and every metric are
+    array expressions per document (JVM higher-order functions,
+    constant-size accumulators — no growing-array fold, cf. the
+    ADVICE r15 q_tokenize note), no shuffle, no Python. At 100 TB
+    this is scan-bound and embarrassingly parallel; the duplicate
+    metrics stay per-document (array_distinct over <= ~70 lines), so
+    cost is linear in corpus bytes with zero exchanges."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    toks = _tokens(F.col("text"))
+    n_lines = F.floor((F.size(toks) + 7) / _LINE_WORDS).cast("int")
+    bmod = doc % 4 + 1
+    emod = (doc % 3) * 2 + 1
+
+    def dec(i):
+        base = F.array_join(F.slice(toks, i * _LINE_WORDS + 1, _LINE_WORDS), " ")
+        return F.concat(
+            F.when((doc + i) % bmod == 0, F.lit("- ")).otherwise(F.lit("")),
+            base,
+            F.when((doc * 3 + i) % emod == 0, F.lit(" ...")).otherwise(F.lit("")),
+        )
+
+    line0 = dec(F.lit(0))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.when(
+            ((doc % 5 == 3) & (i % 3 == 2)) | ((doc % 5 == 1) & (i % 6 == 5)),
+            line0,
+        ).otherwise(dec(i)),
+    )
+    s = d.select("doc_id", lines.alias("lines"))
+    nl = F.size("lines").cast("long")
+    chars = lambda col: F.aggregate(  # noqa: E731 — constant-size long fold
+        col, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    fb = F.size(F.filter("lines", lambda l: l.startswith("- "))) / nl
+    fe = F.size(F.filter("lines", lambda l: l.endswith("..."))) / nl
+    dl = (nl - F.size(F.array_distinct("lines"))) / nl
+    dc = (chars(F.col("lines")) - chars(F.array_distinct("lines"))) / chars(
+        F.col("lines")
+    )
+    r_b, r_e = fb <= 0.90, fe <= 0.30
+    r_dl, r_dc = dl <= 0.30, dc <= 0.20
+    return s.select(
+        "doc_id",
+        nl.alias("n_lines"),
+        fb.alias("frac_bullet_lines"),
+        fe.alias("frac_ellipsis_lines"),
+        dl.alias("dup_line_frac"),
+        dc.alias("dup_line_char_frac"),
+        r_b.cast("int").alias("r_bullet"),
+        r_e.cast("int").alias("r_ellipsis"),
+        r_dl.cast("int").alias("r_dup_line"),
+        r_dc.cast("int").alias("r_dup_char"),
+        (r_b & r_e & r_dl & r_dc).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "q_text_c4_rules",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             list_concat(
+               list_transform(range(0, CAST((len(toks) + 7) // 8 AS INT)),
+                 i ->
+                 (CASE WHEN (doc_id * 7 + i) % 11 = 0
+                       THEN 'javascript ' ELSE '' END)
+                 || array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8),
+                                    ' ')
+                 || (CASE WHEN (doc_id + i) % (doc_id % 3 + 2) != 0
+                          THEN '.' ELSE '' END)),
+               list_concat(
+                 CASE WHEN doc_id % 13 = 0
+                      THEN ['lorem ipsum dolor.'] ELSE [] END,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN ['function() {'] ELSE [] END)
+             ) AS lines
+      FROM s
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             list_filter(lines, l ->
+               (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+                OR ends_with(l, '"'))
+               AND len(string_split(l, ' ')) >= 5
+               AND NOT contains(l, 'javascript')) AS kept,
+             CAST(list_sum(list_transform(lines,
+                  l -> len(string_split(l, ' ')))) AS BIGINT) AS total_words,
+             CAST(len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) > 0
+                  AS INT) AS has_lorem,
+             CAST(len(list_filter(lines, l -> contains(l, '{'))) > 0
+                  AS INT) AS has_brace
+      FROM lined
+    )
+    SELECT doc_id, n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(coalesce(list_sum(list_transform(kept,
+                l -> len(string_split(l, ' ')))), 0) AS BIGINT) AS kept_words,
+           CAST(coalesce(list_sum(list_transform(kept,
+                l -> len(string_split(l, ' ')))), 0) AS DOUBLE) / total_words
+             AS retained_word_frac,
+           has_lorem, has_brace,
+           CAST(len(kept) >= 3 AND has_lorem = 0 AND has_brace = 0 AS INT)
+             AS keep
+    FROM m
+    """,
+)
+def q_text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 — the sibling of the Gopher rule set): keep only lines that
+    end in terminal punctuation (. ! ? \"), contain >= 5 words, and do
+    not contain the word "javascript"; then discard whole pages with
+    fewer than 3 retained sentences, any page containing the phrase
+    "lorem ipsum", and any page containing a curly brace (code
+    leakage). Emits per-document line counts, the retained word
+    fraction (the C4 paper's ~"removes most content from some pages"
+    audit signal), both page-level flags, and the composite keep.
+
+    Lines are the same deterministic synthesized view as
+    q_text_gopher_lines (module comment at _LINE_WORDS), decorated
+    for THIS rule set: terminal-punctuation presence varies by a
+    (doc_id % 3 + 2) modulus, "javascript " prefixes inject on an
+    11-modulus, and docs on 13/11 moduli gain a trailing
+    "lorem ipsum dolor." / "function() {" line so both page-level
+    detectors fire on real line content. Retained fraction is an IEEE
+    division of exact integer word counts — bit-stable unrounded.
+
+    Scale: pure map stage, zero shuffle, zero Python — identical
+    100 TB story to q_text_gopher_lines (scan-bound, linear, the
+    cheapest filter family a pretraining pipeline runs first)."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    toks = _tokens(F.col("text"))
+    n_base = F.floor((F.size(toks) + 7) / _LINE_WORDS).cast("int")
+    pmod = doc % 3 + 2
+    empty = F.expr("CAST(array() AS array<string>)")
+    base_lines = F.transform(
+        F.sequence(F.lit(0), n_base - 1),
+        lambda i: F.concat(
+            F.when((doc * 7 + i) % 11 == 0, F.lit("javascript ")).otherwise(
+                F.lit("")
+            ),
+            F.array_join(F.slice(toks, i * _LINE_WORDS + 1, _LINE_WORDS), " "),
+            F.when((doc + i) % pmod != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lines = F.concat(
+        base_lines,
+        F.when(doc % 13 == 0, F.array(F.lit("lorem ipsum dolor."))).otherwise(
+            empty
+        ),
+        F.when(doc % 11 == 0, F.array(F.lit("function() {"))).otherwise(empty),
+    )
+    s = d.select("doc_id", lines.alias("lines"))
+    words = lambda l: F.size(F.split(l, " "))  # noqa: E731
+    wsum = lambda col: F.aggregate(  # noqa: E731 — constant-size long fold
+        col, F.lit(0).cast("long"), lambda a, x: a + words(x).cast("long")
+    )
+    kept = F.filter(
+        "lines",
+        lambda l: (
+            l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"')
+        )
+        & (words(l) >= 5)
+        & ~l.contains("javascript"),
+    )
+    has_lorem = F.exists("lines", lambda l: l.contains("lorem ipsum")).cast("int")
+    has_brace = F.exists("lines", lambda l: l.contains("{")).cast("int")
+    m = s.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        wsum(kept).alias("kept_words"),
+        (wsum(kept).cast("double") / wsum(F.col("lines"))).alias(
+            "retained_word_frac"
+        ),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    )
+    return m.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "kept_words",
+        "retained_word_frac",
+        "has_lorem",
+        "has_brace",
+        (
+            (F.col("n_kept_lines") >= 3)
+            & (F.col("has_lorem") == 0)
+            & (F.col("has_brace") == 0)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+@register(
+    "q_text_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000000) AS BIGINT)
+               AS qlogp
+      FROM toks JOIN freq USING (w), tot
+    ),
+    docnll AS (
+      SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             -CAST(sum(qlogp) AS DOUBLE) / 1000000000 / count(*) AS nll
+      FROM scored GROUP BY doc_id, lang
+    ),
+    b AS (
+      SELECT doc_id, lang, n_tokens, nll,
+             ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id)
+               AS bucket_id
+      FROM docnll
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(nll, 4) AS nll_per_token,
+           CAST(bucket_id AS BIGINT) AS bucket_id,
+           CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           round(max(nll) OVER (PARTITION BY lang, bucket_id), 4)
+             AS bucket_ceiling_nll
+    FROM b
+    """,
+)
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity partitioner (Wenzek et al.
+    2020, arXiv:1911.00359 §4.4): per language, score each document
+    with a language-model perplexity proxy and split the corpus into
+    three equal-population quality buckets — "head" (lowest
+    perplexity, most fluent), "middle", "tail" — the partitioning
+    CCNet publishes so downstream pretraining can sample buckets at
+    different rates. Composes q_text_perplexity's verified unigram-NLL
+    machinery (its quantized-log fold: per-doc sums of
+    round(ln p * 1e9) bigints are exact in any aggregation order —
+    registry float policy) with a per-language tercile assignment.
+
+    Tercile = ntile(3) over (lang, ORDER BY nll, doc_id): rank-based,
+    deterministic, and identical SQL-standard semantics in both
+    engines — unlike interpolated percentile thresholds, which
+    diverge in float interpolation. The ordering key is the SAME
+    IEEE double (-sum(qlogp)/1e9/n_tokens, identical operation order
+    both engines), tie-broken by doc_id. bucket_ceiling_nll (the max
+    NLL inside each (lang, bucket)) is the empirical threshold the
+    assignment implies — CCNet's published per-language cutoffs.
+
+    Scale: one vocabulary-bounded hash agg + the token->probability
+    join (AQE broadcast below ~1e8 types) + one doc_id agg — all
+    q_text_perplexity's plan — then a per-language window. At 100 TB
+    the per-language sort is the scale limit; the CCNet-faithful
+    production path computes the two thresholds per language on a
+    small SAMPLE and map-assigns buckets by comparison (zero extra
+    shuffle), trading exact terciles for approximate ones. Here the
+    exact rank-based tercile keeps the output deterministic for the
+    differential gate; the threshold columns are what a sample-based
+    assignment would broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("w"),
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("long").alias("n"))
+    qlogp = F.round(
+        F.log(F.col("c").cast("double") / F.col("n")) * 1_000_000_000
+    ).cast("long")
+    # No forced broadcast on freq (web-scale vocabulary — the
+    # q_text_perplexity rationale); the 1-row total is always one.
+    scored = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", qlogp.alias("qlogp"))
+    )
+    docnll = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (-F.sum("qlogp").cast("double") / 1_000_000_000 / F.count("*")).alias(
+            "nll"
+        ),
+    )
+    w_rank = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    b = docnll.withColumn("bucket_id", F.ntile(3).over(w_rank).cast("long"))
+    w_bucket = Window.partitionBy("lang", "bucket_id")
+    return b.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("nll", 4).alias("nll_per_token"),
+        "bucket_id",
+        F.when(F.col("bucket_id") == 1, "head")
+        .when(F.col("bucket_id") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        F.round(F.max("nll").over(w_bucket), 4).alias("bucket_ceiling_nll"),
     )

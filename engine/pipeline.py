@@ -876,7 +876,16 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-global) feeding boolean columns, so no stage re-reads the
     corpus; the near-dup branch rides :func:`_jaccard_set_pairs`
     (group-then-PPJoin, sub-quadratic) over survivors only, and joins
-    back as a left-anti flag. The funnel itself is one explode of a
+    back as a left-anti flag. Differential-check caveat (ADVICE r15):
+    that shared machinery inherits q_dedup_jaccard's documented
+    exact/approx cutover — past ``SPARK_GRAFT_ANN_CUTOVER`` unique
+    sets (or under ``SPARK_GRAFT_ANN_MODE=approx``) candidate
+    generation switches to MinHash banding and can miss band-missed
+    pairs, while the DuckDB oracle stays exact brute force, so the
+    near-dup stage's n_docs/n_tokens/pct_docs rows are
+    oracle-comparable only on the
+    default exact path (the knob-unset gate tools/check.py enforces
+    for grading runs). The funnel itself is one explode of a
     <=5-element struct array per doc into a (stage, source) hash agg —
     map-side combinable; pct divides inside a |sources|-partition
     window over the <=5x|sources|-row aggregate."""

@@ -181,13 +181,21 @@ def _ensure_loaded() -> None:
 #     changed after its r02 row (displaces q_fn_string).
 _PRIORITY: list[str] = [
     # ================= r16 window (slots 0-49) =================
-    # Window = any r16 additions (never-graded keys lead every window —
-    # tests/test_registry.test_no_driver_window_slot_is_wasted; fronted
-    # here as each lands) + the r07 block + the r08 head fill to 50 —
-    # VERDICT r15 task 1: after this window no key's latest row is
-    # older than r08. The r15 re-certs (url_fuzzy, repetition_rules)
-    # got green r15 rows and dropped to the r15 block; _RECERT is
-    # empty this round.
+    # slots 0-2: the three r16 additions (never-graded keys lead every
+    # window — tests/test_registry.test_no_driver_window_slot_is_wasted):
+    # Gopher Table A1 line-family rules + C4 cleaning heuristics + the
+    # CCNet perplexity-bucket partitioner, the round's full 0-3 cap
+    # (VERDICT r15 task 3)
+    "q_text_gopher_lines", "q_text_c4_rules", "q_text_ccnet_buckets",
+    # slot 3: re-cert (tests/test_registry._RECERT) — the ADVICE-r15
+    # pair-stage extraction (_url_fuzzy_pairs, enabling the crafted
+    # two-domain block-key test) is a verbatim-expression refactor
+    # with an identical plan, but the executed code path changed
+    # after the key's r15 row — the r12 CC-trio precedent applies
+    "q_dedup_url_fuzzy",
+    # slots 4-49: the full 46-key r07 block — VERDICT r15 task 1:
+    # after this window no key's latest row is older than r08
+    # (q_abc_xyz, the r08 head, slides back to the backlog fill).
 
     # r07 rows (CORRECTNESS_r07.json order; q_embed_matryoshka fronted
     # to the r10 re-cert slots; q_dedup_containment re-graded r09 —
@@ -349,10 +357,10 @@ _PRIORITY: list[str] = [
     "q_topk_movers",
     # r15 rows (CORRECTNESS_r15.json order — the freshest cohort: the
     # 3 r15 additions + the 2 ADVICE-fix re-certs + q_order_cadence +
-    # the full 44-key r06 block)
+    # the full 44-key r06 block; q_dedup_url_fuzzy fronted to the r16
+    # re-cert slot — the pair-stage extraction postdates its r15 row)
 
     "q_dedup_banding_sweep", "q_text_pii_redact", "q_dedup_cascade",
-    "q_dedup_url_fuzzy",
     "q_text_repetition_rules", "q_order_cadence", "q_sql_api", "q_fn_try",
     "q_embed_pca", "q_graph_pagerank", "q_dedup_simhash", "q_agg_count_min",
     "q_eval_ndcg", "q_eval_pr_at_k", "q_graph_degree", "q_sample_importance",

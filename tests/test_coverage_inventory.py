@@ -259,6 +259,10 @@ _COVERED = {
     "q_dedup_banding_sweep": "recompute: test_recompute.py",
     "q_text_pii_redact": "recompute: test_recompute.py",
     "q_dedup_cascade": "recompute: test_recompute.py",
+    # r16 additions
+    "q_text_gopher_lines": "recompute: test_recompute.py",
+    "q_text_c4_rules": "recompute: test_recompute.py",
+    "q_text_ccnet_buckets": "recompute: test_recompute.py",
     "q_tokenize": "recompute: test_recompute.py",
     "q_multimodal_struct": "recompute: test_recompute.py",
     "q_multimodal_binary": "contract: test_llm_ops.py",

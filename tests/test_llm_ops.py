@@ -828,3 +828,44 @@ def test_repetition_rules_spark_dup_path(spark, tmp_path):
     assert rows[1]["top3_frac"] == 5 / 23 and rows[1]["r_top3"] == 0
     assert all(rows[1][f"r_dup{n}"] == 1 for n in range(5, 11))
     assert rows[1]["keep"] == 0
+
+
+def test_url_fuzzy_pair_stage_never_crosses_registered_domains(spark):
+    """ADVICE r15: the rdomain arm of q_dedup_url_fuzzy's block key is
+    a no-op on every fixture corpus (all three synthesized hosts share
+    registered domain 'example.com'), so the ADVICE-r14 claim — that
+    off-fixture corpora where DIFFERENT registered domains share a
+    stem value still get domain-bounded blocks — was never exercised
+    by data. Feed the extracted pair stage (engine._url_fuzzy_pairs,
+    verbatim the registered query's join) a crafted relation with two
+    registered domains sharing stem '7' and IDENTICAL paths (trigram
+    Jaccard 1.0 — any cross-domain pair would certainly clear the 0.6
+    cut if the block key ignored domains) and assert the pair output
+    stays within each domain."""
+    from engine.llm_ops import _url_fuzzy_pairs
+
+    def grams(path: str) -> list[str]:
+        return sorted({path[i:i + 3] for i in range(len(path) - 2)})
+
+    p = "/article/item-7"
+    rows = [
+        # two docs on alpha.com, same stem, near-identical paths
+        (0, "www.alpha.com" + p, "alpha.com", "7", grams(p)),
+        (1, "cdn.alpha.com" + p + "/", "alpha.com", "7", grams(p + "/")),
+        # two docs on beta.org with the SAME stem and the SAME path —
+        # maximally similar to the alpha docs across the domain line
+        (2, "www.beta.org" + p, "beta.org", "7", grams(p)),
+        (3, "mirror.beta.org" + p + "/", "beta.org", "7", grams(p + "/")),
+    ]
+    g = spark.createDataFrame(
+        rows, "doc_id long, url string, rdomain string, stem string, grams array<string>"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jac"] for r in _url_fuzzy_pairs(g).collect()}
+    dom = {0: "alpha.com", 1: "alpha.com", 2: "beta.org", 3: "beta.org"}
+    assert pairs, "same-domain near-dup pairs must be found"
+    assert all(dom[a] == dom[b] for a, b in pairs), pairs
+    # both within-domain pairs clear the 0.6 cut (identical-plus-slash
+    # paths), proving the cross-domain absence is the BLOCK KEY, not
+    # the similarity cut
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert all(j >= 0.6 for j in pairs.values())

@@ -78,6 +78,9 @@ _SINGLE_PARTITION_OK: dict[str, str] = {
     "q_rolling_active_users": "1-row max-day bound clipping the explode",
     "q_benford": "1-row total over the 9-digit count table",
     "q_text_perplexity": "1-row corpus-token total scaling the log-probs",
+    "q_text_ccnet_buckets":
+        "same 1-row corpus-token total fold as q_text_perplexity, whose "
+        "NLL machinery it composes",
     "q_doc_dsir": "1-row (tt, tr) smoothing-total fold over the 1024-bucket table",
     "q_doc_domain_mixture":
         "1-row corpus totals + max-logit + softmax-normalizer folds; every "
@@ -230,6 +233,9 @@ _CROSS_OK: dict[str, str] = {
     "q_benford": "1-row total folds into the 9-row digit table",
     "q_text_perplexity":
         "1-row corpus-token total folds into each token's probability",
+    "q_text_ccnet_buckets":
+        "same 1-row corpus-token total fold as q_text_perplexity, whose "
+        "NLL machinery it composes",
     "q_doc_dsir":
         "1-row (target, raw) smoothing totals fold into each bigram "
         "occurrence's quantized log terms",

@@ -5634,3 +5634,172 @@ def test_url_fuzzy_matches_python_replay():
             assert abs(row["best_jaccard"] - bj) <= 5.1e-5, did
         else:
             assert pd.isna(row["best_match_id"]), did
+
+
+def _r16_lines_gopher(d: int, toks: list[str]) -> list[str]:
+    """The q_text_gopher_lines deterministic line synthesis (8-word
+    lines, modulus-driven bullet/ellipsis decoration, duplicate-line
+    injection) re-derived in pure python."""
+    nl = (len(toks) + 7) // 8
+
+    def dec(i: int) -> str:
+        b = "- " if (d + i) % (d % 4 + 1) == 0 else ""
+        e = " ..." if (d * 3 + i) % ((d % 3) * 2 + 1) == 0 else ""
+        return b + " ".join(toks[i * 8:i * 8 + 8]) + e
+
+    line0 = dec(0)
+    return [
+        line0
+        if ((d % 5 == 3 and i % 3 == 2) or (d % 5 == 1 and i % 6 == 5))
+        else dec(i)
+        for i in range(nl)
+    ]
+
+
+def test_gopher_lines_matches_python_replay():
+    """q_text_gopher_lines: the Gopher Table A1 LINE-family metrics
+    (Rae et al. 2021 — bullet-start fraction, ellipsis-end fraction,
+    duplicate-line fraction, duplicate-line character fraction) and
+    published-threshold flags re-derived in pure python from the raw
+    documents fixture, line synthesis included."""
+    got = _oracle("q_text_gopher_lines").set_index("doc_id")
+    docs = _docs()
+    assert len(got) == len(docs)
+    fails = {k: 0 for k in ("r_bullet", "r_ellipsis", "r_dup_line", "r_dup_char")}
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        lines = _r16_lines_gopher(d, r.text.split(" "))
+        nl = len(lines)
+        fb = sum(1 for l in lines if l.startswith("- ")) / nl
+        fe = sum(1 for l in lines if l.endswith("...")) / nl
+        distinct = set(lines)
+        dl = (nl - len(distinct)) / nl
+        ca = sum(len(l) for l in lines)
+        dc = (ca - sum(len(l) for l in distinct)) / ca
+        rules = [fb <= 0.90, fe <= 0.30, dl <= 0.30, dc <= 0.20]
+        row = got.loc[d]
+        assert row["n_lines"] == nl
+        assert abs(row["frac_bullet_lines"] - fb) < 1e-12
+        assert abs(row["frac_ellipsis_lines"] - fe) < 1e-12
+        assert abs(row["dup_line_frac"] - dl) < 1e-12
+        assert abs(row["dup_line_char_frac"] - dc) < 1e-12
+        flags = [row["r_bullet"], row["r_ellipsis"], row["r_dup_line"],
+                 row["r_dup_char"]]
+        assert flags == [int(x) for x in rules]
+        assert row["keep"] == int(all(rules))
+        for k, ok in zip(fails, rules):
+            fails[k] += int(not ok)
+    # every published rule must fire on a nontrivial fixture subset —
+    # a rule that never rejects is untested synthesis, not coverage
+    assert all(v > 0 for v in fails.values()), fails
+
+
+def test_c4_rules_matches_python_replay():
+    """q_text_c4_rules: the C4 cleaning heuristics (Raffel et al. 2020
+    §2.2 — terminal-punctuation/5-word/javascript line filter, lorem
+    ipsum + curly-brace page removal, >= 3 retained sentences)
+    re-derived in pure python from the raw fixture, line synthesis
+    included."""
+    got = _oracle("q_text_c4_rules").set_index("doc_id")
+    docs = _docs()
+    assert len(got) == len(docs)
+    seen = {"lorem": 0, "brace": 0, "short": 0}
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        toks = r.text.split(" ")
+        lines = []
+        for i in range((len(toks) + 7) // 8):
+            p = "javascript " if (d * 7 + i) % 11 == 0 else ""
+            t = "." if (d + i) % (d % 3 + 2) != 0 else ""
+            lines.append(p + " ".join(toks[i * 8:i * 8 + 8]) + t)
+        if d % 13 == 0:
+            lines.append("lorem ipsum dolor.")
+        if d % 11 == 0:
+            lines.append("function() {")
+        kept = [
+            l for l in lines
+            if l.endswith((".", "!", "?", '"'))
+            and len(l.split(" ")) >= 5
+            and "javascript" not in l
+        ]
+        total_w = sum(len(l.split(" ")) for l in lines)
+        kept_w = sum(len(l.split(" ")) for l in kept)
+        has_lorem = int(any("lorem ipsum" in l for l in lines))
+        has_brace = int(any("{" in l for l in lines))
+        keep = int(len(kept) >= 3 and not has_lorem and not has_brace)
+        row = got.loc[d]
+        assert row["n_lines"] == len(lines)
+        assert row["n_kept_lines"] == len(kept)
+        assert row["kept_words"] == kept_w
+        assert abs(row["retained_word_frac"] - kept_w / total_w) < 1e-12
+        assert row["has_lorem"] == has_lorem
+        assert row["has_brace"] == has_brace
+        assert row["keep"] == keep
+        seen["lorem"] += has_lorem
+        seen["brace"] += has_brace
+        seen["short"] += int(len(kept) < 3)
+    assert all(v > 0 for v in seen.values()), seen
+
+
+def test_ccnet_buckets_matches_python_replay():
+    """q_text_ccnet_buckets: CCNet head/middle/tail partitioning
+    (Wenzek et al. 2020 §4.4) re-derived in pure python — corpus
+    unigram LM, quantized-ln per-doc NLL fold, per-language ntile(3)
+    with SQL-standard bucket sizing, per-bucket ceiling — from the
+    raw documents fixture."""
+    docs = _docs()
+    tok_of = {
+        int(r.doc_id): re.findall("[a-z]+", r.text.lower())
+        for r in docs.itertuples()
+    }
+    lang_of = {int(r.doc_id): r.lang for r in docs.itertuples()}
+    freq: dict[str, int] = {}
+    for ts in tok_of.values():
+        for w in ts:
+            freq[w] = freq.get(w, 0) + 1
+    n = sum(freq.values())
+    qlp = {
+        w: int(_round_half_away(math.log(c / n) * 1_000_000_000))
+        for w, c in freq.items()
+    }
+    nll = {
+        d: -sum(qlp[w] for w in ts) / 1_000_000_000 / len(ts)
+        for d, ts in tok_of.items()
+    }
+    # SQL-standard ntile(3): first (count % 3) buckets get one extra row
+    bucket: dict[int, int] = {}
+    ceiling: dict[tuple[str, int], float] = {}
+    for lg in sorted(set(lang_of.values())):
+        members = sorted(
+            [d for d in tok_of if lang_of[d] == lg],
+            key=lambda d: (nll[d], d),
+        )
+        cnt = len(members)
+        base, rem = divmod(cnt, 3)
+        sizes = [base + 1] * rem + [base] * (3 - rem)
+        pos = 0
+        for b, sz in enumerate(sizes, start=1):
+            for d in members[pos:pos + sz]:
+                bucket[d] = b
+                ceiling[(lg, b)] = max(
+                    ceiling.get((lg, b), float("-inf")), nll[d]
+                )
+            pos += sz
+    got = _oracle("q_text_ccnet_buckets").set_index("doc_id")
+    assert len(got) == len(tok_of)
+    names = {1: "head", 2: "middle", 3: "tail"}
+    for d, ts in tok_of.items():
+        row = got.loc[d]
+        assert row["lang"] == lang_of[d]
+        assert row["n_tokens"] == len(ts)
+        assert abs(row["nll_per_token"] - nll[d]) < 5.1e-5, d
+        assert row["bucket_id"] == bucket[d], d
+        assert row["bucket"] == names[bucket[d]], d
+        assert abs(
+            row["bucket_ceiling_nll"] - ceiling[(lang_of[d], bucket[d])]
+        ) < 5.1e-5, d
+    # heads must sit at or below their language's middle/tail ceilings
+    for lg in set(lang_of.values()):
+        assert (
+            ceiling[(lg, 1)] <= ceiling[(lg, 2)] <= ceiling[(lg, 3)]
+        ), lg

@@ -31,12 +31,13 @@ def test_priority_has_no_duplicates():
 # collapse; cluster gid-level CC + pointer-jumping; containment
 # shares the refactored _jaccard_group_pairs core.
 _RECERT: set[str] = {
-    # r16: empty — the r15 re-certs (q_dedup_url_fuzzy,
-    # q_text_repetition_rules) got green r15 rows and dropped to the
-    # r15 refresh block; no r16 engine change has yet touched a
-    # graded key's executed plan or oracle text. Any r16 plan change
-    # to a graded oracle key must add it here AND front it in
-    # _PRIORITY in the same commit (re-cert rule, VERDICT r10 task 5).
+    # r16: the ADVICE-r15 pair-stage extraction (_url_fuzzy_pairs —
+    # verbatim expressions, identical plan, enabling the crafted
+    # two-domain block-key test) changed the key's executed code path
+    # after its green r15 row; the r12 CC-trio precedent (unchanged
+    # outputs, changed path -> re-cert) applies. Oracle key, so the
+    # rows-only exclusion does not.
+    "q_dedup_url_fuzzy",
 }
 
 

@@ -27,18 +27,17 @@ from tools.check import (  # noqa: E402
 # vanilla-session differential before the exit seal. Maintained by the
 # round builder; reset at round start.
 ROUND_CHANGED = [
-    # (reset at r15 start; every key added or plan-rewritten this
+    # (reset at r16 start; every key added or plan-rewritten this
     # round must be listed here and pass the vanilla-session
     # differential before the exit seal)
-    # r15 ADVICE fixes: url_fuzzy (block key now rdomain+stem, stem
-    # modulus corpus-scaled, gram guard) and repetition_rules (dup
-    # metric is now true character COVERAGE via interval-union sweep)
+    # r16: the three new operators (line-level Gopher rules, C4
+    # heuristics, CCNet perplexity buckets)
+    "q_text_gopher_lines",
+    "q_text_c4_rules",
+    "q_text_ccnet_buckets",
+    # r16 ADVICE fix: pair-stage extraction (verbatim expressions,
+    # identical plan) for the crafted two-domain block-key test
     "q_dedup_url_fuzzy",
-    "q_text_repetition_rules",
-    # r15: the three new operators
-    "q_dedup_banding_sweep",
-    "q_text_pii_redact",
-    "q_dedup_cascade",
 ]
 
 # ADVICE r8 (low): a grading/sealing session must run the DEFAULT
