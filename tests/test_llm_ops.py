@@ -869,3 +869,144 @@ def test_url_fuzzy_pair_stage_never_crosses_registered_domains(spark):
     # the similarity cut
     assert (0, 1) in pairs and (2, 3) in pairs
     assert all(j >= 0.6 for j in pairs.values())
+
+
+def _crafted_docs_parquet(tmp_path, rows):
+    """Write a minimal documents.parquet (full fixture schema) and
+    return (sf_dir, duckdb connection with the `documents` view)."""
+    import duckdb
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": ["s0"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    return str(tmp_path), con
+
+
+def _rows_by_doc(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_c4_rules_nondot_terminal_punct_arms(spark, tmp_path):
+    """The fixture synthesis only ever appends '.', so the '!', '?',
+    and '\"' arms of C4's terminal-punctuation disjunction are DEAD on
+    every fixture corpus in both engines. Craft docs whose final token
+    carries the punctuation itself, positioned on a line where the
+    punct modulus appends nothing, and check the full Spark/DuckDB
+    differential plus hand arithmetic for each arm."""
+    from engine.registry import all_oracles, all_queries
+
+    w = [f"w{i:02d}" for i in range(23)]
+    rows = [
+        # doc 1 (pmod 3; no '.' on line 2; no js in 3 lines):
+        # last token 'wow!' ends line 2 -> the '!' arm keeps it
+        (1, " ".join(w + ["wow!"]), "en"),
+        # doc 2 (pmod 4; no '.' on line 2): '?' arm
+        (2, " ".join(w + ["why?"]), "en"),
+        # doc 4 (pmod 3; no '.' on line 2): '"' arm
+        (4, " ".join(w + ['quote"']), "en"),
+        # doc 12 (pmod 2: even lines get NO '.'; js injects on line 4
+        # via (84+i)%11==0): 5 lines, only lines 1 and 3 survive ->
+        # n_kept = 2 < 3 sentences -> page rejected with no
+        # lorem/brace involvement
+        (12, " ".join(f"v{i:02d}" for i in range(40)), "en"),
+    ]
+    sf, con = _crafted_docs_parquet(tmp_path, rows)
+    got = _rows_by_doc(all_queries()["q_text_c4_rules"](spark, sf))
+    ora = {
+        int(r["doc_id"]): dict(r)
+        for _, r in con.execute(all_oracles()["q_text_c4_rules"])
+        .df()
+        .iterrows()
+    }
+    assert set(got) == set(ora) == {1, 2, 4, 12}
+    for d in got:
+        for c, v in got[d].items():
+            o = ora[d][c]
+            assert (abs(v - o) < 1e-12) if isinstance(v, float) else v == o, (
+                d, c, v, o)
+    for d in (1, 2, 4):  # each non-dot arm keeps its line 2
+        assert got[d]["n_lines"] == 3 and got[d]["n_kept_lines"] == 3
+        assert got[d]["retained_word_frac"] == 1.0
+        assert got[d]["keep"] == 1
+    assert got[12]["n_lines"] == 5 and got[12]["n_kept_lines"] == 2
+    assert got[12]["kept_words"] == 16
+    # line 4 carries the injected 'javascript' token -> 41 total words
+    assert abs(got[12]["retained_word_frac"] - 16 / 41) < 1e-12
+    assert got[12]["has_lorem"] == 0 and got[12]["has_brace"] == 0
+    assert got[12]["keep"] == 0  # < 3 sentences, the C4 page rule
+
+
+def test_gopher_lines_single_line_doc(spark, tmp_path):
+    """A document shorter than one 8-word line collapses every
+    line-level metric to its 0/1 extreme and makes the duplicate
+    injection (i >= 2) unreachable — the boundary the fixture never
+    hits (every fixture doc has >= 2 lines). Differential + hand
+    arithmetic on the heavy-dup-arm doc_id (3 % 5 == 3) to prove the
+    injection is a no-op at one line."""
+    from engine.registry import all_oracles, all_queries
+
+    # doc 3: bmod 4 -> (3+0)%4 != 0, no bullet; emod 1 -> ellipsis
+    # always -> frac_ellipsis 1.0 fails the 0.30 rule
+    rows = [(3, "only five words right here", "en")]
+    sf, con = _crafted_docs_parquet(tmp_path, rows)
+    got = _rows_by_doc(all_queries()["q_text_gopher_lines"](spark, sf))[3]
+    ora = con.execute(all_oracles()["q_text_gopher_lines"]).df().iloc[0]
+    for c, v in got.items():
+        o = ora[c]
+        assert (abs(v - o) < 1e-12) if isinstance(v, float) else v == o, (c, v, o)
+    assert got["n_lines"] == 1
+    assert got["frac_bullet_lines"] == 0.0
+    assert got["frac_ellipsis_lines"] == 1.0 and got["r_ellipsis"] == 0
+    assert got["dup_line_frac"] == 0.0 and got["dup_line_char_frac"] == 0.0
+    assert got["keep"] == 0
+
+
+def test_ccnet_buckets_small_language_and_letterless_doc(spark, tmp_path):
+    """Two fixture-dead paths of q_text_ccnet_buckets: (a) a language
+    with fewer documents than buckets — ntile(3) over 2 rows assigns
+    buckets 1 and 2 only, so the language honestly has NO 'tail' in
+    both engines (SQL-standard ntile sizing); (b) a document with no
+    [a-z] tokens vanishes from the output entirely (inner join against
+    the token stream) — pinned here so the drop is a documented
+    cross-engine semantic, not an accident."""
+    from engine.registry import all_oracles, all_queries
+
+    rows = [
+        (0, "alpha beta gamma alpha", "en"),
+        (1, "alpha alpha beta beta", "en"),
+        (2, "gamma delta alpha beta", "en"),
+        (3, "delta delta delta alpha", "en"),
+        (4, "rare words here", "xx"),
+        (5, "alpha common words", "xx"),
+        (6, "123 456 789", "xx"),  # letterless -> dropped
+    ]
+    sf, con = _crafted_docs_parquet(tmp_path, rows)
+    got = _rows_by_doc(all_queries()["q_text_ccnet_buckets"](spark, sf))
+    ora = {
+        int(r["doc_id"]): dict(r)
+        for _, r in con.execute(all_oracles()["q_text_ccnet_buckets"])
+        .df()
+        .iterrows()
+    }
+    assert set(got) == set(ora) == {0, 1, 2, 3, 4, 5}  # doc 6 dropped
+    for d in got:
+        for c, v in got[d].items():
+            o = ora[d][c]
+            assert (abs(v - o) < 1e-12) if isinstance(v, float) else v == o, (
+                d, c, v, o)
+    xx = {got[d]["bucket"] for d in (4, 5)}
+    assert xx == {"head", "middle"}, xx  # no tail for a 2-doc language
+    en = [got[d]["bucket"] for d in (0, 1, 2, 3)]
+    assert sorted(en).count("head") == 2  # ntile: first bucket gets the extra
