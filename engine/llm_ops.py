@@ -766,10 +766,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup: within each label block, any
     vector whose cosine to a lower-id vector exceeds 0.35 is dropped.
-    Blocked pairwise join (equi on label) + dot product expression."""
+    Blocked pairwise join (equi on label) + dot product expression.
+
+    r16 optimization (guide §2.3/§4 — per-pair work): norms are
+    precomputed ONCE per vector before the join instead of re-folded
+    per PAIR (the O(|pairs|·d) trap q_embed_knn fixed in r5 — pairs
+    outnumber vectors ~100×, so the pairwise stage ran 3 d-wide folds
+    where 1 suffices), and the q_sim_pairwise lossless projection
+    prune rides the join: for the 0.35 threshold,
+    cos(a,b) > 0.35 ⟹ |â₁ − b̂₁| ≤ sqrt(2 − 2·0.35) ≈ 1.140176, so
+    pairs outside the bound skip the dot fold entirely. Both changes
+    are value-identical: the norm column is the same expression on
+    the same vector (bit-equal), and the prune only removes pairs
+    that cannot pass the cosine filter (same constant q_sim_pairwise
+    has shipped hash-green since r5). Measured interleaved best-of-3
+    at sf0.1 (one warmed session, old/new alternating so host drift
+    cancels): 7.37 → 4.08 s over 199,666 pairs."""
     e = _t(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e2 = e.select("vec_id", "label", as_double.alias("emb"))
+    norm_of = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("emb"), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x
+        )
+    )
+    e2 = (
+        e.select("vec_id", "label", as_double.alias("emb"))
+        .withColumn("nrm", norm_of)
+        .withColumn("u1", F.element_at("emb", 1) / F.col("nrm"))
+    )
     a = e2.alias("a")
     b = e2.alias("b")
     dot = F.aggregate(
@@ -777,14 +801,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(f"{side}.emb"), lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x
-        )
-    )
-    cos = dot / (norm("a") * norm("b"))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(F.abs(F.col("a.u1") - F.col("b.u1")) <= F.lit(1.140176))
         .filter(cos > 0.35)
         .select(F.col("b.vec_id").alias("dropped_id"))
         .distinct()
@@ -7021,14 +7041,37 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.select("vec_id", as_double.alias("emb")).localCheckpoint(eager=True)
     qv = ed.filter(F.col("vec_id") == 0).head()["emb"]
 
+    # r16 optimization (guide §2.6 + §1.2 "per-task work"): the 4
+    # sub-space codebooks are INDEPENDENT given `ed` — each fit reads
+    # only its own 16-dim slice — but the old loop fit model m on the
+    # ACCUMULATED `coded` (ed + m prior predictUDF transforms), so
+    # every later fit re-evaluated every earlier model's transform on
+    # every Lloyd pass, and the 4 fits (each ~a dozen small jobs)
+    # serialized on the driver. Fitting all 4 on `ed` directly is
+    # model-identical (KMeans reads only featuresCol; same rows, same
+    # partitioning, same seed ⇒ same kmeans|| samples ⇒ same
+    # centroids), and a 4-thread pool overlaps their job tails on the
+    # idle executor slots (jobs are independent; FIFO back-fill —
+    # guide §2.6). Encoding then chains the 4 transforms once.
+    # Measured interleaved best-of-3 at sf0.1: 6.34 → 2.75 s, output
+    # verified row-identical in the same session.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_one(m: int):
+        sl = F.slice(F.col("emb"), 1 + m * sub, sub)
+        return KMeans(k=K, seed=7 + m, maxIter=10, featuresCol="_f").fit(
+            ed.withColumn("_f", array_to_vector(sl))
+        )
+
+    with ThreadPoolExecutor(max_workers=M) as pool:
+        models = list(pool.map(_fit_one, range(M)))
+
     coded = ed
     tables = []
-    for m in range(M):
+    for m, model in enumerate(models):
         sl = F.slice(F.col("emb"), 1 + m * sub, sub)
-        feat = coded.withColumn("_f", array_to_vector(sl))
-        model = KMeans(k=K, seed=7 + m, maxIter=10, featuresCol="_f").fit(feat)
         coded = (
-            model.transform(feat)
+            model.transform(coded.withColumn("_f", array_to_vector(sl)))
             .withColumnRenamed("prediction", f"code_{m}")
             .drop("_f")
         )

@@ -158,9 +158,11 @@ def _read_stream(spark: SparkSession, src: str, files_per_trigger: int = 1) -> D
     state is still exercised, and must carry a written invariance
     argument at the call site (r9 precedent: 2; r10: the
     stream-stream join runs 4 — it opens 4 stores/partition/side/
-    batch, so batch count IS its wall). Boundary-SENSITIVE keys
-    (watermark-late drops, sentinel flushes, CDC ordering) must
-    stay at 1."""
+    batch, so batch count IS its wall; r16: every boundary-invariant
+    key runs at the 2-batch floor, and the sentinel-flush and CDC
+    keys carry measured invariance arguments at their call sites).
+    The boundary-SENSITIVE key (q_stream_watermark_late, whose oracle
+    encodes the fpt=1 watermark schedule) must stay at 1."""
     tune(spark)
     raw = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -234,7 +236,14 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour bars per event_type (the OHLCV bar shape):
     streamed with watermark, complete-mode final state == batch agg."""
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src)
+    # Invariance (r16 coarsening, the _read_stream contract): complete
+    # mode never evicts aggregation state, and count/sum over tumbling
+    # windows are additive-mergeable, so the FINAL emitted table equals
+    # the batch aggregate whatever the micro-batch boundaries ('plain'
+    # staging is ts-ordered — no late rows for the watermark to drop
+    # either). 2 batches keep cross-batch state merge exercised: every
+    # hour window spanning the file-4 boundary accumulates from both.
+    ev = _read_stream(spark, src, files_per_trigger=4)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -265,7 +274,10 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (2h length, 1h slide): each event lands in two
     overlapping windows; complete-mode final state == batch expansion."""
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src)
+    # complete-mode additive state, ts-ordered staging: final table ==
+    # batch expansion whatever the batch boundaries (q_stream_tumbling's
+    # r16 invariance argument; the 2-window fan-out is per-row map work)
+    ev = _read_stream(spark, src, files_per_trigger=4)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "2 hours", "1 hour"))
@@ -296,7 +308,16 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization. Append mode + watermark; sentinel rows flush the
     final sessions; oracle is the batch islands (gap-and-island) SQL."""
     src = _stage(sf_dir, "sentinel")
-    ev = _read_stream(spark, src)
+    # r16 coarsening (5 batches: 4 data + 1 carrying both sentinels):
+    # session-window merge state is arrival-order-independent within
+    # the watermark (ts-ordered staging: nothing is late), and the
+    # final flush does not need the two sentinel FILES to occupy two
+    # batches — Spark harvests event-time stats one batch behind, but
+    # the post-batch watermark update past the sentinel batch triggers
+    # a no-data micro-batch (noDataMicroBatches, on by default) that
+    # evicts and emits every closed session. Differentially verified
+    # at all three SFs (hash-identical to the fpt=1 output).
+    ev = _read_stream(spark, src, files_per_trigger=2)
     sess = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -393,7 +414,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted key set equals batch DISTINCT regardless of which arrival
     won, so only the keys are output."""
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src)
+    # append-mode dedup over ts-ORDERED staging: no row is ever late,
+    # so each key emits exactly once whatever the batch boundaries
+    # (coarser batches advance the watermark LESS often — strictly
+    # less state eviction, so strictly no re-emission risk): 2 batches
+    # (r16, the q_stream_pipeline r9 argument verbatim); cross-batch
+    # dedup state is still exercised by every key seen in both halves.
+    ev = _read_stream(spark, src, files_per_trigger=4)
     dd = (
         ev.withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
@@ -618,7 +645,11 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.io import load_table
 
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src)
+    # complete-mode additive state (count/sum per segment), static dim
+    # deterministic, ts-ordered staging: final table == batch join+agg
+    # whatever the batch boundaries (r16 coarsening; 2 batches keep the
+    # per-batch broadcast re-join + cross-batch merge exercised)
+    ev = _read_stream(spark, src, files_per_trigger=4)
     cust = load_table(spark, sf_dir, "customer")
     joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
@@ -655,7 +686,11 @@ def q_stream_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark-bounded state; late ticks within 1 hour still land in
     their bar."""
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src)
+    # complete-mode final state; min_by/max_by/min/max/count/sum are
+    # all order-independent mergeable aggregates over the full event
+    # set, so the final bars equal the batch aggregate whatever the
+    # batch boundaries (r16 coarsening, 2 batches)
+    ev = _read_stream(spark, src, files_per_trigger=4)
     ordk = F.struct(F.col("ts"), F.col("event_id"))
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -723,8 +758,10 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage(sf_dir, "plain")
     # complete-mode final state == batch agg regardless of micro-batch
     # boundaries (and 'plain' staging is ts-ordered: no late rows), so
-    # the replay may run 4 larger batches instead of 8 (r9 wall cut)
-    ev = _read_stream(spark, src, files_per_trigger=2)
+    # the replay may run 2 larger batches instead of 8 (r9 cut to 4,
+    # r16 to the contract's 2-batch floor: per-batch state-store
+    # open/commit is the wall, and cross-batch merge stays exercised)
+    ev = _read_stream(spark, src, files_per_trigger=4)
     hourly = _run_to_memory(
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -787,7 +824,11 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("synthetic_ticks")
         .option("n", "20000")
-        .option("batch", "4096")
+        # complete-mode additive agg: the drained state is batch-
+        # boundary-invariant, so the replay runs 3 micro-batches
+        # instead of 5 (r16; ≥2 keeps the offset-protocol checkpoint
+        # loop — the operator's point — exercised across batches)
+        .option("batch", "8192")
         .load()
     )
     agg = stream.groupBy("bucket").agg(
@@ -864,8 +905,18 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"cdc_{uuid.uuid4().hex[:10]}"
     ckpt = f"/root/repo/.tmp/ckpt/{name}"
+    # Invariance (r16 coarsening): the per-batch fold is
+    # latest-per-key by max_by over the TOTAL order (us, event_id) —
+    # an associative, commutative reduce — and every batch merges the
+    # full previous snapshot, so the FINAL snapshot is the latest-
+    # state-per-key of the whole fixture however the rows are grouped
+    # into batches ('error' tombstones shield keys only against
+    # INTERMEDIATE stragglers; the final filtered read is identical).
+    # 2 batches keep the snapshot-merge path exercised (batch 2 folds
+    # into v0's parquet); per-batch snapshot write+read jobs were the
+    # wall at 8 batches.
     q = (
-        _read_stream(spark, src)
+        _read_stream(spark, src, files_per_trigger=4)
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", ckpt)
         .start()
@@ -923,7 +974,11 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     src = _stage(sf_dir, "plain")
-    ev = _read_stream(spark, src)
+    # complete-mode additive count state: the final leaderboard table
+    # equals the batch agg whatever the batch boundaries (r16
+    # coarsening, 2 batches; the rank layer is a batch post-pass
+    # over the materialized table either way)
+    ev = _read_stream(spark, src, files_per_trigger=4)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -987,8 +1042,11 @@ def q_stream_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage(sf_dir, "plain")
     # complete-mode final histogram is batch-boundary-invariant ('plain'
-    # staging is ts-ordered, no late rows): 4 larger batches (r9)
-    ev = _read_stream(spark, src, files_per_trigger=2)
+    # staging is ts-ordered, no late rows): r9 ran 4 batches, r16 runs
+    # the contract's 2-batch floor — additive (window, type, cents)
+    # counts merge across the boundary, per-batch store commits are
+    # the wall
+    ev = _read_stream(spark, src, files_per_trigger=4)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(
@@ -1081,8 +1139,9 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so each key still emits exactly once whatever the batch
     # boundaries (coarser batches advance the watermark LESS often —
     # strictly less state eviction, so strictly no re-emission risk):
-    # 4 larger batches (r9)
-    ev = _read_stream(spark, src, files_per_trigger=2)
+    # r9 ran 4 batches, r16 runs the contract's 2-batch floor (keys
+    # spanning the boundary still exercise cross-batch dedup state)
+    ev = _read_stream(spark, src, files_per_trigger=4)
     # static reference dim, computed batch-side from the same fixture
     from engine.io import load_table
 
