@@ -5272,68 +5272,80 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = _ann_scale_mode(e)
     sample_div = int(os.environ.get("SPARK_GRAFT_EVAL_SAMPLE", "4"))
 
-    def knn(dims: int | None, k: int) -> DataFrame:
+    # r16 optimization (guide §2.4 — two operations keyed the same way
+    # share one exchange): the full-64-dim and prefix-16-dim retrieval
+    # runs used to be two INDEPENDENT label-blocked pair joins over the
+    # IDENTICAL pair set (same join condition, same sampled query side)
+    # followed by a join of their top-10 sets. One pair join now
+    # carries BOTH cosines (norms for both widths precomputed per
+    # vector), both rank cuts are windows over the same frame
+    # (identical partition+ordering semantics per run — the cosine
+    # values and tiebreaks are byte-identical expressions, so each
+    # run's top-10 set is unchanged), and the hit flag is the
+    # conjunction of the two rank predicates instead of a set join.
+    # Plan: 2 pair exchanges + 2 windows + 1 hash join → 1 pair
+    # exchange + 2 windows on one sort. Differentially verified at all
+    # three SFs; interleaved A/B in OPTIMIZATION_r16.md.
+    def width_cols(dims: int | None, tag: str):
         emb = F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
-        as_double = F.transform(emb, lambda x: x.cast("double"))
-        base = e.select("vec_id", "label", as_double.alias("emb"))
+        arr = F.transform(emb, lambda x: x.cast("double"))
         norm = F.sqrt(
             F.aggregate(
-                F.transform(F.col("emb"), lambda x: x * x),
-                F.lit(0.0),
-                lambda a_, x: a_ + x,
+                F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x
             )
         )
-        v = base.withColumn("nrm", norm)
-        a = v.select(
-            F.col("vec_id").alias("vec_id"),
-            F.col("label").alias("label"),
-            F.col("emb").alias("ea"),
-            F.col("nrm").alias("na"),
-        )
-        if approx:
-            a = a.filter(
-                F.pmod(F.xxhash64("vec_id"), F.lit(sample_div)) == 0
-            )
-        b = v.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("lb"),
-            F.col("emb").alias("eb"),
-            F.col("nrm").alias("nb"),
-        )
+        return arr.alias(f"e{tag}"), norm.alias(f"n{tag}")
+
+    ef, nf = width_cols(None, "f")
+    ep, np_ = width_cols(16, "p")
+    v = e.select("vec_id", "label", ef, nf, ep, np_)
+    a = v.select(
+        "vec_id",
+        "label",
+        F.col("ef").alias("a_ef"), F.col("nf").alias("a_nf"),
+        F.col("ep").alias("a_ep"), F.col("np").alias("a_np"),
+    )
+    if approx:
+        a = a.filter(F.pmod(F.xxhash64("vec_id"), F.lit(sample_div)) == 0)
+    b = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("lb"),
+        F.col("ef").alias("b_ef"), F.col("nf").alias("b_nf"),
+        F.col("ep").alias("b_ep"), F.col("np").alias("b_np"),
+    )
+
+    def cosine(side_a, side_b, na, nb):
         dot = F.aggregate(
-            F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+            F.zip_with(side_a, side_b, lambda x, y: x * y),
             F.lit(0.0),
             lambda a_, x: a_ + x,
         )
-        cos = (
-            a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("neighbor_id")))
-            .select(
-                "vec_id",
-                "label",
-                "neighbor_id",
-                (F.round(dot / (F.col("na") * F.col("nb")), 4) + 0.0).alias("cosine"),
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-        return cos.select(
-            "vec_id", "label", "neighbor_id", F.row_number().over(w).alias("rank")
-        ).filter(F.col("rank") <= k)
+        return F.round(dot / (na * nb), 4) + 0.0
 
-    full_k = knn(None, 10)
-    pref_k = knn(16, 10).select(
-        F.col("vec_id").alias("pv"), F.col("neighbor_id").alias("pn"),
-        F.lit(1).alias("hit"),
+    pairs = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("neighbor_id"))
+    ).select(
+        "vec_id",
+        "label",
+        "neighbor_id",
+        cosine(F.col("a_ef"), F.col("b_ef"), F.col("a_nf"), F.col("b_nf")).alias("cos_f"),
+        cosine(F.col("a_ep"), F.col("b_ep"), F.col("a_np"), F.col("b_np")).alias("cos_p"),
+    )
+    wf = Window.partitionBy("vec_id").orderBy(F.desc("cos_f"), F.asc("neighbor_id"))
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("cos_p"), F.asc("neighbor_id"))
+    ranked = pairs.select(
+        "vec_id",
+        "label",
+        F.row_number().over(wf).alias("rk_f"),
+        F.row_number().over(wp).alias("rk_p"),
     )
     hit = (
-        full_k.join(
-            pref_k,
-            (full_k["vec_id"] == pref_k["pv"])
-            & (full_k["neighbor_id"] == pref_k["pn"]),
-            "left",
-        )
+        ranked.filter(F.col("rk_f") <= 10)
         .groupBy("vec_id", "label")
         .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.sum(F.when(F.col("rk_p") <= 10, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
             F.count("*").cast("long").alias("n_true"),
         )
     )
