@@ -173,27 +173,55 @@ def _read_stream(spark: SparkSession, src: str, files_per_trigger: int = 1) -> D
     return raw.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, mode: str, partitions: str | None = None
+) -> DataFrame:
     """Execute the streaming query to completion into a memory sink.
 
-    State-store layout (r8): the REPLAY pins
-    ``spark.sql.shuffle.partitions`` to 8 for the query's lifetime
+    State-store layout (r8, re-measured r17): the REPLAY pins
+    ``spark.sql.shuffle.partitions`` for the query's lifetime
     (captured by Structured Streaming at start; restored after).
-    Rationale: the staged-file replay runs ~10 micro-batches over a
+    Rationale: the staged-file replay runs 2-8 micro-batches over a
     domain-bounded state (hours × types × cents buckets — a few
     thousand rows), so per-batch wall is state-store open/commit ×
-    partitions × batches, not data: measured 6.5 → 5.5 s at sf0.1 for
-    q_stream_median (32 → 8 partitions; the driver's vanilla session
-    would otherwise pay the 200-partition default). A PRODUCTION
-    stream sizes this to key cardinality instead — the pin is a
-    replay-harness decision, documented here, not an engine default
+    partitions × batches, not data: r8 measured 6.5 → 5.5 s at sf0.1
+    for q_stream_median (32 → 8 partitions; the driver's vanilla
+    session would otherwise pay the 200-partition default), and the
+    r17 interleaved A/B (one warmed session, 8 vs 2 vs 1 alternating,
+    best-of-3 at sf0.1) drove it to 2: watermark_late 3.42 → 2.93,
+    anomaly 1.74 → 1.28, pipeline 2.76 → 2.13, stream_join 3.49 →
+    2.80, session 3.16 → 2.74, tumbling 1.00 → 0.89; 1 measured equal
+    to 2 (watermark_late 2.927 vs 2.933), so 2 stays — cross-partition
+    state merge remains exercised. The one exception, q_stream_median
+    (best-of-5 p8 2.09 vs p2 2.31 — its two stacked stateful aggs are
+    the only per-batch compute heavy enough to use the parallelism),
+    passes ``partitions="8"`` explicitly.
+    Partition count is RESULT-INVARIANT for every stream key: state
+    is hash-partitioned by grouping key, watermark advancement is the
+    global per-batch max event time, and eviction compares each key's
+    window against that global watermark — none depend on how keys
+    are sharded. A PRODUCTION stream sizes this to key cardinality
+    instead — the pin is a replay-harness decision, parameterised via
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` (a cluster replay sets it to
+    ~key-cardinality/target-rows-per-store), not an engine default
     (engine/session.tune leaves batch queries at the executor
-    width)."""
+    width).
+
+    The sentinel-flush keys (q_stream_session) additionally rely on
+    ``noDataMicroBatches.enabled`` staying true (the engine default):
+    the final watermark update only evicts+emits via the no-data
+    micro-batch after the last data batch. ADVICE r16: enforce the
+    documented invariance argument instead of assuming it — the pin
+    below makes a future tune()/default change fail loud here, not
+    as a mystery differential diff."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = f"/root/repo/.tmp/ckpt/{name}"
     spark = stream_df.sparkSession
+    n_parts = partitions or os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
         # The pin only needs to span .start(): StreamExecution clones
         # the session in its constructor (sparkSessionForStream =
@@ -213,6 +241,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb)
     try:
         q.processAllAvailable()
     finally:
@@ -1062,7 +1091,10 @@ def q_stream_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
         )
     )
-    hist = _run_to_memory(agg, "complete")
+    # partitions="8": the only stream key whose per-batch compute (two
+    # stacked stateful aggs over the cents-bucket histogram) beats the
+    # state-store saving — r17 best-of-5 A/B p8 2.09 vs p2 2.31 s.
+    hist = _run_to_memory(agg, "complete", partitions="8")
     wcum = (
         W.partitionBy("win_start", "event_type")
         .orderBy("cents")
