@@ -559,7 +559,48 @@ _MH_HASHES = 32  # minhash signature length
 _MH_BANDS = 8    # 8 bands x 4 rows: P(candidate) = 1-(1-J^4)^8
 
 
-@register("q_dedup_minhash")  # rows-only: LSH is approximate (SURVEY §2.11)
+def _minhash_oracle() -> str:
+    """Exact-recall DuckDB twin of q_dedup_minhash (r17 — VERDICT r16
+    task 2: the key returned ``no_oracle`` every time it rotated into
+    the graded window). The twin is expressible because (a) the
+    signature hash is the portable md5-derived double-hash family
+    (h1 + i·h2 — see _minhash_pairs), byte-identical in DuckDB via the
+    q_dedup_simhash '0x'||substr(md5(..)) idiom, and (b) banding has
+    EXACT recall at the 0.85 gate: est ≥ 0.85 ⟺ ≤ 4 of 32 rows
+    disagree ⟹ ≥ 4 of the 8 4-row bands agree fully ⟹ the pair shares
+    a band bucket. So the engine's LSH output ≡ {all pairs with
+    signature agreement ≥ 28/32}, which the oracle computes by brute
+    force (500 docs at the graded SFs; 12.5M 32-term comparisons at
+    sf0.1 — seconds in DuckDB)."""
+    mins = ",\n             ".join(
+        f"min(h1 + {i} * h2) AS s{i}" for i in range(_MH_HASHES)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(_MH_HASHES)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h1,
+             CAST('0x' || substring(md5(tok), 13, 12) AS BIGINT) AS h2
+      FROM tok),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id),
+    pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ({agree}) AS agree
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, agree / 32.0 AS jaccard_est
+    FROM pair WHERE agree >= 28
+    """
+
+
+@register("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, mode=None)
 
@@ -568,8 +609,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFr
     """MinHash-LSH near-dup candidate pairs (shingle -> minhash -> band
     bucket -> bucket join), entirely in whole-stage codegen.
 
-    Native DataFrame implementation, deterministic (xxhash64 with the
-    hash index as seed column). MLlib's ``MinHashLSH.approxSimilarityJoin``
+    Native DataFrame implementation, deterministic (md5-derived
+    Kirsch-Mitzenmacher double hashing — portable across engines, so
+    the key carries a full DuckDB oracle since r17; see the hash
+    comment below). MLlib's ``MinHashLSH.approxSimilarityJoin``
     computes an exact key-distance per bucket-colliding pair through a
     row-at-a-time Scala UDF — on this duplicate-heavy corpus (most sets
     near-identical, so most pairs collide in some bucket) that was 356s
@@ -607,9 +650,30 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, mode: str | None) -> DataFr
         n_groups = 0 if mode == "broadcast" else _BROADCAST_ROWS + 1
     same = _same_set_pairs(groups, "jaccard_est")
 
-    tok = groups.select("gid", F.explode("toks").alias("tok"))
+    # Portable per-token hash family (r17, VERDICT r16 task 2): ONE md5
+    # per token row split into two 48-bit halves, expanded to 32
+    # functions by Kirsch-Mitzenmacher double hashing h_i = h1 + i·h2
+    # (max h1 + 31·h2 < 2^53 — exact in int64, no wraparound to agree
+    # on between engines). Replaces 32 per-row xxhash64 calls, which
+    # (a) had no DuckDB twin, keeping this key permanently ungradeable
+    # (rows-only), and (b) cost 32 string hashes per row where one md5
+    # + 32 multiply-adds suffice. The simhash precedent (r5): prefer
+    # the portable hash unless the hot path can't afford it. Min-wise,
+    # any uniform-enough family is a valid minhash; the recall-vs-
+    # exact-Jaccard floor stays asserted in tests/test_llm_ops.py.
+    # (_minhash_candidate_pairs — candidate generation for the exact-
+    # verify jaccard family, where the hash never reaches the output —
+    # keeps xxhash64: no portability requirement, no per-key oracle.)
+    tok = groups.select("gid", F.explode("toks").alias("tok")).select(
+        "gid",
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("tok"), 13, 12), 16, 10).cast("long").alias("h2"),
+    )
     sigs = tok.groupBy("gid").agg(
-        *[F.min(F.xxhash64("tok", F.lit(i))).alias(f"s{i}") for i in range(_MH_HASHES)]
+        *[
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"s{i}")
+            for i in range(_MH_HASHES)
+        ]
     )
     # Signature collapse (r6): near-identical sets usually agree on
     # all 32 minima, so on a duplicate-heavy corpus distinct

@@ -210,7 +210,8 @@ _ROWS_ONLY_FROZEN = {
     "q_embed_pq",
     "q_embed_pca",
     "q_sim_mmr",
-    "q_dedup_minhash",
+    # q_dedup_minhash left this set in r17 (converted to a full oracle
+    # via the portable md5 double-hash family — SURVEY §2.12b note)
     "q_tokenize_bpe",
     "q_fn_hash_native",
     "q_text_compression",
