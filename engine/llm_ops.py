@@ -845,7 +845,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     that cannot pass the cosine filter (same constant q_sim_pairwise
     has shipped hash-green since r5). Measured interleaved best-of-3
     at sf0.1 (one warmed session, old/new alternating so host drift
-    cancels): 7.37 → 4.08 s over 199,666 pairs."""
+    cancels): 7.37 → 4.08 s over 199,666 pairs.
+
+    NaN caveat (ADVICE r16): 'value-identical' assumes finite
+    embeddings. A NaN-containing vector yields a NaN cosine, which
+    Spark's ``>`` treats as greater-than-everything (pair emitted),
+    while ``abs(NaN - x) <= 1.140176`` is false (pair pruned). The
+    fixtures are finite by construction (TESTDATA.md; the differential
+    would flag any regression), so the prune is lossless here."""
     e = _t(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm_of = F.sqrt(
@@ -5347,8 +5354,10 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values and tiebreaks are byte-identical expressions, so each
     # run's top-10 set is unchanged), and the hit flag is the
     # conjunction of the two rank predicates instead of a set join.
-    # Plan: 2 pair exchanges + 2 windows + 1 hash join → 1 pair
-    # exchange + 2 windows on one sort. Differentially verified at all
+    # Plan: 2 pair exchanges + 2 windows + 1 hash join → 1 SHARED pair
+    # exchange feeding two window sorts (the windows order by different
+    # columns — cos_f vs cos_p — so only the exchange is shared, not
+    # the sort; ADVICE r16 wording fix). Differentially verified at all
     # three SFs; interleaved A/B in OPTIMIZATION_r16.md.
     def width_cols(dims: int | None, tag: str):
         emb = F.col("embedding") if dims is None else F.slice("embedding", 1, dims)

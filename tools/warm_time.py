@@ -29,12 +29,20 @@ def main() -> None:
     if args and args[0] == "-n":
         n = int(args[1])
         args = args[2:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    keys = [a for a in args if not os.path.isdir(a)]
-    spark = get_spark("warm_time")
+    # ADVICE r16: a leading existing-directory arg is the sf_dir; every
+    # OTHER arg must be a registered key — the old isdir filter silently
+    # dropped a key colliding with a local dir name and let a mistyped
+    # sf_dir crash later as a KeyError.
+    if args and os.path.isdir(args[0]):
+        sf_dir, keys = args[0], args[1:]
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        keys = args
     queries = all_queries()
+    unknown = [k for k in keys if k not in queries]
+    if unknown:
+        raise SystemExit(f"unknown keys (not in all_queries()): {unknown}")
+    spark = get_spark("warm_time")
     # same untimed lane warmups as bench.py
     queries["q_agg_group"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.range(64).repartition(4).mapInPandas(
